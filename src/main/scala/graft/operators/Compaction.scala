@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+import scala.jdk.CollectionConverters._
+
+/** Small-file compaction maintenance job.
+  *
+  * Mirrors the reference's per-date-partition compaction
+  * (ingestion/streaming_ingest.py:121-174: merge every parquet under a date
+  * partition into one file, drop the micro-batch subdirs) as a Spark job.
+  *
+  * Scale notes: compaction is embarrassingly parallel ACROSS partitions and a
+  * `repartition(n)` within one. We size output files by bytes rather than
+  * hard-coding 1 file, so a 100 TB table compacts to ~targetFileBytes files
+  * per partition instead of one giant row group per date.
+  */
+final class Compaction(spark: SparkSession,
+                       targetFileBytes: Long = 512L * 1024 * 1024,
+                       minFilesToCompact: Int = 2) {
+
+  /** Compact every immediate `part=` subdirectory of `root` that has at
+    * least `minFilesToCompact` parquet files. Returns compacted dirs. */
+  def compact(root: String): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return Nil
+    val parts = Files.list(rootPath).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .toSeq.sortBy(_.toString)
+    parts.flatMap { part =>
+      val files = Files.walk(part).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet")).toSeq
+      if (files.size < minFilesToCompact) None
+      else {
+        val bytes = files.map(Files.size).sum
+        val nOut = math.max(1, (bytes / targetFileBytes).toInt)
+        val df = spark.read.parquet(part.toString)
+        val tmp = Paths.get(part.toString + ".__compact")
+        deleteRecursively(tmp)
+        df.repartition(nOut).write.mode(SaveMode.Overwrite)
+          .parquet(tmp.toString)
+        val old = Paths.get(part.toString + ".__old")
+        Files.move(part, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, part, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
+        Some(part.toString)
+      }
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}

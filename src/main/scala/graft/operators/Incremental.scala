@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+/** Incremental "delete+insert" materializer with a sliding late-data window.
+  *
+  * Re-expresses the reference's dbt incremental models
+  * (`materialized='incremental', unique_key=…, incremental_strategy=
+  * 'delete+insert'` — stg_clickstream_events.sql:1-6 and siblings) plus their
+  * 1-day lookback predicate (`ts >= max(ts) - INTERVAL 1 DAY` over the
+  * target, stg_orders.sql:17-25) on plain Parquet, transactionally via a
+  * write-to-temp-then-atomic-swap protocol (the reference leans on DuckDB's
+  * single-file transactionality; SURVEY.md §7.4 risk 2).
+  *
+  * Scale notes: the upsert is `target left_anti updates ∪ updates`. The
+  * anti-join shuffles both sides on the key — at 100 TB you avoid rewriting
+  * unrelated data by FIRST pruning the target to the partitions the updates
+  * can touch (delete+insert at partition granularity,
+  * `partitionOverwriteMode=dynamic`); `upsertPartitioned` does exactly that,
+  * so only affected date partitions are read or rewritten and the anti-join
+  * runs over a sliver of the table.
+  */
+final class Incremental(spark: SparkSession) {
+
+  /** Scalar watermark: `coalesce(max(tsCol) - lookback, epoch)` over the
+    * current target — collected to a literal so the source scan gets a
+    * pushed-down, partition-prunable filter (SURVEY.md §4 "collected to
+    * literals first"). */
+  def watermark(targetPath: String, tsCol: String,
+                lookback: String): Option[java.sql.Timestamp] =
+    if (!Files.exists(Paths.get(targetPath))) None
+    else {
+      val row = spark.read.parquet(targetPath)
+        .agg(max(col(tsCol).cast("timestamp") - expr(s"INTERVAL $lookback")))
+        .first()
+      if (row.isNullAt(0)) None else Some(row.getTimestamp(0))
+    }
+
+  /** Filter `source` to rows at-or-after the target watermark (`>=`, the
+    * standardized comparator — SURVEY.md §2.12 item 4). */
+  def lateWindow(source: DataFrame, targetPath: String, tsCol: String,
+                 lookback: String = "1 DAY"): DataFrame =
+    watermark(targetPath, tsCol, lookback) match {
+      case Some(wm) => source.filter(col(tsCol) >= lit(wm))
+      case None     => source
+    }
+
+  /** Full-table delete+insert upsert by unique key, atomic swap. */
+  def upsert(targetPath: String, updates: DataFrame,
+             keys: Seq[String]): Unit = {
+    val target = Paths.get(targetPath)
+    val updatesCached = updates.cache()
+    try {
+      val merged =
+        if (!Files.exists(target)) updatesCached
+        else spark.read.parquet(targetPath)
+          .join(updatesCached.select(keys.map(col): _*).distinct(),
+            keys, "left_anti")
+          .unionByName(updatesCached)
+      atomicOverwrite(target, merged)
+    } finally updatesCached.unpersist()
+  }
+
+  /** Partition-granular delete+insert: only partitions present in `updates`
+    * are read, merged, and rewritten (dynamic partition overwrite). */
+  def upsertPartitioned(targetPath: String, updates: DataFrame,
+                        keys: Seq[String], partCol: String): Unit = {
+    val target = Paths.get(targetPath)
+    if (!Files.exists(target)) {
+      updates.write.partitionBy(partCol).mode(SaveMode.Overwrite)
+        .parquet(targetPath)
+      return
+    }
+    val updatesCached = updates.cache()
+    try {
+      val touched = updatesCached.select(partCol).distinct()
+        .collect().map(_.get(0)).toSeq
+      val existing = spark.read.parquet(targetPath)
+        .filter(col(partCol).isin(touched: _*)) // static partition pruning
+        .join(updatesCached.select(keys.map(col): _*).distinct(),
+          keys, "left_anti")
+      existing.unionByName(updatesCached)
+        .write.partitionBy(partCol).mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(targetPath)
+    } finally updatesCached.unpersist()
+  }
+
+  /** Write df to `path.__tmp`, then swap into place (old data preserved at
+    * `path.__old` until the swap completes, then deleted). */
+  private def atomicOverwrite(target: Path, df: DataFrame): Unit = {
+    val tmp = Paths.get(target.toString + ".__tmp")
+    val old = Paths.get(target.toString + ".__old")
+    deleteRecursively(tmp); deleteRecursively(old)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (Files.exists(target))
+      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** dbt-style data-quality checks as first-class engine operators.
+  *
+  * The reference gates its pipeline on declarative schema tests — `not_null`,
+  * `unique`, `relationships`, `dbt_utils.expression_is_true`
+  * (dbt_project/models/schema.yml:113-789, run by
+  * spark_jobs/dbt_runner.py:66-69,88-91; any violation raises). Each check
+  * here returns the VIOLATION COUNT (0 == pass), and `run` evaluates a suite.
+  *
+  * Scale notes: every check is a single aggregation with map-side partials
+  * (`count` over a filter) or one shuffle (`unique` groupBy, `relationships`
+  * anti-join with the parent side broadcast when small). Checks never
+  * collect rows, only counts.
+  */
+object Quality {
+
+  sealed trait Check { def name: String; def violations: Long }
+
+  final case class CheckResult(name: String, violations: Long) {
+    def passed: Boolean = violations == 0
+  }
+
+  def notNull(df: DataFrame, c: String): Long =
+    df.filter(col(c).isNull).count()
+
+  def unique(df: DataFrame, cols: Seq[String]): Long =
+    df.groupBy(cols.map(col): _*).count().filter(col("count") > 1).count()
+
+  /** FK integrity: child values (non-null) that have no parent. */
+  def relationships(child: DataFrame, childKey: String,
+                    parent: DataFrame, parentKey: String): Long =
+    child.select(col(childKey)).filter(col(childKey).isNotNull)
+      .join(broadcast(parent.select(col(parentKey).as(childKey)).distinct()),
+        Seq(childKey), "left_anti")
+      .count()
+
+  /** dbt_utils.expression_is_true: rows where the expression is NOT true. */
+  def expressionIsTrue(df: DataFrame, e: Column): Long =
+    df.filter(!coalesce(e, lit(false))).count()
+
+  /** Freshness: violation iff max(tsCol) is older than `maxAgeSeconds`. */
+  def freshness(df: DataFrame, tsCol: String, maxAgeSeconds: Long): Long = {
+    val r = df.agg(max(col(tsCol))).first()
+    if (r.isNullAt(0)) 1L
+    else {
+      val age = (System.currentTimeMillis() - r.getTimestamp(0).getTime) / 1000
+      if (age > maxAgeSeconds) 1L else 0L
+    }
+  }
+
+  /** Evaluate a named suite; throws if any check fails (dbt_runner.py:43-44
+    * semantics) unless failFast=false, in which case results are returned. */
+  def run(checks: Seq[(String, () => Long)],
+          failFast: Boolean = false): Seq[CheckResult] = {
+    val results = checks.map { case (n, f) => CheckResult(n, f()) }
+    val bad = results.filter(!_.passed)
+    if (failFast && bad.nonEmpty)
+      throw new IllegalStateException(
+        "quality checks failed: " +
+          bad.map(r => s"${r.name}=${r.violations}").mkString(", "))
+    results
+  }
+}

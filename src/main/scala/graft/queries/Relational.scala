@@ -1,0 +1,564 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Sessionize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import Dsl._
+
+/** Core relational operator catalog: scans, projections, filters, joins
+  * (inner/left/semi/anti/broadcast), hash aggregation, distinct, set ops,
+  * top-k, scalar-subquery watermark, grouping sets, JSON access.
+  *
+  * Each entry re-expresses an operator family from SURVEY.md §2 over the
+  * driver's TPC-H-ish test tables, with a DuckDB oracle. Scale posture per
+  * query is noted inline (broadcast the small side, pre-aggregate before
+  * joins, push filters to the scan).
+  */
+object Relational {
+
+  def all: Seq[Q] = Seq(
+    q01PricingSummary, q02ProjectionCase, q03DimJoin, q04JoinAgg,
+    q05LeftJoinRollup, q06AntiJoin, q07SemiJoin, q12Funnel,
+    q13DateSpine, q15DailyKpis, q16UserLifecycle, q17ProductPerf,
+    q18SetOps, q19TopK, q20Distinct, q21Watermark, q22ArrayRollup,
+    q23Rollup, q24Quality, q25Pivot, q26Json)
+
+  /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
+    * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
+    * is partial map-side then final — one shuffle on the 6-value key. */
+  val q01PricingSummary: Q = Q("q01_pricing_summary", (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSumExpr(d2(col("l_extendedprice")) * (lit(1) - dr(col("l_discount"))))
+          .as("sum_disc_price"),
+        decSumExpr(d2(col("l_extendedprice")) * (lit(1) - dr(col("l_discount")))
+          * (lit(1) + dr(col("l_tax")))).as("sum_charge"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_extendedprice")).as("avg_price"),
+        decAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }, Some(s"""
+    SELECT l_returnflag, l_linestatus,
+      ${decSumSql("l_quantity")} AS sum_qty,
+      ${decSumSql("l_extendedprice")} AS sum_base_price,
+      ${decSumExprSql(s"${d2Sql("l_extendedprice")} * (1 - ${drSql("l_discount")})")} AS sum_disc_price,
+      ${decSumExprSql(s"${d2Sql("l_extendedprice")} * (1 - ${drSql("l_discount")}) * (1 + ${drSql("l_tax")})")} AS sum_charge,
+      ${decAvgSql("l_quantity")} AS avg_qty,
+      ${decAvgSql("l_extendedprice")} AS avg_price,
+      ${decAvgSql("l_discount")} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Typed projection + renames + CASE/coalesce shaping + enum filter
+    * (P1/P5/P9). Narrow, no shuffle; both filter and the 4-column read
+    * schema reach the scan. */
+  val q02ProjectionCase: Q = Q("q02_projection_case", (s, d) => {
+    Tables.orders(s, d)
+      .filter(col("o_totalprice") > 1000 && col("o_orderdate").isNotNull)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("priority_uc"),
+        col("o_orderdate").cast("date").as("order_date"),
+        when(col("o_orderstatus") === "F", "done")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("other").as("status_label"),
+        when(col("o_totalprice") >= 200000, "high")
+          .when(col("o_totalprice") >= 50000, "mid")
+          .otherwise("low").as("price_band"))
+      .orderBy(col("o_orderkey"))
+  }, Some("""
+    SELECT o_orderkey,
+      upper(o_orderpriority) AS priority_uc,
+      CAST(o_orderdate AS DATE) AS order_date,
+      CASE WHEN o_orderstatus = 'F' THEN 'done'
+           WHEN o_orderstatus = 'O' THEN 'open'
+           ELSE 'other' END AS status_label,
+      CASE WHEN o_totalprice >= 200000 THEN 'high'
+           WHEN o_totalprice >= 50000 THEN 'mid'
+           ELSE 'low' END AS price_band
+    FROM orders
+    WHERE o_totalprice > 1000 AND o_orderdate IS NOT NULL
+    ORDER BY o_orderkey"""))
+
+  /** Snowflake dimension join: customer ⨝ nation ⨝ region with explicit
+    * broadcast of both dims (25 + 5 rows) — zero shuffle of the fact side;
+    * at 100 TB this is the only sane plan and we force it. */
+  val q03DimJoin: Q = Q("q03_dim_join", (s, d) => {
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        decSum(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+  }, Some(s"""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+      ${decSumSql("c_acctbal")} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name"""))
+
+  /** Fact-to-fact equi-join + aggregation (J7 analog): revenue per order for
+    * one year. The date filter prunes the orders side BEFORE the join; both
+    * sides shuffle on the join key once (sort-merge at scale, AQE may
+    * broadcast the pruned orders side). */
+  val q04JoinAgg: Q = Q("q04_join_agg", (s, d) => {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+    Tables.lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(
+        decSumExpr(d2(col("l_extendedprice")) * (lit(1) - dr(col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderkey"))
+  }, Some(s"""
+    SELECT o_orderkey, o_orderdate,
+      ${decSumExprSql(s"${d2Sql("l_extendedprice")} * (1 - ${drSql("l_discount")})")} AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY o_orderkey"""))
+
+  /** Left join with pre-aggregated right side + coalesce defaults
+    * (J1/J2/P10). Aggregating orders BEFORE the join shrinks the shuffled
+    * data to one row per customer — the SURVEY §7.4 "pre-aggregate before
+    * joins" posture. */
+  val q05LeftJoinRollup: Q = Q("q05_left_join_rollup", (s, d) => {
+    val perCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders_raw"),
+        decSum(col("o_totalprice")).as("spend_raw"))
+    Tables.customer(s, d)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders_raw"), lit(0L)).as("n_orders"),
+        coalesce(col("spend_raw"), lit(0.0)).as("total_spend"),
+        (coalesce(col("n_orders_raw"), lit(0L)) > 0).as("has_order"))
+      .orderBy(col("c_custkey"))
+  }, Some(s"""
+    SELECT c_custkey, c_name,
+      COALESCE(n_orders_raw, 0) AS n_orders,
+      COALESCE(spend_raw, 0.0) AS total_spend,
+      COALESCE(n_orders_raw, 0) > 0 AS has_order
+    FROM customer LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders_raw,
+        ${decSumSql("o_totalprice")} AS spend_raw
+      FROM orders GROUP BY o_custkey
+    ) ON c_custkey = o_custkey
+    ORDER BY c_custkey"""))
+
+  /** Anti-join (J9/J11 analog): customers with no orders. The orders side is
+    * projected to the key column only before the shuffle. */
+  val q06AntiJoin: Q = Q("q06_anti_join", (s, d) => {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }, Some("""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey"""))
+
+  /** Semi-join: customers with at least one finished order. */
+  val q07SemiJoin: Q = Q("q07_semi_join", (s, d) => {
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }, Some("""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    ORDER BY c_custkey"""))
+
+  /** Conditional-flag funnel (A10/A11 analog): per-(day,user) event flags,
+    * then daily rollup with a guarded conversion rate. Two shuffles (the
+    * second reuses nothing — keys change), both over pre-reduced data. */
+  val q12Funnel: Q = Q("q12_funnel", (s, d) => {
+    val flags = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("user_id"))
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("f_view"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("f_click"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("f_purchase"))
+    flags.groupBy(col("day"))
+      .agg(
+        countDistinct(col("user_id")).as("users"),
+        sum(col("f_view")).cast("bigint").as("viewers"),
+        sum(col("f_click")).cast("bigint").as("clickers"),
+        sum(col("f_purchase")).cast("bigint").as("purchasers"))
+      .withColumn("view_to_purchase_rate",
+        rate(col("purchasers"), col("viewers")))
+      .orderBy(col("day"))
+  }, Some(s"""
+    WITH flags AS (
+      SELECT CAST(ts AS DATE) AS day, user_id,
+        MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f_view,
+        MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f_click,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f_purchase
+      FROM events GROUP BY 1, 2)
+    SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+      CAST(SUM(f_view) AS BIGINT) AS viewers,
+      CAST(SUM(f_click) AS BIGINT) AS clickers,
+      CAST(SUM(f_purchase) AS BIGINT) AS purchasers,
+      ${rateSql("SUM(f_purchase)", "SUM(f_view)")} AS view_to_purchase_rate
+    FROM flags GROUP BY day ORDER BY day"""))
+
+  /** Date-spine generation (G2/dim_date analog): global min/max then
+    * explode(sequence) with calendar attributes. DOW normalized to the
+    * Spark convention (Sun=1) on the oracle side. */
+  val q13DateSpine: Q = Q("q13_date_spine", (s, d) => {
+    Tables.orders(s, d)
+      .agg(min(col("o_orderdate").cast("date")).as("lo"),
+        max(col("o_orderdate").cast("date")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("date"))
+      .select(col("date"),
+        year(col("date")).as("year"),
+        quarter(col("date")).as("quarter"),
+        month(col("date")).as("month"),
+        dayofmonth(col("date")).as("day_of_month"),
+        dayofweek(col("date")).as("day_of_week"),
+        dayofweek(col("date")).isin(1, 7).as("is_weekend"))
+      .orderBy(col("date"))
+  }, Some("""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(
+        (SELECT CAST(MIN(o_orderdate) AS DATE) FROM orders),
+        (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders),
+        INTERVAL 1 DAY)) AS DATE) AS date)
+    SELECT date,
+      CAST(year(date) AS INT) AS year,
+      CAST(quarter(date) AS INT) AS quarter,
+      CAST(month(date) AS INT) AS month,
+      CAST(dayofmonth(date) AS INT) AS day_of_month,
+      CAST(dayofweek(date) + 1 AS INT) AS day_of_week,
+      (dayofweek(date) + 1) IN (1, 7) AS is_weekend
+    FROM spine ORDER BY date"""))
+
+  /** Daily-KPI star rollup (metrics_daily_kpis analog, J4): date spine
+    * left-joined to per-day event and order rollups, coalesce defaults,
+    * guarded rates. The spine is tiny → both rollups are shuffled once and
+    * the joins broadcast the rollups against the spine. */
+  val q15DailyKpis: Q = Q("q15_daily_kpis", (s, d) => {
+    val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"),
+      col("user_id"), col("event_type"), col("value"))
+    val evDaily = ev.groupBy(col("day")).agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("dau"),
+      countDistinct(when(col("event_type") === "purchase",
+        col("user_id"))).as("purchasing_users"))
+    val ordDaily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        decSum(col("o_totalprice")).as("revenue"),
+        decAvg(col("o_totalprice")).as("aov"))
+    val bounds = evDaily.select(col("day"))
+      .unionByName(ordDaily.select(col("day")))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+      expr("interval 1 day"))).as("day"))
+    spine.join(evDaily, Seq("day"), "left")
+      .join(ordDaily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("purchasing_users"), lit(0L)).as("purchasing_users"),
+        rate(coalesce(col("purchasing_users"), lit(0L)),
+          coalesce(col("dau"), lit(0L))).as("purchase_user_rate"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        col("aov"))
+      .orderBy(col("day"))
+  }, Some(s"""
+    WITH ev AS (
+      SELECT CAST(ts AS DATE) AS day,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau,
+        CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT)
+          AS purchasing_users
+      FROM events GROUP BY 1),
+    ord AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        ${decSumSql("o_totalprice")} AS revenue,
+        ${decAvgSql("o_totalprice")} AS aov
+      FROM orders GROUP BY 1),
+    bounds AS (
+      SELECT MIN(day) AS lo, MAX(day) AS hi FROM
+        (SELECT day FROM ev UNION ALL SELECT day FROM ord)),
+    spine AS (
+      SELECT CAST(unnest(generate_series(
+        (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+        INTERVAL 1 DAY)) AS DATE) AS day)
+    SELECT spine.day,
+      COALESCE(n_events, 0) AS n_events,
+      COALESCE(dau, 0) AS dau,
+      COALESCE(purchasing_users, 0) AS purchasing_users,
+      ${rateSql("COALESCE(purchasing_users, 0)", "COALESCE(dau, 0)")}
+        AS purchase_user_rate,
+      COALESCE(n_orders, 0) AS n_orders,
+      COALESCE(revenue, 0.0) AS revenue,
+      aov
+    FROM spine LEFT JOIN ev ON spine.day = ev.day
+      LEFT JOIN ord ON spine.day = ord.day
+    ORDER BY spine.day"""))
+
+  /** Per-user lifecycle rollup (dim_users / metrics_user_lifecycle analog,
+    * A3/A4/A12/A13): one shuffle on user_id, all aggregates in one pass. */
+  val q16UserLifecycle: Q = Q("q16_user_lifecycle", (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ts")).as("first_seen_ts"),
+        max(col("ts")).as("last_seen_ts"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        decSum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))).as("purchase_value"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        min(when(col("event_type") === "purchase", col("ts")))
+          .as("first_purchase_ts"))
+      .withColumn("days_to_first_purchase",
+        datediff(col("first_purchase_ts").cast("date"),
+          col("first_seen_ts").cast("date")))
+      .orderBy(col("user_id"))
+  }, Some(s"""
+    SELECT user_id,
+      MIN(ts) AS first_seen_ts,
+      MAX(ts) AS last_seen_ts,
+      COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_purchases,
+      ${decSumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")}
+        AS purchase_value,
+      CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+      MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase_ts,
+      CAST(date_diff('day', CAST(MIN(ts) AS DATE),
+        CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE)) AS INT)
+        AS days_to_first_purchase
+    FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Product-performance rollup (A14/A15/J7/J8 analog): lineitem ⨝ part
+    * (broadcast dim) per (month, brand). */
+  val q17ProductPerf: Q = Q("q17_product_perf", (s, d) => {
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(trunc(col("l_shipdate"), "month").as("month"),
+        col("p_brand"))
+      .agg(
+        decSum(col("l_quantity")).as("units"),
+        decSumExpr(d2(col("l_extendedprice")) * (lit(1) - dr(col("l_discount"))))
+          .as("revenue"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("month"), col("p_brand"))
+  }, Some(s"""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, p_brand,
+      ${decSumSql("l_quantity")} AS units,
+      ${decSumExprSql(s"${d2Sql("l_extendedprice")} * (1 - ${drSql("l_discount")})")} AS revenue,
+      CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2 ORDER BY month, p_brand"""))
+
+  /** Set operations: INTERSECT / EXCEPT / UNION over key sets. */
+  val q18SetOps: Q = Q("q18_set_ops", (s, d) => {
+    val o = Tables.orders(s, d)
+    val f = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val oo = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val neg = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"))
+    val n3 = Tables.customer(s, d).filter(col("c_nationkey") === 3)
+      .select(col("c_custkey").as("custkey"))
+    f.intersect(oo).except(neg).union(n3).distinct()
+      .orderBy(col("custkey"))
+  }, Some("""
+    SELECT custkey FROM (
+      SELECT custkey FROM (
+        (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      UNION
+      SELECT c_custkey FROM customer WHERE c_nationkey = 3)
+    ORDER BY custkey"""))
+
+  /** Top-k: exact decimal spend per customer, total-ordered with a key
+    * tiebreaker, limit 50. At scale Spark plans TakeOrderedAndProject —
+    * no global sort materialization. */
+  val q19TopK: Q = Q("q19_top_k", (s, d) => {
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice")).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("spend").desc, col("o_custkey").asc)
+      .limit(50)
+  }, Some(s"""
+    SELECT o_custkey, ${decSumSql("o_totalprice")} AS spend,
+      COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    ORDER BY spend DESC, o_custkey ASC LIMIT 50"""))
+
+  /** DISTINCT projection. */
+  val q20Distinct: Q = Q("q20_distinct", (s, d) => {
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_nationkey")).distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+  }, Some("""
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    ORDER BY c_mktsegment, c_nationkey"""))
+
+  /** Sliding-window watermark predicate (P8 analog): rows at-or-after
+    * max(ts) - 1 day. The scalar is collected to a literal first so the
+    * filter is pushed down and partitions prune (SURVEY §4). */
+  val q21Watermark: Q = Q("q21_watermark", (s, d) => {
+    val ev = Tables.events(s, d)
+    val wm = ev.agg(max(col("ts")) - expr("INTERVAL 1 DAY")).first()
+      .getTimestamp(0)
+    ev.filter(col("ts") >= lit(wm))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      .orderBy(col("event_type"))
+  }, Some("""
+    SELECT event_type, COUNT(*) AS n, MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+    GROUP BY event_type ORDER BY event_type"""))
+
+  /** Array build + higher-order reduction (A16/G1 analog): per-order sorted
+    * line array, then size() + aggregate() with a decimal accumulator — the
+    * no-explode idiom for per-row array reduction. */
+  val q22ArrayRollup: Q = Q("q22_array_rollup", (s, d) => {
+    val acc = DecimalType(38, 4)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_list(struct(
+        col("l_linenumber").as("ln"),
+        col("l_quantity").as("qty"),
+        col("l_extendedprice").as("price")))).as("items"))
+      .select(col("l_orderkey"),
+        size(col("items")).as("item_count"),
+        aggregate(col("items"), lit(0).cast(acc),
+          (a, x) => (a + d2(x.getField("qty")) * d2(x.getField("price")))
+            .cast(acc))
+          .cast("double").as("order_total"))
+      .orderBy(col("l_orderkey"))
+  }, Some(s"""
+    SELECT l_orderkey, CAST(COUNT(*) AS INT) AS item_count,
+      ${decSumExprSql(s"${d2Sql("l_quantity")} * ${d2Sql("l_extendedprice")}")} AS order_total
+    FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""))
+
+  /** ROLLUP grouping sets with grouping_id, nulls ordered explicitly. */
+  val q23Rollup: Q = Q("q23_rollup", (s, d) => {
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        decSum(col("c_acctbal")).as("sum_acctbal"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first,
+        col("n_name").asc_nulls_first)
+  }, Some(s"""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+      ${decSumSql("c_acctbal")} AS sum_acctbal,
+      CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS gid
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST"""))
+
+  /** Data-quality suite (§2.11) as a single-row report: not_null, unique,
+    * relationships (FK), expression_is_true — each a count of violations. */
+  val q24Quality: Q = Q("q24_quality", (s, d) => {
+    import graft.operators.Quality
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val li = Tables.lineitem(s, d)
+    val rows = Seq((
+      Quality.notNull(o, "o_custkey"),
+      Quality.unique(o, Seq("o_orderkey")),
+      Quality.relationships(o, "o_custkey", c, "c_custkey"),
+      Quality.relationships(li, "l_orderkey", o, "o_orderkey"),
+      Quality.expressionIsTrue(o, col("o_totalprice") >= 0),
+      Quality.expressionIsTrue(li, col("l_discount").between(0, 1))))
+    s.createDataFrame(rows).toDF("null_custkey", "dup_orderkey",
+      "orphan_orders", "orphan_lines", "neg_totalprice", "bad_discount")
+  }, Some("""
+    SELECT
+      (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS null_custkey,
+      (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+        GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS dup_orderkey,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+        AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS orphan_orders,
+      (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_lines,
+      (SELECT COUNT(*) FROM orders
+        WHERE NOT COALESCE(o_totalprice >= 0, FALSE)) AS neg_totalprice,
+      (SELECT COUNT(*) FROM lineitem
+        WHERE NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE)) AS bad_discount"""))
+
+  /** Pivot: daily event-type counts with an explicit value list (explicit
+    * values keep the plan static — no extra distinct-collect job). */
+  val q25Pivot: Q = Q("q25_pivot", (s, d) => {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .pivot("event_type", types).count()
+      .select(col("day") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("day"))
+  }, Some("""
+    SELECT CAST(ts AS DATE) AS day,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+    FROM events GROUP BY 1 ORDER BY day"""))
+
+  /** JSON field access (embedded JSON strings → typed columns). */
+  val q26Json: Q = Q("q26_json", (s, d) => {
+    Tables.events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("k").asc_nulls_first)
+  }, Some("""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      COUNT(*) AS n
+    FROM events GROUP BY 1 ORDER BY k ASC NULLS FIRST"""))
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Sessionize}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function catalog: keyed dedup (keep-latest / keep-first),
+  * ranking, lead/lag, running frames, and gap-based sessionization
+  * (SURVEY.md §2.5 W1-W3 + §2.9 ST7 generalized).
+  *
+  * Every window spec uses a TOTAL order (ts + unique event_id tiebreak) so
+  * output is deterministic under any partitioning — the SURVEY §7.4
+  * tie-risk rule. Each query costs exactly one shuffle (on the window
+  * partition key); downstream rollups reuse that partitioning.
+  */
+object Windows {
+
+  def all: Seq[Q] = Seq(q08DedupLatest, q09FirstTouch, q10WindowFuncs,
+    q11Sessionize)
+
+  /** W1/W2: keep-latest-per-key with deterministic tiebreak. Key here is
+    * (user_id, event_type) — "latest event of each type per user". */
+  val q08DedupLatest: Q = Q("q08_dedup_latest", (s, d) => {
+    Dedup.keepLatest(Tables.events(s, d),
+      Seq("user_id", "event_type"), col("ts"), Seq(col("event_id")))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }, Some("""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+        row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    ORDER BY user_id, event_type"""))
+
+  /** W3: first-touch attribution — first event per user. */
+  val q09FirstTouch: Q = Q("q09_first_touch", (s, d) => {
+    Dedup.keepFirst(Tables.events(s, d),
+      Seq("user_id"), col("ts"), Seq(col("event_id")))
+      .select(col("user_id"), col("event_id").as("first_event_id"),
+        col("ts").as("first_ts"), col("event_type").as("first_event_type"))
+      .orderBy(col("user_id"))
+  }, Some("""
+    SELECT user_id, event_id AS first_event_id, ts AS first_ts,
+      event_type AS first_event_type FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events) WHERE rn = 1
+    ORDER BY user_id"""))
+
+  /** Ranking + lead/lag + running-frame aggregates in one windowed pass.
+    * The running sum accumulates left-to-right within the frame on both
+    * engines, so double results match bit-for-bit. */
+  val q10WindowFuncs: Q = Q("q10_window_funcs", (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .filter(col("user_id") < 200)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_event_id", lead(col("event_id"), 1).over(w))
+      .withColumn("running_events",
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(w)))
+      .orderBy(col("user_id"), col("rn"))
+  }, Some("""
+    SELECT user_id, event_id, ts, value,
+      row_number() OVER w AS rn,
+      lag(value, 1) OVER w AS prev_value,
+      lead(event_id, 1) OVER w AS next_event_id,
+      CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS running_events,
+      epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+    FROM events WHERE user_id < 200
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ORDER BY user_id, rn"""))
+
+  /** Gap-based sessionization (30-min inactivity) + per-session rollup:
+    * the lag → flag → cumulative-sum idiom, then one groupBy that reuses
+    * the user_id partitioning. */
+  val q11Sessionize: Q = Q("q11_sessionize", (s, d) => {
+    Sessionize.rollup(Tables.events(s, d), "user_id", "ts",
+      gapSeconds = 1800, tiebreak = "event_id")
+      .withColumn("session_idx", col("session_idx").cast("bigint"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }, Some("""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    assigned AS (
+      SELECT user_id, ts,
+        CAST(SUM(new_sess) OVER (PARTITION BY user_id
+          ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_idx
+      FROM flagged)
+    SELECT user_id, session_idx,
+      MIN(ts) AS session_start_ts,
+      MAX(ts) AS session_end_ts,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM assigned GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx"""))
+}
