@@ -12,7 +12,8 @@ import graft.queries._
 object SparkEntry {
 
   def catalog: Seq[Q] =
-    Relational.all ++ Windows.all
+    Relational.all ++ Windows.all ++ DedupQ.all ++ SimilarityQ.all ++
+      TextQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

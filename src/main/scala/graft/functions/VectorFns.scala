@@ -2,17 +2,17 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Vector (embedding) math over `array<float>` columns, built from
   * codegen'd higher-order functions — no UDFs, no driver loops.
   *
-  * Determinism design: IEEE double multiply/divide/sqrt of identical inputs
-  * is bit-identical across engines, but SUM ORDER is not — so every
-  * reduction goes through an exact DECIMAL(38,18) accumulator (addition is
-  * associative there), then one correctly-rounded cast back to double.
-  * That makes cosine similarity hash-comparable against a DuckDB oracle and
-  * invariant to Spark's partial-aggregation order at any parallelism.
+  * Determinism design: every reduction is a SEQUENTIAL left-to-right double
+  * fold (`aggregate` starts at 0.0 and adds elements in array order), which
+  * DuckDB mirrors exactly with `list_reduce` — same element order, same
+  * IEEE double ops, bit-identical results. Do NOT route these through
+  * decimal casts: converting full-precision doubles to decimal rounds
+  * differently across engines (Spark rounds the shortest decimal
+  * representation, DuckDB the exact binary expansion).
   *
   * Scale notes: these are narrow per-row (or per-pair) expressions. The
   * pairing strategy around them decides scale: brute-force top-k is a
@@ -22,21 +22,18 @@ import org.apache.spark.sql.types.DecimalType
   */
 object VectorFns {
 
-  private val Dec = DecimalType(38, 18)
+  /** Sequential left-to-right sum of an array<double>. */
+  def seqSum(xs: Column): Column =
+    aggregate(xs, lit(0.0), (acc, x) => acc + x)
 
-  /** Exact sum of an array<double> via decimal accumulation → double. */
-  def decArraySum(xs: Column): Column =
-    aggregate(xs, lit(0).cast(Dec), (acc, x) => acc + x.cast(Dec))
-      .cast("double")
-
-  /** Dot product of two float arrays (element-wise double products, exact
-    * decimal sum). */
+  /** Dot product of two float arrays (element-wise double products,
+    * in-order fold). */
   def dot(a: Column, b: Column): Column =
-    decArraySum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    seqSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   /** L2 norm. sqrt is correctly rounded → engine-portable. */
   def norm(a: Column): Column =
-    sqrt(decArraySum(transform(a, x => x.cast("double") * x.cast("double"))))
+    sqrt(seqSum(transform(a, x => x.cast("double") * x.cast("double"))))
 
   /** Cosine similarity; null if either norm is zero. */
   def cosine(a: Column, b: Column): Column = {

@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication catalog over the `documents` corpus: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard — the operators a training-data
+  * pipeline runs before anything else at 100 TB.
+  *
+  * All hashing is md5-hex-string based (bit-identical across engines; see
+  * TextFns). The test corpus carries driver-injected near-duplicate pairs
+  * (~25 pairs with bigram-shingle Jaccard ≥ 0.5), so every query below has
+  * non-trivial output.
+  *
+  * Scale shape: per-doc signatures are narrow map-side work; candidate
+  * generation shuffles ONLY on short band/bucket keys (never all-pairs);
+  * verification joins candidates back to per-doc state by doc_id. The
+  * exact all-pairs query (d04) is deliberately bounded to a prefix of the
+  * corpus and exists as the oracle-of-record for the approximate ones.
+  */
+object DedupQ {
+
+  def all: Seq[Q] = Seq(d01Exact, d02MinhashLsh, d03Simhash, d04NgramJaccard,
+    d05EmbedNearDup)
+
+  /** Token bigram SETS per doc — the shingle basis for d02/d04. */
+  private def bigramSets(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), 2)).as("sh"))
+
+  private val bigramSetsSql = """
+    SELECT doc_id,
+      list_distinct(list_transform(range(1, len(t)),
+        i -> t[i] || ' ' || t[i+1])) AS sh
+    FROM (SELECT doc_id,
+      list_filter(string_split_regex(lower(text), ' +'),
+        x -> len(x) > 0) AS t FROM documents)"""
+
+  /** Exact dedup by full-text hash: canonical id + multiplicity per group
+    * (hash-groupBy + keep-first window; W-dedup shape on a corpus). */
+  val d01Exact: Q = Q("d01_exact_dedup", (s, d) => {
+    val byHash = Window.partitionBy(col("text_hash"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .withColumn("canonical_id", min(col("doc_id")).over(byHash))
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    SELECT doc_id, md5(text) AS text_hash,
+      MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+      doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+    FROM documents ORDER BY doc_id"""))
+
+  /** MinHash + LSH near-dup detection: 16 seeded md5 minhashes over bigram
+    * shingles → 8 bands × 2 rows → same-band candidate pairs → exact
+    * Jaccard verification ≥ 0.5. Detection probability at j=0.5 is
+    * 1-(1-0.25)^8 ≈ 0.90 (standard LSH recall; deterministic given the
+    * fixed hash family, so oracle-matchable). Candidates shuffle on band
+    * keys only; verification re-joins per-doc shingle sets by doc_id. */
+  val d02MinhashLsh: Q = Q("d02_minhash_lsh", (s, d) => {
+    val docs = bigramSets(s, d)
+      .withColumn("sig", minhashSignature(col("sh"), 16))
+    val bands = docs.select(col("doc_id"),
+      explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
+    val cands = bands.as("a").join(bands.as("b"), Seq("band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("sh"), col("sig"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / 16)
+          .as("est_jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }, {
+    val minhashes = (0 until 16).map(seed =>
+      s"list_min(list_transform(sh, x -> md5('$seed:' || x)))").mkString(", ")
+    val bandKeys = (0 until 8).map(b =>
+      s"md5('$b' || '|' || sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])")
+      .mkString(", ")
+    Some(s"""
+    WITH docs AS ($bigramSetsSql),
+    sigs AS (SELECT doc_id, sh, [$minhashes] AS sig FROM docs),
+    bands AS (SELECT doc_id, unnest([$bandKeys]) AS band FROM sigs),
+    cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+      CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard,
+      CAST(len(list_filter(list_transform(sa.sig, (x, i) -> x = sb.sig[i]),
+        b -> b)) AS DOUBLE) / 16 AS est_jaccard
+    FROM cands
+    JOIN sigs sa ON cands.doc_a = sa.doc_id
+    JOIN sigs sb ON cands.doc_b = sb.doc_id
+    WHERE CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
+    ORDER BY doc_a, doc_b""")
+  })
+
+  /** SimHash near-dup detection: 32-bit signed-weight fingerprint over the
+    * token multiset, byte-banded blocking (pairs must share one of 4 exact
+    * bytes), Hamming ≤ 3 verification via bit_count(xor). Bit j of a
+    * token's hash comes from hex nibble j/4 of its md5 (engine-portable
+    * hex parse), weighted +n/−n by token multiplicity. */
+  val d03Simhash: Q = Q("d03_simhash", (s, d) => simhashImpl(s, d),
+    Some(simhashOracle))
+
+  private def simhashImpl(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val tokCounts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("h", md5(col("tok")))
+    val bits = tokCounts
+      .select(col("doc_id"), col("n"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("bit"))
+      .withColumn("nibble",
+        conv(expr("substr(h, (bit div 4) + 1, 1)"), 16, 10)
+          .cast("int"))
+      .withColumn("b", expr("CAST((nibble >> (bit % 4)) & 1 AS INT)"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum((col("b") * 2 - 1) * col("n")).as("w"))
+      .withColumn("bit_val", when(col("w") >= 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bit_val") * pow(lit(2.0), col("bit")).cast("long"))
+        .cast("bigint").as("simhash"))
+    val bands = bits.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("byte", expr("(simhash >> (band * 8)) & 255"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def simhashOracle: String = """
+    WITH tok_counts AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS n, md5(tok) AS h
+      FROM (SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0)) AS tok FROM documents)
+      GROUP BY doc_id, tok),
+    bits AS (
+      SELECT doc_id, bit,
+        SUM(((( CAST('0x' || substr(h, (bit // 4) + 1, 1) AS INT)
+          >> (bit % 4)) & 1) * 2 - 1) * n) AS w
+      FROM tok_counts, (SELECT unnest(range(0, 32)) AS bit)
+      GROUP BY doc_id, bit),
+    hashes AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN w >= 0 THEN CAST(POWER(2, bit) AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS byte
+      FROM hashes, (SELECT unnest(range(0, 4)) AS band))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b"""
+
+  /** Exact all-pairs n-gram (word bigram) Jaccard over a bounded corpus
+    * prefix — the ground-truth oracle for the approximate dedup operators.
+    * Deliberately O(n²): at scale you run d02/d03 instead; this exists to
+    * measure their recall. */
+  val d04NgramJaccard: Q = Q("d04_ngram_jaccard", (s, d) => {
+    val sets = bigramSets(s, d)
+    sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }, Some(s"""
+    WITH docs AS ($bigramSetsSql)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
+    ORDER BY doc_a, doc_b"""))
+
+  /** Embedding cosine near-dup: pairs with cosine ≥ 0.4. Dot products use
+    * ordered sequential double accumulation (identical fold order in both
+    * engines — see VectorFns). At corpus scale the pairing would go through
+    * s02's LSH buckets; the threshold filter is what matters here. */
+  val d05EmbedNearDup: Q = Q("d05_embed_neardup", (s, d) => {
+    import graft.functions.VectorFns
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        VectorFns.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }, Some(s"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        ${VectorSql.dot("a.embedding", "b.embedding")} AS dot,
+        ${VectorSql.norm("a.embedding")} AS na,
+        ${VectorSql.norm("b.embedding")} AS nb
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+      CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot / (na * nb) END AS cos
+    FROM pairs
+    WHERE CASE WHEN na = 0 OR nb = 0 THEN NULL
+      ELSE dot / (na * nb) END >= 0.4
+    ORDER BY vec_a, vec_b"""))
+}
+
+/** DuckDB SQL mirrors of VectorFns — ordered left-to-right double folds
+  * (list_reduce), matching Spark's `aggregate` evaluation order exactly. */
+object VectorSql {
+  def dot(a: String, b: String): String =
+    s"""list_reduce(list_transform($a, (x, i) ->
+       CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE)), (p, c) -> p + c)"""
+  def norm(a: String): String =
+    s"""sqrt(list_reduce(list_transform($a, x ->
+       CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, c) -> p + c))"""
+}

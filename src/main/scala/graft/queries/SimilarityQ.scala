@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFns
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (array<float> column).
+  *
+  * Three tiers, mirroring how ANN is actually deployed at 100 TB:
+  *  - s01: brute-force exact top-k for a SMALL query set — the query side
+  *    broadcasts against the corpus; the corpus is scanned once, never
+  *    shuffled. The correctness baseline.
+  *  - s02: sign-bit LSH buckets — corpus and queries shuffle only on a
+  *    short bucket key; candidates are same-bucket only. The recall/cost
+  *    tradeoff path.
+  *  - s03: IVF-style cells — deterministic seed centroids (lowest vec_id
+  *    per label), every vector assigned to its nearest centroid; search
+  *    probes only the query's cell.
+  *
+  * All cosines use ordered double folds (VectorFns), bit-identical to the
+  * DuckDB oracle's list_reduce.
+  */
+object SimilarityQ {
+
+  def all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03IvfAssign)
+
+  /** Exact cosine top-10 for query vectors (vec_id < 5), ranked with a
+    * deterministic tiebreak. Spark plans broadcast-nested-loop of the tiny
+    * query side × corpus, then a per-query window top-k. */
+  val s01KnnBrute: Q = Q("s01_knn_brute", (s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(queries).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.cosine(col("q"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, e.vec_id,
+        CASE WHEN ${VectorSql.norm("qv")} = 0
+          OR ${VectorSql.norm("e.embedding")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("qv", "e.embedding")}
+          / (${VectorSql.norm("qv")} * ${VectorSql.norm("e.embedding")})
+        END AS cos
+      FROM q JOIN embeddings e ON query_id <> e.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank, vec_id AS neighbor_id, cos
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank"""))
+
+  /** LSH-bucketed ANN: 8 sign-bit hyperplane buckets; per query (vec_id <
+    * 20), exact top-5 re-rank WITHIN its bucket. Recall < 1 by design —
+    * but cost drops from O(N) to O(N/256) per query at scale, and the
+    * bucket join shuffles only (bucket, id, vec). */
+  val s02KnnLsh: Q = Q("s02_knn_lsh", (s, d) => {
+    val dims = Seq(0, 9, 18, 27, 36, 45, 54, 63)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding"), VectorFns.signBucket(col("embedding"), dims)
+          .as("bucket"))
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    queries.join(e, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("bucket"), col("vec_id"),
+        VectorFns.cosine(col("q"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("bucket"))
+      .orderBy(col("query_id"), col("rank"))
+  }, {
+    val dims = Seq(0, 9, 18, 27, 36, 45, 54, 63)
+    val bucketSql = dims.map(i =>
+      s"(CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    Some(s"""
+    WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+          FROM b WHERE vec_id < 20),
+    scored AS (
+      SELECT query_id, q.bucket, e.vec_id,
+        CASE WHEN ${VectorSql.norm("qv")} = 0
+          OR ${VectorSql.norm("e.embedding")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("qv", "e.embedding")}
+          / (${VectorSql.norm("qv")} * ${VectorSql.norm("e.embedding")})
+        END AS cos
+      FROM q JOIN b e ON q.bucket = e.bucket AND query_id <> e.vec_id),
+    ranked AS (
+      SELECT query_id, bucket, vec_id, cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank, vec_id AS neighbor_id, cos, bucket
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank""")
+  })
+
+  /** IVF cell assignment: centroid seeds = lowest vec_id per label
+    * (deterministic — no floating mean accumulation across rows), each
+    * vector assigned to its nearest seed by cosine. Output is the inverted
+    * file: (vector → cell, similarity, agreement with true label). */
+  val s03IvfAssign: Q = Q("s03_ivf_assign", (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_label").asc)
+    val seedIds = e.groupBy(col("label"))
+      .agg(min(col("vec_id")).as("seed_id"))
+    val centroids = seedIds
+      .join(e.select(col("vec_id").as("seed_id"), col("embedding")
+        .as("centroid")), Seq("seed_id"))
+      .select(col("label").as("centroid_label"), col("centroid"))
+    e.select(col("vec_id"), col("label"), col("embedding"))
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("centroid_label"),
+        VectorFns.cosine(col("embedding"), col("centroid")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"),
+        col("centroid_label").as("assigned_cell"), col("cos"),
+        (col("label") === col("centroid_label")).as("matches_label"))
+      .orderBy(col("vec_id"))
+  }, Some(s"""
+    WITH seeds AS (
+      SELECT label AS centroid_label, MIN(vec_id) AS seed_id
+      FROM embeddings GROUP BY label),
+    centroids AS (
+      SELECT centroid_label, e.embedding AS centroid
+      FROM seeds JOIN embeddings e ON seed_id = e.vec_id),
+    scored AS (
+      SELECT e.vec_id, e.label, centroid_label,
+        CASE WHEN ${VectorSql.norm("e.embedding")} = 0
+          OR ${VectorSql.norm("centroid")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("e.embedding", "centroid")}
+          / (${VectorSql.norm("e.embedding")} * ${VectorSql.norm("centroid")})
+        END AS cos
+      FROM embeddings e CROSS JOIN centroids),
+    ranked AS (
+      SELECT vec_id, label, centroid_label, cos,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, centroid_label ASC) AS rn
+      FROM scored)
+    SELECT vec_id, label, centroid_label AS assigned_cell, cos,
+      label = centroid_label AS matches_label
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id"""))
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFns._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis catalog over `documents`: language-ID scoring, quality
+  * scoring, token counting, and rolling-hash fingerprinting — the per-doc
+  * scoring passes of a training-data pipeline.
+  *
+  * All four are NARROW per-row transforms (zero shuffles except final
+  * sorts/groupings) — exactly what you want when scoring 100 TB of text:
+  * they pipeline inside whole-stage codegen on top of the parquet scan.
+  *
+  * (The corpus is synthetic with a shared vocabulary across langs, so
+  * language-ID accuracy is meaningless here — the operator contract is the
+  * deterministic scoring itself, verified against the oracle.)
+  */
+object TextQ {
+
+  def all: Seq[Q] = Seq(t01LangId, t02QualityScore, t03TokenCount,
+    t04Fingerprint)
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "hash", "join", "row"),
+    "en" -> Seq("the", "a", "order", "table"),
+    "es" -> Seq("slow", "agg", "merge", "vector"),
+    "fr" -> Seq("scan", "data", "query", "batch"),
+    "zh" -> Seq("small", "column", "key", "line"))
+
+  /** n-gram-heuristic language ID: per-language marker-token counts
+    * (with multiplicity), argmax with lexicographic tiebreak. */
+  val t01LangId: Q = Q("t01_lang_id", (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+    val scored = markers.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        size(filter(col("t"), x => x.isin(words: _*))))
+    }
+    val langs = markers.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { case (lang, rest) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => col(s"score_$lang") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(isMax, lit(lang)).otherwise(rest)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .select(Seq(col("doc_id"), col("lang"), col("pred_lang")) ++
+        langs.map(l => col(s"score_$l")): _*)
+      .orderBy(col("doc_id"))
+  }, {
+    val scoreCols = markers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(t, x -> list_contains([$list], x))) AS INT) AS score_$lang"
+    }.mkString(",\n        ")
+    val langs = markers.map(_._1)
+    val pred = langs.init.foldRight(s"'${langs.last}'") { case (lang, rest) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+      s"CASE WHEN $isMax THEN '$lang' ELSE $rest END"
+    }
+    Some(s"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0) AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang,
+        $scoreCols
+      FROM toks)
+    SELECT doc_id, lang, $pred AS pred_lang,
+      score_de, score_en, score_es, score_fr, score_zh
+    FROM scored ORDER BY doc_id""")
+  })
+
+  /** Document quality scoring: length / token stats / stopword + distinct
+    * ratios, composite score, keep/drop flag. Integer counts + a fixed
+    * expression tree of double ops → deterministic. */
+  val t02QualityScore: Q = Q("t02_quality_score", (s, d) => {
+    val stop = Seq("the", "a")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars_actual"),
+        tokens(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_stop", size(filter(col("t"), x => x.isin(stop: _*))))
+      .withColumn("n_distinct", size(array_distinct(col("t"))))
+      .withColumn("sum_tok_len",
+        aggregate(transform(col("t"), t => length(t)), lit(0),
+          (a, x) => a + x))
+      .select(col("doc_id"), col("lang"), col("n_chars_actual"),
+        col("n_tokens"), col("n_stop"), col("n_distinct"),
+        (col("sum_tok_len").cast("double") / col("n_tokens"))
+          .as("avg_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        (col("n_distinct").cast("double") / col("n_tokens"))
+          .as("distinct_ratio"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 20 && col("stopword_ratio") <= 0.2 &&
+          col("distinct_ratio") >= 0.1)
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id, lang, CAST(len(text) AS INT) AS n_chars_actual,
+        list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0) AS t
+      FROM documents),
+    stats AS (
+      SELECT doc_id, lang, n_chars_actual,
+        CAST(len(t) AS INT) AS n_tokens,
+        CAST(len(list_filter(t, x -> list_contains(['the', 'a'], x))) AS INT)
+          AS n_stop,
+        CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+        list_reduce(list_transform(t, x -> CAST(len(x) AS INT)),
+          (a, b) -> a + b) AS sum_tok_len
+      FROM toks)
+    SELECT doc_id, lang, n_chars_actual, n_tokens, n_stop, n_distinct,
+      CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_token_len,
+      CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+      CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+      (n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.2
+        AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.1) AS quality_ok
+    FROM stats ORDER BY doc_id"""))
+
+  /** Token counting three ways: whitespace, word-regex, and a BPE-ish
+    * segmenter regex (≤4-char alpha runs, digits, punctuation). */
+  val t03TokenCount: Q = Q("t03_token_count", (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))
+          .as("n_word_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]{1,4}|[0-9]|[^a-z0-9 ]"), lit(0))).as("n_bpeish_tokens"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    SELECT doc_id, n_chars,
+      CAST(len(list_filter(string_split_regex(lower(text), ' +'),
+        x -> len(x) > 0)) AS INT) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT)
+        AS n_word_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]'))
+        AS INT) AS n_bpeish_tokens
+    FROM documents ORDER BY doc_id"""))
+
+  /** Rolling-hash fingerprint (winnowing-lite): md5 over every 8-char
+    * shingle, fingerprint = 3 smallest hashes joined — robust to small
+    * edits; docs sharing a fingerprint are near-dup candidates. */
+  val t04Fingerprint: Q = Q("t04_fingerprint", (s, d) => {
+    val byFp = Window.partitionBy(col("fingerprint"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("transform(sequence(1, greatest(length(text) - 7, 1))," +
+          " i -> md5(substr(text, i, 8)))").as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        concat_ws("|", slice(array_sort(col("grams")), 1, 3))
+          .as("fingerprint"))
+      .withColumn("n_same_fp", count(lit(1)).over(byFp))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH grams AS (
+      SELECT doc_id,
+        list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+          i -> md5(substr(text, i, 8))) AS g
+      FROM documents),
+    fps AS (
+      SELECT doc_id, CAST(len(g) AS INT) AS n_grams,
+        array_to_string(list_sort(g)[1:3], '|') AS fingerprint
+      FROM grams)
+    SELECT doc_id, n_grams, fingerprint,
+      CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_same_fp
+    FROM fps ORDER BY doc_id"""))
+}
