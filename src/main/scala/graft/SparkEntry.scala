@@ -13,7 +13,7 @@ object SparkEntry {
 
   def catalog: Seq[Q] =
     Relational.all ++ Windows.all ++ DedupQ.all ++ SimilarityQ.all ++
-      TextQ.all
+      TextQ.all ++ MultimodalQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Media
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column catalog: binary media plumbing through
+  * `mapPartitions` feature extraction and frame sampling (Media.scala).
+  * The codec is a deterministic stub (no media libs in this container),
+  * which is exactly what makes these oracle-checkable: the SQL mirrors
+  * compute the same digests over the same bytes (the payloads are ASCII
+  * text, so char ops == byte ops on the oracle side).
+  */
+object MultimodalQ {
+
+  def all: Seq[Q] = Seq(m01MediaFeatures, m02FrameSample)
+
+  /** Binary decode → typed features, one codec per partition. The entire
+    * decode is narrow; only the 4-float feature rows ever shuffle. */
+  val m01MediaFeatures: Q = Q("m01_media_features", (s, d) => {
+    import s.implicits._
+    val media = Media.asMedia(Tables.documents(s, d), "doc_id", "text", "doc")
+      .as[Media.MediaRow]
+    Media.extractFeatures(media).toDF()
+      .orderBy(col("id"))
+  }, Some("""
+    SELECT doc_id AS id, 'doc' AS kind,
+      CAST(len(text) AS INT) AS byte_len,
+      md5(text) AS digest,
+      CAST('0x' || substr(md5(text), 1, 1) AS INT) / 16.0 AS f0,
+      CAST('0x' || substr(md5(text), 2, 1) AS INT) / 16.0 AS f1,
+      CAST('0x' || substr(md5(text), 3, 1) AS INT) / 16.0 AS f2,
+      CAST('0x' || substr(md5(text), 4, 1) AS INT) / 16.0 AS f3
+    FROM documents ORDER BY id"""))
+
+  /** Frame sampling: 4 evenly spaced 16-byte windows per document, one
+    * digest per frame — the shape of video frame extraction. */
+  val m02FrameSample: Q = Q("m02_frame_sample", (s, d) => {
+    import s.implicits._
+    val media = Media.asMedia(Tables.documents(s, d), "doc_id", "text", "doc")
+      .as[Media.MediaRow]
+    Media.sampleFrames(media, k = 4, width = 16).toDF()
+      .orderBy(col("id"), col("frame_idx"))
+  }, Some("""
+    SELECT doc_id AS id, frame_idx,
+      CAST(frame_idx * ((len(text) - 16) // 3) AS INT) AS offset,
+      md5(substr(text, frame_idx * ((len(text) - 16) // 3) + 1, 16))
+        AS frame_digest
+    FROM documents, (SELECT CAST(unnest(range(0, 4)) AS INT) AS frame_idx)
+    ORDER BY id, frame_idx"""))
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke for the driver contract: every catalog query runs on sf0.001 and
+  * has a syntactically valid oracle (correctness itself is gated by the
+  * DuckDB differential harness — tools/verify.sh). */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  // queries whose result is legitimately empty at tiny scale
+  val mayBeEmpty = Set("q06_anti_join", "d02_minhash_lsh", "d04_ngram_jaccard")
+
+  test("catalog names are unique and every query has an oracle") {
+    val names = SparkEntry.catalog.map(_.name)
+    assert(names.distinct.size == names.size)
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
+  SparkEntry.catalog.foreach { q =>
+    test(s"${q.name} runs at sf0.001") {
+      val df = q.run(spark, sf)
+      val n = df.count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("entry() flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

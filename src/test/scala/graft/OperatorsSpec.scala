@@ -1,0 +1,209 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("keepLatest keeps greatest recency with deterministic tiebreak") {
+    val df = Seq(
+      ("k1", ts("2024-01-01 00:00:00"), 1L, "old"),
+      ("k1", ts("2024-01-02 00:00:00"), 2L, "new"),
+      ("k1", ts("2024-01-02 00:00:00"), 3L, "tie-high"),
+      ("k2", ts("2024-01-01 00:00:00"), 4L, "only")
+    ).toDF("k", "t", "seq", "v")
+    val out = Dedup.keepLatest(df, Seq("k"), col("t"), Seq(col("seq")))
+      .select("k", "v").as[(String, String)].collect().toMap
+    assert(out == Map("k1" -> "tie-high", "k2" -> "only"))
+  }
+
+  test("keepLatest handles null keys as their own group") {
+    val df = Seq(
+      (Option.empty[String], 1L, "a"),
+      (Option.empty[String], 2L, "b"),
+      (Some("k"), 1L, "c")
+    ).toDF("k", "seq", "v")
+    val out = Dedup.keepLatest(df, Seq("k"), col("seq"))
+    assert(out.count() == 2)
+    assert(out.filter(col("k").isNull).select("v").as[String].head() == "b")
+  }
+
+  test("dedup is idempotent: dedup(x union dup(x)) == dedup(x)") {
+    val base = Seq(("a", 1L, "v1"), ("b", 2L, "v2")).toDF("k", "seq", "v")
+    val withDups = base.union(base)
+    val once = TestSpark.rows(Dedup.keepLatest(base, Seq("k"), col("seq")))
+    val twice = TestSpark.rows(Dedup.keepLatest(withDups, Seq("k"), col("seq")))
+    assert(once == twice)
+  }
+
+  test("exactDups reports multiplicity of duplicated tuples only") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("b", 2)).toDF("x", "y")
+    val dups = Dedup.exactDups(df, Seq("x", "y")).as[(String, Int, Long)]
+      .collect().toSet
+    assert(dups == Set(("a", 1, 3L)))
+  }
+}
+
+class SessionizeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("events exactly at the gap stay in one session; beyond it split") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:30:00"), 2L), // exactly 1800s -> same session
+      (1L, ts("2024-01-01 01:00:01"), 3L), // 1801s -> new session
+      (2L, ts("2024-01-01 00:00:00"), 4L)
+    ).toDF("user_id", "t", "event_id")
+    val out = Sessionize.rollup(df, "user_id", "t", 1800, "event_id")
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("duration is end minus start in exact micros") {
+    val df = Seq((1L, ts("2024-01-01 00:00:00"), 1L),
+      (1L, ts("2024-01-01 00:10:00"), 2L)).toDF("user_id", "t", "event_id")
+    val dur = Sessionize.rollup(df, "user_id", "t", 1800, "event_id")
+      .select("duration_us").as[Long].head()
+    assert(dur == 600000000L)
+  }
+}
+
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+  def tmp() = Files.createTempDirectory("graft_inc").toString + "/t"
+
+  test("upsert inserts new keys and replaces existing ones") {
+    val path = tmp()
+    val inc = new Incremental(spark)
+    inc.upsert(path, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    inc.upsert(path, Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("lateWindow filters source to >= max(ts) - lookback of target") {
+    val path = tmp()
+    val inc = new Incremental(spark)
+    inc.upsert(path, Seq((1L, ts("2024-01-10 00:00:00"))).toDF("k", "t"),
+      Seq("k"))
+    val src = Seq(
+      (10L, ts("2024-01-08 23:59:59")), // before 01-09 watermark -> dropped
+      (11L, ts("2024-01-09 00:00:00")), // exactly at watermark -> kept (>=)
+      (12L, ts("2024-01-11 00:00:00"))
+    ).toDF("k", "t")
+    val kept = inc.lateWindow(src, path, "t").select("k").as[Long]
+      .collect().toSet
+    assert(kept == Set(11L, 12L))
+  }
+
+  test("upsertPartitioned only rewrites touched partitions") {
+    val path = tmp()
+    val inc = new Incremental(spark)
+    inc.upsertPartitioned(path,
+      Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02")).toDF("k", "v", "d"),
+      Seq("k"), "d")
+    inc.upsertPartitioned(path,
+      Seq((2L, "B", "2024-01-02"), (3L, "c", "2024-01-02")).toDF("k", "v", "d"),
+      Seq("k"), "d")
+    val out = spark.read.parquet(path).select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("late-data convergence: incremental arrival order == full refresh") {
+    val inc = new Incremental(spark)
+    val all = Seq((1L, ts("2024-01-01 00:00:00"), "v1"),
+      (2L, ts("2024-01-01 06:00:00"), "v2"),
+      (2L, ts("2024-01-01 06:00:00"), "v2-late"),
+      (3L, ts("2024-01-02 00:00:00"), "v3"))
+    val incPath = tmp()
+    // arrival in shuffled order, one row per micro-batch
+    Seq(3, 0, 2, 1).foreach { i =>
+      val b = Seq(all(i)).toDF("k", "t", "v")
+      inc.upsert(incPath, b, Seq("k"))
+    }
+    val fullPath = tmp()
+    inc.upsert(fullPath,
+      operators.Dedup.keepLatest(all.toDF("k", "t", "v"), Seq("k"),
+        col("t"), Seq(col("v"))), Seq("k"))
+    val a = spark.read.parquet(incPath).select("k").as[Long].collect().toSet
+    val b = spark.read.parquet(fullPath).select("k").as[Long].collect().toSet
+    assert(a == b)
+  }
+}
+
+class BronzeAppendSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("re-running the same partition appends nothing (idempotent)") {
+    val path = Files.createTempDirectory("graft_bronze").toString + "/t"
+    val b = new BronzeAppend(spark)
+    val day1 = Seq((1L, "2024-01-01"), (2L, "2024-01-01")).toDF("k", "d")
+    assert(b.appendNewPartitions(day1, path, "d") == 2)
+    assert(b.appendNewPartitions(day1, path, "d") == 0) // re-run: no-op
+    val day2 = day1.union(Seq((3L, "2024-01-02")).toDF("k", "d"))
+    assert(b.appendNewPartitions(day2, path, "d") == 1) // only new partition
+    assert(spark.read.parquet(path).count() == 3)
+  }
+}
+
+class CompactionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("compaction merges small files per partition, preserving rows") {
+    val root = Files.createTempDirectory("graft_comp").toString + "/t"
+    // write 4 separate appends -> many small files in one partition
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, "2024-01-01")).toDF("k", "d")
+        .write.mode("append").partitionBy("d").parquet(root)
+    }
+    val before = TestSpark.rows(spark.read.parquet(root))
+    val compacted = new Compaction(spark).compact(root)
+    assert(compacted.nonEmpty)
+    val after = TestSpark.rows(spark.read.parquet(root))
+    assert(before == after)
+    val files = Files.walk(java.nio.file.Paths.get(root)).iterator()
+    val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+      .asScala.count(_.toString.endsWith(".parquet"))
+    assert(parquets == 1)
+  }
+}
+
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("notNull / unique / relationships / expressionIsTrue count violations") {
+    val child = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    assert(Quality.notNull(child, "fk") == 1)
+    assert(Quality.unique(child.union(child), Seq("id")) == 3)
+    assert(Quality.relationships(child, "fk", parent, "pk") == 1) // 99 orphan
+    assert(Quality.expressionIsTrue(child, col("id") <= 2) == 1)
+  }
+
+  test("run with failFast raises on violations, reports otherwise") {
+    val df = Seq((1L, Option.empty[Long])).toDF("id", "fk")
+    val checks = Seq("fk_not_null" -> (() => Quality.notNull(df, "fk")))
+    val res = Quality.run(checks)
+    assert(res.head.violations == 1 && !res.head.passed)
+    assertThrows[IllegalStateException](Quality.run(checks, failFast = true))
+  }
+}

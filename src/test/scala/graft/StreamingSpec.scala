@@ -1,0 +1,122 @@
+package graft
+
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val schema = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("event_type", StringType),
+    StructField("event_time", TimestampType),
+    StructField("value", DoubleType)))
+
+  def writeJson(dir: String, name: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, name),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("backfill (AvailableNow) ingests JSON-lines into partitioned parquet" +
+      " with lineage columns, exactly once per file") {
+    val base = Files.createTempDirectory("graft_stream").toString
+    val in = s"$base/raw"; val out = s"$base/landing"; val cp = s"$base/cp"
+    writeJson(in, "b1.json", Seq(
+      """{"event_id":"e1","event_type":"view","event_time":"2024-01-01T10:00:00Z","value":1.0}""",
+      """{"event_id":"e2","event_type":"click","event_time":"2024-01-02T11:00:00Z","value":2.0}"""))
+    val ingest = new StreamingIngest(spark)
+    ingest.backfill(in, schema, out, cp, "test_src")
+    val got = spark.read.parquet(out)
+    assert(got.count() == 2)
+    assert(got.columns.toSet.contains("ingest_date"))
+    assert(got.select("ingest_date").distinct().as[String].collect().toSet
+      == Set("2024-01-01", "2024-01-02"))
+    assert(got.select("source_system").distinct().as[String].head()
+      == "test_src")
+    // second backfill with one new file: old file NOT re-ingested
+    writeJson(in, "b2.json", Seq(
+      """{"event_id":"e3","event_type":"view","event_time":"2024-01-01T12:00:00Z","value":3.0}"""))
+    ingest.backfill(in, schema, out, cp, "test_src")
+    assert(spark.read.parquet(out).count() == 3)
+    // bad record -> null columns, row survives (PERMISSIVE), pipeline holds
+    writeJson(in, "b3.json", Seq("""{"event_id":"e4","event_time":"nonsense"}"""))
+    ingest.backfill(in, schema, out, cp, "test_src")
+    val e4 = spark.read.parquet(out).filter(col("event_id") === "e4")
+    assert(e4.count() == 1 && e4.select("event_time").first().isNullAt(0))
+  }
+
+  test("streaming dedup honors watermark + key") {
+    val base = Files.createTempDirectory("graft_dedup").toString
+    val in = s"$base/in"
+    Seq(("e1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      ("e1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      ("e2", java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2.0))
+      .toDF("event_id", "event_time", "value")
+      .write.parquet(in)
+    val ingest = new StreamingIngest(spark)
+    val dedup = ingest.dedupStream(in,
+      StructType(Seq(StructField("event_id", StringType),
+        StructField("event_time", TimestampType),
+        StructField("value", DoubleType))),
+      "event_id", "event_time", "1 hour")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("session_window rollup closes sessions by gap") {
+    val base = Files.createTempDirectory("graft_sess").toString
+    val in = s"$base/in"
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts").write.parquet(in)
+    val ingest = new StreamingIngest(spark)
+    val events = spark.readStream.schema(
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType)))).parquet(in)
+    val q = ingest.sessionRollup(events, "user_id", "ts", "30 minutes",
+        "1 hour")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess_out")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+}
+
+class MediaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.multimodal.Media
+
+  test("feature extraction is deterministic and schema-stable") {
+    val media = Seq(Media.MediaRow(1L, "hello world mm".getBytes, "doc"),
+      Media.MediaRow(2L, Array[Byte](), "doc")).toDS()
+    val f = Media.extractFeatures(media).collect().sortBy(_.id)
+    assert(f(0).byte_len == 14)
+    assert(f(0).digest == Media.StubCodec.md5Hex("hello world mm".getBytes))
+    assert(f.forall(r => r.f0 >= 0 && r.f0 < 1))
+    // rerun identical
+    val f2 = Media.extractFeatures(media).collect().sortBy(_.id)
+    assert(f.toSeq == f2.toSeq)
+  }
+
+  test("frame sampling yields k frames at even offsets, 1 for tiny payloads") {
+    val bytes = (0 until 100).map(_.toByte).toArray
+    val media = Seq(Media.MediaRow(1L, bytes, "vid"),
+      Media.MediaRow(2L, Array[Byte](1, 2), "vid")).toDS()
+    val frames = Media.sampleFrames(media, 4, 16).collect()
+    val f1 = frames.filter(_.id == 1L).sortBy(_.frame_idx)
+    assert(f1.map(_.offset).toSeq == Seq(0, 28, 56, 84))
+    assert(frames.count(_.id == 2L) == 1)
+  }
+}
