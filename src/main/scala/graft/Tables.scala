@@ -31,6 +31,13 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents/embeddings are single small parquet files (1 input split)
+    * but feed COMPUTE-heavy per-row pipelines (minhash, simhash, cosine).
+    * Hash-repartition by id so that work spreads across cores — on a real
+    * cluster the corpus arrives as thousands of splits and this exchange
+    * is a no-op by comparison. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").repartition(col("doc_id"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    load(s, d, "embeddings").repartition(col("vec_id"))
 }

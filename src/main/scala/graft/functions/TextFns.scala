@@ -26,11 +26,18 @@ object TextFns {
   def tokens(text: Column): Column =
     filter(split(lower(text), " +"), t => length(t) > 0)
 
-  /** Word k-shingles: ["a","b","c","d"], k=3 → ["a b c","b c d"]. */
-  def shingles(toks: Column, k: Int): Column =
-    when(size(toks) < k, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+  /** Word k-shingles: ["a","b","c","d"], k=3 → ["a b c","b c d"].
+    * Built from k staggered O(n) slices + one zip_with fold — NOT a
+    * per-index slice (which is O(n²) per row and dominated a 500-doc
+    * corpus pass by minutes). */
+  def shingles(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    val win = n - (k - 1)
+    val parts = (0 until k).map(i => slice(toks, lit(i + 1), win))
+    val joined = parts.reduceLeft((acc, p) =>
+      zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
+    when(n < k, array().cast("array<string>")).otherwise(joined)
+  }
 
   /** One MinHash value: lexicographic min of seed-prefixed md5 over the
     * element set. Returns a 32-char hex string (null if set empty). */

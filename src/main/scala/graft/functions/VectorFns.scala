@@ -22,18 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorFns {
 
-  /** Sequential left-to-right sum of an array<double>. */
+  /** Sequential left-to-right sum of an array<double>. (Kept for generic
+    * arrays; vector hot paths use the native DotProduct expression.) */
   def seqSum(xs: Column): Column =
     aggregate(xs, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two float arrays (element-wise double products,
-    * in-order fold). */
-  def dot(a: Column, b: Column): Column =
-    seqSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  /** Dot product of two float arrays: native Catalyst expression (tight
+    * loop, codegen'd) computing the same in-order double accumulation as
+    * zip_with+aggregate — see DotProduct for why. */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
   /** L2 norm. sqrt is correctly rounded → engine-portable. */
-  def norm(a: Column): Column =
-    sqrt(seqSum(transform(a, x => x.cast("double") * x.cast("double"))))
+  def norm(a: Column): Column = sqrt(DotProduct(a, a))
 
   /** Cosine similarity; null if either norm is zero. */
   def cosine(a: Column, b: Column): Column = {

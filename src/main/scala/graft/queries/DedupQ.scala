@@ -63,8 +63,21 @@ object DedupQ {
     * fixed hash family, so oracle-matchable). Candidates shuffle on band
     * keys only; verification re-joins per-doc shingle sets by doc_id. */
   val d02MinhashLsh: Q = Q("d02_minhash_lsh", (s, d) => {
-    val docs = bigramSets(s, d)
-      .withColumn("sig", minhashSignature(col("sh"), 16))
+    // 16 minhashes from only 4 md5 calls per shingle: each seeded md5
+    // splits into four independent 8-hex (32-bit) chunk hashes, and the
+    // minhash is the lexicographic min per chunk. Signatures feed FOUR
+    // plan branches (band self-join + two verification joins) —
+    // materialize once (at cluster scale: a persisted signature table).
+    val withMd5s = (0 until 4).foldLeft(bigramSets(s, d)) { (df, seed) =>
+      df.withColumn(s"m$seed",
+        transform(col("sh"), e => md5(concat(lit(s"$seed:"), e))))
+    }
+    val sig = array((for { seed <- 0 until 4; c <- 0 until 4 } yield
+      array_min(transform(col(s"m$seed"),
+        h => substring(h, 1 + 8 * c, 8)))): _*)
+    val docs = withMd5s.withColumn("sig", sig)
+      .drop((0 until 4).map(i => s"m$i"): _*)
+      .cache()
     val bands = docs.select(col("doc_id"),
       explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
     val cands = bands.as("a").join(bands.as("b"), Seq("band"))
@@ -85,14 +98,18 @@ object DedupQ {
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
   }, {
-    val minhashes = (0 until 16).map(seed =>
-      s"list_min(list_transform(sh, x -> md5('$seed:' || x)))").mkString(", ")
+    val md5Cols = (0 until 4).map(seed =>
+      s"list_transform(sh, x -> md5('$seed:' || x)) AS m$seed").mkString(", ")
+    val minhashes = (for { seed <- 0 until 4; c <- 0 until 4 } yield
+      s"list_min(list_transform(m$seed, h -> substr(h, ${1 + 8 * c}, 8)))")
+      .mkString(", ")
     val bandKeys = (0 until 8).map(b =>
       s"md5('$b' || '|' || sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])")
       .mkString(", ")
     Some(s"""
     WITH docs AS ($bigramSetsSql),
-    sigs AS (SELECT doc_id, sh, [$minhashes] AS sig FROM docs),
+    md5s AS (SELECT doc_id, sh, $md5Cols FROM docs),
+    sigs AS (SELECT doc_id, sh, [$minhashes] AS sig FROM md5s),
     bands AS (SELECT doc_id, unnest([$bandKeys]) AS band FROM sigs),
     cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band
@@ -183,10 +200,30 @@ object DedupQ {
     * Deliberately O(n²): at scale you run d02/d03 instead; this exists to
     * measure their recall. */
   val d04NgramJaccard: Q = Q("d04_ngram_jaccard", (s, d) => {
-    val sets = bigramSets(s, d)
-    sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+    // Relational formulation, not per-pair array ops: |A∩B| via
+    // explode + equi-join on the shingle + groupBy pair, |A∪B| =
+    // |A|+|B|-|A∩B| from per-doc set sizes. Everything is hash joins and
+    // hash aggregates inside codegen — no O(|A|+|B|) array intersection
+    // per candidate pair (which measured 100-500s for 250k pairs), and at
+    // 100 TB the shingle join is the only formulation that shuffles
+    // instead of broadcasting the corpus.
+    val sets = bigramSets(s, d).cache()
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter")).cast("double"))
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
   }, Some(s"""
@@ -204,11 +241,13 @@ object DedupQ {
     * engines — see VectorFns). At corpus scale the pairing would go through
     * s02's LSH buckets; the threshold filter is what matters here. */
   val d05EmbedNearDup: Q = Q("d05_embed_neardup", (s, d) => {
-    import graft.functions.VectorFns
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // Per-vector norms precomputed (O(N), cached); each pair evaluates
+    // only one native dot product. See SimilarityQ.normed.
+    val e = SimilarityQ.normed(s, d)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        VectorFns.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        SimilarityQ.cosPre(col("a.embedding"), col("a.nrm"),
+          col("b.embedding"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
   }, Some(s"""

@@ -549,11 +549,14 @@ object Relational {
       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
     FROM events GROUP BY 1 ORDER BY day"""))
 
-  /** JSON field access (embedded JSON strings → typed columns). */
+  /** JSON field access (embedded JSON strings → typed columns) via
+    * schema-declared from_json — one Jackson parse per row into a typed
+    * struct, not a JsonPath walk per extracted field. */
   val q26Json: Q = Q("q26_json", (s, d) => {
     Tables.events(s, d)
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        from_json(col("props"), "k INT",
+          Map.empty[String, String]).getField("k").as("k"))
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("k").asc_nulls_first)

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.VectorFns
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,18 +26,35 @@ object SimilarityQ {
 
   def all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03IvfAssign)
 
+  /** Corpus with per-VECTOR norms precomputed and materialized: norms are
+    * O(N), not O(pairs) — computing them inside the pair expression would
+    * redo each norm ~500×. At cluster scale this is a persisted column. */
+  private[queries] def normed(s: org.apache.spark.sql.SparkSession,
+      d: String) =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VectorFns.norm(col("embedding")).as("nrm"))
+      .cache()
+
+  /** cosine(a,b) from precomputed norms; null on zero norms. */
+  private[queries] def cosPre(av: Column, an: Column, bv: Column,
+      bn: Column): Column =
+    when(an === 0 || bn === 0, lit(null))
+      .otherwise(VectorFns.dot(av, bv) / (an * bn))
+
   /** Exact cosine top-10 for query vectors (vec_id < 5), ranked with a
     * deterministic tiebreak. Spark plans broadcast-nested-loop of the tiny
     * query side × corpus, then a per-query window top-k. */
   val s01KnnBrute: Q = Q("s01_knn_brute", (s, d) => {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = normed(s, d)
     val queries = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(queries).join(e, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        VectorFns.cosine(col("q"), col("embedding")).as("cos"))
+        cosPre(col("q"), col("qn"), col("embedding"), col("nrm")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -68,19 +86,18 @@ object SimilarityQ {
     * bucket join shuffles only (bucket, id, vec). */
   val s02KnnLsh: Q = Q("s02_knn_lsh", (s, d) => {
     val dims = Seq(0, 9, 18, 27, 36, 45, 54, 63)
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"),
-        col("embedding"), VectorFns.signBucket(col("embedding"), dims)
-          .as("bucket"))
+    val e = normed(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        VectorFns.signBucket(col("embedding"), dims).as("bucket"))
     val queries = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        col("bucket"))
+        col("nrm").as("qn"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     queries.join(e, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("bucket"), col("vec_id"),
-        VectorFns.cosine(col("q"), col("embedding")).as("cos"))
+        cosPre(col("q"), col("qn"), col("embedding"), col("nrm")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -119,19 +136,20 @@ object SimilarityQ {
     * vector assigned to its nearest seed by cosine. Output is the inverted
     * file: (vector → cell, similarity, agreement with true label). */
   val s03IvfAssign: Q = Q("s03_ivf_assign", (s, d) => {
-    val e = Tables.embeddings(s, d)
+    val e = normed(s, d)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_label").asc)
     val seedIds = e.groupBy(col("label"))
       .agg(min(col("vec_id")).as("seed_id"))
     val centroids = seedIds
-      .join(e.select(col("vec_id").as("seed_id"), col("embedding")
-        .as("centroid")), Seq("seed_id"))
-      .select(col("label").as("centroid_label"), col("centroid"))
-    e.select(col("vec_id"), col("label"), col("embedding"))
+      .join(e.select(col("vec_id").as("seed_id"),
+        col("embedding").as("centroid"), col("nrm").as("cn")), Seq("seed_id"))
+      .select(col("label").as("centroid_label"), col("centroid"), col("cn"))
+    e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
       .join(broadcast(centroids))
       .select(col("vec_id"), col("label"), col("centroid_label"),
-        VectorFns.cosine(col("embedding"), col("centroid")).as("cos"))
+        cosPre(col("embedding"), col("nrm"), col("centroid"), col("cn"))
+          .as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"),

@@ -11,6 +11,7 @@ rm -rf "$OUT"
 /opt/spark/bin/spark-submit \
   --master "local[${SPARK_GRAFT_CPUS:-8}]" \
   --driver-memory 8g \
+  --conf "spark.driver.extraJavaOptions=-XX:ReservedCodeCacheSize=1g" \
   --conf spark.sql.session.timeZone=UTC \
   --conf spark.ui.enabled=false \
   --conf spark.sql.shuffle.partitions=${SPARK_GRAFT_CPUS:-8} \
