@@ -82,7 +82,10 @@ final class Incremental(spark: SparkSession) {
         .filter(col(partCol).isin(touched: _*)) // static partition pruning
         .join(updatesCached.select(keys.map(col): _*).distinct(),
           keys, "left_anti")
-      existing.unionByName(updatesCached)
+      // localCheckpoint cuts the file lineage: the merged rows are
+      // materialized BEFORE the dynamic overwrite deletes the partition
+      // dirs they were read from (read-overwrite conflict otherwise)
+      existing.unionByName(updatesCached).localCheckpoint()
         .write.partitionBy(partCol).mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .parquet(targetPath)

@@ -29,11 +29,13 @@ final class StreamingIngest(spark: SparkSession) {
 
   /** Typed projection + lineage columns applied to every micro-batch —
     * byte-identical to what a batch backfill produces (SURVEY §7.4 risk 5:
-    * stream and batch paths must agree). */
+    * stream and batch paths must agree). `ingest_date` is the PROCESSING
+    * date (like the reference, ingestion/streaming_ingest.py:82) — late
+    * events land in the current partition, never a closed one. */
   def shape(df: DataFrame, sourceSystem: String, batchId: Long): DataFrame =
     df.withColumn("pipeline_ingested_at", current_timestamp())
       .withColumn("ingest_date",
-        date_format(col("event_time"), "yyyy-MM-dd"))
+        date_format(current_timestamp(), "yyyy-MM-dd"))
       .withColumn("source_system", lit(sourceSystem))
       .withColumn("batch_id", lit(batchId))
 
@@ -52,8 +54,11 @@ final class StreamingIngest(spark: SparkSession) {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // (ingest_date, batch_id) layout mirrors the reference's landing
+        // zone (S4) — downstream idempotence keys on batch_id, the only
+        // partition that is closed the moment it is written
         shape(batch, sourceSystem, batchId)
-          .write.mode("append").partitionBy("ingest_date")
+          .write.mode("append").partitionBy("ingest_date", "batch_id")
           .parquet(outDir)
         ()
       }

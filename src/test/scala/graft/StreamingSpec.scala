@@ -34,8 +34,9 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.read.parquet(out)
     assert(got.count() == 2)
     assert(got.columns.toSet.contains("ingest_date"))
-    assert(got.select("ingest_date").distinct().as[String].collect().toSet
-      == Set("2024-01-01", "2024-01-02"))
+    // ingest_date is the PROCESSING date, batch_id the micro-batch
+    assert(got.select("ingest_date").distinct().count() == 1)
+    assert(got.select("batch_id").distinct().count() == 1)
     assert(got.select("source_system").distinct().as[String].head()
       == "test_src")
     // second backfill with one new file: old file NOT re-ingested
