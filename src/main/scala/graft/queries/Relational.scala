@@ -23,7 +23,7 @@ object Relational {
     q05LeftJoinRollup, q06AntiJoin, q07SemiJoin, q12Funnel,
     q13DateSpine, q15DailyKpis, q16UserLifecycle, q17ProductPerf,
     q18SetOps, q19TopK, q20Distinct, q21Watermark, q22ArrayRollup,
-    q23Rollup, q24Quality, q25Pivot, q26Json)
+    q23Rollup, q24Quality, q25Pivot, q26Json, q27UserJoin)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -164,18 +164,20 @@ object Relational {
     ) ON c_custkey = o_custkey
     ORDER BY c_custkey"""))
 
-  /** Anti-join (J9/J11 analog): customers with no orders. The orders side is
-    * projected to the key column only before the shuffle. */
+  /** Anti-join (J9/J11 analog): customers with no FINISHED order. The
+    * orders side is filtered and projected to the key before the shuffle. */
   val q06AntiJoin: Q = Q("q06_anti_join", (s, d) => {
     Tables.customer(s, d)
-      .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")),
         Seq("c_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy(col("c_custkey"))
   }, Some("""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     ORDER BY c_custkey"""))
 
   /** Semi-join: customers with at least one finished order. */
@@ -548,6 +550,40 @@ object Relational {
       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
     FROM events GROUP BY 1 ORDER BY day"""))
+
+  /** Cross-table user join (J2/J6 shape): per-user EVENT lifecycle left
+    * joined to per-user ORDER lifecycle (user_id ↔ o_custkey), both sides
+    * pre-aggregated to one row per user before the join. */
+  val q27UserJoin: Q = Q("q27_user_cross_join", (s, d) => {
+    val ev = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("active_days"))
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        decSum(col("o_totalprice")).as("total_spend"))
+    ev.join(ord, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_events"), col("active_days"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spend"), lit(0.0)).as("total_spend"),
+        (coalesce(col("n_orders"), lit(0L)) > 0).as("is_buyer"))
+      .orderBy(col("user_id"))
+  }, Some(s"""
+    WITH ev AS (
+      SELECT user_id, COUNT(*) AS n_events,
+        CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+      FROM events GROUP BY user_id),
+    ord AS (
+      SELECT o_custkey AS user_id,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        ${decSumSql("o_totalprice")} AS total_spend
+      FROM orders GROUP BY o_custkey)
+    SELECT ev.user_id, n_events, active_days,
+      COALESCE(n_orders, 0) AS n_orders,
+      COALESCE(total_spend, 0.0) AS total_spend,
+      COALESCE(n_orders, 0) > 0 AS is_buyer
+    FROM ev LEFT JOIN ord ON ev.user_id = ord.user_id
+    ORDER BY ev.user_id"""))
 
   /** JSON field access (embedded JSON strings → typed columns) via
     * schema-declared from_json — one Jackson parse per row into a typed

@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions.{DotProduct, TextFns, VectorFns}
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("DotProduct expression: interpreted eval matches the higher-order" +
+      " formulation exactly, including fold order") {
+    val df = Seq((Array(0.1f, 0.2f, 0.3f), Array(1.5f, -2.5f, 3.0f)))
+      .toDF("a", "b")
+    val native = df.select(DotProduct(col("a"), col("b"))).first().getDouble(0)
+    val hof = df.select(VectorFns.seqSum(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")))).first().getDouble(0)
+    assert(native == hof) // bit-identical, not approx
+    // null input -> null
+    val withNull = Seq((Option.empty[Array[Float]], Option(Array(1f))))
+      .toDF("a", "b")
+    assert(withNull.select(DotProduct(col("a"), col("b"))).first().isNullAt(0))
+    // length mismatch -> zip semantics (shorter wins)
+    val uneven = Seq((Array(2f, 10f), Array(3f))).toDF("a", "b")
+    assert(uneven.select(DotProduct(col("a"), col("b")))
+      .first().getDouble(0) == 6.0)
+  }
+
+  test("dot_product is callable from SQL after extension registration") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT dot_product(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |                   CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS d
+        |""".stripMargin).first().getDouble(0)
+    assert(got == 11.0)
+  }
+
+  test("shingles builds word k-grams; short inputs give empty arrays") {
+    val df = Seq("a b c d", "a b", "x").toDF("t")
+      .select(TextFns.shingles(TextFns.tokens(col("t")), 3).as("sh"))
+    val got = df.as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("a b c", "b c d"), Seq(), Seq()))
+  }
+
+  test("minhash: identical sets hash identically; signature similarity " +
+      "tracks jaccard direction") {
+    val df = Seq(
+      ("x", "a b c d e f g h"),
+      ("y", "a b c d e f g h"),          // identical
+      ("z", "a b c d e f zz qq"),        // similar
+      ("w", "p q r s t u v w")           // disjoint
+    ).toDF("id", "t")
+      .select(col("id"),
+        TextFns.minhashSignature(
+          array_distinct(TextFns.tokens(col("t"))), 16).as("sig"))
+    val sigs = df.as[(String, Seq[String])].collect().toMap
+    assert(sigs("x") == sigs("y"))
+    def agree(a: Seq[String], b: Seq[String]) =
+      a.zip(b).count { case (p, q) => p == q }
+    assert(agree(sigs("x"), sigs("z")) > agree(sigs("x"), sigs("w")))
+  }
+
+  test("approx_count_distinct stays within its error bound at sf0.001" +
+      " (HLL sketch path for 100TB-scale distincts)") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val exact = li.select(countDistinct(col("l_partkey"))).first().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02))
+      .first().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}
