@@ -24,10 +24,43 @@ object Bench {
       // core. 4 MB splits parallelize local scans; a real cluster's
       // many-file tables make this knob irrelevant there.
       .config("spark.sql.files.maxPartitionBytes", "4194304")
+      // 40 queries x several codegen units overflow the default 100-entry
+      // generated-class cache; evictions force re-compiles that land on
+      // random late queries (the warmup pass is useless if its classes
+      // are evicted before the timed pass reuses them)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup pass at the smallest SF: compiles every plan's generated code
+    // once (codegen cache is keyed on generated source, which is identical
+    // across input paths), so the timed pass measures steady-state compute
+    // — the regime a long-running cluster job actually operates in. Without
+    // it, one-shot wall-clock is dominated by JIT/Janino compile storms
+    // that land on random queries (observed 5s <-> 170s swings).
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    if (warmupDir.nonEmpty && warmupDir != sfDir) {
+      SparkEntry.catalog.foreach { q =>
+        try q.run(spark, warmupDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+      // Background (C2) compilation of the warmup's generated classes is
+      // still in flight when warmup returns; let the queue drain so timed
+      // queries neither run interpreted nor fight compiler threads for
+      // cores. Poll accumulated JIT time until it plateaus.
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      var last = -1L
+      var waited = 0
+      while (waited < 120 && jit.getTotalCompilationTime != last) {
+        last = jit.getTotalCompilationTime
+        Thread.sleep(1000); waited += 1
+      }
+      System.err.println(
+        s"[bench] warmup done ($warmupDir, jit drained ${waited}s)")
+    }
     val results = SparkEntry.catalog.map { q =>
       System.err.println(s"[bench] start ${q.name}")
       val t0 = System.nanoTime()
