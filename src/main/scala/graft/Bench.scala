@@ -6,9 +6,28 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line with per-query wall-clock seconds.
   * Progress goes to stderr so a hung query is identifiable. */
 object Bench {
+
+  /** Reserved JIT code cache of this JVM, in MB. The bench compiles ~150
+    * generated classes; whether that fits decides the execution strategy
+    * below. */
+  private def codeCacheMb: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+      .map(_.getUsage.getMax).sum / (1024 * 1024)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Whole-stage codegen across 40 distinct complex plans wants >512MB
+    // of JIT code cache (JVM default 240MB). Best numbers come from
+    // launching with --driver-java-options "-XX:ReservedCodeCacheSize=1g"
+    // (measured 381s -> 117s); warn when the launcher didn't.
+    if (codeCacheMb < 512)
+      System.err.println(s"[bench] WARNING: JIT code cache is only " +
+        s"${codeCacheMb}MB; launch with -XX:ReservedCodeCacheSize=1g for " +
+        "stable timings (see PLANS.md)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

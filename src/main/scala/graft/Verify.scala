@@ -15,6 +15,7 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.hugeMethodLimit", "8000") // see Bench.scala
       .config("spark.sql.files.maxPartitionBytes", "4194304") // see Bench.scala
+      .config("spark.sql.codegen.cache.maxEntries", "2000") // see Bench.scala
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
