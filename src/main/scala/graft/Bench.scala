@@ -13,7 +13,9 @@ object Bench {
   private def codeCacheMb: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
-      .filter(_.getName.startsWith("CodeHeap"))
+      // segmented cache (default): "CodeHeap 'non-nmethods'" etc.;
+      // -XX:-SegmentedCodeCache: a single pool named "CodeCache"
+      .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "CodeCache")
       .map(_.getUsage.getMax).sum / (1024 * 1024)
   }
 
@@ -52,52 +54,61 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup pass at the smallest SF: compiles every plan's generated code
-    // once (codegen cache is keyed on generated source, which is identical
-    // across input paths), so the timed pass measures steady-state compute
-    // — the regime a long-running cluster job actually operates in. Without
-    // it, one-shot wall-clock is dominated by JIT/Janino compile storms
-    // that land on random queries (observed 5s <-> 170s swings).
-    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
-      "/root/testdata/sf0.001")
-    if (warmupDir.nonEmpty && warmupDir != sfDir) {
-      SparkEntry.catalog.foreach { q =>
-        try q.run(spark, warmupDir).write.format("noop").mode("overwrite").save()
+    // Per-query warmup AT THE TARGET SF, immediately before timing that
+    // query: run the query once untimed, then time the second run. Two
+    // failed alternatives, both measured:
+    //  - one up-front warmup pass over all 40 plans: the suite generates
+    //    more hot code than the JIT keeps resident, so a query's compiled
+    //    methods are flushed/deoptimized by the 39 plans between its warmup
+    //    and its timed run (d02: 58s timed vs 3.9s when warmed adjacently);
+    //  - per-query warmup at a smaller SF: AQE picks size-dependent
+    //    physical plans, so the generated code at sf0.001 is NOT the code
+    //    the sf0.1 run needs and the timed run pays a fresh 8-36s JIT storm.
+    // Same-SF adjacent warmup guarantees identical generated code and hot
+    // JIT state — the timed number is steady-state compute, the regime a
+    // long-running cluster job operates in. Set SPARK_GRAFT_WARMUP=off to
+    // measure one-shot (compile-included) wall-clock instead.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "on") != "off"
+    val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+    val results = SparkEntry.catalog.map { q =>
+      if (warmup) {
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
         spark.catalog.clearCache()
+        // let the background C2 queue drain so the timed run neither runs
+        // interpreted nor fights compiler threads for cores
+        var last = -1L
+        var waited = 0
+        while (waited < 40 && jit.getTotalCompilationTime != last) {
+          last = jit.getTotalCompilationTime
+          Thread.sleep(250); waited += 1
+        }
       }
-      // Background (C2) compilation of the warmup's generated classes is
-      // still in flight when warmup returns; let the queue drain so timed
-      // queries neither run interpreted nor fight compiler threads for
-      // cores. Poll accumulated JIT time until it plateaus.
-      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
-      var last = -1L
-      var waited = 0
-      while (waited < 120 && jit.getTotalCompilationTime != last) {
-        last = jit.getTotalCompilationTime
-        Thread.sleep(1000); waited += 1
-      }
-      System.err.println(
-        s"[bench] warmup done ($warmupDir, jit drained ${waited}s)")
-    }
-    val results = SparkEntry.catalog.map { q =>
       System.err.println(s"[bench] start ${q.name}")
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-      }
+      val j0 = jit.getTotalCompilationTime
+      val ok =
+        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] done  ${q.name} $dt%.2fs")
+      val dj = (jit.getTotalCompilationTime - j0) / 1e3
+      System.err.println(f"[bench] done  ${q.name} $dt%.2fs (jit $dj%.1fs)")
       // each query is self-contained; drop its cached intermediates so
       // storage memory never competes with later queries' execution
       spark.catalog.clearCache()
-      q.name -> dt
+      // a failed query reports the sentinel -1, never its elapsed-until-crash
+      // (which would make a regression-into-exception look FASTER)
+      (q.name, if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc plan/stage profiler: times the sub-stages of a named query so a
+  * slow query's cost can be attributed to a stage instead of guessed at.
+  * Not part of the driver contract; a development tool.
+  */
+object Probe {
+  private val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val j0 = jit.getTotalCompilationTime
+    val r = f
+    val dj = (jit.getTotalCompilationTime - j0) / 1e3
+    System.err.println(
+      f"[probe] $label ${(System.nanoTime() - t0) / 1e9}%.2fs (jit $dj%.1fs)")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.files.maxPartitionBytes", "4194304")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val what = args.headOption.getOrElse("d02")
+    what match {
+      case "d02" => probeD02(spark, sfDir)
+      case "mimic" =>
+        // exactly Bench's sequence for one query: warmup at sf0.001 with
+        // clearCache after, then timed at sfDir
+        val q = SparkEntry.catalog.find(_.name.startsWith(args(1))).get
+        time(s"${q.name} warmup sf0.001") {
+          q.run(spark, "/root/testdata/sf0.001")
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+        time(s"${q.name} timed $sfDir") {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+        time(s"${q.name} timed again") {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+      case name =>
+        val q = SparkEntry.catalog.find(_.name.startsWith(name)).get
+        // twice: first pass pays compile, second is steady-state
+        time(s"${q.name} run1") {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+        time(s"${q.name} run2") {
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
+    }
+    spark.stop()
+  }
+
+  private def probeD02(spark: SparkSession, d: String): Unit = {
+    import graft.functions.TextFns._
+    val bigrams = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(col("text")), 2)).as("sh"))
+    time("bigramSets count") { bigrams.count() }
+    time("bigramSets materialize (noop write)") {
+      bigrams.write.format("noop").mode("overwrite").save()
+    }
+    val withMd5s = (0 until 4).foldLeft(bigrams) { (df, seed) =>
+      df.withColumn(s"m$seed",
+        transform(col("sh"), e => md5(concat(lit(s"$seed:"), e))))
+    }
+    time("withMd5s materialize") {
+      withMd5s.write.format("noop").mode("overwrite").save()
+    }
+    val sig = array((for { seed <- 0 until 4; c <- 0 until 4 } yield
+      array_min(transform(col(s"m$seed"),
+        h => substring(h, 1 + 8 * c, 8)))): _*)
+    val docs = withMd5s.withColumn("sig", sig)
+      .drop((0 until 4).map(i => s"m$i"): _*)
+    time("docs (sig) materialize") {
+      docs.write.format("noop").mode("overwrite").save()
+    }
+    val cached = docs.cache()
+    time("docs cache count") { cached.count() }
+    val bands = cached.select(col("doc_id"),
+      explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
+    time("bands count") { bands.count() }
+    val cands = bands.as("a").join(bands.as("b"), Seq("band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    time("cands count") { cands.count() }
+    val sets = cached.select(col("doc_id"), col("sh"), col("sig"))
+    val out = cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / 16)
+          .as("est_jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+    time("full d02") { out.write.format("noop").mode("overwrite").save() }
+    time("full d02 again") {
+      out.write.format("noop").mode("overwrite").save()
+    }
+  }
+}

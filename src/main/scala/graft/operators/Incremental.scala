@@ -76,19 +76,45 @@ final class Incremental(spark: SparkSession) {
     }
     val updatesCached = updates.cache()
     try {
-      val touched = updatesCached.select(partCol).distinct()
-        .collect().map(_.get(0)).toSeq
-      val existing = spark.read.parquet(targetPath)
+      val updKeys = updatesCached.select(keys.map(col): _*).distinct().cache()
+      // Partition discovery re-INFERS the partition column's type from the
+      // dir names (a "2024-01-01" string partCol comes back as DATE);
+      // normalize to the updates' type or partition values from the two
+      // sides never compare equal.
+      def target() = spark.read.parquet(targetPath).withColumn(partCol,
+        col(partCol).cast(updatesCached.schema(partCol).dataType))
+      // Delete scope must cover every partition an updated key CURRENTLY
+      // lives in, not just the partitions the update rows land in: if an
+      // update moves key K across partitions, K's stale row in the old
+      // partition must go too (the reference's delete+insert deletes by key
+      // over the whole table, dbt delete+insert semantics). The semi-join
+      // below finds those partitions; when partCol is an immutable function
+      // of the key it finds nothing extra and costs one pruned-column scan.
+      val keyParts = target()
+        .join(updKeys, keys, "left_semi")
+        .select(partCol).distinct().collect().map(_.get(0))
+      val updParts = updatesCached.select(partCol).distinct()
+        .collect().map(_.get(0))
+      val touched = (keyParts ++ updParts).distinct.toSeq
+      val existing = target()
         .filter(col(partCol).isin(touched: _*)) // static partition pruning
-        .join(updatesCached.select(keys.map(col): _*).distinct(),
-          keys, "left_anti")
+        .join(updKeys, keys, "left_anti")
       // localCheckpoint cuts the file lineage: the merged rows are
       // materialized BEFORE the dynamic overwrite deletes the partition
       // dirs they were read from (read-overwrite conflict otherwise)
-      existing.unionByName(updatesCached).localCheckpoint()
-        .write.partitionBy(partCol).mode(SaveMode.Overwrite)
+      val merged = existing.unionByName(updatesCached).localCheckpoint()
+      merged.write.partitionBy(partCol).mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .parquet(targetPath)
+      // dynamic overwrite only rewrites partitions PRESENT in the output;
+      // a touched partition whose every row was an updated key's stale row
+      // ends up empty and must be dropped explicitly
+      val stillThere = merged.select(partCol).distinct()
+        .collect().map(_.get(0)).toSet
+      touched.filterNot(stillThere).foreach { p =>
+        deleteRecursively(Paths.get(targetPath, s"$partCol=$p"))
+      }
+      updKeys.unpersist()
     } finally updatesCached.unpersist()
   }
 

@@ -28,7 +28,10 @@ object Quality {
     df.filter(col(c).isNull).count()
 
   def unique(df: DataFrame, cols: Seq[String]): Long =
-    df.groupBy(cols.map(col): _*).count().filter(col("count") > 1).count()
+    // reserved agg name: a checked column set containing a column literally
+    // named "count" must not collide with the multiplicity column
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__graft_n"))
+      .filter(col("__graft_n") > 1).count()
 
   /** FK integrity: child values (non-null) that have no parent. */
   def relationships(child: DataFrame, childKey: String,

@@ -65,18 +65,16 @@ object DedupQ {
   val d02MinhashLsh: Q = Q("d02_minhash_lsh", (s, d) => {
     // 16 minhashes from only 4 md5 calls per shingle: each seeded md5
     // splits into four independent 8-hex (32-bit) chunk hashes, and the
-    // minhash is the lexicographic min per chunk. Signatures feed FOUR
-    // plan branches (band self-join + two verification joins) —
-    // materialize once (at cluster scale: a persisted signature table).
-    val withMd5s = (0 until 4).foldLeft(bigramSets(s, d)) { (df, seed) =>
-      df.withColumn(s"m$seed",
-        transform(col("sh"), e => md5(concat(lit(s"$seed:"), e))))
-    }
-    val sig = array((for { seed <- 0 until 4; c <- 0 until 4 } yield
-      array_min(transform(col(s"m$seed"),
-        h => substring(h, 1 + 8 * c, 8)))): _*)
-    val docs = withMd5s.withColumn("sig", sig)
-      .drop((0 until 4).map(i => s"m$i"): _*)
+    // minhash is the lexicographic min per chunk. Computed by the native
+    // MinhashSigExpr (one tight loop per doc — the equivalent
+    // transform/array_min chain was 4 interpreted lambda passes and enough
+    // generated code to dominate one-shot runs with JIT, see PLANS.md;
+    // byte-identical output, FunctionsSpec proves equivalence in-engine).
+    // Signatures feed FOUR plan branches (band self-join + two
+    // verification joins) — materialize once (at cluster scale: a
+    // persisted signature table).
+    val docs = bigramSets(s, d)
+      .withColumn("sig", graft.functions.TextExprs.minhashSig(col("sh")))
       .cache()
     val bands = docs.select(col("doc_id"),
       explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
@@ -136,23 +134,26 @@ object DedupQ {
     Some(simhashOracle))
 
   private def simhashImpl(s: org.apache.spark.sql.SparkSession, d: String) = {
+    // One 32-bit parse per TOKEN (`v`), then 32 shift/mask rows — the
+    // per-bit nibble re-parse (32 × conv+substr per token) computed the
+    // same values with ~30× the expression code. Bit j of the hash is hex
+    // digit j/4 of md5(tok), i.e. nibble (7 - j div 4) of v, bit (j % 4).
     val tokCounts = Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("h", md5(col("tok")))
+      .withColumn("v",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
     val bits = tokCounts
-      .select(col("doc_id"), col("n"), col("h"),
+      .select(col("doc_id"), col("n"), col("v"),
         explode(sequence(lit(0), lit(31))).as("bit"))
-      .withColumn("nibble",
-        conv(expr("substr(h, (bit div 4) + 1, 1)"), 16, 10)
-          .cast("int"))
-      .withColumn("b", expr("CAST((nibble >> (bit % 4)) & 1 AS INT)"))
+      .withColumn("b", expr(
+        "CAST((v >> ((7 - (bit div 4)) * 4 + (bit % 4))) & 1 AS INT)"))
       .groupBy(col("doc_id"), col("bit"))
       .agg(sum((col("b") * 2 - 1) * col("n")).as("w"))
       .withColumn("bit_val", when(col("w") >= 0, 1L).otherwise(0L))
       .groupBy(col("doc_id"))
-      .agg(sum(col("bit_val") * pow(lit(2.0), col("bit")).cast("long"))
+      .agg(sum(expr("shiftleft(bit_val, CAST(bit AS INT))"))
         .cast("bigint").as("simhash"))
     val bands = bits.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))

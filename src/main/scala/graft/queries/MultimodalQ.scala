@@ -47,5 +47,12 @@ object MultimodalQ {
       md5(substr(text, frame_idx * ((len(text) - 16) // 3) + 1, 16))
         AS frame_digest
     FROM documents, (SELECT CAST(unnest(range(0, 4)) AS INT) AS frame_idx)
+    WHERE len(text) > 16
+    UNION ALL
+    -- short-payload branch (StubCodec.sampleFrames: n <= width -> one
+    -- whole-payload frame at offset 0); no such docs in the test corpus,
+    -- but the contract must not diverge on them
+    SELECT doc_id AS id, CAST(0 AS INT), CAST(0 AS INT), md5(text)
+    FROM documents WHERE len(text) <= 16
     ORDER BY id, frame_idx"""))
 }

@@ -150,13 +150,17 @@ object TextQ {
     * shingle, fingerprint = 3 smallest hashes joined — robust to small
     * edits; docs sharing a fingerprint are near-dup candidates. */
   val t04Fingerprint: Q = Q("t04_fingerprint", (s, d) => {
+    // Native RollingFpExpr: one loop computing the 3 smallest window
+    // hashes directly — the transform+array_sort formulation materialized
+    // and sorted ~1k 32-char strings per doc and its generated code was a
+    // JIT hot spot (PLANS.md round 2). Byte-identical output
+    // (FunctionsSpec proves equivalence in-engine); n_grams ==
+    // greatest(len-7, 1) == size of the window sequence.
     val byFp = Window.partitionBy(col("fingerprint"))
     Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("transform(sequence(1, greatest(length(text) - 7, 1))," +
-          " i -> md5(substr(text, i, 8)))").as("grams"))
-      .select(col("doc_id"), size(col("grams")).as("n_grams"),
-        concat_ws("|", slice(array_sort(col("grams")), 1, 3))
+        greatest(length(col("text")) - 7, lit(1)).as("n_grams"),
+        graft.functions.TextExprs.rollingFp(col("text"), 8, 3)
           .as("fingerprint"))
       .withColumn("n_same_fp", count(lit(1)).over(byFp))
       .orderBy(col("doc_id"))

@@ -61,6 +61,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(agree(sigs("x"), sigs("z")) > agree(sigs("x"), sigs("w")))
   }
 
+  test("MinhashSigExpr matches the transform/array_min formulation" +
+      " byte-for-byte (the form the DuckDB oracle mirrors)") {
+    val df = Seq("a b c d e f g h", "x", "", "a a b b")
+      .toDF("t")
+      .select(array_distinct(
+        TextFns.shingles(TextFns.tokens(col("t")), 2)).as("sh"))
+    val native = df
+      .select(graft.functions.TextExprs.minhashSig(col("sh")))
+      .as[Seq[Option[String]]].collect().toSeq
+    val viaHof = {
+      val withMd5s = (0 until 4).foldLeft(df) { (d, seed) =>
+        d.withColumn(s"m$seed",
+          transform(col("sh"), e => md5(concat(lit(s"$seed:"), e))))
+      }
+      withMd5s.select(array((for { seed <- 0 until 4; c <- 0 until 4 } yield
+        array_min(transform(col(s"m$seed"),
+          h => substring(h, 1 + 8 * c, 8)))): _*))
+        .as[Seq[Option[String]]].collect().toSeq
+    }
+    assert(native == viaHof)
+    assert(native.last.forall(_.isDefined)) // non-empty set: 16 real hashes
+    assert(native(2).forall(_.isEmpty))     // empty set: 16 nulls
+  }
+
+  test("RollingFpExpr matches the transform/array_sort/slice formulation" +
+      " byte-for-byte, including short-text and duplicate-window cases") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "short",            // < width: one whole-text window
+      "aaaaaaaaaaaaaaaa", // all windows identical (duplicate hashes kept)
+      "exactly8"          // == width: exactly one window
+    ).toDF("text")
+    val native = df
+      .select(graft.functions.TextExprs.rollingFp(col("text"), 8, 3))
+      .as[String].collect().toSeq
+    val viaHof = df.select(concat_ws("|", slice(array_sort(
+      expr("transform(sequence(1, greatest(length(text) - 7, 1))," +
+        " i -> md5(substr(text, i, 8)))")), 1, 3)))
+      .as[String].collect().toSeq
+    assert(native == viaHof)
+  }
+
   test("approx_count_distinct stays within its error bound at sf0.001" +
       " (HLL sketch path for 100TB-scale distincts)") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")

@@ -124,6 +124,23 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c"))
   }
 
+  test("upsertPartitioned deletes a key's stale row in its OLD partition") {
+    val path = tmp()
+    val inc = new Incremental(spark)
+    inc.upsertPartitioned(path,
+      Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-02")).toDF("k", "v", "d"),
+      Seq("k"), "d")
+    // key 1 moves partition 01 -> 03; its 01 row must not survive
+    inc.upsertPartitioned(path,
+      Seq((1L, "A", "2024-01-03")).toDF("k", "v", "d"), Seq("k"), "d")
+    val rows = spark.read.parquet(path).select("k", "v", "d")
+      .as[(Long, String, String)].collect().toSet
+    assert(rows == Set((1L, "A", "2024-01-03"), (2L, "b", "2024-01-02")))
+    // the emptied partition dir is gone, not left holding stale data
+    assert(!Files.exists(
+      java.nio.file.Paths.get(path, "d=2024-01-01")))
+  }
+
   test("late-data convergence: incremental arrival order == full refresh") {
     val inc = new Incremental(spark)
     val all = Seq((1L, ts("2024-01-01 00:00:00"), "v1"),
@@ -195,6 +212,10 @@ class QualitySpec extends AnyFunSuite {
     val parent = Seq(10L, 20L).toDF("pk")
     assert(Quality.notNull(child, "fk") == 1)
     assert(Quality.unique(child.union(child), Seq("id")) == 3)
+    // a checked column literally named "count" must not collide with the
+    // internal multiplicity column
+    val named = Seq(1L, 1L, 2L).toDF("count")
+    assert(Quality.unique(named, Seq("count")) == 1)
     assert(Quality.relationships(child, "fk", parent, "pk") == 1) // 99 orphan
     assert(Quality.expressionIsTrue(child, col("id") <= 2) == 1)
   }
