@@ -33,11 +33,17 @@ object Tables {
   }
   /** documents/embeddings are single small parquet files (1 input split)
     * but feed COMPUTE-heavy per-row pipelines (minhash, simhash, cosine).
-    * Hash-repartition by id so that work spreads across cores — on a real
-    * cluster the corpus arrives as thousands of splits and this exchange
-    * is a no-op by comparison. */
+    * Hash-repartition by id so that work spreads across cores — WITH AN
+    * EXPLICIT partition count: a bare repartition(col) leaves the count to
+    * AQE, which sees ~1 MB of rows and coalesces the exchange to ONE
+    * partition, serializing every downstream hash/score pipeline on a
+    * single core (measured: whole corpus suite pinned to task 0.0, 10-90×
+    * slowdowns). Bytes-small but CPU-heavy data is exactly the case where
+    * the partition count must come from compute, not size — same rule a
+    * real cluster applies to decode/hash stages over compressed blobs. */
+  private def cpus(s: SparkSession): Int = s.sparkContext.defaultParallelism
   def documents(s: SparkSession, d: String): DataFrame =
-    load(s, d, "documents").repartition(col("doc_id"))
+    load(s, d, "documents").repartition(cpus(s), col("doc_id"))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    load(s, d, "embeddings").repartition(col("vec_id"))
+    load(s, d, "embeddings").repartition(cpus(s), col("vec_id"))
 }

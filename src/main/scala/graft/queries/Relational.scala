@@ -23,7 +23,8 @@ object Relational {
     q05LeftJoinRollup, q06AntiJoin, q07SemiJoin, q12Funnel,
     q13DateSpine, q15DailyKpis, q16UserLifecycle, q17ProductPerf,
     q18SetOps, q19TopK, q20Distinct, q21Watermark, q22ArrayRollup,
-    q23Rollup, q24Quality, q25Pivot, q26Json, q27UserJoin)
+    q23Rollup, q24Quality, q25Pivot, q26Json, q27UserJoin,
+    q14SaltedJoin, q28AsofJoin, q29ApproxDistinct)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -600,4 +601,106 @@ object Relational {
     SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
       COUNT(*) AS n
     FROM events GROUP BY 1 ORDER BY k ASC NULLS FIRST"""))
+
+  /** Skew-salted large-large join: lineitem ⨝ orders on the order key with
+    * an explicit 8-way salt — the hot-key treatment for a shuffle join
+    * whose key histogram is skewed at 100 TB. The fact side derives a
+    * deterministic salt from a non-join column; the other side is exploded
+    * ×8 so every (key, salt) pair exists; the join result is IDENTICAL to
+    * the unsalted join (the oracle runs the plain join), but each hot key's
+    * rows now spread over 8 shuffle partitions instead of one straggler
+    * task. AQE's skew-join handles the moderate case at runtime; explicit
+    * salting is the portable plan-level tool this query demonstrates. */
+  val q14SaltedJoin: Q = Q("q14_salted_join", (s, d) => {
+    val salts = 8
+    val li = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_linenumber"), lit(salts)))
+    val o = Tables.orders(s, d)
+      .withColumn("salt", explode(array((0 until salts).map(lit(_)): _*)))
+    li.join(o,
+        li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        decSumExpr(d2(col("l_extendedprice")) * (lit(1) - dr(col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }, Some(s"""
+    SELECT o_orderpriority,
+      ${decSumExprSql(s"${d2Sql("l_extendedprice")} * (1 - ${drSql("l_discount")})")} AS revenue,
+      COUNT(*) AS n_items,
+      CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** As-of join (an operator Spark's joins lack natively): each event is
+    * matched to the user's LATEST order at-or-before the event time.
+    * Composed scalably from built-ins — tag both streams, union, and
+    * carry the last order forward with a window `last(_, ignoreNulls)`
+    * over (key, time): one shuffle on the key, no per-event range probe,
+    * no broadcast of either side. The orders side is first deduplicated
+    * to one row per (custkey, order-date) — max order key wins — so the
+    * match is deterministic in both engines; the oracle is DuckDB's
+    * native ASOF LEFT JOIN. At equal timestamps the order sorts before
+    * the event (kind 0 < 1), matching ASOF's inclusive `>=`. */
+  val q28AsofJoin: Q = Q("q28_asof_join", (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("k"), col("ts").as("t"),
+        col("event_id"), col("event_type"))
+    // one deterministic order row per (key, time); prune to keys that can
+    // match (broadcast semi-join on the tiny distinct-user set)
+    val ord = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").as("t"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .join(broadcast(ev.select(col("k")).distinct()), Seq("k"), "left_semi")
+    val tagged = ord
+      .select(col("k"), col("t"), lit(0).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        lit(null).cast("string").as("event_type"),
+        col("o_orderkey"), col("t").as("o_t"))
+      .unionByName(ev.select(col("k"), col("t"), lit(1).as("kind"),
+        col("event_id"), col("event_type"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("timestamp").as("o_t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"), col("kind"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_order_key", last(col("o_orderkey"), true).over(w))
+      .withColumn("last_order_ts", last(col("o_t"), true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("t").as("ts"),
+        col("event_type"), col("last_order_key"), col("last_order_ts"),
+        col("last_order_key").isNotNull.as("has_prior_order"))
+      .orderBy(col("event_id"))
+  }, Some("""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+      o.o_orderkey AS last_order_key,
+      o.o_orderdate AS last_order_ts,
+      o.o_orderkey IS NOT NULL AS has_prior_order
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    ORDER BY e.event_id"""))
+
+  /** Sketch-based distinct counting (HLL++): the 100 TB path for
+    * cardinality — mergeable map-side sketches, no exact-distinct
+    * shuffle-and-dedup. Sketch values are engine-specific, so this query
+    * has NO DuckDB oracle (driver records a rows-only check); the spec
+    * asserts the error bound against the exact count instead. */
+  val q29ApproxDistinct: Q = Q("q29_approx_distinct", (s, d) => {
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .withColumn("rel_err",
+        abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users"))
+      .orderBy(col("event_type"))
+  }, None)
 }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object TextQ {
 
   def all: Seq[Q] = Seq(t01LangId, t02QualityScore, t03TokenCount,
-    t04Fingerprint)
+    t04Fingerprint, t05PiiScrub)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -32,12 +32,26 @@ object TextQ {
   /** n-gram-heuristic language ID: per-language marker-token counts
     * (with multiplicity), argmax with lexicographic tiebreak. */
   val t01LangId: Q = Q("t01_lang_id", (s, d) => {
+    // Explode + conditional aggregation, not 5 higher-order `filter`
+    // passes: each HOF lambda call is interpreted (5 langs × every token
+    // = the whole corpus re-walked five times outside codegen, measured
+    // 11s at sf0.1); the exploded form is one codegen'd hash aggregate,
+    // and `documents` is already hash-partitioned by doc_id so the
+    // groupBy introduces no extra exchange. The left join keeps docs
+    // with zero tokens (scores 0), matching the per-row oracle.
     val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
-    val scored = markers.foldLeft(base) { case (df, (lang, words)) =>
-      df.withColumn(s"score_$lang",
-        size(filter(col("t"), x => x.isin(words: _*))))
+    val scoreAggs = markers.map { case (lang, words) =>
+      sum(when(col("tok").isin(words: _*), 1).otherwise(0))
+        .cast("int").as(s"score_$lang")
     }
+    val counts = base
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(scoreAggs.head, scoreAggs.tail: _*)
+    val scored = base.select(col("doc_id"), col("lang"))
+      .join(counts, Seq("doc_id"), "left")
+      .na.fill(0, markers.map(m => s"score_${m._1}"))
     val langs = markers.map(_._1)
     val pred = langs.foldRight(lit(langs.last)) { case (lang, rest) =>
       val isMax = langs.filter(_ != lang)
@@ -177,4 +191,30 @@ object TextQ {
     SELECT doc_id, n_grams, fingerprint,
       CAST(COUNT(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS n_same_fp
     FROM fps ORDER BY doc_id"""))
+
+  /** PII-style scrubbing: blocklisted terms redacted in place (the shape
+    * of the masking pass a training pipeline runs before tokenization).
+    * Narrow per-row regexp work on top of the scan; the regex stays in
+    * the RE2 ∩ java.util.regex common subset (\b word boundaries,
+    * alternation) so both engines match identically. Output carries the
+    * hit count and a digest of the scrubbed text, not the text itself —
+    * at 100 TB you never shuffle the payload to audit the scrub. */
+  val t05PiiScrub: Q = Q("t05_pii_scrub", (s, d) => {
+    val pat = "\\b(customer|user|order)\\b"
+    val scrubbed = regexp_replace(col("text"), pat, "[REDACTED]")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n_hits"),
+        length(scrubbed).as("n_chars_scrubbed"),
+        md5(scrubbed).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '\b(customer|user|order)\b'))
+        AS INT) AS n_hits,
+      CAST(len(regexp_replace(text, '\b(customer|user|order)\b',
+        '[REDACTED]', 'g')) AS INT) AS n_chars_scrubbed,
+      md5(regexp_replace(text, '\b(customer|user|order)\b',
+        '[REDACTED]', 'g')) AS scrub_md5
+    FROM documents ORDER BY doc_id"""))
 }

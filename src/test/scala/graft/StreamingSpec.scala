@@ -94,6 +94,42 @@ class StreamingSpec extends AnyFunSuite {
   }
 }
 
+class StatefulSessionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.streaming.StatefulSessions
+  import graft.streaming.StatefulSessions.{ClosedSession, Event}
+
+  def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("flatMapGroupsWithState closes a session only after the watermark" +
+      " passes last-seen + gap") {
+    val base = Files.createTempDirectory("graft_state").toString
+    val in = s"$base/in"
+    // user 1: two events 10 min apart, then nothing; user 2: one event
+    // much later — its watermark contribution closes user 1's session
+    Seq(Event(1L, ts("2024-01-01 10:00:00"), "view"),
+      Event(1L, ts("2024-01-01 10:10:00"), "click"),
+      Event(2L, ts("2024-01-01 13:00:00"), "view"))
+      .toDS().write.parquet(in)
+    val events = spark.readStream.schema(
+      org.apache.spark.sql.Encoders.product[Event].schema)
+      .parquet(in).as[Event]
+    val closed = StatefulSessions.closedSessions(spark, events,
+      "30 minutes", "0 seconds", 30L * 60 * 1000)
+    val q = closed.writeStream.format("memory").queryName("closed_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // one more batch advances the watermark so the timeout fires
+    spark.emptyDataset[Event].write.mode("append").parquet(in)
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("closed_out").as[ClosedSession].collect()
+      .filter(_.user_id == 1L)
+    assert(out.length == 1)
+    assert(out.head.n_events == 2 && out.head.duration_sec == 600)
+  }
+}
+
 class MediaSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
