@@ -36,6 +36,9 @@ object Probe {
     val what = args.headOption.getOrElse("d02")
     what match {
       case "d02" => probeD02(spark, sfDir)
+      case "explain" =>
+        val q = SparkEntry.catalog.find(_.name.startsWith(args(1))).get
+        q.run(spark, sfDir).explain("formatted")
       case "mimic" =>
         // exactly Bench's sequence for one query: warmup at sf0.001 with
         // clearCache after, then timed at sfDir

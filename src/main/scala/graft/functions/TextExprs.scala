@@ -83,6 +83,30 @@ object TextNative {
         .asInstanceOf[Array[Any]])
   }
 
+  /** Word k-shingles from a token array, replicating the staggered-slice
+    * + zip_with formulation element-for-element. */
+  def shingles(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i < n - k + 1) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      var anyNull = false
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        if (toks.isNullAt(i + j)) anyNull = true
+        else sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      // a null token nulls the shingle, like concat() in the HOF form
+      out(i) = if (anyNull) null else UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Rolling-hash fingerprint: md5 over every `width`-char window of
     * `text`, fingerprint = `k` smallest hex strings (duplicates kept)
     * joined with "|" — replicating exactly `concat_ws("|",
@@ -118,6 +142,27 @@ object TextNative {
     }
     UTF8String.fromString(top.take(filled).mkString("|"))
   }
+}
+
+/** `array<string>` tokens → word k-shingles ("a b c" for k=3), one loop.
+  * Replicates TextFns.shingles (k staggered slices + zip_with concat):
+  * fewer than k tokens → empty array; null elements joined as the slices
+  * would (never occurs for tokenizer output, which drops nulls). */
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles requires array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(toks: Any): Any =
+    TextNative.shingles(toks.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.shingles($c, $k)")
+  override protected def withNewChildInternal(
+      newChild: Expression): ShinglesExpr = copy(child = newChild)
 }
 
 /** `array<string>` shingle set → 16-element MinHash signature. */
@@ -162,4 +207,6 @@ object TextExprs {
     Bridge.toColumn(MinhashSigExpr(Bridge.toExpression(sh)))
   def rollingFp(text: Column, width: Int, k: Int): Column =
     Bridge.toColumn(RollingFpExpr(Bridge.toExpression(text), width, k))
+  def shingles(toks: Column, k: Int): Column =
+    Bridge.toColumn(ShinglesExpr(Bridge.toExpression(toks), k))
 }

@@ -89,4 +89,26 @@ object Media {
       }
     }
   }
+
+  final case class Chunk(id: Long, chunk_idx: Int, offset: Int,
+      energy: Long, chunk_digest: String)
+
+  /** Audio-shaped chunking: k evenly spaced fixed-width windows, each
+    * reduced to an "energy" (sum of unsigned byte values — the stub for a
+    * real RMS over decoded samples) plus a digest. Same window placement
+    * as frame sampling; same mapPartitions-style narrow execution — the
+    * binary payload never shuffles, only (id, idx, energy, digest) rows. */
+  def chunkStats(media: Dataset[MediaRow], k: Int, width: Int)
+      : Dataset[Chunk] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      Media.StubCodec.sampleFrames(r.media, k, width).map {
+        case (idx, off) =>
+          val slice = r.media.slice(off, off + width)
+          Chunk(r.id, idx, off,
+            slice.foldLeft(0L)((a, b) => a + (b & 0xff)),
+            StubCodec.md5Hex(slice))
+      }
+    }
+  }
 }

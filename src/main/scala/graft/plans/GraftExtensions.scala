@@ -1,9 +1,9 @@
 package graft.plans
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, MinhashSigExpr, RollingFpExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Session extension registering graft's native expressions for SQL use:
   *
@@ -18,18 +18,33 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * parity (SURVEY §4 conclusion) so only expressions are injected.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "dot_product"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs(0), exprs(1))))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, clazz, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz, name), builder))
+    }
 }
 
 object GraftExtensions {
+  private def intLit(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"expected integer literal, got $other")
+  }
+
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("dot_product", classOf[DotProduct].getCanonicalName,
+      exprs => DotProduct(exprs(0), exprs(1))),
+    ("minhash_sig", classOf[MinhashSigExpr].getCanonicalName,
+      exprs => MinhashSigExpr(exprs(0))),
+    // rolling_fp(text, width, k) — width/k must be integer literals
+    ("rolling_fp", classOf[RollingFpExpr].getCanonicalName,
+      exprs => RollingFpExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
+  )
+
   /** Register everything on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)))
+    builders.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graft.Bridge.registerFunction(spark, name, builder)
+    }
 }

@@ -23,13 +23,17 @@ import org.apache.spark.sql.functions._
 object DedupQ {
 
   def all: Seq[Q] = Seq(d01Exact, d02MinhashLsh, d03Simhash, d04NgramJaccard,
-    d05EmbedNearDup)
+    d05EmbedNearDup, d06DedupClusters)
 
-  /** Token bigram SETS per doc — the shingle basis for d02/d04. */
+  /** Token bigram SETS per doc — the shingle basis for d02/d04. Native
+    * ShinglesExpr (one loop) instead of the staggered-slice zip_with
+    * chain: same values (FunctionsSpec), a fraction of the generated
+    * code. */
   private def bigramSets(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")), 2)).as("sh"))
+        array_distinct(graft.functions.TextExprs.shingles(
+          tokens(col("text")), 2)).as("sh"))
 
   private val bigramSetsSql = """
     SELECT doc_id,
@@ -200,20 +204,19 @@ object DedupQ {
     * prefix — the ground-truth oracle for the approximate dedup operators.
     * Deliberately O(n²): at scale you run d02/d03 instead; this exists to
     * measure their recall. */
-  val d04NgramJaccard: Q = Q("d04_ngram_jaccard", (s, d) => {
-    // Relational formulation, not per-pair array ops: |A∩B| via
-    // explode + equi-join on the shingle + groupBy pair, |A∪B| =
-    // |A|+|B|-|A∩B| from per-doc set sizes. Everything is hash joins and
-    // hash aggregates inside codegen — no O(|A|+|B|) array intersection
-    // per candidate pair (which measured 100-500s for 250k pairs), and at
-    // 100 TB the shingle join is the only formulation that shuffles
-    // instead of broadcasting the corpus.
-    // The bound is REAL, not a comment: the corpus grows with SF (5000
-    // docs at sf0.1) and a 31-token vocabulary makes shingles collide
-    // heavily, so the unbounded pair join is ~deg² per shingle — the
-    // prefix keeps the ground-truth query O(1) in SF. At the correctness
-    // scale (sf0.01, 500 docs) the prefix IS the whole corpus, so the
-    // oracle still exercises every pair.
+  /** Exact pairwise jaccard ≥ threshold over the doc_id < 500 prefix.
+    * Relational formulation, not per-pair array ops: |A∩B| via explode +
+    * equi-join on the shingle + groupBy pair, |A∪B| = |A|+|B|-|A∩B| from
+    * per-doc set sizes. Everything is hash joins and hash aggregates
+    * inside codegen — no O(|A|+|B|) array intersection per candidate pair
+    * (which measured 100-500s for 250k pairs), and at 100 TB the shingle
+    * join is the only formulation that shuffles instead of broadcasting
+    * the corpus. The prefix bound is REAL: the corpus grows with SF
+    * (5000 docs at sf0.1) and the 31-token vocabulary makes shingle
+    * postings collide heavily (pair join is ~deg² per shingle); at the
+    * correctness scale (sf0.01, 500 docs) the prefix IS the whole corpus. */
+  private def exactJaccardPairs(s: org.apache.spark.sql.SparkSession,
+      d: String, threshold: Double) = {
     val sets = bigramSets(s, d).filter(col("doc_id") < 500).cache()
     val ex = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = sets.select(col("doc_id"), size(col("sh")).as("n"))
@@ -231,7 +234,11 @@ object DedupQ {
         (col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter")).cast("double"))
           .as("jaccard"))
-      .filter(col("jaccard") >= 0.2)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  val d04NgramJaccard: Q = Q("d04_ngram_jaccard", (s, d) => {
+    exactJaccardPairs(s, d, 0.2)
       .orderBy(col("doc_a"), col("doc_b"))
   }, Some(s"""
     WITH docs AS (
@@ -243,6 +250,44 @@ object DedupQ {
     WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
         / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2
     ORDER BY doc_a, doc_b"""))
+
+  /** Near-dup CLUSTERS: pair detection gives edges; dedup needs groups.
+    * Exact-jaccard ≥ 0.5 pairs (the verified-near-dup edge set) →
+    * 3 rounds of min-label propagation (operators.Cluster) → every
+    * clustered doc mapped to its canonical (minimum) id. A fixed round
+    * count keeps this a pure deterministic query — exact for components
+    * of diameter ≤ 3, which near-dup clusters are in practice — so the
+    * oracle replays the same 3 rounds as chained CTEs. */
+  val d06DedupClusters: Q = Q("d06_dedup_clusters", (s, d) => {
+    import graft.operators.Cluster
+    Cluster.canonicalize(exactJaccardPairs(s, d, 0.5), "doc_a", "doc_b",
+        rounds = 3)
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    WITH docs AS (
+      SELECT * FROM ($bigramSetsSql) WHERE doc_id < 500),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+    nodes AS (SELECT DISTINCT doc_id FROM
+      (SELECT doc_a AS doc_id FROM pairs
+       UNION ALL SELECT doc_b FROM pairs)),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    r0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+    r1 AS (SELECT n.doc_id, LEAST(n.lbl, COALESCE(MIN(r.lbl), n.lbl)) AS lbl
+           FROM r0 n LEFT JOIN edges e ON n.doc_id = e.u
+           LEFT JOIN r0 r ON e.v = r.doc_id GROUP BY n.doc_id, n.lbl),
+    r2 AS (SELECT n.doc_id, LEAST(n.lbl, COALESCE(MIN(r.lbl), n.lbl)) AS lbl
+           FROM r1 n LEFT JOIN edges e ON n.doc_id = e.u
+           LEFT JOIN r1 r ON e.v = r.doc_id GROUP BY n.doc_id, n.lbl),
+    r3 AS (SELECT n.doc_id, LEAST(n.lbl, COALESCE(MIN(r.lbl), n.lbl)) AS lbl
+           FROM r2 n LEFT JOIN edges e ON n.doc_id = e.u
+           LEFT JOIN r2 r ON e.v = r.doc_id GROUP BY n.doc_id, n.lbl)
+    SELECT doc_id, lbl AS cluster_id, doc_id = lbl AS is_canonical
+    FROM r3 ORDER BY doc_id"""))
 
   /** Embedding cosine near-dup: pairs with cosine ≥ 0.4. Dot products use
     * ordered sequential double accumulation (identical fold order in both

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQ {
 
-  def all: Seq[Q] = Seq(m01MediaFeatures, m02FrameSample)
+  def all: Seq[Q] = Seq(m01MediaFeatures, m02FrameSample, m03ChunkEnergy)
 
   /** Binary decode → typed features, one codec per partition. The entire
     * decode is narrow; only the 4-float feature rows ever shuffle. */
@@ -55,4 +55,32 @@ object MultimodalQ {
     SELECT doc_id AS id, CAST(0 AS INT), CAST(0 AS INT), md5(text)
     FROM documents WHERE len(text) <= 16
     ORDER BY id, frame_idx"""))
+
+  /** Audio-shaped chunk energies: 4 evenly spaced 32-byte windows per
+    * payload, each reduced to an unsigned-byte-sum "energy" + digest (the
+    * stub for RMS over decoded samples). ASCII corpus ⇒ byte sum equals
+    * the oracle's codepoint sum. */
+  val m03ChunkEnergy: Q = Q("m03_chunk_energy", (s, d) => {
+    import s.implicits._
+    val media = Media.asMedia(Tables.documents(s, d), "doc_id", "text", "audio")
+      .as[Media.MediaRow]
+    Media.chunkStats(media, k = 4, width = 32).toDF()
+      .orderBy(col("id"), col("chunk_idx"))
+  }, Some("""
+    SELECT doc_id AS id, chunk_idx,
+      CAST(chunk_idx * ((len(text) - 32) // 3) AS INT) AS offset,
+      CAST(list_reduce(list_transform(
+        string_split(substr(text, chunk_idx * ((len(text) - 32) // 3) + 1, 32), ''),
+        c -> ord(c)), (a, b) -> a + b) AS BIGINT) AS energy,
+      md5(substr(text, chunk_idx * ((len(text) - 32) // 3) + 1, 32))
+        AS chunk_digest
+    FROM documents, (SELECT CAST(unnest(range(0, 4)) AS INT) AS chunk_idx)
+    WHERE len(text) > 32
+    UNION ALL
+    SELECT doc_id AS id, CAST(0 AS INT), CAST(0 AS INT),
+      CAST(list_reduce(list_transform(string_split(text, ''),
+        c -> ord(c)), (a, b) -> a + b) AS BIGINT),
+      md5(text)
+    FROM documents WHERE len(text) <= 32
+    ORDER BY id, chunk_idx"""))
 }

@@ -36,6 +36,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == 11.0)
   }
 
+  test("minhash_sig and rolling_fp are callable from SQL") {
+    GraftExtensions.register(spark)
+    val sig = spark.sql(
+      "SELECT minhash_sig(array('a b', 'b c')) AS s")
+      .first().getSeq[String](0)
+    assert(sig.length == 16 && sig.forall(_.length == 8))
+    val fp = spark.sql(
+      "SELECT rolling_fp('the quick brown fox', 8, 3) AS f")
+      .first().getString(0)
+    assert(fp.split("\\|").length == 3)
+  }
+
   test("shingles builds word k-grams; short inputs give empty arrays") {
     val df = Seq("a b c d", "a b", "x").toDF("t")
       .select(TextFns.shingles(TextFns.tokens(col("t")), 3).as("sh"))
@@ -59,6 +71,18 @@ class FunctionsSpec extends AnyFunSuite {
     def agree(a: Seq[String], b: Seq[String]) =
       a.zip(b).count { case (p, q) => p == q }
     assert(agree(sigs("x"), sigs("z")) > agree(sigs("x"), sigs("w")))
+  }
+
+  test("ShinglesExpr matches the staggered-slice zip_with formulation") {
+    val df = Seq("a b c d e", "a b", "x", "", "a a a").toDF("t")
+      .select(TextFns.tokens(col("t")).as("toks"))
+    for (k <- Seq(1, 2, 3)) {
+      val native = df.select(graft.functions.TextExprs.shingles(col("toks"), k))
+        .as[Seq[String]].collect().toSeq
+      val hof = df.select(TextFns.shingles(col("toks"), k))
+        .as[Seq[String]].collect().toSeq
+      assert(native == hof, s"k=$k")
+    }
   }
 
   test("MinhashSigExpr matches the transform/array_min formulation" +

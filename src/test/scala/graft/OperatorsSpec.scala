@@ -202,6 +202,59 @@ class CompactionSpec extends AnyFunSuite {
   }
 }
 
+class ClusterSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("min-label propagation finds components within the round budget") {
+    // components: {1,2,3,4} (chain), {10,11}, singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    val got = Cluster.canonicalize(pairs, "a", "b", rounds = 3)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 1L, false), (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("a long chain needs diameter rounds: 2 rounds leave it split," +
+      " 5 rounds close it") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val two = Cluster.minLabelPropagation(chain, "a", "b", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(two(6L) != 1L) // label 1 cannot reach node 6 in 2 rounds
+    val five = Cluster.minLabelPropagation(chain, "a", "b", rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(five(_) == 1L))
+  }
+}
+
+/** SURVEY §2 S8-S10: schema (database) creation + create-table-as-select
+  * with schema-from-query + append insert, over the session catalog. */
+class CatalogDDLSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CREATE DATABASE + CTAS-shaped saveAsTable + append insert") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS bronze_test")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // S8: table created with the query's schema, no rows (WHERE 1=0 shape)
+    df.filter(lit(false)).write.mode("overwrite")
+      .saveAsTable("bronze_test.t")
+    assert(spark.table("bronze_test.t").count() == 0)
+    // S9: append insert
+    df.write.mode("append").saveAsTable("bronze_test.t")
+    df.write.mode("append").saveAsTable("bronze_test.t")
+    assert(spark.table("bronze_test.t").count() == 4)
+    // S10: database is listed, and INSERT INTO works via SQL too
+    assert(spark.catalog.databaseExists("bronze_test"))
+    spark.sql("INSERT INTO bronze_test.t VALUES (3, 'c')")
+    assert(spark.table("bronze_test.t").count() == 5)
+    spark.sql("DROP TABLE bronze_test.t")
+    spark.sql("DROP DATABASE bronze_test")
+  }
+}
+
 class QualitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

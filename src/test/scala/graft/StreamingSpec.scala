@@ -156,4 +156,14 @@ class MediaSpec extends AnyFunSuite {
     assert(f1.map(_.offset).toSeq == Seq(0, 28, 56, 84))
     assert(frames.count(_.id == 2L) == 1)
   }
+
+  test("chunk energies sum unsigned bytes per window") {
+    val bytes = Array.fill[Byte](64)(1) ++ Array.fill[Byte](64)(-1) // 255
+    val media = Seq(Media.MediaRow(1L, bytes, "audio")).toDS()
+    val chunks = Media.chunkStats(media, 4, 32).collect().sortBy(_.chunk_idx)
+    assert(chunks.length == 4)
+    assert(chunks.head.energy == 32L)        // window of 0x01 bytes
+    assert(chunks.last.energy == 32L * 255)  // window of 0xff bytes
+    assert(chunks.map(_.offset).toSeq == Seq(0, 32, 64, 96))
+  }
 }
