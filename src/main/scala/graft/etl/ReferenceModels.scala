@@ -22,8 +22,12 @@ object ReferenceModels {
 
   /** stg_clickstream_events.sql:8-49 — keep-latest dedup by event_id,
     * null-time rejection, upper(country), event_date.
-    * (user_agent deliberately dropped, §2.12 item 5.) */
-  def stgClickstreamEvents(bronzeEvents: DataFrame): DataFrame =
+    * (user_agent deliberately dropped, §2.12 item 5; source_system kept
+    * like the reference, null when the bronze fixture lacks it.) */
+  def stgClickstreamEvents(bronzeEvents: DataFrame): DataFrame = {
+    val srcSystem =
+      if (bronzeEvents.columns.contains("source_system")) col("source_system")
+      else lit(null).cast("string")
     Dedup.keepLatest(
       bronzeEvents.filter(col("event_time").isNotNull),
       Seq("event_id"), col("pipeline_ingested_at"), Seq(col("batch_id")))
@@ -31,7 +35,9 @@ object ReferenceModels {
         col("user_id"), col("session_id"), col("product_id"),
         col("event_time"), col("event_time").cast("date").as("event_date"),
         upper(col("country")).as("country"), col("device"),
-        col("referrer"), col("experiment_id"), col("pipeline_ingested_at"))
+        col("referrer"), srcSystem.as("source_system"),
+        col("experiment_id"), col("pipeline_ingested_at"))
+  }
 
   /** stg_clickstream_sessions.sql:22-40 — A1 session rollup with epoch
     * duration. */
@@ -73,6 +79,38 @@ object ReferenceModels {
         col("item.price").as("price"),
         (col("item.quantity").cast(dec) * col("item.price").cast(dec))
           .cast("double").as("line_amount"))
+
+  /** fact_events.sql:9-22 — incremental pass-through projection of
+    * staging, partitioned by event_date (partition_by config :5); the
+    * 1-day delete+insert materialization is `Incremental.upsertPartitioned`
+    * at the pipeline layer — the model itself is the SELECT shape. */
+  def factEvents(stgEvents: DataFrame): DataFrame =
+    stgEvents.select(col("event_id"), col("event_time").as("event_ts"),
+      col("event_date"), col("event_type"), col("user_id"),
+      col("session_id"), col("product_id"), col("country"), col("device"),
+      col("referrer"), col("source_system"), col("experiment_id"))
+
+  /** fact_orders.sql:8-19 — order-grain projection with order_date. */
+  def factOrders(stgOrders: DataFrame): DataFrame =
+    stgOrders.select(col("order_id"), col("user_id"), col("session_id"),
+      col("order_time").as("order_ts"), col("order_date"),
+      col("order_status"), col("item_count"), col("order_total_amount"))
+
+  /** fact_order_items.sql:8-19 — line-item-grain projection,
+    * unique_key (order_id, product_id). */
+  def factOrderItems(stgOrderItems: DataFrame): DataFrame =
+    stgOrderItems.select(col("order_id"), col("product_id"), col("user_id"),
+      col("session_id"), col("quantity"), col("price"), col("line_amount"),
+      col("order_time").as("order_ts"), col("order_date"))
+
+  /** dim_session_context.sql:5-27 — W3 first-event-per-session
+    * attribution (row_number asc, rn = 1) over fact_events. */
+  def dimSessionContext(factEvents: DataFrame): DataFrame =
+    Dedup.keepFirst(
+      factEvents.filter(col("session_id").isNotNull),
+      Seq("session_id"), col("event_ts"), Seq(col("event_id")))
+      .select(col("session_id"), col("country"), col("device"),
+        col("referrer"), col("source_system"))
 
   /** fact_sessions.sql:25-48 — J1 left join of sessions to a per-session
     * order rollup (A2), coalesce defaults, has_order flag (P10/P11). */

@@ -138,6 +138,29 @@ class ReferenceModelsSpec extends AnyFunSuite {
     assert(Quality.unique(dp, Seq("product_id")) == 0)
   }
 
+  test("facts are grain-preserving projections; dim_session_context" +
+      " attributes first-touch per session") {
+    val fe = factEvents(events)
+    assert(fe.count() == events.count())
+    assert(fe.columns.contains("event_ts") && fe.columns.contains("source_system"))
+    val fo = factOrders(orders)
+    assert(fo.count() == orders.count())
+    assert(Quality.unique(fo, Seq("order_id")) == 0)
+    val fi = factOrderItems(items)
+    assert(fi.count() == items.count())
+    val ctx = dimSessionContext(fe)
+    assert(Quality.unique(ctx, Seq("session_id")) == 0)
+    // first-touch: the context row carries the earliest event's attributes
+    val someSession = fe.filter(col("session_id").isNotNull)
+      .orderBy(col("session_id"), col("event_ts")).select("session_id")
+      .first().getString(0)
+    val firstDevice = fe.filter(col("session_id") === someSession)
+      .orderBy(col("event_ts"), col("event_id"))
+      .select("device").first().getString(0)
+    assert(ctx.filter(col("session_id") === someSession)
+      .select("device").first().getString(0) == firstDevice)
+  }
+
   test("dedup idempotence property: silver(bronze ∪ bronze) == silver(bronze)") {
     val doubled = stgClickstreamEvents(bronzeEvents.union(bronzeEvents))
     assert(doubled.count() == events.count())
