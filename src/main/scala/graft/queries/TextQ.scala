@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object TextQ {
 
   def all: Seq[Q] = Seq(t01LangId, t02QualityScore, t03TokenCount,
-    t04Fingerprint, t05PiiScrub)
+    t04Fingerprint, t05PiiScrub, t06CorpusFilter, t07HashSplit)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -216,5 +216,86 @@ object TextQ {
         '[REDACTED]', 'g')) AS INT) AS n_chars_scrubbed,
       md5(regexp_replace(text, '\b(customer|user|order)\b',
         '[REDACTED]', 'g')) AS scrub_md5
+    FROM documents ORDER BY doc_id"""))
+
+  /** Corpus curation manifest: the keep/drop accounting a training-data
+    * pipeline emits after its filter chain — quality gate (t02 semantics)
+    * ∧ exact-dedup canonical (d01 semantics), per language. Disjoint
+    * buckets: dropped_quality = fails the gate; dropped_dup = passes but
+    * is a non-canonical duplicate; kept = the rest. One narrow pass + a
+    * text-hash window + a tiny groupBy — the whole decision is computed
+    * WITHOUT materializing any filtered copy of the corpus. */
+  val t06CorpusFilter: Q = Q("t06_corpus_filter", (s, d) => {
+    val stop = Seq("the", "a")
+    val byHash = Window.partitionBy(col("text_hash"))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_hash"),
+        tokens(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("n_stop", size(filter(col("t"), x => x.isin(stop: _*))))
+      .withColumn("n_distinct", size(array_distinct(col("t"))))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 20 &&
+          col("n_stop").cast("double") / col("n_tokens") <= 0.2 &&
+          col("n_distinct").cast("double") / col("n_tokens") >= 0.1)
+      .withColumn("is_canonical",
+        col("doc_id") === min(col("doc_id")).over(byHash))
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality_ok") && col("is_canonical"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(!col("quality_ok"), 1L).otherwise(0L))
+          .as("n_dropped_quality"),
+        sum(when(col("quality_ok") && !col("is_canonical"), 1L)
+          .otherwise(0L)).as("n_dropped_dup"))
+      .orderBy(col("lang"))
+  }, Some("""
+    WITH scored AS (
+      SELECT doc_id, lang, md5(text) AS text_hash,
+        (CAST(len(t) AS INT) >= 20
+         AND CAST(len(list_filter(t, x -> list_contains(['the','a'], x)))
+           AS DOUBLE) / len(t) <= 0.2
+         AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.1)
+          AS quality_ok
+      FROM (SELECT doc_id, lang, text,
+        list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0) AS t FROM documents)),
+    flagged AS (
+      SELECT lang, quality_ok,
+        doc_id = MIN(doc_id) OVER (PARTITION BY text_hash) AS is_canonical
+      FROM scored)
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN quality_ok AND is_canonical THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dropped_quality,
+      CAST(SUM(CASE WHEN quality_ok AND NOT is_canonical THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_dropped_dup
+    FROM flagged GROUP BY lang ORDER BY lang"""))
+
+  /** Deterministic train/val/test split by content-independent key hash
+    * (md5 of the id → 32-bit bucket mod 1000 → 80/10/10): stable across
+    * runs and engines, no RNG, no shuffle — the split IS a pure column.
+    * At 100 TB this is the only split that re-derives identically on
+    * every recompute and survives repartitioning. */
+  val t07HashSplit: Q = Q("t07_hash_split", (s, d) => {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(1000L))
+    Tables.documents(s, d)
+      .select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    SELECT doc_id,
+      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        % 1000 AS bucket,
+      CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          AS BIGINT) % 1000 < 800 THEN 'train'
+        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          AS BIGINT) % 1000 < 900 THEN 'val'
+        ELSE 'test' END AS split
     FROM documents ORDER BY doc_id"""))
 }
