@@ -49,6 +49,43 @@ final class Compaction(spark: SparkSession,
     }
   }
 
+  /** Clustering rewrite: like compact, but rows are also SORTED by
+    * `clusterCols` within each output file. Parquet stores per-row-group
+    * min/max stats; clustering makes those ranges narrow and disjoint, so
+    * later point/range filters on the cluster columns skip whole row
+    * groups at scan time (the poor-man's Z-ORDER for a single sort key
+    * set — a maintenance-time trade of one sort for every future scan). */
+  def cluster(root: String, clusterCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return Nil
+    val parts = Files.list(rootPath).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .toSeq.sortBy(_.toString)
+    parts.flatMap { part =>
+      val files = Files.walk(part).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet")).toSeq
+      if (files.isEmpty) None
+      else {
+        val bytes = files.map(Files.size).sum
+        val nOut = math.max(1, (bytes / targetFileBytes).toInt)
+        val df = spark.read.parquet(part.toString)
+        val tmp = Paths.get(part.toString + ".__cluster")
+        deleteRecursively(tmp)
+        // range-repartition then sort within: output file f covers one
+        // contiguous range of the cluster key
+        df.repartitionByRange(nOut, clusterCols.map(col): _*)
+          .sortWithinPartitions(clusterCols.map(col): _*)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val old = Paths.get(part.toString + ".__old")
+        Files.move(part, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, part, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
+        Some(part.toString)
+      }
+    }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())

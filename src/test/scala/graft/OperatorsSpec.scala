@@ -200,6 +200,38 @@ class CompactionSpec extends AnyFunSuite {
       .asScala.count(_.toString.endsWith(".parquet"))
     assert(parquets == 1)
   }
+
+  test("cluster rewrites each partition sorted by the cluster key with" +
+      " disjoint per-file ranges (row-group skipping shape)") {
+    val root = Files.createTempDirectory("graft_cluster").toString
+    // two unsorted chunks in one date partition
+    (1 to 2).foreach { i =>
+      spark.range(5000).select(
+        (col("id") * 7919 % 5000).as("k"), col("id").as("payload"))
+        .coalesce(1).write.mode("append").parquet(s"$root/d=2024-01-0$i")
+    }
+    val comp = new Compaction(spark, targetFileBytes = 8192)
+    val done = comp.cluster(root, Seq("k"))
+    assert(done.size == 2)
+    import scala.jdk.CollectionConverters._
+    val partFiles = Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+      .filter(_.toString.contains("d=2024-01-01"))
+    assert(partFiles.size > 1) // 4 KB target -> several output files
+    // each file internally sorted; files cover disjoint key ranges
+    val ranges = partFiles.map { f =>
+      val ks = spark.read.parquet(f.toString).select("k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"file $f not sorted")
+      (ks.min, ks.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi <= lo2)
+      case _ => ()
+    }
+    // content preserved
+    assert(spark.read.parquet(s"$root/d=2024-01-01").count() == 5000)
+  }
 }
 
 class ClusterSpec extends AnyFunSuite {

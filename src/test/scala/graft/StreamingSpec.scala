@@ -51,6 +51,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(e4.count() == 1 && e4.select("event_time").first().isNullAt(0))
   }
 
+  test("maxFilesPerTrigger bounds micro-batch size (backpressure): one" +
+      " file per trigger -> one batch_id per file") {
+    val base = Files.createTempDirectory("graft_rate").toString
+    val in = s"$base/raw"; val out = s"$base/landing"; val cp = s"$base/cp"
+    (1 to 4).foreach { i =>
+      writeJson(in, s"f$i.json", Seq(
+        s"""{"event_id":"e$i","event_type":"view","event_time":"2024-01-01T10:0$i:00Z","value":$i.0}"""))
+    }
+    val ingest = new StreamingIngest(spark)
+    val q = ingest.stream(in, schema, out, cp, "rate_test",
+      maxFilesPerTrigger = 1,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 4)
+    // 4 files × 1-file cap = 4 distinct micro-batches
+    assert(got.select("batch_id").distinct().count() == 4)
+  }
+
   test("streaming dedup honors watermark + key") {
     val base = Files.createTempDirectory("graft_dedup").toString
     val in = s"$base/in"
