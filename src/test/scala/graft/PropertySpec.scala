@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions.{TextExprs, TextFns}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY §5 test plan) over ScalaCheck
+  * generators. Spark-backed properties run a bounded number of generated
+  * cases (each case is a full local job); pure-function properties run
+  * many. A fixed ScalaCheck seed keeps the suite deterministic in CI.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val seed = org.scalacheck.rng.Seed(894L)
+
+  /** Deterministic stream of samples from a generator. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.iterate((g.pureApply(Gen.Parameters.default, seed), seed.next)) {
+      case (_, s) => (g.pureApply(Gen.Parameters.default, s), s.next)
+    }.map(_._1).take(n).toSeq
+
+  private val token: Gen[String] =
+    Gen.oneOf("key", "agg", "row", "scan", "slow", "fast", "table", "value")
+  private val tokenList: Gen[List[String]] = Gen.listOfN(12, token)
+    .flatMap(l => Gen.choose(0, 12).map(l.take))
+
+  test("property: dedup idempotence — dedup(x ∪ dup(x)) == dedup(x)") {
+    val rows: Gen[List[(String, Long, String)]] = Gen.listOfN(30, for {
+      k <- Gen.oneOf("a", "b", "c", "d", "e")
+      seq <- Gen.choose(0L, 5L)
+      v <- Gen.alphaStr.map(_.take(4))
+    } yield (k, seq, v))
+    samples(rows, 5).foreach { data =>
+      val df = data.toDF("k", "seq", "v")
+      val dupd = df.union(df.limit(7))
+      val once = TestSpark.rows(
+        Dedup.keepLatest(df, Seq("k"), col("seq"), Seq(col("v"))))
+      val again = TestSpark.rows(
+        Dedup.keepLatest(dupd, Seq("k"), col("seq"), Seq(col("v"))))
+      assert(once == again)
+    }
+  }
+
+  test("property: explode/agg inverse — exploded line amounts sum back" +
+      " to the array-aggregate order total (A16)") {
+    val items: Gen[List[(String, Int, Double)]] = Gen.listOfN(6, for {
+      p <- Gen.oneOf("SKU-1", "SKU-2", "SKU-3")
+      q <- Gen.choose(1, 9)
+      cents <- Gen.choose(100, 99999)
+    } yield (p, q, cents / 100.0)).flatMap(l =>
+      Gen.choose(1, 6).map(l.take))
+    val orders: Gen[List[(String, List[(String, Int, Double)])]] =
+      Gen.listOfN(8, Gen.zip(Gen.uuid.map(_.toString), items))
+    samples(orders, 5).foreach { data =>
+      val df = data.toDF("order_id", "items_raw")
+        .withColumn("items", expr("transform(items_raw, x -> named_struct(" +
+          "'product_id', x._1, 'quantity', x._2, 'price', x._3))"))
+      val viaAgg = df.select(col("order_id"),
+        aggregate(col("items"), lit(0).cast("decimal(18,4)"),
+          (acc, x) => (acc + x.getField("quantity").cast("decimal(18,4)") *
+            x.getField("price").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")).cast("double").as("total"))
+      val viaExplode = df.select(col("order_id"),
+          explode(col("items")).as("item"))
+        .groupBy("order_id")
+        .agg(sum(col("item.quantity").cast("decimal(18,4)") *
+          col("item.price").cast("decimal(18,4)")).cast("double").as("total"))
+      assert(TestSpark.rows(viaAgg.filter(size(col("items")) > 0))
+        == TestSpark.rows(viaExplode))
+    }
+  }
+
+  test("property: minhash signature is a SET function — order- and" +
+      " multiplicity-insensitive") {
+    samples(tokenList.filter(_.nonEmpty), 8).foreach { toks =>
+      val variants = Seq(toks, scala.util.Random.shuffle(toks),
+        toks ++ toks, toks.reverse)
+      val sigs = variants.map { v =>
+        v.toDF("t").agg(collect_list(col("t")).as("arr"))
+          .select(TextExprs.minhashSig(array_distinct(col("arr"))))
+          .first().getSeq[String](0)
+      }
+      assert(sigs.distinct.size == 1)
+    }
+  }
+
+  test("property: shingle count == max(0, n - k + 1) and native ==" +
+      " higher-order formulation") {
+    samples(tokenList, 10).foreach { toks =>
+      for (k <- Seq(1, 2, 3)) {
+        val df = Seq(toks).toDF("t")
+        val native = df.select(TextExprs.shingles(col("t"), k))
+          .as[Seq[String]].head()
+        val hof = df.select(TextFns.shingles(col("t"), k))
+          .as[Seq[String]].head()
+        assert(native == hof)
+        assert(native.size == math.max(0, toks.size - k + 1))
+      }
+    }
+  }
+
+  test("property: hash split is total, stable, and within bounds") {
+    val ids: Gen[List[Long]] = Gen.listOfN(50, Gen.choose(0L, 1000000L))
+    samples(ids, 3).foreach { data =>
+      val bucket = pmod(conv(substring(md5(col("id").cast("string")), 1, 8),
+        16, 10).cast("long"), lit(1000L))
+      val out = data.toDF("id").select(col("id"), bucket.as("b"))
+      val twice = data.toDF("id").select(col("id"), bucket.as("b"))
+      assert(TestSpark.rows(out) == TestSpark.rows(twice)) // stable
+      assert(out.filter(col("b") < 0 || col("b") >= 1000).count() == 0)
+    }
+  }
+}
