@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQ {
 
-  def all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03IvfAssign)
+  def all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03IvfAssign, s04IvfSearch)
 
   /** Corpus with per-VECTOR norms precomputed and materialized: norms are
     * O(N), not O(pairs) — computing them inside the pair expression would
@@ -135,22 +135,32 @@ object SimilarityQ {
     * (deterministic — no floating mean accumulation across rows), each
     * vector assigned to its nearest seed by cosine. Output is the inverted
     * file: (vector → cell, similarity, agreement with true label). */
-  val s03IvfAssign: Q = Q("s03_ivf_assign", (s, d) => {
-    val e = normed(s, d)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("centroid_label").asc)
+  /** Deterministic IVF centroids: lowest vec_id per label (no floating
+    * mean accumulation), broadcast-sized. */
+  private def centroids(e: org.apache.spark.sql.DataFrame) = {
     val seedIds = e.groupBy(col("label"))
       .agg(min(col("vec_id")).as("seed_id"))
-    val centroids = seedIds
+    seedIds
       .join(e.select(col("vec_id").as("seed_id"),
         col("embedding").as("centroid"), col("nrm").as("cn")), Seq("seed_id"))
       .select(col("label").as("centroid_label"), col("centroid"), col("cn"))
+  }
+
+  /** Every vector scored against every centroid (broadcast), ranked per
+    * vector: rn = 1 is the cell assignment; higher rn are probe order. */
+  private def cellRanks(e: org.apache.spark.sql.DataFrame) = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("centroid_label").asc)
     e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
-      .join(broadcast(centroids))
+      .join(broadcast(centroids(e)))
       .select(col("vec_id"), col("label"), col("centroid_label"),
         cosPre(col("embedding"), col("nrm"), col("centroid"), col("cn"))
           .as("cos"))
       .withColumn("rn", row_number().over(w))
+  }
+
+  val s03IvfAssign: Q = Q("s03_ivf_assign", (s, d) => {
+    cellRanks(normed(s, d))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("label"),
         col("centroid_label").as("assigned_cell"), col("cos"),
@@ -180,4 +190,85 @@ object SimilarityQ {
       label = centroid_label AS matches_label
     FROM ranked WHERE rn = 1
     ORDER BY vec_id"""))
+
+  /** IVF probe SEARCH (completes the s03 inverted file): each query
+    * (vec_id < 10) probes its nprobe=2 nearest cells and exact-ranks only
+    * the vectors ASSIGNED to those cells — top-5 by cosine. Cost shape at
+    * scale: centroids broadcast (tiny), the candidate join is an
+    * equi-join on the short cell key (assignment partitions the corpus),
+    * so per-query work is O(corpus / n_cells × nprobe), not O(corpus).
+    * Recall < 1 by design — the measurable IVF tradeoff. */
+  val s04IvfSearch: Q = Q("s04_ivf_search", (s, d) => {
+    val e = normed(s, d)
+    val ranks = cellRanks(e).cache()
+    val assignment = ranks.filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_label").as("cell"))
+    val probes = ranks.filter(col("vec_id") < 10 && col("rn") <= 2)
+      .select(col("vec_id").as("query_id"),
+        col("centroid_label").as("cell"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probes
+      .join(assignment, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")),
+        Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        cosPre(col("q"), col("qn"), col("embedding"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("cell").as("probed_cell"))
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    WITH seeds AS (
+      SELECT label AS centroid_label, MIN(vec_id) AS seed_id
+      FROM embeddings GROUP BY label),
+    centroids AS (
+      SELECT centroid_label, e.embedding AS centroid
+      FROM seeds JOIN embeddings e ON seed_id = e.vec_id),
+    scored AS (
+      SELECT e.vec_id, centroid_label,
+        CASE WHEN ${VectorSql.norm("e.embedding")} = 0
+          OR ${VectorSql.norm("centroid")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("e.embedding", "centroid")}
+          / (${VectorSql.norm("e.embedding")} * ${VectorSql.norm("centroid")})
+        END AS cos
+      FROM embeddings e CROSS JOIN centroids),
+    ranked AS (
+      SELECT vec_id, centroid_label, cos,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, centroid_label ASC) AS rn
+      FROM scored),
+    assignment AS (
+      SELECT vec_id, centroid_label AS cell FROM ranked WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_label AS cell
+      FROM ranked WHERE vec_id < 10 AND rn <= 2),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 10),
+    cands AS (
+      SELECT p.query_id, a.vec_id, p.cell,
+        CASE WHEN ${VectorSql.norm("qv")} = 0
+          OR ${VectorSql.norm("e.embedding")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("qv", "e.embedding")}
+          / (${VectorSql.norm("qv")} * ${VectorSql.norm("e.embedding")})
+        END AS cos
+      FROM probes p
+      JOIN assignment a ON p.cell = a.cell AND p.query_id <> a.vec_id
+      JOIN queries ON queries.query_id = p.query_id
+      JOIN embeddings e ON e.vec_id = a.vec_id),
+    final_ranked AS (
+      SELECT query_id, vec_id, cell, cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM cands)
+    SELECT query_id, rank, vec_id AS neighbor_id, cos, cell AS probed_cell
+    FROM final_ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""))
 }
