@@ -24,7 +24,7 @@ object Relational {
     q13DateSpine, q15DailyKpis, q16UserLifecycle, q17ProductPerf,
     q18SetOps, q19TopK, q20Distinct, q21Watermark, q22ArrayRollup,
     q23Rollup, q24Quality, q25Pivot, q26Json, q27UserJoin,
-    q14SaltedJoin, q28AsofJoin, q29ApproxDistinct)
+    q14SaltedJoin, q28AsofJoin, q29ApproxDistinct, q30Cube)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -685,6 +685,28 @@ object Relational {
     FROM events e ASOF LEFT JOIN o
       ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     ORDER BY e.event_id"""))
+
+  /** CUBE over (status, priority): all four grouping sets in one pass —
+    * completes the grouping-sets family next to q23's ROLLUP. Spark plans
+    * a single Expand (×4) + hash aggregation; gid disambiguates subtotal
+    * rows from genuine nulls. */
+  val q30Cube: Q = Q("q30_cube", (s, d) => {
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("revenue"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }, Some(s"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      ${decSumSql("o_totalprice")} AS revenue,
+      CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
+        AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+      o_orderpriority ASC NULLS FIRST"""))
 
   /** Sketch-based distinct counting (HLL++): the 100 TB path for
     * cardinality — mergeable map-side sketches, no exact-distinct

@@ -147,13 +147,16 @@ object SimilarityQ {
   }
 
   /** Every vector scored against every centroid (broadcast), ranked per
-    * vector: rn = 1 is the cell assignment; higher rn are probe order. */
+    * vector: rn = 1 is the cell assignment; higher rn are probe order.
+    * Carries the vector itself so downstream search needs no join back
+    * to the corpus. */
   private def cellRanks(e: org.apache.spark.sql.DataFrame) = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_label").asc)
     e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
       .join(broadcast(centroids(e)))
-      .select(col("vec_id"), col("label"), col("centroid_label"),
+      .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+        col("centroid_label"),
         cosPre(col("embedding"), col("nrm"), col("centroid"), col("cn"))
           .as("cos"))
       .withColumn("rn", row_number().over(w))
@@ -199,24 +202,22 @@ object SimilarityQ {
     * so per-query work is O(corpus / n_cells × nprobe), not O(corpus).
     * Recall < 1 by design — the measurable IVF tradeoff. */
   val s04IvfSearch: Q = Q("s04_ivf_search", (s, d) => {
-    val e = normed(s, d)
-    val ranks = cellRanks(e).cache()
+    // One materialized rank table feeds both sides; the search is a
+    // single equi-join on the cell key (the query side is tiny and
+    // broadcast by AQE) — no join back to the corpus, no third shuffle.
+    val ranks = cellRanks(normed(s, d)).cache()
     val assignment = ranks.filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_label").as("cell"))
+      .select(col("vec_id"), col("centroid_label").as("cell"),
+        col("embedding"), col("nrm"))
     val probes = ranks.filter(col("vec_id") < 10 && col("rn") <= 2)
       .select(col("vec_id").as("query_id"),
-        col("centroid_label").as("cell"))
-    val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
-        col("nrm").as("qn"))
+        col("centroid_label").as("cell"),
+        col("embedding").as("q"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    probes
+    broadcast(probes)
       .join(assignment, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .join(e.select(col("vec_id"), col("embedding"), col("nrm")),
-        Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cell"),
         cosPre(col("q"), col("qn"), col("embedding"), col("nrm")).as("cos"))
       .withColumn("rank", row_number().over(w))
