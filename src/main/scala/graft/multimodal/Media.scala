@@ -93,6 +93,30 @@ object Media {
   final case class Chunk(id: Long, chunk_idx: Int, offset: Int,
       energy: Long, chunk_digest: String)
 
+  final case class Resized(id: Long, orig_len: Int, resized_len: Int,
+      resized_digest: String)
+
+  /** STUB resize: keep every `factor`-th byte (a real codec would decode,
+    * scale, re-encode — the Spark-side contract is identical: narrow
+    * per-row payload transform, output strictly smaller). */
+  def resizePayload(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val n = (bytes.length + factor - 1) / factor
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** Per-partition downsample pass: payload in, (lengths, digest) out —
+    * the shuffle only ever sees the small descriptor rows. */
+  def resize(media: Dataset[MediaRow], factor: Int): Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val small = resizePayload(r.media, factor)
+      Resized(r.id, r.media.length, small.length, StubCodec.md5Hex(small))
+    }
+  }
+
   /** Audio-shaped chunking: k evenly spaced fixed-width windows, each
     * reduced to an "energy" (sum of unsigned byte values — the stub for a
     * real RMS over decoded samples) plus a digest. Same window placement

@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQ {
 
-  def all: Seq[Q] = Seq(m01MediaFeatures, m02FrameSample, m03ChunkEnergy)
+  def all: Seq[Q] = Seq(m01MediaFeatures, m02FrameSample, m03ChunkEnergy,
+    m04Resize)
 
   /** Binary decode → typed features, one codec per partition. The entire
     * decode is narrow; only the 4-float feature rows ever shuffle. */
@@ -83,4 +84,20 @@ object MultimodalQ {
       md5(text)
     FROM documents WHERE len(text) <= 32
     ORDER BY id, chunk_idx"""))
+
+  /** Resize/downsample: keep every 4th byte (codec stub), emit only the
+    * descriptor (lengths + digest of the downsampled payload) — the
+    * payload itself never shuffles. */
+  val m04Resize: Q = Q("m04_resize", (s, d) => {
+    import s.implicits._
+    val media = Media.asMedia(Tables.documents(s, d), "doc_id", "text", "img")
+      .as[Media.MediaRow]
+    Media.resize(media, factor = 4).toDF()
+      .orderBy(col("id"))
+  }, Some("""
+    SELECT doc_id AS id, CAST(len(text) AS INT) AS orig_len,
+      CAST((len(text) + 3) // 4 AS INT) AS resized_len,
+      md5(array_to_string(list_transform(range(0, (len(text) + 3) // 4),
+        i -> substr(text, i * 4 + 1, 1)), '')) AS resized_digest
+    FROM documents ORDER BY id"""))
 }
