@@ -45,10 +45,14 @@ object Cluster {
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("min_n"), col("lbl"))).as("lbl"))
         .cache()
-      next.count() // materialize before unpersisting the parent
-      labels.unpersist()
       labels = next
     }
+    // Each round is cached but LAZY: the caller's one action materializes
+    // the chain, each InMemoryRelation computed exactly once (the cache is
+    // what stops the doubled-per-round lineage from re-executing). Caches
+    // are label-sized (two longs per clustered node); callers clear them
+    // with the rest of the query's intermediates. At cluster scale,
+    // checkpoint each round instead.
     labels
   }
 
