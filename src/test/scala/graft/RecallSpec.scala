@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The approximate dedup operators are not just deterministic — they are
+  * GOOD: measured against the exact ground truth on the correctness-scale
+  * corpus. (LSH theory at 8 bands × 2 rows: detection probability
+  * 1-(1-j²)⁸ ≈ 0.90 at j = 0.5 and → 1 as j → 1; these assertions pin the
+  * measured recall so a regression in banding/signatures fails loudly.)
+  */
+class RecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.01"
+
+  private def q(name: String) =
+    SparkEntry.catalog.find(_.name == name).get.run(spark, sf)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame,
+      a: String, b: String): Set[(Long, Long)] =
+    df.select(col(a), col(b)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("d02 MinHash+LSH recalls ≥ 80% of true near-dup pairs (j ≥ 0.5)") {
+    // ground truth: the exact all-pairs query, tightened to d02's threshold
+    val truth = pairSet(q("d04_ngram_jaccard")
+      .filter(col("jaccard") >= 0.5), "doc_a", "doc_b")
+    val found = pairSet(q("d02_minhash_lsh"), "doc_a", "doc_b")
+    assert(truth.nonEmpty)
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.8, s"recall $recall over ${truth.size} true pairs")
+    // and no false positives: d02 verifies candidates with exact jaccard
+    assert((found -- truth).isEmpty)
+    // (identical-input ⇒ identical-signature is covered by PropertySpec;
+    // this corpus contains near-dups but no byte-identical texts)
+  }
+
+  test("the strongest near-dup pairs (j ≥ 0.8) are ALL recalled") {
+    // LSH detection probability at j = 0.8 is 1-(1-0.64)⁸ ≈ 0.9997 —
+    // missing one of these would indicate broken banding, not bad luck
+    val strong = pairSet(q("d04_ngram_jaccard")
+      .filter(col("jaccard") >= 0.8), "doc_a", "doc_b")
+    assert(strong.nonEmpty)
+    val found = pairSet(q("d02_minhash_lsh"), "doc_a", "doc_b")
+    assert((strong -- found).isEmpty,
+      s"missed ${(strong -- found).size} of ${strong.size} strong pairs")
+  }
+}
