@@ -35,6 +35,24 @@ class RecallSpec extends AnyFunSuite {
     // this corpus contains near-dups but no byte-identical texts)
   }
 
+  test("IVF probe search (s04) recalls ≥ 80% of brute-force top-5" +
+      " neighbors on the shared query set") {
+    // s01 is the exact baseline (top-10 for queries 0-4); s04 probes 2 of
+    // 8 cells. Measured recall@5 on this corpus: 0.92 — assert a margin
+    // below so only a real regression (not a reseeded corpus) fails.
+    val truth = q("s01_knn_brute").filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val found = q("s04_ivf_search")
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = truth.map { case (qid, t) =>
+      (t & found.getOrElse(qid, Set.empty)).size.toDouble / t.size
+    }
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"avg recall ${recalls.sum / recalls.size}")
+  }
+
   test("the strongest near-dup pairs (j ≥ 0.8) are ALL recalled") {
     // LSH detection probability at j = 0.8 is 1-(1-0.64)⁸ ≈ 0.9997 —
     // missing one of these would indicate broken banding, not bad luck
