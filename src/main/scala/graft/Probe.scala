@@ -33,9 +33,8 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val what = args.headOption.getOrElse("d02")
+    val what = args.headOption.getOrElse("explain")
     what match {
-      case "d02" => probeD02(spark, sfDir)
       case "explain" =>
         val q = SparkEntry.catalog.find(_.name.startsWith(args(1))).get
         q.run(spark, sfDir).explain("formatted")
@@ -69,56 +68,5 @@ object Probe {
     spark.stop()
   }
 
-  private def probeD02(spark: SparkSession, d: String): Unit = {
-    import graft.functions.TextFns._
-    val bigrams = Tables.documents(spark, d)
-      .select(col("doc_id"),
-        array_distinct(shingles(tokens(col("text")), 2)).as("sh"))
-    time("bigramSets count") { bigrams.count() }
-    time("bigramSets materialize (noop write)") {
-      bigrams.write.format("noop").mode("overwrite").save()
-    }
-    val withMd5s = (0 until 4).foldLeft(bigrams) { (df, seed) =>
-      df.withColumn(s"m$seed",
-        transform(col("sh"), e => md5(concat(lit(s"$seed:"), e))))
-    }
-    time("withMd5s materialize") {
-      withMd5s.write.format("noop").mode("overwrite").save()
-    }
-    val sig = array((for { seed <- 0 until 4; c <- 0 until 4 } yield
-      array_min(transform(col(s"m$seed"),
-        h => substring(h, 1 + 8 * c, 8)))): _*)
-    val docs = withMd5s.withColumn("sig", sig)
-      .drop((0 until 4).map(i => s"m$i"): _*)
-    time("docs (sig) materialize") {
-      docs.write.format("noop").mode("overwrite").save()
-    }
-    val cached = docs.cache()
-    time("docs cache count") { cached.count() }
-    val bands = cached.select(col("doc_id"),
-      explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
-    time("bands count") { bands.count() }
-    val cands = bands.as("a").join(bands.as("b"), Seq("band"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    time("cands count") { cands.count() }
-    val sets = cached.select(col("doc_id"), col("sh"), col("sig"))
-    val out = cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        col("sig").as("sig_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)).cast("double") / 16)
-          .as("est_jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
-    time("full d02") { out.write.format("noop").mode("overwrite").save() }
-    time("full d02 again") {
-      out.write.format("noop").mode("overwrite").save()
-    }
-  }
+
 }
