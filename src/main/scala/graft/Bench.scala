@@ -70,7 +70,18 @@ object Bench {
     // measure one-shot (compile-included) wall-clock instead.
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "on") != "off"
     val jit = java.lang.management.ManagementFactory.getCompilationMXBean
-    val results = SparkEntry.catalog.map { q =>
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    // Local-iteration filter (SPARK_GRAFT_ONLY=s04_ivf_search,q17_...);
+    // the driver never sets it, so driver runs always cover the catalog.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val catalog = only.fold(SparkEntry.catalog)(f =>
+      SparkEntry.catalog.filter(q => f(q.name)))
+    val results = catalog.map { q =>
       if (warmup) {
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -97,6 +108,7 @@ object Bench {
       while (ok && rep < 2) {
         val t0 = System.nanoTime()
         val j0 = jit.getTotalCompilationTime
+        val g0 = gcMs
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
@@ -104,8 +116,9 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         val dj = (jit.getTotalCompilationTime - j0) / 1e3
+        val dg = (gcMs - g0) / 1e3
         System.err.println(
-          f"[bench] run${rep + 1}  ${q.name} $dt%.2fs (jit $dj%.1fs)")
+          f"[bench] run${rep + 1}  ${q.name} $dt%.2fs (jit $dj%.1fs, gc $dg%.1fs)")
         best = math.min(best, dt)
         // each query is self-contained; drop its cached intermediates so
         // storage memory never competes with later queries' execution

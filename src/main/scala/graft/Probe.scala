@@ -39,11 +39,12 @@ object Probe {
         val q = SparkEntry.catalog.find(_.name.startsWith(args(1))).get
         q.run(spark, sfDir).explain("formatted")
       case "mimic" =>
-        // exactly Bench's sequence for one query: warmup at sf0.001 with
-        // clearCache after, then timed at sfDir
+        // exactly Bench's sequence for one query: same-SF adjacent warmup
+        // with clearCache after, then two timed runs at sfDir (warming at a
+        // smaller SF compiles different AQE plans — see PLANS.md finding 2)
         val q = SparkEntry.catalog.find(_.name.startsWith(args(1))).get
-        time(s"${q.name} warmup sf0.001") {
-          q.run(spark, "/root/testdata/sf0.001")
+        time(s"${q.name} warmup $sfDir") {
+          q.run(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
         }
         spark.catalog.clearCache()

@@ -45,14 +45,21 @@ object Cluster {
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("min_n"), col("lbl"))).as("lbl"))
         .cache()
+      // Materialize round r eagerly so round r-1's cache (its only
+      // remaining consumer) can be dropped NOW — without this the operator
+      // leaks one InMemoryRelation per round into the session until the
+      // caller clears the whole cache. Caches are label-sized (two longs
+      // per clustered node); the count is a tiny job. At cluster scale,
+      // checkpoint each round instead.
+      next.count()
+      labels.unpersist()
       labels = next
     }
-    // Each round is cached but LAZY: the caller's one action materializes
-    // the chain, each InMemoryRelation computed exactly once (the cache is
-    // what stops the doubled-per-round lineage from re-executing). Caches
-    // are label-sized (two longs per clustered node); callers clear them
-    // with the rest of the query's intermediates. At cluster scale,
-    // checkpoint each round instead.
+    // the final round is materialized above, so the edge cache (feeding
+    // only lineage, not the cached result) can go too
+    edges.unpersist()
+    // the returned frame holds the ONE remaining label-sized cache;
+    // callers drop it with unpersist()/clearCache() when done
     labels
   }
 

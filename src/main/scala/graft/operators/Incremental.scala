@@ -48,7 +48,16 @@ final class Incremental(spark: SparkSession) {
       case None     => source
     }
 
-  /** Full-table delete+insert upsert by unique key, atomic swap. */
+  /** Full-table delete+insert upsert by unique key, atomic swap.
+    *
+    * Schema evolution follows the reference's `on_schema_change:
+    * append_new_columns` (dbt_project.yml:29,44): an update batch may carry
+    * NEW columns (the reference's v1→v2 event schema) — existing target
+    * rows read them as null; a batch may also MISS columns the target
+    * already has (late v1 producers) — its rows get null there. Both
+    * directions via `unionByName(allowMissingColumns)`; the target is read
+    * with `mergeSchema` so a previously-evolved mixed-footer table
+    * surfaces its union schema. */
   def upsert(targetPath: String, updates: DataFrame,
              keys: Seq[String]): Unit = {
     val target = Paths.get(targetPath)
@@ -56,10 +65,10 @@ final class Incremental(spark: SparkSession) {
     try {
       val merged =
         if (!Files.exists(target)) updatesCached
-        else spark.read.parquet(targetPath)
+        else spark.read.option("mergeSchema", "true").parquet(targetPath)
           .join(updatesCached.select(keys.map(col): _*).distinct(),
             keys, "left_anti")
-          .unionByName(updatesCached)
+          .unionByName(updatesCached, allowMissingColumns = true)
       atomicOverwrite(target, merged)
     } finally updatesCached.unpersist()
   }
@@ -75,14 +84,16 @@ final class Incremental(spark: SparkSession) {
       return
     }
     val updatesCached = updates.cache()
+    val updKeys = updatesCached.select(keys.map(col): _*).distinct().cache()
     try {
-      val updKeys = updatesCached.select(keys.map(col): _*).distinct().cache()
       // Partition discovery re-INFERS the partition column's type from the
       // dir names (a "2024-01-01" string partCol comes back as DATE);
       // normalize to the updates' type or partition values from the two
-      // sides never compare equal.
-      def target() = spark.read.parquet(targetPath).withColumn(partCol,
-        col(partCol).cast(updatesCached.schema(partCol).dataType))
+      // sides never compare equal. mergeSchema: a previously-evolved
+      // target may carry mixed footers (see upsert's evolution contract).
+      def target() = spark.read.option("mergeSchema", "true")
+        .parquet(targetPath).withColumn(partCol,
+          col(partCol).cast(updatesCached.schema(partCol).dataType))
       // Delete scope must cover every partition an updated key CURRENTLY
       // lives in, not just the partitions the update rows land in: if an
       // update moves key K across partitions, K's stale row in the old
@@ -102,20 +113,38 @@ final class Incremental(spark: SparkSession) {
       // localCheckpoint cuts the file lineage: the merged rows are
       // materialized BEFORE the dynamic overwrite deletes the partition
       // dirs they were read from (read-overwrite conflict otherwise)
-      val merged = existing.unionByName(updatesCached).localCheckpoint()
+      val merged = existing.unionByName(updatesCached,
+        allowMissingColumns = true).localCheckpoint()
       merged.write.partitionBy(partCol).mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .parquet(targetPath)
       // dynamic overwrite only rewrites partitions PRESENT in the output;
       // a touched partition whose every row was an updated key's stale row
-      // ends up empty and must be dropped explicitly
+      // is absent from the output, so its OLD files survive and must be
+      // dropped explicitly or the deleted keys' rows resurrect
       val stillThere = merged.select(partCol).distinct()
         .collect().map(_.get(0)).toSet
-      touched.filterNot(stillThere).foreach { p =>
-        deleteRecursively(Paths.get(targetPath, s"$partCol=$p"))
+      val stale = touched.filterNot(stillThere)
+      if (stale.nonEmpty) {
+        // Resolve value → directory through Spark's OWN reader rather than
+        // reconstructing `partCol=value` by hand: dir names are escaped
+        // (ExternalCatalogUtils.escapePathName) and typed values render
+        // differently from toString, so a hand-built path silently misses
+        // (timestamps, strings with spaces, nulls). input_file_name() on a
+        // partition-pruned scan of the stale values returns exactly the
+        // files those partitions hold; their parent dirs are the ones to
+        // drop.
+        target().filter(col(partCol).isin(stale: _*))
+          .select(input_file_name()).distinct()
+          .collect().map(_.getString(0))
+          .map(f => Paths.get(java.net.URI.create(f)).getParent)
+          .distinct
+          .foreach(deleteRecursively)
       }
+    } finally {
       updKeys.unpersist()
-    } finally updatesCached.unpersist()
+      updatesCached.unpersist()
+    }
   }
 
   /** Write df to `path.__tmp`, then swap into place (old data preserved at

@@ -66,17 +66,19 @@ object DedupQ {
     * 1-(1-0.25)^8 ≈ 0.90 (standard LSH recall; deterministic given the
     * fixed hash family, so oracle-matchable). Candidates shuffle on band
     * keys only; verification re-joins per-doc shingle sets by doc_id. */
-  val d02MinhashLsh: Q = Q("d02_minhash_lsh", (s, d) => {
-    // 16 minhashes from only 4 md5 calls per shingle: each seeded md5
-    // splits into four independent 8-hex (32-bit) chunk hashes, and the
-    // minhash is the lexicographic min per chunk. Computed by the native
-    // MinhashSigExpr (one tight loop per doc — the equivalent
-    // transform/array_min chain was 4 interpreted lambda passes and enough
-    // generated code to dominate one-shot runs with JIT, see PLANS.md;
-    // byte-identical output, FunctionsSpec proves equivalence in-engine).
-    // Signatures feed FOUR plan branches (band self-join + two
-    // verification joins) — materialize once (at cluster scale: a
-    // persisted signature table).
+  /** LSH-verified near-dup pairs over the FULL corpus — the production
+    * edge source for clustering as well as d02's result body. 16 minhashes
+    * from only 4 md5 calls per shingle: each seeded md5 splits into four
+    * independent 8-hex (32-bit) chunk hashes, and the minhash is the
+    * lexicographic min per chunk. Computed by the native MinhashSigExpr
+    * (one tight loop per doc — the equivalent transform/array_min chain
+    * was 4 interpreted lambda passes and enough generated code to dominate
+    * one-shot runs with JIT, see PLANS.md; byte-identical output,
+    * FunctionsSpec proves equivalence in-engine). Signatures feed FOUR
+    * plan branches (band self-join + two verification joins) —
+    * materialize once (at cluster scale: a persisted signature table). */
+  private[queries] def lshVerifiedPairs(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
     val docs = bigramSets(s, d)
       .withColumn("sig", graft.functions.TextExprs.minhashSig(col("sh")))
       .cache()
@@ -98,8 +100,11 @@ object DedupQ {
           (x, y) => x === y), b => b)).cast("double") / 16)
           .as("est_jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }, {
+  }
+
+  /** DuckDB CTE chain mirroring lshVerifiedPairs up to a `pairs(doc_a,
+    * doc_b, jaccard, est_jaccard)` relation — shared by d02 and d06. */
+  private val lshPairsCtes: String = {
     val md5Cols = (0 until 4).map(seed =>
       s"list_transform(sh, x -> md5('$seed:' || x)) AS m$seed").mkString(", ")
     val minhashes = (for { seed <- 0 until 4; c <- 0 until 4 } yield
@@ -108,26 +113,32 @@ object DedupQ {
     val bandKeys = (0 until 8).map(b =>
       s"md5('$b' || '|' || sig[${2 * b + 1}] || '|' || sig[${2 * b + 2}])")
       .mkString(", ")
-    Some(s"""
-    WITH docs AS ($bigramSetsSql),
+    s"""docs AS ($bigramSetsSql),
     md5s AS (SELECT doc_id, sh, $md5Cols FROM docs),
     sigs AS (SELECT doc_id, sh, [$minhashes] AS sig FROM md5s),
     bands AS (SELECT doc_id, unnest([$bandKeys]) AS band FROM sigs),
     cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band
-      WHERE a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b,
-      CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
-        / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard,
-      CAST(len(list_filter(list_transform(sa.sig, (x, i) -> x = sb.sig[i]),
-        b -> b)) AS DOUBLE) / 16 AS est_jaccard
-    FROM cands
-    JOIN sigs sa ON cands.doc_a = sa.doc_id
-    JOIN sigs sb ON cands.doc_b = sb.doc_id
-    WHERE CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
-        / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5
-    ORDER BY doc_a, doc_b""")
-  })
+      WHERE a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b,
+        CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard,
+        CAST(len(list_filter(list_transform(sa.sig, (x, i) -> x = sb.sig[i]),
+          b -> b)) AS DOUBLE) / 16 AS est_jaccard
+      FROM cands
+      JOIN sigs sa ON cands.doc_a = sa.doc_id
+      JOIN sigs sb ON cands.doc_b = sb.doc_id
+      WHERE CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE)
+          / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5)"""
+  }
+
+  val d02MinhashLsh: Q = Q("d02_minhash_lsh", (s, d) => {
+    lshVerifiedPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+  }, Some(s"""
+    WITH $lshPairsCtes
+    SELECT doc_a, doc_b, jaccard, est_jaccard FROM pairs
+    ORDER BY doc_a, doc_b"""))
 
   /** SimHash near-dup detection: 32-bit signed-weight fingerprint over the
     * token multiset, byte-banded blocking (pairs must share one of 4 exact
@@ -215,7 +226,7 @@ object DedupQ {
     * (5000 docs at sf0.1) and the 31-token vocabulary makes shingle
     * postings collide heavily (pair join is ~deg² per shingle); at the
     * correctness scale (sf0.01, 500 docs) the prefix IS the whole corpus. */
-  private def exactJaccardPairs(s: org.apache.spark.sql.SparkSession,
+  private[graft] def exactJaccardPairs(s: org.apache.spark.sql.SparkSession,
       d: String, threshold: Double) = {
     val sets = bigramSets(s, d).filter(col("doc_id") < 500).cache()
     val ex = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -252,25 +263,30 @@ object DedupQ {
     ORDER BY doc_a, doc_b"""))
 
   /** Near-dup CLUSTERS: pair detection gives edges; dedup needs groups.
-    * Exact-jaccard ≥ 0.5 pairs (the verified-near-dup edge set) →
-    * 3 rounds of min-label propagation (operators.Cluster) → every
-    * clustered doc mapped to its canonical (minimum) id. A fixed round
-    * count keeps this a pure deterministic query — exact for components
-    * of diameter ≤ 3, which near-dup clusters are in practice — so the
-    * oracle replays the same 3 rounds as chained CTEs. */
+    * The edge source is the LSH-VERIFIED pair set (d02's bucketed
+    * candidate generation + exact jaccard ≥ 0.5 verification) — the
+    * production path at 100 TB: NOTHING in this lineage is all-pairs
+    * (candidates shuffle on band keys only). 3 rounds of min-label
+    * propagation (operators.Cluster) map every clustered doc to its
+    * canonical (minimum) id. A fixed round count keeps this a pure
+    * deterministic query — exact for components of diameter ≤ 3, which
+    * near-dup clusters are in practice — so the oracle replays the same
+    * 3 rounds as chained CTEs over the same LSH pair CTEs. RecallSpec
+    * additionally asserts LSH-fed clusters equal exact-all-pairs-fed
+    * clusters on the test corpus. */
   val d06DedupClusters: Q = Q("d06_dedup_clusters", (s, d) => {
     import graft.operators.Cluster
-    Cluster.canonicalize(exactJaccardPairs(s, d, 0.5), "doc_a", "doc_b",
-        rounds = 3)
+    // Materialize the (tiny) verified pair set before clustering: edges
+    // are pairs ∪ reversed-pairs, so without this the FULL LSH pipeline
+    // plan is inlined twice into the edge union — double the generated
+    // code for zero benefit (measured: 20-37 s of JIT per run). At
+    // cluster scale the pair set is a persisted table anyway.
+    val pairs = lshVerifiedPairs(s, d)
+      .select(col("doc_a"), col("doc_b")).cache()
+    Cluster.canonicalize(pairs, "doc_a", "doc_b", rounds = 3)
       .orderBy(col("doc_id"))
   }, Some(s"""
-    WITH docs AS (
-      SELECT * FROM ($bigramSetsSql) WHERE doc_id < 500),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
-          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+    WITH $lshPairsCtes,
     nodes AS (SELECT DISTINCT doc_id FROM
       (SELECT doc_a AS doc_id FROM pairs
        UNION ALL SELECT doc_b FROM pairs)),

@@ -366,19 +366,37 @@ object Relational {
     FROM events GROUP BY user_id ORDER BY user_id"""))
 
   /** Product-performance rollup (A14/A15/J7/J8 analog): lineitem ⨝ part
-    * (broadcast dim) per (month, brand). */
+    * (broadcast dim) per (month, brand).
+    *
+    * Deliberately NOT one aggregate with two countDistincts: Catalyst plans
+    * that as Expand ×3 — the joined fact table is tripled before the
+    * shuffle, which is 3× shuffle volume on the largest table in the query
+    * (the 100×-scale killer, and measured 61.7 s at sf0.1 in round 2).
+    * Instead: plain sums in one ordinary partial-agg pass, and each
+    * distinct count as its own pre-aggregated branch — a map-side-deduped
+    * DISTINCT on (month, brand, key) followed by a tiny count — then the
+    * three small per-(month, brand) results join (AQE broadcasts them).
+    * Shuffle volume ≈ pre-reduced rows per branch; no Expand anywhere. */
   val q17ProductPerf: Q = Q("q17_product_perf", (s, d) => {
-    Tables.lineitem(s, d)
+    def base = Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)),
         col("l_partkey") === col("p_partkey"))
-      .groupBy(trunc(col("l_shipdate"), "month").as("month"),
-        col("p_brand"))
+      .select(trunc(col("l_shipdate"), "month").as("month"), col("p_brand"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_orderkey"), col("l_partkey"))
+    val sums = base
+      .groupBy(col("month"), col("p_brand"))
       .agg(
         decSum(col("l_quantity")).as("units"),
         decSumExpr(d2(col("l_extendedprice")) * (lit(1) - dr(col("l_discount"))))
-          .as("revenue"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        countDistinct(col("l_partkey")).as("n_parts"))
+          .as("revenue"))
+    def distinctCount(key: String, as: String) =
+      base.select(col("month"), col("p_brand"), col(key)).distinct()
+        .groupBy(col("month"), col("p_brand"))
+        .agg(count(lit(1)).as(as))
+    sums
+      .join(distinctCount("l_orderkey", "n_orders"), Seq("month", "p_brand"))
+      .join(distinctCount("l_partkey", "n_parts"), Seq("month", "p_brand"))
       .orderBy(col("month"), col("p_brand"))
   }, Some(s"""
     SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, p_brand,
@@ -710,9 +728,13 @@ object Relational {
 
   /** Sketch-based distinct counting (HLL++): the 100 TB path for
     * cardinality — mergeable map-side sketches, no exact-distinct
-    * shuffle-and-dedup. Sketch values are engine-specific, so this query
-    * has NO DuckDB oracle (driver records a rows-only check); the spec
-    * asserts the error bound against the exact count instead. */
+    * shuffle-and-dedup. The raw sketch value is engine-specific, so the
+    * query emits only engine-agreeable columns: the exact counts plus
+    * `approx_ok` — Spark's own sketch checked against a 5% relative-error
+    * bound (rsd = 0.02, so 5% is generous headroom). The DuckDB oracle
+    * asserts TRUE for that column: a broken sketch now FAILS the hash
+    * match instead of being invisible. The spec additionally pins the
+    * numeric error bound. */
   val q29ApproxDistinct: Q = Q("q29_approx_distinct", (s, d) => {
     Tables.events(s, d)
       .groupBy(col("event_type"))
@@ -720,9 +742,14 @@ object Relational {
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
-      .withColumn("rel_err",
-        abs(col("approx_users") - col("exact_users")).cast("double") /
-          col("exact_users"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users") <= lit(0.05)).as("approx_ok"))
       .orderBy(col("event_type"))
-  }, None)
+  }, Some("""
+    SELECT event_type,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      COUNT(*) AS n_events,
+      TRUE AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type"""))
 }

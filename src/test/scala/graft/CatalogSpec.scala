@@ -12,9 +12,9 @@ class CatalogSpec extends AnyFunSuite {
   // queries whose result is legitimately empty at tiny scale
   val mayBeEmpty = Set("q06_anti_join", "d02_minhash_lsh", "d04_ngram_jaccard")
 
-  // sketch outputs are engine-specific -> deliberately oracle-free
-  // (driver records a rows-only check)
-  val oracleFree = Set("q29_approx_distinct")
+  // every query is oracle-checked (q29's sketch is validated via its
+  // engine-agreeable approx_ok bound column)
+  val oracleFree = Set.empty[String]
 
   test("catalog names are unique and every query has an oracle" +
       " unless declared oracle-free") {

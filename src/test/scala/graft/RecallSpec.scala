@@ -53,6 +53,27 @@ class RecallSpec extends AnyFunSuite {
       s"avg recall ${recalls.sum / recalls.size}")
   }
 
+  test("LSH-fed clusters (d06) equal exact-all-pairs-fed clusters on the" +
+      " test corpus") {
+    // d06's production edge source is the LSH-verified pair set; the
+    // bounded exact all-pairs pipeline stays as the ground truth. On this
+    // corpus LSH recall at j ≥ 0.5 is high enough that the RESULTING
+    // CLUSTERS must be identical — a divergence means either banding
+    // regressed or the propagation operator treats the two edge sets
+    // differently.
+    import graft.operators.Cluster
+    import graft.queries.DedupQ
+    val exact = Cluster.canonicalize(
+        DedupQ.exactJaccardPairs(spark, sf, 0.5), "doc_a", "doc_b", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = q("d06_dedup_clusters")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact,
+      s"LSH-fed clusters diverge: missing ${(exact -- lsh).size}," +
+        s" extra ${(lsh -- exact).size}")
+  }
+
   test("the strongest near-dup pairs (j ≥ 0.8) are ALL recalled") {
     // LSH detection probability at j = 0.8 is 1-(1-0.64)⁸ ≈ 0.9997 —
     // missing one of these would indicate broken banding, not bad luck
