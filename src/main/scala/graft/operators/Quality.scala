@@ -45,12 +45,15 @@ object Quality {
   def expressionIsTrue(df: DataFrame, e: Column): Long =
     df.filter(!coalesce(e, lit(false))).count()
 
-  /** Freshness: violation iff max(tsCol) is older than `maxAgeSeconds`. */
-  def freshness(df: DataFrame, tsCol: String, maxAgeSeconds: Long): Long = {
+  /** Freshness: violation iff max(tsCol) is older than `maxAgeSeconds`.
+    * The clock is injectable so the check is deterministic under test;
+    * production callers use the default wall clock. */
+  def freshness(df: DataFrame, tsCol: String, maxAgeSeconds: Long,
+                nowMillis: () => Long = () => System.currentTimeMillis()): Long = {
     val r = df.agg(max(col(tsCol))).first()
     if (r.isNullAt(0)) 1L
     else {
-      val age = (System.currentTimeMillis() - r.getTimestamp(0).getTime) / 1000
+      val age = (nowMillis() - r.getTimestamp(0).getTime) / 1000
       if (age > maxAgeSeconds) 1L else 0L
     }
   }

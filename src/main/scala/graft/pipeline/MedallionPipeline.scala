@@ -26,7 +26,8 @@ import org.apache.spark.sql.types._
   * phase is idempotent (bronze by partition anti-membership, silver by
   * keyed delete+insert).
   */
-final class MedallionPipeline(spark: SparkSession, baseDir: String) {
+final class MedallionPipeline(spark: SparkSession, baseDir: String,
+    extraEventColumns: Seq[StructField] = Nil) {
 
   val rawDir = s"$baseDir/raw"
   val landingDir = s"$baseDir/landing"
@@ -36,13 +37,26 @@ final class MedallionPipeline(spark: SparkSession, baseDir: String) {
   val goldKpisPath = s"$baseDir/gold/daily_kpis"
 
   /** Declared event schema — inference is nondeterministic and a full
-    * extra pass (SURVEY §1.3). */
+    * extra pass (SURVEY §1.3). `extraEventColumns` is the evolution hook
+    * (`on_schema_change: append_new_columns`, dbt_project.yml:29): when
+    * producers move v1 → v2 (linked_clickstream_order_generator.py:162-167
+    * adds fields), the pipeline is reconstructed with the new columns
+    * appended; raw/landing/bronze files written before the evolution read
+    * them as null (schema-on-read), and the silver upsert merges them via
+    * Incremental's allowMissingColumns union. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", StringType),
     StructField("event_type", StringType),
     StructField("user_id", StringType),
     StructField("event_time", TimestampType),
-    StructField("value", DoubleType)))
+    StructField("value", DoubleType)) ++ extraEventColumns)
+
+  /** Lineage columns StreamingIngest stamps onto every landing row. */
+  private def withLineage(schema: StructType): StructType = schema
+    .add("pipeline_ingested_at", TimestampType)
+    .add("source_system", StringType)
+    .add("ingest_date", StringType)
+    .add("batch_id", LongType)
 
   private val ingest = new StreamingIngest(spark)
   private val bronze = new BronzeAppend(spark)
@@ -58,12 +72,7 @@ final class MedallionPipeline(spark: SparkSession, baseDir: String) {
     * re-runs never drop late data the way date-level idempotence would
     * for still-hot dates. */
   def runBronze(): Long = {
-    val landing = spark.read.schema(
-      eventSchema
-        .add("pipeline_ingested_at", TimestampType)
-        .add("source_system", StringType)
-        .add("ingest_date", StringType)
-        .add("batch_id", LongType))
+    val landing = spark.read.schema(withLineage(eventSchema))
       .parquet(landingDir)
       .withColumn("bronze_ingested_at", current_timestamp())
     bronze.appendNewPartitions(landing, bronzePath, "batch_id")
@@ -72,7 +81,11 @@ final class MedallionPipeline(spark: SparkSession, baseDir: String) {
   /** Phase 3: silver — 1-day sliding window over bronze, keep-latest dedup
     * per event_id, delete+insert upsert partitioned by event_date. */
   def runSilver(): Unit = {
-    val src = spark.read.parquet(bronzePath)
+    // declared schema, not footer inference: bronze may hold mixed
+    // v1/v2 footers after an evolution — absent columns read as null
+    val src = spark.read
+      .schema(withLineage(eventSchema).add("bronze_ingested_at", TimestampType))
+      .parquet(bronzePath)
       .filter(col("event_time").isNotNull)
       .withColumn("event_date", col("event_time").cast("date").cast("string"))
     val windowed = incremental.lateWindow(src, silverPath, "event_time")
@@ -80,7 +93,7 @@ final class MedallionPipeline(spark: SparkSession, baseDir: String) {
       col("pipeline_ingested_at"), Seq(col("batch_id")))
     incremental.upsertPartitioned(silverPath, deduped, Seq("event_id"),
       "event_date")
-    val silver = spark.read.parquet(silverPath)
+    val silver = this.silver
     Quality.run(Seq(
       "silver_event_id_not_null" -> (() => Quality.notNull(silver, "event_id")),
       "silver_event_id_unique" -> (() => Quality.unique(silver, Seq("event_id"))),
@@ -92,7 +105,7 @@ final class MedallionPipeline(spark: SparkSession, baseDir: String) {
   /** Phase 4: gold daily KPIs (full recompute — dims/metrics are `table`
     * materializations in the reference, dbt_project.yml:42-51). */
   def runGold(): Unit = {
-    val silver = spark.read.parquet(silverPath)
+    val silver = this.silver
     val kpis = silver.groupBy(col("event_date"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("dau"),
@@ -111,5 +124,7 @@ final class MedallionPipeline(spark: SparkSession, baseDir: String) {
   def runAll(): Unit = { runIngest(); runBronze(); runSilver(); runGold() }
 
   def gold: DataFrame = spark.read.parquet(goldKpisPath)
-  def silver: DataFrame = spark.read.parquet(silverPath)
+  // mergeSchema: partitions not touched since an evolution keep v1 footers
+  def silver: DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(silverPath)
 }

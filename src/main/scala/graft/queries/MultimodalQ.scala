@@ -78,9 +78,12 @@ object MultimodalQ {
     FROM documents, (SELECT CAST(unnest(range(0, 4)) AS INT) AS chunk_idx)
     WHERE len(text) > 32
     UNION ALL
+    -- total on zero-length payloads too: list_reduce errors on an empty
+    -- list while the Spark side folds to energy 0, so guard explicitly
     SELECT doc_id AS id, CAST(0 AS INT), CAST(0 AS INT),
-      CAST(list_reduce(list_transform(string_split(text, ''),
-        c -> ord(c)), (a, b) -> a + b) AS BIGINT),
+      CASE WHEN len(text) = 0 THEN CAST(0 AS BIGINT)
+        ELSE CAST(list_reduce(list_transform(string_split(text, ''),
+          c -> ord(c)), (a, b) -> a + b) AS BIGINT) END,
       md5(text)
     FROM documents WHERE len(text) <= 32
     ORDER BY id, chunk_idx"""))

@@ -2,8 +2,56 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 import org.apache.spark.sql.types.StructType
+
+/** One micro-batch's progress row — the engine's mirror of the
+  * reference's backfill progress surface
+  * (ingestion/helper_functions/backfill_progress.py:3-32, which tails
+  * `lastProgress` for per-batch row counts under AvailableNow). */
+final case class BatchProgress(queryId: java.util.UUID, batchId: Long,
+    numInputRows: Long, timestamp: String)
+
+/** Collects EVERY micro-batch's progress via StreamingQueryListener —
+  * `lastProgress` alone only retains the most recent batch, so a drained
+  * backfill would lose all but the last row count. Listener events are
+  * posted asynchronously; `awaitTerminated` fences on the (FIFO-ordered)
+  * termination event so all progress rows are in before reading. */
+final class ProgressRecorder extends StreamingQueryListener {
+  import scala.jdk.CollectionConverters._
+  private val buf =
+    new java.util.concurrent.ConcurrentLinkedQueue[BatchProgress]()
+  private val done =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+
+  override def onQueryStarted(
+      e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryProgress(
+      e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    buf.add(BatchProgress(e.progress.id, e.progress.batchId,
+      e.progress.numInputRows, e.progress.timestamp)); ()
+  }
+  override def onQueryTerminated(
+      e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+    done.add(e.id); ()
+  }
+
+  /** Progress rows of one query, in batch order. */
+  def batchesFor(id: java.util.UUID): Seq[BatchProgress] =
+    buf.asScala.filter(_.queryId == id).toSeq.sortBy(_.batchId)
+
+  def totalRowsFor(id: java.util.UUID): Long =
+    batchesFor(id).map(_.numInputRows).sum
+
+  /** Block until the query's termination event has been delivered (the
+    * listener bus is async w.r.t. awaitTermination). */
+  def awaitTerminated(id: java.util.UUID, timeoutMs: Long = 10000): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (!done.contains(id) && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    done.contains(id)
+  }
+}
 
 /** Structured-Streaming ingestion: the Spark-native re-expression of the
   * reference's micro-batch file ingester
@@ -66,12 +114,21 @@ final class StreamingIngest(spark: SparkSession) {
 
   /** Backfill/drain mode: process everything pending, then stop —
     * Trigger.AvailableNow (the reference's `--mode backfill`,
-    * ingestion/streaming_ingest.py:180-194). */
+    * ingestion/streaming_ingest.py:180-194). Returns the per-batch
+    * progress rows (batch_id, rows) the reference's backfill_progress
+    * helper surfaces. */
   def backfill(inputDir: String, schema: StructType, outDir: String,
-               checkpointDir: String, sourceSystem: String): Unit = {
-    val q = stream(inputDir, schema, outDir, checkpointDir, sourceSystem,
-      trigger = Trigger.AvailableNow())
-    q.awaitTermination()
+               checkpointDir: String, sourceSystem: String,
+               maxFilesPerTrigger: Int = 16): Seq[BatchProgress] = {
+    val rec = new ProgressRecorder
+    spark.streams.addListener(rec)
+    try {
+      val q = stream(inputDir, schema, outDir, checkpointDir, sourceSystem,
+        maxFilesPerTrigger, trigger = Trigger.AvailableNow())
+      q.awaitTermination()
+      rec.awaitTerminated(q.id)
+      rec.batchesFor(q.id)
+    } finally spark.streams.removeListener(rec)
   }
 
   /** Streaming silver: event-time watermark + keyed dedup — the streaming

@@ -141,6 +141,78 @@ class IncrementalSpec extends AnyFunSuite {
       java.nio.file.Paths.get(path, "d=2024-01-01")))
   }
 
+  test("upsert evolves schema when a batch carries a NEW column" +
+      " (append_new_columns)") {
+    val path = tmp()
+    val inc = new Incremental(spark)
+    inc.upsert(path, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    // v2 batch carries an extra column: existing rows read it as null
+    inc.upsert(path,
+      Seq((2L, "B", "x"), (3L, "c", "y")).toDF("k", "v", "extra"), Seq("k"))
+    val out = spark.read.parquet(path)
+      .select("k", "v", "extra").as[(Long, String, Option[String])]
+      .collect().toSet
+    assert(out == Set((1L, "a", None), (2L, "B", Some("x")),
+      (3L, "c", Some("y"))))
+    // and a late v1 batch (missing the evolved column) still lands, with
+    // null in the column it doesn't know about
+    inc.upsert(path, Seq((4L, "d")).toDF("k", "v"), Seq("k"))
+    val out2 = spark.read.parquet(path)
+      .select("k", "extra").as[(Long, Option[String])].collect().toMap
+    assert(out2 == Map(1L -> None, 2L -> Some("x"), 3L -> Some("y"),
+      4L -> None))
+  }
+
+  test("upsertPartitioned evolves schema; mixed-footer target reads as" +
+      " the union schema") {
+    val path = tmp()
+    val inc = new Incremental(spark)
+    inc.upsertPartitioned(path,
+      Seq((1L, "a", "2024-01-01")).toDF("k", "v", "d"), Seq("k"), "d")
+    // new column arrives only in partition 02; partition 01's footers are
+    // untouched (that's the point of partition-granular delete+insert)
+    inc.upsertPartitioned(path,
+      Seq((2L, "b", 7L, "2024-01-02")).toDF("k", "v", "n", "d"),
+      Seq("k"), "d")
+    val out = spark.read.option("mergeSchema", "true").parquet(path)
+      .select("k", "v", "n", "d").as[(Long, String, Option[Long], String)]
+      .collect().toSet
+    assert(out == Set((1L, "a", None, "2024-01-01"),
+      (2L, "b", Some(7L), "2024-01-02")))
+    // a later upsert against the mixed-footer target must still work
+    inc.upsertPartitioned(path,
+      Seq((1L, "A", "2024-01-01")).toDF("k", "v", "d"), Seq("k"), "d")
+    val v1 = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col("k") === 1L).select("v").as[String].head()
+    assert(v1 == "A")
+  }
+
+  test("upsertPartitioned cleans emptied partitions whose values need" +
+      " path escaping") {
+    val path = tmp()
+    val inc = new Incremental(spark)
+    // values with spaces/colons are escaped in dir names
+    // (d=2024-01-01 10%3A00%3A00); a hand-built "d=$value" path would
+    // miss them and the deleted key's stale rows would resurrect
+    inc.upsertPartitioned(path,
+      Seq((1L, "a", "2024-01-01 10:00:00"),
+        (2L, "b", "2024-01-02 00:00:00")).toDF("k", "v", "d"),
+      Seq("k"), "d")
+    // key 1 moves partition; its old (escaped) dir must be dropped
+    inc.upsertPartitioned(path,
+      Seq((1L, "A", "2024-01-03 00:00:00")).toDF("k", "v", "d"),
+      Seq("k"), "d")
+    val rows = spark.read.parquet(path)
+      .select(col("k"), col("d").cast("string")).as[(Long, String)]
+      .collect().toSet
+    assert(rows == Set((1L, "2024-01-03 00:00:00"),
+      (2L, "2024-01-02 00:00:00")))
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.list(java.nio.file.Paths.get(path)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("d=")).toSet
+    assert(dirs.size == 2, s"stale partition dir left behind: $dirs")
+  }
+
   test("late-data convergence: incremental arrival order == full refresh") {
     val inc = new Incremental(spark)
     val all = Seq((1L, ts("2024-01-01 00:00:00"), "v1"),
@@ -160,6 +232,37 @@ class IncrementalSpec extends AnyFunSuite {
     val a = spark.read.parquet(incPath).select("k").as[Long].collect().toSet
     val b = spark.read.parquet(fullPath).select("k").as[Long].collect().toSet
     assert(a == b)
+  }
+}
+
+class RetentionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("retainDays drops exactly the partitions older than the cutoff," +
+      " idempotently") {
+    val path = Files.createTempDirectory("graft_ret").toString + "/t"
+    Seq((1L, "2024-01-01"), (2L, "2024-01-05"), (3L, "2024-01-10"))
+      .toDF("k", "d").write.partitionBy("d").parquet(path)
+    val ret = new Retention(spark)
+    val asOf = java.time.LocalDate.parse("2024-01-10")
+    // cutoff = 2024-01-04: only the 01-01 partition is older
+    val dropped = ret.retainDays(path, "d", 6, asOf)
+    assert(dropped.size == 1 && dropped.head.endsWith("d=2024-01-01"),
+      dropped.toString)
+    val left = spark.read.parquet(path).select("k").as[Long].collect().toSet
+    assert(left == Set(2L, 3L))
+    // re-run: nothing else to drop
+    assert(ret.retainDays(path, "d", 6, asOf).isEmpty)
+    // missing table: no-op
+    assert(ret.retainDays(path + "_nope", "d", 6, asOf).isEmpty)
+  }
+
+  test("freshness check is deterministic with an injected clock") {
+    val df = Seq(Timestamp.valueOf("2024-01-10 00:00:00")).toDF("t")
+    val now = () => Timestamp.valueOf("2024-01-10 01:00:00").getTime
+    assert(operators.Quality.freshness(df, "t", 3600, now) == 0) // exactly 1h
+    assert(operators.Quality.freshness(df, "t", 3599, now) == 1) // too old
   }
 }
 

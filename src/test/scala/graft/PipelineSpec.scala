@@ -58,4 +58,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(TestSpark.rows(p.silver) == silverBefore)
     assert(TestSpark.rows(p.gold) == goldBefore)
   }
+
+  test("schema evolution v1 -> v2: a new event column flows end-to-end," +
+      " old rows read as null (append_new_columns)") {
+    import org.apache.spark.sql.types.{StringType, StructField}
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_pipe_v2").toString
+    val v1 = new MedallionPipeline(spark, base)
+    writeBatch(v1.rawDir, "b1.json", Seq(
+      ev("e1", "view", "u1", "2024-03-01T10:00:00Z", 1.0)))
+    v1.runAll()
+    assert(!v1.silver.columns.contains("session_id"))
+
+    // v2 producers add session_id (reference generator's v1->v2 bump);
+    // the pipeline is reconstructed with the evolved schema — already-
+    // landed v1 files are NOT rewritten, they read the column as null
+    val v2 = new MedallionPipeline(spark, base,
+      Seq(StructField("session_id", StringType)))
+    writeBatch(v2.rawDir, "b2.json", Seq(
+      """{"event_id":"e2","event_type":"click","user_id":"u1",""" +
+        """"event_time":"2024-03-01T11:00:00Z","value":2.0,""" +
+        """"session_id":"s1"}"""))
+    v2.runAll()
+    val rows = v2.silver.select("event_id", "session_id")
+      .as[(String, Option[String])].collect().toMap
+    assert(rows == Map("e1" -> None, "e2" -> Some("s1")))
+    // gold still aggregates both generations
+    val day = v2.gold.filter(col("event_date") === "2024-03-01")
+      .select("n_events", "dau").collect().head
+    assert(day.getLong(0) == 2 && day.getLong(1) == 1)
+  }
 }

@@ -51,6 +51,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(e4.count() == 1 && e4.select("event_time").first().isNullAt(0))
   }
 
+  test("backfill surfaces per-batch progress (batch ids + row counts)," +
+      " mirroring backfill_progress") {
+    val base = Files.createTempDirectory("graft_prog").toString
+    val in = s"$base/raw"; val out = s"$base/landing"; val cp = s"$base/cp"
+    (1 to 3).foreach { i =>
+      writeJson(in, s"f$i.json", Seq(
+        s"""{"event_id":"a$i","event_type":"view","event_time":"2024-01-01T10:0$i:00Z","value":$i.0}""",
+        s"""{"event_id":"b$i","event_type":"click","event_time":"2024-01-01T11:0$i:00Z","value":$i.5}"""))
+    }
+    val ingest = new StreamingIngest(spark)
+    // one file per trigger: the drain reports one progress row per file
+    val progress = ingest.backfill(in, schema, out, cp, "test_src",
+      maxFilesPerTrigger = 1)
+    val dataBatches = progress.filter(_.numInputRows > 0)
+    assert(dataBatches.size == 3, progress.toString)
+    assert(dataBatches.forall(_.numInputRows == 2))
+    assert(dataBatches.map(_.batchId).distinct.size == 3)
+    assert(progress.map(_.numInputRows).sum == 6)
+    // nothing pending: a re-drain reports zero ingested rows
+    val again = ingest.backfill(in, schema, out, cp, "test_src")
+    assert(again.map(_.numInputRows).sum == 0)
+  }
+
   test("maxFilesPerTrigger bounds micro-batch size (backpressure): one" +
       " file per trigger -> one batch_id per file") {
     val base = Files.createTempDirectory("graft_rate").toString
