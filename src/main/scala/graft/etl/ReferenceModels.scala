@@ -2,16 +2,30 @@ package graft.etl
 
 import graft.operators.Dedup
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** The reference's dbt model DAG (dbt_project/models/ in
   * mattyg3/ecommerce_analytics_platform), re-expressed as pure
   * `DataFrame => DataFrame` transforms: staging (silver) → facts/dims →
-  * metrics (gold). Model-for-model citations inline. Reference bugs fixed
-  * per SURVEY §2.12: funnel matches the real `view_product` event type
-  * (not the never-emitted `product_view`), `>=` lookback comparators.
+  * metrics (gold). Model-for-model citations inline; OUTPUT COLUMN NAMES
+  * MATCH THE REFERENCE SQL exactly (a reference user's downstream queries
+  * run unchanged), so the schema.yml test corpus (schema.yml:113-789)
+  * applies verbatim — see SchemaTests.
+  *
+  * Documented deviations (SURVEY §2.12 reference bugs, fixed not ported):
+  *  - funnel/product metrics match the REAL `view_product` event type,
+  *    not the never-emitted `product_view`
+  *    (metrics_daily_funnel.sql:9, metrics_product_performance_daily.sql:25
+  *    vs producers/linked_clickstream_order_generator.py:237);
+  *  - fact_orders' lookback uses the standardized `>=` comparator
+  *    (fact_orders.sql:18 says `>`, every sibling says `>=`);
+  *  - first-per-group picks carry a deterministic event_id tiebreak
+  *    (dim_session_context.sql orders by event_ts alone — ties are
+  *    engine-nondeterministic);
+  *  - funnel order-sessions are DISTINCT per (session, date) before the
+  *    join (metrics_daily_funnel.sql:17-21 joins the raw order list; a
+  *    second same-session-same-date order would fan out the summed flags).
   *
   * Scale posture: every model pre-aggregates before joining (A2 before J1
   * etc.), dims broadcast, facts partition naturally by date columns.
@@ -20,80 +34,90 @@ object ReferenceModels {
 
   private val dec = DecimalType(18, 4)
 
-  /** stg_clickstream_events.sql:8-49 — keep-latest dedup by event_id,
-    * null-time rejection, upper(country), event_date.
-    * (user_agent deliberately dropped, §2.12 item 5; source_system kept
-    * like the reference, null when the bronze fixture lacks it.) */
-  def stgClickstreamEvents(bronzeEvents: DataFrame): DataFrame = {
-    val srcSystem =
-      if (bronzeEvents.columns.contains("source_system")) col("source_system")
-      else lit(null).cast("string")
+  /** Fixture bronze may lack a column the reference's source always has;
+    * surface it as typed null (schema-on-read). */
+  private def optCol(df: DataFrame, name: String) =
+    if (df.columns.contains(name)) col(name) else lit(null).cast("string")
+
+  // ───────────────────────────── staging ─────────────────────────────
+
+  /** stg_clickstream_events.sql:8-56 — keep-latest dedup by event_id,
+    * null-time rejection, upper(country), event_ts/event_date. */
+  def stgClickstreamEvents(bronzeEvents: DataFrame): DataFrame =
     Dedup.keepLatest(
       bronzeEvents.filter(col("event_time").isNotNull),
       Seq("event_id"), col("pipeline_ingested_at"), Seq(col("batch_id")))
-      .select(col("event_id"), col("event_type"), col("version"),
-        col("user_id"), col("session_id"), col("product_id"),
-        col("event_time"), col("event_time").cast("date").as("event_date"),
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("session_id"), col("product_id"),
+        col("event_time").cast("timestamp").as("event_ts"),
+        col("event_time").cast("date").as("event_date"),
         upper(col("country")).as("country"), col("device"),
-        col("referrer"), srcSystem.as("source_system"),
-        col("experiment_id"), col("pipeline_ingested_at"))
-  }
+        col("experiment_id"), col("referrer"),
+        optCol(bronzeEvents, "source_system").as("source_system"),
+        col("pipeline_ingested_at"))
 
-  /** stg_clickstream_sessions.sql:22-40 — A1 session rollup with epoch
+  /** stg_clickstream_sessions.sql:7-40 — A1 session rollup with epoch
     * duration. */
   def stgClickstreamSessions(stgEvents: DataFrame): DataFrame =
     stgEvents.groupBy(col("session_id"), col("user_id"))
-      .agg(min(col("event_time")).as("session_start_ts"),
-        max(col("event_time")).as("session_end_ts"),
-        count(lit(1)).as("n_events"))
-      .withColumn("session_duration_s",
+      .agg(min(col("event_ts")).as("session_start_ts"),
+        max(col("event_ts")).as("session_end_ts"),
+        count(lit(1)).as("event_count"))
+      .withColumn("session_duration_sec",
         unix_timestamp(col("session_end_ts")) -
           unix_timestamp(col("session_start_ts")))
+      .select(col("session_id"), col("user_id"), col("session_start_ts"),
+        col("session_end_ts"), col("session_duration_sec"),
+        col("event_count"))
 
   /** stg_orders.sql:7-52 — keep-latest dedup by order_id + per-row array
     * aggregates over items (A16: size + higher-order aggregate, the
-    * no-explode idiom). */
+    * no-explode idiom for the reference's correlated subqueries). */
   def stgOrders(bronzeOrders: DataFrame): DataFrame =
     Dedup.keepLatest(
       bronzeOrders.filter(col("order_time").isNotNull),
       Seq("order_id"), col("pipeline_ingested_at"), Seq(col("batch_id")))
-      .withColumn("item_count", size(col("items")))
-      .withColumn("order_total_amount",
+      .select(col("order_id"), col("user_id"), col("session_id"),
+        col("items"), col("order_status"),
+        col("order_time").cast("timestamp").as("order_ts"),
+        size(col("items")).as("item_count"),
         aggregate(col("items"), lit(0).cast(dec),
           (acc, x) => (acc + x.getField("quantity").cast(dec) *
             x.getField("price").cast(dec)).cast(dec))
-          .cast("double"))
-      .withColumn("order_date", col("order_time").cast("date"))
+          .cast("double").as("order_total_amount"),
+        optCol(bronzeOrders, "source_system").as("source_system"),
+        col("pipeline_ingested_at"))
 
   /** stg_order_items.sql:7-18 — G1/J10 lateral explode of the items array
     * with parent columns retained. */
   def stgOrderItems(stgOrders: DataFrame): DataFrame =
-    stgOrders.select(col("order_id"), col("session_id"), col("user_id"),
-        col("order_time"), col("order_date"), col("order_status"),
-        posexplode(col("items")).as(Seq("line_number", "item")))
-      .select(col("order_id"), col("session_id"), col("user_id"),
-        col("order_time"), col("order_date"), col("order_status"),
-        col("line_number"),
+    stgOrders.select(col("order_id"), col("user_id"), col("session_id"),
+        col("order_ts"), col("pipeline_ingested_at"),
+        explode(col("items")).as("item"))
+      .select(col("order_id"), col("user_id"), col("session_id"),
         col("item.product_id").as("product_id"),
         col("item.quantity").as("quantity"),
         col("item.price").as("price"),
         (col("item.quantity").cast(dec) * col("item.price").cast(dec))
-          .cast("double").as("line_amount"))
+          .cast("double").as("line_amount"),
+        col("order_ts"), col("pipeline_ingested_at"))
+
+  // ─────────────────────────────── facts ───────────────────────────────
 
   /** fact_events.sql:9-22 — incremental pass-through projection of
     * staging, partitioned by event_date (partition_by config :5); the
     * 1-day delete+insert materialization is `Incremental.upsertPartitioned`
     * at the pipeline layer — the model itself is the SELECT shape. */
   def factEvents(stgEvents: DataFrame): DataFrame =
-    stgEvents.select(col("event_id"), col("event_time").as("event_ts"),
-      col("event_date"), col("event_type"), col("user_id"),
-      col("session_id"), col("product_id"), col("country"), col("device"),
-      col("referrer"), col("source_system"), col("experiment_id"))
+    stgEvents.select(col("event_id"), col("event_ts"), col("event_date"),
+      col("event_type"), col("user_id"), col("session_id"),
+      col("product_id"), col("country"), col("device"), col("referrer"),
+      col("source_system"), col("experiment_id"))
 
   /** fact_orders.sql:8-19 — order-grain projection with order_date. */
   def factOrders(stgOrders: DataFrame): DataFrame =
     stgOrders.select(col("order_id"), col("user_id"), col("session_id"),
-      col("order_time").as("order_ts"), col("order_date"),
+      col("order_ts"), col("order_ts").cast("date").as("order_date"),
       col("order_status"), col("item_count"), col("order_total_amount"))
 
   /** fact_order_items.sql:8-19 — line-item-grain projection,
@@ -101,7 +125,24 @@ object ReferenceModels {
   def factOrderItems(stgOrderItems: DataFrame): DataFrame =
     stgOrderItems.select(col("order_id"), col("product_id"), col("user_id"),
       col("session_id"), col("quantity"), col("price"), col("line_amount"),
-      col("order_time").as("order_ts"), col("order_date"))
+      col("order_ts"), col("order_ts").cast("date").as("order_date"))
+
+  /** fact_sessions.sql:8-48 — J1 left join of sessions to a per-session
+    * order rollup (A2), coalesce defaults, has_order flag (P10/P11). */
+  def factSessions(stgSessions: DataFrame, stgOrders: DataFrame): DataFrame = {
+    val perSession = stgOrders.groupBy(col("session_id"))
+      .agg(countDistinct(col("order_id")).as("o_n"),
+        sum(col("order_total_amount").cast(dec)).cast("double").as("o_rev"))
+    stgSessions.join(perSession, Seq("session_id"), "left")
+      .select(col("session_id"), col("user_id"), col("session_start_ts"),
+        col("session_end_ts"), col("session_duration_sec"),
+        col("event_count"),
+        (coalesce(col("o_n"), lit(0L)) > 0).as("has_order"),
+        coalesce(col("o_n"), lit(0L)).as("orders_in_session"),
+        coalesce(col("o_rev"), lit(0.0)).as("revenue_in_session"))
+  }
+
+  // ──────────────────────────── dimensions ────────────────────────────
 
   /** dim_session_context.sql:5-27 — W3 first-event-per-session
     * attribution (row_number asc, rn = 1) over fact_events. */
@@ -112,155 +153,179 @@ object ReferenceModels {
       .select(col("session_id"), col("country"), col("device"),
         col("referrer"), col("source_system"))
 
-  /** fact_sessions.sql:25-48 — J1 left join of sessions to a per-session
-    * order rollup (A2), coalesce defaults, has_order flag (P10/P11). */
-  def factSessions(stgSessions: DataFrame, stgOrders: DataFrame): DataFrame = {
-    val perSession = stgOrders.groupBy(col("session_id"))
-      .agg(countDistinct(col("order_id")).as("n_orders_raw"),
-        sum(col("order_total_amount").cast(dec)).cast("double")
-          .as("order_amount_raw"))
-    stgSessions.join(perSession, Seq("session_id"), "left")
-      .withColumn("n_orders", coalesce(col("n_orders_raw"), lit(0L)))
-      .withColumn("order_amount", coalesce(col("order_amount_raw"), lit(0.0)))
-      .withColumn("has_order", col("n_orders") > 0)
-      .withColumn("session_date", col("session_start_ts").cast("date"))
-      .drop("n_orders_raw", "order_amount_raw")
-  }
-
-  /** dim_users.sql:5-35 — user event lifecycle ⟕ order lifecycle (J2). */
-  def dimUsers(stgEvents: DataFrame, stgOrders: DataFrame): DataFrame = {
-    val ev = stgEvents.groupBy(col("user_id"))
-      .agg(min(col("event_time")).as("first_seen_ts"),
-        max(col("event_time")).as("last_seen_ts"))
-    val ord = stgOrders.groupBy(col("user_id"))
-      .agg(min(col("order_time")).as("first_order_ts"),
-        countDistinct(col("order_id")).as("lifetime_orders"),
-        sum(col("order_total_amount").cast(dec)).cast("double")
-          .as("lifetime_value"))
+  /** dim_users.sql:5-35 — user event lifecycle ⟕ order lifecycle (J2),
+    * both sides filtered to non-null users. */
+  def dimUsers(factEvents: DataFrame, factOrders: DataFrame): DataFrame = {
+    val ev = factEvents.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("event_ts")).as("first_seen_ts"),
+        max(col("event_ts")).as("last_seen_ts"))
+    val ord = factOrders.filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("order_ts")).as("first_order_ts"),
+        countDistinct(col("order_id")).as("o_n"),
+        sum(col("order_total_amount").cast(dec)).cast("double").as("o_rev"))
     ev.join(ord, Seq("user_id"), "left")
-      .withColumn("lifetime_orders", coalesce(col("lifetime_orders"), lit(0L)))
-      .withColumn("lifetime_value", coalesce(col("lifetime_value"), lit(0.0)))
+      .select(col("user_id"), col("first_seen_ts"), col("last_seen_ts"),
+        col("first_order_ts"),
+        coalesce(col("o_n"), lit(0L)).as("total_orders"),
+        coalesce(col("o_rev"), lit(0.0)).as("lifetime_revenue"))
   }
 
-  /** dim_products.sql:5-13 — product sales totals (A5). */
-  def dimProducts(stgOrderItems: DataFrame): DataFrame =
-    stgOrderItems.filter(col("product_id").isNotNull)
+  /** dim_products.sql:5-13 — product sales totals (A5) over
+    * fact_order_items. */
+  def dimProducts(factOrderItems: DataFrame): DataFrame =
+    factOrderItems.filter(col("product_id").isNotNull)
       .groupBy(col("product_id"))
-      .agg(min(col("order_time")).as("first_sold_ts"),
-        sum(col("quantity")).cast("bigint").as("total_units"),
-        sum(col("line_amount").cast(dec)).cast("double").as("total_amount"))
+      .agg(min(col("order_ts")).as("first_sold_ts"),
+        sum(col("quantity")).cast("bigint").as("total_units_sold"),
+        sum(col("line_amount").cast(dec)).cast("double").as("total_revenue"))
 
   /** dim_date.sql:5-30 — A6 bounds + G2 generate_series spine with
-    * calendar attributes. */
-  def dimDate(stgEvents: DataFrame): DataFrame =
-    stgEvents.agg(min(col("event_date")).as("lo"),
+    * calendar attributes (dow ∈ {0=Sun, 6=Sat} ⇔ Spark dayofweek
+    * ∈ {1, 7}). */
+  def dimDate(factEvents: DataFrame): DataFrame =
+    factEvents.agg(min(col("event_date")).as("lo"),
         max(col("event_date")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("interval 1 day"))).as("date"))
-      .select(col("date"), year(col("date")).as("year"),
-        quarter(col("date")).as("quarter"), month(col("date")).as("month"),
-        dayofmonth(col("date")).as("day_of_month"),
-        dayofweek(col("date")).as("day_of_week"),
+      .select(col("date"),
+        dayofmonth(col("date")).as("day"),
+        weekofyear(col("date")).as("week"),
+        month(col("date")).as("month"),
+        quarter(col("date")).as("quarter"),
+        year(col("date")).as("year"),
         dayofweek(col("date")).isin(1, 7).as("is_weekend"))
 
-  /** metrics_daily_kpis.sql:5-57 — date spine ⟕ daily sessions ⟕ daily
-    * orders ⟕ converting sessions (J3/J4, A7-A9), guarded rates. */
-  def metricsDailyKpis(factSessions: DataFrame, stgOrders: DataFrame,
+  // ───────────────────────────── metrics ─────────────────────────────
+
+  /** metrics_daily_kpis.sql:5-61 — date spine ⟕ daily sessions ⟕ daily
+    * orders ⟕ converting sessions (J3/J4, A7-A9); CASE-guarded rates with
+    * the reference's exact null/zero propagation. */
+  def metricsDailyKpis(factSessions: DataFrame, factOrders: DataFrame,
       dimDate: DataFrame): DataFrame = {
-    val daily = factSessions.groupBy(col("session_date").as("date"))
-      .agg(count(lit(1)).as("sessions"),
-        countDistinct(col("user_id")).as("dau"))
-    val orders = stgOrders
-      .filter(col("order_status") === "completed")
-      .groupBy(col("order_date").as("date"))
-      .agg(countDistinct(col("order_id")).as("orders"),
+    val sessions = factSessions
+      .groupBy(col("session_start_ts").cast("date").as("date"))
+      .agg(count(lit(1)).as("s_sessions"),
+        countDistinct(col("user_id")).as("s_dau"))
+    val orders = factOrders
+      .groupBy(col("order_ts").cast("date").as("date"))
+      .agg(countDistinct(col("order_id")).as("o_orders"),
         sum(col("order_total_amount").cast(dec)).cast("double")
-          .as("revenue"))
-    val converting = factSessions.filter(col("has_order"))
-      .groupBy(col("session_date").as("date"))
-      .agg(countDistinct(col("session_id")).as("converting_sessions"))
+          .as("o_revenue"),
+        (sum(col("order_total_amount").cast(dec)).cast("double") /
+          count(col("order_total_amount")).cast("double"))
+          .as("o_aov"))
+    val swo = factSessions.as("s")
+      .join(factOrders.as("o"), col("s.session_id") === col("o.session_id"))
+      .groupBy(col("s.session_start_ts").cast("date").as("date"))
+      .agg(countDistinct(col("s.session_id")).as("c_swo"))
     dimDate.select(col("date"))
-      .join(daily, Seq("date"), "left")
+      .join(sessions, Seq("date"), "left")
       .join(orders, Seq("date"), "left")
-      .join(converting, Seq("date"), "left")
+      .join(swo, Seq("date"), "left")
       .select(col("date"),
-        coalesce(col("sessions"), lit(0L)).as("sessions"),
-        coalesce(col("dau"), lit(0L)).as("dau"),
-        coalesce(col("orders"), lit(0L)).as("orders"),
-        coalesce(col("revenue"), lit(0.0)).as("revenue"),
-        coalesce(col("converting_sessions"), lit(0L))
-          .as("converting_sessions"))
-      .withColumn("aov", when(col("orders") === 0, lit(null))
-        .otherwise(col("revenue") / col("orders").cast("double")))
-      .withColumn("conversion_rate", when(col("sessions") === 0, lit(null))
-        .otherwise(col("converting_sessions").cast("double") /
-          col("sessions").cast("double")))
+        coalesce(col("s_dau"), lit(0L)).as("daily_active_users"),
+        coalesce(col("s_sessions"), lit(0L)).as("sessions"),
+        coalesce(col("o_orders"), lit(0L)).as("orders"),
+        coalesce(col("o_revenue"), lit(0.0)).as("revenue"),
+        coalesce(col("o_aov"), lit(0.0)).as("avg_order_value"),
+        when(col("s_sessions") > 0,
+          col("o_orders").cast("double") / col("s_sessions").cast("double"))
+          .otherwise(0.0).as("conversion_rate"),
+        when(col("s_sessions") > 0,
+          col("c_swo").cast("double") / col("s_sessions").cast("double"))
+          .otherwise(0.0).as("sessions_with_order_pct"))
   }
 
-  /** metrics_daily_funnel.sql:5-38 — per-(session,date) funnel flags
-    * (A10) rolled up daily (A11), J5 composite-key join to orders.
-    * Uses the REAL event types (§2.12 item 3). */
-  def metricsDailyFunnel(stgEvents: DataFrame, stgOrders: DataFrame)
+  /** metrics_daily_funnel.sql:5-38 — per-(date, session) funnel flags
+    * (A10) rolled up daily (A11), J5 composite-key join to orders. Uses
+    * the REAL `view_product` event type (§2.12 item 3). */
+  def metricsDailyFunnel(factEvents: DataFrame, factOrders: DataFrame)
       : DataFrame = {
-    val flags = stgEvents.groupBy(col("event_date").as("date"),
-        col("session_id"))
+    val flags = factEvents
+      .groupBy(col("event_ts").cast("date").as("date"), col("session_id"))
       .agg(
         max(when(col("event_type") === "view_product", 1).otherwise(0))
-          .as("f_view"),
+          .as("viewed_product"),
         max(when(col("event_type") === "add_to_cart", 1).otherwise(0))
-          .as("f_cart"),
+          .as("added_to_cart"),
         max(when(col("event_type") === "checkout_start", 1).otherwise(0))
-          .as("f_checkout"),
-        max(when(col("event_type") === "purchase", 1).otherwise(0))
-          .as("f_purchase"))
-    val orders = stgOrders.select(col("session_id"),
-      col("order_date").as("date")).distinct()
+          .as("checkout_started"))
+    val orders = factOrders.select(col("session_id"),
+      col("order_ts").cast("date").as("date")).distinct()
+      .withColumn("had_order", lit(1))
+    // flags is unique per (date, session) and orders is distinct, so
+    // count(had_order) == the reference's count(distinct o.session_id)
     flags.join(orders, Seq("session_id", "date"), "left")
       .groupBy(col("date"))
       .agg(countDistinct(col("session_id")).as("sessions"),
-        sum(col("f_view")).cast("bigint").as("sessions_viewed"),
-        sum(col("f_cart")).cast("bigint").as("sessions_carted"),
-        sum(col("f_checkout")).cast("bigint").as("sessions_checkout"),
-        sum(col("f_purchase")).cast("bigint").as("sessions_purchased"))
+        sum(col("viewed_product")).cast("bigint")
+          .as("sessions_with_product_view"),
+        sum(col("added_to_cart")).cast("bigint")
+          .as("sessions_with_add_to_cart"),
+        sum(col("checkout_started")).cast("bigint")
+          .as("sessions_with_checkout"),
+        count(col("had_order")).as("sessions_with_order"))
   }
 
-  /** metrics_user_lifecycle.sql:5-46 — per-user session/order lifecycle
-    * (A12/A13, J6), days_to_first_purchase ≥ 0 or null. */
-  def metricsUserLifecycle(stgSessions: DataFrame, stgOrders: DataFrame)
+  /** metrics_user_lifecycle.sql:5-50 — per-user session/order lifecycle
+    * (A12/A13, J6); days_to_first_purchase is null when there is no order
+    * OR the first order predates the first session (reference's explicit
+    * guard, :33-37). */
+  def metricsUserLifecycle(factSessions: DataFrame, factOrders: DataFrame)
       : DataFrame = {
-    val s = stgSessions.groupBy(col("user_id"))
+    val s = factSessions.groupBy(col("user_id"))
       .agg(min(col("session_start_ts")).as("first_session_ts"),
         count(lit(1)).as("total_sessions"))
-    val o = stgOrders.groupBy(col("user_id"))
-      .agg(min(col("order_time")).as("first_order_ts"),
-        countDistinct(col("order_id")).as("total_orders"),
-        sum(col("order_total_amount").cast(dec)).cast("double")
-          .as("total_spend"))
+    val o = factOrders.groupBy(col("user_id"))
+      .agg(min(col("order_ts")).as("first_order_ts"),
+        countDistinct(col("order_id")).as("o_n"),
+        sum(col("order_total_amount").cast(dec)).cast("double").as("o_rev"),
+        (sum(col("order_total_amount").cast(dec)).cast("double") /
+          count(col("order_total_amount")).cast("double")).as("o_aov"))
     s.join(o, Seq("user_id"), "left")
-      .withColumn("total_orders", coalesce(col("total_orders"), lit(0L)))
-      .withColumn("total_spend", coalesce(col("total_spend"), lit(0.0)))
-      .withColumn("days_to_first_purchase",
-        datediff(col("first_order_ts").cast("date"),
-          col("first_session_ts").cast("date")))
+      .select(col("user_id"),
+        col("first_session_ts").cast("date").as("first_seen_date"),
+        col("first_order_ts").cast("date").as("first_order_date"),
+        when(col("first_order_ts").isNull, lit(null).cast("int"))
+          .when(col("first_order_ts") < col("first_session_ts"),
+            lit(null).cast("int"))
+          .otherwise(datediff(col("first_order_ts").cast("date"),
+            col("first_session_ts").cast("date")))
+          .as("days_to_first_purchase"),
+        col("total_sessions"),
+        coalesce(col("o_n"), lit(0L)).as("total_orders"),
+        coalesce(col("o_rev"), lit(0.0)).as("lifetime_revenue"),
+        coalesce(col("o_aov"), lit(0.0)).as("avg_order_value"),
+        coalesce(col("o_n") > 1, lit(false)).as("is_repeat_buyer"))
   }
 
-  /** metrics_product_performance_daily.sql:5-47 — per-(date,product)
-    * sales (A14, J7) ⟕ views (A15, J8), with the real `view_product`. */
-  def metricsProductPerformanceDaily(stgOrderItems: DataFrame,
-      stgEvents: DataFrame): DataFrame = {
-    val sales = stgOrderItems
-      .filter(col("order_status") === "completed")
-      .groupBy(col("order_date").as("date"), col("product_id"))
-      .agg(sum(col("quantity")).cast("bigint").as("units_sold"),
-        countDistinct(col("order_id")).as("orders"),
-        sum(col("line_amount").cast(dec)).cast("double").as("revenue"))
-    val views = stgEvents.filter(col("event_type") === "view_product")
-      .groupBy(col("event_date").as("date"), col("product_id"))
+  /** metrics_product_performance_daily.sql:5-47 — per-(date, product)
+    * sales (A14, J7) via the items⨝orders join, ⟕ viewing sessions
+    * (A15, J8) with the real `view_product`. */
+  def metricsProductPerformanceDaily(factOrderItems: DataFrame,
+      factOrders: DataFrame, factEvents: DataFrame): DataFrame = {
+    val sales = factOrderItems.as("oi")
+      .join(factOrders.as("o"), col("oi.order_id") === col("o.order_id"))
+      .groupBy(col("o.order_ts").cast("date").as("date"),
+        col("oi.product_id").as("product_id"))
+      .agg(sum(col("oi.quantity")).cast("bigint").as("units_sold"),
+        countDistinct(col("o.order_id")).as("orders_with_product"),
+        sum((col("oi.quantity").cast(dec) * col("oi.price").cast(dec)))
+          .cast("double").as("product_revenue"),
+        (sum(col("oi.price").cast(dec)).cast("double") /
+          count(col("oi.price")).cast("double")).as("avg_price"))
+    val views = factEvents.filter(col("event_type") === "view_product")
+      .groupBy(col("event_ts").cast("date").as("date"), col("product_id"))
       .agg(countDistinct(col("session_id")).as("sessions_viewed"))
     sales.join(views, Seq("date", "product_id"), "left")
-      .withColumn("sessions_viewed", coalesce(col("sessions_viewed"), lit(0L)))
-      .withColumn("view_to_buy_rate", when(col("sessions_viewed") === 0,
-        lit(null)).otherwise(col("orders").cast("double") /
-          col("sessions_viewed").cast("double")))
+      .select(col("date"), col("product_id"), col("units_sold"),
+        col("orders_with_product"), col("product_revenue"),
+        col("avg_price"),
+        when(col("sessions_viewed") > 0,
+          col("orders_with_product").cast("double") /
+            col("sessions_viewed").cast("double"))
+          .otherwise(0.0).as("product_conversion_rate"))
   }
 }

@@ -1,58 +1,30 @@
 package graft
 
-import graft.datagen.Generator
 import graft.etl.ReferenceModels._
 import graft.operators.Quality
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import java.time.Instant
 
-/** End-to-end over the reference-shaped generator: the full dbt-DAG
-  * re-expression (staging → facts/dims → metrics) must satisfy the
-  * reference's schema.yml test corpus semantics (§2.11) plus structural
-  * invariants the reference never even checked. */
+/** The dbt-DAG re-expression as PURE transforms (staging → facts/dims →
+  * metrics) over the reference-shaped generator: schema.yml semantics
+  * (§2.11) plus structural invariants the reference never even checked.
+  * (The materializing runner + full schema.yml corpus gate is
+  * ReferencePipelineSpec.) */
 class ReferenceModelsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  lazy val gen = new Generator(seed = 894L)
-  lazy val sim = gen.simulate(Instant.parse("2024-06-01T00:00:00Z"),
-    hours = 6, sessionsPerHour = 40)
-
-  lazy val bronzeEvents: DataFrame = {
-    val rows = sim.zipWithIndex.flatMap { case ((evs, _), h) =>
-      evs.map(e => (e.eventId, e.eventType, e.version, e.userId,
-        e.sessionId, e.productId, java.sql.Timestamp.from(e.eventTime),
-        java.sql.Timestamp.from(e.sourceIngestedAt), e.device, e.country,
-        e.userAgent, e.referrer, e.experimentId, h.toLong))
-    }
-    rows.toDF("event_id", "event_type", "version", "user_id", "session_id",
-      "product_id", "event_time", "source_ingested_at", "device", "country",
-      "user_agent", "referrer", "experiment_id", "batch_id")
-      .withColumn("pipeline_ingested_at", col("source_ingested_at"))
-  }
-
-  lazy val bronzeOrders: DataFrame = {
-    val rows = sim.zipWithIndex.flatMap { case ((_, ords), h) =>
-      ords.map(o => (o.orderId, o.sessionId, o.userId,
-        o.items.map(i => (i.productId, i.quantity, i.price)),
-        o.orderStatus, java.sql.Timestamp.from(o.orderTime),
-        java.sql.Timestamp.from(o.sourceIngestedAt), h.toLong))
-    }
-    rows.toDF("order_id", "session_id", "user_id", "items_raw",
-      "order_status", "order_time", "source_ingested_at", "batch_id")
-      .withColumn("items", expr(
-        "transform(items_raw, x -> named_struct(" +
-          "'product_id', x._1, 'quantity', x._2, 'price', x._3))"))
-      .drop("items_raw")
-      .withColumn("pipeline_ingested_at", col("source_ingested_at"))
-  }
+  lazy val (bronzeEvents, bronzeOrders) = ReferenceFixtures.bronze(spark, 6)
 
   lazy val events = stgClickstreamEvents(bronzeEvents).cache()
   lazy val sessions = stgClickstreamSessions(events).cache()
   lazy val orders = stgOrders(bronzeOrders).cache()
   lazy val items = stgOrderItems(orders).cache()
+  lazy val fe: DataFrame = factEvents(events).cache()
+  lazy val fo: DataFrame = factOrders(orders).cache()
+  lazy val fi: DataFrame = factOrderItems(items).cache()
+  lazy val fs: DataFrame = factSessions(sessions, orders).cache()
 
   test("generator injects the documented pathologies") {
     val raw = bronzeEvents.count()
@@ -75,10 +47,26 @@ class ReferenceModelsSpec extends AnyFunSuite {
   test("staging dedup: silver keys unique even with injected duplicates") {
     assert(Quality.unique(events, Seq("event_id")) == 0)
     assert(Quality.unique(orders, Seq("order_id")) == 0)
-    assert(Quality.notNull(events, "event_time") == 0)
+    assert(Quality.notNull(events, "event_ts") == 0)
   }
 
-  test("schema.yml test corpus: relationships + ranges hold") {
+  test("staging output columns match the reference SQL exactly") {
+    assert(events.columns.toSeq == Seq("event_id", "event_type", "user_id",
+      "session_id", "product_id", "event_ts", "event_date", "country",
+      "device", "experiment_id", "referrer", "source_system",
+      "pipeline_ingested_at"))
+    assert(sessions.columns.toSeq == Seq("session_id", "user_id",
+      "session_start_ts", "session_end_ts", "session_duration_sec",
+      "event_count"))
+    assert(orders.columns.toSeq == Seq("order_id", "user_id", "session_id",
+      "items", "order_status", "order_ts", "item_count",
+      "order_total_amount", "source_system", "pipeline_ingested_at"))
+    assert(items.columns.toSeq == Seq("order_id", "user_id", "session_id",
+      "product_id", "quantity", "price", "line_amount", "order_ts",
+      "pipeline_ingested_at"))
+  }
+
+  test("schema.yml test corpus: relationships + ranges hold on staging") {
     Quality.run(Seq(
       "items_order_fk" -> (() =>
         Quality.relationships(items, "order_id", orders, "order_id")),
@@ -89,7 +77,8 @@ class ReferenceModelsSpec extends AnyFunSuite {
       "quantity_positive" -> (() =>
         Quality.expressionIsTrue(items, col("quantity") > 0)),
       "duration_nonneg" -> (() =>
-        Quality.expressionIsTrue(sessions, col("session_duration_s") >= 0))),
+        Quality.expressionIsTrue(sessions,
+          col("session_duration_sec") >= 0))),
       failFast = true)
     succeed
   }
@@ -108,45 +97,46 @@ class ReferenceModelsSpec extends AnyFunSuite {
   }
 
   test("gold: funnel is monotone and kpis reconcile with orders") {
-    val funnel = metricsDailyFunnel(events, orders)
+    val funnel = metricsDailyFunnel(fe, fo)
     assert(Quality.expressionIsTrue(funnel,
-      col("sessions_viewed") >= col("sessions_carted") &&
-        col("sessions_carted") >= col("sessions_checkout")) == 0)
+      col("sessions_with_product_view") >= col("sessions_with_add_to_cart")
+        && col("sessions_with_add_to_cart") >=
+          col("sessions_with_checkout")) == 0)
     // funnel actually fires (the reference's product_view bug zeroed it)
-    assert(funnel.agg(sum("sessions_viewed")).first().getLong(0) > 0)
+    assert(funnel.agg(sum("sessions_with_product_view"))
+      .first().getLong(0) > 0)
 
-    val fs = factSessions(sessions, orders)
-    val kpis = metricsDailyKpis(fs, orders, dimDate(events))
+    val kpis = metricsDailyKpis(fs, fo, dimDate(fe))
+    // KPI revenue covers ALL orders (the reference applies no status
+    // filter, metrics_daily_kpis.sql:15-22)
     val revKpis = kpis.agg(sum(col("revenue").cast("decimal(18,4)")))
       .first().getDecimal(0)
-    val revOrders = orders.filter(col("order_status") === "completed")
+    val revOrders = orders
       .agg(sum(col("order_total_amount").cast("decimal(18,4)")))
       .first().getDecimal(0)
     assert(revKpis.compareTo(revOrders) == 0)
 
-    val lifecycle = metricsUserLifecycle(sessions, orders)
+    val lifecycle = metricsUserLifecycle(fs, fo)
     assert(Quality.expressionIsTrue(lifecycle,
       col("days_to_first_purchase").isNull ||
         col("days_to_first_purchase") >= 0) == 0)
 
-    val perf = metricsProductPerformanceDaily(items, events)
+    val perf = metricsProductPerformanceDaily(fi, fo, fe)
     assert(Quality.unique(perf, Seq("date", "product_id")) == 0)
 
-    val du = dimUsers(events, orders)
+    val du = dimUsers(fe, fo)
     assert(Quality.unique(du, Seq("user_id")) == 0)
-    val dp = dimProducts(items)
+    val dp = dimProducts(fi)
     assert(Quality.unique(dp, Seq("product_id")) == 0)
   }
 
   test("facts are grain-preserving projections; dim_session_context" +
       " attributes first-touch per session") {
-    val fe = factEvents(events)
     assert(fe.count() == events.count())
-    assert(fe.columns.contains("event_ts") && fe.columns.contains("source_system"))
-    val fo = factOrders(orders)
+    assert(fe.columns.contains("event_ts") &&
+      fe.columns.contains("source_system"))
     assert(fo.count() == orders.count())
     assert(Quality.unique(fo, Seq("order_id")) == 0)
-    val fi = factOrderItems(items)
     assert(fi.count() == items.count())
     val ctx = dimSessionContext(fe)
     assert(Quality.unique(ctx, Seq("session_id")) == 0)
