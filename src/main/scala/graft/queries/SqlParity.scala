@@ -1,15 +1,26 @@
 package graft.queries
 
-/** Spark-SQL texts for representative catalog queries — the thin SQL
-  * layer of the engine (SURVEY §0): the same computation a user would
+/** Spark-SQL texts for the SQL-expressible relational catalog — the thin
+  * SQL layer of the engine (SURVEY §0): the same computation a user would
   * type into `spark.sql(...)` against registered table views. The
   * DataFrame implementation stays the engine of record (it is what the
   * driver's oracle gates); SqlParitySpec proves the SQL surface returns
   * IDENTICAL rows, so callers can freely mix the two.
   *
-  * Dialect notes vs the DuckDB oracle strings: Spark spells integer
-  * division `div`, timestamps `TIMESTAMP '…'`, and supports
-  * GROUPING(...)/ROLLUP/CUBE natively with the same bitmask order.
+  * Dialect notes vs the DuckDB oracle strings: Spark spells epoch
+  * microseconds `unix_micros` (DuckDB `epoch_us`), date spines
+  * `explode(sequence(...))` (DuckDB `unnest(generate_series(...))`),
+  * day-diffs `datediff(end, start)` (DuckDB `date_diff('day', s, e)`),
+  * and timestamps `TIMESTAMP '…'`; GROUPING/ROLLUP/CUBE are native with
+  * the same bitmask order. Where the engine of record uses a scale-safe
+  * plan shape (q17's pre-aggregated distinct branches), the SQL spells
+  * the same shape via CTEs rather than the Expand×3 dual-COUNT(DISTINCT)
+  * form — the SQL a user SHOULD run at 100 TB.
+  *
+  * Not in this map: queries whose surface is an operator API rather than
+  * SQL (q14 salting, q28 as-of carry-forward, q29 HLL sketch), and the
+  * corpus catalogs (d/s/t/m) whose native expressions (minhash, rolling
+  * fingerprint) have no Spark-SQL spelling.
   */
 object SqlParity {
 
@@ -32,6 +43,51 @@ object SqlParity {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
 
+    "q02_projection_case" -> """
+      SELECT o_orderkey,
+        upper(o_orderpriority) AS priority_uc,
+        CAST(o_orderdate AS DATE) AS order_date,
+        CASE WHEN o_orderstatus = 'F' THEN 'done'
+             WHEN o_orderstatus = 'O' THEN 'open'
+             ELSE 'other' END AS status_label,
+        CASE WHEN o_totalprice >= 200000 THEN 'high'
+             WHEN o_totalprice >= 50000 THEN 'mid'
+             ELSE 'low' END AS price_band
+      FROM orders
+      WHERE o_totalprice > 1000 AND o_orderdate IS NOT NULL
+      ORDER BY o_orderkey""",
+
+    "q03_dim_join" -> s"""
+      SELECT /*+ BROADCAST(nation), BROADCAST(region) */
+        r_name, n_name, COUNT(*) AS n_customers,
+        ${decSumSql("c_acctbal")} AS sum_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""",
+
+    "q04_join_agg" -> s"""
+      SELECT o_orderkey, o_orderdate,
+        ${decSumExprSql(s"${d2Sql("l_extendedprice")} * (1 - ${drSql("l_discount")})")} AS revenue,
+        COUNT(*) AS n_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY o_orderkey""",
+
+    "q05_left_join_rollup" -> s"""
+      SELECT c_custkey, c_name,
+        COALESCE(n_orders_raw, 0L) AS n_orders,
+        COALESCE(spend_raw, 0.0D) AS total_spend,
+        COALESCE(n_orders_raw, 0L) > 0 AS has_order
+      FROM customer LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS n_orders_raw,
+          ${decSumSql("o_totalprice")} AS spend_raw
+        FROM orders GROUP BY o_custkey
+      ) pc ON c_custkey = o_custkey
+      ORDER BY c_custkey""",
+
     "q06_anti_join" -> """
       SELECT c_custkey, c_name, c_mktsegment
       FROM customer
@@ -47,11 +103,199 @@ object SqlParity {
                       AND o_orderstatus = 'F')
       ORDER BY c_custkey""",
 
+    "q08_dedup_latest" -> """
+      SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT user_id, event_type, event_id, ts, value,
+          row_number() OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+      ORDER BY user_id, event_type""",
+
+    "q09_first_touch" -> """
+      SELECT user_id, event_id AS first_event_id, ts AS first_ts,
+        event_type AS first_event_type FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events) WHERE rn = 1
+      ORDER BY user_id""",
+
+    "q10_window_funcs" -> """
+      SELECT user_id, event_id, ts, value,
+        row_number() OVER w AS rn,
+        lag(value, 1) OVER w AS prev_value,
+        lead(event_id, 1) OVER w AS next_event_id,
+        COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS running_events,
+        unix_micros(ts) - lag(unix_micros(ts), 1) OVER w AS gap_us
+      FROM events WHERE user_id < 200
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      ORDER BY user_id, rn""",
+
+    "q11_sessionize" -> """
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+              > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      assigned AS (
+        SELECT user_id, ts,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_idx
+        FROM flagged)
+      SELECT user_id, session_idx,
+        MIN(ts) AS session_start_ts,
+        MAX(ts) AS session_end_ts,
+        COUNT(*) AS n_events,
+        unix_micros(MAX(ts)) - unix_micros(MIN(ts)) AS duration_us
+      FROM assigned GROUP BY user_id, session_idx
+      ORDER BY user_id, session_idx""",
+
+    "q12_funnel" -> s"""
+      WITH flags AS (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+          MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f_view,
+          MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f_click,
+          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f_purchase
+        FROM events GROUP BY 1, 2)
+      SELECT day, COUNT(DISTINCT user_id) AS users,
+        SUM(f_view) AS viewers,
+        SUM(f_click) AS clickers,
+        SUM(f_purchase) AS purchasers,
+        ${rateSql("SUM(f_purchase)", "SUM(f_view)")} AS view_to_purchase_rate
+      FROM flags GROUP BY day ORDER BY day""",
+
+    "q13_date_spine" -> """
+      WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+          CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders),
+      spine AS (
+        SELECT explode(sequence(lo, hi, INTERVAL 1 DAY)) AS date FROM bounds)
+      SELECT date,
+        year(date) AS year,
+        quarter(date) AS quarter,
+        month(date) AS month,
+        dayofmonth(date) AS day_of_month,
+        dayofweek(date) AS day_of_week,
+        dayofweek(date) IN (1, 7) AS is_weekend
+      FROM spine ORDER BY date""",
+
+    "q15_daily_kpis" -> s"""
+      WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day,
+          COUNT(*) AS n_events,
+          COUNT(DISTINCT user_id) AS dau,
+          COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+            AS purchasing_users
+        FROM events GROUP BY 1),
+      ord AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+          COUNT(DISTINCT o_orderkey) AS n_orders,
+          ${decSumSql("o_totalprice")} AS revenue,
+          ${decAvgSql("o_totalprice")} AS aov
+        FROM orders GROUP BY 1),
+      bounds AS (
+        SELECT MIN(day) AS lo, MAX(day) AS hi FROM
+          (SELECT day FROM ev UNION ALL SELECT day FROM ord)),
+      spine AS (
+        SELECT explode(sequence(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds)
+      SELECT spine.day,
+        COALESCE(n_events, 0L) AS n_events,
+        COALESCE(dau, 0L) AS dau,
+        COALESCE(purchasing_users, 0L) AS purchasing_users,
+        ${rateSql("COALESCE(purchasing_users, 0L)", "COALESCE(dau, 0L)")}
+          AS purchase_user_rate,
+        COALESCE(n_orders, 0L) AS n_orders,
+        COALESCE(revenue, 0.0D) AS revenue,
+        aov
+      FROM spine LEFT JOIN ev ON spine.day = ev.day
+        LEFT JOIN ord ON spine.day = ord.day
+      ORDER BY spine.day""",
+
+    "q16_user_lifecycle" -> s"""
+      SELECT user_id,
+        MIN(ts) AS first_seen_ts,
+        MAX(ts) AS last_seen_ts,
+        COUNT(*) AS n_events,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END)
+          AS n_purchases,
+        ${decSumSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0D END")}
+          AS purchase_value,
+        COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+          AS first_purchase_ts,
+        datediff(
+          CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE),
+          CAST(MIN(ts) AS DATE)) AS days_to_first_purchase
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // The scale-safe shape, same as the engine of record: plain sums in one
+    // pass, each distinct count as its own pre-aggregated branch — NOT the
+    // dual-COUNT(DISTINCT) form Catalyst plans as Expand×3.
+    "q17_product_perf" -> s"""
+      WITH base AS (
+        SELECT /*+ BROADCAST(part) */
+          CAST(date_trunc('MONTH', l_shipdate) AS DATE) AS month, p_brand,
+          l_quantity, l_extendedprice, l_discount, l_orderkey, l_partkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      sums AS (
+        SELECT month, p_brand,
+          ${decSumSql("l_quantity")} AS units,
+          ${decSumExprSql(s"${d2Sql("l_extendedprice")} * (1 - ${drSql("l_discount")})")} AS revenue
+        FROM base GROUP BY month, p_brand),
+      ord AS (
+        SELECT month, p_brand, COUNT(*) AS n_orders FROM
+          (SELECT DISTINCT month, p_brand, l_orderkey FROM base)
+        GROUP BY month, p_brand),
+      prt AS (
+        SELECT month, p_brand, COUNT(*) AS n_parts FROM
+          (SELECT DISTINCT month, p_brand, l_partkey FROM base)
+        GROUP BY month, p_brand)
+      SELECT month, p_brand, units, revenue, n_orders, n_parts
+      FROM sums JOIN ord USING (month, p_brand)
+        JOIN prt USING (month, p_brand)
+      ORDER BY month, p_brand""",
+
+    "q18_set_ops" -> """
+      SELECT custkey FROM (
+        SELECT custkey FROM (
+          (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+          EXCEPT
+          SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        UNION
+        SELECT c_custkey FROM customer WHERE c_nationkey = 3)
+      ORDER BY custkey""",
+
     "q19_top_k" -> s"""
       SELECT o_custkey, ${decSumSql("o_totalprice")} AS spend,
         COUNT(*) AS n_orders
       FROM orders GROUP BY o_custkey
       ORDER BY spend DESC, o_custkey ASC LIMIT 50""",
+
+    "q20_distinct" -> """
+      SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      ORDER BY c_mktsegment, c_nationkey""",
+
+    "q21_watermark" -> """
+      SELECT event_type, COUNT(*) AS n, MIN(ts) AS min_ts, MAX(ts) AS max_ts
+      FROM events
+      WHERE ts >= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+      GROUP BY event_type ORDER BY event_type""",
+
+    // SQL spelling of the per-order array reduction: the grouped form a SQL
+    // user writes; the engine of record demonstrates the no-explode
+    // aggregate() idiom over a collected array — identical exact-decimal
+    // results either way.
+    "q22_array_rollup" -> s"""
+      SELECT l_orderkey, CAST(COUNT(*) AS INT) AS item_count,
+        ${decSumExprSql(s"${d2Sql("l_quantity")} * ${d2Sql("l_extendedprice")}")} AS order_total
+      FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""",
 
     "q23_rollup" -> s"""
       SELECT r_name, n_name, COUNT(*) AS n_customers,
@@ -62,6 +306,41 @@ object SqlParity {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP (r_name, n_name)
       ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+
+    "q24_quality" -> """
+      SELECT
+        (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS null_custkey,
+        (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+          GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS dup_orderkey,
+        (SELECT COUNT(*) FROM orders WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS orphan_orders,
+        (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_lines,
+        (SELECT COUNT(*) FROM orders
+          WHERE NOT COALESCE(o_totalprice >= 0, FALSE)) AS neg_totalprice,
+        (SELECT COUNT(*) FROM lineitem
+          WHERE NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE)) AS bad_discount""",
+
+    "q26_json" -> """
+      SELECT from_json(props, 'k INT').k AS k, COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY k ASC NULLS FIRST""",
+
+    "q27_user_cross_join" -> s"""
+      WITH ev AS (
+        SELECT user_id, COUNT(*) AS n_events,
+          COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+        FROM events GROUP BY user_id),
+      ord AS (
+        SELECT o_custkey AS user_id,
+          COUNT(DISTINCT o_orderkey) AS n_orders,
+          ${decSumSql("o_totalprice")} AS total_spend
+        FROM orders GROUP BY o_custkey)
+      SELECT ev.user_id, n_events, active_days,
+        COALESCE(n_orders, 0L) AS n_orders,
+        COALESCE(total_spend, 0.0D) AS total_spend,
+        COALESCE(n_orders, 0L) > 0 AS is_buyer
+      FROM ev LEFT JOIN ord ON ev.user_id = ord.user_id
+      ORDER BY ev.user_id""",
 
     "q30_cube" -> s"""
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

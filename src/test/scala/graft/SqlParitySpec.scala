@@ -11,11 +11,13 @@ class SqlParitySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  private def registerViews(): Unit =
+  private def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem").foreach { t =>
       Tables.load(spark, sf, t).createOrReplaceTempView(t)
     }
+    Tables.events(spark, sf).createOrReplaceTempView("events")
+  }
 
   SqlParity.sql.foreach { case (name, text) =>
     test(s"spark.sql parity: $name") {
