@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object DedupQ {
 
   def all: Seq[Q] = Seq(d01Exact, d02MinhashLsh, d03Simhash, d04NgramJaccard,
-    d05EmbedNearDup, d06DedupClusters)
+    d05EmbedNearDup, d06DedupClusters, d07EmbedLshNearDup)
 
   /** Token bigram SETS per doc — the shingle basis for d02/d04. Native
     * ShinglesExpr (one loop) instead of the staggered-slice zip_with
@@ -332,6 +332,80 @@ object DedupQ {
     WHERE CASE WHEN na = 0 OR nb = 0 THEN NULL
       ELSE dot / (na * nb) END >= 0.4
     ORDER BY vec_a, vec_b"""))
+
+  /** Sign-bit LSH band layout for d07: 16 bands × 4 consecutive dims each,
+    * covering all 64 dims. Measured on the test corpus (sf0.01): recall
+    * 0.966 on true cos ≥ 0.4 pairs; 8×4 layouts measured 0.81-0.83. The
+    * corpus's near-dup pairs all sit in cos 0.40-0.51 — the HARD regime
+    * for sign-LSH (bit-collision p ≈ 0.63), hence many short bands. At a
+    * real near-dup threshold (cos ≥ 0.8, p ≈ 0.86) the same layout is far
+    * more selective; bits-per-band is the cost dial to re-tune per corpus
+    * size. */
+  private val d07Bands = 16
+  private val d07Bits = 4
+  private def d07BandDims(b: Int): Seq[Int] =
+    (0 until d07Bits).map(i => b * d07Bits + i)
+
+  /** Embedding near-dup at scale: the LSH-bucketed production path for
+    * d05's all-pairs scan. One pass computes 16 sign-bit band keys per
+    * vector (explode → (vec_id, band, 4-char key) — narrow); candidates
+    * are same-(band, key) id pairs, DISTINCT-deduped; verification joins
+    * candidates back to the normed corpus by vec_id and applies the exact
+    * cosine ≥ 0.4 test. Nothing all-pairs anywhere: the candidate join
+    * shuffles on short band keys, verify shuffles id pairs — the d02
+    * recipe applied to vectors. Zero false positives by construction
+    * (exact verify); recall vs d05 is gated in RecallSpec. */
+  val d07EmbedLshNearDup: Q = Q("d07_embed_lsh_neardup", (s, d) => {
+    val e = SimilarityQ.normed(s, d)
+    val banded = e.select(col("vec_id"),
+        explode(array((0 until d07Bands).map { b =>
+          struct(lit(b).as("band"),
+            graft.functions.VectorFns.signBucket(
+              col("embedding"), d07BandDims(b)).as("key"))
+        }: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        SimilarityQ.cosPre(col("a.embedding"), col("a.nrm"),
+          col("b.embedding"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }, {
+    val bandSelects = (0 until d07Bands).map { b =>
+      val key = d07BandDims(b).map(i =>
+        s"(CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"SELECT vec_id, $b AS band, $key AS key FROM embeddings"
+    }.mkString("\n      UNION ALL ")
+    Some(s"""
+    WITH bands AS (
+      $bandSelects),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        AND x.vec_id < y.vec_id),
+    verified AS (
+      SELECT vec_a, vec_b,
+        ${VectorSql.dot("a.embedding", "b.embedding")} AS dot,
+        ${VectorSql.norm("a.embedding")} AS na,
+        ${VectorSql.norm("b.embedding")} AS nb
+      FROM cand JOIN embeddings a ON vec_a = a.vec_id
+        JOIN embeddings b ON vec_b = b.vec_id)
+    SELECT vec_a, vec_b,
+      CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE dot / (na * nb) END AS cos
+    FROM verified
+    WHERE CASE WHEN na = 0 OR nb = 0 THEN NULL
+      ELSE dot / (na * nb) END >= 0.4
+    ORDER BY vec_a, vec_b""")
+  })
 }
 
 /** DuckDB SQL mirrors of VectorFns — ordered left-to-right double folds
