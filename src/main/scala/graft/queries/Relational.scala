@@ -24,7 +24,8 @@ object Relational {
     q13DateSpine, q15DailyKpis, q16UserLifecycle, q17ProductPerf,
     q18SetOps, q19TopK, q20Distinct, q21Watermark, q22ArrayRollup,
     q23Rollup, q24Quality, q25Pivot, q26Json, q27UserJoin,
-    q14SaltedJoin, q28AsofJoin, q29ApproxDistinct, q30Cube)
+    q14SaltedJoin, q28AsofJoin, q29ApproxDistinct, q30Cube,
+    q31Percentiles)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -752,4 +753,34 @@ object Relational {
       COUNT(*) AS n_events,
       TRUE AS approx_ok
     FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Exact quartiles per group (continuous/type-7 interpolation — the
+    * definition both Spark's `percentile` and DuckDB's `quantile_cont`
+    * implement). Restricted to the integer-valued `l_quantity` column so
+    * every interpolation intermediate ((n-1)·p, value deltas, products
+    * with {0,.25,.5,.75} fractions) is EXACT in binary — algebraically
+    * equivalent engine formulas then give bit-identical doubles; on
+    * 2-decimal money columns the same query would drift by formula
+    * association order. Exact percentile is a sort-based aggregate (one
+    * shuffle on the group key, per-group sort); at 100 TB you'd reach for
+    * approx_percentile's mergeable t-digest-style sketch (same plan shape
+    * as q29's HLL) and gate it with a bound column. */
+  val q31Percentiles: Q = Q("q31_percentiles", (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        percentile(col("l_quantity"), lit(0.25)).as("p25_qty"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+  }, Some("""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+      quantile_cont(l_quantity, 0.25) AS p25_qty,
+      quantile_cont(l_quantity, 0.5) AS p50_qty,
+      quantile_cont(l_quantity, 0.75) AS p75_qty,
+      MIN(l_quantity) AS min_qty,
+      MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 }

@@ -351,5 +351,14 @@ object SqlParity {
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY gid, o_orderstatus ASC NULLS FIRST,
         o_orderpriority ASC NULLS FIRST""",
+
+    "q31_percentiles" -> """
+      SELECT l_returnflag, COUNT(*) AS n_items,
+        percentile(l_quantity, 0.25D) AS p25_qty,
+        percentile(l_quantity, 0.5D) AS p50_qty,
+        percentile(l_quantity, 0.75D) AS p75_qty,
+        MIN(l_quantity) AS min_qty,
+        MAX(l_quantity) AS max_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
 object TextQ {
 
   def all: Seq[Q] = Seq(t01LangId, t02QualityScore, t03TokenCount,
-    t04Fingerprint, t05PiiScrub, t06CorpusFilter, t07HashSplit)
+    t04Fingerprint, t05PiiScrub, t06CorpusFilter, t07HashSplit,
+    t08SeqPack, t09MixtureSample, t10Tfidf)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -298,4 +299,161 @@ object TextQ {
           AS BIGINT) % 1000 < 900 THEN 'val'
         ELSE 'test' END AS split
     FROM documents ORDER BY doc_id"""))
+
+  /** Sequence packing (concat-and-chunk): lay each source's documents
+    * end-to-end in deterministic doc_id order and cut the stream into
+    * fixed-capacity token windows — the layout step that turns a filtered
+    * corpus into training sequences. Each doc's placement is a running
+    * token sum; the chunks it spans are pure arithmetic on that offset.
+    *
+    * The window partitions by `source`, so at 100 TB packing parallelizes
+    * across sources/shards (a global pack would serialize on one task —
+    * the per-shard pack is the shape real pipelines use; shard boundaries
+    * just waste ≤1 partial chunk each). */
+  val t08SeqPack: Q = Q("t08_seq_pack", (s, d) => {
+    val cap = 128
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).as("n_tokens"))
+      .withColumn("cum_end", sum(col("n_tokens").cast("long")).over(bySrc))
+      .withColumn("start_offset", col("cum_end") - col("n_tokens"))
+      .withColumn("first_chunk", floor(col("start_offset") / cap))
+      .withColumn("last_chunk", floor((col("cum_end") - 1) / cap))
+      .withColumn("n_chunks",
+        col("last_chunk") - col("first_chunk") + lit(1L))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id, source,
+        CAST(len(list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0)) AS INT) AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_end
+      FROM toks)
+    SELECT doc_id, source, n_tokens, cum_end,
+      cum_end - n_tokens AS start_offset,
+      CAST(floor((cum_end - n_tokens) / 128) AS BIGINT) AS first_chunk,
+      CAST(floor((cum_end - 1) / 128) AS BIGINT) AS last_chunk,
+      CAST(floor((cum_end - 1) / 128)
+        - floor((cum_end - n_tokens) / 128) + 1 AS BIGINT) AS n_chunks
+    FROM packed ORDER BY doc_id"""))
+
+  /** Data-mixture sampling: given per-source mixture weights and a global
+    * sample budget (40% of the corpus), derive each source's sampling
+    * rate from its actual row count and sample deterministically by key
+    * hash — the source-rebalancing step of training-data curation. The
+    * weight here is a stand-in mixture config derived from the source id
+    * (1..4); real pipelines would join a config table.
+    *
+    * Scale shape: per-source counts are a tiny aggregate, rates are
+    * arithmetic on that 20-row table broadcast back to the corpus, and
+    * the sample decision is a pure column (same md5-bucket idiom as t07)
+    * — no RNG, no shuffle of the corpus, identical on recompute. */
+  val t09MixtureSample: Q = Q("t09_mixture_sample", (s, d) => {
+    val docs = Tables.documents(s, d)
+    val weight = pmod(regexp_extract(col("source"), "([0-9]+)$", 1)
+      .cast("long"), lit(4L)) + lit(1L)
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(1000L))
+    val bySource = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", weight)
+    val totals = bySource.agg(sum(col("n_docs")).as("total_docs"),
+      sum(col("weight")).as("w_sum"))
+    val rates = bySource.crossJoin(broadcast(totals))
+      .withColumn("n_target", floor(col("total_docs") * 2 / 5))
+      .withColumn("rate",
+        least(lit(1.0), col("n_target") * col("weight") / col("w_sum")
+          / col("n_docs")))
+      .withColumn("thresh", floor(col("rate") * 1000))
+      .select(col("source"), col("n_docs"), col("weight"), col("thresh"))
+    docs.select(col("source"), bucket.as("bucket"))
+      .join(broadcast(rates), Seq("source"))
+      .groupBy(col("source"), col("n_docs"), col("weight"), col("thresh"))
+      .agg(sum(when(col("bucket") < col("thresh"), 1L).otherwise(0L))
+        .as("n_sampled"))
+      .orderBy(col("source"))
+  }, Some("""
+    WITH by_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1
+          AS weight
+      FROM documents GROUP BY source),
+    totals AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+        CAST(SUM(weight) AS BIGINT) AS w_sum
+      FROM by_source),
+    rates AS (
+      SELECT source, n_docs, weight,
+        CAST(floor(least(1.0,
+          floor(total_docs * 2 / 5) * weight / w_sum / n_docs) * 1000)
+          AS BIGINT) AS thresh
+      FROM by_source CROSS JOIN totals),
+    flagged AS (
+      SELECT d.source,
+        CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          AS BIGINT) % 1000 < thresh THEN 1 ELSE 0 END AS sampled
+      FROM documents d JOIN rates r ON d.source = r.source)
+    SELECT r.source, n_docs, weight, thresh,
+      CAST(SUM(sampled) AS BIGINT) AS n_sampled
+    FROM flagged f JOIN rates r ON f.source = r.source
+    GROUP BY r.source, n_docs, weight, thresh
+    ORDER BY r.source"""))
+
+  /** TF-IDF top terms per document: term frequency, document frequency,
+    * idf as the plain N/df ratio (no transcendental log — the ratio ranks
+    * identically and is engine-exact IEEE arithmetic), top-3 terms per
+    * doc with a lexicographic tiebreak.
+    *
+    * The canonical scalable shape: tf shuffles on doc_id (already the
+    * table's partitioning — no exchange), df is a pre-reduced term-keyed
+    * aggregate joined back on term, the corpus count broadcasts, and the
+    * top-k window shuffles the pre-reduced tf rows, never raw text. */
+  val t10Tfidf: Q = Q("t10_tfidf", (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf").cast("double") *
+        col("n_docs").cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0)) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, t.term, tf, df,
+        CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)
+          AS score
+      FROM tf t JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, term) AS INT) AS rnk
+      FROM scored)
+    SELECT doc_id, rnk, term, tf, df, score
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
 }

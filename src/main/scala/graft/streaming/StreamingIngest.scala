@@ -142,6 +142,40 @@ final class StreamingIngest(spark: SparkSession) {
       .withWatermark(eventTime, lateness)
       .dropDuplicates(key, eventTime)
 
+  /** Dedup for at-least-once sources whose duplicates carry DIFFERENT
+    * event times (producer retries re-stamp the clock — the case
+    * `dropDuplicates(key, ts)` silently misses). State is keyed on `key`
+    * alone; `dropDuplicatesWithinWatermark` ages each key out once the
+    * watermark passes its first-seen time + delay, so state stays bounded
+    * without requiring exact-timestamp duplicates. */
+  def dedupWithinWatermark(df: DataFrame, key: String, eventTime: String,
+                           lateness: String): DataFrame =
+    df.withWatermark(eventTime, lateness)
+      .dropDuplicatesWithinWatermark(key)
+
+  /** Stream-stream interval join: each event enriched with the matching
+    * order the same user placed within `lookback` BEFORE the event — the
+    * streaming twin of the batch as-of join (q28), as enrichment rather
+    * than carry-forward.
+    *
+    * Both inputs carry watermarks and the join predicate bounds the
+    * event-time distance; Spark derives state-eviction watermarks for
+    * BOTH buffers from that range, so state is purged as event time
+    * advances. An unbounded equi-join of two streams would buffer
+    * forever — the range condition is what makes this runnable on an
+    * infinite stream (and it shuffles both sides on the user key only,
+    * the same co-partitioning a batch join would use). */
+  def enrichStream(events: DataFrame, orders: DataFrame,
+                   eventUser: String, orderUser: String,
+                   eventTs: String, orderTs: String,
+                   lateness: String, lookback: String): DataFrame = {
+    val e = events.withWatermark(eventTs, lateness)
+    val o = orders.withWatermark(orderTs, lateness)
+    e.join(o, expr(
+      s"$eventUser = $orderUser AND " +
+        s"$orderTs BETWEEN $eventTs - INTERVAL $lookback AND $eventTs"))
+  }
+
   /** Event-time session windows (gap-close semantics) — the streaming
     * generalization of Sessionize.rollup (ST7). */
   def sessionRollup(events: DataFrame, userCol: String, tsCol: String,

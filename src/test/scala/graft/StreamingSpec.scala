@@ -113,6 +113,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("dropDuplicatesWithinWatermark dedups retried events whose" +
+      " duplicates carry different timestamps") {
+    val base = Files.createTempDirectory("graft_dedup_wm").toString
+    val in = s"$base/in"
+    // e1's duplicate is re-stamped 30s later: dropDuplicates(key, ts)
+    // would keep BOTH; within-watermark dedup keys on event_id alone
+    Seq(("e1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      ("e1", java.sql.Timestamp.valueOf("2024-01-01 10:00:30"), 1.0),
+      ("e2", java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2.0))
+      .toDF("event_id", "event_time", "value")
+      .write.parquet(in)
+    val ingest = new StreamingIngest(spark)
+    val src = spark.readStream.schema(
+      StructType(Seq(StructField("event_id", StringType),
+        StructField("event_time", TimestampType),
+        StructField("value", DoubleType)))).parquet(in)
+    val dedup = ingest.dedupWithinWatermark(src, "event_id", "event_time",
+      "1 hour")
+    val q = dedup.writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_wm_out").count() == 2)
+  }
+
+  test("stream-stream interval join enriches events with the order placed" +
+      " within the lookback, and only that one") {
+    val base = Files.createTempDirectory("graft_ssj").toString
+    val evIn = s"$base/events"; val ordIn = s"$base/orders"
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "view"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "event_time", "event_type").write.parquet(evIn)
+    // user 1: one order inside the 10-minute lookback, one far outside;
+    // user 2: none
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 09:55:00"), 100.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), 50.0))
+      .toDF("o_user_id", "order_time", "amount").write.parquet(ordIn)
+    val ingest = new StreamingIngest(spark)
+    val ev = spark.readStream.schema(
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_time", TimestampType),
+        StructField("event_type", StringType)))).parquet(evIn)
+    val ord = spark.readStream.schema(
+      StructType(Seq(StructField("o_user_id", LongType),
+        StructField("order_time", TimestampType),
+        StructField("amount", DoubleType)))).parquet(ordIn)
+    val joined = ingest.enrichStream(ev, ord, "user_id", "o_user_id",
+      "event_time", "order_time", "1 hour", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssj_out")
+      .select("user_id", "amount").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 100.0)))
+  }
+
   test("session_window rollup closes sessions by gap") {
     val base = Files.createTempDirectory("graft_sess").toString
     val in = s"$base/in"
