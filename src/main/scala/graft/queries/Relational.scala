@@ -25,7 +25,7 @@ object Relational {
     q18SetOps, q19TopK, q20Distinct, q21Watermark, q22ArrayRollup,
     q23Rollup, q24Quality, q25Pivot, q26Json, q27UserJoin,
     q14SaltedJoin, q28AsofJoin, q29ApproxDistinct, q30Cube,
-    q31Percentiles)
+    q31Percentiles, q32ApproxPercentile)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -782,5 +782,28 @@ object Relational {
       quantile_cont(l_quantity, 0.75) AS p75_qty,
       MIN(l_quantity) AS min_qty,
       MAX(l_quantity) AS max_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Sketch-based percentile (Greenwald-Khanna) — q31's 100 TB path:
+    * mergeable per-partition sketches, no per-group sort. Validated like
+    * q29's HLL: the query emits engine-agreeable columns plus `approx_ok`
+    * — Spark's own sketch checked against the exact percentile within a
+    * value-space bound (accuracy 10000 ⇒ rank error ≤ 0.01%, far inside
+    * ±1 quantity unit on this distribution); the DuckDB oracle asserts
+    * TRUE, so a broken sketch fails the hash match. */
+  val q32ApproxPercentile: Q = Q("q32_approx_percentile", (s, d) => {
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+          .as("ap50"))
+      .select(col("l_returnflag"), col("n_items"), col("p50_qty"),
+        (abs(col("ap50") - col("p50_qty")) <= lit(1.0)).as("approx_ok"))
+      .orderBy(col("l_returnflag"))
+  }, Some("""
+    SELECT l_returnflag, COUNT(*) AS n_items,
+      quantile_cont(l_quantity, 0.5) AS p50_qty,
+      TRUE AS approx_ok
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 }

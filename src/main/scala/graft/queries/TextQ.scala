@@ -311,18 +311,11 @@ object TextQ {
     * the per-shard pack is the shape real pipelines use; shard boundaries
     * just waste ≤1 partial chunk each). */
   val t08SeqPack: Q = Q("t08_seq_pack", (s, d) => {
-    val cap = 128
-    val bySrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).as("n_tokens"))
-      .withColumn("cum_end", sum(col("n_tokens").cast("long")).over(bySrc))
-      .withColumn("start_offset", col("cum_end") - col("n_tokens"))
-      .withColumn("first_chunk", floor(col("start_offset") / cap))
-      .withColumn("last_chunk", floor((col("cum_end") - 1) / cap))
-      .withColumn("n_chunks",
-        col("last_chunk") - col("first_chunk") + lit(1L))
+    graft.operators.Packing
+      .pack(base, col("source"), col("doc_id"), col("n_tokens"), 128)
       .orderBy(col("doc_id"))
   }, Some("""
     WITH toks AS (

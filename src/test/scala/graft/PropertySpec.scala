@@ -103,6 +103,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: sequence packing conserves tokens, packs contiguously," +
+      " and covers every chunk with no gaps") {
+    import graft.operators.Packing
+    val rows: Gen[List[(String, Long, Int)]] = Gen.listOfN(40, for {
+      src <- Gen.oneOf("a", "b", "c")
+      tok <- Gen.choose(0, 300)
+    } yield (src, 0L, tok)).map(_.zipWithIndex
+      .map { case ((s, _, t), i) => (s, i.toLong, t) })
+    samples(rows, 3).foreach { data =>
+      for (cap <- Seq(1, 7, 128)) {
+        val out = Packing.pack(data.toDF("src", "id", "n_tok"),
+            col("src"), col("id"), col("n_tok"), cap)
+          .select("src", "id", "n_tok", "cum_end", "start_offset",
+            "first_chunk", "last_chunk", "n_chunks")
+          .as[(String, Long, Int, Long, Long, Long, Long, Long)]
+          .collect().groupBy(_._1)
+        out.foreach { case (_, shard) =>
+          val s = shard.sortBy(_._2)
+          // contiguous placement from offset 0: no token lost or doubled
+          assert(s.head._5 == 0L)
+          s.sliding(2).foreach {
+            case Array(prev, next) => assert(next._5 == prev._4)
+            case _ =>
+          }
+          assert(s.last._4 == s.map(_._3.toLong).sum)
+          // per-row chunk span is exactly the arithmetic range
+          s.foreach { case (_, _, tok, end, start, first, last, n) =>
+            assert(first == start / cap)
+            assert(last == (end - 1) / cap || tok == 0)
+            assert(n == last - first + 1)
+            if (tok > 0) assert(n >= 1 && n <= tok / cap + 2)
+          }
+          // every chunk 0..last is covered by some row (no gaps)
+          val total = s.last._4
+          if (total > 0) {
+            val covered = s.filter(_._3 > 0)
+              .flatMap(r => r._6 to r._7).toSet
+            assert(covered == (0L to (total - 1) / cap).toSet)
+          }
+        }
+      }
+    }
+  }
+
   test("property: hash split is total, stable, and within bounds") {
     val ids: Gen[List[Long]] = Gen.listOfN(50, Gen.choose(0L, 1000000L))
     samples(ids, 3).foreach { data =>
