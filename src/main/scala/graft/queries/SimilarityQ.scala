@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQ {
 
-  def all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03IvfAssign, s04IvfSearch)
+  def all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03IvfAssign, s04IvfSearch,
+    s05QuantizedRerank)
 
   /** Corpus with per-VECTOR norms precomputed and materialized: norms are
     * O(N), not O(pairs) — computing them inside the pair expression would
@@ -270,6 +271,116 @@ object SimilarityQ {
           ORDER BY cos DESC, vec_id ASC) AS rank
       FROM cands)
     SELECT query_id, rank, vec_id AS neighbor_id, cos, cell AS probed_cell
+    FROM final_ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""))
+
+  /** Scalar-quantized search (SQ8-style) + exact re-rank — the
+    * memory-bound scale path the IVF/LSH tiers don't cover: the full
+    * candidate scan touches only an int8-range quantized copy of the
+    * corpus (4× smaller than float32; per-vector max-abs scale, values in
+    * [-127, 127]), and the float vectors are read ONLY for the ≤20
+    * candidates per query that survive, via an id join — at 100 TB the
+    * quantized column is the one you can afford to scan.
+    *
+    * Determinism: quantized values are exact small integers (stored as
+    * floats), so the quantized dot is exact integer arithmetic in both
+    * engines and the candidate CUT (top-20 by quantized cosine) is
+    * bit-stable — which is what makes the query oracle-checkable at all.
+    * Exact cosine then re-ranks the survivors. Recall vs the s01 exact
+    * baseline is gated in RecallSpec. */
+  val s05QuantizedRerank: Q = Q("s05_quantized_rerank", (s, d) => {
+    val e = normed(s, d)
+    val quant = e
+      .withColumn("mx",
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("qvec",
+        when(col("mx") === 0,
+          transform(col("embedding"), _ => lit(0.0f)))
+          .otherwise(transform(col("embedding"),
+            x => floor(x.cast("double") * lit(127.0) / col("mx"))
+              .cast("float"))))
+      .withColumn("qn", VectorFns.norm(col("qvec")))
+      .select(col("vec_id"), col("qvec"), col("qn"))
+      .cache()
+    val qQueries = quant.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qvec").as("qq"),
+        col("qn").as("qqn"))
+    val exQueries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("nrm").as("q_nrm"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+    val wx = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    // candidate scan: quantized columns ONLY
+    val cands = broadcast(qQueries)
+      .join(quant, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosPre(col("qq"), col("qqn"), col("qvec"), col("qn")).as("qcos"))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= 20)
+    // float vectors touched only for the surviving candidates
+    cands
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")),
+        Seq("vec_id"))
+      .join(broadcast(exQueries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("qcos"),
+        cosPre(col("q"), col("q_nrm"), col("embedding"), col("nrm"))
+          .as("cos"))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("qcos"))
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+          AS mx
+      FROM embeddings),
+    quant AS (
+      SELECT vec_id,
+        CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0.0)
+          ELSE list_transform(embedding,
+            x -> floor(CAST(x AS DOUBLE) * 127.0 / mx))
+        END AS qvec
+      FROM scaled),
+    qn AS (
+      SELECT vec_id, qvec, ${VectorSql.norm("qvec")} AS qn FROM quant),
+    qqueries AS (
+      SELECT vec_id AS query_id, qvec AS qq, qn AS qqn
+      FROM qn WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id,
+        CASE WHEN qqn = 0 OR e.qn = 0 THEN NULL
+          ELSE ${VectorSql.dot("qq", "e.qvec")} / (qqn * e.qn)
+        END AS qcos
+      FROM qqueries q JOIN qn e ON query_id <> e.vec_id),
+    cand AS (
+      SELECT query_id, vec_id, qcos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY qcos DESC, vec_id ASC) AS qrank
+      FROM scored),
+    exq AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 10),
+    rer AS (
+      SELECT c.query_id, c.vec_id, c.qcos,
+        CASE WHEN ${VectorSql.norm("qv")} = 0
+          OR ${VectorSql.norm("e.embedding")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("qv", "e.embedding")}
+          / (${VectorSql.norm("qv")} * ${VectorSql.norm("e.embedding")})
+        END AS cos
+      FROM cand c
+      JOIN embeddings e ON c.vec_id = e.vec_id
+      JOIN exq q ON q.query_id = c.query_id
+      WHERE c.qrank <= 20),
+    final_ranked AS (
+      SELECT query_id, vec_id, qcos, cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM rer)
+    SELECT query_id, rank, vec_id AS neighbor_id, cos, qcos
     FROM final_ranked WHERE rank <= 5
     ORDER BY query_id, rank"""))
 }

@@ -21,7 +21,7 @@ object TextQ {
 
   def all: Seq[Q] = Seq(t01LangId, t02QualityScore, t03TokenCount,
     t04Fingerprint, t05PiiScrub, t06CorpusFilter, t07HashSplit,
-    t08SeqPack, t09MixtureSample, t10Tfidf)
+    t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -449,4 +449,39 @@ object TextQ {
       FROM scored)
     SELECT doc_id, rnk, term, tf, df, score
     FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+
+  /** Stratified EXACT-quota sampling: exactly k docs per source, chosen
+    * by ranking each stratum in key-hash order — t09's rate sampling
+    * hits a quota only in expectation; this hits it exactly (training
+    * mixtures are often specified as hard per-source counts). The hash
+    * order makes the draw pseudo-random yet fully reproducible: same
+    * corpus → same sample, on any engine, after any repartition.
+    *
+    * Scale: one window partitioned by source (parallel across strata).
+    * When a single stratum is itself huge, per-partition top-k
+    * pre-reduction (TakeOrdered-style) bounds the sort before the final
+    * per-stratum cut — same idiom as q19's top-k. */
+  val t11QuotaSample: Q = Q("t11_quota_sample", (s, d) => {
+    val k = 10
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("draw"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("draw"))
+      .withColumn("smp_rank", row_number().over(w))
+      .filter(col("smp_rank") <= k)
+      .select(col("source"), col("smp_rank"), col("doc_id"))
+      .orderBy(col("source"), col("smp_rank"))
+  }, Some("""
+    WITH drawn AS (
+      SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS draw
+      FROM documents),
+    ranked AS (
+      SELECT source, doc_id,
+        CAST(row_number() OVER (PARTITION BY source
+          ORDER BY draw, doc_id) AS INT) AS smp_rank
+      FROM drawn)
+    SELECT source, smp_rank, doc_id
+    FROM ranked WHERE smp_rank <= 10
+    ORDER BY source, smp_rank"""))
 }

@@ -17,7 +17,32 @@ import org.apache.spark.sql.functions._
 object Windows {
 
   def all: Seq[Q] = Seq(q08DedupLatest, q09FirstTouch, q10WindowFuncs,
-    q11Sessionize)
+    q11Sessionize, q33WindowDist)
+
+  /** Distribution window functions — ntile quartile buckets, percent_rank
+    * and cume_dist over order value within each priority class. The rank
+    * fractions are ratios of exact integers ((rank-1)/(n-1), cnt≤/n) so
+    * the doubles are engine-exact; the total order under each window
+    * (price, then key) is what makes ntile's bucket boundaries stable.
+    * One shuffle on the partition key, same as any ranking window. */
+  val q33WindowDist: Q = Q("q33_window_dist", (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy(col("o_orderkey"))
+  }, Some("""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+      CAST(ntile(4) OVER w AS INT) AS quartile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+      ORDER BY o_totalprice ASC, o_orderkey ASC)
+    ORDER BY o_orderkey"""))
 
   /** W1/W2: keep-latest-per-key with deterministic tiebreak. Key here is
     * (user_id, event_type) — "latest event of each type per user". */

@@ -53,6 +53,24 @@ class RecallSpec extends AnyFunSuite {
       s"avg recall ${recalls.sum / recalls.size}")
   }
 
+  test("quantized+rerank search (s05) recalls ≥ 90% of brute-force top-5" +
+      " neighbors on the shared query set") {
+    // SQ8 loses precision only in the candidate CUT (top-20 by quantized
+    // cosine); the exact re-rank cannot introduce false neighbors, so
+    // any loss vs s01 means a true neighbor fell below quantized rank 20.
+    val truth = q("s01_knn_brute").filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val found = q("s05_quantized_rerank")
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = truth.map { case (qid, t) =>
+      (t & found.getOrElse(qid, Set.empty)).size.toDouble / t.size
+    }
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"avg recall ${recalls.sum / recalls.size}")
+  }
+
   test("LSH-fed clusters (d06) equal exact-all-pairs-fed clusters on the" +
       " test corpus") {
     // d06's production edge source is the LSH-verified pair set; the
