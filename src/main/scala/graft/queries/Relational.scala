@@ -25,7 +25,7 @@ object Relational {
     q18SetOps, q19TopK, q20Distinct, q21Watermark, q22ArrayRollup,
     q23Rollup, q24Quality, q25Pivot, q26Json, q27UserJoin,
     q14SaltedJoin, q28AsofJoin, q29ApproxDistinct, q30Cube,
-    q31Percentiles, q32ApproxPercentile)
+    q31Percentiles, q32ApproxPercentile, q34Unpivot)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -806,4 +806,36 @@ object Relational {
       quantile_cont(l_quantity, 0.5) AS p50_qty,
       TRUE AS approx_ok
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Unpivot (wide→long melt) — the inverse reshaping of q25's pivot:
+    * the four per-line measures become (measure, value) rows. Spark's
+    * `unpivot` plans one Expand ×4 (a generate, no shuffle, no join);
+    * the long layout is what metric stores and plotting sinks ingest.
+    * Bounded to a key prefix only to keep the compared output readable —
+    * the operator itself is a narrow map at any scale. */
+  val q34Unpivot: Q = Q("q34_unpivot", (s, d) => {
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+  }, Some("""
+    SELECT l_orderkey, l_linenumber, measure, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        l_quantity AS value FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      FROM lineitem WHERE l_orderkey < 1000)
+    ORDER BY l_orderkey, l_linenumber, measure"""))
 }

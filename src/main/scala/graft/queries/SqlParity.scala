@@ -360,5 +360,34 @@ object SqlParity {
         MIN(l_quantity) AS min_qty,
         MAX(l_quantity) AS max_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q32_approx_percentile" -> """
+      SELECT l_returnflag, n_items, p50_qty,
+        abs(ap50 - p50_qty) <= 1.0D AS approx_ok
+      FROM (
+        SELECT l_returnflag, COUNT(*) AS n_items,
+          percentile(l_quantity, 0.5D) AS p50_qty,
+          approx_percentile(l_quantity, 0.5D, 10000) AS ap50
+        FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag""",
+
+    "q33_window_dist" -> """
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+        ntile(4) OVER w AS quartile,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+        ORDER BY o_totalprice ASC, o_orderkey ASC)
+      ORDER BY o_orderkey""",
+
+    "q34_unpivot" -> """
+      SELECT l_orderkey, l_linenumber, measure, value
+      FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+              l_discount, l_tax
+            FROM lineitem WHERE l_orderkey < 1000)
+      UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice,
+        l_discount, l_tax))
+      ORDER BY l_orderkey, l_linenumber, measure""",
   )
 }
