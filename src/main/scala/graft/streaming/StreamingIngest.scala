@@ -142,6 +142,36 @@ final class StreamingIngest(spark: SparkSession) {
       .withWatermark(eventTime, lateness)
       .dropDuplicates(key, eventTime)
 
+  /** Continuous streaming MERGE: each micro-batch is keyed-deduped and
+    * delete+insert-upserted into a partitioned parquet target via
+    * foreachBatch — the continuous twin of MedallionPipeline.runSilver's
+    * drain-then-batch phase. End-to-end effectively-once without a
+    * transactional table format: the checkpoint guarantees at-least-once
+    * batch delivery, and the keyed delete+insert is idempotent, so a
+    * replayed batch merges to the same state. At scale each merge touches
+    * only the partitions the batch's keys live in (Incremental's static
+    * pruning), so steady-state cost tracks batch size, not table size. */
+  def streamUpsert(inputDir: String, schema: StructType, targetPath: String,
+                   checkpointDir: String, keys: Seq[String],
+                   orderCol: String, partCol: String,
+                   trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    val inc = new graft.operators.Incremental(spark)
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = graft.operators.Dedup.keepLatest(
+          batch, keys, col(orderCol), Nil)
+        inc.upsertPartitioned(targetPath, deduped, keys, partCol)
+        ()
+      }
+      .start()
+  }
+
   /** Dedup for at-least-once sources whose duplicates carry DIFFERENT
     * event times (producer retries re-stamp the clock — the case
     * `dropDuplicates(key, ts)` silently misses). State is keyed on `key`

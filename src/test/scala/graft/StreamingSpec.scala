@@ -113,6 +113,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("streamUpsert continuously merges micro-batches into the keyed" +
+      " incremental target (dedup within batch, upsert across batches)") {
+    val base = Files.createTempDirectory("graft_supsert").toString
+    val in = s"$base/in"; val tgt = s"$base/silver"; val cp = s"$base/cp"
+    val sch = StructType(Seq(StructField("event_id", StringType),
+      StructField("seq", LongType),
+      StructField("event_date", StringType),
+      StructField("value", DoubleType)))
+    // batch 1: e1 duplicated in-batch (seq 1 then 2 — keep-latest wins)
+    Seq(("e1", 1L, "2024-01-01", 1.0), ("e1", 2L, "2024-01-01", 1.5),
+      ("e2", 1L, "2024-01-02", 2.0))
+      .toDF("event_id", "seq", "event_date", "value").write.parquet(in)
+    val ingest = new StreamingIngest(spark)
+    val q1 = ingest.streamUpsert(in, sch, tgt, cp, Seq("event_id"), "seq",
+      "event_date")
+    q1.awaitTermination()
+    val after1 = spark.read.parquet(tgt)
+      .select("event_id", "seq", "value").as[(String, Long, Double)]
+      .collect().toSet
+    assert(after1 == Set(("e1", 2L, 1.5), ("e2", 1L, 2.0)))
+    // batch 2 (new file): e2 updated — even across partitions — e3 new
+    Seq(("e2", 5L, "2024-01-03", 9.0), ("e3", 1L, "2024-01-01", 3.0))
+      .toDF("event_id", "seq", "event_date", "value")
+      .write.mode("append").parquet(in)
+    val q2 = ingest.streamUpsert(in, sch, tgt, cp, Seq("event_id"), "seq",
+      "event_date")
+    q2.awaitTermination()
+    val after2 = spark.read.parquet(tgt)
+      .select("event_id", "seq", "value").as[(String, Long, Double)]
+      .collect().toSet
+    assert(after2 == Set(("e1", 2L, 1.5), ("e2", 5L, 9.0), ("e3", 1L, 3.0)))
+    // the moved key's old partition holds no stale row
+    assert(spark.read.parquet(tgt)
+      .filter(col("event_date") === "2024-01-02").count() == 0)
+  }
+
   test("dropDuplicatesWithinWatermark dedups retried events whose" +
       " duplicates carry different timestamps") {
     val base = Files.createTempDirectory("graft_dedup_wm").toString
