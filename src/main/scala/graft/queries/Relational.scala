@@ -25,7 +25,8 @@ object Relational {
     q18SetOps, q19TopK, q20Distinct, q21Watermark, q22ArrayRollup,
     q23Rollup, q24Quality, q25Pivot, q26Json, q27UserJoin,
     q14SaltedJoin, q28AsofJoin, q29ApproxDistinct, q30Cube,
-    q31Percentiles, q32ApproxPercentile, q34Unpivot)
+    q31Percentiles, q32ApproxPercentile, q34Unpivot, q35FullOuter,
+    q36Tumbling)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -838,4 +839,64 @@ object Relational {
       SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
       FROM lineitem WHERE l_orderkey < 1000)
     ORDER BY l_orderkey, l_linenumber, measure"""))
+
+  /** FULL OUTER join — the one join type the catalog lacked: per-user
+    * order spend ⟗ per-user event activity, keeping users present on
+    * either side only. Both sides PRE-AGGREGATE to one row per key
+    * before the join (A2-before-J1, the shuffle-halving rule from
+    * SURVEY §7.4), and the keys/flags coalesce explicitly — USING-column
+    * coalescing is spelled out rather than relied on. */
+  val q35FullOuter: Q = Q("q35_full_outer", (s, d) => {
+    val o = Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("uid_o"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("spend"))
+    val e = Tables.events(s, d)
+      .groupBy(col("user_id").as("uid_e"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, col("uid_o") === col("uid_e"), "full_outer")
+      .select(coalesce(col("uid_o"), col("uid_e")).as("user_id"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("uid_o").isNotNull.as("has_orders"),
+        col("uid_e").isNotNull.as("has_events"))
+      .orderBy(col("user_id"))
+  }, Some(s"""
+    WITH o AS (
+      SELECT o_custkey AS uid_o, COUNT(*) AS n_orders,
+        ${decSumSql("o_totalprice")} AS spend
+      FROM orders GROUP BY o_custkey),
+    e AS (
+      SELECT user_id AS uid_e, COUNT(*) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT COALESCE(uid_o, uid_e) AS user_id,
+      COALESCE(n_orders, 0) AS n_orders,
+      COALESCE(spend, 0.0) AS spend,
+      COALESCE(n_events, 0) AS n_events,
+      uid_o IS NOT NULL AS has_orders,
+      uid_e IS NOT NULL AS has_events
+    FROM o FULL OUTER JOIN e ON uid_o = uid_e
+    ORDER BY user_id"""))
+
+  /** Tumbling event-time windows in BATCH — hourly rollup via `window()`
+    * (the same construct the streaming path aggregates on, so batch
+    * backfill and live streaming produce identical buckets). Epoch-
+    * aligned hour buckets match DuckDB's time_bucket; one hash-agg
+    * shuffle on (bucket, type), the time-series rollup shape. */
+  val q36Tumbling: Q = Q("q36_tumbling", (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("n_users"))
+      .orderBy(col("hour_start"), col("event_type"))
+  }, Some("""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, event_type,
+      COUNT(*) AS n_events,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY hour_start, event_type
+    ORDER BY hour_start, event_type"""))
 }

@@ -389,5 +389,30 @@ object SqlParity {
       UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice,
         l_discount, l_tax))
       ORDER BY l_orderkey, l_linenumber, measure""",
+
+    "q35_full_outer" -> s"""
+      WITH o AS (
+        SELECT o_custkey AS uid_o, COUNT(*) AS n_orders,
+          ${decSumSql("o_totalprice")} AS spend
+        FROM orders GROUP BY o_custkey),
+      e AS (
+        SELECT user_id AS uid_e, COUNT(*) AS n_events
+        FROM events GROUP BY user_id)
+      SELECT COALESCE(uid_o, uid_e) AS user_id,
+        COALESCE(n_orders, 0L) AS n_orders,
+        COALESCE(spend, 0.0D) AS spend,
+        COALESCE(n_events, 0L) AS n_events,
+        uid_o IS NOT NULL AS has_orders,
+        uid_e IS NOT NULL AS has_events
+      FROM o FULL OUTER JOIN e ON uid_o = uid_e
+      ORDER BY user_id""",
+
+    "q36_tumbling" -> """
+      SELECT window.start AS hour_start, event_type,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY window(ts, '1 hour'), event_type
+      ORDER BY hour_start, event_type""",
   )
 }
