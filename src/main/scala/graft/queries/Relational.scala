@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Dedup, Sessionize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import Dsl._
@@ -26,7 +27,8 @@ object Relational {
     q23Rollup, q24Quality, q25Pivot, q26Json, q27UserJoin,
     q14SaltedJoin, q28AsofJoin, q29ApproxDistinct, q30Cube,
     q31Percentiles, q32ApproxPercentile, q34Unpivot, q35FullOuter,
-    q36Tumbling)
+    q36Tumbling, q37BandJoin, q38GroupingSets, q39GapsIslands,
+    q40AboveAvg, q41Sliding)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -899,4 +901,164 @@ object Relational {
     FROM events
     GROUP BY hour_start, event_type
     ORDER BY hour_start, event_type"""))
+
+  /** Range (band) join: each part priced into a small band dimension via
+    * `lo <= price < hi` — the non-equi join family (q28's as-of is its
+    * ordered cousin). With a broadcast-sized band table Spark plans a
+    * BroadcastNestedLoopJoin: each row tests B=5 intervals, O(N·B) map
+    * work and ZERO shuffle of the fact side — the right plan whenever the
+    * interval dimension fits in memory (calendars, SLA tiers, price
+    * bands). When BOTH sides are large, the scale path is interval
+    * bucketing: overlay a uniform grid, equi-join on grid cell, re-check
+    * the band predicate — never the NLJ. */
+  val q37BandJoin: Q = Q("q37_band_join", (s, d) => {
+    val bands = s.createDataFrame(Seq(
+      (1, 900.0, 920.0), (2, 920.0, 940.0), (3, 940.0, 960.0),
+      (4, 960.0, 980.0), (5, 980.0, 1000.0)))
+      .toDF("band_id", "lo", "hi")
+    Tables.part(s, d)
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .groupBy(col("band_id"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_parts"),
+        decSum(col("p_retailprice")).as("retail_sum"))
+      .orderBy(col("band_id"))
+  }, Some(s"""
+    WITH bands(band_id, lo, hi) AS (VALUES
+      (1, 900.0, 920.0), (2, 920.0, 940.0), (3, 940.0, 960.0),
+      (4, 960.0, 980.0), (5, 980.0, 1000.0))
+    SELECT CAST(band_id AS INT) AS band_id, CAST(lo AS DOUBLE) AS lo,
+      CAST(hi AS DOUBLE) AS hi, COUNT(*) AS n_parts,
+      ${decSumSql("p_retailprice")} AS retail_sum
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY 1, 2, 3 ORDER BY band_id"""))
+
+  /** Explicit GROUPING SETS — the general form q23 (ROLLUP) and q30
+    * (CUBE) specialize: here the two one-dimension marginals plus the
+    * grand total, SKIPPING the (status, priority) cross — one Expand ×3
+    * + hash agg, strictly less work than CUBE when the cross isn't
+    * wanted. gid uses the same bit encoding as q30. */
+  val q38GroupingSets: Q = Q("q38_grouping_sets", (s, d) => {
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("revenue"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }, Some(s"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      ${decSumSql("o_totalprice")} AS revenue,
+      CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT)
+        AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+      o_orderpriority ASC NULLS FIRST"""))
+
+  /** Gaps-and-islands: per-customer streaks of CONSECUTIVE order days via
+    * the classic `day_number - row_number` constant-key trick — sequence
+    * segmentation without a self-join or loop (q11's sessionization is
+    * the gap<threshold cousin; this is exact adjacency). ONE data
+    * exchange total: the explicit customer-keyed repartition satisfies
+    * the distinct's (cust, day) clustering by the subset rule, the
+    * window's cust clustering, AND the island groupBy's — without it
+    * Catalyst plans a (cust, day) exchange for the distinct and then a
+    * second cust exchange for the window (verified via explain).
+    * Integer day arithmetic only — no date-interval engine drift. */
+  val q39GapsIslands: Q = Q("q39_gaps_islands", (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_day"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("o_day"))
+      .repartition(col("o_custkey"))
+      .distinct()
+      .withColumn("island",
+        datediff(col("o_day"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy(col("o_custkey"), col("island"))
+      .agg(min(col("o_day")).as("streak_start"),
+        max(col("o_day")).as("streak_end"),
+        count(lit(1)).cast("int").as("n_days"))
+      .select(col("o_custkey"), col("streak_start"), col("streak_end"),
+        col("n_days"))
+      .orderBy(col("o_custkey"), col("streak_start"))
+  }, Some("""
+    WITH days AS (
+      SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS o_day
+      FROM orders),
+    seq AS (
+      SELECT o_custkey, o_day,
+        datediff('day', DATE '1970-01-01', o_day)
+          - row_number() OVER (PARTITION BY o_custkey ORDER BY o_day)
+          AS island
+      FROM days)
+    SELECT o_custkey, MIN(o_day) AS streak_start, MAX(o_day) AS streak_end,
+      CAST(COUNT(*) AS INT) AS n_days
+    FROM seq GROUP BY o_custkey, island
+    ORDER BY o_custkey, streak_start"""))
+
+  /** Correlated-subquery semantics ("orders above the customer's own
+    * average"), implemented DECORRELATED: the per-customer aggregate is a
+    * window over the customer key — one exchange, no self-join, no
+    * per-row subquery execution. The oracle spells the correlated scalar
+    * subqueries to pin that the rewrite is semantics-preserving. The
+    * above-average test compares EXACT decimals cross-multiplied
+    * (price·n > sum) — no division on the filter path, so boundary rows
+    * can't flip on a ulp; the reported average does one double division
+    * of exact inputs (deterministic both engines). */
+  val q40AboveAvg: Q = Q("q40_above_avg", (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, d)
+      .withColumn("sum_d", sum(d2(col("o_totalprice"))).over(w))
+      .withColumn("n_cust_orders", count(lit(1)).over(w))
+      .filter(d2(col("o_totalprice")) * col("n_cust_orders") > col("sum_d"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (col("sum_d").cast("double") / col("n_cust_orders").cast("double"))
+          .as("cust_avg"),
+        col("n_cust_orders"))
+      .orderBy(col("o_orderkey"))
+  }, Some(s"""
+    WITH sub AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        (SELECT SUM(${d2Sql("i.o_totalprice")}) FROM orders i
+          WHERE i.o_custkey = o.o_custkey) AS sum_d,
+        (SELECT COUNT(*) FROM orders i
+          WHERE i.o_custkey = o.o_custkey) AS n_cust_orders
+      FROM orders o)
+    SELECT o_orderkey, o_custkey, o_totalprice,
+      CAST(sum_d AS DOUBLE) / CAST(n_cust_orders AS DOUBLE) AS cust_avg,
+      n_cust_orders
+    FROM sub
+    WHERE ${d2Sql("o_totalprice")} * n_cust_orders > sum_d
+    ORDER BY o_orderkey"""))
+
+  /** Sliding (hopping) event-time windows — q36's overlapping cousin:
+    * 1-hour windows every 30 minutes, so each event lands in exactly
+    * width/slide = 2 buckets. Spark's `window(ts, w, s)` plans ONE Expand
+    * (×2) + hash agg — the event replicates only into the short
+    * (bucket, type) agg key, never a payload copy. The streaming path
+    * aggregates on the identical construct, so backfill and live rollups
+    * align bucket-for-bucket. */
+  val q41Sliding: Q = Q("q41_sliding", (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("n_users"))
+      .orderBy(col("win_start"), col("event_type"))
+  }, Some("""
+    WITH expanded AS (
+      SELECT event_type, user_id,
+        unnest([time_bucket(INTERVAL '30 minutes', ts),
+                time_bucket(INTERVAL '30 minutes', ts)
+                  - INTERVAL '30 minutes']) AS win_start
+      FROM events)
+    SELECT win_start, event_type, COUNT(*) AS n_events,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM expanded
+    GROUP BY win_start, event_type
+    ORDER BY win_start, event_type"""))
 }

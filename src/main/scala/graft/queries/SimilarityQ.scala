@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object SimilarityQ {
 
   def all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03IvfAssign, s04IvfSearch,
-    s05QuantizedRerank)
+    s05QuantizedRerank, s06KmeansUpdate)
 
   /** Corpus with per-VECTOR norms precomputed and materialized: norms are
     * O(N), not O(pairs) — computing them inside the pair expression would
@@ -383,4 +383,63 @@ object SimilarityQ {
     SELECT query_id, rank, vec_id AS neighbor_id, cos, qcos
     FROM final_ranked WHERE rank <= 5
     ORDER BY query_id, rank"""))
+
+  /** One Lloyd (k-means) centroid-update step over s03's cell assignment
+    * — the TRAINING side of IVF (s03/s04 consume centroids; this is how
+    * they'd be refined). Per (cell, dim): member count, exact integer sum
+    * of floor-quantized components (floor(v·1024) — float→double→·2^10 is
+    * exact, floor unambiguous in both engines, so the cross-row SUM is
+    * exact integer arithmetic with NO float accumulation-order
+    * sensitivity), and the new centroid component as one double division.
+    *
+    * Scale shape: assignment is s03's plan (centroids broadcast, one
+    * window); the update is posexplode (×64) → hash agg on the short
+    * (cell, dim) key — partial map-side combine collapses each partition
+    * to ≤ cells×64 rows before the ONE shuffle, so the exchange moves
+    * sketch-sized data no matter the corpus size. Iterating = re-running
+    * with the emitted centroids as the next seed table. */
+  val s06KmeansUpdate: Q = Q("s06_kmeans_update", (s, d) => {
+    cellRanks(normed(s, d))
+      .filter(col("rn") === 1)
+      .select(col("centroid_label").as("cell_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("cell_id"), col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(floor(col("v").cast("double") * 1024).cast("long")).as("sum_q"))
+      .select(col("cell_id"), col("dim"), col("n_vecs"), col("sum_q"),
+        (col("sum_q").cast("double") / col("n_vecs").cast("double"))
+          .as("centroid_q"))
+      .orderBy(col("cell_id"), col("dim"))
+  }, Some(s"""
+    WITH seeds AS (
+      SELECT label AS centroid_label, MIN(vec_id) AS seed_id
+      FROM embeddings GROUP BY label),
+    centroids AS (
+      SELECT centroid_label, e.embedding AS centroid
+      FROM seeds JOIN embeddings e ON seed_id = e.vec_id),
+    scored AS (
+      SELECT e.vec_id, centroid_label,
+        CASE WHEN ${VectorSql.norm("e.embedding")} = 0
+          OR ${VectorSql.norm("centroid")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("e.embedding", "centroid")}
+          / (${VectorSql.norm("e.embedding")} * ${VectorSql.norm("centroid")})
+        END AS cos
+      FROM embeddings e CROSS JOIN centroids),
+    ranked AS (
+      SELECT vec_id, centroid_label, cos,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, centroid_label ASC) AS rn
+      FROM scored),
+    exploded AS (
+      SELECT centroid_label AS cell_id,
+        CAST(unnest(range(0, len(embedding))) AS INT) AS dim,
+        unnest(list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))) AS q
+      FROM ranked JOIN embeddings e USING (vec_id)
+      WHERE rn = 1)
+    SELECT cell_id, dim, COUNT(*) AS n_vecs,
+      CAST(SUM(q) AS BIGINT) AS sum_q,
+      CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid_q
+    FROM exploded GROUP BY cell_id, dim
+    ORDER BY cell_id, dim"""))
 }

@@ -414,5 +414,65 @@ object SqlParity {
       FROM events
       GROUP BY window(ts, '1 hour'), event_type
       ORDER BY hour_start, event_type""",
+
+    "q37_band_join" -> s"""
+      WITH bands AS (
+        SELECT band_id, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi
+        FROM VALUES (1, 900.0, 920.0), (2, 920.0, 940.0), (3, 940.0, 960.0),
+          (4, 960.0, 980.0), (5, 980.0, 1000.0) AS t(band_id, lo, hi))
+      SELECT /*+ BROADCAST(bands) */ band_id, lo, hi,
+        COUNT(*) AS n_parts,
+        ${decSumSql("p_retailprice")} AS retail_sum
+      FROM part JOIN bands
+        ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY band_id, lo, hi
+      ORDER BY band_id""",
+
+    "q38_grouping_sets" -> s"""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        ${decSumSql("o_totalprice")} AS revenue,
+        CAST(grouping_id() AS INT) AS gid
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+        o_orderpriority ASC NULLS FIRST""",
+
+    "q39_gaps_islands" -> """
+      WITH days AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS o_day
+        FROM orders),
+      seq AS (
+        SELECT o_custkey, o_day,
+          datediff(o_day, DATE '1970-01-01')
+            - row_number() OVER (PARTITION BY o_custkey ORDER BY o_day)
+            AS island
+        FROM days)
+      SELECT o_custkey, MIN(o_day) AS streak_start,
+        MAX(o_day) AS streak_end, CAST(COUNT(*) AS INT) AS n_days
+      FROM seq GROUP BY o_custkey, island
+      ORDER BY o_custkey, streak_start""",
+
+    "q40_above_avg" -> s"""
+      WITH sub AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+          (SELECT SUM(${d2Sql("i.o_totalprice")}) FROM orders i
+            WHERE i.o_custkey = o.o_custkey) AS sum_d,
+          (SELECT COUNT(*) FROM orders i
+            WHERE i.o_custkey = o.o_custkey) AS n_cust_orders
+        FROM orders o)
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        CAST(sum_d AS DOUBLE) / CAST(n_cust_orders AS DOUBLE) AS cust_avg,
+        n_cust_orders
+      FROM sub
+      WHERE ${d2Sql("o_totalprice")} * n_cust_orders > sum_d
+      ORDER BY o_orderkey""",
+
+    "q41_sliding" -> """
+      SELECT window.start AS win_start, event_type,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY window(ts, '1 hour', '30 minutes'), event_type
+      ORDER BY win_start, event_type""",
   )
 }

@@ -21,7 +21,8 @@ object TextQ {
 
   def all: Seq[Q] = Seq(t01LangId, t02QualityScore, t03TokenCount,
     t04Fingerprint, t05PiiScrub, t06CorpusFilter, t07HashSplit,
-    t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample)
+    t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample,
+    t12Decontaminate, t13ChunkOverlap)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -484,4 +485,89 @@ object TextQ {
     SELECT source, smp_rank, doc_id
     FROM ranked WHERE smp_rank <= 10
     ORDER BY source, smp_rank"""))
+
+  /** Benchmark decontamination: flag TRAIN-split docs sharing any 5-token
+    * word shingle with the held-out TEST split (t07's hash split defines
+    * the splits, so train/test membership is itself deterministic). The
+    * canonical eval-leakage check a training pipeline runs before
+    * shipping a corpus.
+    *
+    * Scale shape: shingling is the same narrow per-row pass as d02; the
+    * eval side is the SMALL side by construction (benchmark suites are
+    * tiny next to a 100 TB corpus), so the overlap test is a broadcast
+    * semi-ish join on the gram key — the train corpus never shuffles on
+    * anything wider than its own (doc, gram) dedup. */
+  val t12Decontaminate: Q = Q("t12_decontaminate", (s, d) => {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(1000L))
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), bucket.as("bucket"),
+        explode(shingles(tokens(col("text")), 5)).as("gram"))
+    val trainGrams = grams.filter(col("bucket") < 800)
+      .select(col("doc_id"), col("gram")).distinct()
+    val evalGrams = grams.filter(col("bucket") >= 900)
+      .select(col("gram")).distinct()
+    val perDoc = trainGrams.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val shared = trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("shared"))
+    perDoc.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 1000 AS bucket,
+        list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0) AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, bucket,
+        unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+          i -> array_to_string(t[i:i+4], ' '))) AS gram
+      FROM toks),
+    tg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE bucket < 800),
+    eg AS (SELECT DISTINCT gram FROM grams WHERE bucket >= 900),
+    tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+    sh AS (
+      SELECT doc_id, COUNT(*) AS shared
+      FROM tg JOIN eg USING (gram) GROUP BY doc_id)
+    SELECT t.doc_id, n_grams, COALESCE(shared, 0) AS n_shared,
+      COALESCE(shared, 0) > 0 AS contaminated
+    FROM tot t LEFT JOIN sh USING (doc_id)
+    ORDER BY doc_id"""))
+
+  /** RAG-style chunking: overlapping fixed-size character windows
+    * (size 64, stride 48 — 16-char overlap carries context across cuts),
+    * emitted as (chunk_idx, offset, len, digest) descriptors. Explode of
+    * a pure arithmetic sequence on top of the scan — a narrow generate,
+    * no shuffle, no payload movement beyond the per-chunk digest (at
+    * 100 TB the chunk TEXT would flow straight into the embedding stage,
+    * never through an exchange). m02's frame sampling is the fixed-count
+    * cousin; this one's chunk count scales with document length. */
+  val t13ChunkOverlap: Q = Q("t13_chunk_overlap", (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), floor((col("len") - 1) / 48).cast("int"))))
+      .withColumn("offset", col("chunk_idx") * 48)
+      .select(col("doc_id"), col("chunk_idx"), col("offset"),
+        least(lit(64), col("len") - col("offset")).as("chunk_len"),
+        md5(col("text").substr(col("offset") + 1, lit(64))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }, Some("""
+    WITH idx AS (
+      SELECT doc_id, text, CAST(len(text) AS INT) AS len,
+        CAST(unnest(range(0, (len(text) - 1) // 48 + 1)) AS INT)
+          AS chunk_idx
+      FROM documents)
+    SELECT doc_id, chunk_idx, chunk_idx * 48 AS offset,
+      least(64, len - chunk_idx * 48) AS chunk_len,
+      md5(substr(text, chunk_idx * 48 + 1, 64)) AS chunk_md5
+    FROM idx
+    ORDER BY doc_id, chunk_idx"""))
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The catalog's scale posture is a set of PHYSICAL-PLAN properties
+  * (filters reach the scan, small dims broadcast, no accidental Expand,
+  * exchange counts) — PLANS.md documents them; this spec PINS them, so a
+  * refactor that silently regresses a plan fails the suite, not just the
+  * next bench read. All checks run against the pre-execution plan at
+  * sf0.001 (the properties asserted are static — none depend on AQE
+  * runtime re-planning). */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String): DataFrame =
+    SparkEntry.catalog.find(_.name == name).get.run(spark, sf)
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p.children ++ (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => Nil
+    })
+    p +: kids.flatMap(nodes)
+  }
+
+  private def planOf(name: String): (Seq[SparkPlan], String) = {
+    val p = run(name).queryExecution.executedPlan
+    (nodes(p), p.toString)
+  }
+
+  private def shuffles(ns: Seq[SparkPlan]): Seq[SparkPlan] =
+    ns.filter(_.isInstanceOf[ShuffleExchangeLike])
+
+  test("q01: the shipdate filter is pushed down to the parquet scan") {
+    val (_, s) = planOf("q01_pricing_summary")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(s).isDefined,
+      s"no pushed l_shipdate filter in:\n$s")
+  }
+
+  test("q04: the orderdate range filter is pushed down to the scan") {
+    val (_, s) = planOf("q04_join_agg")
+    assert(
+      "PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(s).isDefined,
+      s"no pushed o_orderdate filter in:\n$s")
+  }
+
+  test("q02: the lineitem scan is column-pruned (no full-width read)") {
+    val (ns, _) = planOf("q02_projection_case")
+    val scans = ns.filter(_.nodeName.contains("Scan"))
+    assert(scans.nonEmpty)
+    // lineitem is 11 columns wide; the projection needs 5
+    assert(scans.forall(_.output.size <= 6),
+      s"scan reads too many columns: ${scans.map(_.output.map(_.name))}")
+  }
+
+  test("q03: snowflake dims broadcast (no sort-merge join anywhere)") {
+    val (ns, _) = planOf("q03_dim_join")
+    assert(ns.exists(_.nodeName.contains("BroadcastHashJoin")))
+    assert(!ns.exists(_.nodeName.contains("SortMergeJoin")))
+  }
+
+  test("q17: the dual-distinct aggregate plans WITHOUT Expand" +
+      " (pre-aggregated branches, the round-2 fix)") {
+    val (ns, _) = planOf("q17_product_perf")
+    assert(!ns.exists(_.nodeName.contains("Expand")),
+      "q17 regressed to the Expand-x3 dual-countDistinct plan")
+  }
+
+  test("q30: CUBE does plan via Expand (the control for q17's check)") {
+    val (ns, _) = planOf("q30_cube")
+    assert(ns.exists(_.nodeName.contains("Expand")))
+  }
+
+  test("q37: the band join broadcasts the interval dim (nested-loop," +
+      " fact side never shuffles before the aggregate)") {
+    val (ns, _) = planOf("q37_band_join")
+    assert(ns.exists(_.nodeName.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("q39: exactly one hash exchange feeds distinct+window+groupBy" +
+      " (plus the final presentation sort)") {
+    val (ns, _) = planOf("q39_gaps_islands")
+    val ex = shuffles(ns)
+    assert(ex.size == 2,
+      s"expected 2 exchanges (1 hash + 1 final sort), got ${ex.size}:\n" +
+        ex.mkString("\n"))
+  }
+
+  test("q41: sliding windows replicate via ONE Expand; tumbling (q36)" +
+      " plans none") {
+    val (slide, _) = planOf("q41_sliding")
+    assert(slide.count(_.nodeName.contains("Expand")) >= 1)
+    val (tumble, _) = planOf("q36_tumbling")
+    assert(!tumble.exists(_.nodeName.contains("Expand")))
+  }
+
+  test("t13: chunking is a narrow generate — its only exchange beyond the" +
+      " corpus load repartition is the final presentation sort") {
+    val (ns, _) = planOf("t13_chunk_overlap")
+    assert(ns.exists(_.nodeName.contains("Generate")))
+    // Tables.documents repartitions the single-file local corpus by id on
+    // load (PLANS.md: AQE-coalesce fix) — that REPARTITION_BY_NUM exchange
+    // is the loader's, not the query's
+    val queryShuffles = shuffles(ns).filter {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        s.shuffleOrigin ==
+          org.apache.spark.sql.execution.exchange.ENSURE_REQUIREMENTS
+      case _ => true
+    }
+    assert(queryShuffles.size == 1,
+      s"chunking should not shuffle payload:\n$queryShuffles")
+  }
+
+  test("s01: the query side broadcasts against the corpus (no corpus" +
+      " shuffle before ranking)") {
+    val (ns, _) = planOf("s01_knn_brute")
+    assert(ns.exists(n => n.nodeName.contains("BroadcastNestedLoopJoin") ||
+      n.nodeName.contains("BroadcastHashJoin")))
+  }
+}
