@@ -28,7 +28,7 @@ object Relational {
     q14SaltedJoin, q28AsofJoin, q29ApproxDistinct, q30Cube,
     q31Percentiles, q32ApproxPercentile, q34Unpivot, q35FullOuter,
     q36Tumbling, q37BandJoin, q38GroupingSets, q39GapsIslands,
-    q40AboveAvg, q41Sliding)
+    q40AboveAvg, q41Sliding, q42Cohort)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1061,4 +1061,44 @@ object Relational {
     FROM expanded
     GROUP BY win_start, event_type
     ORDER BY win_start, event_type"""))
+
+  /** Cohort retention matrix — the classic product-analytics rollup:
+    * customers grouped by first-order month (cohort), counted in each
+    * later ordering month as a month offset (orders span 1995–2001;
+    * `events` covers a single month, so order cohorts are the meaningful
+    * ones). One explicit customer-keyed repartition serves the
+    * first-seen aggregate AND the per-month activity distinct (subset
+    * rule, q39's idiom), the self-join is then co-partitioned
+    * (zero-exchange), and only the tiny (cohort, offset) matrix shuffles
+    * at the end. months_between on month-truncated dates is exact whole
+    * months — no fractional drift against the oracle's integer month
+    * diff. */
+  val q42Cohort: Q = Q("q42_cohort", (s, d) => {
+    val byUser = Tables.orders(s, d)
+      .select(col("o_custkey").as("user_id"),
+        trunc(to_date(col("o_orderdate")), "month").as("m"))
+      .repartition(col("user_id"))
+    val cohorts = byUser.groupBy(col("user_id"))
+      .agg(min(col("m")).as("cohort_month"))
+    val active = byUser.distinct()
+    cohorts.join(active, Seq("user_id"))
+      .select(col("cohort_month"),
+        months_between(col("m"), col("cohort_month")).cast("int")
+          .as("month_offset"))
+      .groupBy(col("cohort_month"), col("month_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_month"), col("month_offset"))
+  }, Some("""
+    WITH by_user AS (
+      SELECT DISTINCT o_custkey AS user_id,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+      FROM orders),
+    cohorts AS (
+      SELECT user_id, MIN(m) AS cohort_month FROM by_user GROUP BY user_id)
+    SELECT cohort_month,
+      CAST(datediff('month', cohort_month, m) AS INT) AS month_offset,
+      COUNT(*) AS n_users
+    FROM cohorts JOIN by_user USING (user_id)
+    GROUP BY cohort_month, month_offset
+    ORDER BY cohort_month, month_offset"""))
 }

@@ -474,5 +474,20 @@ object SqlParity {
       FROM events
       GROUP BY window(ts, '1 hour', '30 minutes'), event_type
       ORDER BY win_start, event_type""",
+
+    "q42_cohort" -> """
+      WITH by_user AS (
+        SELECT DISTINCT o_custkey AS user_id,
+          trunc(CAST(o_orderdate AS DATE), 'MM') AS m
+        FROM orders),
+      cohorts AS (
+        SELECT user_id, MIN(m) AS cohort_month
+        FROM by_user GROUP BY user_id)
+      SELECT cohort_month,
+        CAST(months_between(m, cohort_month) AS INT) AS month_offset,
+        COUNT(*) AS n_users
+      FROM cohorts JOIN by_user USING (user_id)
+      GROUP BY cohort_month, month_offset
+      ORDER BY cohort_month, month_offset""",
   )
 }

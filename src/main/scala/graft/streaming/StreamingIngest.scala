@@ -206,6 +206,21 @@ final class StreamingIngest(spark: SparkSession) {
         s"$orderTs BETWEEN $eventTs - INTERVAL $lookback AND $eventTs"))
   }
 
+  /** Sliding (hopping) event-time windows — the streaming twin of the
+    * batch catalog's q41: identical `window(ts, width, slide)` construct,
+    * so a live rollup and its batch backfill land in the SAME epoch-
+    * aligned buckets (each event in width/slide of them). Watermark
+    * bounds state: a window's state is dropped once the watermark passes
+    * its end. */
+  def slidingRollup(events: DataFrame, tsCol: String, width: String,
+                    slide: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), width, slide))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("n_events"))
+
   /** Event-time session windows (gap-close semantics) — the streaming
     * generalization of Sessionize.rollup (ST7). */
   def sessionRollup(events: DataFrame, userCol: String, tsCol: String,

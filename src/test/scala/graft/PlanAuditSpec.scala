@@ -116,6 +116,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"chunking should not shuffle payload:\n$queryShuffles")
   }
 
+  test("runtime bloom-filter join pruning: a selective dim filter" +
+      " injects might_contain on the fact side of a shuffle join") {
+    // At 100 TB the fact side of a shuffled dim join should be pre-pruned
+    // by a bloom filter built from the filtered dim keys (semi-join
+    // reduction) — Spark's InjectRuntimeFilter does exactly that. Local
+    // tables sit under the size thresholds, so the thresholds are lowered
+    // here to prove the engine's queries are SHAPED so the rule applies
+    // (equi-join + selective creation-side filter + shuffle regime).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plan = run("q04_join_agg").queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom-filter runtime pruning in:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("s01: the query side broadcasts against the corpus (no corpus" +
       " shuffle before ranking)") {
     val (ns, _) = planOf("s01_knn_brute")
