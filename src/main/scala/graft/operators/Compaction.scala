@@ -86,6 +86,55 @@ final class Compaction(spark: SparkSession,
     }
   }
 
+  /** Z-ORDER clustering rewrite: like `cluster`, but rows sort on a
+    * Morton key interleaving ALL of `dimCols` — each output file then
+    * covers a narrow range in EVERY dimension (a lexicographic sort
+    * leaves trailing dimensions full-range in every file), so row-group
+    * stats prune scans filtered on any clustered dimension. Per-dim
+    * min/max are collected to literals (the static-pruning idiom) to
+    * scale values onto the 16-bit grid; `filesPerPartition` overrides the
+    * byte-derived output count (tests, or externally-planned layouts). */
+  def clusterZOrder(root: String, dimCols: Seq[String],
+                    filesPerPartition: Option[Int] = None): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) return Nil
+    val parts = Files.list(rootPath).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .toSeq.sortBy(_.toString)
+    parts.flatMap { part =>
+      val files = Files.walk(part).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet")).toSeq
+      if (files.isEmpty) None
+      else {
+        val bytes = files.map(Files.size).sum
+        val nOut = filesPerPartition.getOrElse(
+          math.max(1, (bytes / targetFileBytes).toInt))
+        val df = spark.read.parquet(part.toString)
+        val aggs = dimCols.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+        val stats = df.agg(aggs.head, aggs.tail: _*).first()
+        val bounds = dimCols.indices.map(i =>
+          (stats.getDouble(2 * i), stats.getDouble(2 * i + 1)))
+        val z = ZOrder.zValue(dimCols.zip(bounds).map { case (c, (lo, hi)) =>
+          ZOrder.scale(col(c), lo, hi)
+        })
+        val tmp = Paths.get(part.toString + ".__zorder")
+        deleteRecursively(tmp)
+        df.withColumn("__z", z)
+          .repartitionByRange(nOut, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val old = Paths.get(part.toString + ".__old")
+        Files.move(part, old, StandardCopyOption.ATOMIC_MOVE)
+        Files.move(tmp, part, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(old)
+        Some(part.toString)
+      }
+    }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())

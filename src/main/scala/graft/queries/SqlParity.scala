@@ -489,5 +489,19 @@ object SqlParity {
       FROM cohorts JOIN by_user USING (user_id)
       GROUP BY cohort_month, month_offset
       ORDER BY cohort_month, month_offset""",
+
+    "q43_mom_growth" -> s"""
+      WITH monthly AS (
+        SELECT trunc(CAST(o_orderdate AS DATE), 'MM') AS month,
+          COUNT(*) AS n_orders,
+          ${decSumSql("o_totalprice")} AS revenue
+        FROM orders GROUP BY 1)
+      SELECT month, n_orders, revenue,
+        lag(revenue, 1) OVER (ORDER BY month) AS prev_revenue,
+        CASE WHEN lag(revenue, 1) OVER (ORDER BY month) IS NULL
+            OR lag(revenue, 1) OVER (ORDER BY month) = 0 THEN NULL
+          ELSE (revenue - lag(revenue, 1) OVER (ORDER BY month))
+            / lag(revenue, 1) OVER (ORDER BY month) END AS mom_pct
+      FROM monthly ORDER BY month""",
   )
 }

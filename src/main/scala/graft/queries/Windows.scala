@@ -4,6 +4,7 @@ import graft.Tables
 import graft.operators.{Dedup, Sessionize}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import Dsl._
 
 /** Window-function catalog: keyed dedup (keep-latest / keep-first),
   * ranking, lead/lag, running frames, and gap-based sessionization
@@ -17,7 +18,7 @@ import org.apache.spark.sql.functions._
 object Windows {
 
   def all: Seq[Q] = Seq(q08DedupLatest, q09FirstTouch, q10WindowFuncs,
-    q11Sessionize, q33WindowDist)
+    q11Sessionize, q33WindowDist, q43MomGrowth)
 
   /** Distribution window functions — ntile quartile buckets, percent_rank
     * and cume_dist over order value within each priority class. The rank
@@ -135,4 +136,38 @@ object Windows {
       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
     FROM assigned GROUP BY user_id, session_idx
     ORDER BY user_id, session_idx"""))
+
+  /** Month-over-month growth — lag over a pre-aggregated time series.
+    * The monthly rollup reduces the fact table to ~one row per month
+    * BEFORE the unpartitioned window, so the "global window = single
+    * task" cost applies to a vanishingly small frame at any corpus size
+    * (the 100 TB rule for global windows: aggregate first, window the
+    * aggregate). Growth fraction = one double division of
+    * exact-decimal-derived revenues — deterministic in both engines. */
+  val q43MomGrowth: Q = Q("q43_mom_growth", (s, d) => {
+    val w = Window.orderBy(col("month"))
+    Tables.orders(s, d)
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("revenue"))
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("mom_pct",
+        when(col("prev_revenue").isNull || col("prev_revenue") === 0,
+          lit(null))
+          .otherwise((col("revenue") - col("prev_revenue")) /
+            col("prev_revenue")))
+      .orderBy(col("month"))
+  }, Some(s"""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        COUNT(*) AS n_orders,
+        ${decSumSql("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, n_orders, revenue,
+      lag(revenue, 1) OVER (ORDER BY month) AS prev_revenue,
+      CASE WHEN lag(revenue, 1) OVER (ORDER BY month) IS NULL
+          OR lag(revenue, 1) OVER (ORDER BY month) = 0 THEN NULL
+        ELSE (revenue - lag(revenue, 1) OVER (ORDER BY month))
+          / lag(revenue, 1) OVER (ORDER BY month) END AS mom_pct
+    FROM monthly ORDER BY month"""))
 }
