@@ -28,7 +28,7 @@ object Relational {
     q14SaltedJoin, q28AsofJoin, q29ApproxDistinct, q30Cube,
     q31Percentiles, q32ApproxPercentile, q34Unpivot, q35FullOuter,
     q36Tumbling, q37BandJoin, q38GroupingSets, q39GapsIslands,
-    q40AboveAvg, q41Sliding, q42Cohort)
+    q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1101,4 +1101,38 @@ object Relational {
     FROM cohorts JOIN by_user USING (user_id)
     GROUP BY cohort_month, month_offset
     ORDER BY cohort_month, month_offset"""))
+
+  /** Heavy hitters via count-min sketch — q29's HLL pattern applied to
+    * top-k: the exact per-key counts are the oracle-able output, and
+    * `approx_ok` checks Spark's OWN mergeable CMS against the
+    * eps·N guarantee (est ≥ true, est ≤ true + 10·eps·N), so a broken
+    * sketch fails the hash match. The 100 TB shape: per-partition
+    * sketches merge by counter addition (exact, order-insensitive —
+    * the estimate is deterministic under ANY partitioning), the merged
+    * sketch is KB-sized on the driver, and only the k candidate keys are
+    * probed against it. Candidate selection here reuses the exact
+    * aggregate (which this query also emits); a pure-sketch pipeline
+    * would feed candidates from a per-partition top-k pre-reduction. */
+  val q44HeavyHitters: Q = Q("q44_heavy_hitters", (s, d) => {
+    import s.implicits._
+    val eps = 1e-4
+    val li = Tables.lineitem(s, d).select(col("l_partkey"))
+    val top = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy(col("n_lines").desc, col("l_partkey").asc)
+      .limit(20).collect()
+    val total = li.count().max(1L)
+    val cms = li.stat.countMinSketch("l_partkey", eps, 0.99, 42)
+    top.toSeq.map { r =>
+      val (k, n) = (r.getLong(0), r.getLong(1))
+      val est = cms.estimateCount(k)
+      (k, n, est >= n && est - n <= math.max(1L, (10 * eps * total).toLong))
+    }.toDF("l_partkey", "n_lines", "approx_ok")
+      .orderBy(col("l_partkey"))
+  }, Some("""
+    SELECT l_partkey, n_lines, TRUE AS approx_ok FROM (
+      SELECT l_partkey, COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY n_lines DESC, l_partkey ASC LIMIT 20)
+    ORDER BY l_partkey"""))
 }

@@ -22,7 +22,7 @@ object TextQ {
   def all: Seq[Q] = Seq(t01LangId, t02QualityScore, t03TokenCount,
     t04Fingerprint, t05PiiScrub, t06CorpusFilter, t07HashSplit,
     t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample,
-    t12Decontaminate, t13ChunkOverlap)
+    t12Decontaminate, t13ChunkOverlap, t14Repetition)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -570,4 +570,46 @@ object TextQ {
       md5(substr(text, chunk_idx * 48 + 1, 64)) AS chunk_md5
     FROM idx
     ORDER BY doc_id, chunk_idx"""))
+
+  /** Within-document repetition scoring: the fraction of 8-token shingles
+    * that are repeats of an earlier shingle in the SAME document — the
+    * boilerplate/loop-output filter every LLM data pipeline runs (distinct
+    * from t12, which measures overlap ACROSS documents). Narrow per-row
+    * array work on top of the scan, zero shuffles: counting distinct
+    * shingles inside one row needs no exchange at any corpus size. Docs
+    * too short for a single shingle score null (no evidence ≠ clean). */
+  val t14Repetition: Q = Q("t14_repetition", (s, d) => {
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles(tokens(col("text")), 8).as("g"))
+      .select(col("doc_id"), size(col("g")).as("n_grams"),
+        size(array_distinct(col("g"))).as("n_distinct"))
+      .withColumn("repetition_ratio",
+        when(col("n_grams") === 0, lit(null)).otherwise(
+          lit(1.0) - col("n_distinct").cast("double") /
+            col("n_grams").cast("double")))
+      .withColumn("repetitive", col("repetition_ratio") >= 0.2)
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0) AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+        list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+          i -> array_to_string(t[i:i+7], ' ')) AS g
+      FROM toks),
+    stats AS (
+      SELECT doc_id, CAST(len(g) AS INT) AS n_grams,
+        CAST(len(list_distinct(g)) AS INT) AS n_distinct
+      FROM grams)
+    SELECT doc_id, n_grams, n_distinct,
+      CASE WHEN n_grams = 0 THEN NULL
+        ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+      END AS repetition_ratio,
+      CASE WHEN n_grams = 0 THEN NULL
+        ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
+          >= 0.2 END AS repetitive
+    FROM stats ORDER BY doc_id"""))
 }
