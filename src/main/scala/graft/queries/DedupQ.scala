@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
 object DedupQ {
 
   def all: Seq[Q] = Seq(d01Exact, d02MinhashLsh, d03Simhash, d04NgramJaccard,
-    d05EmbedNearDup, d06DedupClusters, d07EmbedLshNearDup)
+    d05EmbedNearDup, d06DedupClusters, d07EmbedLshNearDup,
+    d08NormalizedDedup)
 
   /** Token bigram SETS per doc — the shingle basis for d02/d04. Native
     * ShinglesExpr (one loop) instead of the staggered-slice zip_with
@@ -406,6 +407,36 @@ object DedupQ {
       ELSE dot / (na * nb) END >= 0.4
     ORDER BY vec_a, vec_b""")
   })
+
+  /** Dedup on NORMALIZED text — case-fold, strip non-alphanumerics,
+    * collapse runs of whitespace — the canonicalization real pipelines
+    * apply BEFORE exact hashing (d01 is the raw-byte baseline; formatting
+    * variants of the same content hash apart there and together here).
+    * One row per normalized group: canonical doc, group size, and how
+    * many RAW-distinct variants normalization merged. Same scale shape
+    * as d01: narrow per-row normalization, one shuffle on the short
+    * hash key. */
+  val d08NormalizedDedup: Q = Q("d08_normalized_dedup", (s, d) => {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("raw_hash"),
+        md5(norm).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_hash")).as("n_raw_variants"))
+      .orderBy(col("canonical_id"))
+  }, Some("""
+    WITH hashed AS (
+      SELECT doc_id, md5(text) AS raw_hash,
+        md5(trim(regexp_replace(regexp_replace(lower(text),
+          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+      FROM documents)
+    SELECT norm_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs,
+      CAST(COUNT(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants
+    FROM hashed GROUP BY norm_hash
+    ORDER BY canonical_id"""))
 }
 
 /** DuckDB SQL mirrors of VectorFns — ordered left-to-right double folds

@@ -28,7 +28,8 @@ object Relational {
     q14SaltedJoin, q28AsofJoin, q29ApproxDistinct, q30Cube,
     q31Percentiles, q32ApproxPercentile, q34Unpivot, q35FullOuter,
     q36Tumbling, q37BandJoin, q38GroupingSets, q39GapsIslands,
-    q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters)
+    q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
+    q45MultisetOps)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1066,22 +1067,24 @@ object Relational {
     * customers grouped by first-order month (cohort), counted in each
     * later ordering month as a month offset (orders span 1995–2001;
     * `events` covers a single month, so order cohorts are the meaningful
-    * ones). One explicit customer-keyed repartition serves the
-    * first-seen aggregate AND the per-month activity distinct (subset
-    * rule, q39's idiom), the self-join is then co-partitioned
-    * (zero-exchange), and only the tiny (cohort, offset) matrix shuffles
-    * at the end. months_between on month-truncated dates is exact whole
-    * months — no fractional drift against the oracle's integer month
-    * diff. */
+    * ones). NO self-join: first-seen month is a min-window over the
+    * customer key on the distinct (customer, month) activity — the
+    * explicit customer repartition serves both the distinct (subset
+    * rule, q39's idiom) and the window, so the fact table crosses ONE
+    * exchange and only the tiny (cohort, offset) matrix shuffles after
+    * it. (The join formulation was measured to re-scan and re-shuffle
+    * orders twice and broadcast the cohort side — which is
+    * user-cardinality and must NOT broadcast at scale.) months_between
+    * on month-truncated dates is exact whole months — no fractional
+    * drift against the oracle's integer month diff. */
   val q42Cohort: Q = Q("q42_cohort", (s, d) => {
-    val byUser = Tables.orders(s, d)
+    val w = Window.partitionBy(col("user_id"))
+    Tables.orders(s, d)
       .select(col("o_custkey").as("user_id"),
         trunc(to_date(col("o_orderdate")), "month").as("m"))
       .repartition(col("user_id"))
-    val cohorts = byUser.groupBy(col("user_id"))
-      .agg(min(col("m")).as("cohort_month"))
-    val active = byUser.distinct()
-    cohorts.join(active, Seq("user_id"))
+      .distinct()
+      .withColumn("cohort_month", min(col("m")).over(w))
       .select(col("cohort_month"),
         months_between(col("m"), col("cohort_month")).cast("int")
           .as("month_offset"))
@@ -1135,4 +1138,36 @@ object Relational {
       FROM lineitem GROUP BY l_partkey
       ORDER BY n_lines DESC, l_partkey ASC LIMIT 20)
     ORDER BY l_partkey"""))
+
+  /** Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+    * MULTIPLICITY, which q18's set-semantics family discards: shipments
+    * of each part in 1998 vs 1999 as bags of partkeys. Spark plans both
+    * as one aggregate computing per-key counts on each side then
+    * replaying min/difference — a single shuffle on the key, no join,
+    * exactly how you'd hand-write it at scale. The trailing count
+    * aggregate makes the bag deterministic for comparison. */
+  val q45MultisetOps: Q = Q("q45_multiset_ops", (s, d) => {
+    def yr(y: Int) = Tables.lineitem(s, d)
+      .filter(year(col("l_shipdate")) === y).select(col("l_partkey"))
+    val ex = yr(1998).exceptAll(yr(1999))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val in = yr(1998).intersectAll(yr(1999))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    ex.unionByName(in)
+      .select(col("op"), col("l_partkey"), col("n"))
+      .orderBy(col("op"), col("l_partkey"))
+  }, Some("""
+    WITH a AS (SELECT l_partkey FROM lineitem
+      WHERE year(l_shipdate) = 1998),
+    b AS (SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1999)
+    SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n
+    FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+    GROUP BY l_partkey
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_partkey, COUNT(*) AS n
+    FROM (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+    GROUP BY l_partkey
+    ORDER BY op, l_partkey"""))
 }

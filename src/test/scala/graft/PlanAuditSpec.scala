@@ -91,6 +91,14 @@ class PlanAuditSpec extends AnyFunSuite {
         ex.mkString("\n"))
   }
 
+  test("q42: the cohort matrix has no self-join — one window over the" +
+      " user-keyed activity, no join node at all") {
+    val (ns, _) = planOf("q42_cohort")
+    assert(!ns.exists(_.nodeName.contains("Join")),
+      "q42 regressed to the self-join formulation")
+    assert(ns.exists(_.nodeName.contains("Window")))
+  }
+
   test("q41: sliding windows replicate via ONE Expand; tumbling (q36)" +
       " plans none") {
     val (slide, _) = planOf("q41_sliding")
