@@ -503,5 +503,20 @@ object SqlParity {
           ELSE (revenue - lag(revenue, 1) OVER (ORDER BY month))
             / lag(revenue, 1) OVER (ORDER BY month) END AS mom_pct
       FROM monthly ORDER BY month""",
+
+    "q45_multiset_ops" -> """
+      WITH a AS (SELECT l_partkey FROM lineitem
+        WHERE year(l_shipdate) = 1998),
+      b AS (SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1999)
+      SELECT op, l_partkey, n FROM (
+        SELECT 'except_all' AS op, l_partkey, COUNT(*) AS n
+        FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+        GROUP BY l_partkey
+        UNION ALL
+        SELECT 'intersect_all' AS op, l_partkey, COUNT(*) AS n
+        FROM (SELECT l_partkey FROM a INTERSECT ALL
+              SELECT l_partkey FROM b)
+        GROUP BY l_partkey)
+      ORDER BY op, l_partkey""",
   )
 }

@@ -172,6 +172,42 @@ final class StreamingIngest(spark: SparkSession) {
       .start()
   }
 
+  /** Continuous corpus ingest with CROSS-RUN dedup: each micro-batch is
+    * filtered against everything already accepted — first through a bloom
+    * sketch of the historical keys (codegen'd probe, no false negatives),
+    * then an exact anti-join for the might-contain sliver — and only
+    * genuinely-new rows append (BloomDedup.filterNew inside foreachBatch,
+    * plus a within-batch keep-first; the streaming twin of d01/d08's
+    * batch dedup). At 100 TB the sketch is the point: steady-state cost
+    * per batch is one bloom build over the history's KEY COLUMN (or, in
+    * a real deployment, an incrementally-maintained sketch) plus a
+    * batch-sized probe — the corpus body is never rejoined. Idempotent:
+    * a replayed batch's rows are all duplicates and append nothing. */
+  def streamCorpusAppend(inputDir: String, schema: StructType,
+                         targetPath: String, checkpointDir: String,
+                         key: String, expectedItems: Long,
+                         trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inBatch = graft.operators.Dedup.keepFirst(
+          batch, Seq(key), col(key), Nil)
+        val toAppend =
+          if (!java.nio.file.Files.exists(java.nio.file.Paths.get(targetPath)))
+            inBatch
+          else graft.operators.BloomDedup.filterNew(
+            inBatch, spark.read.parquet(targetPath), key, expectedItems)
+        if (!toAppend.isEmpty)
+          toAppend.write.mode("append").parquet(targetPath)
+        ()
+      }
+      .start()
+
   /** Dedup for at-least-once sources whose duplicates carry DIFFERENT
     * event times (producer retries re-stamp the clock — the case
     * `dropDuplicates(key, ts)` silently misses). State is keyed on `key`

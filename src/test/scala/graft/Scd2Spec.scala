@@ -46,6 +46,49 @@ class Scd2Spec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("property: random snapshot sequences keep ≤1 open version per" +
+      " key, non-overlapping validity, and asOf == each source snapshot") {
+    val rnd = new scala.util.Random(42)
+    val times = (1 to 5).map(i => ts(f"2024-0$i-01 00:00:00"))
+    // random dimension states over keys 0..9
+    val snaps = times.map { _ =>
+      (0L to 9L).filter(_ => rnd.nextDouble() < 0.7)
+        .map(k => (k, s"v${rnd.nextInt(3)}", rnd.nextInt(3))).toSeq
+    }
+    var history = Scd2.init(
+      snaps.head.toDF("id", "name", "size"), times.head)
+    snaps.tail.zip(times.tail).foreach { case (snap, t) =>
+      history = Scd2.merge(history, snap.toDF("id", "name", "size"),
+        Seq("id"), t)
+      history = history.localCheckpoint() // keep lineage flat over rounds
+    }
+    val rows = history
+      .select("id", "name", "size", "valid_from", "valid_to")
+      .as[(Long, String, Int, java.sql.Timestamp,
+        Option[java.sql.Timestamp])].collect().toSeq
+    // ≤1 open version per key
+    val open = rows.filter(_._5.isEmpty)
+    assert(open.map(_._1).distinct.size == open.size)
+    // versions of one key never overlap in time
+    rows.groupBy(_._1).values.foreach { vs =>
+      val sorted = vs.sortBy(_._4.getTime)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5.nonEmpty && a._5.get.getTime <= b._4.getTime,
+            s"overlapping versions: $a vs $b")
+        case _ =>
+      }
+    }
+    // time travel reproduces every source snapshot exactly
+    snaps.zip(times).foreach { case (snap, t) =>
+      val at = Scd2.asOf(history, ts(
+        new java.sql.Timestamp(t.getTime + 1000).toString))
+        .select("id", "name", "size").as[(Long, String, Int)]
+        .collect().toSet
+      assert(at == snap.toSet, s"asOf($t) mismatch")
+    }
+  }
+
   test("asOf reconstructs the dimension at any past instant") {
     val h2 = Scd2.merge(Scd2.init(snap1, t1), snap2, Seq("id"), t2)
     val atT1 = Scd2.asOf(h2, ts("2024-01-15 00:00:00"))

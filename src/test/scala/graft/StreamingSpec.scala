@@ -149,6 +149,34 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("event_date") === "2024-01-02").count() == 0)
   }
 
+  test("streamCorpusAppend appends only cross-run-new documents (bloom" +
+      " prefilter + exact verify), and a replayed batch appends nothing") {
+    val base = Files.createTempDirectory("graft_corpus").toString
+    val in = s"$base/in"; val tgt = s"$base/corpus"; val cp = s"$base/cp"
+    val sch = StructType(Seq(StructField("text_hash", StringType),
+      StructField("text", StringType)))
+    // batch 1: h1 duplicated in-batch, h2
+    Seq(("h1", "aa"), ("h1", "aa"), ("h2", "bb"))
+      .toDF("text_hash", "text").write.parquet(in)
+    val ingest = new StreamingIngest(spark)
+    ingest.streamCorpusAppend(in, sch, tgt, cp, "text_hash", 1000L)
+      .awaitTermination()
+    assert(spark.read.parquet(tgt).select("text_hash")
+      .as[String].collect().sorted.toSeq == Seq("h1", "h2"))
+    // batch 2: h2 again (historical dup) + h3 new
+    Seq(("h2", "bb"), ("h3", "cc"))
+      .toDF("text_hash", "text").write.mode("append").parquet(in)
+    ingest.streamCorpusAppend(in, sch, tgt, cp, "text_hash", 1000L)
+      .awaitTermination()
+    assert(spark.read.parquet(tgt).select("text_hash")
+      .as[String].collect().sorted.toSeq == Seq("h1", "h2", "h3"))
+    // replay the same input against a FRESH checkpoint: every row is a
+    // historical duplicate, nothing appends (cross-run idempotence)
+    ingest.streamCorpusAppend(in, sch, tgt, s"$base/cp2", "text_hash",
+      1000L).awaitTermination()
+    assert(spark.read.parquet(tgt).count() == 3)
+  }
+
   test("dropDuplicatesWithinWatermark dedups retried events whose" +
       " duplicates carry different timestamps") {
     val base = Files.createTempDirectory("graft_dedup_wm").toString

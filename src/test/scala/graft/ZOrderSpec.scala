@@ -34,44 +34,53 @@ class ZOrderSpec extends AnyFunSuite {
     assert(out(3) == 0L && out(4) == 65535L) // clamped
   }
 
-  test("clusterZOrder gives every file a half-range bbox in BOTH dims;" +
-      " a lexicographic sort leaves dim y full-range (the control)") {
+  test("equal z-quarters of a 64x64 grid are exactly the four 32x32" +
+      " quadrants (curve locality, no sampling involved)") {
+    val grid = spark.range(4096)
+      .select((col("id") / 64).cast("int").as("x"),
+        (col("id") % 64).cast("int").as("y"))
+    val z = ZOrder.zValue(Seq(
+      ZOrder.scale(col("x"), 0.0, 63.0), ZOrder.scale(col("y"), 0.0, 63.0)))
+    val quarters = grid.withColumn("z", z)
+      // 2^32 z-space / 4 equal quarters = the top (x_msb, y_msb) bit pair
+      .withColumn("q", floor(col("z") / lit(1L << 30)))
+      .groupBy(col("q"))
+      .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+        min(col("y")).as("y0"), max(col("y")).as("y1"))
+      .as[(Long, Int, Int, Int, Int)].collect().toSet
+    assert(quarters == Set(
+      (0L, 0, 31, 0, 31), (1L, 0, 31, 32, 63),
+      (2L, 32, 63, 0, 31), (3L, 32, 63, 32, 63)))
+  }
+
+  test("clusterZOrder files prune on the TRAILING dimension; a" +
+      " lexicographic sort touches every file (the control)") {
     val base = Files.createTempDirectory("graft_zorder").toString
     val part = s"$base/part=1"
-    // deterministic 64x64 grid
     val grid = spark.range(4096)
       .select((col("id") / 64).cast("int").as("x"),
         (col("id") % 64).cast("int").as("y"))
     grid.write.parquet(part)
-
-    def perFileRanges(): Seq[(Long, Long)] =
-      spark.read.parquet(part)
-        .groupBy(input_file_name())
-        .agg((max(col("x")) - min(col("x"))).cast("long").as("xr"),
-          (max(col("y")) - min(col("y"))).cast("long").as("yr"))
-        .select(col("xr"), col("yr"))
-        .as[(Long, Long)].collect().toSeq
-
     new Compaction(spark).clusterZOrder(base, Seq("x", "y"),
       filesPerPartition = Some(4))
-    val zRanges = perFileRanges()
-    assert(zRanges.size == 4)
-    // 4 files over a 64x64 grid = the four 32x32 quadrants (the top
-    // z-bit pair is (x_msb, y_msb)); allow slack for the range
-    // partitioner's sampled boundaries
-    zRanges.foreach { case (xr, yr) =>
-      assert(xr <= 40 && yr <= 40,
-        s"z-ordered file spans x=$xr y=$yr — not a quadrant")
-    }
 
-    // control: single-key sort -> y is full-range in every file
+    def filesTouched(path: String, cond: org.apache.spark.sql.Column) =
+      spark.read.parquet(path).filter(cond)
+        .select(input_file_name()).distinct().count()
+
+    // control: single-key sort — every file spans y fully, so a y-filter
+    // must open all 4
     val linear = s"$base/linear=1"
     grid.repartitionByRange(4, col("x"))
       .sortWithinPartitions(col("x")).write.parquet(linear)
-    val linRanges = spark.read.parquet(linear)
-      .groupBy(input_file_name())
-      .agg((max(col("y")) - min(col("y"))).cast("long").as("yr"))
-      .select(col("yr")).as[Long].collect().toSeq
-    assert(linRanges.forall(_ == 63L))
+    assert(filesTouched(linear, col("y") < 16) == 4)
+
+    // z-order: a y-slice lives in the y_msb=0 files only (2 of 4 in the
+    // ideal split; ≤3 even when a sampled range boundary crosses a
+    // quadrant edge — the seed varies with session history)
+    assert(filesTouched(part, col("y") < 16) <= 3)
+    // the leading dimension prunes too (x<16 = one quadrant's half)
+    assert(filesTouched(part, col("x") < 16) <= 3)
+    assert(spark.read.parquet(part).count() == 4096)
   }
 }
