@@ -29,7 +29,7 @@ object Relational {
     q31Percentiles, q32ApproxPercentile, q34Unpivot, q35FullOuter,
     q36Tumbling, q37BandJoin, q38GroupingSets, q39GapsIslands,
     q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
-    q45MultisetOps)
+    q45MultisetOps, q46RatioToReport, q47ForwardFill)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1170,4 +1170,93 @@ object Relational {
     FROM (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
     GROUP BY l_partkey
     ORDER BY op, l_partkey"""))
+
+  /** Ratio-to-report (contribution analysis): each priority's share of
+    * its month's revenue — an aggregate windowed over a COARSER key than
+    * it grouped by. Deliberately NOT pre-repartitioned on month (q39's
+    * idiom inverted): the groupBy's partial aggregation reduces the fact
+    * map-side before its (month, priority) exchange, and the window's
+    * month exchange then moves only ~5 rows per month — forcing the raw
+    * fact onto ~80 month partitions first would serialize the scan on
+    * too few partitions at 100 TB. Shares stay exact until one double
+    * division: the month total is a window-sum of DECIMALS (doubles
+    * would re-introduce accumulation-order drift). */
+  val q46RatioToReport: Q = Q("q46_ratio_to_report", (s, d) => {
+    val byMonth = Window.partitionBy(col("month"))
+    Tables.orders(s, d)
+      .groupBy(trunc(to_date(col("o_orderdate")), "month").as("month"),
+        col("o_orderpriority"))
+      .agg(sum(d2(col("o_totalprice"))).as("rev_dec"))
+      // both operands exact decimals cast to double ONCE, then a single
+      // IEEE division — decimal÷decimal would round at engine-specific
+      // result scales and drift a ulp
+      .withColumn("share",
+        col("rev_dec").cast("double") /
+          sum(col("rev_dec")).over(byMonth).cast("double"))
+      .select(col("month"), col("o_orderpriority"),
+        col("rev_dec").cast("double").as("revenue"), col("share"))
+      .orderBy(col("month"), col("o_orderpriority"))
+  }, Some(s"""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        o_orderpriority,
+        SUM(${d2Sql("o_totalprice")}) AS rev_dec
+      FROM orders GROUP BY 1, 2)
+    SELECT month, o_orderpriority,
+      CAST(rev_dec AS DOUBLE) AS revenue,
+      CAST(rev_dec AS DOUBLE)
+        / CAST(SUM(rev_dec) OVER (PARTITION BY month) AS DOUBLE) AS share
+    FROM monthly ORDER BY month, o_orderpriority"""))
+
+  /** Gap-filling forward fill: the sparse daily revenue series per
+    * priority joined onto the full date spine (q13's idiom), gaps
+    * carried forward with `last(_, ignoreNulls)` over an unbounded-
+    * preceding frame — the time-series densification every metrics
+    * store needs, and the window-carry idiom q28's as-of join builds
+    * on. One exchange on the (tiny) priority key for the fill window;
+    * the spine join broadcasts the 5-row priority dim. Fill copies
+    * existing exact values — no arithmetic on the carried column. */
+  val q47ForwardFill: Q = Q("q47_forward_fill", (s, d) => {
+    val orders = Tables.orders(s, d)
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"),
+        col("o_orderpriority"))
+      .agg(decSum(col("o_totalprice")).as("revenue"))
+    val spine = orders
+      .agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    val prios = orders.select(col("o_orderpriority")).distinct()
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.crossJoin(broadcast(prios))
+      .join(daily, Seq("day", "o_orderpriority"), "left")
+      .withColumn("filled_revenue",
+        last(col("revenue"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("revenue").isNull)
+      .orderBy(col("day"), col("o_orderpriority"))
+  }, Some(s"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+        ${decSumSql("o_totalprice")} AS revenue
+      FROM orders GROUP BY 1, 2),
+    spine AS (
+      SELECT CAST(unnest(generate_series(
+        (SELECT CAST(MIN(o_orderdate) AS DATE) FROM orders),
+        (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders),
+        INTERVAL 1 DAY)) AS DATE) AS day),
+    prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+    dense AS (
+      SELECT s.day, p.o_orderpriority, d.revenue
+      FROM spine s CROSS JOIN prios p
+      LEFT JOIN daily d
+        ON d.day = s.day AND d.o_orderpriority = p.o_orderpriority)
+    SELECT day, o_orderpriority, revenue,
+      last_value(revenue IGNORE NULLS) OVER (
+        PARTITION BY o_orderpriority ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS filled_revenue,
+      revenue IS NULL AS is_gap
+    FROM dense ORDER BY day, o_orderpriority"""))
 }

@@ -518,5 +518,41 @@ object SqlParity {
               SELECT l_partkey FROM b)
         GROUP BY l_partkey)
       ORDER BY op, l_partkey""",
+
+    "q46_ratio_to_report" -> s"""
+      WITH monthly AS (
+        SELECT trunc(CAST(o_orderdate AS DATE), 'MM') AS month,
+          o_orderpriority,
+          SUM(${d2Sql("o_totalprice")}) AS rev_dec
+        FROM orders GROUP BY 1, 2)
+      SELECT month, o_orderpriority,
+        CAST(rev_dec AS DOUBLE) AS revenue,
+        CAST(rev_dec AS DOUBLE)
+          / CAST(SUM(rev_dec) OVER (PARTITION BY month) AS DOUBLE) AS share
+      FROM monthly ORDER BY month, o_orderpriority""",
+
+    "q47_forward_fill" -> s"""
+      WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+          ${decSumSql("o_totalprice")} AS revenue
+        FROM orders GROUP BY 1, 2),
+      spine AS (
+        SELECT explode(sequence(
+          (SELECT MIN(CAST(o_orderdate AS DATE)) FROM orders),
+          (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders),
+          interval 1 day)) AS day),
+      prios AS (SELECT DISTINCT o_orderpriority FROM orders),
+      dense AS (
+        SELECT s.day, p.o_orderpriority, d.revenue
+        FROM spine s CROSS JOIN prios p
+        LEFT JOIN daily d
+          ON d.day = s.day AND d.o_orderpriority = p.o_orderpriority)
+      SELECT day, o_orderpriority, revenue,
+        last_value(revenue) IGNORE NULLS OVER (
+          PARTITION BY o_orderpriority ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS filled_revenue,
+        revenue IS NULL AS is_gap
+      FROM dense ORDER BY day, o_orderpriority""",
   )
 }
