@@ -29,7 +29,7 @@ object Relational {
     q31Percentiles, q32ApproxPercentile, q34Unpivot, q35FullOuter,
     q36Tumbling, q37BandJoin, q38GroupingSets, q39GapsIslands,
     q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
-    q45MultisetOps, q46RatioToReport, q47ForwardFill)
+    q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1259,4 +1259,38 @@ object Relational {
         AS filled_revenue,
       revenue IS NULL AS is_gap
     FROM dense ORDER BY day, o_orderpriority"""))
+
+  /** Rolling 7-day distinct users (WAU per day) — DISTINCT over a
+    * SLIDING frame, which no engine's window aggregate does directly:
+    * per-day user SETS merge across a 7-day RANGE frame, then one
+    * distinct+size. The exact-set form here is the oracle; at 100 TB
+    * the same plan shape carries mergeable HLL sketches per day instead
+    * of sets (q29's pattern — union the 7 sketches, read the estimate),
+    * turning per-day state from user-cardinality to KB. Day arithmetic
+    * is integer (RANGE frame on a day number), and only set SIZES are
+    * emitted, so collect order never matters. */
+  val q48RollingWau: Q = Q("q48_rolling_wau", (s, d) => {
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(collect_set(col("user_id")).as("us"),
+        countDistinct(col("user_id")).as("n_day_users"))
+      .withColumn("day_num",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+      .withColumn("wau_7d",
+        size(array_distinct(flatten(collect_list(col("us")).over(w))))
+          .cast("int"))
+      .select(col("day"), col("n_day_users"), col("wau_7d"))
+      .orderBy(col("day"))
+  }, Some("""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+        list_distinct(list(user_id)) AS us,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_day_users
+      FROM events GROUP BY 1)
+    SELECT day, n_day_users,
+      CAST(len(list_distinct(flatten(list(us) OVER (
+        ORDER BY datediff('day', DATE '1970-01-01', day)
+        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)))) AS INT) AS wau_7d
+    FROM daily ORDER BY day"""))
 }

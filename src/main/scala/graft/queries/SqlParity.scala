@@ -554,5 +554,17 @@ object SqlParity {
           AS filled_revenue,
         revenue IS NULL AS is_gap
       FROM dense ORDER BY day, o_orderpriority""",
+
+    "q48_rolling_wau" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+          collect_set(user_id) AS us,
+          COUNT(DISTINCT user_id) AS n_day_users
+        FROM events GROUP BY 1)
+      SELECT day, n_day_users,
+        CAST(size(array_distinct(flatten(collect_list(us) OVER (
+          ORDER BY datediff(day, DATE '1970-01-01')
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)))) AS INT) AS wau_7d
+      FROM daily ORDER BY day""",
   )
 }
