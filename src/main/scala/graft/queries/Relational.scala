@@ -29,7 +29,8 @@ object Relational {
     q31Percentiles, q32ApproxPercentile, q34Unpivot, q35FullOuter,
     q36Tumbling, q37BandJoin, q38GroupingSets, q39GapsIslands,
     q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
-    q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau)
+    q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau,
+    q49Histogram)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1293,4 +1294,37 @@ object Relational {
         ORDER BY datediff('day', DATE '1970-01-01', day)
         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)))) AS INT) AS wau_7d
     FROM daily ORDER BY day"""))
+
+  /** Equi-width histogram by PURE-COLUMN binning — the grid-bucketing
+    * scale path q37's band join documents for large×large range work:
+    * bucket id is arithmetic on the value (no join, no broadcast, no
+    * lookup), so binning 100 TB is a narrow map + one tiny aggregate.
+    * Bucket bounds re-derive from the id; integer bucket arithmetic on
+    * 0.1-granular prices (p·10 is exact) keeps edge values engine-stable. */
+  val q49Histogram: Q = Q("q49_histogram", (s, d) => {
+    Tables.part(s, d)
+      .select((floor(((d2(col("p_retailprice")) - 900) * 10) / 100))
+        .cast("int").as("bucket"),
+        col("p_retailprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price"))
+      .withColumn("lo", (lit(900) + col("bucket") * 10).cast("double"))
+      .withColumn("hi", (lit(910) + col("bucket") * 10).cast("double"))
+      .select(col("bucket"), col("lo"), col("hi"), col("n_parts"),
+        col("min_price"), col("max_price"))
+      .orderBy(col("bucket"))
+  }, Some(s"""
+    WITH binned AS (
+      SELECT CAST(floor((${d2Sql("p_retailprice")} - 900) * 10 / 100)
+        AS INT) AS bucket, p_retailprice
+      FROM part)
+    SELECT bucket, CAST(900 + bucket * 10 AS DOUBLE) AS lo,
+      CAST(910 + bucket * 10 AS DOUBLE) AS hi,
+      COUNT(*) AS n_parts,
+      MIN(p_retailprice) AS min_price,
+      MAX(p_retailprice) AS max_price
+    FROM binned GROUP BY bucket
+    ORDER BY bucket"""))
 }
