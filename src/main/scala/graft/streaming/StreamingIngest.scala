@@ -208,6 +208,32 @@ final class StreamingIngest(spark: SparkSession) {
       }
       .start()
 
+  /** Continuous incremental rollup: each micro-batch folds into a
+    * MaterializedAgg target (per-key counts + exact decimal sums) —
+    * a streaming materialized view kept fresh by ADDITION, so per-batch
+    * cost is the batch's partial aggregate plus a key-wise merge,
+    * independent of how much history the rollup summarizes. Exact
+    * decimal addition is associative, so ANY micro-batch slicing of the
+    * input converges to the batch recompute (the spec pins this). */
+  def streamRollup(inputDir: String, schema: StructType,
+                   targetPath: String, checkpointDir: String,
+                   keys: Seq[String], sumCols: Seq[String],
+                   trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    val magg = new graft.operators.MaterializedAgg(
+      spark, targetPath, keys, sumCols)
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        magg.refresh(batch); ()
+      }
+      .start()
+  }
+
   /** Dedup for at-least-once sources whose duplicates carry DIFFERENT
     * event times (producer retries re-stamp the clock — the case
     * `dropDuplicates(key, ts)` silently misses). State is keyed on `key`

@@ -177,6 +177,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(tgt).count() == 3)
   }
 
+  test("streamRollup keeps an incremental materialized rollup equal to" +
+      " the batch recompute across micro-batch runs") {
+    val base = Files.createTempDirectory("graft_sroll").toString
+    val in = s"$base/in"; val tgt = s"$base/rollup"; val cp = s"$base/cp"
+    val sch = StructType(Seq(StructField("k", StringType),
+      StructField("v", DoubleType)))
+    Seq(("a", 1.25), ("b", 2.00), ("a", 0.75))
+      .toDF("k", "v").write.parquet(in)
+    val ingest = new StreamingIngest(spark)
+    ingest.streamRollup(in, sch, tgt, cp, Seq("k"), Seq("v"))
+      .awaitTermination()
+    Seq(("a", 3.00), ("c", 4.50))
+      .toDF("k", "v").write.mode("append").parquet(in)
+    ingest.streamRollup(in, sch, tgt, cp, Seq("k"), Seq("v"))
+      .awaitTermination()
+    val out = new graft.operators.MaterializedAgg(
+      spark, tgt, Seq("k"), Seq("v")).read()
+      .select(col("k"), col("n_rows"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(out == Set(("a", 3L, 5.0), ("b", 1L, 2.0), ("c", 1L, 4.5)))
+  }
+
   test("dropDuplicatesWithinWatermark dedups retried events whose" +
       " duplicates carry different timestamps") {
     val base = Files.createTempDirectory("graft_dedup_wm").toString
