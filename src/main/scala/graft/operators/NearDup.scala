@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.functions.TextExprs
+import graft.functions.TextFns.{jaccard, lshBandKeys, tokens}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Library API for LSH-verified textual near-duplicate detection over ANY
+  * (id, text) frame — the operator behind catalog queries d02 (pairs) and
+  * d06 (clusters), exposed so callers aren't tied to the test tables.
+  *
+  * Shape (the one that scales to 100 TB): bigram-shingle MinHash
+  * signatures (16 hashes from 4 md5s, native `MinhashSigExpr`) are narrow
+  * per-row work materialized ONCE; 8×2 banding shuffles only short band
+  * keys, so candidate generation is bucket-join work, never all-pairs;
+  * exact Jaccard verifies just the candidates. Detection probability at
+  * j=0.5 is 1-(1-0.25)^8 ≈ 0.90 (RecallSpec pins ≥0.8 measured, 100% at
+  * j ≥ 0.8, zero false positives by construction).
+  */
+object NearDup {
+
+  /** Near-duplicate pairs `(doc_a, doc_b, jaccard, est_jaccard)` with
+    * exact bigram-set Jaccard ≥ `threshold`, doc_a < doc_b. Ids must be
+    * orderable (the pair dedup relies on `<`). */
+  def lshPairs(src: DataFrame, idCol: String, textCol: String,
+               threshold: Double = 0.5): DataFrame = {
+    val docs = src
+      .select(col(idCol).as("doc_id"),
+        array_distinct(TextExprs.shingles(tokens(col(textCol)), 2))
+          .as("sh"))
+      .withColumn("sig", TextExprs.minhashSig(col("sh")))
+      .cache()
+    val bands = docs.select(col("doc_id"),
+      explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
+    val cands = bands.as("a").join(bands.as("b"), Seq("band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("sh"), col("sig"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / 16)
+          .as("est_jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-duplicate CLUSTERS: canonical (minimum) id per connected
+    * component of the lshPairs graph — min-label propagation over the
+    * LSH-verified edges (never all-pairs). */
+  def clusters(src: DataFrame, idCol: String, textCol: String,
+               threshold: Double = 0.5, rounds: Int = 3): DataFrame =
+    Cluster.canonicalize(
+      lshPairs(src, idCol, textCol, threshold),
+      "doc_a", "doc_b", rounds)
+}

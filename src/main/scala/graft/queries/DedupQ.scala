@@ -79,29 +79,9 @@ object DedupQ {
     * plan branches (band self-join + two verification joins) —
     * materialize once (at cluster scale: a persisted signature table). */
   private[queries] def lshVerifiedPairs(
-      s: org.apache.spark.sql.SparkSession, d: String) = {
-    val docs = bigramSets(s, d)
-      .withColumn("sig", graft.functions.TextExprs.minhashSig(col("sh")))
-      .cache()
-    val bands = docs.select(col("doc_id"),
-      explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
-    val cands = bands.as("a").join(bands.as("b"), Seq("band"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sets = docs.select(col("doc_id"), col("sh"), col("sig"))
-    cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-        col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-        col("sig").as("sig_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => x === y), b => b)).cast("double") / 16)
-          .as("est_jaccard"))
-      .filter(col("jaccard") >= 0.5)
-  }
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.operators.NearDup.lshPairs(
+      Tables.documents(s, d), "doc_id", "text", 0.5)
 
   /** DuckDB CTE chain mirroring lshVerifiedPairs up to a `pairs(doc_a,
     * doc_b, jaccard, est_jaccard)` relation — shared by d02 and d06. */

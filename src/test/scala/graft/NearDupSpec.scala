@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.NearDup
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The NearDup operator API works over arbitrary (id, text) frames —
+  * not just the test tables — honors the threshold, and the clusters
+  * view groups transitively-linked docs under the minimum id. */
+class NearDupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 1/2 near-identical, 3 links to 2 but not 1 (transitive chain),
+  // 4 unrelated
+  val docs = Seq(
+    (101L, "the quick brown fox jumps over the lazy dog again and again"),
+    (102L, "the quick brown fox jumps over the lazy dog again and once"),
+    (103L, "quick brown fox jumps over the lazy dog again and once more"),
+    (104L, "completely different text about spark shuffle partitions"))
+    .toDF("my_id", "body")
+
+  test("lshPairs finds near-dups on renamed columns and honors the" +
+      " threshold") {
+    val pairs = NearDup.lshPairs(docs, "my_id", "body", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((101L, 102L)))
+    assert(!pairs.exists(p => p._1 == 104L || p._2 == 104L))
+    // a stricter threshold prunes the weaker links
+    val strict = NearDup.lshPairs(docs, "my_id", "body", 0.95)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(strict.subsetOf(pairs))
+  }
+
+  test("clusters canonicalize transitive chains to the minimum id") {
+    val cl = NearDup.clusters(docs, "my_id", "body", 0.5)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(cl(101L) == 101L && cl(102L) == 101L)
+    // 103 joins the component iff it pairs with 101 or 102 — either way
+    // its cluster id must be a member of that component or itself
+    assert(Set(101L, 103L).contains(cl.getOrElse(103L, 103L)))
+    assert(!cl.contains(104L) || cl(104L) == 104L)
+  }
+}

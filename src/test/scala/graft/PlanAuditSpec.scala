@@ -124,6 +124,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"chunking should not shuffle payload:\n$queryShuffles")
   }
 
+  test("q49: histogram binning is join-free — bucket id is pure column" +
+      " arithmetic (the grid path q37's band join documents)") {
+    val (ns, _) = planOf("q49_histogram")
+    assert(!ns.exists(_.nodeName.contains("Join")))
+    assert(shuffles(ns).size == 2, // agg + final sort only
+      s"unexpected exchanges:\n${shuffles(ns)}")
+  }
+
   test("runtime bloom-filter join pruning: a selective dim filter" +
       " injects might_contain on the fact side of a shuffle join") {
     // At 100 TB the fact side of a shuffled dim join should be pre-pruned
