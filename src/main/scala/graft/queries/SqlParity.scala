@@ -566,5 +566,18 @@ object SqlParity {
           ORDER BY datediff(day, DATE '1970-01-01')
           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)))) AS INT) AS wau_7d
       FROM daily ORDER BY day""",
+
+    "q49_histogram" -> s"""
+      WITH binned AS (
+        SELECT CAST(floor((${d2Sql("p_retailprice")} - 900) * 10 / 100)
+          AS INT) AS bucket, p_retailprice
+        FROM part)
+      SELECT bucket, CAST(900 + bucket * 10 AS DOUBLE) AS lo,
+        CAST(910 + bucket * 10 AS DOUBLE) AS hi,
+        COUNT(*) AS n_parts,
+        MIN(p_retailprice) AS min_price,
+        MAX(p_retailprice) AS max_price
+      FROM binned GROUP BY bucket
+      ORDER BY bucket""",
   )
 }

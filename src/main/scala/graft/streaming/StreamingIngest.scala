@@ -245,6 +245,18 @@ final class StreamingIngest(spark: SparkSession) {
     df.withWatermark(eventTime, lateness)
       .dropDuplicatesWithinWatermark(key)
 
+  /** Stream-STATIC enrichment: join a stream against a broadcast
+    * dimension — each micro-batch probes the broadcast hash map-side,
+    * so the stream never shuffles and no join state accumulates (the
+    * dim is re-resolved per micro-batch, so a periodically rewritten
+    * dim parquet is picked up without restarting the query). The third
+    * member of the join family next to batch q03 and the stream-stream
+    * interval join below; at 100 TB this is how every streaming fact
+    * picks up its dimensions. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Stream-stream interval join: each event enriched with the matching
     * order the same user placed within `lookback` BEFORE the event — the
     * streaming twin of the batch as-of join (q28), as enrichment rather

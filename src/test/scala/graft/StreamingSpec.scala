@@ -223,6 +223,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_wm_out").count() == 2)
   }
 
+  test("stream-static broadcast enrichment joins each micro-batch" +
+      " against the dim, keeping unmatched rows (left)") {
+    val base = Files.createTempDirectory("graft_dimjoin").toString
+    val in = s"$base/in"
+    Seq((1L, "view"), (2L, "buy"), (3L, "view"))
+      .toDF("user_id", "event_type").write.parquet(in)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val ingest = new StreamingIngest(spark)
+    val stream = spark.readStream.schema(
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_type", StringType)))).parquet(in)
+    val q = ingest.enrichWithDim(stream, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("dim_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dim_out")
+      .select("user_id", "segment").as[(Long, Option[String])]
+      .collect().toSet
+    assert(out == Set((1L, Some("gold")), (2L, Some("silver")),
+      (3L, None)))
+  }
+
   test("stream-stream interval join enriches events with the order placed" +
       " within the lookback, and only that one") {
     val base = Files.createTempDirectory("graft_ssj").toString

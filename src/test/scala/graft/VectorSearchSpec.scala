@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.VectorSearch
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VectorSearch over an arbitrary (id, vector) frame: exact top-k ranks
+  * by cosine with deterministic ties, IVF assignment picks the nearest
+  * centroid, and probe search over clearly-separated clusters recovers
+  * the exact neighbors (recall 1.0 when clusters align with cells). */
+class VectorSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two well-separated 2-D clusters around (1,0) and (0,1)
+  val corpus = Seq(
+    (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.05f)),
+    (11L, Seq(0.0f, 1.0f)), (12L, Seq(0.1f, 0.9f)), (13L, Seq(0.05f, 0.8f)))
+    .toDF("id", "v")
+  val centroids = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+    .toDF("c", "v")
+
+  test("cosineTopK ranks exact neighbors, excluding self") {
+    val out = VectorSearch.cosineTopK(corpus,
+      corpus.filter($"id" === 1L), k = 2,
+      corpusId = "id", queryId = "id", vecCol = "v")
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    // nearest to (1,0) excluding itself, by ANGLE (cosine ignores
+    // magnitude): 3=(0.8,0.05) at 3.6 deg beats 2=(0.9,0.1) at 6.3 deg
+    assert(out == Seq((1L, 1, 3L), (1L, 2, 2L)))
+  }
+
+  test("ivfAssign puts every vector in its own cluster's cell") {
+    val cells = VectorSearch.ivfAssign(corpus, centroids,
+      corpusId = "id", cellId = "c", vecCol = "v")
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    assert(cells == Map(1L -> 0L, 2L -> 0L, 3L -> 0L,
+      11L -> 1L, 12L -> 1L, 13L -> 1L))
+  }
+
+  test("ivfSearch with nprobe=1 recovers the exact in-cluster neighbors") {
+    val out = VectorSearch.ivfSearch(corpus,
+      corpus.filter($"id" === 11L), centroids, k = 2, nprobe = 1,
+      corpusId = "id", queryId = "id", cellId = "c", vecCol = "v")
+      .select("query_id", "rank", "neighbor_id", "probed_cell")
+      .as[(Long, Int, Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((11L, 1, 13L, 1L), (11L, 2, 12L, 1L)))
+  }
+}
