@@ -24,7 +24,7 @@ object DedupQ {
 
   def all: Seq[Q] = Seq(d01Exact, d02MinhashLsh, d03Simhash, d04NgramJaccard,
     d05EmbedNearDup, d06DedupClusters, d07EmbedLshNearDup,
-    d08NormalizedDedup)
+    d08NormalizedDedup, d09EditDistance)
 
   /** Token bigram SETS per doc — the shingle basis for d02/d04. Native
     * ShinglesExpr (one loop) instead of the staggered-slice zip_with
@@ -417,6 +417,35 @@ object DedupQ {
       CAST(COUNT(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants
     FROM hashed GROUP BY norm_hash
     ORDER BY canonical_id"""))
+
+  /** Edit-distance fuzzy matching with prefix BLOCKING — the
+    * entity-resolution cousin of the shingle family: candidate pairs
+    * meet only inside a 16-char name-prefix block (turning O(n²) into
+    * per-block pairs, the same play as d02's bands/d03's bytes), then
+    * exact Levenshtein keeps distance-1 pairs ("single-typo" matches —
+    * on this corpus, customer ids differing in one digit). At 100 TB
+    * the block key is the shuffle key and the quadratic work is bounded
+    * per block; a skewed block would get the q14 salting treatment. */
+  val d09EditDistance: Q = Q("d09_edit_distance", (s, d) => {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 1, 16).as("block"))
+    c.as("a").join(c.as("b"), Seq("block"))
+      .filter(col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("key_a"),
+        col("b.c_custkey").as("key_b"),
+        levenshtein(col("a.c_name"), col("b.c_name")).as("edit_dist"))
+      .filter(col("edit_dist") === 1)
+      .orderBy(col("key_a"), col("key_b"))
+  }, Some("""
+    WITH c AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, 16) AS block
+      FROM customer)
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+      CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+    FROM c a JOIN c b ON a.block = b.block AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) = 1
+    ORDER BY key_a, key_b"""))
 }
 
 /** DuckDB SQL mirrors of VectorFns — ordered left-to-right double folds

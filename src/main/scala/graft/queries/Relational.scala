@@ -30,7 +30,7 @@ object Relational {
     q36Tumbling, q37BandJoin, q38GroupingSets, q39GapsIslands,
     q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
     q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau,
-    q49Histogram)
+    q49Histogram, q50Rfm)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1327,4 +1327,58 @@ object Relational {
       MAX(p_retailprice) AS max_price
     FROM binned GROUP BY bucket
     ORDER BY bucket"""))
+
+  /** RFM segmentation — recency/frequency/monetary quartiles composed
+    * into a 3-digit segment, the classic customer-scoring rollup. All
+    * three ntiles ride ONE exchange: the per-customer aggregate reduces
+    * the fact table first (A2-before-W, the q43 rule), and every window
+    * has a TOTAL order (custkey tiebreak) so quartile boundaries are
+    * engine-stable. Exact global ntile is the oracle form; at 1B+
+    * customers the scale path is approx_percentile cutoffs (q32's
+    * sketch pattern) instead of a single-partition sort. */
+  val q50Rfm: Q = Q("q50_rfm", (s, d) => {
+    val byCust = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        decSum(col("o_totalprice")).as("monetary"))
+    val maxDay = Window.partitionBy()
+    // recency: days from the customer's last order to the corpus max
+    // (a data-derived anchor — no wall clock, deterministic)
+    val wR = Window.orderBy(col("recency").asc, col("o_custkey").asc)
+    val wF = Window.orderBy(col("frequency").desc, col("o_custkey").asc)
+    val wM = Window.orderBy(col("monetary").desc, col("o_custkey").asc)
+    byCust
+      .withColumn("recency",
+        datediff(max(col("last_day")).over(maxDay), col("last_day")))
+      .withColumn("r", ntile(4).over(wR))
+      .withColumn("f", ntile(4).over(wF))
+      .withColumn("m", ntile(4).over(wM))
+      .select(col("o_custkey"), col("recency"), col("frequency"),
+        col("monetary"), col("r"), col("f"), col("m"),
+        concat(col("r"), col("f"), col("m")).as("segment"))
+      .orderBy(col("o_custkey"))
+  }, Some(s"""
+    WITH by_cust AS (
+      SELECT o_custkey, CAST(MAX(o_orderdate) AS DATE) AS last_day,
+        COUNT(*) AS frequency,
+        ${decSumSql("o_totalprice")} AS monetary
+      FROM orders GROUP BY o_custkey),
+    rfm AS (
+      SELECT o_custkey,
+        datediff('day', last_day, MAX(last_day) OVER ()) AS recency,
+        frequency, monetary
+      FROM by_cust),
+    tiled AS (
+      SELECT *,
+        CAST(ntile(4) OVER (ORDER BY recency ASC, o_custkey ASC) AS INT)
+          AS r,
+        CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC)
+          AS INT) AS f,
+        CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC)
+          AS INT) AS m
+      FROM rfm)
+    SELECT o_custkey, CAST(recency AS INT) AS recency, frequency,
+      monetary, r, f, m, r || f || m AS segment
+    FROM tiled ORDER BY o_custkey"""))
 }
