@@ -34,37 +34,18 @@ object TextQ {
   /** n-gram-heuristic language ID: per-language marker-token counts
     * (with multiplicity), argmax with lexicographic tiebreak. */
   val t01LangId: Q = Q("t01_lang_id", (s, d) => {
-    // Explode + conditional aggregation, not 5 higher-order `filter`
-    // passes: each HOF lambda call is interpreted (5 langs × every token
-    // = the whole corpus re-walked five times outside codegen, measured
+    // CorpusOps.languageId: explode + conditional aggregation, not 5
+    // higher-order `filter` passes (each HOF lambda call is interpreted
+    // — the whole corpus re-walked five times outside codegen, measured
     // 11s at sf0.1); the exploded form is one codegen'd hash aggregate,
-    // and `documents` is already hash-partitioned by doc_id so the
-    // groupBy introduces no extra exchange. The left join keeps docs
-    // with zero tokens (scores 0), matching the per-row oracle.
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
-    val scoreAggs = markers.map { case (lang, words) =>
-      sum(when(col("tok").isin(words: _*), 1).otherwise(0))
-        .cast("int").as(s"score_$lang")
-    }
-    val counts = base
-      .select(col("doc_id"), explode(col("t")).as("tok"))
-      .groupBy(col("doc_id"))
-      .agg(scoreAggs.head, scoreAggs.tail: _*)
-    val scored = base.select(col("doc_id"), col("lang"))
-      .join(counts, Seq("doc_id"), "left")
-      .na.fill(0, markers.map(m => s"score_${m._1}"))
-    val langs = markers.map(_._1)
-    val pred = langs.foldRight(lit(langs.last)) { case (lang, rest) =>
-      val isMax = langs.filter(_ != lang)
-        .map(o => col(s"score_$lang") >= col(s"score_$o"))
-        .reduce(_ && _)
-      when(isMax, lit(lang)).otherwise(rest)
-    }
-    scored
-      .withColumn("pred_lang", pred)
+    // `documents` is already hash-partitioned by doc_id so the groupBy
+    // introduces no extra exchange, and the left join keeps docs with
+    // zero tokens (scores 0), matching the per-row oracle.
+    graft.operators.CorpusOps.languageId(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("text")), "doc_id", "text", markers)
       .select(Seq(col("doc_id"), col("lang"), col("pred_lang")) ++
-        langs.map(l => col(s"score_$l")): _*)
+        markers.map(m => col(s"score_${m._1}")): _*)
       .orderBy(col("doc_id"))
   }, {
     val scoreCols = markers.map { case (lang, words) =>
@@ -96,27 +77,13 @@ object TextQ {
     * ratios, composite score, keep/drop flag. Integer counts + a fixed
     * expression tree of double ops → deterministic. */
   val t02QualityScore: Q = Q("t02_quality_score", (s, d) => {
-    val stop = Seq("the", "a")
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        length(col("text")).as("n_chars_actual"),
-        tokens(col("text")).as("t"))
-      .withColumn("n_tokens", size(col("t")))
-      .withColumn("n_stop", size(filter(col("t"), x => x.isin(stop: _*))))
-      .withColumn("n_distinct", size(array_distinct(col("t"))))
-      .withColumn("sum_tok_len",
-        aggregate(transform(col("t"), t => length(t)), lit(0),
-          (a, x) => a + x))
+    graft.operators.CorpusOps.qualityScore(
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("text")), "doc_id", "text", stopwords = Seq("the", "a"))
       .select(col("doc_id"), col("lang"), col("n_chars_actual"),
         col("n_tokens"), col("n_stop"), col("n_distinct"),
-        (col("sum_tok_len").cast("double") / col("n_tokens"))
-          .as("avg_token_len"),
-        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
-        (col("n_distinct").cast("double") / col("n_tokens"))
-          .as("distinct_ratio"))
-      .withColumn("quality_ok",
-        col("n_tokens") >= 20 && col("stopword_ratio") <= 0.2 &&
-          col("distinct_ratio") >= 0.1)
+        col("avg_token_len"), col("stopword_ratio"),
+        col("distinct_ratio"), col("quality_ok"))
       .orderBy(col("doc_id"))
   }, Some("""
     WITH toks AS (
@@ -281,14 +248,9 @@ object TextQ {
     * At 100 TB this is the only split that re-derives identically on
     * every recompute and survives repartitioning. */
   val t07HashSplit: Q = Q("t07_hash_split", (s, d) => {
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"), lit(1000L))
-    Tables.documents(s, d)
-      .select(col("doc_id"), bucket.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 800, "train")
-          .when(col("bucket") < 900, "val").otherwise("test"))
+    graft.operators.CorpusOps.hashSplit(
+      Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
   }, Some("""
     SELECT doc_id,
