@@ -427,9 +427,16 @@ object DedupQ {
     * the block key is the shuffle key and the quadratic work is bounded
     * per block; a skewed block would get the q14 salting treatment. */
   val d09EditDistance: Q = Q("d09_edit_distance", (s, d) => {
+    // explicit-count repartition on the block key: customer is one small
+    // input split feeding a compute-heavy candidate join — bare/AQE
+    // partitioning coalesces the ~500 KB exchange to ONE partition and
+    // serializes every Levenshtein on a single core (the Tables.documents
+    // rule; measured 5.2 s -> sub-second). Both self-join sides then
+    // arrive co-partitioned on the join key.
     val c = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_name"),
         substring(col("c_name"), 1, 16).as("block"))
+      .repartition(s.sparkContext.defaultParallelism, col("block"))
     c.as("a").join(c.as("b"), Seq("block"))
       .filter(col("a.c_custkey") < col("b.c_custkey"))
       .select(col("a.c_custkey").as("key_a"),

@@ -579,5 +579,26 @@ object SqlParity {
         MAX(p_retailprice) AS max_price
       FROM binned GROUP BY bucket
       ORDER BY bucket""",
+
+    "q50_rfm" -> s"""
+      WITH by_cust AS (
+        SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day,
+          COUNT(*) AS frequency,
+          ${decSumSql("o_totalprice")} AS monetary
+        FROM orders GROUP BY o_custkey),
+      rfm AS (
+        SELECT o_custkey,
+          datediff(MAX(last_day) OVER (), last_day) AS recency,
+          frequency, monetary
+        FROM by_cust),
+      tiled AS (
+        SELECT *,
+          ntile(4) OVER (ORDER BY recency ASC, o_custkey ASC) AS r,
+          ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+          ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m
+        FROM rfm)
+      SELECT o_custkey, recency, frequency, monetary, r, f, m,
+        concat(r, f, m) AS segment
+      FROM tiled ORDER BY o_custkey""",
   )
 }

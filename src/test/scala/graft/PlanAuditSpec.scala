@@ -124,6 +124,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"chunking should not shuffle payload:\n$queryShuffles")
   }
 
+  test("d09: edit-distance matching joins on the BLOCK key — never a" +
+      " cartesian/nested-loop all-pairs") {
+    val (ns, _) = planOf("d09_edit_distance")
+    assert(!ns.exists(n => n.nodeName.contains("CartesianProduct") ||
+      n.nodeName.contains("BroadcastNestedLoopJoin")))
+    assert(ns.exists(n => n.nodeName.contains("HashJoin") ||
+      n.nodeName.contains("SortMergeJoin")))
+  }
+
   test("q49: histogram binning is join-free — bucket id is pure column" +
       " arithmetic (the grid path q37's band join documents)") {
     val (ns, _) = planOf("q49_histogram")
