@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object MultimodalQ {
 
   def all: Seq[Q] = Seq(m01MediaFeatures, m02FrameSample, m03ChunkEnergy,
-    m04Resize)
+    m04Resize, m05ModalityRoute)
 
   /** Binary decode → typed features, one codec per partition. The entire
     * decode is narrow; only the 4-float feature rows ever shuffle. */
@@ -103,4 +103,52 @@ object MultimodalQ {
       md5(array_to_string(list_transform(range(0, (len(text) + 3) // 4),
         i -> substr(text, i * 4 + 1, 1)), '')) AS resized_digest
     FROM documents ORDER BY id"""))
+
+  /** Modality ROUTING — the heterogeneous-pipeline dispatch a mixed
+    * corpus needs: each row's kind (derived here as id mod 3; real data
+    * carries it in metadata/magic bytes) routes it to ITS decode — doc →
+    * plain digest, img → feature extraction, audio → energy — and the
+    * per-modality descriptors union into one schema. Each branch is the
+    * same narrow mapPartitions shape as m01-m03; routing is a filter, so
+    * a modality's codec only ever sees its own rows and adding a
+    * modality = adding a branch. Only descriptor rows shuffle. */
+  val m05ModalityRoute: Q = Q("m05_modality_route", (s, d) => {
+    import s.implicits._
+    val media = Media.asMedia(Tables.documents(s, d), "doc_id", "text",
+        "doc")
+      .withColumn("kind", element_at(
+        array(lit("doc"), lit("img"), lit("audio")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")))
+    val sizes = media.select(col("id"), length(col("media")).as("n_bytes"))
+    val doc = media.filter(col("kind") === "doc")
+      .select(col("id"), col("kind"), length(col("media")).as("n_bytes"),
+        md5(col("media")).as("digest"),
+        length(col("media")).cast("double").as("metric"))
+    val img = Media.extractFeatures(
+      media.filter(col("kind") === "img").as[Media.MediaRow]).toDF()
+      .select(col("id"), col("kind"), col("byte_len").as("n_bytes"),
+        col("digest"), col("f0").as("metric"))
+    val audio = Media.chunkStats(
+      media.filter(col("kind") === "audio").as[Media.MediaRow],
+      k = 1, width = 1 << 20).toDF()
+      .join(sizes, Seq("id"))
+      .select(col("id"), lit("audio").as("kind"), col("n_bytes"),
+        col("chunk_digest").as("digest"),
+        col("energy").cast("double").as("metric"))
+    doc.unionByName(img).unionByName(audio)
+      .orderBy(col("id"))
+  }, Some("""
+    SELECT doc_id AS id, 'doc' AS kind, CAST(len(text) AS INT) AS n_bytes,
+      md5(text) AS digest, CAST(len(text) AS DOUBLE) AS metric
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'img', CAST(len(text) AS INT), md5(text),
+      CAST('0x' || substr(md5(text), 1, 1) AS INT) / 16.0
+    FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, 'audio', CAST(len(text) AS INT), md5(text),
+      CAST(CAST(list_reduce(list_transform(string_split(text, ''),
+        c -> ord(c)), (a, b) -> a + b) AS BIGINT) AS DOUBLE)
+    FROM documents WHERE doc_id % 3 = 2
+    ORDER BY id"""))
 }
