@@ -158,4 +158,40 @@ class PropertySpec extends AnyFunSuite {
       assert(out.filter(col("b") < 0 || col("b") >= 1000).count() == 0)
     }
   }
+
+  test("property: zValue is injective on the 16-bit grid — distinct" +
+      " (a, b) pairs never collide") {
+    val pair: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 65535L); b <- Gen.choose(0L, 65535L)
+    } yield (a, b)
+    val pairs = samples(pair, 400).distinct
+    val zs = pairs.toDF("a", "b")
+      .select(graft.operators.ZOrder.zValue(Seq(col("a"), col("b")))
+        .as("z"))
+      .as[Long].collect().toSeq
+    assert(zs.distinct.size == pairs.size)
+    assert(zs.forall(z => z >= 0 && z < (1L << 32)))
+  }
+
+  test("property: MaterializedAgg converges identically under ANY batch" +
+      " order (decimal addition is associative+commutative)") {
+    val rows: Gen[List[(String, Double)]] = Gen.listOfN(24, for {
+      k <- Gen.oneOf("a", "b", "c", "d")
+      cents <- Gen.choose(0L, 99999L)
+    } yield (k, cents / 100.0))
+    samples(rows, 2).foreach { data =>
+      val batches = data.grouped(8).toSeq
+      def runOrder(bs: Seq[Seq[(String, Double)]]): Set[(String, Long, Double)] = {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_magg_prop").toString
+        val magg = new graft.operators.MaterializedAgg(
+          spark, s"$dir/t", Seq("k"), Seq("v"))
+        bs.foreach(b => magg.refresh(b.toDF("k", "v")))
+        magg.read().select(col("k"), col("n_rows"),
+          col("sum_v").cast("double"))
+          .as[(String, Long, Double)].collect().toSet
+      }
+      assert(runOrder(batches) == runOrder(batches.reverse))
+    }
+  }
 }
