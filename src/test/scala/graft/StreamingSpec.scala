@@ -276,6 +276,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq((1L, 100.0)))
   }
 
+  test("windowed aggregation drops late data beyond the watermark and" +
+      " accepts late data within it (state-eviction contract)") {
+    val base = Files.createTempDirectory("graft_evict").toString
+    val in = s"$base/in"; val cp = s"$base/cp"
+    def agg() = {
+      val events = spark.readStream.schema(
+        StructType(Seq(StructField("user_id", LongType),
+          StructField("ts", TimestampType)))).parquet(in)
+      events.withWatermark("ts", "10 minutes")
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts"), "1 hour"))
+        .count()
+        .select(org.apache.spark.sql.functions.col("window.start")
+          .as("win"), org.apache.spark.sql.functions.col("count"))
+    }
+    // batch 1 advances the watermark to 11:50 (max ts - 10 min)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("user_id", "ts").write.parquet(in)
+    val q = agg().writeStream.format("memory").queryName("evict_out")
+      .option("checkpointLocation", cp).outputMode("update").start()
+    q.processAllAvailable()
+    // batch 2 into the RUNNING query: 11:55 is within the 11:50
+    // watermark (its bucket must appear); 08:00 is far beyond it and
+    // must be DROPPED — the eviction half of ST5/ST6's late-data
+    // contract
+    Seq((3L, java.sql.Timestamp.valueOf("2024-01-01 11:55:00")),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 08:00:00")))
+      .toDF("user_id", "ts").write.mode("append").parquet(in)
+    q.processAllAvailable(); q.stop()
+    val updated = spark.table("evict_out")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(updated.contains(
+      java.sql.Timestamp.valueOf("2024-01-01 11:00:00"))) // 11:55 landed
+    assert(!updated.contains(
+      java.sql.Timestamp.valueOf("2024-01-01 08:00:00"))) // evicted
+  }
+
   test("sliding-window rollup buckets match the identical batch" +
       " computation (backfill/live parity)") {
     val base = Files.createTempDirectory("graft_slide").toString
