@@ -75,6 +75,55 @@ object VectorSearch {
       .withColumn("__rn", row_number().over(w))
   }
 
+  /** Persist the inverted file: the corpus assignment (vector, norm,
+    * cell) written PARTITIONED BY the cell id, so a later search's scan
+    * is partition-PRUNED to the probed cells — the on-disk layout that
+    * makes IVF pay off at rest: nprobe/cells of the index is read,
+    * never the corpus. Rebuild-on-recluster; appends of new vectors are
+    * per-cell file adds. */
+  def writeIndex(corpus: DataFrame, centroids: DataFrame, path: String,
+                 corpusId: String = "vec_id", cellId: String = "cell",
+                 vecCol: String = "embedding"): Unit =
+    cellRanks(corpus, centroids, corpusId, cellId, vecCol)
+      .filter(col("__rn") === 1)
+      .select(col(corpusId), col("__v").as(vecCol), col("__n").as("nrm"),
+        col(cellId))
+      .write.partitionBy(cellId)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Search a persisted index: queries pick their `nprobe` cells from
+    * the (broadcast-sized) centroid table, the probed cell ids collect
+    * to a literal IN-list (the static-pruning idiom), and the index scan
+    * reads ONLY those partitions. Same output as `ivfSearch`. */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, centroids: DataFrame, k: Int,
+                  nprobe: Int = 2, corpusId: String = "vec_id",
+                  queryId: String = "vec_id", cellId: String = "cell",
+                  vecCol: String = "embedding"): DataFrame = {
+    val probes = cellRanks(queries, centroids, queryId, cellId, vecCol)
+      .filter(col("__rn") <= nprobe)
+      .select(col(queryId).as("query_id"), col(cellId),
+        col("__v").as("qv"), col("__n").as("qn"))
+      .cache()
+    val probedCells = probes.select(col(cellId)).distinct()
+      .collect().map(_.get(0))
+    val index = spark.read.parquet(path)
+      .filter(col(cellId).isin(probedCells: _*)) // partition pruning
+      .withColumnRenamed(vecCol, "cv").withColumnRenamed("nrm", "cn")
+      .withColumnRenamed(corpusId, "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probes)
+      .join(index, Seq(cellId))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col(cellId),
+        cos(col("qv"), col("qn"), col("cv"), col("cn")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos"), col(cellId).as("probed_cell"))
+  }
+
   /** IVF probe search: each query exact-ranks ONLY the corpus vectors
     * assigned to its `nprobe` nearest cells —
     * `(query_id, rank, neighbor_id, cos, probed_cell)`. */

@@ -38,6 +38,28 @@ class VectorSearchSpec extends AnyFunSuite {
       11L -> 1L, 12L -> 1L, 13L -> 1L))
   }
 
+  test("persisted index search equals in-memory ivfSearch and its scan" +
+      " is partition-pruned to the probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx")
+      .toString + "/index"
+    VectorSearch.writeIndex(corpus, centroids, dir,
+      corpusId = "id", cellId = "c", vecCol = "v")
+    val qs = corpus.filter($"id" === 11L)
+    val viaIndex = VectorSearch.searchIndex(spark, dir, qs, centroids,
+      k = 2, nprobe = 1, corpusId = "id", queryId = "id", cellId = "c",
+      vecCol = "v")
+    val inMem = VectorSearch.ivfSearch(corpus, qs, centroids, k = 2,
+      nprobe = 1, corpusId = "id", queryId = "id", cellId = "c",
+      vecCol = "v")
+    assert(viaIndex.collect().toSeq.map(_.toSeq) ==
+      inMem.collect().toSeq.map(_.toSeq))
+    // the scan must carry a partition filter on the cell column
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*c#".r.findFirstIn(plan).isDefined
+      || plan.contains("c IN"),
+      s"no partition pruning on the index scan:\n$plan")
+  }
+
   test("ivfSearch with nprobe=1 recovers the exact in-cluster neighbors") {
     val out = VectorSearch.ivfSearch(corpus,
       corpus.filter($"id" === 11L), centroids, k = 2, nprobe = 1,
