@@ -19,17 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Near-duplicate pairs `(doc_a, doc_b, jaccard, est_jaccard)` with
-    * exact bigram-set Jaccard ≥ `threshold`, doc_a < doc_b. Ids must be
-    * orderable (the pair dedup relies on `<`). */
-  def lshPairs(src: DataFrame, idCol: String, textCol: String,
-               threshold: Double = 0.5): DataFrame = {
-    val docs = src
-      .select(col(idCol).as("doc_id"),
-        array_distinct(TextExprs.shingles(tokens(col(textCol)), 2))
-          .as("sh"))
+  /** (doc_id, sh, sig) signature frame for a corpus. */
+  private def signatures(src: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    src.select(col(idCol).as("doc_id"),
+      array_distinct(TextExprs.shingles(tokens(col(textCol)), 2))
+        .as("sh"))
       .withColumn("sig", TextExprs.minhashSig(col("sh")))
-      .cache()
+
+  /** Band → candidate → exact-verify over a signature frame. */
+  private def pairsOf(docs: DataFrame, threshold: Double): DataFrame = {
     val bands = docs.select(col("doc_id"),
       explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
     val cands = bands.as("a").join(bands.as("b"), Seq("band"))
@@ -50,6 +49,15 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate pairs `(doc_a, doc_b, jaccard, est_jaccard)` with
+    * exact bigram-set Jaccard ≥ `threshold`, doc_a < doc_b. Ids must be
+    * orderable (the pair dedup relies on `<`). Signatures feed four plan
+    * branches (band self-join + two verification joins) — materialized
+    * once via cache (at cluster scale: `writeSignatures`). */
+  def lshPairs(src: DataFrame, idCol: String, textCol: String,
+               threshold: Double = 0.5): DataFrame =
+    pairsOf(signatures(src, idCol, textCol).cache(), threshold)
+
   /** Near-duplicate CLUSTERS: canonical (minimum) id per connected
     * component of the lshPairs graph — min-label propagation over the
     * LSH-verified edges (never all-pairs). */
@@ -58,4 +66,21 @@ object NearDup {
     Cluster.canonicalize(
       lshPairs(src, idCol, textCol, threshold),
       "doc_a", "doc_b", rounds)
+
+  /** Persist the signature table (id, shingle set, minhash signature):
+    * signatures are the expensive narrow pass, and every dedup run over
+    * the same corpus re-derives bands, candidates, and verification from
+    * THIS table — at 100 TB you compute signatures once per corpus
+    * version, not once per run (incremental corpora append new rows). */
+  def writeSignatures(src: DataFrame, idCol: String, textCol: String,
+                      path: String): Unit =
+    signatures(src, idCol, textCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** lshPairs over a persisted signature table — identical output to the
+    * direct path, no re-shingling/re-hashing. */
+  def pairsFromSignatures(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          threshold: Double = 0.5): DataFrame =
+    pairsOf(spark.read.parquet(path), threshold)
 }

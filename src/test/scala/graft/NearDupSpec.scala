@@ -31,6 +31,19 @@ class NearDupSpec extends AnyFunSuite {
     assert(strict.subsetOf(pairs))
   }
 
+  test("pairs from a persisted signature table equal the direct path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigs")
+      .toString + "/sigs"
+    NearDup.writeSignatures(docs, "my_id", "body", dir)
+    val persisted = NearDup.pairsFromSignatures(spark, dir, 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = NearDup.lshPairs(docs, "my_id", "body", 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(persisted == direct && persisted.nonEmpty)
+  }
+
   test("clusters canonicalize transitive chains to the minimum id") {
     val cl = NearDup.clusters(docs, "my_id", "body", 0.5)
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
