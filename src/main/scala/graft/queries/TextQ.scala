@@ -465,7 +465,8 @@ object TextQ {
         .cast("long"), lit(1000L))
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), bucket.as("bucket"),
-        explode(shingles(tokens(col("text")), 5)).as("gram"))
+        explode(graft.functions.TextExprs.shingles(
+          tokens(col("text")), 5)).as("gram"))
     val trainGrams = grams.filter(col("bucket") < 800)
       .select(col("doc_id"), col("gram")).distinct()
     val evalGrams = grams.filter(col("bucket") >= 900)
@@ -542,7 +543,8 @@ object TextQ {
     * too short for a single shingle score null (no evidence ≠ clean). */
   val t14Repetition: Q = Q("t14_repetition", (s, d) => {
     Tables.documents(s, d)
-      .select(col("doc_id"), shingles(tokens(col("text")), 8).as("g"))
+      .select(col("doc_id"),
+        graft.functions.TextExprs.shingles(tokens(col("text")), 8).as("g"))
       .select(col("doc_id"), size(col("g")).as("n_grams"),
         size(array_distinct(col("g"))).as("n_distinct"))
       .withColumn("repetition_ratio",
