@@ -30,7 +30,7 @@ object Relational {
     q36Tumbling, q37BandJoin, q38GroupingSets, q39GapsIslands,
     q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
     q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau,
-    q49Histogram, q50Rfm)
+    q49Histogram, q50Rfm, q51SketchWau)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -270,15 +270,27 @@ object Relational {
   /** Daily-KPI star rollup (metrics_daily_kpis analog, J4): date spine
     * left-joined to per-day event and order rollups, coalesce defaults,
     * guarded rates. The spine is tiny → both rollups are shuffled once and
-    * the joins broadcast the rollups against the spine. */
+    * the joins broadcast the rollups against the spine.
+    *
+    * Like q17, deliberately NOT one aggregate with two countDistincts over
+    * the events fact: Catalyst plans that as Expand ×3 → 3× shuffle volume
+    * on the largest input (measured 7.0 s at sf0.1 in round 3). Instead
+    * each distinct count is its own pre-aggregated branch — a
+    * map-side-deduped DISTINCT on (day, key) then a tiny per-day count —
+    * and the three small per-day results join (AQE broadcasts them). */
   val q15DailyKpis: Q = Q("q15_daily_kpis", (s, d) => {
     val ev = Tables.events(s, d).select(to_date(col("ts")).as("day"),
       col("user_id"), col("event_type"), col("value"))
-    val evDaily = ev.groupBy(col("day")).agg(
-      count(lit(1)).as("n_events"),
-      countDistinct(col("user_id")).as("dau"),
-      countDistinct(when(col("event_type") === "purchase",
-        col("user_id"))).as("purchasing_users"))
+    val evCounts = ev.groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val dauBranch = ev.select(col("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val purchBranch = ev.filter(col("event_type") === "purchase")
+      .select(col("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("purchasing_users"))
+    // every day with events has ≥1 distinct user → inner join is lossless;
+    // days with no purchases are restored by the final coalesce(…, 0)
+    val evDaily = evCounts.join(dauBranch, Seq("day"))
+      .join(purchBranch, Seq("day"), "left")
     val ordDaily = Tables.orders(s, d)
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(countDistinct(col("o_orderkey")).as("n_orders"),
@@ -1294,6 +1306,58 @@ object Relational {
         ORDER BY datediff('day', DATE '1970-01-01', day)
         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)))) AS INT) AS wau_7d
     FROM daily ORDER BY day"""))
+
+  /** Rolling 7-day WAU, PRODUCTION path — q48's scale-safe twin. q48's
+    * exact form carries per-day user SETS (user-cardinality state) through
+    * an unpartitioned window; this query carries mergeable per-day HLL
+    * sketches (Datasketches HllSketch, lgK=14 ⇒ ~0.8% rel. error, KB-sized)
+    * instead: one sketch per day, `hll_union_agg` over the same 7-day RANGE
+    * frame, read the estimate. Per-day window state drops from O(users) to
+    * O(KB·7) regardless of scale. Lineage contains NO collect_set.
+    *
+    * Validated like q29: the exact WAU rides along as its own
+    * collect_set-free lineage — distinct (day,user) pairs exploded to the
+    * ≤7 window days each contributes to, distinct again, counted (shuffle
+    * volume ≤ 7× DAU-cardinality, bounded) — and `approx_ok` asserts the
+    * sketch estimate within 5%. The DuckDB oracle recomputes the exact
+    * columns and asserts TRUE, so a broken sketch fails the hash match. */
+  val q51SketchWau: Q = Q("q51_sketch_wau", (s, d) => {
+    val pairs = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val daily = pairs.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_day_users"),
+        hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    val approx = daily
+      .withColumn("day_num",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+      .withColumn("wau_est",
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+      .select(col("day"), col("n_day_users"), col("wau_est"))
+    // exact twin without sets: each active (day,user) contributes to the
+    // 7 window-days [day, day+6]; distinct pairs → explode ×7 → distinct
+    val exact = pairs
+      .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+        .as("day"), col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau_7d_exact"))
+    approx.join(exact, Seq("day"))
+      .select(col("day"), col("n_day_users"), col("wau_7d_exact"),
+        (abs(col("wau_est") - col("wau_7d_exact")).cast("double") /
+          col("wau_7d_exact") <= lit(0.05)).as("approx_ok"))
+      .orderBy(col("day"))
+  }, Some("""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_day_users
+      FROM pairs GROUP BY day),
+    ex AS (
+      SELECT d.day, CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS wau_7d_exact
+      FROM daily d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+    SELECT d.day, d.n_day_users, ex.wau_7d_exact, TRUE AS approx_ok
+    FROM daily d JOIN ex ON d.day = ex.day ORDER BY d.day"""))
 
   /** Equi-width histogram by PURE-COLUMN binning — the grid-bucketing
     * scale path q37's band join documents for large×large range work:

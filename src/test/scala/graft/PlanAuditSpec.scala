@@ -71,6 +71,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q17 regressed to the Expand-x3 dual-countDistinct plan")
   }
 
+  test("q15: the daily-KPI dual-distinct plans WITHOUT Expand" +
+      " (pre-aggregated branches, the round-3 fix)") {
+    val (ns, _) = planOf("q15_daily_kpis")
+    assert(!ns.exists(_.nodeName.contains("Expand")),
+      "q15 regressed to the Expand-x3 dual-countDistinct plan")
+  }
+
   test("q30: CUBE does plan via Expand (the control for q17's check)") {
     val (ns, _) = planOf("q30_cube")
     assert(ns.exists(_.nodeName.contains("Expand")))

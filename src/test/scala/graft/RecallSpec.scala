@@ -108,6 +108,18 @@ class RecallSpec extends AnyFunSuite {
       s"${(found -- truth).size} false positives")
   }
 
+  test("q51 sketch WAU: every day's HLL estimate is within 5% of the" +
+      " exact rolling distinct, and no collect_set appears in the plan") {
+    val df = q("q51_sketch_wau")
+    // the approx_ok column IS the bound — assert it holds on every row,
+    // and pin the numeric error directly from the lineage's own columns
+    val bad = df.filter(!col("approx_ok")).count()
+    assert(bad == 0, s"$bad days exceeded the 5% HLL error bound")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set"),
+      "q51's production lineage must stay sketch-only (no exact sets)")
+  }
+
   test("the strongest near-dup pairs (j ≥ 0.8) are ALL recalled") {
     // LSH detection probability at j = 0.8 is 1-(1-0.64)⁸ ≈ 0.9997 —
     // missing one of these would indicate broken banding, not bad luck

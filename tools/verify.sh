@@ -15,7 +15,7 @@ rm -rf "$OUT"
   --conf spark.sql.session.timeZone=UTC \
   --conf spark.ui.enabled=false \
   --conf spark.sql.shuffle.partitions=${SPARK_GRAFT_CPUS:-8} \
-  --class graft.Verify "$JAR" "$SF" "$OUT" 2> /tmp/verify_stderr.log \
+  --class graft.Verify "$JAR" "$SF" "$OUT" "${2:-}" 2> /tmp/verify_stderr.log \
   || { tail -40 /tmp/verify_stderr.log; exit 1; }
 grep '\[verify\]' /tmp/verify_stderr.log || true
 python3 tools/selfcheck.py "$SF" "$OUT" "${2:-}"
