@@ -49,6 +49,11 @@ object BloomDedup {
   def filterNew(batch: DataFrame, history: DataFrame, key: String,
                 expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val sketch = buildSketch(history, col(key), expectedItems, fpp)
+    // BloomFilterAggregate over ZERO input rows yields a null sketch, and
+    // mightContain(null, k) is null — which BOTH filters below would drop,
+    // silently losing the whole batch. Empty history ⇒ nothing can be a
+    // duplicate ⇒ the batch passes through unchanged.
+    if (sketch == null) return batch
     val flagged = batch.withColumn("__maybe",
       mightContain(sketch, col(key)))
     val definiteNew = flagged.filter(!col("__maybe")).drop("__maybe")

@@ -114,8 +114,13 @@ final class Compaction(spark: SparkSession,
         val aggs = dimCols.flatMap(c =>
           Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
         val stats = df.agg(aggs.head, aggs.tail: _*).first()
+        // an all-null (or non-castable) dimension yields null min/max —
+        // getDouble would NPE mid-rewrite; a degenerate (0,0) range is
+        // safe because ZOrder.scale maps degenerate ranges to 0
+        def statAt(i: Int): Double =
+          Option(stats.get(i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
         val bounds = dimCols.indices.map(i =>
-          (stats.getDouble(2 * i), stats.getDouble(2 * i + 1)))
+          (statAt(2 * i), statAt(2 * i + 1)))
         val z = ZOrder.zValue(dimCols.zip(bounds).map { case (c, (lo, hi)) =>
           ZOrder.scale(col(c), lo, hi)
         })

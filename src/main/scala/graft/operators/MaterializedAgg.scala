@@ -21,8 +21,14 @@ final class MaterializedAgg(spark: SparkSession, targetPath: String,
                             keys: Seq[String], sumCols: Seq[String]) {
 
   private def partial(batch: DataFrame): DataFrame = {
+    // stored sum type is DecimalType(38, 2) EVERYWHERE: the native sum
+    // result type (input precision + 10) would make the stored schema flip
+    // between the first refresh and later merge-refreshes, and a narrower
+    // merge cast would silently overflow-to-null under non-ANSI mode; 38,2
+    // is stable across refreshes and has headroom for 100 TB totals
     val aggs = count(lit(1)).as("n_rows") +: sumCols.map(c =>
-      sum(col(c).cast(DecimalType(22, 2))).as(s"sum_$c"))
+      sum(col(c).cast(DecimalType(22, 2)))
+        .cast(DecimalType(38, 2)).as(s"sum_$c"))
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -42,10 +48,10 @@ final class MaterializedAgg(spark: SparkSession, targetPath: String,
             (coalesce(col("n_rows"), lit(0L)) +
               coalesce(col("n_rows__b"), lit(0L))).as("n_rows")) ++
             sumCols.map(c =>
-              (coalesce(col(s"sum_$c"), lit(0).cast(DecimalType(22, 2))) +
+              (coalesce(col(s"sum_$c"), lit(0).cast(DecimalType(38, 2))) +
                 coalesce(col(s"sum_${c}__b"),
-                  lit(0).cast(DecimalType(22, 2))))
-                .cast(DecimalType(22, 2)).as(s"sum_$c")): _*)
+                  lit(0).cast(DecimalType(38, 2))))
+                .cast(DecimalType(38, 2)).as(s"sum_$c")): _*)
       }
     atomicOverwrite(target, merged)
   }

@@ -53,10 +53,14 @@ object NearDup {
     * exact bigram-set Jaccard ≥ `threshold`, doc_a < doc_b. Ids must be
     * orderable (the pair dedup relies on `<`). Signatures feed four plan
     * branches (band self-join + two verification joins) — materialized
-    * once via cache (at cluster scale: `writeSignatures`). */
+    * once via an eager localCheckpoint rather than cache(): the operator
+    * returns a lazy plan, so it can never unpersist a cache itself, and
+    * repeated calls would pin storage for the session; checkpoint blocks
+    * are released by the ContextCleaner once the result is unreachable.
+    * (At cluster scale: `writeSignatures` + `pairsFromSignatures`.) */
   def lshPairs(src: DataFrame, idCol: String, textCol: String,
                threshold: Double = 0.5): DataFrame =
-    pairsOf(signatures(src, idCol, textCol).cache(), threshold)
+    pairsOf(signatures(src, idCol, textCol).localCheckpoint(true), threshold)
 
   /** Near-duplicate CLUSTERS: canonical (minimum) id per connected
     * component of the lshPairs graph — min-label propagation over the

@@ -104,7 +104,11 @@ object VectorSearch {
       .filter(col("__rn") <= nprobe)
       .select(col(queryId).as("query_id"), col(cellId),
         col("__v").as("qv"), col("__n").as("qn"))
-      .cache()
+      // eager localCheckpoint, not cache(): probes feed the collect below
+      // AND the result plan, but a cache here could never be unpersisted
+      // (the result is lazy) and would pin storage across calls; the
+      // ContextCleaner frees checkpoint blocks once the result is dropped
+      .localCheckpoint(true)
     val probedCells = probes.select(col(cellId)).distinct()
       .collect().map(_.get(0))
     val index = spark.read.parquet(path)

@@ -515,8 +515,13 @@ object TextQ {
   val t13ChunkOverlap: Q = Q("t13_chunk_overlap", (s, d) => {
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      // zero-length docs chunk to NOTHING (the oracle's range() semantics);
+      // without the filter+clamp, sequence(0, -1) would auto-step DOWN and
+      // emit two bogus [0, -1] chunks for an empty document
+      .filter(col("len") > 0)
       .withColumn("chunk_idx",
-        explode(sequence(lit(0), floor((col("len") - 1) / 48).cast("int"))))
+        explode(sequence(lit(0),
+          greatest(lit(0), floor((col("len") - 1) / 48)).cast("int"))))
       .withColumn("offset", col("chunk_idx") * 48)
       .select(col("doc_id"), col("chunk_idx"), col("offset"),
         least(lit(64), col("len") - col("offset")).as("chunk_len"),

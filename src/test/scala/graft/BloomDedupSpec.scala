@@ -35,6 +35,17 @@ class BloomDedupSpec extends AnyFunSuite {
     assert(kept.filter(col("text_hash").startsWith("doc_")).count() == 0)
   }
 
+  test("empty history: the whole batch is new (null-sketch guard)") {
+    // BloomFilterAggregate over zero rows yields a NULL sketch; without
+    // the guard, mightContain(null, k) is null and both filter branches
+    // would silently drop every row of the batch
+    val emptyHist = history.filter(lit(false))
+    val batch = spark.range(0, 100).select(
+      concat(lit("doc_"), col("id")).as("text_hash"))
+    assert(BloomDedup.filterNew(batch, emptyHist, "text_hash", 1000)
+      .count() == 100)
+  }
+
   test("false-positive rate stays near the design fpp") {
     val sketch = BloomDedup.buildSketch(history, col("text_hash"), 1000,
       fpp = 0.01)

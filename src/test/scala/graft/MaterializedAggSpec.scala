@@ -36,6 +36,19 @@ class MaterializedAggSpec extends AnyFunSuite {
     assert(incremental.map(_._1) == Set("a", "b", "c"))
   }
 
+  test("stored sum schema is stable across refreshes (decimal(38,2)" +
+      " on the first write AND after every merge)") {
+    val base = Files.createTempDirectory("graft_magg3").toString
+    val tgt = s"$base/rollup"
+    val magg = new MaterializedAgg(spark, tgt, Seq("k"), Seq("v"))
+    magg.refresh(Seq(("a", 1.00)).toDF("k", "v"))
+    val first = spark.read.parquet(tgt).schema("sum_v").dataType
+    magg.refresh(Seq(("a", 2.00)).toDF("k", "v"))
+    val merged = spark.read.parquet(tgt).schema("sum_v").dataType
+    assert(first == merged, s"schema flipped: $first -> $merged")
+    assert(first == org.apache.spark.sql.types.DecimalType(38, 2))
+  }
+
   test("a refresh only aggregates the batch — totals for untouched keys" +
       " are carried, not recomputed") {
     val base = Files.createTempDirectory("graft_magg2").toString
