@@ -40,14 +40,21 @@ object Probe {
         q.run(spark, sfDir).explain("formatted")
       case "mimic" =>
         // exactly Bench's sequence for one query: same-SF adjacent warmup
-        // with clearCache after, then two timed runs at sfDir (warming at a
-        // smaller SF compiles different AQE plans — see PLANS.md finding 2)
+        // with clearCache after, a C2-queue drain, then two timed runs at
+        // sfDir (warming at a smaller SF compiles different AQE plans —
+        // see PLANS.md finding 2)
         val q = SparkEntry.catalog.find(_.name.startsWith(args(1))).get
         time(s"${q.name} warmup $sfDir") {
           q.run(spark, sfDir)
             .write.format("noop").mode("overwrite").save()
         }
         spark.catalog.clearCache()
+        var last = -1L
+        var waited = 0
+        while (waited < 120 && jit.getTotalCompilationTime != last) {
+          last = jit.getTotalCompilationTime
+          Thread.sleep(250); waited += 1
+        }
         time(s"${q.name} timed $sfDir") {
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         }
