@@ -23,7 +23,67 @@ import java.util.Comparator
   * so only affected date partitions are read or rewritten and the anti-join
   * runs over a sliver of the table.
   */
+object Incremental {
+
+  /** Thrown when another writer holds the target's lock. The caller must
+    * retry or surface the conflict — it must NOT proceed, because two
+    * interleaved swap/delete sequences can silently lose one writer's
+    * rows (the reference inherits DuckDB's file lock here; plain parquet
+    * has no equivalent, so the materializer brings its own). */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** A crashed writer's lock is stolen after this long without mtime
+    * progress (writers touch the lock only at acquire, and a normal
+    * upsert finishes far inside this window). */
+  val DefaultLockStaleMs: Long = 10 * 60 * 1000L
+
+  private[graft] def lockPath(target: Path): Path =
+    Paths.get(target.toString + ".__lock")
+
+  /** Acquire the single-writer lock for `target`: atomic create-new of a
+    * sidecar lock file. An existing lock older than `staleMs` is treated
+    * as a crashed writer's and stolen (delete + one re-create attempt —
+    * two concurrent stealers race on create-new, so exactly one wins). */
+  private[graft] def acquire(target: Path,
+      staleMs: Long = DefaultLockStaleMs): Unit = {
+    val lock = lockPath(target)
+    Option(target.toAbsolutePath.getParent)
+      .foreach(p => Files.createDirectories(p))
+    def tryCreate(): Boolean =
+      try {
+        Files.write(lock,
+          s"${System.currentTimeMillis()} pid=${ProcessHandle.current.pid}"
+            .getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (tryCreate()) return
+    val stale =
+      try System.currentTimeMillis() -
+        Files.getLastModifiedTime(lock).toMillis > staleMs
+      catch { case _: Throwable => false } // lock vanished → re-create below
+    if (stale) { try Files.deleteIfExists(lock)
+      catch { case _: Throwable => () } }
+    if (!tryCreate())
+      throw new ConcurrentWriteException(
+        s"$target is locked by a concurrent writer ($lock; " +
+          s"stale-expires after ${staleMs} ms)")
+  }
+
+  private[graft] def release(target: Path): Unit =
+    Files.deleteIfExists(lockPath(target))
+
+  /** Run `body` holding `target`'s single-writer lock. */
+  private[graft] def withLock[A](target: Path,
+      staleMs: Long = DefaultLockStaleMs)(body: => A): A = {
+    acquire(target, staleMs)
+    try body finally release(target)
+  }
+}
+
 final class Incremental(spark: SparkSession) {
+  import Incremental.withLock
 
   /** Scalar watermark: `coalesce(max(tsCol) - lookback, epoch)` over the
     * current target — collected to a literal so the source scan gets a
@@ -61,16 +121,23 @@ final class Incremental(spark: SparkSession) {
   def upsert(targetPath: String, updates: DataFrame,
              keys: Seq[String]): Unit = {
     val target = Paths.get(targetPath)
-    val updatesCached = updates.cache()
-    try {
-      val merged =
-        if (!Files.exists(target)) updatesCached
-        else spark.read.option("mergeSchema", "true").parquet(targetPath)
-          .join(updatesCached.select(keys.map(col): _*).distinct(),
-            keys, "left_anti")
-          .unionByName(updatesCached, allowMissingColumns = true)
-      atomicOverwrite(target, merged)
-    } finally updatesCached.unpersist()
+    // crash-safety (tmp+swap) does not cover CONCURRENT writers: two
+    // interleaved read-merge-swap sequences each merge against the
+    // pre-state and the second swap erases the first writer's rows. The
+    // lock serializes the whole read-modify-write; a second writer gets
+    // ConcurrentWriteException (retry) instead of silent data loss.
+    Incremental.withLock(target) {
+      val updatesCached = updates.cache()
+      try {
+        val merged =
+          if (!Files.exists(target)) updatesCached
+          else spark.read.option("mergeSchema", "true").parquet(targetPath)
+            .join(updatesCached.select(keys.map(col): _*).distinct(),
+              keys, "left_anti")
+            .unionByName(updatesCached, allowMissingColumns = true)
+        atomicOverwrite(target, merged)
+      } finally updatesCached.unpersist()
+    }
   }
 
   /** Partition-granular delete+insert: only partitions present in `updates`
@@ -78,11 +145,20 @@ final class Incremental(spark: SparkSession) {
   def upsertPartitioned(targetPath: String, updates: DataFrame,
                         keys: Seq[String], partCol: String): Unit = {
     val target = Paths.get(targetPath)
-    if (!Files.exists(target)) {
-      updates.write.partitionBy(partCol).mode(SaveMode.Overwrite)
-        .parquet(targetPath)
-      return
+    // same single-writer serialization as upsert: the delete-then-
+    // dynamic-overwrite sequence is crash-safe but not concurrency-safe
+    Incremental.withLock(target) {
+      if (!Files.exists(target))
+        updates.write.partitionBy(partCol).mode(SaveMode.Overwrite)
+          .parquet(targetPath)
+      else
+        upsertPartitionedLocked(targetPath, updates, keys, partCol)
     }
+  }
+
+  private def upsertPartitionedLocked(targetPath: String, updates: DataFrame,
+                                      keys: Seq[String],
+                                      partCol: String): Unit = {
     val updatesCached = updates.cache()
     val updKeys = updatesCached.select(keys.map(col): _*).distinct().cache()
     try {

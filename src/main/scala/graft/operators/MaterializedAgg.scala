@@ -36,6 +36,14 @@ final class MaterializedAgg(spark: SparkSession, targetPath: String,
     * call). */
   def refresh(batch: DataFrame): Unit = {
     val target = Paths.get(targetPath)
+    // same read-merge-overwrite race as Incremental.upsert: two concurrent
+    // refreshes would each merge against the pre-state and the later swap
+    // would drop the earlier batch's contribution — serialize via the
+    // shared single-writer lock (losers get ConcurrentWriteException)
+    Incremental.withLock(target) { refreshLocked(target, batch) }
+  }
+
+  private def refreshLocked(target: Path, batch: DataFrame): Unit = {
     val p = partial(batch)
     val merged =
       if (!Files.exists(target)) p
