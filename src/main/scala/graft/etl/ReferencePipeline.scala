@@ -130,4 +130,18 @@ final class ReferencePipeline(spark: SparkSession, baseDir: String) {
 
   private def upsert(name: String, keys: Seq[String], df: DataFrame): Unit =
     inc.upsert(modelPaths(name), df, keys)
+
+  /** Register every materialized model in the metastore under the
+    * reference's schema names — `staging.<model>` and `marts.<model>`
+    * (generate_schema_name.sql:1-3 resolves dbt's custom schemas to
+    * exactly these) — so consumers address models as catalog tables
+    * (`spark.table("marts.metrics_daily_kpis")`) and the maintenance
+    * operators can run by name via CatalogIncremental/CatalogMaintenance.
+    * Call after `run`; re-registration is idempotent and re-syncs. */
+  def registerCatalog(): Unit =
+    modelPaths.foreach { case (name, path) =>
+      val db = if (name.startsWith("stg_")) "staging" else "marts"
+      graft.operators.CatalogTables.registerExternal(spark,
+        s"$db.$name", path)
+    }
 }

@@ -1126,18 +1126,26 @@ object Relational {
     * sketches merge by counter addition (exact, order-insensitive —
     * the estimate is deterministic under ANY partitioning), the merged
     * sketch is KB-sized on the driver, and only the k candidate keys are
-    * probed against it. Candidate selection here reuses the exact
-    * aggregate (which this query also emits); a pure-sketch pipeline
-    * would feed candidates from a per-partition top-k pre-reduction. */
+    * probed against it.
+    *
+    * Exactly TWO jobs touch lineitem: (1) the per-key exact counts —
+    * map-side partial agg, one shuffle, eagerly checkpointed at
+    * key-cardinality — from which BOTH the top-20 (TakeOrdered = a
+    * per-partition top-k pre-reduction) and the total row count (sum of
+    * the counts) derive without rescanning the fact; (2) the CMS build.
+    * (Round 3 shipped three lineitem scans; the separate count() job is
+    * folded away.) */
   val q44HeavyHitters: Q = Q("q44_heavy_hitters", (s, d) => {
     import s.implicits._
     val eps = 1e-4
     val li = Tables.lineitem(s, d).select(col("l_partkey"))
-    val top = li.groupBy(col("l_partkey"))
+    val counts = li.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_lines"))
+      .localCheckpoint() // one lineitem scan feeds both reads below
+    val top = counts
       .orderBy(col("n_lines").desc, col("l_partkey").asc)
       .limit(20).collect()
-    val total = li.count().max(1L)
+    val total = counts.agg(sum(col("n_lines"))).first().getLong(0).max(1L)
     val cms = li.stat.countMinSketch("l_partkey", eps, 0.99, 42)
     top.toSeq.map { r =>
       val (k, n) = (r.getLong(0), r.getLong(1))
