@@ -53,14 +53,17 @@ object NearDup {
     * exact bigram-set Jaccard ≥ `threshold`, doc_a < doc_b. Ids must be
     * orderable (the pair dedup relies on `<`). Signatures feed four plan
     * branches (band self-join + two verification joins) — materialized
-    * once via an eager localCheckpoint rather than cache(): the operator
-    * returns a lazy plan, so it can never unpersist a cache itself, and
-    * repeated calls would pin storage for the session; checkpoint blocks
-    * are released by the ContextCleaner once the result is unreachable.
-    * (At cluster scale: `writeSignatures` + `pairsFromSignatures`.) */
+    * once via cache(). cache, NOT localCheckpoint: the InMemoryRelation
+    * carries size stats that let the verification joins pick their
+    * physical strategy (a stat-less LogicalRDD forced sort-merge
+    * everywhere and measured 8× slower at sf0.1). The cache cannot be
+    * unpersisted here (the returned plan is lazy), so SESSION-scoped
+    * callers that loop this operator should prefer `writeSignatures` +
+    * `pairsFromSignatures` — the cross-run path a 100 TB corpus uses
+    * anyway — or clearCache between calls, as Bench/Verify do. */
   def lshPairs(src: DataFrame, idCol: String, textCol: String,
                threshold: Double = 0.5): DataFrame =
-    pairsOf(signatures(src, idCol, textCol).localCheckpoint(true), threshold)
+    pairsOf(signatures(src, idCol, textCol).cache(), threshold)
 
   /** Near-duplicate CLUSTERS: canonical (minimum) id per connected
     * component of the lshPairs graph — min-label propagation over the

@@ -172,6 +172,35 @@ final class StreamingIngest(spark: SparkSession) {
       .start()
   }
 
+  /** `streamUpsert` addressed by CATALOG TABLE NAME: each micro-batch
+    * dedups and upserts into a metastore-registered table via
+    * CatalogIncremental — location resolved from the catalog, the same
+    * single-writer lock and idempotent delete+insert, and the catalog
+    * re-synced per batch so `spark.table(name)` readers always see the
+    * latest committed state. The streaming half of the metastore
+    * surface: a warehouse consumer never handles a path. */
+  def streamUpsertCatalog(inputDir: String, schema: StructType,
+                          table: String, checkpointDir: String,
+                          keys: Seq[String], orderCol: String,
+                          partCol: String,
+                          trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    val cinc = new graft.operators.CatalogIncremental(spark)
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val deduped = graft.operators.Dedup.keepLatest(
+          batch, keys, col(orderCol), Nil)
+        cinc.upsertPartitioned(table, deduped, keys, partCol)
+        ()
+      }
+      .start()
+  }
+
   /** Continuous corpus ingest with CROSS-RUN dedup: each micro-batch is
     * filtered against everything already accepted — first through a bloom
     * sketch of the historical keys (codegen'd probe, no false negatives),

@@ -58,6 +58,35 @@ class CatalogTablesSpec extends AnyFunSuite {
     assert(after > before, s"catalog upsert invisible: $before -> $after")
   }
 
+  test("streamUpsertCatalog merges micro-batches into a catalog table" +
+      " by NAME; spark.table readers see each committed batch") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft_cat3").toString
+    val in = s"$base/in"; val path = s"$base/tbl"; val cp = s"$base/cp"
+    val sch = StructType(Seq(StructField("event_id", StringType),
+      StructField("seq", LongType),
+      StructField("event_date", StringType),
+      StructField("value", DoubleType)))
+    // first materialization registers the table over its location
+    val cinc = new CatalogIncremental(spark)
+    cinc.createAs("lake.stream_upsert", path,
+      Seq(("e0", 0L, "2024-01-01", 0.5))
+        .toDF("event_id", "seq", "event_date", "value"),
+      partitionBy = Some("event_date"))
+    Seq(("e1", 1L, "2024-01-01", 1.0), ("e1", 2L, "2024-01-01", 1.5),
+      ("e2", 1L, "2024-01-02", 2.0))
+      .toDF("event_id", "seq", "event_date", "value").write.parquet(in)
+    val ingest = new graft.streaming.StreamingIngest(spark)
+    val q = ingest.streamUpsertCatalog(in, sch, "lake.stream_upsert", cp,
+      Seq("event_id"), "seq", "event_date")
+    q.awaitTermination()
+    val rows = spark.table("lake.stream_upsert")
+      .select("event_id", "seq", "value").as[(String, Long, Double)]
+      .collect().toSet
+    assert(rows == Set(("e0", 0L, 0.5), ("e1", 2L, 1.5), ("e2", 1L, 2.0)))
+    assert(spark.sql("SHOW PARTITIONS lake.stream_upsert").count() == 2)
+  }
+
   test("retention and compaction work by catalog table name, and the" +
       " catalog's partition list follows the path mutations") {
     val base = Files.createTempDirectory("graft_cat2").toString
