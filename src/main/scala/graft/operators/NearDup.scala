@@ -90,4 +90,56 @@ object NearDup {
                           path: String,
                           threshold: Double = 0.5): DataFrame =
     pairsOf(spark.read.parquet(path), threshold)
+
+  /** INCREMENTAL near-dup: all pairs involving a batch of NEW documents —
+    * within-batch plus batch-vs-corpus — against the PERSISTED signature
+    * table, and append the batch's signatures so the corpus stays
+    * current. The 100 TB steady state: per batch, the corpus pays one
+    * scan of its signature table (never re-shingled, never self-joined —
+    * corpus×corpus pairs were found when those docs arrived) and the
+    * band join shuffles only short (band, doc_id) keys; cost tracks
+    * batch size, not corpus size. Returns (doc_a, doc_b, jaccard,
+    * est_jaccard) with doc_a < doc_b, exact-verified like lshPairs.
+    * Caller contract: batch ids are disjoint from the corpus's. */
+  def pairsWithCorpus(spark: org.apache.spark.sql.SparkSession,
+                      newDocs: DataFrame, idCol: String, textCol: String,
+                      signaturePath: String, threshold: Double = 0.5,
+                      appendSignatures: Boolean = true): DataFrame = {
+    val newSigs = signatures(newDocs, idCol, textCol).cache()
+    val corpus = spark.read.parquet(signaturePath)
+    val within = pairsOf(newSigs, threshold)
+    def bandsOf(df: DataFrame) = df.select(col("doc_id"),
+      explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
+    // corpus×batch candidates only: the batch side of the band join is
+    // batch-sized; same-band corpus docs pair with new docs, never with
+    // each other
+    val cross = bandsOf(corpus).as("a")
+      .join(bandsOf(newSigs).as("b"), Seq("band"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val sets = corpus.unionByName(newSigs)
+    val crossVerified = cross
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), b => b)).cast("double") / 16)
+          .as("est_jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // materialize BEFORE appending: the lazy plans read the signature
+    // table, and appending first would leak the batch's own signatures
+    // into the "corpus" side (double-reporting within-batch pairs); the
+    // pairs result is small, so checkpoint stats don't matter downstream
+    val result = within.unionByName(crossVerified).localCheckpoint(true)
+    if (appendSignatures)
+      newSigs.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(signaturePath)
+    newSigs.unpersist()
+    result
+  }
 }

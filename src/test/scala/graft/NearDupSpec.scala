@@ -44,6 +44,40 @@ class NearDupSpec extends AnyFunSuite {
     assert(persisted == direct && persisted.nonEmpty)
   }
 
+  test("pairsWithCorpus: a new batch pairs against the persisted corpus" +
+      " and within itself; the corpus is never self-joined; its" +
+      " signatures append so the NEXT batch sees it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_inc_sigs")
+      .toString + "/sigs"
+    NearDup.writeSignatures(docs, "my_id", "body", dir)
+    // batch: 201 near-dups corpus doc 101; 202/203 near-dup each other
+    // only; 204 unique
+    val batch = Seq(
+      (201L, "the quick brown fox jumps over the lazy dog again today"),
+      (202L, "structured streaming keeps state in checkpointed stores ok"),
+      (203L, "structured streaming keeps state in checkpointed stores now"),
+      (204L, "unrelated corpus about parquet footers and row groups"))
+      .toDF("my_id", "body")
+    val pairs = NearDup.pairsWithCorpus(spark, batch, "my_id", "body",
+      dir, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((101L, 201L)), s"missed corpus-cross pair: $pairs")
+    assert(pairs.contains((202L, 203L)), s"missed within-batch pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 204L || p._2 == 204L))
+    // NO corpus-corpus pairs re-reported (found when those docs arrived)
+    assert(!pairs.contains((101L, 102L)))
+    // the batch's signatures landed: a second batch near-dupping 202
+    // finds it as CORPUS now
+    val batch2 = Seq(
+      (301L, "structured streaming keeps state in checkpointed stores too"))
+      .toDF("my_id", "body")
+    val pairs2 = NearDup.pairsWithCorpus(spark, batch2, "my_id", "body",
+      dir, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs2.exists(p => p._2 == 301L && Set(202L, 203L)(p._1)),
+      s"appended signatures invisible to the next batch: $pairs2")
+  }
+
   test("clusters canonicalize transitive chains to the minimum id") {
     val cl = NearDup.clusters(docs, "my_id", "body", 0.5)
       .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
