@@ -24,17 +24,23 @@ final class BronzeAppend(spark: SparkSession) {
     else spark.read.parquet(targetPath)
       .select(partCol).distinct().collect().map(_.get(0)).toSeq
 
-  /** Append rows of `source` whose `partCol` value is unseen in the target. */
+  /** Append rows of `source` whose `partCol` value is unseen in the
+    * target. Serialized through the shared single-writer lock: the
+    * seen-check and the append are not atomic, so two concurrent runs of
+    * the same batch would BOTH see a partition as unseen and duplicate
+    * it — idempotence only holds when runs serialize (the reference gets
+    * this from DuckDB's file lock). */
   def appendNewPartitions(source: DataFrame, targetPath: String,
-                          partCol: String): Long = {
-    val seen = seenPartitions(targetPath, partCol)
-    val fresh =
-      if (seen.isEmpty) source
-      else source.filter(!col(partCol).isin(seen: _*))
-    val n = fresh.count()
-    if (n > 0)
-      fresh.write.partitionBy(partCol).mode(SaveMode.Append)
-        .parquet(targetPath)
-    n
-  }
+                          partCol: String): Long =
+    Incremental.withLock(Paths.get(targetPath)) {
+      val seen = seenPartitions(targetPath, partCol)
+      val fresh =
+        if (seen.isEmpty) source
+        else source.filter(!col(partCol).isin(seen: _*))
+      val n = fresh.count()
+      if (n > 0)
+        fresh.write.partitionBy(partCol).mode(SaveMode.Append)
+          .parquet(targetPath)
+      n
+    }
 }

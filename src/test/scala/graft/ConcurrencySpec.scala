@@ -92,6 +92,22 @@ class ConcurrencySpec extends AnyFunSuite {
       s"rows lost or corrupted: $rows")
   }
 
+  test("BronzeAppend.appendNewPartitions shares the single-writer lock" +
+      " (concurrent same-batch appends cannot duplicate a partition)") {
+    val tgt = s"${tmp("bronze")}/t"
+    val ba = new graft.operators.BronzeAppend(spark)
+    val batch = Seq((1L, "2024-01-01"), (2L, "2024-01-01"))
+      .toDF("id", "ingest_date")
+    assert(ba.appendNewPartitions(batch, tgt, "ingest_date") == 2L)
+    Incremental.acquire(Paths.get(tgt))
+    try intercept[Incremental.ConcurrentWriteException] {
+      ba.appendNewPartitions(batch, tgt, "ingest_date")
+    } finally Incremental.release(Paths.get(tgt))
+    // after release: re-run is the normal idempotent no-op
+    assert(ba.appendNewPartitions(batch, tgt, "ingest_date") == 0L)
+    assert(spark.read.parquet(tgt).count() == 2)
+  }
+
   test("MaterializedAgg.refresh shares the single-writer lock") {
     val tgt = s"${tmp("magg")}/rollup"
     val magg = new MaterializedAgg(spark, tgt, Seq("k"), Seq("v"))
