@@ -20,7 +20,8 @@ package graft.queries
   * Not in this map: queries whose surface is an operator API rather than
   * SQL (q14 salting, q28 as-of carry-forward, q29 HLL sketch), and the
   * corpus catalogs (d/s/t/m) whose native expressions (minhash, rolling
-  * fingerprint) have no Spark-SQL spelling.
+  * fingerprint) have no Spark-SQL spelling. (q51 IS here: the
+  * Datasketches hll_* family has first-class SQL spellings.)
   */
 object SqlParity {
 
@@ -566,6 +567,30 @@ object SqlParity {
           ORDER BY datediff(day, DATE '1970-01-01')
           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)))) AS INT) AS wau_7d
       FROM daily ORDER BY day""",
+
+    "q51_sketch_wau" -> """
+      WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      daily AS (
+        SELECT day, COUNT(*) AS n_day_users,
+          hll_sketch_agg(user_id, 14) AS sk
+        FROM pairs GROUP BY day),
+      approx AS (
+        SELECT day, n_day_users,
+          hll_sketch_estimate(hll_union_agg(sk) OVER (
+            ORDER BY datediff(day, DATE '1970-01-01')
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS wau_est
+        FROM daily),
+      contrib AS (
+        SELECT explode(sequence(day, date_add(day, 6))) AS day, user_id
+        FROM pairs),
+      ex AS (
+        SELECT day, COUNT(*) AS wau_7d_exact
+        FROM (SELECT DISTINCT day, user_id FROM contrib) GROUP BY day)
+      SELECT a.day, a.n_day_users, ex.wau_7d_exact,
+        CAST(abs(a.wau_est - ex.wau_7d_exact) AS DOUBLE) / ex.wau_7d_exact
+          <= 0.05 AS approx_ok
+      FROM approx a JOIN ex ON a.day = ex.day ORDER BY a.day""",
 
     "q49_histogram" -> s"""
       WITH binned AS (
