@@ -21,8 +21,13 @@ final class Compaction(spark: SparkSession,
                        minFilesToCompact: Int = 2) {
 
   /** Compact every immediate `part=` subdirectory of `root` that has at
-    * least `minFilesToCompact` parquet files. Returns compacted dirs. */
-  def compact(root: String): Seq[String] = {
+    * least `minFilesToCompact` parquet files. Returns compacted dirs.
+    * Holds the table's single-writer lock: the per-partition
+    * move/swap sequence interleaved with a concurrent upsert's
+    * delete+overwrite is the same lost-write hazard Incremental guards
+    * against (maintenance and materialization mutually exclude). */
+  def compact(root: String): Seq[String] = Incremental.withLock(
+      Paths.get(root)) {
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Nil
     val parts = Files.list(rootPath).iterator().asScala
@@ -55,7 +60,8 @@ final class Compaction(spark: SparkSession,
     * later point/range filters on the cluster columns skip whole row
     * groups at scan time (the poor-man's Z-ORDER for a single sort key
     * set — a maintenance-time trade of one sort for every future scan). */
-  def cluster(root: String, clusterCols: Seq[String]): Seq[String] = {
+  def cluster(root: String, clusterCols: Seq[String]): Seq[String] =
+    Incremental.withLock(Paths.get(root)) {
     import org.apache.spark.sql.functions.col
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Nil
@@ -95,7 +101,8 @@ final class Compaction(spark: SparkSession,
     * scale values onto the 16-bit grid; `filesPerPartition` overrides the
     * byte-derived output count (tests, or externally-planned layouts). */
   def clusterZOrder(root: String, dimCols: Seq[String],
-                    filesPerPartition: Option[Int] = None): Seq[String] = {
+                    filesPerPartition: Option[Int] = None): Seq[String] =
+    Incremental.withLock(Paths.get(root)) {
     import org.apache.spark.sql.functions.{col, min, max}
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Nil

@@ -26,7 +26,8 @@ final class Retention(spark: SparkSession) {
   /** Drop every partition whose `partCol` value is strictly below
     * `cutoff`. Returns the deleted partition directories. */
   def dropPartitionsBefore(targetPath: String, partCol: String,
-      cutoff: Column): Seq[String] = {
+      cutoff: Column): Seq[String] = Incremental.withLock(
+      Paths.get(targetPath)) {
     if (!Files.exists(Paths.get(targetPath))) return Nil
     val doomed = spark.read.parquet(targetPath)
       .filter(col(partCol) < cutoff) // static partition pruning
