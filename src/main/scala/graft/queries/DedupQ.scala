@@ -24,7 +24,7 @@ object DedupQ {
 
   def all: Seq[Q] = Seq(d01Exact, d02MinhashLsh, d03Simhash, d04NgramJaccard,
     d05EmbedNearDup, d06DedupClusters, d07EmbedLshNearDup,
-    d08NormalizedDedup, d09EditDistance)
+    d08NormalizedDedup, d09EditDistance, d10WinnowPairs)
 
   /** Token bigram SETS per doc — the shingle basis for d02/d04. Native
     * ShinglesExpr (one loop) instead of the staggered-slice zip_with
@@ -453,6 +453,44 @@ object DedupQ {
     FROM c a JOIN c b ON a.block = b.block AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) = 1
     ORDER BY key_a, key_b"""))
+
+  /** SUBSTRING-level duplication candidates via winnowing (t04's rolling
+    * fingerprint turned pairwise): each doc keeps its 5 smallest 8-char
+    * window hashes (RollingFpExpr — one native loop, robust to small
+    * edits), docs sharing ≥ 2 winnowed hashes pair up. Catches
+    * copy-paste SEGMENTS between otherwise-different documents — the
+    * case whole-document shingle MinHash (d02, Jaccard over the full
+    * set) is designed to ignore. Scale shape: 5 short hash keys per doc
+    * → equi-join on the hash → pair-count agg; never all-pairs, shuffle
+    * volume 5 rows/doc. At 100 TB this is the candidate stage of a
+    * winnowing dedup (Schleimer et al.'s local fingerprinting); exact
+    * substring verification would follow on the candidate sliver. */
+  val d10WinnowPairs: Q = Q("d10_winnow_pairs", (s, d) => {
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(split(graft.functions.TextExprs.rollingFp(
+          col("text"), 8, 5), "\\|")).as("gram"))
+    fps.as("a").join(fps.as("b"), Seq("gram"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(countDistinct(col("gram")).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }, Some("""
+    WITH grams AS (
+      SELECT doc_id,
+        list_transform(range(1, greatest(len(text) - 7, 1) + 1),
+          i -> md5(substr(text, i, 8))) AS g
+      FROM documents),
+    fps AS (
+      SELECT doc_id, unnest(list_sort(g)[1:5]) AS gram FROM grams)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b USING (gram)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT gram) >= 2
+    ORDER BY doc_a, doc_b"""))
 }
 
 /** DuckDB SQL mirrors of VectorFns — ordered left-to-right double folds
