@@ -70,12 +70,14 @@ class ConcurrencySpec extends AnyFunSuite {
           val batch = Seq((w, s"writer_$w")).toDF("k", "v")
           var done = false
           var attempts = 0
-          while (!done && attempts < 60) {
+          // generous budget: three writers ahead of the last one can hold
+          // the lock for several seconds each under host steal
+          while (!done && attempts < 120) {
             attempts += 1
             Try(inc.upsert(tgt, batch, Seq("k"))) match {
               case Success(_) => done = true
               case Failure(_: Incremental.ConcurrentWriteException) =>
-                Thread.sleep(100) // conflict is the expected, clean outcome
+                Thread.sleep(250) // conflict is the expected, clean outcome
               case Failure(e) => throw e
             }
           }
