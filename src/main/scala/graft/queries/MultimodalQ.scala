@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object MultimodalQ {
 
   def all: Seq[Q] = Seq(m01MediaFeatures, m02FrameSample, m03ChunkEnergy,
-    m04Resize, m05ModalityRoute)
+    m04Resize, m05ModalityRoute, m06MediaDedup)
 
   /** Binary decode → typed features, one codec per partition. The entire
     * decode is narrow; only the 4-float feature rows ever shuffle. */
@@ -151,4 +151,39 @@ object MultimodalQ {
         c -> ord(c)), (a, b) -> a + b) AS BIGINT) AS DOUBLE)
     FROM documents WHERE doc_id % 3 = 2
     ORDER BY id"""))
+
+  /** PER-MODALITY exact media dedup: content digest over the binary
+    * payload, canonical (minimum) id and copy count per (modality,
+    * digest) group — d01's exact-dedup contract applied to the media
+    * column, partitioned by m05's modality routing so images never dedup
+    * against audio. Scale shape: one narrow digest pass, one window over
+    * the (kind, digest) key — the payload itself never shuffles (only
+    * id + 32-hex digest rows move). */
+  val m06MediaDedup: Q = Q("m06_media_dedup", (s, d) => {
+    val media = Media.asMedia(Tables.documents(s, d), "doc_id", "text",
+        "doc")
+      .withColumn("kind", element_at(
+        array(lit("doc"), lit("img"), lit("audio")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")))
+      .select(col("id"), col("kind"), md5(col("media")).as("digest"))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind"), col("digest"))
+    media
+      .withColumn("canonical_id", min(col("id")).over(byKey))
+      .withColumn("n_copies", count(lit(1)).over(byKey))
+      .withColumn("is_canonical", col("id") === col("canonical_id"))
+      .orderBy(col("id"))
+  }, Some("""
+    WITH m AS (
+      SELECT doc_id AS id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'doc' WHEN 1 THEN 'img'
+          ELSE 'audio' END AS kind,
+        md5(text) AS digest
+      FROM documents)
+    SELECT id, kind, digest,
+      MIN(id) OVER (PARTITION BY kind, digest) AS canonical_id,
+      CAST(COUNT(*) OVER (PARTITION BY kind, digest) AS BIGINT)
+        AS n_copies,
+      id = MIN(id) OVER (PARTITION BY kind, digest) AS is_canonical
+    FROM m ORDER BY id"""))
 }

@@ -22,7 +22,7 @@ object TextQ {
   def all: Seq[Q] = Seq(t01LangId, t02QualityScore, t03TokenCount,
     t04Fingerprint, t05PiiScrub, t06CorpusFilter, t07HashSplit,
     t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample,
-    t12Decontaminate, t13ChunkOverlap, t14Repetition)
+    t12Decontaminate, t13ChunkOverlap, t14Repetition, t15RareTokens)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -581,4 +581,37 @@ object TextQ {
         ELSE 1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE)
           >= 0.2 END AS repetitive
     FROM stats ORDER BY doc_id"""))
+
+  /** Unigram-LM-lite quality signal: per-token CORPUS frequency joined
+    * back to each document's tokens — docs dominated by rare tokens
+    * (OCR noise, mojibake, code dumps) score high on `n_rare_tokens` /
+    * low on `min_token_freq`. Integer-exact by construction (counts, no
+    * log-probs — t10's no-transcendental rule), so the oracle hash is
+    * stable. Scale shape: the frequency table is a pre-reduced
+    * token-keyed aggregate (vocabulary-sized, ≪ corpus); the join is
+    * keyed on the token string and the groupBy rides doc_id — the
+    * text payload itself never shuffles. */
+  val t15RareTokens: Q = Q("t15_rare_tokens", (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    toks.join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("freq") <= 2, 1L).otherwise(0L)).as("n_rare_tokens"),
+        min(col("freq")).as("min_token_freq"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0)) AS tok
+      FROM documents),
+    freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      CAST(SUM(CASE WHEN freq <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_rare_tokens,
+      CAST(MIN(freq) AS BIGINT) AS min_token_freq
+    FROM toks JOIN freq USING (tok)
+    GROUP BY doc_id ORDER BY doc_id"""))
 }

@@ -263,6 +263,34 @@ final class StreamingIngest(spark: SparkSession) {
       .start()
   }
 
+  /** Continuous DISTINCT-COUNT rollup: each micro-batch folds into a
+    * SketchDistinct target — per-key mergeable HLL sketches united per
+    * batch, so "distinct users per key" stays fresh at batch-sized cost
+    * and the raw stream never needs retention for the rollup's sake.
+    * streamRollup's twin for the non-distributive aggregate. The sketch
+    * union is IDEMPOTENT, so a replayed batch cannot inflate the
+    * distinct estimates (n_rows, like streamRollup's counts, stays
+    * at-least-once — pair with upstream dedup where exact row counts
+    * matter). */
+  def streamDistinctRollup(inputDir: String, schema: StructType,
+                           targetPath: String, checkpointDir: String,
+                           keys: Seq[String], distinctCol: String,
+                           trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    val skd = new graft.operators.SketchDistinct(
+      spark, targetPath, keys, distinctCol)
+    spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        skd.refresh(batch); ()
+      }
+      .start()
+  }
+
   /** Dedup for at-least-once sources whose duplicates carry DIFFERENT
     * event times (producer retries re-stamp the clock — the case
     * `dropDuplicates(key, ts)` silently misses). State is keyed on `key`

@@ -47,6 +47,30 @@ class SketchDistinctSpec extends AnyFunSuite {
     assert(rows(a) == rows(b))
   }
 
+  test("streamDistinctRollup keeps the rollup equal to the batch" +
+      " recompute across micro-batch runs") {
+    import org.apache.spark.sql.types._
+    val base = Files.createTempDirectory("graft_skd_stream").toString
+    val in = s"$base/in"; val tgt = s"$base/rollup"; val cp = s"$base/cp"
+    val sch = StructType(Seq(StructField("day", StringType),
+      StructField("user", StringType)))
+    batches.take(2).flatten.toDF("day", "user").write.parquet(in)
+    val ingest = new graft.streaming.StreamingIngest(spark)
+    ingest.streamDistinctRollup(in, sch, tgt, cp, Seq("day"), "user")
+      .awaitTermination()
+    // second run: only the NEW file becomes a batch (checkpoint)
+    batches(2).toDF("day", "user").write.mode("append").parquet(in)
+    ingest.streamDistinctRollup(in, sch, tgt, cp, Seq("day"), "user")
+      .awaitTermination()
+    val skd = new SketchDistinct(spark, tgt, Seq("day"), "user")
+    val got = skd.read().select("day", "distinct_est")
+      .as[(String, Long)].collect().toSet
+    val want = batches.flatten.toDF("day", "user")
+      .groupBy("day").agg(countDistinct(col("user")).as("d"))
+      .as[(String, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("a replay-style duplicate batch changes no estimate" +
       " (HLL union is idempotent on identical inputs)") {
     val tgt = s"${Files.createTempDirectory("graft_skd4")}/rollup"
