@@ -32,10 +32,35 @@ object KMeans {
   final case class Model(centroids: DataFrame, assignments: DataFrame,
                          rounds: Int)
 
+  /** Nearest centroid by SQUARED L2 — `argmin |v-c|² = argmax v·c −
+    * |c|²/2` (the |v|² term is constant per vector), so the score is one
+    * dot plus a per-centroid constant; ties break on cell id. The
+    * assignment metric for quantizers that must preserve inner products
+    * (PQ/ADC), where cosine's magnitude-blindness costs recall. */
+  private def assignL2(corpus: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String): DataFrame = {
+    val cent = centroids.select(col("cell"),
+      col(vecCol).as("__cv"),
+      (graft.functions.VectorFns.dot(col(vecCol), col(vecCol)) / 2)
+        .as("__half_cn2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col("cell").asc)
+    corpus.join(broadcast(cent))
+      .select(col(idCol), col("cell"),
+        (graft.functions.VectorFns.dot(col(vecCol), col("__cv")) -
+          col("__half_cn2")).as("__score"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("cell"))
+  }
+
   def fit(spark: SparkSession, corpus: DataFrame, k: Int, maxRounds: Int,
-          idCol: String = "vec_id", vecCol: String = "embedding"): Model = {
+          idCol: String = "vec_id", vecCol: String = "embedding",
+          metric: String = "cosine"): Model = {
     import spark.implicits._
     require(k > 0 && maxRounds >= 0)
+    require(metric == "cosine" || metric == "l2", s"unknown metric $metric")
 
     // deterministic seeds: the k lowest ids
     var centroids: Seq[(Int, Seq[Float])] = corpus
@@ -45,12 +70,16 @@ object KMeans {
       .map { case (v, i) => (i, v) }.toSeq
     def centroidDf = centroids.toDF("cell", vecCol)
 
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      if (metric == "l2") assignL2(corpus, df, idCol, vecCol)
+      else VectorSearch.ivfAssign(corpus, df,
+        corpusId = idCol, cellId = "cell", vecCol = vecCol)
+        .select(col(idCol), col("cell"))
+
     var rounds = 0
     var moved = true
     while (moved && rounds < maxRounds) {
-      val assigned = VectorSearch.ivfAssign(corpus, centroidDf,
-        corpusId = idCol, cellId = "cell", vecCol = vecCol)
-        .select(col(idCol), col("cell"))
+      val assigned = assign(centroidDf)
       val sums = corpus.join(assigned, idCol)
         .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
@@ -77,7 +106,8 @@ object KMeans {
       rounds += 1
     }
     Model(centroidDf,
-      VectorSearch.ivfAssign(corpus, centroidDf, corpusId = idCol,
+      if (metric == "l2") assign(centroidDf)
+      else VectorSearch.ivfAssign(corpus, centroidDf, corpusId = idCol,
         cellId = "cell", vecCol = vecCol), rounds)
   }
 }
