@@ -67,4 +67,45 @@ class ProductQuantizerSpec extends AnyFunSuite {
     info(f"PQ mean recall@10 = $mean%.3f")
     assert(mean >= 0.6, f"mean recall@10 $mean%.3f below gate")
   }
+
+  test("PQ candidate scan + exact re-rank (s05's pattern) recovers" +
+      " >= 90% of the exact top-10 — the production composition") {
+    val model = ProductQuantizer.fit(spark, emb, m = 8, k = 256, rounds = 3)
+    val enc = ProductQuantizer.encode(emb, model)
+    val queries = emb.filter(col("vec_id") < 5)
+    // stage 1: compressed scan keeps a 50-candidate sliver per query
+    val cands = ProductQuantizer.search(enc, model, queries, topK = 50)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: ONLY the sliver joins back to the float vectors
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id").asc)
+    val reranked = cands
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFns.dot(col("q"), col("cv")).as("ip"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+    val exact = broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q")))
+      .join(emb, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.dot(col("q"), col("embedding")).as("ip"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 10)
+      .select("query_id", "vec_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val recalls = exact.map { case (q, truth) =>
+      (truth & reranked.getOrElse(q, Set.empty)).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ+rerank mean recall@10 = $mean%.3f")
+    assert(mean >= 0.9, f"reranked recall@10 $mean%.3f below gate")
+  }
 }
