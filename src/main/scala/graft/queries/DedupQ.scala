@@ -24,7 +24,8 @@ object DedupQ {
 
   def all: Seq[Q] = Seq(d01Exact, d02MinhashLsh, d03Simhash, d04NgramJaccard,
     d05EmbedNearDup, d06DedupClusters, d07EmbedLshNearDup,
-    d08NormalizedDedup, d09EditDistance, d10WinnowPairs)
+    d08NormalizedDedup, d09EditDistance, d10WinnowPairs,
+    d11BoilerplateChunks)
 
   /** Token bigram SETS per doc — the shingle basis for d02/d04. Native
     * ShinglesExpr (one loop) instead of the staggered-slice zip_with
@@ -491,6 +492,54 @@ object DedupQ {
     GROUP BY 1, 2
     HAVING COUNT(DISTINCT gram) >= 2
     ORDER BY doc_a, doc_b"""))
+
+  /** Chunk-level (paragraph) boilerplate detection — the CCNet-style
+    * dedup granularity BETWEEN d01's whole-document hash and d04's
+    * overlapping shingles: each doc splits into NON-overlapping 8-token
+    * chunks (the corpus has no newlines, so fixed-width chunks stand in
+    * for paragraphs), a chunk seen in ≥ 2 distinct docs is boilerplate,
+    * and each doc reports how much of it would be stripped. Two shuffles,
+    * both on the short chunk string (at 100 TB: md5 the chunk first so
+    * the exchange key is 32 bytes regardless of chunk width); the doc
+    * payload itself never moves. Removing the flagged chunks — not the
+    * whole doc — is what line-level dedup does to navigation/header
+    * boilerplate in web corpora. */
+  val d11BoilerplateChunks: Q = Q("d11_boilerplate_chunks", (s, dir) => {
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), (size(col("t")) / 8).cast("int") - 1),
+          i => array_join(slice(col("t"), i * 8 + 1, lit(8)), " ")))
+        .as("chunk"))
+    val freq = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    chunks.join(freq, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L))
+          .as("n_boilerplate_chunks"),
+        max(col("n_docs")).as("max_chunk_docs"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'),
+        x -> len(x) > 0) AS t
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, array_to_string(t[(i*8+1):(i*8+8)], ' ') AS chunk
+      FROM toks, UNNEST(range(0, CAST(floor(len(t) / 8) AS BIGINT)))
+        AS u(i)
+      WHERE len(t) >= 8),
+    freq AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_boilerplate_chunks,
+      CAST(MAX(n_docs) AS BIGINT) AS max_chunk_docs
+    FROM chunks JOIN freq USING (chunk)
+    GROUP BY doc_id ORDER BY doc_id"""))
 }
 
 /** DuckDB SQL mirrors of VectorFns — ordered left-to-right double folds

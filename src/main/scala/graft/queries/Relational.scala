@@ -30,7 +30,7 @@ object Relational {
     q36Tumbling, q37BandJoin, q38GroupingSets, q39GapsIslands,
     q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
     q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau,
-    q49Histogram, q50Rfm, q51SketchWau)
+    q49Histogram, q50Rfm, q51SketchWau, q52StatsRegression)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1453,4 +1453,72 @@ object Relational {
     SELECT o_custkey, CAST(recency AS INT) AS recency, frequency,
       monetary, r, f, m, r || f || m AS segment
     FROM tiled ORDER BY o_custkey"""))
+
+  /** Grouped least-squares regression + Pearson correlation from EXACT
+    * integer moment sums — the statistical-aggregate family (corr, covar,
+    * regr_slope/intercept) as one map-side-combinable pass. Engines
+    * disagree bit-wise on their built-in streaming corr/var (different
+    * accumulation orders), so the deterministic form is: accumulate the
+    * five moments (Σx, Σy, Σx², Σy², Σxy) as exact BIGINTs (size is an
+    * int, price rides in cents ≤ 10⁵ so Σy² stays < 2⁶³ far past sf100),
+    * then derive the statistics with a FIXED double expression tree both
+    * engines evaluate identically. One narrow scan + one 25-key hash agg;
+    * at 100 TB this is the only shape that parallelizes: the moments are
+    * associative, the finishing arithmetic is per-group O(1). */
+  val q52StatsRegression: Q = Q("q52_stats_regression", (s, d) => {
+    val moments = Tables.part(s, d)
+      .select(col("p_brand"), col("p_size").cast("long").as("x"),
+        (d2(col("p_retailprice")) * 100).cast("long").as("yc"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("x")).as("sx"), sum(col("yc")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("yc") * col("yc")).as("syy"),
+        sum(col("x") * col("yc")).as("sxy"))
+    val nd = col("n_parts").cast("double")
+    val sxd = col("sx").cast("double")
+    val syd = col("sy").cast("double")
+    val varx = nd * col("sxx").cast("double") - sxd * sxd
+    val vary = nd * col("syy").cast("double") - syd * syd
+    val cov = nd * col("sxy").cast("double") - sxd * syd
+    moments
+      .select(col("p_brand"), col("n_parts"),
+        when(varx === 0, lit(null).cast("double"))
+          .otherwise((cov / varx) / 100.0).as("slope"),
+        when(varx === 0, lit(null).cast("double"))
+          .otherwise(((syd - (cov / varx) * sxd) / nd) / 100.0)
+          .as("intercept"),
+        when(varx === 0 || vary === 0, lit(null).cast("double"))
+          .otherwise(cov / sqrt(varx * vary)).as("r"))
+      .orderBy(col("p_brand"))
+  }, Some(s"""
+    WITH moments AS (
+      SELECT p_brand, COUNT(*) AS n_parts,
+        SUM(x) AS sx, SUM(yc) AS sy,
+        SUM(x * x) AS sxx, SUM(yc * yc) AS syy, SUM(x * yc) AS sxy
+      FROM (SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+              CAST(${d2Sql("p_retailprice")} * 100 AS BIGINT) AS yc
+            FROM part)
+      GROUP BY p_brand),
+    d AS (
+      SELECT p_brand, n_parts,
+        CAST(n_parts AS DOUBLE) AS nd,
+        CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        CAST(sxy AS DOUBLE) AS sxyd
+      FROM moments),
+    v AS (
+      SELECT p_brand, n_parts, nd, sxd, syd,
+        nd * sxxd - sxd * sxd AS varx,
+        nd * syyd - syd * syd AS vary,
+        nd * sxyd - sxd * syd AS cov
+      FROM d)
+    SELECT p_brand, n_parts,
+      CASE WHEN varx = 0 THEN NULL
+        ELSE (cov / varx) / 100.0 END AS slope,
+      CASE WHEN varx = 0 THEN NULL
+        ELSE ((syd - (cov / varx) * sxd) / nd) / 100.0 END AS intercept,
+      CASE WHEN varx = 0 OR vary = 0 THEN NULL
+        ELSE cov / sqrt(varx * vary) END AS r
+    FROM v ORDER BY p_brand"""))
 }

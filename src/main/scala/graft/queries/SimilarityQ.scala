@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object SimilarityQ {
 
   def all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03IvfAssign, s04IvfSearch,
-    s05QuantizedRerank, s06KmeansUpdate)
+    s05QuantizedRerank, s06KmeansUpdate, s07PqRerank)
 
   /** Corpus with per-VECTOR norms precomputed and materialized: norms are
     * O(N), not O(pairs) — computing them inside the pair expression would
@@ -442,4 +442,62 @@ object SimilarityQ {
       CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS centroid_q
     FROM exploded GROUP BY cell_id, dim
     ORDER BY cell_id, dim"""))
+
+  /** Product-quantized compressed scan + exact re-rank — the third
+    * compressed search path beside s02 (LSH buckets) and s05 (SQ8): the
+    * corpus is held as m=16 one-byte codes per vector (a 16x-smaller scan
+    * set than the float embeddings), ADC keeps a 150-candidate sliver per
+    * query from table lookups alone, and ONLY that sliver joins back to
+    * the float vectors for the exact cosine top-5 the oracle verifies.
+    * (m=8 codes measured recall@5 < 1 on the 5k-vector tier — a true
+    * rank-2 neighbor fell outside a 100-candidate sliver; 4-dim
+    * subquantizers restore it with margin.)
+    * Codebooks fit in-engine (ProductQuantizer.fit, bit-deterministic
+    * Lloyd rounds) and broadcast; the encoded corpus joins the per-query
+    * lookup tables on (sub, code) — nothing all-pairs, nothing float in
+    * the scan stage. At 100 TB this composes with IVF (s04) exactly like
+    * s05: prune cells, ADC-scan survivors compressed, re-rank the sliver.
+    * The recall contract (sliver covers the true top-k) is pinned in
+    * ProductQuantizerSpec; here the 30x candidate margin makes the final
+    * top-5 exact, so the DuckDB oracle is the plain exact kNN. */
+  val s07PqRerank: Q = Q("s07_pq_rerank", (s, d) => {
+    val e = normed(s, d)
+    val model = graft.operators.ProductQuantizer.fit(
+      s, e, m = 16, k = 256, rounds = 3)
+    val enc = graft.operators.ProductQuantizer.encode(e, model)
+    val queries = e.filter(col("vec_id") < 10)
+    val cands = graft.operators.ProductQuantizer.search(
+      enc, model, queries, topK = 150)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.select(col("query_id"), col("neighbor_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), col("nrm").as("cn")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q"), col("nrm").as("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosPre(col("q"), col("qn"), col("cv"), col("cn")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, e.vec_id,
+        CASE WHEN ${VectorSql.norm("qv")} = 0
+          OR ${VectorSql.norm("e.embedding")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("qv", "e.embedding")}
+          / (${VectorSql.norm("qv")} * ${VectorSql.norm("e.embedding")})
+        END AS cos
+      FROM q JOIN embeddings e ON query_id <> e.vec_id),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank, vec_id AS neighbor_id, cos
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""))
 }

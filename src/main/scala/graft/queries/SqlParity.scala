@@ -625,5 +625,36 @@ object SqlParity {
       SELECT o_custkey, recency, frequency, monetary, r, f, m,
         concat(r, f, m) AS segment
       FROM tiled ORDER BY o_custkey""",
+
+    "q52_stats_regression" -> s"""
+      WITH moments AS (
+        SELECT p_brand, COUNT(*) AS n_parts,
+          SUM(x) AS sx, SUM(yc) AS sy,
+          SUM(x * x) AS sxx, SUM(yc * yc) AS syy, SUM(x * yc) AS sxy
+        FROM (SELECT p_brand, CAST(p_size AS BIGINT) AS x,
+                CAST(${d2Sql("p_retailprice")} * 100 AS BIGINT) AS yc
+              FROM part)
+        GROUP BY p_brand),
+      d AS (
+        SELECT p_brand, n_parts,
+          CAST(n_parts AS DOUBLE) AS nd,
+          CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+          CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+          CAST(sxy AS DOUBLE) AS sxyd
+        FROM moments),
+      v AS (
+        SELECT p_brand, n_parts, nd, sxd, syd,
+          nd * sxxd - sxd * sxd AS varx,
+          nd * syyd - syd * syd AS vary,
+          nd * sxyd - sxd * syd AS cov
+        FROM d)
+      SELECT p_brand, n_parts,
+        CASE WHEN varx = 0 THEN NULL
+          ELSE (cov / varx) / 100.0 END AS slope,
+        CASE WHEN varx = 0 THEN NULL
+          ELSE ((syd - (cov / varx) * sxd) / nd) / 100.0 END AS intercept,
+        CASE WHEN varx = 0 OR vary = 0 THEN NULL
+          ELSE cov / sqrt(varx * vary) END AS r
+      FROM v ORDER BY p_brand""",
   )
 }

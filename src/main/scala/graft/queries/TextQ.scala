@@ -22,7 +22,8 @@ object TextQ {
   def all: Seq[Q] = Seq(t01LangId, t02QualityScore, t03TokenCount,
     t04Fingerprint, t05PiiScrub, t06CorpusFilter, t07HashSplit,
     t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample,
-    t12Decontaminate, t13ChunkOverlap, t14Repetition, t15RareTokens)
+    t12Decontaminate, t13ChunkOverlap, t14Repetition, t15RareTokens,
+    t16TrigramNovelty)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -613,5 +614,51 @@ object TextQ {
         AS n_rare_tokens,
       CAST(MIN(freq) AS BIGINT) AS min_token_freq
     FROM toks JOIN freq USING (tok)
+    GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Corpus n-gram LM novelty — t15's rare-token signal lifted to
+    * SEQUENCES: each doc's overlapping word trigrams score against the
+    * corpus-wide trigram table; a doc whose trigrams are corpus-hapaxes
+    * (seen nowhere else) is novel, one whose trigrams are all common is
+    * templated/memorized. This is the count form of an n-gram LM
+    * perplexity filter (log-probability ranks documents IDENTICALLY to
+    * the exact integer counts used here — and the counts hash-compare
+    * across engines, where float log-sums don't). Shape matches t15/t10:
+    * narrow per-row shingling, one shuffle on the trigram key to build
+    * the count table, one to score — both map-side combined; the doc
+    * payload never moves. */
+  val t16TrigramNovelty: Q = Q("t16_trigram_novelty", (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.shingles(
+          tokens(col("text")), 3)).as("g"))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("freq"))
+    grams.join(freq, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("freq")).as("sum_freq"),
+        max(col("freq")).as("max_freq"))
+      .withColumn("novelty",
+        col("n_hapax").cast("double") / col("n_trigrams").cast("double"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'),
+        x -> len(x) > 0) AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks),
+    freq AS (SELECT g, COUNT(*) AS freq FROM grams GROUP BY g)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+      CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_hapax,
+      CAST(SUM(freq) AS BIGINT) AS sum_freq,
+      CAST(MAX(freq) AS BIGINT) AS max_freq,
+      CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM grams JOIN freq USING (g)
     GROUP BY doc_id ORDER BY doc_id"""))
 }

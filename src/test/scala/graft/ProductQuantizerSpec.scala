@@ -108,4 +108,40 @@ class ProductQuantizerSpec extends AnyFunSuite {
     info(f"PQ+rerank mean recall@10 = $mean%.3f")
     assert(mean >= 0.9, f"reranked recall@10 $mean%.3f below gate")
   }
+
+  // s07_pq_rerank ships the exact top-5 and its DuckDB oracle is plain
+  // exact kNN, so its correctness PRECONDITION is: the catalog config's
+  // ADC sliver contains every true cosine top-5 neighbor. Pin exactly
+  // that (the config was chosen after m=8 measured recall@5 < 1 on the
+  // 5k-vector tier; a regression here = a red driver row).
+  test("catalog config (m=16, k=256, 150-candidate sliver) covers the" +
+      " exact cosine top-5 — s07's oracle precondition") {
+    val model = ProductQuantizer.fit(spark, emb, m = 16, k = 256,
+      rounds = 3)
+    val enc = ProductQuantizer.encode(emb, model)
+    val queries = emb.filter(col("vec_id") < 10)
+    val sliver = ProductQuantizer.search(enc, model, queries, topK = 150)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val nrm = VectorFns.norm(col("embedding"))
+    val e = emb.select(col("vec_id"), col("embedding"), nrm.as("n"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val top5 = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+          col("n").as("qn")))
+      .join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (VectorFns.dot(col("q"), col("embedding")) /
+          (col("qn") * col("n"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "vec_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    top5.foreach { case (q, truth) =>
+      val missed = truth -- sliver.getOrElse(q, Set.empty)
+      assert(missed.isEmpty,
+        s"query $q: true top-5 neighbors $missed outside the ADC sliver")
+    }
+  }
 }
