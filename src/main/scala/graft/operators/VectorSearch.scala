@@ -156,4 +156,49 @@ object VectorSearch {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("cos"), col(cellId).as("probed_cell"))
   }
+
+  /** IVF + PQ composed search — the standard billion-scale ANN layout,
+    * wiring the engine's three vector stages into one operator: the
+    * inverted file prunes each query's scan to its `nprobe` nearest
+    * cells, the product-quantized codes make the scanned sliver 16-32×
+    * smaller than the float vectors (ADC table lookups, no float math
+    * per candidate), and only the `candidates` best approximate scores
+    * per query touch the float corpus for the exact cosine top-`k`.
+    * Recall is the product of the two stages' recalls — gate it against
+    * `cosineTopK` on a sample (VectorSearchSpec pins this corpus's
+    * level); raise `nprobe` first when it dips, `candidates` second.
+    * Output: `(query_id, rank, neighbor_id, cos)`. */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame,
+                  centroids: DataFrame, model: ProductQuantizer.Model,
+                  k: Int, nprobe: Int = 2, candidates: Int = 100,
+                  corpusId: String = "vec_id", queryId: String = "vec_id",
+                  cellId: String = "cell",
+                  vecCol: String = "embedding"): DataFrame = {
+    val canonical = corpus.select(col(corpusId).as("vec_id"),
+      col(vecCol))
+    val assignment = ivfAssign(canonical, centroids, "vec_id", cellId,
+      vecCol).select(col("vec_id"), col(cellId))
+    val probes = cellRanks(queries, centroids, queryId, cellId, vecCol)
+      .filter(col("__rn") <= nprobe)
+      .select(col(queryId).as("query_id"), col(cellId))
+    val allowed = broadcast(probes).join(assignment, Seq(cellId))
+      .select(col("query_id"), col("vec_id"))
+    val encoded = ProductQuantizer.encode(canonical, model,
+      idCol = "vec_id", vecCol = vecCol)
+    val cands = ProductQuantizer.searchWithin(encoded, model, queries,
+      allowed, candidates, queryId, vecCol)
+    val c = normed(corpus, corpusId, vecCol, "neighbor_id", "cv", "cn")
+    val q = normed(queries, queryId, vecCol, "query_id", "qv", "qn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.select(col("query_id"), col("neighbor_id"))
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cos(col("qv"), col("qn"), col("cv"), col("cn")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("cos"))
+  }
 }

@@ -68,4 +68,44 @@ class VectorSearchSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Long)].collect().toSeq.sorted
     assert(out == Seq((11L, 1, 13L, 1L), (11L, 2, 12L, 1L)))
   }
+
+  test("ivfPqSearch on separated clusters = exact in-cluster ranking" +
+      " (wide sliver -> rerank recovers the probe-search result)") {
+    val model = graft.operators.ProductQuantizer.fit(spark, corpus,
+      m = 2, k = 2, rounds = 3, idCol = "id", vecCol = "v")
+    val out = VectorSearch.ivfPqSearch(corpus,
+      corpus.filter($"id" === 1L), centroids, model, k = 2, nprobe = 1,
+      candidates = 10, corpusId = "id", queryId = "id", cellId = "c",
+      vecCol = "v")
+      .select("query_id", "rank", "neighbor_id")
+      .as[(Long, Int, Long)].collect().toSeq.sorted
+    // candidates >> cluster size, so the exact re-rank sees every
+    // in-cell vector: identical to ivfSearch's exact in-cluster top-2
+    assert(out == Seq((1L, 1, 3L), (1L, 2, 2L)))
+  }
+
+  test("ivfPqSearch recall on the real embeddings corpus (in-engine" +
+      " k-means cells + PQ codes + exact rerank) stays above gate") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sf)
+    val centroids8 = graft.operators.KMeans.fit(spark, emb, k = 8,
+      maxRounds = 3).centroids
+      .select($"cell".cast("long").as("cell"), $"embedding")
+    val model = graft.operators.ProductQuantizer.fit(spark, emb,
+      m = 16, k = 256, rounds = 3)
+    val queries = emb.filter($"vec_id" < 5)
+    val got = VectorSearch.ivfPqSearch(emb, queries, centroids8, model,
+      k = 10, nprobe = 3, candidates = 100)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = VectorSearch.cosineTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val recalls = exact.map { case (q, truth) =>
+      (truth & got.getOrElse(q, Set.empty)).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF+PQ+rerank mean recall@10 = $mean%.3f (nprobe 3/8)")
+    assert(mean >= 0.8, f"composed recall@10 $mean%.3f below gate")
+  }
 }
