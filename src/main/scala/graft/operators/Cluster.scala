@@ -69,4 +69,68 @@ object Cluster {
     minLabelPropagation(pairs, aCol, bCol, rounds)
       .select(col("doc_id"), col("lbl").as("cluster_id"),
         (col("doc_id") === col("lbl")).as("is_canonical"))
+
+  /** EXACT connected components for graphs of ANY diameter: min-label
+    * propagation with POINTER JUMPING (each round also replaces every
+    * label by its label's label, so label information travels doubling
+    * distances — the large-star/small-star family), iterated to a fixed
+    * point. Where `minLabelPropagation`'s fixed round count is exact only
+    * up to diameter k (the right contract for an oracle-matchable catalog
+    * query over shallow near-dup clusters), this is the LIBRARY form for
+    * arbitrary graphs: a 10k-node path converges in ~log₂ rounds, not
+    * 10k. Each round is three node-keyed hash joins + one aggregation —
+    * nothing broadcast, nothing driver-sized except the per-round change
+    * count that decides convergence.
+    *
+    * Each round's labels are truncated with an EAGER localCheckpoint, not
+    * cache(): the round's frame self-joins the previous round's TWICE, so
+    * while a cache would stop recomputation, the LOGICAL plan would still
+    * quadruple per round — by round ~10 the plan tree itself (and AQE's
+    * plan-string rendering) OOMs the driver. Checkpointing cuts the
+    * lineage to a leaf each round; the stats loss that makes checkpoint
+    * wrong for d02's hinted-broadcast pipeline (PLANS.md) is immaterial
+    * here — these node-keyed joins are the shuffle joins a converging
+    * graph pass wants anyway. Returns (labels, rounds run). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .cache()
+    val nodes = edges.select(col("u").as("doc_id")).distinct()
+    var labels = nodes.withColumn("lbl", col("doc_id"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < maxRounds) {
+      // neighbor min — one minLabelPropagation round
+      val prop = labels.as("L")
+        .join(edges.as("E"), col("L.doc_id") === col("E.u"), "left")
+        .join(labels.select(col("doc_id").as("n_id"),
+          col("lbl").as("n_lbl")).as("R"),
+          col("E.v") === col("R.n_id"), "left")
+        .groupBy(col("L.doc_id").as("doc_id"), col("L.lbl").as("lbl"))
+        .agg(min(col("n_lbl")).as("min_n"))
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("min_n"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      // pointer jump: lbl := lbl(lbl) — labels are node ids, so chase
+      // one hop through the label table itself; this is what turns the
+      // per-round propagation radius from +1 into ×2
+      val jumped = prop.as("P")
+        .join(prop.select(col("doc_id").as("p_id"),
+          col("lbl").as("p_lbl")).as("J"),
+          col("P.lbl") === col("J.p_id"), "left")
+        .select(col("P.doc_id").as("doc_id"),
+          coalesce(col("J.p_lbl"), col("P.lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = jumped.as("N")
+        .join(labels.select(col("doc_id"),
+          col("lbl").as("__old")).as("O"), Seq("doc_id"))
+        .filter(col("lbl") =!= col("__old")).count()
+      labels = jumped
+      rounds += 1
+    }
+    edges.unpersist()
+    (labels, rounds)
+  }
 }

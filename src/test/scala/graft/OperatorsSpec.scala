@@ -362,6 +362,43 @@ class ClusterSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert((1L to 6L).forall(five(_) == 1L))
   }
+
+  test("connectedComponents closes a 64-node path in O(log n) rounds" +
+      " (pointer jumping), where fixed-round propagation needs diameter") {
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Cluster.connectedComponents(chain, "a", "b")
+    val got = labels.as[(Long, Long)].collect().toMap
+    labels.unpersist()
+    assert((1L to 64L).forall(got(_) == 1L),
+      s"path not fully labeled: ${got.filter(_._2 != 1L)}")
+    // diameter 63; doubling radius must land well under it (log2 63 ~ 6,
+    // plus the fixed-point confirmation round)
+    assert(rounds <= 12, s"took $rounds rounds — jumping not effective")
+  }
+
+  test("connectedComponents keeps disjoint components separate and" +
+      " matches a reference union-find on a mixed graph") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (30L, 31L), (31L, 32L))
+      .toDF("a", "b")
+    val (labels, _) = Cluster.connectedComponents(pairs, "a", "b")
+    val got = labels.as[(Long, Long)].collect().toMap
+    labels.unpersist()
+    // reference union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (22L, 20L), (30L, 31L), (31L, 32L)).foreach {
+      case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = got.keys.map(n => n -> find(n)).toMap
+    assert(got == expect, s"components diverge from union-find")
+  }
 }
 
 /** SURVEY §2 S8-S10: schema (database) creation + create-table-as-select
