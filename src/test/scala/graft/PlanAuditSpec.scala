@@ -176,4 +176,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ns.exists(n => n.nodeName.contains("BroadcastNestedLoopJoin") ||
       n.nodeName.contains("BroadcastHashJoin")))
   }
+
+  test("q52: the moment aggregation plans WITHOUT Expand (one pass, no" +
+      " distinct branches) and reads only the 3 needed part columns") {
+    val (ns, s) = planOf("q52_stats_regression")
+    assert(!ns.exists(_.nodeName.contains("Expand")),
+      "q52's single-pass moment aggregate grew an Expand")
+    assert("ReadSchema:[^\\n]*p_brand".r.findFirstIn(s).isDefined &&
+      !s.contains("p_name"),
+      s"part scan not pruned to (p_brand, p_size, p_retailprice):\n$s")
+  }
+
+  test("d11: chunk boilerplate joins hash-partitioned on the chunk key" +
+      " — no nested-loop or cartesian anywhere") {
+    val (ns, _) = planOf("d11_boilerplate_chunks")
+    assert(!ns.exists(n => n.nodeName.contains("CartesianProduct") ||
+      n.nodeName.contains("BroadcastNestedLoopJoin")),
+      "d11 planned an all-pairs join shape")
+  }
+
+  test("s07: the ADC scan joins the per-query lookup tables by" +
+      " BROADCAST (the compressed corpus side never becomes the build" +
+      " side of an unbounded join)") {
+    val (ns, _) = planOf("s07_pq_rerank")
+    assert(ns.exists(_.nodeName.contains("BroadcastHashJoin")),
+      "no broadcast join in s07's ADC stage")
+    assert(!ns.exists(_.nodeName.contains("CartesianProduct")),
+      "s07 planned a cartesian product")
+  }
 }
