@@ -30,7 +30,7 @@ object Relational {
     q36Tumbling, q37BandJoin, q38GroupingSets, q39GapsIslands,
     q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
     q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau,
-    q49Histogram, q50Rfm, q51SketchWau, q52StatsRegression)
+    q49Histogram, q50Rfm, q51SketchWau, q52StatsRegression, q53ListAgg)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1521,4 +1521,26 @@ object Relational {
       CASE WHEN varx = 0 OR vary = 0 THEN NULL
         ELSE cov / sqrt(varx * vary) END AS r
     FROM v ORDER BY p_brand"""))
+
+  /** Sorted string aggregation (LISTAGG / string_agg) — the reporting
+    * surface's "concatenate group members" op, made deterministic the
+    * only way it can be at scale: collect the DISTINCT set, SORT inside
+    * the row, then join — never string_agg over an unordered stream
+    * (partition order would leak into the result). One hash aggregate;
+    * the sort is per-row over ≤ |distinct types| elements, so the
+    * operator parallelizes like any keyed agg at 100 TB — the row-local
+    * sort replaces a per-group global ORDER BY. */
+  val q53ListAgg: Q = Q("q53_listagg", (s, d) => {
+    Tables.part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(collect_set(col("p_type")).as("ts"),
+        countDistinct(col("p_type")).as("n_types"))
+      .select(col("p_brand"), col("n_types"),
+        array_join(array_sort(col("ts")), ",").as("types_csv"))
+      .orderBy(col("p_brand"))
+  }, Some("""
+    SELECT p_brand,
+      CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
+      array_to_string(list_sort(list(DISTINCT p_type)), ',') AS types_csv
+    FROM part GROUP BY p_brand ORDER BY p_brand"""))
 }

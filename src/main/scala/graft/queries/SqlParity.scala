@@ -656,5 +656,11 @@ object SqlParity {
         CASE WHEN varx = 0 OR vary = 0 THEN NULL
           ELSE cov / sqrt(varx * vary) END AS r
       FROM v ORDER BY p_brand""",
+
+    "q53_listagg" -> """
+      SELECT p_brand,
+        COUNT(DISTINCT p_type) AS n_types,
+        array_join(array_sort(collect_set(p_type)), ',') AS types_csv
+      FROM part GROUP BY p_brand ORDER BY p_brand""",
   )
 }
