@@ -87,6 +87,39 @@ final class StreamingIngest(spark: SparkSession) {
       .withColumn("source_system", lit(sourceSystem))
       .withColumn("batch_id", lit(batchId))
 
+  /** Split raw JSON lines into (parsed, quarantine): a line that fails
+    * to parse lands in the quarantine frame with its raw text preserved
+    * for replay; a parsed line yields the typed row. The reference's
+    * `read_json_auto(columns=…)` + TRY_CAST (streaming_ingest.py:62-107)
+    * silently NULLs what it cannot read — this is the stricter engine
+    * form: same lenient per-field casts for valid JSON, but undecodable
+    * lines are kept, not dropped (at 100 TB, a producer bug that
+    * malforms 0.1% of lines is a replayable quarantine partition, not
+    * silent data loss).
+    *
+    * Built on `from_json` over a TEXT frame rather than the JSON
+    * source's PERMISSIVE corrupt-record column: identical semantics for
+    * batch `spark.read.text` and `spark.readStream.text` inputs (the
+    * corrupt-column form cannot be filtered without caching the batch —
+    * impossible in a stream), and the parse stays a narrow codegen'd
+    * projection. */
+  def jsonWithQuarantine(raw: DataFrame, schema: StructType)
+      : (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    val parsed = raw.select(col("value"),
+      from_json(col("value"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("r"))
+    val good = parsed
+      .filter(col("r").isNotNull && col("r._corrupt_record").isNull)
+      .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
+    val quarantine = parsed
+      .filter(col("r").isNull || col("r._corrupt_record").isNotNull)
+      .select(col("value").as("raw_record"))
+    (good, quarantine)
+  }
+
   /** Continuous micro-batch ingest: JSON-lines dir → partitioned parquet.
     * Exactly-once per file via the checkpoint's file-source log. */
   def stream(inputDir: String, schema: StructType, outDir: String,
@@ -329,12 +362,37 @@ final class StreamingIngest(spark: SparkSession) {
   def enrichStream(events: DataFrame, orders: DataFrame,
                    eventUser: String, orderUser: String,
                    eventTs: String, orderTs: String,
-                   lateness: String, lookback: String): DataFrame = {
+                   lateness: String, lookback: String): DataFrame =
+    intervalJoin(events, orders, eventUser, orderUser, eventTs, orderTs,
+      lateness, lookback, "inner")
+
+  /** LEFT OUTER stream-stream interval join: like `enrichStream`, but an
+    * event with NO matching order still emits — with null order columns —
+    * once the order-side watermark proves no future match can arrive
+    * (watermark > event_time, the end of the interval). The outer
+    * variant is what attribution pipelines actually run: "every view,
+    * with its purchase if one happened" must not drop the unconverted
+    * views. Same bounded state as the inner form; the null rows are
+    * emitted on watermark advance, so a drained backfill flushes them
+    * only when a later batch moves event time forward. */
+  def enrichStreamLeftOuter(events: DataFrame, orders: DataFrame,
+                            eventUser: String, orderUser: String,
+                            eventTs: String, orderTs: String,
+                            lateness: String, lookback: String): DataFrame =
+    intervalJoin(events, orders, eventUser, orderUser, eventTs, orderTs,
+      lateness, lookback, "leftOuter")
+
+  private def intervalJoin(events: DataFrame, orders: DataFrame,
+                           eventUser: String, orderUser: String,
+                           eventTs: String, orderTs: String,
+                           lateness: String, lookback: String,
+                           joinType: String): DataFrame = {
     val e = events.withWatermark(eventTs, lateness)
     val o = orders.withWatermark(orderTs, lateness)
     e.join(o, expr(
       s"$eventUser = $orderUser AND " +
-        s"$orderTs BETWEEN $eventTs - INTERVAL $lookback AND $eventTs"))
+        s"$orderTs BETWEEN $eventTs - INTERVAL $lookback AND $eventTs"),
+      joinType)
   }
 
   /** Sliding (hopping) event-time windows — the streaming twin of the

@@ -276,6 +276,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq((1L, 100.0)))
   }
 
+  test("left-outer stream-stream interval join emits unmatched events" +
+      " with null order columns once the watermark passes them") {
+    val base = Files.createTempDirectory("graft_ssjo").toString
+    val evIn = s"$base/events"; val ordIn = s"$base/orders"
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "view"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "view"))
+      .toDF("user_id", "event_time", "event_type").write.parquet(evIn)
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 09:55:00"), 100.0))
+      .toDF("o_user_id", "order_time", "amount").write.parquet(ordIn)
+    val ingest = new StreamingIngest(spark)
+    val ev = spark.readStream.schema(
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("event_time", TimestampType),
+        StructField("event_type", StringType)))).parquet(evIn)
+    val ord = spark.readStream.schema(
+      StructType(Seq(StructField("o_user_id", LongType),
+        StructField("order_time", TimestampType),
+        StructField("amount", DoubleType)))).parquet(ordIn)
+    val joined = ingest.enrichStreamLeftOuter(ev, ord, "user_id",
+      "o_user_id", "event_time", "order_time", "1 hour", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjo_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // user 2's null row cannot emit yet: the watermark has not proven
+    // no matching order will arrive. Advance both watermarks well past
+    // 10:00 with a late pair of rows (13:00 - 1 hour lateness = 12:00)
+    Seq((9L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), "view"))
+      .toDF("user_id", "event_time", "event_type")
+      .write.mode("append").parquet(evIn)
+    Seq((8L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 1.0))
+      .toDF("o_user_id", "order_time", "amount")
+      .write.mode("append").parquet(ordIn)
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssjo_out")
+      .select("user_id", "amount").as[(Long, Option[Double])]
+      .collect().toSet
+    assert(out.contains((1L, Some(100.0))), s"matched row missing: $out")
+    assert(out.contains((2L, None)),
+      s"unmatched view did not emit a null-padded row: $out")
+  }
+
+  test("jsonWithQuarantine keeps undecodable lines with their raw text" +
+      " (reference TRY_CAST nulls them silently) and parses the rest") {
+    val base = Files.createTempDirectory("graft_quar").toString
+    writeJson(base, "in.jsonl", Seq(
+      """{"event_id":"e1","event_type":"view","event_time":"2024-01-01T10:00:00","value":1.5}""",
+      """this is not json at all""",
+      """{"event_id":"e3","event_type":"view","event_time":"2024-01-01T10:02:00","value":"not_a_number"}"""))
+    val ingest = new StreamingIngest(spark)
+    val raw = spark.read.text(base)
+    val (good, quarantine) = ingest.jsonWithQuarantine(raw, schema)
+    val goodIds = good.select("event_id").as[String].collect().toSet
+    val badRaw = quarantine.select("raw_record").as[String].collect()
+    assert(goodIds == Set("e1"), s"good rows: $goodIds")
+    assert(badRaw.length == 2 &&
+      badRaw.exists(_.contains("not json")) &&
+      badRaw.exists(_.contains("not_a_number")),
+      s"quarantine did not keep both bad lines: ${badRaw.toSeq}")
+    // the same transform is streaming-legal: a readStream.text plan
+    // through it starts and drains without the corrupt-column
+    // cache restriction
+    val streamRaw = spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(base)
+    val (sGood, _) = ingest.jsonWithQuarantine(streamRaw, schema)
+    val q = sGood.writeStream.format("memory").queryName("quar_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("quar_out").count() == 1)
+  }
+
   test("windowed aggregation drops late data beyond the watermark and" +
       " accepts late data within it (state-eviction contract)") {
     val base = Files.createTempDirectory("graft_evict").toString
