@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, MinhashSigExpr, RollingFpExpr}
+import graft.functions.{DotProduct, MinhashSigExpr, RollingFpExpr, ShinglesExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -40,6 +40,9 @@ object GraftExtensions {
     // rolling_fp(text, width, k) — width/k must be integer literals
     ("rolling_fp", classOf[RollingFpExpr].getCanonicalName,
       exprs => RollingFpExpr(exprs(0), intLit(exprs(1)), intLit(exprs(2)))),
+    // shingles(tokens, k) — k must be an integer literal
+    ("shingles", classOf[ShinglesExpr].getCanonicalName,
+      exprs => ShinglesExpr(exprs(0), intLit(exprs(1)))),
   )
 
   /** Register everything on an already-built session. */

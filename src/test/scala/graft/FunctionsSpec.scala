@@ -46,6 +46,10 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT rolling_fp('the quick brown fox', 8, 3) AS f")
       .first().getString(0)
     assert(fp.split("\\|").length == 3)
+    val sh = spark.sql(
+      "SELECT shingles(array('a', 'b', 'c', 'd'), 3) AS sh")
+      .first().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
   }
 
   test("shingles builds word k-grams; short inputs give empty arrays") {
