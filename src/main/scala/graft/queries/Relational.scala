@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Sessionize}
+import graft.operators.{Dedup, Hierarchy, Sessionize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,7 +30,8 @@ object Relational {
     q36Tumbling, q37BandJoin, q38GroupingSets, q39GapsIslands,
     q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
     q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau,
-    q49Histogram, q50Rfm, q51SketchWau, q52StatsRegression, q53ListAgg)
+    q49Histogram, q50Rfm, q51SketchWau, q52StatsRegression, q53ListAgg,
+    q54HierarchyFlatten)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1543,4 +1544,38 @@ object Relational {
       CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types,
       array_to_string(list_sort(list(DISTINCT p_type)), ',') AS types_csv
     FROM part GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** Recursive-hierarchy flattening — the WITH RECURSIVE query family
+    * (org charts, BOM explosion, category rollup paths), which the
+    * reference's warehouse would spell as a recursive CTE. The hierarchy
+    * is derived from part keys with an acyclic integer parent function
+    * (parent = k div (2 + k mod 7), strictly decreasing to the virtual
+    * root 0) so both engines build the identical forest with no extra
+    * fixture. The engine-of-record plan is Hierarchy.flatten's pointer
+    * DOUBLING — 6 fixed rounds of node-keyed hash joins reach depth 64,
+    * where the oracle's literal recursion is depth-many sequential scans;
+    * at 100 TB the doubling form is the only shape whose round count is
+    * independent of chain length. Output: every node with the top-level
+    * category it rolls up to and its depth below it. */
+  val q54HierarchyFlatten: Q = Q("q54_hierarchy_flatten", (s, d) => {
+    val nodes = Tables.part(s, d).select(
+      col("p_partkey").cast("long").as("k"),
+      expr("CAST(p_partkey AS LONG) div CAST(2 + p_partkey % 7 AS LONG)")
+        .as("parent"))
+    Hierarchy.flatten(nodes, "k", "parent", rootParent = 0L)
+      .select(col("k").as("p_partkey"), col("top_key"), col("depth"))
+      .orderBy(col("p_partkey"))
+  }, Some("""
+    WITH RECURSIVE nodes AS (
+      SELECT CAST(p_partkey AS BIGINT) AS k,
+             CAST(p_partkey // (2 + p_partkey % 7) AS BIGINT) AS parent
+      FROM part),
+    flat AS (
+      SELECT k, k AS top_key, CAST(0 AS BIGINT) AS depth
+      FROM nodes WHERE parent = 0
+      UNION ALL
+      SELECT n.k, f.top_key, f.depth + 1
+      FROM nodes n JOIN flat f ON n.parent = f.k
+      WHERE n.parent <> 0)
+    SELECT k AS p_partkey, top_key, depth FROM flat ORDER BY p_partkey"""))
 }

@@ -662,5 +662,26 @@ object SqlParity {
         COUNT(DISTINCT p_type) AS n_types,
         array_join(array_sort(collect_set(p_type)), ',') AS types_csv
       FROM part GROUP BY p_brand ORDER BY p_brand""",
+
+    // Spark 4 executes WITH RECURSIVE natively (UnionLoop): this is the
+    // SQL a user would type, while the engine of record (q54) runs
+    // Hierarchy.flatten's pointer doubling — fixed O(log depth) rounds
+    // instead of the recursion's depth-many iterations. SqlParitySpec
+    // proves the two return identical rows.
+    "q54_hierarchy_flatten" -> """
+      WITH RECURSIVE nodes AS (
+        SELECT CAST(p_partkey AS BIGINT) AS k,
+               CAST(p_partkey AS BIGINT) div
+                 CAST(2 + p_partkey % 7 AS BIGINT) AS parent
+        FROM part),
+      flat AS (
+        SELECT k, k AS top_key, CAST(0 AS BIGINT) AS depth
+        FROM nodes WHERE parent = 0
+        UNION ALL
+        SELECT n.k, f.top_key, f.depth + 1
+        FROM nodes n JOIN flat f ON n.parent = f.k
+        WHERE n.parent <> 0)
+      SELECT k AS p_partkey, top_key, depth FROM flat
+      ORDER BY p_partkey""",
   )
 }

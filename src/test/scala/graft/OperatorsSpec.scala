@@ -453,3 +453,40 @@ class QualitySpec extends AnyFunSuite {
     assertThrows[IllegalStateException](Quality.run(checks, failFast = true))
   }
 }
+
+class HierarchySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("flatten resolves top ancestor and depth on a mixed forest") {
+    // forest: 1 -> (2 -> (4, 5 -> 6), 3), 7 (isolated top)
+    val nodes = Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L),
+      (6L, 5L), (7L, 0L)).toDF("k", "parent")
+    val out = Hierarchy.flatten(nodes, "k", "parent")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out == Map(
+      1L -> ((1L, 0L)), 2L -> ((1L, 1L)), 3L -> ((1L, 1L)),
+      4L -> ((1L, 2L)), 5L -> ((1L, 2L)), 6L -> ((1L, 3L)),
+      7L -> ((7L, 0L))))
+  }
+
+  test("a 200-node path chain flattens exactly within 8 doubling rounds") {
+    // worst case for a literal recursion: one chain of depth 199
+    val nodes = (1L to 200L).map(k => (k, k - 1)).toDF("k", "parent")
+    val out = Hierarchy.flatten(nodes, "k", "parent", doublingRounds = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 200)
+    assert(out.forall { case (k, top, d) => top == 1L && d == k - 1 })
+  }
+
+  test("depth beyond 2^rounds saturates instead of diverging") {
+    // 20-deep chain, only 2 doubling rounds (reach = 4): ancestors are
+    // the 4-hop-up node, distances exactly 4 — deterministic, not wrong
+    val nodes = (1L to 20L).map(k => (k, k - 1)).toDF("k", "parent")
+    val out = Hierarchy.flatten(nodes, "k", "parent", doublingRounds = 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out(20L) == ((16L, 4L)) && out(5L) == ((1L, 4L)))
+  }
+}
