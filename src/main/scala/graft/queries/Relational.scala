@@ -31,7 +31,7 @@ object Relational {
     q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
     q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau,
     q49Histogram, q50Rfm, q51SketchWau, q52StatsRegression, q53ListAgg,
-    q54HierarchyFlatten)
+    q54HierarchyFlatten, q55Mode)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1578,4 +1578,44 @@ object Relational {
       FROM nodes n JOIN flat f ON n.parent = f.k
       WHERE n.parent <> 0)
     SELECT k AS p_partkey, top_key, depth FROM flat ORDER BY p_partkey"""))
+
+  /** Grouped mode / argmax-by-count — the `mode()` / `arg_max()` family,
+    * spelled the only way it is deterministic at scale: explicit counts,
+    * then ONE row per group by (count DESC, value ASC) — engines'
+    * built-in mode() breaks ties arbitrarily, so the tiebreak must be
+    * total. The fact table reduces to (group, value) counts FIRST (one
+    * fact shuffle with map-side combine); the ranking window and the
+    * group-total sum both ride the pre-reduced count rows, so window
+    * state is |distinct values| per group, never fact-sized. */
+  val q55Mode: Q = Q("q55_mode", (s, d) => {
+    val counts = Tables.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val wRank = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("n").desc, col("c_mktsegment").asc)
+    val wTot = Window.partitionBy(col("c_nationkey"))
+    counts
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n_customers", sum(col("n")).over(wTot))
+      .filter(col("rk") === 1)
+      .select(col("c_nationkey"), col("c_mktsegment").as("mode_segment"),
+        col("n").as("n_mode"), col("n_customers"),
+        (col("n").cast("double") / col("n_customers").cast("double"))
+          .as("mode_share"))
+      .orderBy(col("c_nationkey"))
+  }, Some("""
+    WITH counts AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+          ORDER BY n DESC, c_mktsegment ASC) AS rk,
+        CAST(SUM(n) OVER (PARTITION BY c_nationkey) AS BIGINT)
+          AS n_customers
+      FROM counts)
+    SELECT c_nationkey, c_mktsegment AS mode_segment, n AS n_mode,
+      n_customers,
+      CAST(n AS DOUBLE) / CAST(n_customers AS DOUBLE) AS mode_share
+    FROM ranked WHERE rk = 1 ORDER BY c_nationkey"""))
 }

@@ -683,5 +683,20 @@ object SqlParity {
         WHERE n.parent <> 0)
       SELECT k AS p_partkey, top_key, depth FROM flat
       ORDER BY p_partkey""",
+
+    "q55_mode" -> """
+      WITH counts AS (
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment),
+      ranked AS (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY c_nationkey
+            ORDER BY n DESC, c_mktsegment ASC) AS rk,
+          SUM(n) OVER (PARTITION BY c_nationkey) AS n_customers
+        FROM counts)
+      SELECT c_nationkey, c_mktsegment AS mode_segment, n AS n_mode,
+        n_customers,
+        CAST(n AS DOUBLE) / CAST(n_customers AS DOUBLE) AS mode_share
+      FROM ranked WHERE rk = 1 ORDER BY c_nationkey""",
   )
 }
