@@ -23,7 +23,7 @@ object TextQ {
     t04Fingerprint, t05PiiScrub, t06CorpusFilter, t07HashSplit,
     t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample,
     t12Decontaminate, t13ChunkOverlap, t14Repetition, t15RareTokens,
-    t16TrigramNovelty)
+    t16TrigramNovelty, t17TokenGini)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -661,4 +661,68 @@ object TextQ {
         / CAST(COUNT(*) AS DOUBLE) AS novelty
     FROM grams JOIN freq USING (g)
     GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Token-diversity scoring via EXACT Gini/Simpson impurity — the
+    * repetitive-document quality signal without transcendentals: entropy
+    * needs log() (engine implementations differ in ulps, breaking hash
+    * equality), but Simpson's 1 − Σc²/N² ranks repetitiveness the same
+    * way and is purely rational — integer moment sums, one fixed double
+    * expression at the end (q52's moment pattern applied to text). The
+    * keep flag compares CROSS-MULTIPLIED INTEGERS (10·(N²−Σc²) ≥ 9·N²),
+    * so the 0.9 boundary can't flip on a double ulp (q40's rule). Shape:
+    * explode → (doc, tok) count → per-doc moment agg, all riding the
+    * documents table's doc_id partitioning; zero-token docs survive via
+    * the left join with NULL impurity (the t13 zero-length lesson from
+    * round-3 ADVICE: guard degenerate inputs explicitly). */
+  val t17TokenGini: Q = Q("t17_token_gini", (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val agg = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_sq"))
+    val n2 = col("n_tokens") * col("n_tokens")
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("sum_sq"), lit(0L)).as("sum_sq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("sum_sq"),
+        when(col("n_tokens") === 0, lit(null).cast("double"))
+          .otherwise(lit(1.0) -
+            col("sum_sq").cast("double") / n2.cast("double")).as("gini"),
+        (col("n_tokens") > 0 &&
+          lit(10L) * (n2 - col("sum_sq")) >= lit(9L) * n2)
+          .as("diverse_ok"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(lower(text), ' +'),
+            x -> len(x) > 0)) AS tok
+        FROM documents)
+      GROUP BY doc_id, tok),
+    agg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        COUNT(*) AS n_distinct,
+        CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM counts GROUP BY doc_id),
+    filled AS (
+      SELECT d.doc_id,
+        COALESCE(a.n_tokens, 0) AS n_tokens,
+        CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+        COALESCE(a.sum_sq, 0) AS sum_sq
+      FROM documents d LEFT JOIN agg a USING (doc_id))
+    SELECT doc_id, n_tokens, n_distinct, sum_sq,
+      CASE WHEN n_tokens = 0 THEN NULL
+        ELSE CAST(1 AS DOUBLE)
+          - CAST(sum_sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+      END AS gini,
+      (n_tokens > 0 AND
+        10 * (n_tokens * n_tokens - sum_sq) >= 9 * (n_tokens * n_tokens))
+        AS diverse_ok
+    FROM filled ORDER BY doc_id"""))
 }

@@ -244,4 +244,50 @@ class PropertySpec extends AnyFunSuite {
       val xs = csv.split(",").toSeq; xs == xs.sorted
     })
   }
+
+  test("property: q54 depths are consistent with the parent function" +
+      " and top ancestors are fixed points") {
+    val rows = q("q54_hierarchy_flatten")
+      .select("p_partkey", "top_key", "depth")
+      .as[(Long, Long, Long)].collect()
+    val depth = rows.map(r => r._1 -> r._3).toMap
+    def parent(k: Long): Long = k / (2 + k % 7)
+    rows.foreach { case (k, top, d) =>
+      if (d == 0) assert(top == k && parent(k) == 0)
+      else {
+        // child depth = parent depth + 1, same top ancestor
+        assert(depth(parent(k)) == d - 1, s"depth chain broken at $k")
+        assert(d <= 64)
+      }
+    }
+  }
+
+  test("property: q55 mode share is in (0,1] and the mode count never" +
+      " exceeds the group total") {
+    val rows = q("q55_mode")
+      .select("n_mode", "n_customers", "mode_share")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (m, t, sh) =>
+      m >= 1 && m <= t && sh > 0.0 && sh <= 1.0 &&
+        math.abs(sh - m.toDouble / t.toDouble) == 0.0
+    })
+  }
+
+  test("property: t17 impurity is in [0,1), moments are consistent," +
+      " and uniform-token docs score 0") {
+    val rows = q("t17_token_gini")
+      .select("n_tokens", "n_distinct", "sum_sq", "gini")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    rows.foreach { case (n, dct, sq, g) =>
+      assert(dct <= n)
+      // Cauchy-Schwarz bounds: n²/distinct ≤ Σc² ≤ n² (n > 0)
+      if (n > 0) {
+        assert(sq >= n && sq <= n * n && sq * dct >= n * n)
+        assert(g.exists(v => v >= 0.0 && v < 1.0))
+        // all-same-token doc ⇔ distinct == 1 ⇔ gini == 0
+        if (dct == 1) assert(g.contains(0.0))
+      } else assert(g.isEmpty)
+    }
+  }
 }
