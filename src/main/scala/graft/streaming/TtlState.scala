@@ -1,0 +1,107 @@
+package graft.streaming
+
+import java.time.Duration
+
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.streaming._
+
+/** Keyed streaming state on Spark 4's `transformWithState` (the
+  * arbitrary-state API v2): typed per-key state cells with a store-level
+  * TTL, replacing the single-blob GroupState of `mapGroupsWithState`.
+  *
+  * Two operators:
+  *
+  *  - `firstSeen` — cross-batch exact dedup with TTL-BOUNDED state. The
+  *    watermark-based `dropDuplicatesWithinWatermark` bounds state by
+  *    EVENT time, which needs a trustworthy event-time column; this
+  *    bounds it by PROCESSING time — the contract for an infinite corpus
+  *    stream whose keys (content hashes) have no event time at all. A
+  *    key admits one row, then suppresses repeats until the TTL lapses;
+  *    state is one boolean per live key, evicted by the store itself.
+  *  - `runningTotals` — per-key running (count, sum) emitted every time
+  *    a key appears in a micro-batch (Update mode): the incremental
+  *    keyed accumulator shape, state = two numbers per key.
+  *
+  * Scale notes: state lives in the RocksDB state store (transformWithState
+  * requires the RocksDB provider), hash-partitioned by key exactly like a
+  * keyed aggregation — 1000 executors hold 1/1000th of the keys, and TTL
+  * eviction happens inside the store with no driver involvement. Both
+  * processors are O(1) state per key and never buffer input rows.
+  */
+object TtlState {
+
+  final case class Keyed(key: String, value: Double)
+  final case class Totals(key: String, n: Long, total: Double)
+
+  /** Admit the first row per key; suppress repeats while the key's state
+    * cell is alive (forever under TTLConfig.NONE, else until the TTL
+    * lapses without the store being rewritten). */
+  class FirstSeenProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, Keyed, Keyed] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        Encoders.scalaBoolean, ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[Keyed],
+        timers: TimerValues): Iterator[Keyed] =
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        // duplicates can share one micro-batch too: admit exactly one
+        rows.take(1)
+      }
+  }
+
+  /** Per-key running (n, total), emitted for every key present in the
+    * current micro-batch. */
+  class RunningTotalsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, Keyed, Totals] {
+    @transient private var acc: ValueState[Totals] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[Totals]("acc",
+        Encoders.product[Totals], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[Keyed],
+        timers: TimerValues): Iterator[Totals] = {
+      val prev = if (acc.exists()) acc.get() else Totals(key, 0L, 0.0)
+      val next = rows.foldLeft(prev)((s, r) =>
+        Totals(key, s.n + 1, s.total + r.value))
+      acc.update(next)
+      Iterator(next)
+    }
+  }
+
+  private def ttlConfig(ttl: Option[Duration]): TTLConfig =
+    ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+
+  /** TTL needs ProcessingTime mode — but ProcessingTime mode makes the
+    * engine schedule micro-batches CONTINUOUSLY even with no input (and
+    * even under Trigger.AvailableNow), because processing time always
+    * advances and expiring TTL state is itself work. So the mode is
+    * opt-in via the ttl argument: without TTL the query runs in
+    * TimeMode.None and idles between input batches like any stateful
+    * query; with TTL, callers get the always-running contract. */
+  private def modeFor(ttl: Option[Duration]): TimeMode =
+    if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+
+  /** First occurrence per key, state TTL-bounded (None = keep forever). */
+  def firstSeen(spark: SparkSession, in: Dataset[Keyed],
+      ttl: Option[Duration]): Dataset[Keyed] = {
+    import spark.implicits._
+    in.groupByKey(_.key)
+      .transformWithState(new FirstSeenProcessor(ttlConfig(ttl)),
+        modeFor(ttl), OutputMode.Update())
+  }
+
+  /** Running per-key totals, one Update row per touched key per batch. */
+  def runningTotals(spark: SparkSession, in: Dataset[Keyed],
+      ttl: Option[Duration]): Dataset[Totals] = {
+    import spark.implicits._
+    in.groupByKey(_.key)
+      .transformWithState(new RunningTotalsProcessor(ttlConfig(ttl)),
+        modeFor(ttl), OutputMode.Update())
+  }
+}

@@ -515,3 +515,121 @@ class MediaSpec extends AnyFunSuite {
     assert(chunks.map(_.offset).toSeq == Seq(0, 32, 64, 96))
   }
 }
+
+
+
+class TtlStateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.streaming.TtlState
+
+  private val keyedSchema = StructType(Seq(
+    StructField("key", StringType), StructField("value", DoubleType)))
+
+  /** transformWithState requires the RocksDB state store; scope the
+    * provider to the queries each test starts, then restore. */
+  private def withRocksDb[T](f: => T): T = {
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try f finally {
+      prev match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+
+  private def stream(in: String) =
+    spark.readStream.schema(keyedSchema).parquet(in)
+      .as[TtlState.Keyed]
+
+  /** One AvailableNow pass writing through foreachBatch to parquet (the
+    * memory sink refuses checkpoint recovery, so restart tests need a
+    * restartable sink). A fresh query per pass proves keyed state comes
+    * back from the RocksDB checkpoint, not from the JVM. */
+  private def pass(out: org.apache.spark.sql.DataFrame, dest: String,
+      cp: String): Unit = {
+    val q = out.writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(dest))
+      .option("checkpointLocation", cp).outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow pass did not finish")
+  }
+
+  test("transformWithState firstSeen admits one row per key within a" +
+      " batch and suppresses repeats across query restarts") {
+    withRocksDb {
+      val base = Files.createTempDirectory("graft_tws1").toString
+      val in = s"$base/in"; val cp = s"$base/cp"; val out = s"$base/out"
+      // pass 1: a twice in ONE batch, b once
+      Seq(("a", 1.0), ("a", 2.0), ("b", 3.0)).toDF("key", "value")
+        .write.parquet(in)
+      pass(TtlState.firstSeen(spark, stream(in), ttl = None).toDF(),
+        out, cp)
+      // pass 2, new query over the same checkpoint: a suppressed by
+      // RESTORED state, c admitted
+      Seq(("a", 4.0), ("c", 5.0)).toDF("key", "value")
+        .write.mode("append").parquet(in)
+      pass(TtlState.firstSeen(spark, stream(in), ttl = None).toDF(),
+        out, cp)
+      val got = spark.read.parquet(out).as[TtlState.Keyed].collect()
+      assert(got.map(_.key).sorted.toSeq == Seq("a", "b", "c"))
+      // the admitted 'a' came from pass 1, not pass 2
+      assert(got.find(_.key == "a").get.value != 4.0)
+    }
+  }
+
+  test("transformWithState runningTotals accumulates per-key state" +
+      " across query restarts") {
+    withRocksDb {
+      val base = Files.createTempDirectory("graft_tws2").toString
+      val in = s"$base/in"; val cp = s"$base/cp"; val out = s"$base/out"
+      Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)).toDF("key", "value")
+        .write.parquet(in)
+      pass(TtlState.runningTotals(spark, stream(in), ttl = None).toDF(),
+        out, cp)
+      Seq(("a", 4.0), ("b", 0.5)).toDF("key", "value")
+        .write.mode("append").parquet(in)
+      pass(TtlState.runningTotals(spark, stream(in), ttl = None).toDF(),
+        out, cp)
+      val latest = spark.read.parquet(out).as[TtlState.Totals].collect()
+        .groupBy(_.key).map { case (k, rows) => k -> rows.maxBy(_.n) }
+      assert(latest("a") == TtlState.Totals("a", 3L, 7.0))
+      assert(latest("b") == TtlState.Totals("b", 2L, 10.5))
+    }
+  }
+
+  test("transformWithState firstSeen re-admits a key after its state" +
+      " TTL lapses") {
+    withRocksDb {
+      val base = Files.createTempDirectory("graft_tws3").toString
+      val in = s"$base/in"; val cp = s"$base/cp"
+      val ttl = Some(java.time.Duration.ofMillis(500))
+      Seq(("a", 1.0)).toDF("key", "value").write.parquet(in)
+      // TTL forces ProcessingTime mode, where the engine schedules
+      // batches continuously (expiring state is work even with no
+      // input) — so run ONE query and poll the sink instead of
+      // processAllAvailable, which never idles in this mode
+      val q = TtlState.firstSeen(spark, stream(in), ttl)
+        .writeStream.format("memory").queryName("tws_ttl")
+        .option("checkpointLocation", cp).outputMode("update").start()
+      def vals() = spark.table("tws_ttl").as[TtlState.Keyed].collect()
+        .map(_.value).sorted.toSeq
+      def pollUntil(want: Seq[Double]): Unit = {
+        val deadline = System.currentTimeMillis + 90000
+        while (vals() != want && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        assert(vals() == want)
+      }
+      pollUntil(Seq(1.0))
+      Thread.sleep(1500) // let the 500ms TTL lapse
+      Seq(("a", 2.0)).toDF("key", "value").write.mode("append").parquet(in)
+      pollUntil(Seq(1.0, 2.0)) // re-admitted: state expired
+      q.stop()
+    }
+  }
+}
