@@ -25,7 +25,7 @@ object DedupQ {
   def all: Seq[Q] = Seq(d01Exact, d02MinhashLsh, d03Simhash, d04NgramJaccard,
     d05EmbedNearDup, d06DedupClusters, d07EmbedLshNearDup,
     d08NormalizedDedup, d09EditDistance, d10WinnowPairs,
-    d11BoilerplateChunks)
+    d11BoilerplateChunks, d12ClusterCanonical)
 
   /** Token bigram SETS per doc — the shingle basis for d02/d04. Native
     * ShinglesExpr (one loop) instead of the staggered-slice zip_with
@@ -540,6 +540,66 @@ object DedupQ {
       CAST(MAX(n_docs) AS BIGINT) AS max_chunk_docs
     FROM chunks JOIN freq USING (chunk)
     GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Cluster-aware canonical selection — what production dedup actually
+    * ships: not "keep an arbitrary member per near-dup cluster" (d06's
+    * min-id canonical) but "keep the BEST member", here the most
+    * lexically diverse (max distinct tokens, doc_id tiebreak). Clusters
+    * come from the same LSH-verified pair set as d06 (nothing all-pairs
+    * in the lineage); docs outside every cluster are their own
+    * singleton via the left join. The winner is picked by ONE window
+    * over cluster-keyed doc STATS (two longs per doc) — the text
+    * payload never enters the shuffle. Filter keep=true and the corpus
+    * is near-dup-free with per-cluster best representatives: the
+    * curation manifest form of d06. */
+  val d12ClusterCanonical: Q = Q("d12_cluster_canonical", (s, d) => {
+    import graft.operators.Cluster
+    val pairs = lshVerifiedPairs(s, d)
+      .select(col("doc_a"), col("doc_b")).cache()
+    val labels = Cluster.minLabelPropagation(pairs, "doc_a", "doc_b",
+      rounds = 3)
+    val stats = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(array_distinct(tokens(col("text")))).cast("long")
+          .as("n_distinct_tokens"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_distinct_tokens").desc, col("doc_id").asc)
+    stats.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+        col("n_distinct_tokens"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .orderBy(col("doc_id"))
+  }, Some(s"""
+    WITH $lshPairsCtes,
+    nodes AS (SELECT DISTINCT doc_id FROM
+      (SELECT doc_a AS doc_id FROM pairs
+       UNION ALL SELECT doc_b FROM pairs)),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    r0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+    r1 AS (SELECT n.doc_id, LEAST(n.lbl, COALESCE(MIN(r.lbl), n.lbl)) AS lbl
+           FROM r0 n LEFT JOIN edges e ON n.doc_id = e.u
+           LEFT JOIN r0 r ON e.v = r.doc_id GROUP BY n.doc_id, n.lbl),
+    r2 AS (SELECT n.doc_id, LEAST(n.lbl, COALESCE(MIN(r.lbl), n.lbl)) AS lbl
+           FROM r1 n LEFT JOIN edges e ON n.doc_id = e.u
+           LEFT JOIN r1 r ON e.v = r.doc_id GROUP BY n.doc_id, n.lbl),
+    r3 AS (SELECT n.doc_id, LEAST(n.lbl, COALESCE(MIN(r.lbl), n.lbl)) AS lbl
+           FROM r2 n LEFT JOIN edges e ON n.doc_id = e.u
+           LEFT JOIN r2 r ON e.v = r.doc_id GROUP BY n.doc_id, n.lbl),
+    stats AS (
+      SELECT doc_id, CAST(len(list_distinct(list_filter(
+          string_split_regex(lower(text), ' +'), x -> len(x) > 0)))
+        AS BIGINT) AS n_distinct_tokens
+      FROM documents),
+    lbl AS (
+      SELECT s.doc_id, COALESCE(r3.lbl, s.doc_id) AS cluster_id,
+        s.n_distinct_tokens
+      FROM stats s LEFT JOIN r3 ON s.doc_id = r3.doc_id)
+    SELECT doc_id, cluster_id, n_distinct_tokens,
+      ROW_NUMBER() OVER (PARTITION BY cluster_id
+        ORDER BY n_distinct_tokens DESC, doc_id ASC) = 1 AS keep
+    FROM lbl ORDER BY doc_id"""))
 }
 
 /** DuckDB SQL mirrors of VectorFns — ordered left-to-right double folds

@@ -274,6 +274,20 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: d12 keeps exactly one doc per cluster and the keeper" +
+      " maximizes diversity") {
+    val rows = q("d12_cluster_canonical")
+      .select("doc_id", "cluster_id", "n_distinct_tokens", "keep")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.length == rows.map(_._1).distinct.length) // every doc once
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $cid kept ${kept.length}")
+      assert(kept.head._3 == members.map(_._3).max,
+        s"cluster $cid keeper is not max-diversity")
+    }
+  }
+
   test("property: t17 impurity is in [0,1), moments are consistent," +
       " and uniform-token docs score 0") {
     val rows = q("t17_token_gini")
