@@ -204,4 +204,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!ns.exists(_.nodeName.contains("CartesianProduct")),
       "s07 planned a cartesian product")
   }
+
+  test("q54: pointer-doubling rounds are TRUNCATED out of the final" +
+      " plan (checkpointed leaves — no join, no plan-size blowup)") {
+    val (ns, _) = planOf("q54_hierarchy_flatten")
+    // the 6 rounds ran eagerly behind localCheckpoint; the final frame
+    // must read a checkpointed leaf, not re-derive 2^6 joins of lineage
+    assert(!ns.exists(_.nodeName.contains("Join")),
+      "q54's final plan re-derives the doubling joins — checkpoint lost")
+    assert(shuffles(ns).size <= 1, // the final total-order sort only
+      s"q54 shuffles: ${shuffles(ns).map(_.nodeName)}")
+  }
+
+  test("q55: mode ranks PRE-REDUCED counts (window input is the count" +
+      " aggregate, never the raw customer fact) and the scan is pruned") {
+    val (ns, s) = planOf("q55_mode")
+    assert(!ns.exists(_.nodeName.contains("Expand")))
+    // customer is 8 columns wide; the query needs 2
+    val scans = ns.filter(_.nodeName.contains("Scan"))
+    assert(scans.nonEmpty && scans.forall(_.output.size <= 2),
+      s"customer scan not pruned: ${scans.map(_.output.map(_.name))}")
+    val windows = ns.filter(_.nodeName.contains("Window"))
+    assert(windows.nonEmpty)
+    // count agg emits (nation, segment, n): window input stays ≤ 4 cols
+    assert(windows.forall(_.children.head.output.size <= 4),
+      "q55's window consumes more than the pre-reduced count rows")
+  }
+
+  test("t17: the documents scan is pruned to (doc_id, text) and no" +
+      " cartesian/NLJ shape appears") {
+    val (ns, _) = planOf("t17_token_gini")
+    val scans = ns.filter(_.nodeName.contains("Scan"))
+    assert(scans.nonEmpty && scans.forall(_.output.size <= 2),
+      s"documents scan not pruned: ${scans.map(_.output.map(_.name))}")
+    assert(!ns.exists(n => n.nodeName.contains("CartesianProduct") ||
+      n.nodeName.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("d12: the canonical-selection window consumes doc STATS only" +
+      " (the text payload never enters the shuffle)") {
+    val (ns, _) = planOf("d12_cluster_canonical")
+    val windows = ns.filter(_.nodeName.contains("Window"))
+    assert(windows.nonEmpty)
+    assert(windows.forall(w =>
+      !w.children.head.output.exists(_.name == "text")),
+      "d12's window input carries the text payload")
+    spark.catalog.clearCache() // d06-style pair cache cleanup
+  }
 }
