@@ -77,6 +77,41 @@ object Media {
     }
   }
 
+  final case class Phash(id: Long, kind: String, byte_len: Int,
+      phash: Int)
+
+  /** Block-mean perceptual hash (aHash family): split the payload into 8
+    * equal byte blocks (remainder tail ignored), set bit b when block b's
+    * byte sum exceeds the 8-block mean — compared CROSS-MULTIPLIED
+    * (8·blockSum > totalSum) so the boundary is exact integer arithmetic.
+    * Payloads under 8 bytes hash to 0. A real deployment computes the
+    * same 8 bits over decoded pixel/PCM block means; the stub operates on
+    * the raw bytes, which keeps every property the pipeline relies on
+    * (determinism, locality: near-identical payloads collide). Narrow
+    * per-row pass inside mapPartitions — the payload never shuffles. */
+  def perceptualHash(media: Dataset[MediaRow]): Dataset[Phash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.media; val n = b.length; val w = n / 8
+        val ph =
+          if (w == 0) 0
+          else {
+            val sums = new Array[Long](8)
+            var total = 0L
+            var i = 0
+            while (i < 8 * w) {
+              val v = (b(i) & 0xff).toLong
+              sums(i / w) += v; total += v; i += 1
+            }
+            (0 until 8).foldLeft(0)((acc, k) =>
+              if (8L * sums(k) > total) acc | (1 << k) else acc)
+          }
+        Phash(r.id, r.kind, n, ph)
+      }
+    }
+  }
+
   /** Per-partition frame sampling (video → k frame digests). */
   def sampleFrames(media: Dataset[MediaRow], k: Int, width: Int)
       : Dataset[Frame] = {

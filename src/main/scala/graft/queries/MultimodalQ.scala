@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object MultimodalQ {
 
   def all: Seq[Q] = Seq(m01MediaFeatures, m02FrameSample, m03ChunkEnergy,
-    m04Resize, m05ModalityRoute, m06MediaDedup)
+    m04Resize, m05ModalityRoute, m06MediaDedup, m07PerceptualBuckets)
 
   /** Binary decode → typed features, one codec per partition. The entire
     * decode is narrow; only the 4-float feature rows ever shuffle. */
@@ -186,4 +186,59 @@ object MultimodalQ {
         AS n_copies,
       id = MIN(id) OVER (PARTITION BY kind, digest) AS is_canonical
     FROM m ORDER BY id"""))
+
+  /** Perceptual near-dup bucketing — m06's exact-digest dedup relaxed to
+    * the block-mean perceptual hash (aHash family): payloads whose 8-bit
+    * block-brightness signature collides within a modality are
+    * near-duplicate CANDIDATES even when their bytes differ (re-encoded
+    * image, resampled audio). The hash is computed per row inside
+    * mapPartitions at the codec boundary (Media.perceptualHash — the
+    * payload never shuffles); bucketing is one window over (kind, phash),
+    * i.e. the d02/d07 LSH band pattern at the media layer: candidates
+    * meet in hash buckets, and a production pipeline would follow with
+    * an exact/feature-space verify inside each bucket. */
+  val m07PerceptualBuckets: Q = Q("m07_perceptual_buckets", (s, d) => {
+    import s.implicits._
+    val media = Media.asMedia(Tables.documents(s, d), "doc_id", "text",
+        "doc")
+      .withColumn("kind", element_at(
+        array(lit("doc"), lit("img"), lit("audio")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")))
+      .as[Media.MediaRow]
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("kind"), col("phash"))
+    Media.perceptualHash(media).toDF()
+      .withColumn("canonical_id", min(col("id")).over(byBucket))
+      .withColumn("n_similar", count(lit(1)).over(byBucket))
+      .withColumn("is_canonical", col("id") === col("canonical_id"))
+      .orderBy(col("id"))
+  }, Some("""
+    WITH m AS (
+      SELECT doc_id AS id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'doc' WHEN 1 THEN 'img'
+          ELSE 'audio' END AS kind,
+        CAST(len(text) AS INT) AS byte_len,
+        CAST(len(text) // 8 AS INT) AS w, text
+      FROM documents),
+    blocks AS (
+      SELECT id, kind, byte_len, w, b,
+        CASE WHEN w = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(list_reduce(list_transform(
+            string_split(substr(text, b * w + 1, w), ''), c -> ord(c)),
+            (a, c) -> a + c) AS BIGINT) END AS bs
+      FROM m, (SELECT CAST(unnest(range(0, 8)) AS INT) AS b)),
+    tot AS (SELECT id, CAST(SUM(bs) AS BIGINT) AS total
+            FROM blocks GROUP BY id),
+    bits AS (
+      SELECT blocks.id, kind, byte_len,
+        CAST(SUM(CASE WHEN w > 0 AND 8 * bs > total
+          THEN 1 << b ELSE 0 END) AS INT) AS phash
+      FROM blocks JOIN tot USING (id)
+      GROUP BY blocks.id, kind, byte_len)
+    SELECT id, kind, byte_len, phash,
+      MIN(id) OVER (PARTITION BY kind, phash) AS canonical_id,
+      CAST(COUNT(*) OVER (PARTITION BY kind, phash) AS BIGINT)
+        AS n_similar,
+      id = MIN(id) OVER (PARTITION BY kind, phash) AS is_canonical
+    FROM bits ORDER BY id"""))
 }

@@ -514,6 +514,27 @@ class MediaSpec extends AnyFunSuite {
     assert(chunks.last.energy == 32L * 255)  // window of 0xff bytes
     assert(chunks.map(_.offset).toSeq == Seq(0, 32, 64, 96))
   }
+
+  test("perceptual hash sets exactly the above-mean block bits, uses" +
+      " unsigned bytes, and zeroes tiny payloads") {
+    // 8 blocks of 4 bytes: blocks 0-6 hold 0x01, block 7 holds 0xff
+    // (signed byte -1 — must read as 255): only bit 7 is above mean
+    val bright = Array.fill[Byte](28)(1) ++ Array.fill[Byte](4)(-1)
+    // uniform payload: no block beats the mean, hash 0
+    val flat = Array.fill[Byte](32)(7)
+    val media = Seq(
+      Media.MediaRow(1L, bright, "img"),
+      Media.MediaRow(2L, flat, "img"),
+      Media.MediaRow(3L, bright.clone(), "img"), // byte-identical copy
+      Media.MediaRow(4L, Array[Byte](1, 2, 3), "img") // < 8 bytes
+    ).toDS()
+    val h = Media.perceptualHash(media).collect().map(p => p.id -> p.phash)
+      .toMap
+    assert(h(1L) == (1 << 7))
+    assert(h(2L) == 0)
+    assert(h(3L) == h(1L)) // locality: identical payloads collide
+    assert(h(4L) == 0)
+  }
 }
 
 
