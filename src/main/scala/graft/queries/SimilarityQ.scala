@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
 object SimilarityQ {
 
   def all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03IvfAssign, s04IvfSearch,
-    s05QuantizedRerank, s06KmeansUpdate, s07PqRerank)
+    s05QuantizedRerank, s06KmeansUpdate, s07PqRerank, s08RangeSearch)
 
   /** Corpus with per-VECTOR norms precomputed and materialized: norms are
     * O(N), not O(pairs) — computing them inside the pair expression would
@@ -500,4 +500,44 @@ object SimilarityQ {
     SELECT query_id, rank, vec_id AS neighbor_id, cos
     FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""))
+
+  /** RANGE (radius) search — the other half of the vector-search API:
+    * not "k nearest" but "ALL neighbors with cos ≥ τ", the primitive
+    * behind near-dup sweeps and recall-controlled retrieval. Exact form:
+    * the 20-query side broadcasts, the corpus streams once and never
+    * shuffles, each pair evaluates one native dot against precomputed
+    * norms, and per-query match counts ride a window over the (sparse)
+    * match rows. At corpus scale the production path is the d07/s02
+    * bucket-prune composed with this exact verify inside buckets —
+    * range search is precisely the verify stage, so the exact operator
+    * IS the scale path's inner loop. */
+  val s08RangeSearch: Q = Q("s08_range_search", (s, d) => {
+    val e = normed(s, d)
+    val queries = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+    broadcast(queries).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosPre(col("q"), col("qn"), col("embedding"), col("nrm")).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .withColumn("n_matches", count(lit(1)).over(w))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("n_matches"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }, Some(s"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT query_id, e.vec_id,
+        CASE WHEN ${VectorSql.norm("qv")} = 0
+          OR ${VectorSql.norm("e.embedding")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("qv", "e.embedding")}
+          / (${VectorSql.norm("qv")} * ${VectorSql.norm("e.embedding")})
+        END AS cos
+      FROM q JOIN embeddings e ON query_id <> e.vec_id),
+    matches AS (SELECT * FROM scored WHERE cos >= 0.3)
+    SELECT query_id, vec_id AS neighbor_id, cos,
+      CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_matches
+    FROM matches ORDER BY query_id, neighbor_id"""))
 }
