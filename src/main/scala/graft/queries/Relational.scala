@@ -31,7 +31,7 @@ object Relational {
     q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
     q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau,
     q49Histogram, q50Rfm, q51SketchWau, q52StatsRegression, q53ListAgg,
-    q54HierarchyFlatten, q55Mode)
+    q54HierarchyFlatten, q55Mode, q56EventPaths)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1618,4 +1618,44 @@ object Relational {
       n_customers,
       CAST(n AS DOUBLE) / CAST(n_customers AS DOUBLE) AS mode_share
     FROM ranked WHERE rk = 1 ORDER BY c_nationkey"""))
+
+  /** Ordered event-path analysis — the "user journey" rollup: each
+    * user's first five events in a TOTAL order (ts, then event_id — ties
+    * on ts exist, so the tiebreak is what makes the path deterministic)
+    * concatenate into a path string, then paths aggregate into journey
+    * frequencies. The sequence is built by sorting INSIDE the row
+    * (array_sort over (rn, type) structs after a rank-filtered window),
+    * never by assuming collect order — collect_list order is partition-
+    * dependent, the classic nondeterminism trap in path analysis. One
+    * user-keyed fact exchange feeds both the window and the per-user
+    * aggregate; the path-frequency shuffle moves only ≤ |distinct paths|
+    * pre-combined rows. */
+  val q56EventPaths: Q = Q("q56_event_paths", (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          e => e.getField("event_type")),
+        " > ").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("path"))
+  }, Some("""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path
+      FROM ranked WHERE rn <= 5 GROUP BY user_id)
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path ORDER BY path"""))
 }

@@ -698,5 +698,21 @@ object SqlParity {
         n_customers,
         CAST(n AS DOUBLE) / CAST(n_customers AS DOUBLE) AS mode_share
       FROM ranked WHERE rk = 1 ORDER BY c_nationkey""",
+
+    // Spark 4 spells the ordered concatenation natively: LISTAGG ...
+    // WITHIN GROUP (ORDER BY ...) — the DataFrame engine of record
+    // builds the same sequence via array_sort over (rn, type) structs
+    "q56_event_paths" -> """
+      WITH ranked AS (
+        SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS rn
+        FROM events),
+      paths AS (
+        SELECT user_id,
+          listagg(event_type, ' > ') WITHIN GROUP (ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 5 GROUP BY user_id)
+      SELECT path, COUNT(*) AS n_users
+      FROM paths GROUP BY path ORDER BY path""",
   )
 }
