@@ -31,7 +31,7 @@ object Relational {
     q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
     q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau,
     q49Histogram, q50Rfm, q51SketchWau, q52StatsRegression, q53ListAgg,
-    q54HierarchyFlatten, q55Mode, q56EventPaths)
+    q54HierarchyFlatten, q55Mode, q56EventPaths, q57PageRank)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1658,4 +1658,84 @@ object Relational {
       FROM ranked WHERE rn <= 5 GROUP BY user_id)
     SELECT path, COUNT(*) AS n_users
     FROM paths GROUP BY path ORDER BY path"""))
+
+  /** PageRank (3 fixed power iterations, damping 0.85) over the
+    * undirected customer↔supplier trade graph — the centrality member of
+    * the graph family (components: d06/Cluster; hierarchy: q54). All
+    * arithmetic is INTEGER: ranks live at a 10¹² fixed-point scale and
+    * every division is an integer `div`, because float PageRank is
+    * order-sensitive across partitions (Σ of doubles) and would never
+    * hash-match another engine. Rounds are FIXED and each round is one
+    * degree-join + one edge-keyed aggregation over (node, rank) pairs —
+    * map-side combined, nothing broadcast but the two scalars, each
+    * round's result checkpointed (the Cluster lesson: iterative
+    * self-joins must truncate lineage). Node ids disambiguate the two
+    * key spaces arithmetically (cust×2 / supp×2+1). */
+  val q57PageRank: Q = Q("q57_pagerank", (s, d) => {
+    val ecs = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"),
+        (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct()
+    val edges = ecs
+      .unionByName(ecs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("u").as("node")).distinct()
+    // two documented scalar collects: node count for the uniform prior
+    val n = nodes.count()
+    val R = 1000000000000L
+    val base = (R * 15L / 100L) / n
+    var rank = nodes.withColumn("r", lit(R / n)).localCheckpoint(true)
+    (1 to 3).foreach { _ =>
+      val contrib = rank.join(deg, col("node") === col("u"))
+        .select(col("node"), expr("r div deg").as("c"))
+      val inflow = edges.join(contrib, edges("u") === contrib("node"))
+        .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
+      rank = nodes.join(inflow, col("node") === col("v"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(coalesce(inflow, 0L) * 85) div 100"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    rank.select(
+      when(pmod(col("node"), lit(2)) === 0, "customer")
+        .otherwise("supplier").as("kind"),
+      expr("node div 2").as("key"), col("r").as("rank_scaled"))
+      .orderBy(col("kind"), col("key"))
+  }, Some("""
+    WITH ecs AS (
+      SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT u, v FROM ecs UNION ALL SELECT v, u FROM ecs),
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    params AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, CAST(1000000000000 // n AS BIGINT) AS r
+           FROM nodes CROSS JOIN params),
+    c1 AS (SELECT node, r // deg AS c FROM r0 JOIN deg ON node = u),
+    i1 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS inflow
+           FROM edges JOIN c1 ON edges.u = c1.node GROUP BY v),
+    r1 AS (SELECT node, CAST((150000000000 // n)
+             + (COALESCE(inflow, 0) * 85) // 100 AS BIGINT) AS r
+           FROM nodes CROSS JOIN params LEFT JOIN i1 ON node = v),
+    c2 AS (SELECT node, r // deg AS c FROM r1 JOIN deg ON node = u),
+    i2 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS inflow
+           FROM edges JOIN c2 ON edges.u = c2.node GROUP BY v),
+    r2 AS (SELECT node, CAST((150000000000 // n)
+             + (COALESCE(inflow, 0) * 85) // 100 AS BIGINT) AS r
+           FROM nodes CROSS JOIN params LEFT JOIN i2 ON node = v),
+    c3 AS (SELECT node, r // deg AS c FROM r2 JOIN deg ON node = u),
+    i3 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS inflow
+           FROM edges JOIN c3 ON edges.u = c3.node GROUP BY v),
+    r3 AS (SELECT node, CAST((150000000000 // n)
+             + (COALESCE(inflow, 0) * 85) // 100 AS BIGINT) AS r
+           FROM nodes CROSS JOIN params LEFT JOIN i3 ON node = v)
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        AS kind,
+      CAST(node // 2 AS BIGINT) AS key, r AS rank_scaled
+    FROM r3 ORDER BY kind, key"""))
 }

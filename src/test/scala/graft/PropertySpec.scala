@@ -288,6 +288,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: q57 rank mass is conserved up to integer-division" +
+      " loss and every node holds at least the damping floor") {
+    val rows = q("q57_pagerank")
+      .select("rank_scaled").as[Long].collect()
+    val R = 1000000000000L
+    val n = rows.length
+    val base = (R * 15L / 100L) / n
+    assert(rows.forall(_ >= base), "a node fell below the damping floor")
+    // each round only loses mass to integer floors: Σr ≤ R, and the
+    // loss is bounded by ~1 unit per division per round
+    val total = rows.sum
+    assert(total <= R)
+    assert(total >= R - 4L * n * 100, s"mass loss too large: $total")
+  }
+
   test("property: t17 impurity is in [0,1), moments are consistent," +
       " and uniform-token docs score 0") {
     val rows = q("t17_token_gini")
