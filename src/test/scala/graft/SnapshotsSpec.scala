@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Incremental, Snapshots}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+class SnapshotsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft_snap").resolve("t").toString
+
+  test("commits are versioned: read follows the pointer, time travel" +
+      " reaches every retained snapshot") {
+    val t = tmpTable()
+    val v1 = Snapshots.write(spark, t, Seq((1L, "a"), (2L, "b"))
+      .toDF("k", "v"))
+    val v2 = Snapshots.write(spark, t, Seq((1L, "a2")).toDF("k", "v"))
+    assert(v1 == 1L && v2 == 2L)
+    assert(Snapshots.currentVersion(t).contains(2L))
+    assert(Snapshots.versions(t) == Seq(1L, 2L))
+    assert(Snapshots.read(spark, t).count() == 1)
+    assert(Snapshots.readVersion(spark, t, 1).count() == 2)
+  }
+
+  test("upsert merges by key into a NEW snapshot; the previous version" +
+      " is untouched (reader isolation)") {
+    val t = tmpTable()
+    Snapshots.write(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // a reader resolves v1 BEFORE the upsert commits
+    val oldReader = Snapshots.read(spark, t)
+    val v2 = Snapshots.upsert(spark, t,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    assert(v2 == 2L)
+    val now = Snapshots.read(spark, t).as[(Long, String)].collect().toMap
+    assert(now == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // the pre-commit reader still sees its immutable snapshot
+    assert(oldReader.as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("a crashed writer's orphan snapshot is invisible, never collides," +
+      " and vacuum reclaims it plus pre-horizon versions") {
+    val t = tmpTable()
+    Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    Snapshots.write(spark, t, Seq((1L, "b")).toDF("k", "v"))
+    // simulate a writer that wrote v3's data but died before the flip
+    Seq((9L, "orphan")).toDF("k", "v").write
+      .parquet(Paths.get(t, "_snapshots", "v00003").toString)
+    assert(Snapshots.currentVersion(t).contains(2L))
+    assert(Snapshots.read(spark, t).as[(Long, String)].head() == ((1L, "b")))
+    // the next commit numbers PAST the orphan — no dir collision
+    val v4 = Snapshots.write(spark, t, Seq((1L, "c")).toDF("k", "v"))
+    assert(v4 == 4L)
+    val dropped = Snapshots.vacuum(t, keep = 1)
+    assert(dropped == Seq(1L, 2L, 3L))
+    assert(Snapshots.versions(t) == Seq(4L))
+    assert(Snapshots.read(spark, t).as[(Long, String)].head() == ((1L, "c")))
+    assertThrows[IllegalStateException](
+      Snapshots.readVersion(spark, t, 2).collect())
+  }
+
+  test("writers serialize through the single-writer lock") {
+    val t = tmpTable()
+    Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    Incremental.acquire(Paths.get(t))
+    try assertThrows[Incremental.ConcurrentWriteException](
+      Snapshots.write(spark, t, Seq((2L, "b")).toDF("k", "v")))
+    finally Incremental.release(Paths.get(t))
+    // lock released → committing works again and versions advance
+    assert(Snapshots.write(spark, t, Seq((2L, "b")).toDF("k", "v")) == 2L)
+  }
+}
