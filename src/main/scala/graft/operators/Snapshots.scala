@@ -138,6 +138,25 @@ object Snapshots {
     }
   }
 
+  /** Streaming ingestion with versioned commits: every micro-batch
+    * upserts as a NEW snapshot, so the table gains MVCC readers and a
+    * replayable commit history on top of exactly-once source tracking
+    * (the checkpoint). foreachBatch re-runs a batch after a crash
+    * between commit and checkpoint — the keyed upsert makes the
+    * re-commit idempotent in CONTENT (same keys merge to the same
+    * rows); it just burns one extra version number, which vacuum
+    * reclaims like any other pre-horizon snapshot. */
+  def streamCommit(spark: SparkSession, stream: DataFrame,
+      tablePath: String, keys: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => {
+        upsert(spark, tablePath, batch, keys); ()
+      })
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   private def commitPointer(table: Path, v: Long): Unit = {
     val tmp = table.resolve("_current.__tmp")
     Files.write(tmp, v.toString.getBytes("UTF-8"))

@@ -61,6 +61,37 @@ class SnapshotsSpec extends AnyFunSuite {
       Snapshots.readVersion(spark, t, 2).collect())
   }
 
+  test("streamCommit versions each micro-batch pass; time travel" +
+      " reaches the pre-merge state") {
+    val base = Files.createTempDirectory("graft_snap_stream")
+    val in = base.resolve("in").toString
+    val cp = base.resolve("cp").toString
+    val t = base.resolve("t").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    def pass(): Unit = {
+      val q = Snapshots.streamCommit(spark,
+        spark.readStream.schema(schema).parquet(in), t, Seq("k"), cp)
+      assert(q.awaitTermination(120000)); q.stop()
+    }
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(in)
+    pass()
+    Seq((2L, "B"), (3L, "c")).toDF("k", "v").write.mode("append")
+      .parquet(in)
+    pass()
+    assert(Snapshots.read(spark, t).as[(Long, String)].collect().toMap
+      == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    assert(Snapshots.readVersion(spark, t, 1)
+      .as[(Long, String)].collect().toMap == Map(1L -> "a", 2L -> "b"))
+    // already-processed files are NOT re-committed on an idle pass
+    val before = Snapshots.currentVersion(t)
+    pass()
+    assert(Snapshots.currentVersion(t) == before)
+  }
+
   test("writers serialize through the single-writer lock") {
     val t = tmpTable()
     Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"))
