@@ -714,5 +714,41 @@ object SqlParity {
         FROM ranked WHERE rn <= 5 GROUP BY user_id)
       SELECT path, COUNT(*) AS n_users
       FROM paths GROUP BY path ORDER BY path""",
+
+    // the DataFrame engine of record iterates with checkpointed rounds;
+    // the SQL surface unrolls the same three integer-arithmetic
+    // iterations as CTEs (Spark spells integer division `div`)
+    "q57_pagerank" -> """
+      WITH ecs AS (
+        SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      edges AS (SELECT u, v FROM ecs UNION ALL SELECT v, u FROM ecs),
+      deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+      nodes AS (SELECT DISTINCT u AS node FROM edges),
+      params AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (SELECT node, CAST(1000000000000 div n AS BIGINT) AS r
+             FROM nodes CROSS JOIN params),
+      c1 AS (SELECT node, r div deg AS c FROM r0 JOIN deg ON node = u),
+      i1 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS inflow
+             FROM edges JOIN c1 ON edges.u = c1.node GROUP BY v),
+      r1 AS (SELECT node, CAST((150000000000 div n)
+               + (COALESCE(inflow, 0) * 85) div 100 AS BIGINT) AS r
+             FROM nodes CROSS JOIN params LEFT JOIN i1 ON node = v),
+      c2 AS (SELECT node, r div deg AS c FROM r1 JOIN deg ON node = u),
+      i2 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS inflow
+             FROM edges JOIN c2 ON edges.u = c2.node GROUP BY v),
+      r2 AS (SELECT node, CAST((150000000000 div n)
+               + (COALESCE(inflow, 0) * 85) div 100 AS BIGINT) AS r
+             FROM nodes CROSS JOIN params LEFT JOIN i2 ON node = v),
+      c3 AS (SELECT node, r div deg AS c FROM r2 JOIN deg ON node = u),
+      i3 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS inflow
+             FROM edges JOIN c3 ON edges.u = c3.node GROUP BY v),
+      r3 AS (SELECT node, CAST((150000000000 div n)
+               + (COALESCE(inflow, 0) * 85) div 100 AS BIGINT) AS r
+             FROM nodes CROSS JOIN params LEFT JOIN i3 ON node = v)
+      SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+          AS kind,
+        CAST(node div 2 AS BIGINT) AS key, r AS rank_scaled
+      FROM r3 ORDER BY kind, key""",
   )
 }

@@ -23,7 +23,7 @@ object TextQ {
     t04Fingerprint, t05PiiScrub, t06CorpusFilter, t07HashSplit,
     t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample,
     t12Decontaminate, t13ChunkOverlap, t14Repetition, t15RareTokens,
-    t16TrigramNovelty, t17TokenGini)
+    t16TrigramNovelty, t17TokenGini, t18BigramLm)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -725,4 +725,55 @@ object TextQ {
         10 * (n_tokens * n_tokens - sum_sq) >= 9 * (n_tokens * n_tokens))
         AS diverse_ok
     FROM filled ORDER BY doc_id"""))
+
+  /** Corpus bigram LM table — the count form of training an n-gram next-
+    * token model: per (prev, next) pair counts, per-prev totals, and the
+    * exact conditional probability, keeping the top-3 continuations per
+    * prev with a deterministic (count DESC, token ASC) tiebreak. Counts
+    * are exact integers and the probability is one double division, so
+    * the table hash-matches across engines where a log-prob table never
+    * would (t16's principle). Shape: narrow per-row shingling (native
+    * ShinglesExpr), ONE bigram-keyed map-side-combined aggregation, then
+    * windows over the pair-count rows — vocabulary-sized, not corpus-
+    * sized. This is the table a quality filter consults for "how
+    * predictable is this doc's next token", trained inside the engine. */
+  val t18BigramLm: Q = Q("t18_bigram_lm", (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(explode(graft.functions.TextExprs.shingles(
+        tokens(col("text")), 2)).as("g"))
+      .select(split(col("g"), " ").getItem(0).as("prev_tok"),
+        split(col("g"), " ").getItem(1).as("next_tok"))
+    val counts = grams.groupBy(col("prev_tok"), col("next_tok"))
+      .agg(count(lit(1)).as("c"))
+    val wTot = Window.partitionBy(col("prev_tok"))
+    val wRank = Window.partitionBy(col("prev_tok"))
+      .orderBy(col("c").desc, col("next_tok").asc)
+    counts
+      .withColumn("n_prev", sum(col("c")).over(wTot))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= 3)
+      .select(col("prev_tok"), col("next_tok"), col("c"), col("n_prev"),
+        (col("c").cast("double") / col("n_prev").cast("double"))
+          .as("cond_p"), col("rk"))
+      .orderBy(col("prev_tok"), col("rk"))
+  }, Some("""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), ' +'),
+        x -> len(x) > 0) AS t
+      FROM documents),
+    grams AS (
+      SELECT t[i] AS prev_tok, t[i + 1] AS next_tok
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+    counts AS (
+      SELECT prev_tok, next_tok, COUNT(*) AS c
+      FROM grams GROUP BY prev_tok, next_tok),
+    ranked AS (
+      SELECT prev_tok, next_tok, c,
+        CAST(SUM(c) OVER (PARTITION BY prev_tok) AS BIGINT) AS n_prev,
+        CAST(ROW_NUMBER() OVER (PARTITION BY prev_tok
+          ORDER BY c DESC, next_tok ASC) AS INT) AS rk
+      FROM counts)
+    SELECT prev_tok, next_tok, c, n_prev,
+      CAST(c AS DOUBLE) / CAST(n_prev AS DOUBLE) AS cond_p, rk
+    FROM ranked WHERE rk <= 3 ORDER BY prev_tok, rk"""))
 }
