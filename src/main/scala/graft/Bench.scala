@@ -157,7 +157,35 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // The driver's capture keeps only the LAST ~2000 chars of stdout and
+    // parses the JSON line out of that window — BENCH_r01–r03 all landed
+    // "parsed": null because the full per-query map outgrew it, leaving
+    // the judge a mid-line tail. A line that does not fit ENTIRELY in
+    // the window is a line the driver cannot parse at all, so: print the
+    // full map when it fits, else the most expensive queries that do
+    // (the entries a reader acts on), with an explicit omission count
+    // and a pointer to the complete sidecar. `value` and `errors`
+    // always cover the whole catalog either way.
+    val budget = 1900
+    def mkLine(qsJson: String, extra: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsJson$extra,"errors":$errors,"sf":"$sfDir"}"""
+    val full = mkLine(qs, "")
+    val out =
+      if (full.length <= budget) full
+      else {
+        val sorted = results.sortBy(-_._2)
+        def mk(k: Int) = {
+          val qsJ = sorted.take(k)
+            .map { case (name, v, _) => "\"" + name + "\":" + r3(v) }
+            .mkString("{", ",", "}")
+          mkLine(qsJ, s""","queries_omitted":${results.size - k}""" +
+            s""","detail":"$detailPath"""")
+        }
+        var k = sorted.size
+        while (k > 0 && mk(k).length > budget) k -= 1
+        mk(k)
+      }
+    println(out)
     spark.stop()
   }
 }
