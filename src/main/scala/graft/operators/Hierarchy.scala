@@ -31,19 +31,21 @@ import org.apache.spark.sql.functions._
 object Hierarchy {
 
   /** Flatten a forest given as (keyCol, parentCol) rows. Nodes whose
-    * parent equals `rootParent` are top-level (their own top ancestor,
-    * depth 0). Every non-top parent value must itself appear as a key
-    * (closure); unknown parents are treated as top boundaries.
+    * parent equals `rootParent` — or is NULL, the other common "no
+    * parent" encoding — are top-level (their own top ancestor, depth 0).
+    * Every non-top parent value must itself appear as a key (closure);
+    * unknown parents are treated as top boundaries.
     *
     * Returns (k, top_key, depth) with the input key column renamed `k`.
     */
   def flatten(nodes: DataFrame, keyCol: String, parentCol: String,
       rootParent: Long = 0L, doublingRounds: Int = 6): DataFrame = {
+    val isTop = col(parentCol).isNull || col(parentCol) === rootParent
     var cur = nodes.select(
       col(keyCol).cast("long").as("k"),
-      when(col(parentCol) === rootParent, col(keyCol))
+      when(isTop, col(keyCol))
         .otherwise(col(parentCol)).cast("long").as("anc"),
-      when(col(parentCol) === rootParent, lit(0L)).otherwise(lit(1L))
+      when(isTop, lit(0L)).otherwise(lit(1L))
         .as("d"))
       .localCheckpoint(true)
     (1 to doublingRounds).foreach { _ =>

@@ -471,6 +471,16 @@ class HierarchySpec extends AnyFunSuite {
       7L -> ((7L, 0L))))
   }
 
+  test("null parents are top-level, like the rootParent sentinel") {
+    val nodes = Seq((1L, Option.empty[Long]), (2L, Some(1L)),
+      (3L, Some(2L))).toDF("k", "parent")
+    val out = Hierarchy.flatten(nodes, "k", "parent")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(out == Map(1L -> ((1L, 0L)), 2L -> ((1L, 1L)),
+      3L -> ((1L, 2L))))
+  }
+
   test("a 200-node path chain flattens exactly within 8 doubling rounds") {
     // worst case for a literal recursion: one chain of depth 199
     val nodes = (1L to 200L).map(k => (k, k - 1)).toDF("k", "parent")
