@@ -138,6 +138,38 @@ object Snapshots {
     }
   }
 
+  /** Change-data-capture between two retained versions: one row per key
+    * whose content changed, tagged insert/update/delete — the
+    * `table_changes` complement of time travel, and what an incremental
+    * consumer reads instead of diffing full snapshots itself. One
+    * key-wise full-outer join between the two immutable snapshot dirs;
+    * "update" means any non-key column differs (null-safe struct
+    * equality, so null→value and value→null both register). */
+  def changes(spark: SparkSession, tablePath: String, fromV: Long,
+      toV: Long, keys: Seq[String]): DataFrame = {
+    val before = readVersion(spark, tablePath, fromV)
+    val after = readVersion(spark, tablePath, toV)
+    val valCols = after.columns.filterNot(keys.contains).toSeq
+    def packed(df: DataFrame, as: String) = df.select(
+      org.apache.spark.sql.functions.struct(keys.map(col): _*).as("__k"),
+      org.apache.spark.sql.functions.struct(valCols.map(col): _*).as(as))
+    packed(before, "__b").join(packed(after, "__a"), Seq("__k"),
+        "full_outer")
+      .withColumn("change_type",
+        org.apache.spark.sql.functions.when(col("__b").isNull, "insert")
+          .when(col("__a").isNull, "delete")
+          .when(!(col("__b") <=> col("__a")), "update"))
+      .filter(col("change_type").isNotNull)
+      // deletes carry the last-seen values; inserts/updates the new ones
+      // (a plain coalesce would resurrect the OLD value when an update
+      // nulls a column)
+      .select(keys.map(k => col(s"__k.$k").as(k)) ++
+        valCols.map(c => org.apache.spark.sql.functions
+          .when(col("__a").isNull, col(s"__b.$c"))
+          .otherwise(col(s"__a.$c")).as(c)) :+
+        col("change_type"): _*)
+  }
+
   /** Streaming ingestion with versioned commits: every micro-batch
     * upserts as a NEW snapshot, so the table gains MVCC readers and a
     * replayable commit history on top of exactly-once source tracking

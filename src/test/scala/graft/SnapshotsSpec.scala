@@ -92,6 +92,23 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.currentVersion(t) == before)
   }
 
+  test("changes() classifies inserts, updates (incl. to-null), deletes," +
+      " and drops unchanged rows") {
+    val t = tmpTable()
+    Snapshots.write(spark, t, Seq((1L, Some("a")), (2L, Some("b")),
+      (4L, Some("d"))).toDF("k", "v"))
+    Snapshots.write(spark, t, Seq((1L, Some("a")), (2L, Option.empty[String]),
+      (3L, Some("c"))).toDF("k", "v"))
+    val got = Snapshots.changes(spark, t, 1L, 2L, Seq("k"))
+      .as[(Long, Option[String], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      2L -> ((None, "update")),      // b → null registers as update
+      3L -> ((Some("c"), "insert")),
+      4L -> ((Some("d"), "delete"))  // carries the last-seen value
+    )) // key 1 unchanged → absent
+  }
+
   test("writers serialize through the single-writer lock") {
     val t = tmpTable()
     Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"))
