@@ -500,3 +500,44 @@ class HierarchySpec extends AnyFunSuite {
     assert(out(20L) == ((16L, 4L)) && out(5L) == ((1L, 4L)))
   }
 }
+
+class TableStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("report surfaces per-partition files/bytes, skew, and the" +
+      " compaction work list; compaction clears it") {
+    val root = Files.createTempDirectory("graft_stats").resolve("t")
+      .toString
+    // day 1: many small files (needs compaction); day 2: one file
+    (1 to 10).foreach { i =>
+      Seq((i.toLong, "2024-01-01")).toDF("k", "day")
+        .write.mode("append").partitionBy("day").parquet(root)
+    }
+    Seq((99L, "2024-01-02")).toDF("k", "day")
+      .write.mode("append").partitionBy("day").parquet(root)
+    val r = TableStats.report(root, smallFileThreshold = 8)
+    assert(r.partitions.map(_.partition)
+      == Seq("day=2024-01-01", "day=2024-01-02"))
+    assert(r.partitions.head.files == 10 && r.partitions.last.files == 1)
+    assert(r.needsCompaction == Seq("day=2024-01-01"))
+    assert(r.skewRatio > 1.0 && r.totalFiles == 11)
+    assert(r.totalBytes == r.partitions.map(_.bytes).sum)
+    new Compaction(spark, minFilesToCompact = 8).compact(root)
+    val after = TableStats.report(root, smallFileThreshold = 8)
+    assert(after.needsCompaction.isEmpty)
+    assert(spark.read.parquet(root).count() == 11) // rows survived
+  }
+
+  test("flat tables report one pseudo-partition; missing paths are" +
+      " empty, not errors") {
+    val root = Files.createTempDirectory("graft_stats2").resolve("t")
+      .toString
+    Seq(1L, 2L).toDF("k").write.parquet(root)
+    val r = TableStats.report(root)
+    assert(r.partitions.map(_.partition) == Seq(""))
+    assert(r.totalFiles >= 1 && r.skewRatio == 1.0)
+    val none = TableStats.report(root + "_missing")
+    assert(none.partitions.isEmpty && none.totalFiles == 0)
+  }
+}
