@@ -241,6 +241,63 @@ class PlanAuditSpec extends AnyFunSuite {
       n.nodeName.contains("BroadcastNestedLoopJoin")))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the engine's" +
+      " built-in answer to q14's manual salting)") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force a shuffle join and lower the skew thresholds so the test
+      // corpus (one dominant key with padding vs uniform keys) trips them
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "65536")
+      spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      // pad must DEPEND on a column (a literal is pruned/folded before
+      // the exchange) and be INCOMPRESSIBLE (skew detection reads the
+      // lz4-compressed shuffle partition sizes — a repeated-char pad
+      // compresses under the threshold; observed: AQE coalesced instead)
+      val md5 = org.apache.spark.sql.functions.md5 _
+      val idStr = col("id").cast("string")
+      val skewed = spark.range(0, 400000)
+        .select(when(col("id") % 10 =!= 0, lit(7L))
+          .otherwise(col("id") % 1000).as("k"), // ~90% share key 7
+          org.apache.spark.sql.functions.concat(
+            md5(idStr.cast("binary")),
+            md5(org.apache.spark.sql.functions.concat(idStr, lit("a"))
+              .cast("binary")),
+            md5(org.apache.spark.sql.functions.concat(idStr, lit("b"))
+              .cast("binary"))).as("pad"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"),
+        col("id").cast("string").as("v"))
+      // The consumer must NOT require the join's hash partitioning: a
+      // groupBy(k) downstream makes AQE REJECT the skew split (splitting
+      // would break the distribution requirement; observed: coalesced
+      // instead). A global aggregate has no per-key requirement. Also
+      // keep the pad alive into the join output so the shuffle carries
+      // real bytes.
+      val joined = skewed.join(dim, "k")
+        .agg(org.apache.spark.sql.functions.max("pad"))
+      // execute THIS QueryExecution (AQE finalizes in place); a write
+      // action builds its own QE and leaves this plan isFinalPlan=false
+      joined.collect()
+      val s = joined.queryExecution.executedPlan.toString
+      assert(s.contains("skew=true"),
+        s"AQE did not mark the skewed join (no skew=true):\n$s")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("d12: the canonical-selection window consumes doc STATS only" +
       " (the text payload never enters the shuffle)") {
     val (ns, _) = planOf("d12_cluster_canonical")
