@@ -189,6 +189,21 @@ object Snapshots {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Register a snapshot (current, or a pinned version for time-travel
+    * reads) as a named catalog view — the metastore face of the
+    * versioned table, so SQL consumers address `db.name` while the
+    * pointer/manifest mechanics stay invisible. Re-registering after a
+    * commit repoints the name; a PINNED registration keeps serving its
+    * version even as new commits land (until vacuumed). */
+  def registerView(spark: SparkSession, viewName: String,
+      tablePath: String, version: Option[Long] = None): Long = {
+    val v = version.getOrElse(currentVersion(tablePath).getOrElse(
+      throw new IllegalStateException(
+        s"$tablePath has no committed snapshot")))
+    readVersion(spark, tablePath, v).createOrReplaceTempView(viewName)
+    v
+  }
+
   private def commitPointer(table: Path, v: Long): Unit = {
     val tmp = table.resolve("_current.__tmp")
     Files.write(tmp, v.toString.getBytes("UTF-8"))

@@ -31,7 +31,8 @@ object Relational {
     q40AboveAvg, q41Sliding, q42Cohort, q44HeavyHitters,
     q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau,
     q49Histogram, q50Rfm, q51SketchWau, q52StatsRegression, q53ListAgg,
-    q54HierarchyFlatten, q55Mode, q56EventPaths, q57PageRank)
+    q54HierarchyFlatten, q55Mode, q56EventPaths, q57PageRank,
+    q58Scd2Intervals)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1738,4 +1739,41 @@ object Relational {
         AS kind,
       CAST(node // 2 AS BIGINT) AS key, r AS rank_scaled
     FROM r3 ORDER BY kind, key"""))
+
+  /** Temporal validity intervals — the query form of SCD Type-2 history
+    * (the Scd2 operator's semantic, lifted into the oracle-gated
+    * catalog): each customer's orders become [valid_from, valid_to)
+    * rows via lead() over a TOTAL order (date, then orderkey — same-day
+    * orders exist, so the tiebreak decides interval adjacency
+    * deterministically), the open row marked current with a sentinel
+    * end date. One customer-keyed window over the pruned fact — the
+    * as-of lookup this table serves is then a range probe (q37's
+    * pattern). */
+  val q58Scd2Intervals: Q = Q("q58_scd2_intervals", (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 300)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        to_date(col("o_orderdate")).as("valid_from"))
+      .withColumn("nxt", lead(col("valid_from"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("valid_from"),
+        coalesce(col("nxt"), lit("9999-12-31").cast("date"))
+          .as("valid_to"),
+        col("nxt").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+  }, Some("""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+        CAST(o_orderdate AS DATE) AS valid_from
+      FROM orders WHERE o_custkey < 300),
+    iv AS (
+      SELECT *, LEAD(valid_from) OVER (PARTITION BY o_custkey
+        ORDER BY valid_from, o_orderkey) AS nxt
+      FROM base)
+    SELECT o_custkey, o_orderkey, o_orderstatus, valid_from,
+      COALESCE(nxt, DATE '9999-12-31') AS valid_to,
+      nxt IS NULL AS is_current
+    FROM iv ORDER BY o_custkey, valid_from, o_orderkey"""))
 }

@@ -109,6 +109,21 @@ class SnapshotsSpec extends AnyFunSuite {
     )) // key 1 unchanged → absent
   }
 
+  test("registerView serves SQL consumers; pinned views keep their" +
+      " version across later commits") {
+    val t = tmpTable()
+    Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    Snapshots.registerView(spark, "snap_now", t)
+    val pinned = Snapshots.registerView(spark, "snap_v1", t,
+      version = Some(1L))
+    assert(pinned == 1L)
+    Snapshots.write(spark, t, Seq((1L, "b")).toDF("k", "v"))
+    // the un-pinned name re-registers to follow the pointer
+    Snapshots.registerView(spark, "snap_now", t)
+    assert(spark.sql("SELECT v FROM snap_now").as[String].head() == "b")
+    assert(spark.sql("SELECT v FROM snap_v1").as[String].head() == "a")
+  }
+
   test("writers serialize through the single-writer lock") {
     val t = tmpTable()
     Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"))
