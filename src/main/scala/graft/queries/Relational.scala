@@ -32,7 +32,7 @@ object Relational {
     q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau,
     q49Histogram, q50Rfm, q51SketchWau, q52StatsRegression, q53ListAgg,
     q54HierarchyFlatten, q55Mode, q56EventPaths, q57PageRank,
-    q58Scd2Intervals)
+    q58Scd2Intervals, q59MarketBasket)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1776,4 +1776,69 @@ object Relational {
       COALESCE(nxt, DATE '9999-12-31') AS valid_to,
       nxt IS NULL AS is_current
     FROM iv ORDER BY o_custkey, valid_from, o_orderkey"""))
+
+  /** Market-basket association mining — support / confidence / lift for
+    * brand pairs co-purchased in one order, the classic co-occurrence
+    * rollup. The basket domain is the BRAND (25 values): baskets first
+    * reduce to distinct (order, brand) rows — the self-join then meets
+    * only inside an order and emits ≤ (brands-per-order choose 2) pairs,
+    * never line-item pairs, which is what keeps a basket pass tractable
+    * when orders are wide. All statistics derive from exact integer
+    * counts (pair, singles, total baskets) with one double division
+    * each; ordering is the total (brand_a, brand_b), never the float
+    * lift. */
+  val q59MarketBasket: Q = Q("q59_market_basket", (s, d) => {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+    val single = items.groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+    // documented scalar collect: total basket count for support
+    val nBaskets = items.select(col("l_orderkey")).distinct().count()
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.p_brand") < col("b.p_brand"))
+      .select(col("a.p_brand").as("brand_a"),
+        col("b.p_brand").as("brand_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(single.select(col("p_brand").as("brand_a"),
+        col("n").as("n_a")), Seq("brand_a"))
+      .join(single.select(col("p_brand").as("brand_b"),
+        col("n").as("n_b")), Seq("brand_b"))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        (col("n_ab").cast("double") / lit(nBaskets).cast("double"))
+          .as("support"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_ab") * lit(nBaskets)).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }, Some("""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    single AS (
+      SELECT p_brand, COUNT(*) AS n FROM items GROUP BY p_brand),
+    params AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        COUNT(*) AS n_ab
+      FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+        AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand)
+    SELECT brand_a, brand_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+      CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+      CAST(n_ab AS DOUBLE) / CAST(sa.n AS DOUBLE) AS confidence,
+      CAST(n_ab * n_baskets AS DOUBLE)
+        / CAST(sa.n * sb.n AS DOUBLE) AS lift
+    FROM pairs CROSS JOIN params
+      JOIN single sa ON brand_a = sa.p_brand
+      JOIN single sb ON brand_b = sb.p_brand
+    ORDER BY brand_a, brand_b"""))
 }
