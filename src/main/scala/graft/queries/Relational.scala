@@ -32,7 +32,7 @@ object Relational {
     q45MultisetOps, q46RatioToReport, q47ForwardFill, q48RollingWau,
     q49Histogram, q50Rfm, q51SketchWau, q52StatsRegression, q53ListAgg,
     q54HierarchyFlatten, q55Mode, q56EventPaths, q57PageRank,
-    q58Scd2Intervals, q59MarketBasket)
+    q58Scd2Intervals, q59MarketBasket, q60HierarchyRollup)
 
   /** TPC-H Q1-shaped pricing summary: filter→hash-agg with exact decimal
     * sums (A7/A8 analog). Filter is pushed to the parquet scan; aggregation
@@ -1841,4 +1841,47 @@ object Relational {
       JOIN single sa ON brand_a = sa.p_brand
       JOIN single sb ON brand_b = sb.p_brand
     ORDER BY brand_a, brand_b"""))
+
+  /** Hierarchical rollup — what q54's flatten exists FOR: aggregate a
+    * measure up the tree by top-level category (the BOM / category-tree
+    * rollup). Flattening first turns the recursive rollup into ONE
+    * ordinary keyed aggregation over (top_key) — the category table is
+    * category-cardinality, the measure sums are exact decimals, and
+    * depth statistics ride the same pass. A literal recursive rollup
+    * would walk parent links level by level; flatten-then-aggregate is
+    * the shape that scales. */
+  val q60HierarchyRollup: Q = Q("q60_hierarchy_rollup", (s, d) => {
+    val nodes = Tables.part(s, d).select(
+      col("p_partkey").cast("long").as("k"),
+      expr("CAST(p_partkey AS LONG) div CAST(2 + p_partkey % 7 AS LONG)")
+        .as("parent"))
+    val flat = graft.operators.Hierarchy.flatten(nodes, "k", "parent")
+    Tables.part(s, d)
+      .select(col("p_partkey").cast("long").as("k"),
+        col("p_retailprice"))
+      .join(flat, Seq("k"))
+      .groupBy(col("top_key"))
+      .agg(count(lit(1)).as("n_parts"),
+        decSum(col("p_retailprice")).as("total_price"),
+        max(col("depth")).as("max_depth"),
+        decAvg(col("p_retailprice")).as("avg_price"))
+      .orderBy(col("top_key"))
+  }, Some(s"""
+    WITH RECURSIVE nodes AS (
+      SELECT CAST(p_partkey AS BIGINT) AS k,
+             CAST(p_partkey // (2 + p_partkey % 7) AS BIGINT) AS parent
+      FROM part),
+    flat AS (
+      SELECT k, k AS top_key, CAST(0 AS BIGINT) AS depth
+      FROM nodes WHERE parent = 0
+      UNION ALL
+      SELECT n.k, f.top_key, f.depth + 1
+      FROM nodes n JOIN flat f ON n.parent = f.k
+      WHERE n.parent <> 0)
+    SELECT top_key, COUNT(*) AS n_parts,
+      ${decSumSql("p_retailprice")} AS total_price,
+      MAX(depth) AS max_depth,
+      ${decAvgSql("p_retailprice")} AS avg_price
+    FROM part JOIN flat ON CAST(p_partkey AS BIGINT) = flat.k
+    GROUP BY top_key ORDER BY top_key"""))
 }
