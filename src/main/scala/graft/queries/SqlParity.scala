@@ -750,5 +750,63 @@ object SqlParity {
           AS kind,
         CAST(node div 2 AS BIGINT) AS key, r AS rank_scaled
       FROM r3 ORDER BY kind, key""",
+
+    "q58_scd2_intervals" -> """
+      WITH base AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+          CAST(o_orderdate AS DATE) AS valid_from
+        FROM orders WHERE o_custkey < 300),
+      iv AS (
+        SELECT *, LEAD(valid_from) OVER (PARTITION BY o_custkey
+          ORDER BY valid_from, o_orderkey) AS nxt
+        FROM base)
+      SELECT o_custkey, o_orderkey, o_orderstatus, valid_from,
+        COALESCE(nxt, DATE '9999-12-31') AS valid_to,
+        nxt IS NULL AS is_current
+      FROM iv ORDER BY o_custkey, valid_from, o_orderkey""",
+
+    "q59_market_basket" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey, p_brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      single AS (
+        SELECT p_brand, COUNT(*) AS n FROM items GROUP BY p_brand),
+      params AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+      pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+          COUNT(*) AS n_ab
+        FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+          AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand)
+      SELECT brand_a, brand_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+        CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+        CAST(n_ab AS DOUBLE) / CAST(sa.n AS DOUBLE) AS confidence,
+        CAST(n_ab * n_baskets AS DOUBLE)
+          / CAST(sa.n * sb.n AS DOUBLE) AS lift
+      FROM pairs CROSS JOIN params
+        JOIN single sa ON brand_a = sa.p_brand
+        JOIN single sb ON brand_b = sb.p_brand
+      ORDER BY brand_a, brand_b""",
+
+    "q60_hierarchy_rollup" -> s"""
+      WITH RECURSIVE nodes AS (
+        SELECT CAST(p_partkey AS BIGINT) AS k,
+               CAST(p_partkey AS BIGINT) div
+                 CAST(2 + p_partkey % 7 AS BIGINT) AS parent
+        FROM part),
+      flat AS (
+        SELECT k, k AS top_key, CAST(0 AS BIGINT) AS depth
+        FROM nodes WHERE parent = 0
+        UNION ALL
+        SELECT n.k, f.top_key, f.depth + 1
+        FROM nodes n JOIN flat f ON n.parent = f.k
+        WHERE n.parent <> 0)
+      SELECT top_key, COUNT(*) AS n_parts,
+        ${decSumSql("p_retailprice")} AS total_price,
+        MAX(depth) AS max_depth,
+        ${decAvgSql("p_retailprice")} AS avg_price
+      FROM part JOIN flat ON CAST(p_partkey AS BIGINT) = flat.k
+      GROUP BY top_key ORDER BY top_key""",
   )
 }

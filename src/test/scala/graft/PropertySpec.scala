@@ -303,6 +303,45 @@ class PropertySpec extends AnyFunSuite {
     assert(total >= R - 4L * n * 100, s"mass loss too large: $total")
   }
 
+  test("property: q58 intervals chain without gaps, exactly one open" +
+      " row per customer") {
+    val rows = q("q58_scd2_intervals")
+      .select("o_custkey", "valid_from", "valid_to", "is_current")
+      .as[(Long, java.sql.Date, java.sql.Date, Boolean)].collect()
+    rows.groupBy(_._1).foreach { case (cust, ivs) =>
+      assert(ivs.count(_._4) == 1, s"customer $cust open rows != 1")
+      // sorted by the query's total order; each close meets the next
+      // open unless the adjacent rows tie on valid_from (same-day
+      // orders chain within the day via the orderkey tiebreak)
+      ivs.sortBy(r => (r._2.getTime, r._3.getTime)).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.getTime == b._2.getTime || a._2 == b._2,
+            s"gap in customer $cust history")
+        case _ => ()
+      }
+    }
+  }
+
+  test("property: q59 association counts obey set bounds and the 300" +
+      " dense brand pairs are all present") {
+    val rows = q("q59_market_basket")
+      .select("n_ab", "n_a", "n_b", "support", "confidence", "lift")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.length == 300) // 25 choose 2
+    assert(rows.forall { case (ab, a, b, sup, conf, lift) =>
+      ab >= 1 && ab <= math.min(a, b) &&
+        sup > 0 && sup <= 1 && conf > 0 && conf <= 1 && lift > 0
+    })
+  }
+
+  test("property: q60 category rollup conserves the part count") {
+    val rows = q("q60_hierarchy_rollup")
+      .select("n_parts", "max_depth").as[(Long, Long)].collect()
+    val total = Tables.part(spark, sf).count()
+    assert(rows.map(_._1).sum == total)
+    assert(rows.forall(_._2 <= 64))
+  }
+
   test("property: t17 impurity is in [0,1), moments are consistent," +
       " and uniform-token docs score 0") {
     val rows = q("t17_token_gini")
