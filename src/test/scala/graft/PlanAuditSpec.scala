@@ -298,6 +298,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q59: the basket self-join is keyed on the order (hash join," +
+      " never nested-loop over line items)") {
+    val (ns, _) = planOf("q59_market_basket")
+    assert(!ns.exists(n => n.nodeName.contains("CartesianProduct") ||
+      n.nodeName.contains("BroadcastNestedLoopJoin")),
+      "q59 planned an all-pairs join shape")
+  }
+
+  test("q60: the rollup aggregates the flattened (checkpointed)" +
+      " hierarchy — no recursive re-derivation in the final plan") {
+    val (ns, _) = planOf("q60_hierarchy_rollup")
+    // exactly the joins the rollup needs: part ⋈ flat; flat is a leaf
+    assert(ns.count(_.nodeName.contains("Join")) <= 2,
+      s"q60 join count: ${ns.map(_.nodeName).filter(_.contains("Join"))}")
+  }
+
   test("d12: the canonical-selection window consumes doc STATS only" +
       " (the text payload never enters the shuffle)") {
     val (ns, _) = planOf("d12_cluster_canonical")
