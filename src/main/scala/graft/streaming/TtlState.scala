@@ -74,6 +74,46 @@ object TtlState {
     }
   }
 
+  final case class Cat(key: String, category: String)
+  final case class CatCount(key: String, category: String, n: Long)
+
+  /** Per-key categorical histogram on MapState: one map cell per
+    * (key, category), emitting the updated counts for the categories a
+    * batch touched. The MapState point: updating ONE category reads and
+    * writes ONE cell, where a ValueState holding the whole histogram
+    * would rewrite the full map per event — the difference between O(1)
+    * and O(categories) state I/O per row at 100 TB. */
+  class CategoryCountsProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, Cat, CatCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        Encoders.STRING, Encoders.scalaLong, ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[Cat],
+        timers: TimerValues): Iterator[CatCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        val cur = if (counts.containsKey(r.category))
+          counts.getValue(r.category) else 0L
+        counts.updateValue(r.category, cur + 1L)
+        touched += r.category
+      }
+      touched.iterator.map(c => CatCount(key, c, counts.getValue(c)))
+    }
+  }
+
+  /** Running per-(key, category) counts; one Update row per touched
+    * category per batch. */
+  def categoryCounts(spark: SparkSession, in: Dataset[Cat],
+      ttl: Option[Duration]): Dataset[CatCount] = {
+    import spark.implicits._
+    in.groupByKey(_.key)
+      .transformWithState(new CategoryCountsProcessor(ttlConfig(ttl)),
+        modeFor(ttl), OutputMode.Update())
+  }
+
   private def ttlConfig(ttl: Option[Duration]): TTLConfig =
     ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
 

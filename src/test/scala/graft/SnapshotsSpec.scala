@@ -124,6 +124,35 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM snap_v1").as[String].head() == "a")
   }
 
+  test("two racing upsert writers both commit under retry; neither" +
+      " writer's rows are lost and versions advance monotonically") {
+    val t = tmpTable()
+    Snapshots.write(spark, t, Seq((0L, "base")).toDF("k", "v"))
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("k", "v")
+    val b = Seq((3L, "b1"), (4L, "b2")).toDF("k", "v")
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    def writer(df: org.apache.spark.sql.DataFrame): Thread = {
+      val th = new Thread(() => {
+        var done = false; var attempts = 0
+        while (!done && attempts < 100) {
+          try { Snapshots.upsert(spark, t, df, Seq("k")); done = true }
+          catch {
+            case _: Incremental.ConcurrentWriteException =>
+              attempts += 1; Thread.sleep(50)
+          }
+        }
+        if (!done) failures.incrementAndGet()
+      })
+      th.start(); th
+    }
+    Seq(writer(a), writer(b)).foreach(_.join(120000))
+    assert(failures.get() == 0, "a writer never got the lock")
+    val got = Snapshots.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "base", 1L -> "a1", 2L -> "a2",
+      3L -> "b1", 4L -> "b2"))
+    assert(Snapshots.currentVersion(t).contains(3L)) // two commits landed
+  }
+
   test("writers serialize through the single-writer lock") {
     val t = tmpTable()
     Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"))

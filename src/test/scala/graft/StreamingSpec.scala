@@ -624,6 +624,36 @@ class TtlStateSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState MapState histogram counts per (key," +
+      " category) across restarts, emitting only touched categories") {
+    withRocksDb {
+      val base = Files.createTempDirectory("graft_tws4").toString
+      val in = s"$base/in"; val cp = s"$base/cp"; val out = s"$base/out"
+      val schema = StructType(Seq(
+        StructField("key", StringType),
+        StructField("category", StringType)))
+      def catPass(): Unit = pass(
+        TtlState.categoryCounts(spark,
+          spark.readStream.schema(schema).parquet(in)
+            .as[TtlState.Cat], ttl = None).toDF(), out, cp)
+      Seq(("u1", "view"), ("u1", "view"), ("u1", "click"))
+        .toDF("key", "category").write.parquet(in)
+      catPass()
+      Seq(("u1", "view"), ("u2", "click")).toDF("key", "category")
+        .write.mode("append").parquet(in)
+      catPass()
+      val rows = spark.read.parquet(out).as[TtlState.CatCount].collect()
+      // final count per cell = the max emitted (counts only grow)
+      val fin = rows.groupBy(r => (r.key, r.category))
+        .map { case (k, rs) => k -> rs.map(_.n).max }
+      assert(fin == Map(("u1", "view") -> 3L, ("u1", "click") -> 1L,
+        ("u2", "click") -> 1L))
+      // pass 2 touched only (u1,view) and (u2,click): no spurious
+      // (u1,click) re-emission
+      assert(rows.count(r => r.key == "u1" && r.category == "click") == 1)
+    }
+  }
+
   test("transformWithState firstSeen re-admits a key after its state" +
       " TTL lapses") {
     withRocksDb {
