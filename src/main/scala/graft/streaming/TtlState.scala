@@ -9,23 +9,29 @@ import org.apache.spark.sql.streaming._
   * arbitrary-state API v2): typed per-key state cells with a store-level
   * TTL, replacing the single-blob GroupState of `mapGroupsWithState`.
   *
-  * Two operators:
+  * Four operators, one per state-API facility:
   *
-  *  - `firstSeen` — cross-batch exact dedup with TTL-BOUNDED state. The
-  *    watermark-based `dropDuplicatesWithinWatermark` bounds state by
-  *    EVENT time, which needs a trustworthy event-time column; this
-  *    bounds it by PROCESSING time — the contract for an infinite corpus
-  *    stream whose keys (content hashes) have no event time at all. A
-  *    key admits one row, then suppresses repeats until the TTL lapses;
+  *  - `firstSeen` (ValueState + TTL) — cross-batch exact dedup with
+  *    TTL-BOUNDED state. The watermark-based
+  *    `dropDuplicatesWithinWatermark` bounds state by EVENT time, which
+  *    needs a trustworthy event-time column; this bounds it by
+  *    PROCESSING time — the contract for an infinite corpus stream
+  *    whose keys (content hashes) have no event time at all. A key
+  *    admits one row, then suppresses repeats until the TTL lapses;
   *    state is one boolean per live key, evicted by the store itself.
-  *  - `runningTotals` — per-key running (count, sum) emitted every time
-  *    a key appears in a micro-batch (Update mode): the incremental
-  *    keyed accumulator shape, state = two numbers per key.
+  *  - `runningTotals` (ValueState) — per-key running (count, sum)
+  *    emitted every time a key appears in a micro-batch (Update mode):
+  *    the incremental keyed accumulator shape, two numbers per key.
+  *  - `categoryCounts` (MapState) — per-(key, category) histogram where
+  *    updating one category touches ONE state cell.
+  *  - `closedWindows` (event-time timers) — gap-based session closing:
+  *    the API-v2 form of StatefulSessions' flatMapGroupsWithState
+  *    timeout.
   *
   * Scale notes: state lives in the RocksDB state store (transformWithState
   * requires the RocksDB provider), hash-partitioned by key exactly like a
   * keyed aggregation — 1000 executors hold 1/1000th of the keys, and TTL
-  * eviction happens inside the store with no driver involvement. Both
+  * eviction happens inside the store with no driver involvement. All
   * processors are O(1) state per key and never buffer input rows.
   */
 object TtlState {
@@ -112,6 +118,82 @@ object TtlState {
     in.groupByKey(_.key)
       .transformWithState(new CategoryCountsProcessor(ttlConfig(ttl)),
         modeFor(ttl), OutputMode.Update())
+  }
+
+  final case class Stamped(key: String, ts: java.sql.Timestamp)
+  final case class ClosedWindow(key: String, n_events: Long,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+  // top-level (object-scope) so Encoders.product can reach it — an
+  // inner class of the processor has no encodable outer scope
+  final case class SessionAcc(n: Long, first: Long, last: Long)
+
+  /** Gap-based session closing on transformWithState EVENT-TIME TIMERS —
+    * the API-v2 form of StatefulSessions' flatMapGroupsWithState
+    * timeout: fold events into O(1) per-key state, (re)register a timer
+    * at last-seen + gap, and emit the closed session from
+    * handleExpiredTimer when the WATERMARK passes it. Timer state lives
+    * in the store next to the value cell — partitioned, restart-
+    * restored, nothing driver-side. */
+  class SessionCloseProcessor(gapMs: Long)
+      extends StatefulProcessor[String, Stamped, ClosedWindow] {
+    @transient private var acc: ValueState[SessionAcc] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      acc = getHandle.getValueState[SessionAcc]("acc",
+        Encoders.product[SessionAcc], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Stamped],
+        timers: TimerValues): Iterator[ClosedWindow] = {
+      // Input rows are processed BEFORE expired timers within a batch,
+      // so a new event arriving after an old session's horizon would
+      // re-arm the timer and absorb that session (measured) — the gap
+      // split must therefore happen inline: a row beyond last + gap
+      // closes the open session here; timers only cover the
+      // no-further-input case.
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedWindow]
+      var cur = if (acc.exists()) Some(acc.get()) else None
+      rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+        val t = r.ts.getTime
+        cur = cur match {
+          case Some(s) if t > s.last + gapMs =>
+            out += ClosedWindow(key, s.n,
+              new java.sql.Timestamp(s.first), new java.sql.Timestamp(s.last))
+            Some(SessionAcc(1L, t, t))
+          case Some(s) => Some(SessionAcc(s.n + 1,
+            math.min(s.first, t), math.max(s.last, t)))
+          case None => Some(SessionAcc(1L, t, t))
+        }
+      }
+      cur.foreach { s =>
+        acc.update(s)
+        // one live timer per key: re-arm to the new session horizon
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(s.last + gapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: String, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[ClosedWindow] = {
+      if (!acc.exists()) Iterator.empty
+      else {
+        val s = acc.get()
+        acc.clear()
+        Iterator(ClosedWindow(key, s.n,
+          new java.sql.Timestamp(s.first), new java.sql.Timestamp(s.last)))
+      }
+    }
+  }
+
+  /** Closed sessions by inactivity gap, driven by event-time timers and
+    * the stream's watermark (set a watermark on `in` upstream). */
+  def closedWindows(spark: SparkSession, in: Dataset[Stamped],
+      gap: Duration): Dataset[ClosedWindow] = {
+    import spark.implicits._
+    in.groupByKey(_.key)
+      .transformWithState(new SessionCloseProcessor(gap.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   private def ttlConfig(ttl: Option[Duration]): TTLConfig =

@@ -654,6 +654,47 @@ class TtlStateSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState event-time timers close sessions when the" +
+      " watermark passes last-seen + gap") {
+    withRocksDb {
+      val base = Files.createTempDirectory("graft_tws5").toString
+      val in = s"$base/in"; val cp = s"$base/cp"; val out = s"$base/out"
+      val schema = StructType(Seq(
+        StructField("key", StringType),
+        StructField("ts", TimestampType)))
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      def sessPass(): Unit = pass(
+        TtlState.closedWindows(spark,
+          spark.readStream.schema(schema).parquet(in)
+            .withWatermark("ts", "0 seconds").as[TtlState.Stamped],
+          java.time.Duration.ofMinutes(30)).toDF(), out, cp)
+      // u1: two events 10 min apart (one session); u2: one event
+      Seq(("u1", ts("2024-01-01 10:00:00")),
+        ("u1", ts("2024-01-01 10:10:00")),
+        ("u2", ts("2024-01-01 10:05:00"))).toDF("key", "ts")
+        .write.parquet(in)
+      sessPass()
+      // nothing closed yet: watermark is at 10:10, u1's horizon 10:40
+      assert(!Files.exists(Paths.get(out)) ||
+        spark.read.parquet(out).count() == 0)
+      // an 11:30 event advances the watermark past both horizons and
+      // opens a NEW u1 session
+      Seq(("u1", ts("2024-01-01 11:30:00"))).toDF("key", "ts")
+        .write.mode("append").parquet(in)
+      sessPass()
+      val closed = spark.read.parquet(out).as[TtlState.ClosedWindow]
+        .collect().map(c => c.key -> ((c.n_events, c.first_ts, c.last_ts)))
+        .toMap
+      assert(closed == Map(
+        "u1" -> ((2L, ts("2024-01-01 10:00:00"),
+          ts("2024-01-01 10:10:00"))),
+        "u2" -> ((1L, ts("2024-01-01 10:05:00"),
+          ts("2024-01-01 10:05:00")))))
+      // the 11:30 event sits in open state, not in the closed output
+      assert(spark.read.parquet(out).count() == 2)
+    }
+  }
+
   test("transformWithState firstSeen re-admits a key after its state" +
       " TTL lapses") {
     withRocksDb {
