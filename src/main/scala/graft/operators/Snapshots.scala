@@ -149,10 +149,21 @@ object Snapshots {
       toV: Long, keys: Seq[String]): DataFrame = {
     val before = readVersion(spark, tablePath, fromV)
     val after = readVersion(spark, tablePath, toV)
-    val valCols = after.columns.filterNot(keys.contains).toSeq
-    def packed(df: DataFrame, as: String) = df.select(
-      org.apache.spark.sql.functions.struct(keys.map(col): _*).as("__k"),
-      org.apache.spark.sql.functions.struct(valCols.map(col): _*).as(as))
+    // value columns = the UNION across both versions: upsert evolves
+    // schemas (append_new_columns), so a version boundary can add or
+    // drop columns — a side missing one reads it as null, exactly like
+    // the evolved table itself (rows that only gained a null column do
+    // NOT register as updates: null <=> null)
+    val valCols = (after.columns ++ before.columns).distinct
+      .filterNot(keys.contains).toSeq
+    def packed(df: DataFrame, as: String) = {
+      val have = df.columns.toSet
+      df.select(
+        org.apache.spark.sql.functions.struct(keys.map(col): _*).as("__k"),
+        org.apache.spark.sql.functions.struct(valCols.map(c =>
+          if (have(c)) col(c)
+          else org.apache.spark.sql.functions.lit(null).as(c)): _*).as(as))
+    }
     packed(before, "__b").join(packed(after, "__a"), Seq("__k"),
         "full_outer")
       .withColumn("change_type",

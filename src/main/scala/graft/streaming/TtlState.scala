@@ -32,7 +32,10 @@ import org.apache.spark.sql.streaming._
   * requires the RocksDB provider), hash-partitioned by key exactly like a
   * keyed aggregation — 1000 executors hold 1/1000th of the keys, and TTL
   * eviction happens inside the store with no driver involvement. All
-  * processors are O(1) state per key and never buffer input rows.
+  * processors keep O(1) state per key; only the session closer buffers
+  * a key's rows transiently WITHIN one micro-batch (it must see them in
+  * event-time order to split on the gap) — persistent state never
+  * grows with input.
   */
 object TtlState {
 

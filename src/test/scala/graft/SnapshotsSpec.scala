@@ -124,6 +124,20 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT v FROM snap_v1").as[String].head() == "a")
   }
 
+  test("changes() spans a schema-evolution boundary: a new column reads" +
+      " as null on the old side and null-only gains are not updates") {
+    val t = tmpTable()
+    Snapshots.write(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // v2 evolves: new column w; key 1 unchanged in v, key 2 changes
+    Snapshots.upsert(spark, t,
+      Seq((2L, "B", Some("x")), (3L, "c", Option.empty[String]))
+        .toDF("k", "v", "w"), Seq("k"))
+    val got = Snapshots.changes(spark, t, 1L, 2L, Seq("k"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    // key 1: only gained a null w → NOT an update; 2 updated; 3 inserted
+    assert(got == Map(2L -> "update", 3L -> "insert"))
+  }
+
   test("two racing upsert writers both commit under retry; neither" +
       " writer's rows are lost and versions advance monotonically") {
     val t = tmpTable()
