@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.Comparator
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Small-file compaction maintenance job.
   *
@@ -30,12 +31,9 @@ final class Compaction(spark: SparkSession,
       Paths.get(root)) {
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Nil
-    val parts = Files.list(rootPath).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-      .toSeq.sortBy(_.toString)
+    val parts = partDirs(rootPath)
     parts.flatMap { part =>
-      val files = Files.walk(part).iterator().asScala
-        .filter(f => f.toString.endsWith(".parquet")).toSeq
+      val files = parquetFiles(part)
       if (files.size < minFilesToCompact) None
       else {
         val bytes = files.map(Files.size).sum
@@ -65,12 +63,9 @@ final class Compaction(spark: SparkSession,
     import org.apache.spark.sql.functions.col
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Nil
-    val parts = Files.list(rootPath).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-      .toSeq.sortBy(_.toString)
+    val parts = partDirs(rootPath)
     parts.flatMap { part =>
-      val files = Files.walk(part).iterator().asScala
-        .filter(f => f.toString.endsWith(".parquet")).toSeq
+      val files = parquetFiles(part)
       if (files.isEmpty) None
       else {
         val bytes = files.map(Files.size).sum
@@ -106,12 +101,9 @@ final class Compaction(spark: SparkSession,
     import org.apache.spark.sql.functions.{col, min, max}
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath)) return Nil
-    val parts = Files.list(rootPath).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-      .toSeq.sortBy(_.toString)
+    val parts = partDirs(rootPath)
     parts.flatMap { part =>
-      val files = Files.walk(part).iterator().asScala
-        .filter(f => f.toString.endsWith(".parquet")).toSeq
+      val files = parquetFiles(part)
       if (files.isEmpty) None
       else {
         val bytes = files.map(Files.size).sum
@@ -147,8 +139,20 @@ final class Compaction(spark: SparkSession,
     }
   }
 
+  // list()/walk() hold a directory fd until closed (ADVICE r4)
+  private def partDirs(rootPath: Path): Seq[Path] =
+    Using.resource(Files.list(rootPath))(_.iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.contains("="))
+      .toSeq).sortBy(_.toString)
+
+  private def parquetFiles(part: Path): Seq[Path] =
+    Using.resource(Files.walk(part))(_.iterator().asScala
+      .filter(f => f.toString.endsWith(".parquet")).toSeq)
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      Using.resource(Files.walk(p))(
+        _.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f)))
 }

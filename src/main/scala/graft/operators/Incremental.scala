@@ -2,8 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
+import java.nio.file.Path
 
 /** Incremental "delete+insert" materializer with a sliding late-data window.
   *
@@ -14,6 +13,12 @@ import java.util.Comparator
   * target, stg_orders.sql:17-25) on plain Parquet, transactionally via a
   * write-to-temp-then-atomic-swap protocol (the reference leans on DuckDB's
   * single-file transactionality; SURVEY.md §7.4 risk 2).
+  *
+  * All commit-control operations (lock sidecar, dir swap, existence checks)
+  * go through a [[CommitStore]] — `CommitStore.local` (java.nio, atomic on
+  * POSIX) by default, `CommitStore.hadoop()` for HDFS-class stores; see the
+  * per-store atomicity map on [[CommitStore]]. Data reads/writes were always
+  * storage-agnostic (Spark's Hadoop IO stack).
   *
   * Scale notes: the upsert is `target left_anti updates ∪ updates`. The
   * anti-join shuffles both sides on the key — at 100 TB you avoid rewriting
@@ -39,51 +44,82 @@ object Incremental {
   val DefaultLockStaleMs: Long = 10 * 60 * 1000L
 
   private[graft] def lockPath(target: Path): Path =
-    Paths.get(target.toString + ".__lock")
+    java.nio.file.Paths.get(target.toString + ".__lock")
 
-  /** Acquire the single-writer lock for `target`: atomic create-new of a
-    * sidecar lock file. An existing lock older than `staleMs` is treated
-    * as a crashed writer's and stolen (delete + one re-create attempt —
-    * two concurrent stealers race on create-new, so exactly one wins). */
-  private[graft] def acquire(target: Path,
-      staleMs: Long = DefaultLockStaleMs): Unit = {
-    val lock = lockPath(target)
-    Option(target.toAbsolutePath.getParent)
-      .foreach(p => Files.createDirectories(p))
-    def tryCreate(): Boolean =
-      try {
-        Files.write(lock,
-          s"${System.currentTimeMillis()} pid=${ProcessHandle.current.pid}"
-            .getBytes("UTF-8"),
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (tryCreate()) return
-    val stale =
-      try System.currentTimeMillis() -
-        Files.getLastModifiedTime(lock).toMillis > staleMs
-      catch { case _: Throwable => false } // lock vanished → re-create below
-    if (stale) { try Files.deleteIfExists(lock)
-      catch { case _: Throwable => () } }
+  private def lockFor(target: String): String = target + ".__lock"
+
+  private def parentOf(path: String): Option[String] = {
+    val i = path.lastIndexOf('/')
+    if (i > 0) Some(path.substring(0, i)) else None
+  }
+
+  /** Acquire the single-writer lock for `target`: atomic create-if-absent
+    * of a sidecar lock file carrying a unique ownership token (returned;
+    * [[release]] needs it back).
+    *
+    * An existing lock older than `staleMs` is treated as a crashed
+    * writer's and STOLEN — by first atomically RENAMING it to a unique
+    * tombstone: of N concurrent stealers exactly one rename succeeds (the
+    * others see the source gone), so a stealer can never delete a lock a
+    * different writer just created, and the subsequent create-new race
+    * still admits exactly one winner. (A delete-then-create steal is NOT
+    * safe: the unconditional delete can hit a fresh lock created between
+    * the stale check and the delete.) */
+  private[graft] def acquire(target: String,
+      staleMs: Long = DefaultLockStaleMs,
+      store: CommitStore = CommitStore.local): String = {
+    val lock = lockFor(target)
+    parentOf(target).foreach(store.mkdirs)
+    val token =
+      s"${java.util.UUID.randomUUID()} pid=${ProcessHandle.current.pid} " +
+        s"ts=${System.currentTimeMillis()}"
+    def tryCreate(): Boolean = store.createNew(lock, token.getBytes("UTF-8"))
+    if (tryCreate()) return token
+    val stale = store.modifiedMs(lock)
+      .exists(m => System.currentTimeMillis() - m > staleMs)
+    if (stale) {
+      val tomb = lock + ".steal-" + java.util.UUID.randomUUID()
+      if (store.rename(lock, tomb, replaceExisting = false))
+        store.delete(tomb)
+      // rename lost → another stealer already moved it; fall through to
+      // the create-new race, which is atomic and admits one winner
+    }
     if (!tryCreate())
       throw new ConcurrentWriteException(
         s"$target is locked by a concurrent writer ($lock; " +
           s"stale-expires after ${staleMs} ms)")
+    token
   }
 
-  private[graft] def release(target: Path): Unit =
-    Files.deleteIfExists(lockPath(target))
+  /** Release the lock IF we still own it: a writer stalled past `staleMs`
+    * whose lock was stolen must not delete the thief's lock (that would
+    * admit a third concurrent writer). Token mismatch is logged-by-return,
+    * not an error — the stall itself already surfaced as slowness. */
+  private[graft] def release(target: String, token: String,
+      store: CommitStore = CommitStore.local): Boolean = {
+    val lock = lockFor(target)
+    val owned = store.read(lock)
+      .map(b => new String(b, "UTF-8")).contains(token)
+    if (owned) store.delete(lock)
+    owned
+  }
 
   /** Run `body` holding `target`'s single-writer lock. */
-  private[graft] def withLock[A](target: Path,
-      staleMs: Long = DefaultLockStaleMs)(body: => A): A = {
-    acquire(target, staleMs)
-    try body finally release(target)
+  private[graft] def withLock[A](target: String, staleMs: Long,
+      store: CommitStore)(body: => A): A = {
+    val token = acquire(target, staleMs, store)
+    try body finally release(target, token, store)
   }
+
+  private[graft] def withLock[A](target: String)(body: => A): A =
+    withLock(target, DefaultLockStaleMs, CommitStore.local)(body)
+
+  private[graft] def withLock[A](target: Path)(body: => A): A =
+    withLock(target.toString, DefaultLockStaleMs, CommitStore.local)(body)
 }
 
-final class Incremental(spark: SparkSession) {
-  import Incremental.withLock
+final class Incremental(spark: SparkSession,
+    store: CommitStore = CommitStore.local) {
 
   /** Scalar watermark: `coalesce(max(tsCol) - lookback, epoch)` over the
     * current target — collected to a literal so the source scan gets a
@@ -91,7 +127,7 @@ final class Incremental(spark: SparkSession) {
     * literals first"). */
   def watermark(targetPath: String, tsCol: String,
                 lookback: String): Option[java.sql.Timestamp] =
-    if (!Files.exists(Paths.get(targetPath))) None
+    if (!store.exists(targetPath)) None
     else {
       val row = spark.read.parquet(targetPath)
         .agg(max(col(tsCol).cast("timestamp") - expr(s"INTERVAL $lookback")))
@@ -120,22 +156,21 @@ final class Incremental(spark: SparkSession) {
     * surfaces its union schema. */
   def upsert(targetPath: String, updates: DataFrame,
              keys: Seq[String]): Unit = {
-    val target = Paths.get(targetPath)
     // crash-safety (tmp+swap) does not cover CONCURRENT writers: two
     // interleaved read-merge-swap sequences each merge against the
     // pre-state and the second swap erases the first writer's rows. The
     // lock serializes the whole read-modify-write; a second writer gets
     // ConcurrentWriteException (retry) instead of silent data loss.
-    Incremental.withLock(target) {
+    Incremental.withLock(targetPath, Incremental.DefaultLockStaleMs, store) {
       val updatesCached = updates.cache()
       try {
         val merged =
-          if (!Files.exists(target)) updatesCached
+          if (!store.exists(targetPath)) updatesCached
           else spark.read.option("mergeSchema", "true").parquet(targetPath)
             .join(updatesCached.select(keys.map(col): _*).distinct(),
               keys, "left_anti")
             .unionByName(updatesCached, allowMissingColumns = true)
-        atomicOverwrite(target, merged)
+        atomicOverwrite(targetPath, merged)
       } finally updatesCached.unpersist()
     }
   }
@@ -144,11 +179,10 @@ final class Incremental(spark: SparkSession) {
     * are read, merged, and rewritten (dynamic partition overwrite). */
   def upsertPartitioned(targetPath: String, updates: DataFrame,
                         keys: Seq[String], partCol: String): Unit = {
-    val target = Paths.get(targetPath)
     // same single-writer serialization as upsert: the delete-then-
     // dynamic-overwrite sequence is crash-safe but not concurrency-safe
-    Incremental.withLock(target) {
-      if (!Files.exists(target))
+    Incremental.withLock(targetPath, Incremental.DefaultLockStaleMs, store) {
+      if (!store.exists(targetPath))
         updates.write.partitionBy(partCol).mode(SaveMode.Overwrite)
           .parquet(targetPath)
       else
@@ -213,9 +247,9 @@ final class Incremental(spark: SparkSession) {
         target().filter(col(partCol).isin(stale: _*))
           .select(input_file_name()).distinct()
           .collect().map(_.getString(0))
-          .map(f => Paths.get(java.net.URI.create(f)).getParent)
+          .map(parentDirOf)
           .distinct
-          .foreach(deleteRecursively)
+          .foreach(store.deleteRecursively)
       }
     } finally {
       updKeys.unpersist()
@@ -223,21 +257,28 @@ final class Incremental(spark: SparkSession) {
     }
   }
 
-  /** Write df to `path.__tmp`, then swap into place (old data preserved at
-    * `path.__old` until the swap completes, then deleted). */
-  private def atomicOverwrite(target: Path, df: DataFrame): Unit = {
-    val tmp = Paths.get(target.toString + ".__tmp")
-    val old = Paths.get(target.toString + ".__old")
-    deleteRecursively(tmp); deleteRecursively(old)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (Files.exists(target))
-      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
+  /** input_file_name() returns a URI string; normalize `file:` URIs back
+    * to local paths (the local store's currency) and keep other schemes
+    * as-is (the Hadoop store resolves them by scheme). */
+  private def parentDirOf(fileUri: String): String = {
+    val uri = java.net.URI.create(fileUri)
+    val p =
+      if (uri.getScheme == "file")
+        java.nio.file.Paths.get(uri).toString.replace('\\', '/')
+      else fileUri
+    p.substring(0, p.lastIndexOf('/'))
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+  /** Write df to `path.__tmp`, then swap into place (old data preserved at
+    * `path.__old` until the swap completes, then deleted). */
+  private def atomicOverwrite(target: String, df: DataFrame): Unit = {
+    val tmp = target + ".__tmp"
+    val old = target + ".__old"
+    store.deleteRecursively(tmp); store.deleteRecursively(old)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    if (store.exists(target))
+      store.rename(target, old, replaceExisting = false)
+    store.rename(tmp, target, replaceExisting = false)
+    store.deleteRecursively(old)
+  }
 }

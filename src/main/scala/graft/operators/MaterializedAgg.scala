@@ -85,6 +85,7 @@ final class MaterializedAgg(spark: SparkSession, targetPath: String,
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f)))
 }

@@ -55,6 +55,7 @@ final class Retention(spark: SparkSession) {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f)))
 }

@@ -76,6 +76,7 @@ final class SketchDistinct(spark: SparkSession, targetPath: String,
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      scala.util.Using.resource(Files.walk(p))(
+        _.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.delete(f)))
 }

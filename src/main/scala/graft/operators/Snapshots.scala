@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
 
 /** Snapshot-versioned tables: MVCC + time travel on plain parquet via a
   * MANIFEST-COMMIT protocol — the second half of the concurrent-safety
@@ -31,62 +29,54 @@ import java.util.Comparator
   * Scale notes: the protocol is pure metadata — one pointer file and
   * one rename per commit, no data copying beyond the new snapshot
   * itself; `readVersion` gives O(1) time travel to any retained
-  * snapshot; `vacuum` bounds storage. On an object store, `_current`
-  * maps to a conditional-put manifest (the Iceberg/Delta commit
-  * pattern — e.g. iceberg TableMetadata pointer swap).
+  * snapshot; `vacuum` bounds storage. All control-plane IO goes through
+  * a [[CommitStore]]: `CommitStore.local` by default (java.nio, atomic
+  * on POSIX), `CommitStore.hadoop()` for HDFS-class stores where
+  * `create(overwrite=false)`/`rename` are atomic NameNode ops; an
+  * object-store binding maps the pointer flip to a conditional-put
+  * manifest (the Iceberg/Delta commit pattern) behind the same trait.
   */
 object Snapshots {
 
-  private def snapsDir(table: Path): Path = table.resolve("_snapshots")
-  private def pointer(table: Path): Path = table.resolve("_current")
-  private def versionDir(table: Path, v: Long): Path =
-    snapsDir(table).resolve(f"v$v%05d")
+  private def snapsDir(table: String): String = s"$table/_snapshots"
+  private def pointer(table: String): String = s"$table/_current"
+  private def versionDir(table: String, v: Long): String =
+    f"${snapsDir(table)}/v$v%05d"
 
   /** Versions with an existing snapshot dir, ascending (orphans incl.). */
-  def versions(tablePath: String): Seq[Long] = {
-    val d = snapsDir(Paths.get(tablePath))
-    if (!Files.exists(d)) Seq.empty
-    else {
-      val it = Files.list(d).iterator()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-      while (it.hasNext) {
-        val name = it.next().getFileName.toString
-        if (name.startsWith("v")) buf += name.drop(1).toLong
-      }
-      buf.sorted.toSeq
-    }
-  }
+  def versions(tablePath: String,
+      store: CommitStore = CommitStore.local): Seq[Long] =
+    store.list(snapsDir(tablePath))
+      .filter(_.startsWith("v"))
+      .map(_.drop(1).toLong)
+      .sorted
 
   /** The committed version the pointer references, if any. */
-  def currentVersion(tablePath: String): Option[Long] = {
-    val p = pointer(Paths.get(tablePath))
-    if (!Files.exists(p)) None
-    else Some(new String(Files.readAllBytes(p), "UTF-8").trim.toLong)
-  }
+  def currentVersion(tablePath: String,
+      store: CommitStore = CommitStore.local): Option[Long] =
+    store.read(pointer(tablePath))
+      .map(b => new String(b, "UTF-8").trim.toLong)
 
   /** Commit `df` as the next snapshot: full write, THEN pointer flip. */
-  def write(spark: SparkSession, tablePath: String, df: DataFrame): Long = {
-    val table = Paths.get(tablePath)
-    Incremental.withLock(table) {
-      val v = versions(tablePath).lastOption.getOrElse(0L) + 1
-      df.write.mode(SaveMode.Overwrite)
-        .parquet(versionDir(table, v).toString)
-      commitPointer(table, v)
+  def write(spark: SparkSession, tablePath: String, df: DataFrame,
+      store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
+      val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
+      df.write.mode(SaveMode.Overwrite).parquet(versionDir(tablePath, v))
+      commitPointer(tablePath, v, store)
       v
     }
-  }
 
   /** Keyed upsert as a new snapshot (read current → merge → commit);
     * readers of the previous version are unaffected until the flip. */
   def upsert(spark: SparkSession, tablePath: String, updates: DataFrame,
-      keys: Seq[String]): Long = {
-    val table = Paths.get(tablePath)
-    Incremental.withLock(table) {
-      val merged = currentVersion(tablePath) match {
+      keys: Seq[String], store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
+      val merged = currentVersion(tablePath, store) match {
         case None => updates
         case Some(cur) =>
           spark.read.option("mergeSchema", "true")
-            .parquet(versionDir(table, cur).toString)
+            .parquet(versionDir(tablePath, cur))
             .join(updates.select(keys.map(col): _*).distinct(),
               keys, "left_anti")
             .unionByName(updates, allowMissingColumns = true)
@@ -95,45 +85,44 @@ object Snapshots {
             // but the plan must not lazily re-resolve after the commit
             .localCheckpoint()
       }
-      val v = versions(tablePath).lastOption.getOrElse(0L) + 1
-      merged.write.mode(SaveMode.Overwrite)
-        .parquet(versionDir(table, v).toString)
-      commitPointer(table, v)
+      val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
+      merged.write.mode(SaveMode.Overwrite).parquet(versionDir(tablePath, v))
+      commitPointer(tablePath, v, store)
       v
     }
-  }
 
   /** Read the current committed snapshot. */
-  def read(spark: SparkSession, tablePath: String): DataFrame =
-    currentVersion(tablePath) match {
-      case Some(v) => readVersion(spark, tablePath, v)
+  def read(spark: SparkSession, tablePath: String,
+      store: CommitStore = CommitStore.local): DataFrame =
+    currentVersion(tablePath, store) match {
+      case Some(v) => readVersion(spark, tablePath, v, store)
       case None => throw new IllegalStateException(
         s"$tablePath has no committed snapshot")
     }
 
   /** Time travel: read an exact retained version. */
-  def readVersion(spark: SparkSession, tablePath: String,
-      v: Long): DataFrame = {
-    val dir = versionDir(Paths.get(tablePath), v)
-    if (!Files.exists(dir)) throw new IllegalStateException(
+  def readVersion(spark: SparkSession, tablePath: String, v: Long,
+      store: CommitStore = CommitStore.local): DataFrame = {
+    val dir = versionDir(tablePath, v)
+    if (!store.exists(dir)) throw new IllegalStateException(
       s"$tablePath has no snapshot v$v (vacuumed or never committed)")
-    spark.read.parquet(dir.toString)
+    spark.read.parquet(dir)
   }
 
   /** Drop all snapshots except the newest `keep` committed ones (the
     * current version always survives); orphans from crashed writers —
     * dirs above the pointer — are reclaimed too. */
-  def vacuum(tablePath: String, keep: Int = 1): Seq[Long] = {
+  def vacuum(tablePath: String, keep: Int = 1,
+      store: CommitStore = CommitStore.local): Seq[Long] = {
     require(keep >= 1, "keep must retain at least the current snapshot")
-    val table = Paths.get(tablePath)
-    Incremental.withLock(table) {
-      val cur = currentVersion(tablePath).getOrElse(
+    Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
+      val cur = currentVersion(tablePath, store).getOrElse(
         return Seq.empty) // nothing committed → nothing safe to reason about
-      val committed = versions(tablePath).filter(_ <= cur)
-      val orphans = versions(tablePath).filter(_ > cur)
+      val committed = versions(tablePath, store).filter(_ <= cur)
+      val orphans = versions(tablePath, store).filter(_ > cur)
       val retained = committed.takeRight(keep).toSet + cur
       val drop = (committed.filterNot(retained) ++ orphans).sorted
-      drop.foreach(v => deleteRecursively(versionDir(table, v)))
+      drop.foreach(v => store.deleteRecursively(versionDir(tablePath, v)))
       drop
     }
   }
@@ -146,9 +135,10 @@ object Snapshots {
     * "update" means any non-key column differs (null-safe struct
     * equality, so null→value and value→null both register). */
   def changes(spark: SparkSession, tablePath: String, fromV: Long,
-      toV: Long, keys: Seq[String]): DataFrame = {
-    val before = readVersion(spark, tablePath, fromV)
-    val after = readVersion(spark, tablePath, toV)
+      toV: Long, keys: Seq[String],
+      store: CommitStore = CommitStore.local): DataFrame = {
+    val before = readVersion(spark, tablePath, fromV, store)
+    val after = readVersion(spark, tablePath, toV, store)
     // value columns = the UNION across both versions: upsert evolves
     // schemas (append_new_columns), so a version boundary can add or
     // drop columns — a side missing one reads it as null, exactly like
@@ -190,11 +180,12 @@ object Snapshots {
     * rows); it just burns one extra version number, which vacuum
     * reclaims like any other pre-horizon snapshot. */
   def streamCommit(spark: SparkSession, stream: DataFrame,
-      tablePath: String, keys: Seq[String], checkpoint: String)
+      tablePath: String, keys: Seq[String], checkpoint: String,
+      store: CommitStore = CommitStore.local)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch((batch: DataFrame, _: Long) => {
-        upsert(spark, tablePath, batch, keys); ()
+        upsert(spark, tablePath, batch, keys, store); ()
       })
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -207,23 +198,19 @@ object Snapshots {
     * commit repoints the name; a PINNED registration keeps serving its
     * version even as new commits land (until vacuumed). */
   def registerView(spark: SparkSession, viewName: String,
-      tablePath: String, version: Option[Long] = None): Long = {
-    val v = version.getOrElse(currentVersion(tablePath).getOrElse(
+      tablePath: String, version: Option[Long] = None,
+      store: CommitStore = CommitStore.local): Long = {
+    val v = version.getOrElse(currentVersion(tablePath, store).getOrElse(
       throw new IllegalStateException(
         s"$tablePath has no committed snapshot")))
-    readVersion(spark, tablePath, v).createOrReplaceTempView(viewName)
+    readVersion(spark, tablePath, v, store).createOrReplaceTempView(viewName)
     v
   }
 
-  private def commitPointer(table: Path, v: Long): Unit = {
-    val tmp = table.resolve("_current.__tmp")
-    Files.write(tmp, v.toString.getBytes("UTF-8"))
-    Files.move(tmp, pointer(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+  private def commitPointer(table: String, v: Long,
+      store: CommitStore): Unit = {
+    val tmp = pointer(table) + ".__tmp"
+    store.write(tmp, v.toString.getBytes("UTF-8"))
+    store.rename(tmp, pointer(table), replaceExisting = true)
   }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
 }

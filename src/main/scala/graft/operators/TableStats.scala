@@ -2,6 +2,7 @@ package graft.operators
 
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Layout advisory for a partitioned parquet table: per-partition file
   * counts, bytes, and skew — the numbers an operator reads BEFORE
@@ -33,10 +34,11 @@ object TableStats {
     val rootPath = Paths.get(root)
     if (!Files.exists(rootPath))
       return Report(Nil, 0, 0L, 1.0, Nil)
-    val partDirs = Files.list(rootPath).iterator().asScala
+    // list()/walk() hold a directory fd until closed (ADVICE r4)
+    val partDirs = Using.resource(Files.list(rootPath))(_.iterator().asScala
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.contains("="))
-      .toSeq.sortBy(_.getFileName.toString)
+      .toSeq).sortBy(_.getFileName.toString)
     val stats =
       if (partDirs.nonEmpty) partDirs.map(p =>
         statOf(p.getFileName.toString, p))
@@ -52,9 +54,9 @@ object TableStats {
   }
 
   private def statOf(name: String, dir: Path): PartitionStat = {
-    val sizes = Files.walk(dir).iterator().asScala
+    val sizes = Using.resource(Files.walk(dir))(_.iterator().asScala
       .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
-      .map(Files.size).toSeq
+      .map(Files.size).toSeq)
     if (sizes.isEmpty) PartitionStat(name, 0, 0L, 0L, 0L)
     else PartitionStat(name, sizes.size, sizes.sum, sizes.min, sizes.max)
   }

@@ -28,7 +28,7 @@ class ConcurrencySpec extends AnyFunSuite {
     val tgt = s"${tmp("lock")}/t"
     val inc = new Incremental(spark)
     inc.upsert(tgt, Seq((1, "a")).toDF("k", "v"), Seq("k"))
-    Incremental.acquire(Paths.get(tgt)) // simulate a concurrent writer
+    val tok = Incremental.acquire(tgt) // simulate a concurrent writer
     try {
       val e = intercept[Incremental.ConcurrentWriteException] {
         inc.upsert(tgt, Seq((2, "b")).toDF("k", "v"), Seq("k"))
@@ -36,7 +36,7 @@ class ConcurrencySpec extends AnyFunSuite {
       assert(e.getMessage.contains("locked"))
       // the failed attempt must not have touched the table
       assert(spark.read.parquet(tgt).count() == 1)
-    } finally Incremental.release(Paths.get(tgt))
+    } finally Incremental.release(tgt, tok)
     inc.upsert(tgt, Seq((2, "b")).toDF("k", "v"), Seq("k"))
     assert(spark.read.parquet(tgt).count() == 2)
   }
@@ -101,10 +101,10 @@ class ConcurrencySpec extends AnyFunSuite {
     val batch = Seq((1L, "2024-01-01"), (2L, "2024-01-01"))
       .toDF("id", "ingest_date")
     assert(ba.appendNewPartitions(batch, tgt, "ingest_date") == 2L)
-    Incremental.acquire(Paths.get(tgt))
+    val tok = Incremental.acquire(tgt)
     try intercept[Incremental.ConcurrentWriteException] {
       ba.appendNewPartitions(batch, tgt, "ingest_date")
-    } finally Incremental.release(Paths.get(tgt))
+    } finally Incremental.release(tgt, tok)
     // after release: re-run is the normal idempotent no-op
     assert(ba.appendNewPartitions(batch, tgt, "ingest_date") == 0L)
     assert(spark.read.parquet(tgt).count() == 2)
@@ -114,10 +114,10 @@ class ConcurrencySpec extends AnyFunSuite {
     val tgt = s"${tmp("magg")}/rollup"
     val magg = new MaterializedAgg(spark, tgt, Seq("k"), Seq("v"))
     magg.refresh(Seq(("a", 1.00)).toDF("k", "v"))
-    Incremental.acquire(Paths.get(tgt))
+    val tok = Incremental.acquire(tgt)
     try intercept[Incremental.ConcurrentWriteException] {
       magg.refresh(Seq(("a", 2.00)).toDF("k", "v"))
-    } finally Incremental.release(Paths.get(tgt))
+    } finally Incremental.release(tgt, tok)
     magg.refresh(Seq(("a", 2.00)).toDF("k", "v"))
     assert(magg.read().select(col("sum_v").cast("double"))
       .as[Double].head() == 3.0)

@@ -170,10 +170,10 @@ class SnapshotsSpec extends AnyFunSuite {
   test("writers serialize through the single-writer lock") {
     val t = tmpTable()
     Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"))
-    Incremental.acquire(Paths.get(t))
+    val tok = Incremental.acquire(t)
     try assertThrows[Incremental.ConcurrentWriteException](
       Snapshots.write(spark, t, Seq((2L, "b")).toDF("k", "v")))
-    finally Incremental.release(Paths.get(t))
+    finally Incremental.release(t, tok)
     // lock released → committing works again and versions advance
     assert(Snapshots.write(spark, t, Seq((2L, "b")).toDF("k", "v")) == 2L)
   }
