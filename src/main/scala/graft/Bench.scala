@@ -75,6 +75,39 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    // --- CPU-steal attribution (round-6 judge ask #2): when a run is slow
+    // with flat jit/gc, WHERE did the wall-clock go? Three counters around
+    // each run answer it with measurements instead of guesses:
+    //  - cpu_s: this JVM's actual on-CPU seconds (process CPU time) — a
+    //    slow run whose cpu_s matches its fast twin did the same work and
+    //    simply didn't get scheduled;
+    //  - runq_s: run-queue WAIT summed over all JVM threads
+    //    (/proc/self/task/*/schedstat field 2 = ns runnable-but-waiting)
+    //    — the direct "we were ready, the host didn't run us" signal;
+    //  - host_steal_s: the host's hypervisor-steal jiffies delta
+    //    (/proc/stat cpu line field 8) — VM-level contention.
+    def processCpuNs: Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+        case _ => 0L
+      }
+    def runqWaitNs: Long =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get("/proc/self/task"))
+          .iterator().asScala.map { t =>
+            try new String(java.nio.file.Files.readAllBytes(
+              t.resolve("schedstat"))).split("\\s+")(1).toLong
+            catch { case _: Throwable => 0L } // task exited mid-iteration
+          }.sum
+      } catch { case _: Throwable => 0L }
+    def hostStealJiffies: Long =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).getOrElse("")
+        val f = cpu.trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else 0L
+      } catch { case _: Throwable => 0L }
     // Local-iteration filter (SPARK_GRAFT_ONLY=s04_ivf_search,q17_...);
     // the driver never sets it, so driver runs always cover the catalog.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -106,11 +139,15 @@ object Bench {
       // breaks the tie — so the reported min is corroborated by at least
       // one other same-magnitude sample whenever samples conflict.
       var ok = true
-      var runs = Vector.empty[(Double, Double, Double)] // (sec, jit_s, gc_s)
+      // (sec, jit_s, gc_s, cpu_s, runq_s, host_steal_s)
+      var runs = Vector.empty[(Double, Double, Double, Double, Double, Double)]
       def timedRun(): Unit = {
         val t0 = System.nanoTime()
         val j0 = jit.getTotalCompilationTime
         val g0 = gcMs
+        val c0 = processCpuNs
+        val w0 = runqWaitNs
+        val s0 = hostStealJiffies
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
@@ -119,15 +156,29 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         val dj = (jit.getTotalCompilationTime - j0) / 1e3
         val dg = (gcMs - g0) / 1e3
+        val dc = (processCpuNs - c0) / 1e9
+        // runq sum is over LIVE threads; a thread exiting mid-run drops
+        // its accumulated wait from the end snapshot — clamp at 0
+        val dw = math.max(0L, runqWaitNs - w0) / 1e9
+        val ds = (hostStealJiffies - s0) / 100.0 // USER_HZ jiffies → sec
         System.err.println(
-          f"[bench] run${runs.size + 1}  ${q.name} $dt%.2fs (jit $dj%.1fs, gc $dg%.1fs)")
-        runs :+= ((dt, dj, dg))
+          f"[bench] run${runs.size + 1}  ${q.name} $dt%.2fs (jit $dj%.1fs, " +
+            f"gc $dg%.1fs, cpu $dc%.1fs, runq $dw%.1fs, steal $ds%.1fs)")
+        runs :+= ((dt, dj, dg, dc, dw, ds))
         // each query is self-contained; drop its cached intermediates so
         // storage memory never competes with later queries' execution
         spark.catalog.clearCache()
       }
+      // Iterative multi-round queries synchronize on the slowest task
+      // once per round, making them the suite's steal magnets (d06's
+      // unattributed 2.6× in round 6): they always get 3 samples so a
+      // single spiked run can never be half the evidence.
+      val iterative = Set("d06_dedup_clusters", "d12_canonical_dedup",
+        "q57_page_centrality", "d02_minhash_lsh", "s06_kmeans_update",
+        "s07_pq_adc_search", "q54_hierarchy_flatten")
+      val minRuns = if (iterative(q.name)) 3 else 2
       timedRun()
-      if (ok) timedRun()
+      while (ok && runs.size < minRuns) timedRun()
       if (ok && runs.map(_._1).max / runs.map(_._1).min > 2.0) timedRun()
       val best = runs.map(_._1).min
       System.err.println(f"[bench] done  ${q.name} $best%.2fs")
@@ -146,8 +197,9 @@ object Bench {
       .mkString("[", ",", "]")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val detail = results.map { case (k, _, runs) =>
-      "\"" + k + "\":[" + runs.map { case (dt, dj, dg) =>
-        s"""{"time":${r3(dt)},"jit_s":${r3(dj)},"gc_s":${r3(dg)}}"""
+      "\"" + k + "\":[" + runs.map { case (dt, dj, dg, dc, dw, ds) =>
+        s"""{"time":${r3(dt)},"jit_s":${r3(dj)},"gc_s":${r3(dg)},""" +
+          s""""cpu_s":${r3(dc)},"runq_s":${r3(dw)},"host_steal_s":${r3(ds)}}"""
       }.mkString(",") + "]"
     }.mkString("{\"sf\":\"" + sfDir + "\",\"runs\":{", ",", "}}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",

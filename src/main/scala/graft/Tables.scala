@@ -21,14 +21,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long (legacy conf), then integer-divide
-    * to micros (exact — no double path, nanos exceed 2^53) and rebuild a
-    * TimestampType column. Matches DuckDB's ns→us truncation. */
+  /** `events.ts` has shipped in two physical shapes across driver
+    * testdata generations: TIMESTAMP(NANOS) — which Spark's parquet
+    * reader rejects, so it is read as long via the legacy conf and
+    * integer-divided to micros (exact — no double path, nanos exceed
+    * 2^53; matches DuckDB's ns→us truncation) — and plain
+    * TIMESTAMP(MICROS), which Spark reads directly (as NTZ under
+    * `inferTimestampNTZ`). Normalize BOTH to a session-zone
+    * TimestampType column so every downstream query sees one shape. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // nanos-as-long file
+        timestamp_micros(expr("ts div 1000"))
+      case _ => // native timestamp file (NTZ wall-clock = UTC session)
+        col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
   /** documents/embeddings are single small parquet files (1 input split)

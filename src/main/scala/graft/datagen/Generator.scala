@@ -115,8 +115,20 @@ final class Generator(seed: Long = 894L) {
     * (events, orders) per hour with duplicate injection. */
   def simulate(start: Instant, hours: Int, sessionsPerHour: Int)
       : Seq[(Seq[Event], Seq[Order])] = {
+    val buf = Seq.newBuilder[(Seq[Event], Seq[Order])]
+    simulateEach(start, hours, sessionsPerHour)((_, e, o) => buf += ((e, o)))
+    buf.result()
+  }
+
+  /** Streaming form of [[simulate]]: hands each hour's batch to `f` as it
+    * is generated instead of materializing all hours — identical data for
+    * the same seed (the rng is consumed hour by hour in the same order).
+    * The e2e pipeline bench uses this to write a 24 h dataset with one
+    * hour resident at a time. */
+  def simulateEach(start: Instant, hours: Int, sessionsPerHour: Int)
+      (f: (Int, Seq[Event], Seq[Order]) => Unit): Unit = {
     val knownUsers = scala.collection.mutable.ArrayBuffer.empty[String]
-    (0 until hours).map { h =>
+    (0 until hours).foreach { h =>
       val t0 = start.plusSeconds(h * 3600L)
       val evs = Seq.newBuilder[Event]
       val ords = Seq.newBuilder[Order]
@@ -134,7 +146,7 @@ final class Generator(seed: Long = 894L) {
         events = events :+ events(rng.nextInt(events.size))
       if (rng.nextDouble() < 0.02 && orders.nonEmpty)
         orders = orders :+ orders(rng.nextInt(orders.size))
-      (events, orders)
+      f(h, events, orders)
     }
   }
 

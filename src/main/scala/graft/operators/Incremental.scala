@@ -57,14 +57,25 @@ object Incremental {
     * of a sidecar lock file carrying a unique ownership token (returned;
     * [[release]] needs it back).
     *
-    * An existing lock older than `staleMs` is treated as a crashed
-    * writer's and STOLEN — by first atomically RENAMING it to a unique
-    * tombstone: of N concurrent stealers exactly one rename succeeds (the
-    * others see the source gone), so a stealer can never delete a lock a
-    * different writer just created, and the subsequent create-new race
-    * still admits exactly one winner. (A delete-then-create steal is NOT
-    * safe: the unconditional delete can hit a fresh lock created between
-    * the stale check and the delete.) */
+    * An existing lock older than `staleMs` is a crashed writer's and is
+    * STOLEN — through a STEAL ARBITER, a second create-if-absent lock at
+    * `<lock>.steal`. Why not tombstone-rename the lock itself (rounds
+    * 5-6) or delete-then-create (rounds 1-4)? Both are CONTENT-BLIND
+    * operations on the live lock path: a stealer acting on a seconds-old
+    * staleness decision can move/delete a FRESH lock another writer just
+    * created, and while the path sits empty a third writer's create
+    * succeeds — mutual exclusion lost (reproduced by the racing-stealers
+    * spec). The arbiter closes it: (1) `createNew(<lock>.steal)` admits
+    * exactly ONE stealer — losers conflict immediately and never touch
+    * the lock; (2) the winner RE-VERIFIES, inside the arbiter section,
+    * that the lock still carries the very token-and-staleness it
+    * observed — only then deletes it. Nothing else deletes the lock
+    * path (release is token-guarded), so a fresh lock can no longer be
+    * disturbed by any steal interleaving. A crashed arbiter holder is
+    * cleaned by the same staleness horizon: the arbiter protects
+    * microseconds of work, so an arbiter file older than `staleMs` is
+    * unambiguously dead (tombstone-renamed to a unique name — safe
+    * because an ACTIVE arbiter is never anywhere near the horizon). */
   private[graft] def acquire(target: String,
       staleMs: Long = DefaultLockStaleMs,
       store: CommitStore = CommitStore.local): String = {
@@ -74,15 +85,34 @@ object Incremental {
       s"${java.util.UUID.randomUUID()} pid=${ProcessHandle.current.pid} " +
         s"ts=${System.currentTimeMillis()}"
     def tryCreate(): Boolean = store.createNew(lock, token.getBytes("UTF-8"))
+    def isStale(m: Option[Long]): Boolean =
+      m.exists(t => System.currentTimeMillis() - t > staleMs)
     if (tryCreate()) return token
-    val stale = store.modifiedMs(lock)
-      .exists(m => System.currentTimeMillis() - m > staleMs)
-    if (stale) {
-      val tomb = lock + ".steal-" + java.util.UUID.randomUUID()
-      if (store.rename(lock, tomb, replaceExisting = false))
-        store.delete(tomb)
-      // rename lost → another stealer already moved it; fall through to
-      // the create-new race, which is atomic and admits one winner
+    val observed = store.read(lock)
+    if (isStale(store.modifiedMs(lock)) && observed.nonEmpty) {
+      val arbiter = lock + ".steal"
+      if (isStale(store.modifiedMs(arbiter))) {
+        // crashed stealer's arbiter: unique-tombstone it (one cleaner
+        // wins the rename; the others see the source gone)
+        val tomb = arbiter + ".tomb-" + java.util.UUID.randomUUID()
+        if (store.rename(arbiter, tomb, replaceExisting = false))
+          store.delete(tomb)
+      }
+      if (store.createNew(arbiter, token.getBytes("UTF-8"))) {
+        try {
+          val still = store.read(lock)
+          if (still.map(_.toSeq) == observed.map(_.toSeq) &&
+              isStale(store.modifiedMs(lock))) {
+            store.delete(lock) // verified: the dead writer's lock
+          } else
+            throw new ConcurrentWriteException(
+              s"$target lock was refreshed by a concurrent writer " +
+                s"during a stale-steal attempt ($lock)")
+        } finally store.delete(arbiter)
+      } else
+        throw new ConcurrentWriteException(
+          s"$target is being stolen by a concurrent writer " +
+            s"($arbiter exists)")
     }
     if (!tryCreate())
       throw new ConcurrentWriteException(
@@ -270,15 +300,32 @@ final class Incremental(spark: SparkSession,
   }
 
   /** Write df to `path.__tmp`, then swap into place (old data preserved at
-    * `path.__old` until the swap completes, then deleted). */
+    * `path.__old` until the swap completes, then deleted).
+    *
+    * Every rename's Boolean result is CHECKED (ADVICE r6 high:
+    * CommitStore.rename reports failure as `false`, not an exception —
+    * ignoring it meant a failed tmp→target flip could fall through to
+    * deleteRecursively(old) and destroy the only surviving table copy,
+    * with upsert still reporting success). A failed swap now throws, and
+    * the previous data is restored at `target` first when possible. */
   private def atomicOverwrite(target: String, df: DataFrame): Unit = {
     val tmp = target + ".__tmp"
     val old = target + ".__old"
     store.deleteRecursively(tmp); store.deleteRecursively(old)
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    if (store.exists(target))
-      store.rename(target, old, replaceExisting = false)
-    store.rename(tmp, target, replaceExisting = false)
+    val hadTarget = store.exists(target)
+    if (hadTarget && !store.rename(target, old, replaceExisting = false))
+      throw new java.io.IOException(
+        s"atomic swap failed: could not move $target aside to $old; " +
+          "previous data left untouched, merged batch remains at " + tmp)
+    if (!store.rename(tmp, target, replaceExisting = false)) {
+      val restored =
+        !hadTarget || store.rename(old, target, replaceExisting = false)
+      throw new java.io.IOException(
+        s"atomic swap failed: could not move $tmp into place at $target" +
+          (if (restored) "; previous data restored"
+           else s"; RESTORE ALSO FAILED — previous data is at $old"))
+    }
     store.deleteRecursively(old)
   }
 }

@@ -122,13 +122,19 @@ object NearDup {
   def pairsWithCorpus(spark: org.apache.spark.sql.SparkSession,
                       newDocs: DataFrame, idCol: String, textCol: String,
                       signaturePath: String, threshold: Double = 0.5,
-                      appendSignatures: Boolean = true): DataFrame =
+                      appendSignatures: Boolean = true,
+                      store: CommitStore = CommitStore.local): DataFrame =
     // the whole read-pairs-append sequence holds the signature table's
     // single-writer lock (like the other incremental materializers): two
     // unserialized callers would each read the corpus BEFORE the other's
     // append (missing its cross-batch pairs) and their concurrent Append
-    // jobs would share one _temporary staging dir (ADVICE r4)
-    Incremental.withLock(signaturePath) {
+    // jobs would share one _temporary staging dir (ADVICE r4). The lock
+    // sidecar lives NEXT TO the signature table, so for a non-local
+    // signaturePath the caller passes the matching store binding
+    // (ADVICE r6: a hardcoded local store would resolve an hdfs:// lock
+    // path to a literal local path and the serialization would not hold)
+    Incremental.withLock(signaturePath, Incremental.DefaultLockStaleMs,
+        store) {
     val newSigs = signatures(newDocs, idCol, textCol).cache()
     val corpus = spark.read.parquet(signaturePath)
     val within = pairsOf(newSigs, threshold)

@@ -211,6 +211,14 @@ object Snapshots {
       store: CommitStore): Unit = {
     val tmp = pointer(table) + ".__tmp"
     store.write(tmp, v.toString.getBytes("UTF-8"))
-    store.rename(tmp, pointer(table), replaceExisting = true)
+    // a failed flip means readers still resolve the PREVIOUS version —
+    // returning the new version number as committed would hand callers
+    // (incl. streamCommit batches) a version that is really an orphan
+    // snapshot (ADVICE r6); surface the failure instead
+    if (!store.rename(tmp, pointer(table), replaceExisting = true))
+      throw new java.io.IOException(
+        s"commit failed: could not flip $table/_current to v$v — " +
+          "readers still see the previous version; the new snapshot " +
+          "dir is an orphan (vacuum reclaims it)")
   }
 }

@@ -1553,10 +1553,11 @@ object Relational {
     * (parent = k div (2 + k mod 7), strictly decreasing to the virtual
     * root 0) so both engines build the identical forest with no extra
     * fixture. The engine-of-record plan is Hierarchy.flatten's pointer
-    * DOUBLING — 6 fixed rounds of node-keyed hash joins reach depth 64,
-    * where the oracle's literal recursion is depth-many sequential scans;
-    * at 100 TB the doubling form is the only shape whose round count is
-    * independent of chain length. Output: every node with the top-level
+    * DOUBLING — node-keyed hash joins run to a FIXED POINT, reaching
+    * depth 2^r after r rounds (and failing loudly on a cycle), where the
+    * oracle's literal recursion is depth-many sequential scans; at
+    * 100 TB the doubling form is the only shape whose round count is
+    * logarithmic in chain length. Output: every node with the top-level
     * category it rolls up to and its depth below it. */
   val q54HierarchyFlatten: Q = Q("q54_hierarchy_flatten", (s, d) => {
     val nodes = Tables.part(s, d).select(

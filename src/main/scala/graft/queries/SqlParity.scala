@@ -665,8 +665,9 @@ object SqlParity {
 
     // Spark 4 executes WITH RECURSIVE natively (UnionLoop): this is the
     // SQL a user would type, while the engine of record (q54) runs
-    // Hierarchy.flatten's pointer doubling — fixed O(log depth) rounds
-    // instead of the recursion's depth-many iterations. SqlParitySpec
+    // Hierarchy.flatten's pointer doubling — O(log depth) rounds to a
+    // fixed point instead of the recursion's depth-many iterations.
+    // SqlParitySpec
     // proves the two return identical rows.
     "q54_hierarchy_flatten" -> """
       WITH RECURSIVE nodes AS (

@@ -92,10 +92,16 @@ final class StreamingIngest(spark: SparkSession) {
     * for replay; a parsed line yields the typed row. The reference's
     * `read_json_auto(columns=…)` + TRY_CAST (streaming_ingest.py:62-107)
     * silently NULLs what it cannot read — this is the stricter engine
-    * form: same lenient per-field casts for valid JSON, but undecodable
-    * lines are kept, not dropped (at 100 TB, a producer bug that
-    * malforms 0.1% of lines is a replayable quarantine partition, not
-    * silent data loss).
+    * form, in BOTH directions (a deliberate §2.12-style deviation, not
+    * parity): `from_json` PERMISSIVE sets `_corrupt_record` on a
+    * type-mismatched field of otherwise-valid JSON too, so such a row
+    * QUARANTINES with its raw text rather than passing with that field
+    * nulled as the reference's TRY_CAST would; and undecodable lines
+    * are kept, not dropped. At 100 TB, a producer bug — whether it
+    * malforms the framing or the field types of 0.1% of lines — is a
+    * replayable quarantine partition, not silent data loss. (If
+    * reference TRY_CAST parity is ever wanted: parse all-string, then
+    * per-field `try_cast`.) Pinned by StreamingSpec's quarantine cases.
     *
     * Built on `from_json` over a TEXT frame rather than the JSON
     * source's PERMISSIVE corrupt-record column: identical semantics for

@@ -481,23 +481,54 @@ class HierarchySpec extends AnyFunSuite {
       3L -> ((1L, 2L))))
   }
 
-  test("a 200-node path chain flattens exactly within 8 doubling rounds") {
+  test("a 200-node path chain flattens exactly under the DEFAULT cap" +
+      " (depth 199 > 2^6=64, the old fixed round count — the round-6" +
+      " silent-wrong case)") {
     // worst case for a literal recursion: one chain of depth 199
     val nodes = (1L to 200L).map(k => (k, k - 1)).toDF("k", "parent")
-    val out = Hierarchy.flatten(nodes, "k", "parent", doublingRounds = 8)
+    val out = Hierarchy.flatten(nodes, "k", "parent")
       .as[(Long, Long, Long)].collect()
     assert(out.length == 200)
     assert(out.forall { case (k, top, d) => top == 1L && d == k - 1 })
   }
 
-  test("depth beyond 2^rounds saturates instead of diverging") {
-    // 20-deep chain, only 2 doubling rounds (reach = 4): ancestors are
-    // the 4-hop-up node, distances exactly 4 — deterministic, not wrong
+  test("depth beyond 2^maxRounds FAILS LOUDLY instead of returning" +
+      " wrong rows") {
+    // 20-deep chain, cap 2 (reach 4): the old code returned the 4-hop
+    // ancestor as top_key with no error; now it must refuse
     val nodes = (1L to 20L).map(k => (k, k - 1)).toDF("k", "parent")
-    val out = Hierarchy.flatten(nodes, "k", "parent", doublingRounds = 2)
+    val e = intercept[IllegalStateException](
+      Hierarchy.flatten(nodes, "k", "parent", maxRounds = 2).collect())
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("a parent cycle is detected and refused, not looped over") {
+    // 1 -> 2 -> 3 -> 1 plus a normal branch; pointer doubling inside a
+    // cycle never reaches a fixed point — the cap converts that into a
+    // loud failure naming the cause
+    val nodes = Seq((1L, 3L), (2L, 1L), (3L, 2L), (4L, 0L), (5L, 4L))
+      .toDF("k", "parent")
+    val e = intercept[IllegalStateException](
+      Hierarchy.flatten(nodes, "k", "parent", maxRounds = 10).collect())
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("a SELF-parent cycle (k == parent != rootParent) is refused" +
+      " (its pointer never moves but its depth grows forever)") {
+    val nodes = Seq((1L, 0L), (2L, 2L)).toDF("k", "parent")
+    val e = intercept[IllegalStateException](
+      Hierarchy.flatten(nodes, "k", "parent", maxRounds = 10).collect())
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("convergence stops early: a shallow forest under a huge cap" +
+      " returns identical rows to the bounded form") {
+    val nodes = Seq((1L, 0L), (2L, 1L), (3L, 2L)).toDF("k", "parent")
+    val out = Hierarchy.flatten(nodes, "k", "parent", maxRounds = 1000)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
       .toMap
-    assert(out(20L) == ((16L, 4L)) && out(5L) == ((1L, 4L)))
+    assert(out == Map(1L -> ((1L, 0L)), 2L -> ((1L, 1L)),
+      3L -> ((1L, 2L))))
   }
 }
 

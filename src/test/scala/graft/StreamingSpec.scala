@@ -604,6 +604,43 @@ class TtlStateSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState state stays FLAT across batches: 5 passes of" +
+      " the same 20k keys leave a constant state-row count (state scales" +
+      " with live KEYS, not with input rows — the 100 TB stream contract)") {
+    withRocksDb {
+      val base = Files.createTempDirectory("graft_tws_scale").toString
+      val in = s"$base/in"; val cp = s"$base/cp"; val out = s"$base/out"
+      val keys = spark.range(20000)
+        .selectExpr("concat('k', id) AS key", "CAST(1.0 AS DOUBLE) AS value")
+      var stateRows = Vector.empty[Long]
+      (1 to 5).foreach { _ =>
+        keys.write.mode("append").parquet(in)
+        val q = TtlState.runningTotals(spark, stream(in), ttl = None).toDF()
+          .writeStream
+          .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out))
+          .option("checkpointLocation", cp).outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        assert(q.awaitTermination(120000), "pass did not finish")
+        // pin the STATE-STORE METRICS read (round-6 stretch #8): the
+        // engine's own stateOperators progress is the evidence, not a
+        // JVM heap guess
+        val prog = q.recentProgress.reverse
+          .find(_.stateOperators.nonEmpty)
+          .getOrElse(fail("no stateOperators progress recorded"))
+        stateRows = stateRows :+ prog.stateOperators.head.numRowsTotal
+      }
+      assert(stateRows.head >= 20000L,
+        s"state rows never reached the key count: $stateRows")
+      assert(stateRows.distinct.size == 1,
+        s"state GREW across batches of repeated keys: $stateRows — " +
+          "per-key state is not O(1)")
+      // 5 × 20k input rows flowed through; state held only the key set
+      assert(spark.read.parquet(in).count() == 100000L)
+    }
+  }
+
   test("transformWithState runningTotals accumulates per-key state" +
       " across query restarts") {
     withRocksDb {
