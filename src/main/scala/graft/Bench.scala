@@ -108,6 +108,19 @@ object Bench {
         val f = cpu.trim.split("\\s+")
         if (f.length > 8) f(8).toLong else 0L
       } catch { case _: Throwable => 0L }
+    //  - code_cache_mb: JIT code cache OCCUPANCY after the run. The d06
+    //    attribution (round 8): in-suite slow runs show cpu_s inflated
+    //    10-17× over the isolated baseline with flat runq/steal — the
+    //    extra wall-clock is the JVM re-running interpreted/deoptimized
+    //    code during compile churn, and a near-full code cache (sweeper
+    //    flushing hot methods) is the trigger this column makes visible.
+    def codeCacheUsedMb: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.startsWith("CodeHeap") ||
+          p.getName == "CodeCache")
+        .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    }
     // Local-iteration filter (SPARK_GRAFT_ONLY=s04_ivf_search,q17_...);
     // the driver never sets it, so driver runs always cover the catalog.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -139,8 +152,9 @@ object Bench {
       // breaks the tie — so the reported min is corroborated by at least
       // one other same-magnitude sample whenever samples conflict.
       var ok = true
-      // (sec, jit_s, gc_s, cpu_s, runq_s, host_steal_s)
-      var runs = Vector.empty[(Double, Double, Double, Double, Double, Double)]
+      // (sec, jit_s, gc_s, cpu_s, runq_s, host_steal_s, code_cache_mb)
+      var runs =
+        Vector.empty[(Double, Double, Double, Double, Double, Double, Long)]
       def timedRun(): Unit = {
         val t0 = System.nanoTime()
         val j0 = jit.getTotalCompilationTime
@@ -161,10 +175,12 @@ object Bench {
         // its accumulated wait from the end snapshot — clamp at 0
         val dw = math.max(0L, runqWaitNs - w0) / 1e9
         val ds = (hostStealJiffies - s0) / 100.0 // USER_HZ jiffies → sec
+        val cc = codeCacheUsedMb
         System.err.println(
           f"[bench] run${runs.size + 1}  ${q.name} $dt%.2fs (jit $dj%.1fs, " +
-            f"gc $dg%.1fs, cpu $dc%.1fs, runq $dw%.1fs, steal $ds%.1fs)")
-        runs :+= ((dt, dj, dg, dc, dw, ds))
+            f"gc $dg%.1fs, cpu $dc%.1fs, runq $dw%.1fs, steal $ds%.1fs, " +
+            f"cc ${cc}MB)")
+        runs :+= ((dt, dj, dg, dc, dw, ds, cc))
         // each query is self-contained; drop its cached intermediates so
         // storage memory never competes with later queries' execution
         spark.catalog.clearCache()
@@ -173,9 +189,9 @@ object Bench {
       // once per round, making them the suite's steal magnets (d06's
       // unattributed 2.6× in round 6): they always get 3 samples so a
       // single spiked run can never be half the evidence.
-      val iterative = Set("d06_dedup_clusters", "d12_canonical_dedup",
-        "q57_page_centrality", "d02_minhash_lsh", "s06_kmeans_update",
-        "s07_pq_adc_search", "q54_hierarchy_flatten")
+      val iterative = Set("d06_dedup_clusters", "d12_cluster_canonical",
+        "q57_pagerank", "d02_minhash_lsh", "s06_kmeans_update",
+        "s07_pq_rerank", "q54_hierarchy_flatten")
       val minRuns = if (iterative(q.name)) 3 else 2
       timedRun()
       while (ok && runs.size < minRuns) timedRun()
@@ -197,9 +213,10 @@ object Bench {
       .mkString("[", ",", "]")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val detail = results.map { case (k, _, runs) =>
-      "\"" + k + "\":[" + runs.map { case (dt, dj, dg, dc, dw, ds) =>
+      "\"" + k + "\":[" + runs.map { case (dt, dj, dg, dc, dw, ds, cc) =>
         s"""{"time":${r3(dt)},"jit_s":${r3(dj)},"gc_s":${r3(dg)},""" +
-          s""""cpu_s":${r3(dc)},"runq_s":${r3(dw)},"host_steal_s":${r3(ds)}}"""
+          s""""cpu_s":${r3(dc)},"runq_s":${r3(dw)},""" +
+          s""""host_steal_s":${r3(ds)},"code_cache_mb":$cc}"""
       }.mkString(",") + "]"
     }.mkString("{\"sf\":\"" + sfDir + "\",\"runs\":{", ",", "}}")
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",

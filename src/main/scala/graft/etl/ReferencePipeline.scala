@@ -28,10 +28,14 @@ import org.apache.spark.sql.functions._
   * Re-running with no new bronze data is a no-op (delete+insert replaces
   * rows with identical recomputations).
   */
-final class ReferencePipeline(spark: SparkSession, baseDir: String) {
+final class ReferencePipeline(spark: SparkSession, baseDir: String,
+    store: graft.operators.CommitStore = graft.operators.CommitStore.local) {
   import ReferenceModels._
 
-  private val inc = new Incremental(spark)
+  // all lock/swap control-plane IO routes through the caller's store
+  // binding (local by default; CommitStore.hadoop() when baseDir is an
+  // hdfs:// warehouse) — same seam as every other materializer
+  private val inc = new Incremental(spark, store)
 
   val modelPaths: Map[String, String] = Map(
     "stg_clickstream_events" -> s"$baseDir/staging/stg_clickstream_events",

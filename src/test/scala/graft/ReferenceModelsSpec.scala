@@ -26,6 +26,23 @@ class ReferenceModelsSpec extends AnyFunSuite {
   lazy val fi: DataFrame = factOrderItems(items).cache()
   lazy val fs: DataFrame = factSessions(sessions, orders).cache()
 
+  test("simulateEach streams the EXACT batches simulate materializes" +
+      " (the e2e pipeline bench writes hour-by-hour through it; the rng" +
+      " must be consumed in the identical order)") {
+    import graft.datagen.Generator
+    import java.time.Instant
+    val start = Instant.parse("2024-06-01T00:00:00Z")
+    val a = new Generator(seed = 7L).simulate(start, 3, 50)
+      .map { case (e, o) => (e.map(_.eventId), o.map(_.orderId)) }
+    val b = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[String], Seq[String])]
+    new Generator(seed = 7L).simulateEach(start, 3, 50)((h, e, o) => {
+      assert(h == b.size, "hours must arrive in order")
+      b += ((e.map(_.eventId), o.map(_.orderId)))
+    })
+    assert(a == b.toSeq)
+  }
+
   test("generator injects the documented pathologies") {
     val raw = bronzeEvents.count()
     val distinct = bronzeEvents.select("event_id").distinct().count()
