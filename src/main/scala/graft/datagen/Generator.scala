@@ -124,8 +124,20 @@ final class Generator(seed: Long = 894L) {
     * is generated instead of materializing all hours — identical data for
     * the same seed (the rng is consumed hour by hour in the same order).
     * The e2e pipeline bench uses this to write a 24 h dataset with one
-    * hour resident at a time. */
-  def simulateEach(start: Instant, hours: Int, sessionsPerHour: Int)
+    * hour resident at a time.
+    *
+    * `sessionSpacingSec` is the sim-time gap between consecutive session
+    * starts. The default 7 s matches the historical fixture shape (40
+    * sessions/hour specs) EXACTLY; at high rates pass ~3600/rate so an
+    * hour's sessions START WITHIN THAT HOUR — the reference generator
+    * emits sessions at simulated-now (its sim clock advances through the
+    * hour, producer :386), and the dbt-style 1-day lookbacks downstream
+    * assume sources arrive roughly in event-time order. A spacing that
+    * stretches an "hour" across days breaks that contract and
+    * manufactures cross-model watermark skew no real producer exhibits
+    * (found by the day-2 incremental pipeline bench). */
+  def simulateEach(start: Instant, hours: Int, sessionsPerHour: Int,
+      sessionSpacingSec: Double = 7.0)
       (f: (Int, Seq[Event], Seq[Order]) => Unit): Unit = {
     val knownUsers = scala.collection.mutable.ArrayBuffer.empty[String]
     (0 until hours).foreach { h =>
@@ -135,7 +147,8 @@ final class Generator(seed: Long = 894L) {
       (0 until sessionsPerHour).foreach { i =>
         val known = if (knownUsers.nonEmpty && rng.nextDouble() < 0.30)
           Some(knownUsers(rng.nextInt(knownUsers.size))) else None
-        val (e, o) = session(t0.plusSeconds(i * 7L), known)
+        val (e, o) = session(
+          t0.plusSeconds((i * sessionSpacingSec).toLong), known)
         if (known.isEmpty && knownUsers.size < 50000)
           knownUsers += e.head.userId
         evs ++= e; ords ++= o
