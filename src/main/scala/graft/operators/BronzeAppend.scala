@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** Partition-idempotent append (bronze layer).
   *
@@ -17,10 +16,11 @@ import java.nio.file.{Files, Paths}
   * 100 TB against itself; SURVEY.md §4 "partition pruning"). The append
   * itself writes only new partition directories.
   */
-final class BronzeAppend(spark: SparkSession) {
+final class BronzeAppend(spark: SparkSession,
+    store: CommitStore = CommitStore.local) {
 
   def seenPartitions(targetPath: String, partCol: String): Seq[Any] =
-    if (!Files.exists(Paths.get(targetPath))) Nil
+    if (!store.exists(targetPath)) Nil
     else spark.read.parquet(targetPath)
       .select(partCol).distinct().collect().map(_.get(0)).toSeq
 
@@ -32,7 +32,8 @@ final class BronzeAppend(spark: SparkSession) {
     * this from DuckDB's file lock). */
   def appendNewPartitions(source: DataFrame, targetPath: String,
                           partCol: String): Long =
-    Incremental.withLock(Paths.get(targetPath)) {
+    Incremental.withLock(targetPath, Incremental.DefaultLockStaleMs,
+        store) {
       val seen = seenPartitions(targetPath, partCol)
       val fresh =
         if (seen.isEmpty) source

@@ -73,10 +73,22 @@ trait CommitStore {
   /** Child names (not paths) of a directory; empty if missing. */
   def list(dir: String): Seq[String]
 
+  /** Typed children of a directory — name, kind, and file size — the
+    * listing the MAINTENANCE operators (TableStats, Compaction,
+    * Retention) plan from: at 100 TB their decisions are pure metadata
+    * (one listing call per partition; an object store's LIST page), and
+    * routing that listing through the seam is what lets the same
+    * maintenance code run against any binding. Empty if missing. */
+  def listEntries(dir: String): Seq[CommitStore.DirEntry]
+
   def mkdirs(path: String): Unit
 }
 
 object CommitStore {
+
+  /** One child of a directory: `name` (not a path), directory flag, and
+    * byte size (0 for directories). */
+  final case class DirEntry(name: String, isDir: Boolean, bytes: Long)
 
   /** The default binding: `java.nio` on the local filesystem, where
     * `CREATE_NEW` and `ATOMIC_MOVE` are genuinely atomic syscalls. */
@@ -199,6 +211,19 @@ final class LocalCommitStore extends CommitStore {
       buf.toSeq
     }
 
+  override def listEntries(dir: String): Seq[CommitStore.DirEntry] =
+    if (!Files.exists(p(dir))) Seq.empty
+    else Using.resource(Files.list(p(dir))) { s =>
+      val buf =
+        scala.collection.mutable.ArrayBuffer.empty[CommitStore.DirEntry]
+      s.forEach { c =>
+        val d = Files.isDirectory(c)
+        buf += CommitStore.DirEntry(c.getFileName.toString, d,
+          if (d) 0L else Files.size(c))
+      }
+      buf.toSeq
+    }
+
   override def mkdirs(path: String): Unit = Files.createDirectories(p(path))
 }
 
@@ -276,6 +301,14 @@ final class HadoopCommitStore(conf: org.apache.hadoop.conf.Configuration)
   override def list(dir: String): Seq[String] = {
     val hp = new HPath(dir)
     try fs(hp).listStatus(hp).toSeq.map(_.getPath.getName)
+    catch { case _: java.io.IOException => Seq.empty }
+  }
+
+  override def listEntries(dir: String): Seq[CommitStore.DirEntry] = {
+    val hp = new HPath(dir)
+    try fs(hp).listStatus(hp).toSeq.map(st =>
+      CommitStore.DirEntry(st.getPath.getName, st.isDirectory,
+        if (st.isDirectory) 0L else st.getLen))
     catch { case _: java.io.IOException => Seq.empty }
   }
 
@@ -362,6 +395,18 @@ final class ObjectCommitStore extends CommitStore {
       .filter(_.nonEmpty)
       .toVector.distinct
   }
+
+  override def listEntries(dir: String): Seq[CommitStore.DirEntry] =
+    synchronized {
+      val pfx = marker(dir)
+      list(dir).map { n =>
+        objects.get(pfx + n) match {
+          case Some(o) => CommitStore.DirEntry(n, isDir = false,
+            o.bytes.length.toLong)
+          case None => CommitStore.DirEntry(n, isDir = true, 0L)
+        }
+      }
+    }
 
   override def mkdirs(path: String): Unit = synchronized {
     // object stores have no directories; a zero-byte `path/` marker is

@@ -1,10 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{SaveMode, SparkSession}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
-import scala.jdk.CollectionConverters._
-import scala.util.Using
 
 /** Small-file compaction maintenance job.
   *
@@ -15,11 +11,17 @@ import scala.util.Using
   * Scale notes: compaction is embarrassingly parallel ACROSS partitions and a
   * `repartition(n)` within one. We size output files by bytes rather than
   * hard-coding 1 file, so a 100 TB table compacts to ~targetFileBytes files
-  * per partition instead of one giant row group per date.
+  * per partition instead of one giant row group per date. All planning
+  * metadata (partition listing, file sizes) and every swap go through the
+  * caller's [[CommitStore]] binding — local java.nio by default, Hadoop
+  * `FileSystem` for HDFS-class stores — and each partition's rewrite uses
+  * the shared CHECKED tmp+swap primitive (a failed rename restores the
+  * previous partition and throws; it can never silently drop data).
   */
 final class Compaction(spark: SparkSession,
                        targetFileBytes: Long = 512L * 1024 * 1024,
-                       minFilesToCompact: Int = 2) {
+                       minFilesToCompact: Int = 2,
+                       store: CommitStore = CommitStore.local) {
 
   /** Compact every immediate `part=` subdirectory of `root` that has at
     * least `minFilesToCompact` parquet files. Returns compacted dirs.
@@ -27,30 +29,9 @@ final class Compaction(spark: SparkSession,
     * move/swap sequence interleaved with a concurrent upsert's
     * delete+overwrite is the same lost-write hazard Incremental guards
     * against (maintenance and materialization mutually exclude). */
-  def compact(root: String): Seq[String] = Incremental.withLock(
-      Paths.get(root)) {
-    val rootPath = Paths.get(root)
-    if (!Files.exists(rootPath)) return Nil
-    val parts = partDirs(rootPath)
-    parts.flatMap { part =>
-      val files = parquetFiles(part)
-      if (files.size < minFilesToCompact) None
-      else {
-        val bytes = files.map(Files.size).sum
-        val nOut = math.max(1, (bytes / targetFileBytes).toInt)
-        val df = spark.read.parquet(part.toString)
-        val tmp = Paths.get(part.toString + ".__compact")
-        deleteRecursively(tmp)
-        df.repartition(nOut).write.mode(SaveMode.Overwrite)
-          .parquet(tmp.toString)
-        val old = Paths.get(part.toString + ".__old")
-        Files.move(part, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, part, StandardCopyOption.ATOMIC_MOVE)
-        deleteRecursively(old)
-        Some(part.toString)
-      }
-    }
-  }
+  def compact(root: String): Seq[String] =
+    rewritePartitions(root, minFiles = minFilesToCompact, None)(
+      (df, nOut) => df.repartition(nOut))
 
   /** Clustering rewrite: like compact, but rows are also SORTED by
     * `clusterCols` within each output file. Parquet stores per-row-group
@@ -58,32 +39,13 @@ final class Compaction(spark: SparkSession,
     * later point/range filters on the cluster columns skip whole row
     * groups at scan time (the poor-man's Z-ORDER for a single sort key
     * set — a maintenance-time trade of one sort for every future scan). */
-  def cluster(root: String, clusterCols: Seq[String]): Seq[String] =
-    Incremental.withLock(Paths.get(root)) {
+  def cluster(root: String, clusterCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.col
-    val rootPath = Paths.get(root)
-    if (!Files.exists(rootPath)) return Nil
-    val parts = partDirs(rootPath)
-    parts.flatMap { part =>
-      val files = parquetFiles(part)
-      if (files.isEmpty) None
-      else {
-        val bytes = files.map(Files.size).sum
-        val nOut = math.max(1, (bytes / targetFileBytes).toInt)
-        val df = spark.read.parquet(part.toString)
-        val tmp = Paths.get(part.toString + ".__cluster")
-        deleteRecursively(tmp)
-        // range-repartition then sort within: output file f covers one
-        // contiguous range of the cluster key
-        df.repartitionByRange(nOut, clusterCols.map(col): _*)
-          .sortWithinPartitions(clusterCols.map(col): _*)
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val old = Paths.get(part.toString + ".__old")
-        Files.move(part, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, part, StandardCopyOption.ATOMIC_MOVE)
-        deleteRecursively(old)
-        Some(part.toString)
-      }
+    rewritePartitions(root, minFiles = 1, None) { (df, nOut) =>
+      // range-repartition then sort within: output file f covers one
+      // contiguous range of the cluster key
+      df.repartitionByRange(nOut, clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
     }
   }
 
@@ -96,20 +58,10 @@ final class Compaction(spark: SparkSession,
     * scale values onto the 16-bit grid; `filesPerPartition` overrides the
     * byte-derived output count (tests, or externally-planned layouts). */
   def clusterZOrder(root: String, dimCols: Seq[String],
-                    filesPerPartition: Option[Int] = None): Seq[String] =
-    Incremental.withLock(Paths.get(root)) {
+                    filesPerPartition: Option[Int] = None): Seq[String] = {
     import org.apache.spark.sql.functions.{col, min, max}
-    val rootPath = Paths.get(root)
-    if (!Files.exists(rootPath)) return Nil
-    val parts = partDirs(rootPath)
-    parts.flatMap { part =>
-      val files = parquetFiles(part)
-      if (files.isEmpty) None
-      else {
-        val bytes = files.map(Files.size).sum
-        val nOut = filesPerPartition.getOrElse(
-          math.max(1, (bytes / targetFileBytes).toInt))
-        val df = spark.read.parquet(part.toString)
+    rewritePartitions(root, minFiles = 1, filesPerPartition) {
+      (df, nOut) =>
         val aggs = dimCols.flatMap(c =>
           Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
         val stats = df.agg(aggs.head, aggs.tail: _*).first()
@@ -123,36 +75,43 @@ final class Compaction(spark: SparkSession,
         val z = ZOrder.zValue(dimCols.zip(bounds).map { case (c, (lo, hi)) =>
           ZOrder.scale(col(c), lo, hi)
         })
-        val tmp = Paths.get(part.toString + ".__zorder")
-        deleteRecursively(tmp)
         df.withColumn("__z", z)
           .repartitionByRange(nOut, col("__z"))
           .sortWithinPartitions(col("__z"))
           .drop("__z")
-          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-        val old = Paths.get(part.toString + ".__old")
-        Files.move(part, old, StandardCopyOption.ATOMIC_MOVE)
-        Files.move(tmp, part, StandardCopyOption.ATOMIC_MOVE)
-        deleteRecursively(old)
-        Some(part.toString)
-      }
     }
   }
 
-  // list()/walk() hold a directory fd until closed (ADVICE r4)
-  private def partDirs(rootPath: Path): Seq[Path] =
-    Using.resource(Files.list(rootPath))(_.iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.contains("="))
-      .toSeq).sortBy(_.toString)
+  /** Shared rewrite driver: for each qualifying `part=` dir (or the flat
+    * root itself), read, apply `shape(df, nOut)`, and swap the rewritten
+    * copy into place via the checked tmp+swap. `shape` receives the
+    * byte-derived (or overridden) output file count; `compact` passes a
+    * plain `repartition`. */
+  private def rewritePartitions(root: String, minFiles: Int,
+      filesOverride: Option[Int])(
+      shape: (org.apache.spark.sql.DataFrame, Int) =>
+        org.apache.spark.sql.DataFrame): Seq[String] =
+    Incremental.withLock(root, Incremental.DefaultLockStaleMs, store) {
+      if (!store.exists(root)) return Nil
+      val parts = partDirs(root)
+      parts.flatMap { part =>
+        val sizes = TableStats.parquetSizes(part, store)
+        if (sizes.size < minFiles) None
+        else {
+          val nOut = filesOverride.getOrElse(
+            math.max(1, (sizes.sum / targetFileBytes).toInt))
+          val df = spark.read.parquet(part)
+          Incremental.atomicOverwrite(store, part)(tmp =>
+            shape(df, nOut).write.mode(SaveMode.Overwrite)
+              .parquet(tmp))
+          Some(part)
+        }
+      }
+    }
 
-  private def parquetFiles(part: Path): Seq[Path] =
-    Using.resource(Files.walk(part))(_.iterator().asScala
-      .filter(f => f.toString.endsWith(".parquet")).toSeq)
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Using.resource(Files.walk(p))(
-        _.sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.delete(f)))
+  private def partDirs(root: String): Seq[String] =
+    store.listEntries(root)
+      .filter(e => e.isDir && e.name.contains("="))
+      .map(e => s"$root/${e.name}")
+      .sorted
 }

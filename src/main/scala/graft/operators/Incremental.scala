@@ -146,6 +146,51 @@ object Incremental {
 
   private[graft] def withLock[A](target: Path)(body: => A): A =
     withLock(target.toString, DefaultLockStaleMs, CommitStore.local)(body)
+
+  /** input_file_name() returns a URI string; normalize `file:` URIs back
+    * to local paths (the local store's currency) and keep other schemes
+    * as-is (the Hadoop store resolves them by scheme). Shared by the
+    * partition-granular cleanups (Incremental, Retention). */
+  private[operators] def parentDirOf(fileUri: String): String = {
+    val uri = java.net.URI.create(fileUri)
+    val p =
+      if (uri.getScheme == "file")
+        java.nio.file.Paths.get(uri).toString.replace('\\', '/')
+      else fileUri
+    p.substring(0, p.lastIndexOf('/'))
+  }
+
+  /** Shared tmp+swap primitive: `writeTmp` materializes the new contents
+    * at `<target>.__tmp`, which is then swapped into place with the old
+    * data parked at `<target>.__old` until the swap completes. Every
+    * rename result is CHECKED (ADVICE r6 high: `CommitStore.rename`
+    * reports failure as false — ignoring it could fall through to
+    * deleting the only surviving copy); a failed tmp→target flip
+    * restores the previous data before throwing. Callers hold the
+    * single-writer lock. Used by the Incremental materializer and the
+    * MaterializedAgg/SketchDistinct rollup folds — one swap
+    * implementation, one contract. */
+  private[graft] def atomicOverwrite(store: CommitStore, target: String)(
+      writeTmp: String => Unit): Unit = {
+    val tmp = target + ".__tmp"
+    val old = target + ".__old"
+    store.deleteRecursively(tmp); store.deleteRecursively(old)
+    writeTmp(tmp)
+    val hadTarget = store.exists(target)
+    if (hadTarget && !store.rename(target, old, replaceExisting = false))
+      throw new java.io.IOException(
+        s"atomic swap failed: could not move $target aside to $old; " +
+          "previous data left untouched, merged batch remains at " + tmp)
+    if (!store.rename(tmp, target, replaceExisting = false)) {
+      val restored =
+        !hadTarget || store.rename(old, target, replaceExisting = false)
+      throw new java.io.IOException(
+        s"atomic swap failed: could not move $tmp into place at $target" +
+          (if (restored) "; previous data restored"
+           else s"; RESTORE ALSO FAILED — previous data is at $old"))
+    }
+    store.deleteRecursively(old)
+  }
 }
 
 final class Incremental(spark: SparkSession,
@@ -287,45 +332,12 @@ final class Incremental(spark: SparkSession,
     }
   }
 
-  /** input_file_name() returns a URI string; normalize `file:` URIs back
-    * to local paths (the local store's currency) and keep other schemes
-    * as-is (the Hadoop store resolves them by scheme). */
-  private def parentDirOf(fileUri: String): String = {
-    val uri = java.net.URI.create(fileUri)
-    val p =
-      if (uri.getScheme == "file")
-        java.nio.file.Paths.get(uri).toString.replace('\\', '/')
-      else fileUri
-    p.substring(0, p.lastIndexOf('/'))
-  }
+  private def parentDirOf(fileUri: String): String =
+    Incremental.parentDirOf(fileUri)
 
-  /** Write df to `path.__tmp`, then swap into place (old data preserved at
-    * `path.__old` until the swap completes, then deleted).
-    *
-    * Every rename's Boolean result is CHECKED (ADVICE r6 high:
-    * CommitStore.rename reports failure as `false`, not an exception —
-    * ignoring it meant a failed tmp→target flip could fall through to
-    * deleteRecursively(old) and destroy the only surviving table copy,
-    * with upsert still reporting success). A failed swap now throws, and
-    * the previous data is restored at `target` first when possible. */
-  private def atomicOverwrite(target: String, df: DataFrame): Unit = {
-    val tmp = target + ".__tmp"
-    val old = target + ".__old"
-    store.deleteRecursively(tmp); store.deleteRecursively(old)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val hadTarget = store.exists(target)
-    if (hadTarget && !store.rename(target, old, replaceExisting = false))
-      throw new java.io.IOException(
-        s"atomic swap failed: could not move $target aside to $old; " +
-          "previous data left untouched, merged batch remains at " + tmp)
-    if (!store.rename(tmp, target, replaceExisting = false)) {
-      val restored =
-        !hadTarget || store.rename(old, target, replaceExisting = false)
-      throw new java.io.IOException(
-        s"atomic swap failed: could not move $tmp into place at $target" +
-          (if (restored) "; previous data restored"
-           else s"; RESTORE ALSO FAILED — previous data is at $old"))
-    }
-    store.deleteRecursively(old)
-  }
+  /** Write df to `path.__tmp`, then swap into place — see
+    * [[Incremental.atomicOverwrite]] for the checked-swap contract. */
+  private def atomicOverwrite(target: String, df: DataFrame): Unit =
+    Incremental.atomicOverwrite(store, target)(tmp =>
+      df.write.mode(SaveMode.Overwrite).parquet(tmp))
 }

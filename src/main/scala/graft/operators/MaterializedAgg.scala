@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
 
 /** Incrementally-maintained SUM/COUNT aggregate table — the materialized-
   * view refresh that makes a 100 TB rollup affordable: each refresh
@@ -18,7 +16,8 @@ import java.util.Comparator
   * (exact distinct, percentiles) needs the sketch path (q29/q32/q44).
   */
 final class MaterializedAgg(spark: SparkSession, targetPath: String,
-                            keys: Seq[String], sumCols: Seq[String]) {
+                            keys: Seq[String], sumCols: Seq[String],
+                            store: CommitStore = CommitStore.local) {
 
   private def partial(batch: DataFrame): DataFrame = {
     // stored sum type is DecimalType(38, 2) EVERYWHERE: the native sum
@@ -34,19 +33,18 @@ final class MaterializedAgg(spark: SparkSession, targetPath: String,
 
   /** Fold one batch into the stored totals (creates the table on first
     * call). */
-  def refresh(batch: DataFrame): Unit = {
-    val target = Paths.get(targetPath)
+  def refresh(batch: DataFrame): Unit =
     // same read-merge-overwrite race as Incremental.upsert: two concurrent
     // refreshes would each merge against the pre-state and the later swap
     // would drop the earlier batch's contribution — serialize via the
     // shared single-writer lock (losers get ConcurrentWriteException)
-    Incremental.withLock(target) { refreshLocked(target, batch) }
-  }
+    Incremental.withLock(targetPath, Incremental.DefaultLockStaleMs,
+      store) { refreshLocked(batch) }
 
-  private def refreshLocked(target: Path, batch: DataFrame): Unit = {
+  private def refreshLocked(batch: DataFrame): Unit = {
     val p = partial(batch)
     val merged =
-      if (!Files.exists(target)) p
+      if (!store.exists(targetPath)) p
       else {
         val t = spark.read.parquet(targetPath)
         val renamed = (Seq("n_rows") ++ sumCols.map(c => s"sum_$c"))
@@ -61,7 +59,8 @@ final class MaterializedAgg(spark: SparkSession, targetPath: String,
                   lit(0).cast(DecimalType(38, 2))))
                 .cast(DecimalType(38, 2)).as(s"sum_$c")): _*)
       }
-    atomicOverwrite(target, merged)
+    Incremental.atomicOverwrite(store, targetPath)(tmp =>
+      merged.write.mode(SaveMode.Overwrite).parquet(tmp))
   }
 
   /** Current totals, with derived averages. */
@@ -72,20 +71,4 @@ final class MaterializedAgg(spark: SparkSession, targetPath: String,
         col(s"sum_$c").cast("double") / col("n_rows").cast("double")))
   }
 
-  private def atomicOverwrite(target: Path, df: DataFrame): Unit = {
-    val tmp = Paths.get(target.toString + ".__tmp")
-    val old = Paths.get(target.toString + ".__old")
-    deleteRecursively(tmp); deleteRecursively(old)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (Files.exists(target))
-      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      scala.util.Using.resource(Files.walk(p))(
-        _.sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.delete(f)))
 }

@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
 
 /** Retention / lifecycle maintenance: drop partitions older than a cutoff.
   *
@@ -19,24 +17,28 @@ import java.util.Comparator
   * same idiom as Incremental's emptied-partition cleanup: reconstructing
   * `part=value` paths by hand silently misses escaped or typed partition
   * values. Composes with Compaction/Incremental: all three touch the
-  * table at partition granularity only.
+  * table at partition granularity only, and all control-plane IO (lock,
+  * existence, deletes) routes through the caller's [[CommitStore]]
+  * binding.
   */
-final class Retention(spark: SparkSession) {
+final class Retention(spark: SparkSession,
+    store: CommitStore = CommitStore.local) {
 
   /** Drop every partition whose `partCol` value is strictly below
     * `cutoff`. Returns the deleted partition directories. */
   def dropPartitionsBefore(targetPath: String, partCol: String,
-      cutoff: Column): Seq[String] = Incremental.withLock(
-      Paths.get(targetPath)) {
-    if (!Files.exists(Paths.get(targetPath))) return Nil
+      cutoff: Column): Seq[String] =
+    Incremental.withLock(targetPath, Incremental.DefaultLockStaleMs,
+        store) {
+    if (!store.exists(targetPath)) return Nil
     val doomed = spark.read.parquet(targetPath)
       .filter(col(partCol) < cutoff) // static partition pruning
       .select(input_file_name()).distinct()
       .collect()
-      .map(r => Paths.get(java.net.URI.create(r.getString(0))).getParent)
+      .map(r => Incremental.parentDirOf(r.getString(0)))
       .distinct.toSeq
-    doomed.foreach(deleteRecursively)
-    doomed.map(_.toString)
+    doomed.foreach(store.deleteRecursively)
+    doomed
   }
 
   /** Keep the most recent `days` days as of `asOf` (injected, not wall
@@ -52,10 +54,4 @@ final class Retention(spark: SparkSession) {
   def retainDays(targetPath: String, partCol: String, days: Int): Seq[String] =
     retainDays(targetPath, partCol, days,
       java.time.LocalDate.now(java.time.ZoneOffset.UTC))
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      scala.util.Using.resource(Files.walk(p))(
-        _.sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.delete(f)))
 }

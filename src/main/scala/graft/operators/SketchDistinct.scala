@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
 
 /** Incrementally-maintained DISTINCT-COUNT rollup — MaterializedAgg's
   * missing half: counts and sums merge by addition, but a distinct count
@@ -25,7 +23,8 @@ import java.util.Comparator
   * Shares the single-writer lock with the other materializers. */
 final class SketchDistinct(spark: SparkSession, targetPath: String,
                            keys: Seq[String], distinctCol: String,
-                           lgK: Int = 14) {
+                           lgK: Int = 14,
+                           store: CommitStore = CommitStore.local) {
 
   private def partial(batch: DataFrame): DataFrame =
     batch.groupBy(keys.map(col): _*).agg(
@@ -35,11 +34,11 @@ final class SketchDistinct(spark: SparkSession, targetPath: String,
   /** Fold one batch into the stored per-key sketches (creates the table
     * on first call). */
   def refresh(batch: DataFrame): Unit = {
-    val target = Paths.get(targetPath)
-    Incremental.withLock(target) {
+    Incremental.withLock(targetPath, Incremental.DefaultLockStaleMs,
+        store) {
       val p = partial(batch)
       val merged =
-        if (!Files.exists(target)) p
+        if (!store.exists(targetPath)) p
         else {
           val renamed = p.withColumnRenamed("n_rows", "n_rows__b")
             .withColumnRenamed("sk", "sk__b")
@@ -53,7 +52,8 @@ final class SketchDistinct(spark: SparkSession, targetPath: String,
                 .otherwise(hll_union(col("sk"), col("sk__b")))
                 .as("sk")): _*)
         }
-      atomicOverwrite(target, merged)
+      Incremental.atomicOverwrite(store, targetPath)(tmp =>
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp))
     }
   }
 
@@ -63,20 +63,4 @@ final class SketchDistinct(spark: SparkSession, targetPath: String,
     spark.read.parquet(targetPath)
       .withColumn("distinct_est", hll_sketch_estimate(col("sk")))
 
-  private def atomicOverwrite(target: Path, df: DataFrame): Unit = {
-    val tmp = Paths.get(target.toString + ".__tmp")
-    val old = Paths.get(target.toString + ".__old")
-    deleteRecursively(tmp); deleteRecursively(old)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (Files.exists(target))
-      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
-  }
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      scala.util.Using.resource(Files.walk(p))(
-        _.sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.delete(f)))
 }

@@ -1,9 +1,5 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
-import scala.util.Using
-
 /** Layout advisory for a partitioned parquet table: per-partition file
   * counts, bytes, and skew — the numbers an operator reads BEFORE
   * deciding to run Compaction (too many small files), ZOrder (scan
@@ -11,7 +7,9 @@ import scala.util.Using
   * metadata: no Spark job, no data read — at 100 TB this is a listing
   * call per partition (on an object store, one LIST page per prefix),
   * which is exactly why maintenance planning consults stats instead of
-  * scanning data.
+  * scanning data. All listing goes through a [[CommitStore]] binding
+  * (local java.nio by default, Hadoop `FileSystem` for HDFS-class
+  * stores), so the same planner runs wherever the table lives.
   */
 object TableStats {
 
@@ -30,19 +28,16 @@ object TableStats {
 
   /** Stats for every `part=`-style immediate subdir of `root`; a flat
     * (unpartitioned) table reports as one pseudo-partition "". */
-  def report(root: String, smallFileThreshold: Int = 8): Report = {
-    val rootPath = Paths.get(root)
-    if (!Files.exists(rootPath))
+  def report(root: String, smallFileThreshold: Int = 8,
+      store: CommitStore = CommitStore.local): Report = {
+    if (!store.exists(root))
       return Report(Nil, 0, 0L, 1.0, Nil)
-    // list()/walk() hold a directory fd until closed (ADVICE r4)
-    val partDirs = Using.resource(Files.list(rootPath))(_.iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.contains("="))
-      .toSeq).sortBy(_.getFileName.toString)
+    val partDirs = store.listEntries(root)
+      .filter(e => e.isDir && e.name.contains("="))
+      .map(_.name).sorted
     val stats =
-      if (partDirs.nonEmpty) partDirs.map(p =>
-        statOf(p.getFileName.toString, p))
-      else Seq(statOf("", rootPath))
+      if (partDirs.nonEmpty) partDirs.map(n => statOf(n, s"$root/$n", store))
+      else Seq(statOf("", root, store))
     val nonEmpty = stats.filter(_.files > 0)
     val totalBytes = nonEmpty.map(_.bytes).sum
     val skew =
@@ -53,10 +48,20 @@ object TableStats {
       nonEmpty.filter(_.files >= smallFileThreshold).map(_.partition))
   }
 
-  private def statOf(name: String, dir: Path): PartitionStat = {
-    val sizes = Using.resource(Files.walk(dir))(_.iterator().asScala
-      .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
-      .map(Files.size).toSeq)
+  /** Recursive parquet file sizes under `dir` through the store's typed
+    * listing (micro-batch subdirs nest one level in the landing layout,
+    * so the walk must recurse). */
+  private[operators] def parquetSizes(dir: String,
+      store: CommitStore): Seq[Long] =
+    store.listEntries(dir).flatMap { e =>
+      if (e.isDir) parquetSizes(s"$dir/${e.name}", store)
+      else if (e.name.endsWith(".parquet")) Seq(e.bytes)
+      else Nil
+    }
+
+  private def statOf(name: String, dir: String,
+      store: CommitStore): PartitionStat = {
+    val sizes = parquetSizes(dir, store)
     if (sizes.isEmpty) PartitionStat(name, 0, 0L, 0L, 0L)
     else PartitionStat(name, sizes.size, sizes.sum, sizes.min, sizes.max)
   }

@@ -572,3 +572,73 @@ class TableStatsSpec extends AnyFunSuite {
     assert(none.partitions.isEmpty && none.totalFiles == 0)
   }
 }
+
+/** Maintenance operators (TableStats / Compaction / Retention /
+  * BronzeAppend) run end-to-end through a NON-DEFAULT CommitStore
+  * binding — the round-8 seam extension: their planning metadata
+  * (partition listing, file sizes), locks, swaps, and deletes all route
+  * through the store, so the same maintenance code runs wherever the
+  * table lives (hadoop FileSystem here; HDFS-class in production). */
+class MaintenanceStoreRoutingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("stats + compaction + retention through the HADOOP binding") {
+    val store = CommitStore.hadoop()
+    val root = Files.createTempDirectory("graft_maint_h").toString + "/t"
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, "2024-01-01"), (i.toLong + 10, "2024-01-05"))
+        .toDF("k", "d").write.mode("append").partitionBy("d").parquet(root)
+    }
+    val before = TableStats.report(root, smallFileThreshold = 4,
+      store = store)
+    assert(before.partitions.map(_.partition).toSet ==
+      Set("d=2024-01-01", "d=2024-01-05"))
+    assert(before.needsCompaction.toSet ==
+      Set("d=2024-01-01", "d=2024-01-05"))
+    assert(before.totalFiles >= 8 && before.totalBytes > 0)
+
+    val compacted = new Compaction(spark, store = store).compact(root)
+    assert(compacted.size == 2)
+    val after = TableStats.report(root, smallFileThreshold = 4,
+      store = store)
+    assert(after.needsCompaction.isEmpty, after.toString)
+    assert(after.totalFiles == 2)
+    assert(spark.read.parquet(root).count() == 8, "rows preserved")
+
+    val ret = new Retention(spark, store)
+    val dropped = ret.retainDays(root, "d", 3,
+      java.time.LocalDate.parse("2024-01-06"))
+    assert(dropped.size == 1 && dropped.head.endsWith("d=2024-01-01"))
+    assert(spark.read.parquet(root).select("d").distinct()
+      .as[String].collect().toSeq == Seq("2024-01-05"))
+
+    // bronze append through the same binding stays idempotent
+    val b = new BronzeAppend(spark, store)
+    assert(b.appendNewPartitions(
+      Seq((99L, "2024-01-05")).toDF("k", "d"), root, "d") == 0)
+    assert(b.appendNewPartitions(
+      Seq((99L, "2024-01-09")).toDF("k", "d"), root, "d") == 1)
+  }
+
+  test("rollup folds (MaterializedAgg + SketchDistinct) through the" +
+      " HADOOP binding") {
+    val store = CommitStore.hadoop()
+    val base = Files.createTempDirectory("graft_roll_h").toString
+    val magg = new MaterializedAgg(spark, s"$base/m", Seq("k"), Seq("v"),
+      store)
+    magg.refresh(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"))
+    magg.refresh(Seq(("a", 3.0)).toDF("k", "v"))
+    val totals = magg.read().select("k", "n_rows")
+      .as[(String, Long)].collect().toMap
+    assert(totals == Map("a" -> 2L, "b" -> 1L))
+
+    val skd = new SketchDistinct(spark, s"$base/s", Seq("d"), "u",
+      store = store)
+    skd.refresh(Seq(("d1", "u1"), ("d1", "u2")).toDF("d", "u"))
+    skd.refresh(Seq(("d1", "u2"), ("d1", "u3")).toDF("d", "u"))
+    val est = skd.read().select("d", "distinct_est")
+      .as[(String, Double)].collect().toMap
+    assert(math.rint(est("d1")) == 3.0)
+  }
+}
