@@ -67,8 +67,9 @@ object CatalogTables {
   * `Incremental` (same single-writer lock, same swap protocol), then
   * syncs the catalog so readers of `spark.table(name)` see the new
   * state. `createAs` registers a model's first materialization. */
-final class CatalogIncremental(spark: SparkSession) {
-  private val inc = new Incremental(spark)
+final class CatalogIncremental(spark: SparkSession,
+    store: CommitStore = CommitStore.local) {
+  private val inc = new Incremental(spark, store)
 
   /** First materialization: write `df` to `path` and register `table`
     * over it (CTAS-shaped, but external so maintenance stays
@@ -103,9 +104,10 @@ final class CatalogIncremental(spark: SparkSession) {
   * retention and small-file compaction run against the catalog-resolved
   * location, then the catalog re-syncs (dropped partition dirs leave the
   * partition list, rewritten files drop from caches). */
-final class CatalogMaintenance(spark: SparkSession) {
-  private val ret = new Retention(spark)
-  private val comp = new Compaction(spark)
+final class CatalogMaintenance(spark: SparkSession,
+    store: CommitStore = CommitStore.local) {
+  private val ret = new Retention(spark, store)
+  private val comp = new Compaction(spark, store = store)
 
   def retainDays(table: String, partCol: String, days: Int,
                  asOf: java.time.LocalDate): Seq[String] = {
