@@ -1,0 +1,299 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** MANIFEST-COMMIT MVCC for PARTITIONED tables — the incremental sibling
+  * of [[Snapshots]]. Where `Snapshots` materializes a FULL table copy per
+  * version (the right trade for dimension-sized tables: version dirs are
+  * self-contained and time travel is one directory read), a 100 TB fact
+  * table cannot rewrite itself per upsert. Here a version dir holds ONLY
+  * the partitions that upsert rewrote, plus a MANIFEST mapping every live
+  * partition to the version that owns its current data — the
+  * Delta/Iceberg idea (metadata layer points at immutable data files;
+  * commits replace pointers, not data) re-expressed at partition
+  * granularity on plain parquet:
+  *
+  * {{{
+  * <table>/_snapshots/v00001/data/__p=2024-01-01/part-*.parquet
+  * <table>/_snapshots/v00001/manifest       "__p=2024-01-01\t1" per line
+  * <table>/_snapshots/v00002/data/__p=2024-01-02/…   (only touched)
+  * <table>/_snapshots/v00002/manifest       01-01→1, 01-02→2
+  * <table>/_current                         committed version pointer
+  * }}}
+  *
+  * Commit protocol is identical to Snapshots (full data write, then
+  * manifest, then atomic pointer flip through the [[CommitStore]] seam;
+  * writers serialize through the single-writer lock; crashed writers
+  * leave invisible orphans that vacuum reclaims), so every reader —
+  * current or pinned — sees a complete, immutable version and never torn
+  * state, while an upsert's data cost is O(touched partitions).
+  *
+  * The partition column rides INSIDE the data files (written via a `__p`
+  * shadow column, so Spark's partitioned writer lays out the dirs while
+  * the real column survives in the footers): a multi-version read is then
+  * one `spark.read.parquet(ownerDirs: _*)` — no partition-discovery
+  * gymnastics across version roots, and partition-pruning filters still
+  * skip files via footer stats (each file holds one partition value).
+  *
+  * CONTRACT: `partCol` must be an immutable function of the upsert key
+  * (a row never migrates partitions) — the standard lakehouse layout
+  * assumption. Cross-partition key moves need `Incremental
+  * .upsertPartitioned`'s key-location scan instead.
+  */
+object PartitionedSnapshots {
+
+  private def snapsDir(t: String) = s"$t/_snapshots"
+  private def pointer(t: String) = s"$t/_current"
+  private def versionDir(t: String, v: Long) = f"${snapsDir(t)}/v$v%05d"
+  private def dataDir(t: String, v: Long) = s"${versionDir(t, v)}/data"
+  private def manifestPath(t: String, v: Long) =
+    s"${versionDir(t, v)}/manifest"
+
+  /** Committed version the pointer references, if any. */
+  def currentVersion(t: String,
+      store: CommitStore = CommitStore.local): Option[Long] =
+    store.read(pointer(t)).map(b => new String(b, "UTF-8").trim.toLong)
+
+  /** All versions with an existing dir, ascending (orphans included). */
+  def versions(t: String,
+      store: CommitStore = CommitStore.local): Seq[Long] =
+    store.list(snapsDir(t)).filter(_.startsWith("v"))
+      .map(_.drop(1).toLong).sorted
+
+  /** partition-dir-name → owning version, for version `v`. */
+  def manifest(t: String, v: Long,
+      store: CommitStore = CommitStore.local): Map[String, Long] =
+    store.read(manifestPath(t, v)) match {
+      case None => Map.empty
+      case Some(b) => new String(b, "UTF-8").split('\n')
+        .filter(_.nonEmpty)
+        .map { l =>
+          val i = l.lastIndexOf('\t')
+          l.substring(0, i) -> l.substring(i + 1).toLong
+        }.toMap
+    }
+
+  private def writeManifest(t: String, v: Long, m: Map[String, Long],
+      store: CommitStore): Unit =
+    store.write(manifestPath(t, v),
+      m.toSeq.sorted.map { case (p, o) => s"$p\t$o" }
+        .mkString("\n").getBytes("UTF-8"))
+
+  /** Write `df`'s touched partitions into version `v`'s data dir and
+    * return the partition dir names written. The `__p` shadow keeps the
+    * real partition column in the footers (see class doc). */
+  private def writeData(df: DataFrame, t: String, v: Long,
+      partCol: String, store: CommitStore): Seq[String] = {
+    df.withColumn("__p", col(partCol))
+      .write.partitionBy("__p").mode(SaveMode.Overwrite)
+      .parquet(dataDir(t, v))
+    store.listEntries(dataDir(t, v))
+      .filter(e => e.isDir && e.name.startsWith("__p="))
+      .map(_.name)
+  }
+
+  /** First commit (or full rebuild): every partition owned by the new
+    * version. */
+  def write(spark: SparkSession, t: String, df: DataFrame,
+      partCol: String, store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      val v = versions(t, store).lastOption.getOrElse(0L) + 1
+      val parts = writeData(df, t, v, partCol, store)
+      writeManifest(t, v, parts.map(_ -> v).toMap, store)
+      commitPointer(t, v, store)
+      v
+    }
+
+  /** Keyed delete+insert upsert as a new version: ONLY the partitions
+    * carrying update rows are read, merged, and rewritten — every other
+    * partition's manifest entry carries over untouched. Data cost is
+    * O(touched partitions); commit cost is one manifest + one pointer
+    * flip. */
+  def upsert(spark: SparkSession, t: String, updates: DataFrame,
+      keys: Seq[String], partCol: String,
+      store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      val v = versions(t, store).lastOption.getOrElse(0L) + 1
+      currentVersion(t, store) match {
+        case None =>
+          val parts = writeData(updates, t, v, partCol, store)
+          writeManifest(t, v, parts.map(_ -> v).toMap, store)
+        case Some(cur) =>
+          val m = manifest(t, cur, store)
+          val updCached = updates.cache()
+          try {
+            // touched partition dir names, derived with SPARK'S OWN
+            // escaping (ExternalCatalogUtils — the same routine the
+            // partitioned writer uses), so only the touched owners'
+            // dirs are ever LISTED, let alone read: the upsert's IO is
+            // O(touched partitions) at the metadata level too. Values
+            // render through cast-to-string (the writer's rendering);
+            // string/date/integral partition keys — the usual layout
+            // columns — round-trip exactly.
+            val touchedDirs = updCached
+              .select(col(partCol).cast("string")).distinct()
+              .collect().map(r =>
+                "__p=" + (if (r.isNullAt(0)) "__HIVE_DEFAULT_PARTITION__"
+                  else org.apache.spark.sql.catalyst.catalog
+                    .ExternalCatalogUtils.escapePathName(r.getString(0))))
+              .toSet
+            val existingDirs = m.collect {
+              case (p, owner) if touchedDirs(p) =>
+                s"${dataDir(t, owner)}/$p"
+            }.toSeq
+            val merged =
+              if (existingDirs.isEmpty) updCached
+              else spark.read.option("mergeSchema", "true")
+                .parquet(existingDirs: _*)
+                .join(updCached.select(keys.map(col): _*).distinct(),
+                  keys, "left_anti")
+                .unionByName(updCached, allowMissingColumns = true)
+            val parts = writeData(merged, t, v, partCol, store)
+            // a written dir that exists in the manifest but was NOT
+            // predicted as touched means the value→dir rendering
+            // disagreed with the writer's — its existing rows were not
+            // merged. Refuse loudly rather than commit a partition that
+            // silently dropped them (the version dir stays an orphan;
+            // vacuum reclaims it).
+            val unmerged = parts.filter(p => m.contains(p) && !touchedDirs(p))
+            if (unmerged.nonEmpty)
+              throw new IllegalStateException(
+                "partition rendering mismatch: wrote " +
+                  unmerged.mkString(", ") + " without merging its " +
+                  "existing rows — partCol type unsupported for " +
+                  "manifest addressing (use string/date/integral keys)")
+            writeManifest(t, v,
+              m ++ parts.map(_ -> v).toMap, store)
+          } finally updCached.unpersist()
+      }
+      commitPointer(t, v, store)
+      v
+    }
+
+  /** Read the current committed version. */
+  def read(spark: SparkSession, t: String,
+      store: CommitStore = CommitStore.local): DataFrame =
+    currentVersion(t, store) match {
+      case Some(v) => readVersion(spark, t, v, store)
+      case None => throw new IllegalStateException(
+        s"$t has no committed snapshot")
+    }
+
+  /** Time travel: one multi-path scan over the version's manifest-
+    * resolved partition dirs (partition data is immutable, so a pinned
+    * reader is isolated from every later commit). */
+  def readVersion(spark: SparkSession, t: String, v: Long,
+      store: CommitStore = CommitStore.local): DataFrame = {
+    val m = manifest(t, v, store)
+    if (m.isEmpty) throw new IllegalStateException(
+      s"$t has no snapshot v$v (vacuumed or never committed)")
+    val dirs = m.toSeq.sorted.map { case (p, owner) =>
+      s"${dataDir(t, owner)}/$p"
+    }
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** Drop every version dir that no RETAINED manifest references:
+    * retained = the newest `keep` committed manifests (the current one
+    * always survives); orphan versions above the pointer go too. A
+    * pre-horizon version whose partitions are still referenced by a
+    * retained manifest is KEPT — data ownership, not recency, decides
+    * reclamation (the manifest-GC rule every lakehouse format shares).
+    * Returns the versions deleted. */
+  def vacuum(t: String, keep: Int = 1,
+      store: CommitStore = CommitStore.local): Seq[Long] = {
+    require(keep >= 1, "keep must retain at least the current version")
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      val cur = currentVersion(t, store).getOrElse(return Seq.empty)
+      val all = versions(t, store)
+      // a version dir WITHOUT a manifest is a writer that crashed
+      // between its data write and its manifest write — an orphan
+      // regardless of where it sits relative to the pointer; dirs above
+      // the pointer are orphans too (crashed before the flip)
+      val (withManifest, bare) =
+        all.partition(v => store.exists(manifestPath(t, v)))
+      val committed = withManifest.filter(_ <= cur)
+      val orphans = all.filter(_ > cur) ++ bare.filter(_ <= cur)
+      val retainedManifests = (committed.takeRight(keep).toSet + cur).toSeq
+      val referenced = retainedManifests
+        .flatMap(v => manifest(t, v, store).values).toSet ++
+        retainedManifests
+      val drop = (committed.filterNot(referenced) ++ orphans).distinct.sorted
+      drop.foreach(v => store.deleteRecursively(versionDir(t, v)))
+      drop
+    }
+  }
+
+  /** Change-data-capture between two retained versions in
+    * O(CHANGED partitions): the manifests already tell us which
+    * partitions can differ (owner changed, appeared, or disappeared) —
+    * every other partition maps to the SAME immutable dir in both
+    * versions and is skipped without reading a byte. Only the changed
+    * partitions' rows enter the key-wise full-outer compare (the same
+    * CDC core as [[Snapshots.changes]]), so a 10k-partition fact table
+    * whose day rolled forward pays for one day, not the table. */
+  def changes(spark: SparkSession, t: String, fromV: Long, toV: Long,
+      keys: Seq[String],
+      store: CommitStore = CommitStore.local): DataFrame = {
+    val mFrom = manifest(t, fromV, store)
+    val mTo = manifest(t, toV, store)
+    if (mFrom.isEmpty) throw new IllegalStateException(
+      s"$t has no snapshot v$fromV (vacuumed or never committed)")
+    if (mTo.isEmpty) throw new IllegalStateException(
+      s"$t has no snapshot v$toV (vacuumed or never committed)")
+    val changed = (mFrom.keySet ++ mTo.keySet)
+      .filter(p => mFrom.get(p) != mTo.get(p))
+    if (changed.isEmpty) {
+      // identical manifests → definitionally zero changes; return the
+      // empty change set in the proper shape without reading data
+      val empty = readVersion(spark, t, toV, store).limit(0)
+      return Snapshots.diff(empty, empty, keys)
+    }
+    def side(m: Map[String, Long]): DataFrame = {
+      val dirs = changed.toSeq.sorted.flatMap(p =>
+        m.get(p).map(owner => s"${dataDir(t, owner)}/$p"))
+      if (dirs.isEmpty) spark.emptyDataFrame
+      else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
+    val before = side(mFrom)
+    val after = side(mTo)
+    // a side with NO changed partitions contributes an empty relation
+    // with the other side's schema (emptyDataFrame has none)
+    val (b, a) =
+      if (before.columns.isEmpty) (after.limit(0), after)
+      else if (after.columns.isEmpty) (before, before.limit(0))
+      else (before, after)
+    Snapshots.diff(b, a, keys)
+  }
+
+  /** Streaming micro-batch commits: every batch upserts as a NEW
+    * version, so the fact table gains MVCC readers and a replayable
+    * manifest history on top of the checkpoint's exactly-once source
+    * tracking — [[Snapshots.streamCommit]]'s shape with O(touched
+    * partitions) data cost per batch. Crash-replayed batches re-commit
+    * idempotently in content (keyed delete+insert), burning one version
+    * number that vacuum reclaims. */
+  def streamCommit(spark: SparkSession, stream: DataFrame, t: String,
+      keys: Seq[String], partCol: String, checkpoint: String,
+      store: CommitStore = CommitStore.local)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => {
+        upsert(spark, t, batch, keys, partCol, store); ()
+      })
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  private def commitPointer(t: String, v: Long,
+      store: CommitStore): Unit = {
+    val tmp = pointer(t) + ".__tmp"
+    store.write(tmp, v.toString.getBytes("UTF-8"))
+    if (!store.rename(tmp, pointer(t), replaceExisting = true))
+      throw new java.io.IOException(
+        s"commit failed: could not flip $t/_current to v$v — readers " +
+          "still see the previous version; the new version dir is an " +
+          "orphan (vacuum reclaims it)")
+  }
+}

@@ -136,9 +136,15 @@ object Snapshots {
     * equality, so null→value and value→null both register). */
   def changes(spark: SparkSession, tablePath: String, fromV: Long,
       toV: Long, keys: Seq[String],
-      store: CommitStore = CommitStore.local): DataFrame = {
-    val before = readVersion(spark, tablePath, fromV, store)
-    val after = readVersion(spark, tablePath, toV, store)
+      store: CommitStore = CommitStore.local): DataFrame =
+    diff(readVersion(spark, tablePath, fromV, store),
+      readVersion(spark, tablePath, toV, store), keys)
+
+  /** The CDC core shared with [[PartitionedSnapshots.changes]]: key-wise
+    * full-outer compare of two immutable relations, insert/update/delete
+    * tagged, null-safe struct equality. */
+  private[operators] def diff(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
     // value columns = the UNION across both versions: upsert evolves
     // schemas (append_new_columns), so a version boundary can add or
     // drop columns — a side missing one reads it as null, exactly like

@@ -1,0 +1,174 @@
+package graft
+
+import graft.operators.{CommitStore, PartitionedSnapshots => PS}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Manifest-commit MVCC at partition granularity: an upsert writes ONLY
+  * its touched partitions, the manifest maps every live partition to its
+  * owning version, and vacuum is ownership-driven (a pre-horizon version
+  * whose partitions are still referenced survives) — the Delta/Iceberg
+  * metadata-layer idea on plain parquet, for fact tables where
+  * Snapshots' full-copy-per-version is unaffordable. */
+class PartitionedSnapshotsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft_psnap").resolve("t").toString
+
+  private def rows(t: String): Set[(Long, String, String)] =
+    PS.read(spark, t).select("k", "d", "v")
+      .as[(Long, String, String)].collect().toSet
+
+  test("upsert writes ONLY the touched partitions; untouched manifest" +
+      " entries carry over and pinned readers stay isolated") {
+    val t = tmpTable()
+    val v1 = PS.write(spark, t,
+      Seq((1L, "2024-01-01", "a"), (2L, "2024-01-02", "b"))
+        .toDF("k", "d", "v"), "d")
+    assert(v1 == 1L)
+    // touch only partition 01-02: replace key 2, add key 3
+    val v2 = PS.upsert(spark, t,
+      Seq((2L, "2024-01-02", "B"), (3L, "2024-01-02", "c"))
+        .toDF("k", "d", "v"), Seq("k"), "d")
+    assert(v2 == 2L)
+    assert(rows(t) == Set((1L, "2024-01-01", "a"),
+      (2L, "2024-01-02", "B"), (3L, "2024-01-02", "c")))
+    // v2's data dir holds ONLY the touched partition
+    val store = CommitStore.local
+    val v2parts = store.listEntries(s"$t/_snapshots/v00002/data")
+      .filter(_.isDir).map(_.name)
+    assert(v2parts == Seq("__p=2024-01-02"), v2parts.toString)
+    // manifest: 01-01 still owned by v1, 01-02 moved to v2
+    assert(PS.manifest(t, 2L) ==
+      Map("__p=2024-01-01" -> 1L, "__p=2024-01-02" -> 2L))
+    // pinned reader of v1 is untouched by the commit
+    assert(PS.readVersion(spark, t, 1L).select("k", "v")
+      .as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("upsert CREATES a new partition; delete+insert replaces keys" +
+      " within a partition") {
+    val t = tmpTable()
+    PS.write(spark, t,
+      Seq((1L, "p1", "a")).toDF("k", "d", "v"), "d")
+    PS.upsert(spark, t,
+      Seq((9L, "p9", "new-part")).toDF("k", "d", "v"), Seq("k"), "d")
+    PS.upsert(spark, t,
+      Seq((1L, "p1", "A2")).toDF("k", "d", "v"), Seq("k"), "d")
+    assert(rows(t) == Set((1L, "p1", "A2"), (9L, "p9", "new-part")))
+    assert(PS.manifest(t, 3L) ==
+      Map("__p=p1" -> 3L, "__p=p9" -> 2L))
+  }
+
+  test("vacuum is OWNERSHIP-driven: a pre-horizon version still" +
+      " referenced by the current manifest survives; fully-superseded" +
+      " versions and orphans go") {
+    val t = tmpTable()
+    // v1 owns P1+P2; v2 rewrites P2; v3 rewrites P2 again →
+    // v2 is fully superseded, v1 still owns P1
+    PS.write(spark, t, Seq((1L, "P1", "a"), (2L, "P2", "b"))
+      .toDF("k", "d", "v"), "d")
+    PS.upsert(spark, t, Seq((2L, "P2", "b2")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    PS.upsert(spark, t, Seq((2L, "P2", "b3")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    val dropped = PS.vacuum(t, keep = 1)
+    assert(dropped == Seq(2L), s"dropped $dropped")
+    assert(PS.versions(t) == Seq(1L, 3L))
+    // data fully intact after reclamation
+    assert(rows(t) == Set((1L, "P1", "a"), (2L, "P2", "b3")))
+    // the vacuumed version is gone for time travel
+    assertThrows[IllegalStateException](PS.readVersion(spark, t, 2L))
+    // pinned v1 still readable (its dir was referenced, hence kept)
+    assert(PS.readVersion(spark, t, 1L).count() == 2)
+  }
+
+  test("escaped and NULL partition values round-trip through the" +
+      " manifest addressing") {
+    val t = tmpTable()
+    PS.write(spark, t,
+      Seq((1L, Some("has space:colon"), "a"), (2L, Option.empty[String], "n"))
+        .toDF("k", "d", "v"), "d")
+    PS.upsert(spark, t,
+      Seq((1L, Some("has space:colon"), "A"), (3L, Option.empty[String], "N"))
+        .toDF("k", "d", "v"), Seq("k"), "d")
+    val got = PS.read(spark, t).select("k", "d", "v")
+      .as[(Long, Option[String], String)].collect().toSet
+    assert(got == Set((1L, Some("has space:colon"), "A"),
+      (2L, None, "n"), (3L, None, "N")))
+  }
+
+  test("crashed-writer orphan (data written, pointer never flipped) is" +
+      " invisible and vacuumed; version numbering never collides") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq((1L, "p", "a")).toDF("k", "d", "v"), "d")
+    // simulate a crash: v2 data dir exists, no pointer flip
+    Seq((9L, "p", "torn")).toDF("k", "d", "v")
+      .withColumn("__p", col("d")).write.partitionBy("__p")
+      .parquet(s"$t/_snapshots/v00002/data")
+    assert(rows(t) == Set((1L, "p", "a")), "orphan must be invisible")
+    // next commit skips past the orphan's number
+    val v3 = PS.upsert(spark, t, Seq((2L, "p", "b")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    assert(v3 == 3L)
+    assert(rows(t) == Set((1L, "p", "a"), (2L, "p", "b")))
+    assert(PS.vacuum(t, keep = 10).contains(2L), "orphan reclaimed")
+  }
+
+  test("changes() is manifest-diff CDC: only partitions whose owner" +
+      " changed are read; insert/update/delete tagged per key") {
+    val t = tmpTable()
+    PS.write(spark, t,
+      Seq((1L, "P1", "a"), (2L, "P2", "b"), (3L, "P2", "c"))
+        .toDF("k", "d", "v"), "d")
+    // v2: touch only P2 — update key 2, delete nothing, insert key 4
+    PS.upsert(spark, t,
+      Seq((2L, "P2", "B"), (3L, "P2", "c"), (4L, "P2", "d"))
+        .toDF("k", "d", "v"), Seq("k"), "d")
+    val ch = PS.changes(spark, t, 1L, 2L, Seq("k"))
+      .select("k", "v", "change_type")
+      .as[(Long, String, String)].collect().toSet
+    // key 1 lives in an UNCHANGED partition → never read, never tagged;
+    // key 3 re-written identical → not an update (null-safe equality)
+    assert(ch == Set((2L, "B", "update"), (4L, "d", "insert")))
+    // identical manifests → zero changes without reading data
+    assert(PS.changes(spark, t, 2L, 2L, Seq("k")).isEmpty)
+  }
+
+  test("streamCommit versions every micro-batch as a manifest commit") {
+    val base = Files.createTempDirectory("graft_psnap_sc").toString
+    val t = s"$base/t"; val in = s"$base/in"; val cp = s"$base/cp"
+    Seq((1L, "p1", "a")).toDF("k", "d", "v").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def drain(): Unit = {
+      val q = PS.streamCommit(spark,
+        spark.readStream.schema(schema).parquet(in), t, Seq("k"), "d", cp)
+      assert(q.awaitTermination(120000), "stream did not drain")
+    }
+    drain()
+    Seq((1L, "p1", "A2"), (2L, "p2", "b")).toDF("k", "d", "v")
+      .write.mode("append").parquet(in)
+    drain()
+    assert(rows(t).map(r => (r._1, r._3)) == Set((1L, "A2"), (2L, "b")))
+    assert(PS.currentVersion(t).exists(_ >= 2L))
+  }
+
+  test("the whole flow runs through the HADOOP binding (store-agnostic" +
+      " control plane)") {
+    val store = CommitStore.hadoop()
+    val t = tmpTable()
+    PS.write(spark, t, Seq((1L, "x", "a"), (2L, "y", "b"))
+      .toDF("k", "d", "v"), "d", store)
+    PS.upsert(spark, t, Seq((2L, "y", "B")).toDF("k", "d", "v"),
+      Seq("k"), "d", store)
+    assert(PS.read(spark, t, store).select("k", "v")
+      .as[(Long, String)].collect().toMap == Map(1L -> "a", 2L -> "B"))
+    assert(PS.currentVersion(t, store).contains(2L))
+    assert(PS.vacuum(t, keep = 1, store = store).isEmpty,
+      "v1 still owns partition x — ownership vacuum keeps it")
+  }
+}
