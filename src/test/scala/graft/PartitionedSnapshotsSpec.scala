@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CommitStore, PartitionedSnapshots => PS}
+import graft.operators.{CommitStore, Snapshots, PartitionedSnapshots => PS}
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -155,6 +155,40 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     drain()
     assert(rows(t).map(r => (r._1, r._3)) == Set((1L, "A2"), (2L, "b")))
     assert(PS.currentVersion(t).exists(_ >= 2L))
+  }
+
+  test("property: PartitionedSnapshots ≡ Snapshots over the same" +
+      " upsert sequence (the manifest layout changes COST, never" +
+      " CONTENT)") {
+    val rnd = new scala.util.Random(42L)
+    val tP = tmpTable(); val tS = tmpTable()
+    (1 to 4).foreach { g =>
+      val batch = (1 to 30).map { _ =>
+        val k = rnd.nextInt(40).toLong
+        (k, s"p${k % 5}", s"v$g-${rnd.nextInt(1000)}")
+      }.toDF("k", "d", "v").dropDuplicates("k")
+      if (g == 1) {
+        PS.write(spark, tP, batch, "d")
+        Snapshots.write(spark, tS, batch)
+      } else {
+        PS.upsert(spark, tP, batch, Seq("k"), "d")
+        Snapshots.upsert(spark, tS, batch, Seq("k"))
+      }
+    }
+    val got = PS.read(spark, tP).select("k", "d", "v")
+      .as[(Long, String, String)].collect().toSet
+    val want = Snapshots.read(spark, tS).select("k", "d", "v")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // and every intermediate version agrees too (time travel parity)
+    (1L to 4L).foreach { v =>
+      val a = PS.readVersion(spark, tP, v).select("k", "v")
+        .as[(Long, String)].collect().toSet
+      val b = Snapshots.readVersion(spark, tS, v).select("k", "v")
+        .as[(Long, String)].collect().toSet
+      assert(a == b, s"version $v disagrees")
+    }
   }
 
   test("the whole flow runs through the HADOOP binding (store-agnostic" +
