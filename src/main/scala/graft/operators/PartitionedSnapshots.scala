@@ -286,6 +286,20 @@ object PartitionedSnapshots {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Register a version (current, or pinned for time travel) as a named
+    * catalog view — [[Snapshots.registerView]]'s shape for the
+    * partitioned format: SQL consumers address `db.name` while the
+    * manifest mechanics stay invisible; a PINNED registration keeps
+    * serving its version as new commits land (until vacuumed). */
+  def registerView(spark: SparkSession, viewName: String, t: String,
+      version: Option[Long] = None,
+      store: CommitStore = CommitStore.local): Long = {
+    val v = version.getOrElse(currentVersion(t, store).getOrElse(
+      throw new IllegalStateException(s"$t has no committed snapshot")))
+    readVersion(spark, t, v, store).createOrReplaceTempView(viewName)
+    v
+  }
+
   private def commitPointer(t: String, v: Long,
       store: CommitStore): Unit = {
     val tmp = pointer(t) + ".__tmp"

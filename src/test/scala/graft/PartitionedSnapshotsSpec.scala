@@ -191,6 +191,20 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("registerView serves SQL consumers; a pinned view keeps its" +
+      " version as commits land") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq((1L, "p", "a")).toDF("k", "d", "v"), "d")
+    assert(PS.registerView(spark, "ps_cur", t) == 1L)
+    val pinned = PS.registerView(spark, "ps_pin", t, Some(1L))
+    PS.upsert(spark, t, Seq((1L, "p", "A2")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    PS.registerView(spark, "ps_cur", t) // re-point to current
+    assert(spark.sql("SELECT v FROM ps_cur").as[String].head() == "A2")
+    assert(spark.sql("SELECT v FROM ps_pin").as[String].head() == "a")
+    assert(pinned == 1L)
+  }
+
   test("the whole flow runs through the HADOOP binding (store-agnostic" +
       " control plane)") {
     val store = CommitStore.hadoop()
