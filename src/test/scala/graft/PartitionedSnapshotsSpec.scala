@@ -205,6 +205,47 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     assert(pinned == 1L)
   }
 
+  test("LIVE readers during a multi-generation rebuild see zero torn" +
+      " state: pinned v1 and current-pointer polls stay consistent" +
+      " while upserts rewrite partitions (manifest-commit isolation)") {
+    val t = tmpTable()
+    val n = 400
+    def genDf(g: Int) = spark.range(n)
+      .selectExpr("id AS k", s"concat('p', id % 4) AS d",
+        s"CAST($g AS STRING) AS v")
+    PS.write(spark, t, genDf(1), "d")
+    val generations = 4
+    val writerFailed =
+      new java.util.concurrent.atomic.AtomicReference[Throwable](null)
+    val writer = new Thread(() => {
+      try (2 to generations).foreach(g =>
+        PS.upsert(spark, t, genDf(g), Seq("k"), "d"))
+      catch { case e: Throwable => writerFailed.set(e) }
+    })
+    writer.start()
+    val torn = scala.collection.mutable.ArrayBuffer.empty[String]
+    var polls = 0
+    while (writer.isAlive && torn.isEmpty) {
+      val pinned = PS.readVersion(spark, t, 1L)
+        .groupBy(col("v")).count().as[(String, Long)].collect().toMap
+      if (pinned != Map("1" -> n.toLong))
+        torn += s"pinned v1 saw $pinned"
+      val cur = PS.read(spark, t)
+        .groupBy(col("v")).count().as[(String, Long)].collect().toMap
+      if (cur.size != 1 || cur.values.head != n.toLong)
+        torn += s"current read saw mixed/partial $cur"
+      polls += 1
+    }
+    writer.join(120000)
+    assert(writerFailed.get() == null,
+      s"writer failed: ${writerFailed.get()}")
+    assert(torn.isEmpty, torn.mkString("; "))
+    assert(polls > 0)
+    assert(PS.read(spark, t).groupBy(col("v")).count()
+      .as[(String, Long)].collect().toMap ==
+      Map(generations.toString -> n.toLong))
+  }
+
   test("the whole flow runs through the HADOOP binding (store-agnostic" +
       " control plane)") {
     val store = CommitStore.hadoop()
