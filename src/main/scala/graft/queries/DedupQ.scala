@@ -25,7 +25,7 @@ object DedupQ {
   def all: Seq[Q] = Seq(d01Exact, d02MinhashLsh, d03Simhash, d04NgramJaccard,
     d05EmbedNearDup, d06DedupClusters, d07EmbedLshNearDup,
     d08NormalizedDedup, d09EditDistance, d10WinnowPairs,
-    d11BoilerplateChunks, d12ClusterCanonical)
+    d11BoilerplateChunks, d12ClusterCanonical, d13SemDedup)
 
   /** Token bigram SETS per doc — the shingle basis for d02/d04. Native
     * ShinglesExpr (one loop) instead of the staggered-slice zip_with
@@ -600,6 +600,85 @@ object DedupQ {
       ROW_NUMBER() OVER (PARTITION BY cluster_id
         ORDER BY n_distinct_tokens DESC, doc_id ASC) = 1 AS keep
     FROM lbl ORDER BY doc_id"""))
+
+  /** Semantic dedup, SemDeDup-style (Abbas et al. 2023): cluster the
+    * embedding space (deterministic IVF centroids, broadcast; one nearest-
+    * centroid assignment — SimilarityQ.cellRanks), then run the pairwise
+    * cosine scan ONLY within each cluster and keep, of every near-dup
+    * pair, the member FARTHEST from its centroid (low centroid-cosine =
+    * the cluster's diverse exemplar; ties broken on vec_id). A vector is
+    * dropped iff some same-cell vector with cos ≥ 0.4 beats it on that
+    * order — a pure EXISTS, so the decision is order-independent (no
+    * greedy chain) and the oracle expresses it exactly.
+    *
+    * Scale shape: this is the published 100 TB recipe — the quadratic
+    * pair scan never crosses cluster boundaries, so with K ~ √N cells the
+    * per-cell work is bounded and the only wide exchange is the shuffle
+    * on the short cell key. The centroid set is broadcast; the assignment
+    * pass is one narrow map over the corpus. d05 (exact all-pairs twin)
+    * is the recall oracle for the clustering's blocking loss, exactly as
+    * d04 is for d02/d03. */
+  val d13SemDedup: Q = Q("d13_semdedup", (s, d) => {
+    val assigned = SimilarityQ.cellRanks(SimilarityQ.normed(s, d))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_label").as("cell"),
+        col("cos").as("cos_c"), col("embedding"), col("nrm"))
+      .cache()
+    // b beats a ⟺ b is the pair member kept under keep-farthest-from-
+    // centroid; a's EXISTS over beaten near-dup pairs marks it dropped.
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          (col("b.cos_c") < col("a.cos_c") ||
+            (col("b.cos_c") === col("a.cos_c") &&
+              col("b.vec_id") < col("a.vec_id"))))
+      .filter(SimilarityQ.cosPre(col("a.embedding"), col("a.nrm"),
+        col("b.embedding"), col("b.nrm")) >= 0.4)
+      .select(col("a.vec_id").as("dvid")).distinct()
+    assigned
+      .join(dropped, col("vec_id") === col("dvid"), "left")
+      .select(col("vec_id"), col("cell"), col("cos_c"),
+        col("dvid").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }, Some(s"""
+    WITH seeds AS (
+      SELECT label AS centroid_label, MIN(vec_id) AS seed_id
+      FROM embeddings GROUP BY label),
+    centroids AS (
+      SELECT centroid_label, e.embedding AS centroid
+      FROM seeds JOIN embeddings e ON seed_id = e.vec_id),
+    scored AS (
+      SELECT e.vec_id, centroid_label,
+        CASE WHEN ${VectorSql.norm("e.embedding")} = 0
+          OR ${VectorSql.norm("centroid")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("e.embedding", "centroid")}
+          / (${VectorSql.norm("e.embedding")} * ${VectorSql.norm("centroid")})
+        END AS cos
+      FROM embeddings e CROSS JOIN centroids),
+    ranked AS (
+      SELECT vec_id, centroid_label, cos,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, centroid_label ASC) AS rn
+      FROM scored),
+    assigned AS (
+      SELECT vec_id, centroid_label AS cell, cos AS cos_c
+      FROM ranked WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a
+      JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        AND (b.cos_c < a.cos_c
+          OR (b.cos_c = a.cos_c AND b.vec_id < a.vec_id))
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE CASE WHEN ${VectorSql.norm("ea.embedding")} = 0
+          OR ${VectorSql.norm("eb.embedding")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("ea.embedding", "eb.embedding")}
+          / (${VectorSql.norm("ea.embedding")} * ${VectorSql.norm("eb.embedding")})
+        END >= 0.4)
+    SELECT a.vec_id, a.cell, a.cos_c, (d.vec_id IS NULL) AS kept
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id"""))
 }
 
 /** DuckDB SQL mirrors of VectorFns — ordered left-to-right double folds

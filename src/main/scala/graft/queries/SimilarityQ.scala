@@ -151,7 +151,7 @@ object SimilarityQ {
     * vector: rn = 1 is the cell assignment; higher rn are probe order.
     * Carries the vector itself so downstream search needs no join back
     * to the corpus. */
-  private def cellRanks(e: org.apache.spark.sql.DataFrame) = {
+  private[queries] def cellRanks(e: org.apache.spark.sql.DataFrame) = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("centroid_label").asc)
     e.select(col("vec_id"), col("label"), col("embedding"), col("nrm"))
