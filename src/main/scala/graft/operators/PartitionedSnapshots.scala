@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_extract}
 
 /** MANIFEST-COMMIT MVCC for PARTITIONED tables — the incremental sibling
   * of [[Snapshots]]. Where `Snapshots` materializes a FULL table copy per
@@ -225,6 +225,73 @@ object PartitionedSnapshots {
     }
   }
 
+  /** OPTIMIZE: rewrite the current version's FRAGMENTED partitions
+    * (≥ `minFiles` data files — the debris a streaming upsert cadence
+    * leaves, one task-count's worth of files per touched partition per
+    * batch) into one coalesced file each, committed as a NEW version
+    * through the same manifest + pointer protocol as any upsert. Pure
+    * maintenance: the row set is bit-identical, readers pinned to prior
+    * versions keep their immutable dirs, and partitions already compact
+    * carry their manifest entry over without a byte moving. IO is
+    * O(fragmented partitions) — the manifest names the owner dirs, so
+    * only those are listed and read.
+    *
+    * One file per partition comes from `repartition(partCol)`: each
+    * partition value hashes to exactly one task, and a task writes one
+    * file per partition dir it holds. `maxRecordsPerFile` caps the
+    * rewrite for oversized partitions (the writer rolls extra files in
+    * the same task — set it to keep files inside executor-memory-sized
+    * row groups at 100 TB; 0 = no cap).
+    *
+    * Returns (version, compacted partition dirs) — (current, Nil)
+    * without burning a version when nothing is fragmented. */
+  def compact(spark: SparkSession, t: String, partCol: String,
+      minFiles: Int = 2, maxRecordsPerFile: Long = 0,
+      store: CommitStore = CommitStore.local): (Long, Seq[String]) = {
+    require(minFiles >= 2, "minFiles < 2 would rewrite compact partitions")
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      val cur = currentVersion(t, store).getOrElse(
+        throw new IllegalStateException(s"$t has no committed snapshot"))
+      val m = manifest(t, cur, store)
+      val frag = m.toSeq.sorted.filter { case (p, owner) =>
+        store.listEntries(s"${dataDir(t, owner)}/$p")
+          .count(e => !e.isDir && e.name.endsWith(".parquet")) >= minFiles
+      }
+      if (frag.isEmpty) (cur, Seq.empty)
+      else {
+        val v = versions(t, store).last + 1
+        val dirs = frag.map { case (p, owner) => s"${dataDir(t, owner)}/$p" }
+        val rows = spark.read.option("mergeSchema", "true")
+          .parquet(dirs: _*)
+          .repartition(col(partCol))
+        rows.withColumn("__p", col(partCol))
+          .write.partitionBy("__p")
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .mode(SaveMode.Overwrite)
+          .parquet(dataDir(t, v))
+        val parts = store.listEntries(dataDir(t, v))
+          .filter(e => e.isDir && e.name.startsWith("__p="))
+          .map(_.name)
+        val fragSet = frag.map(_._1).toSet
+        // same guard as upsert: a dir the writer rendered that we did
+        // not read would silently shadow unmerged rows — refuse
+        val unexpected = parts.filterNot(fragSet)
+        if (unexpected.nonEmpty)
+          throw new IllegalStateException(
+            "partition rendering mismatch during compaction: wrote " +
+              unexpected.mkString(", ") + " which was not among the " +
+              "fragmented dirs read — aborting commit (orphan version; " +
+              "vacuum reclaims it)")
+        // a fragmented dir whose files held zero rows yields no
+        // rewritten dir; it leaves the manifest (still zero rows)
+        writeManifest(t, v, (m -- fragSet) ++ parts.map(_ -> v).toMap,
+          store)
+        commitPointer(t, v, store)
+        (v, parts)
+      }
+    }
+  }
+
   /** Change-data-capture between two retained versions in
     * O(CHANGED partitions): the manifests already tell us which
     * partitions can differ (owner changed, appeared, or disappeared) —
@@ -298,6 +365,88 @@ object PartitionedSnapshots {
       throw new IllegalStateException(s"$t has no committed snapshot")))
     readVersion(spark, t, v, store).createOrReplaceTempView(viewName)
     v
+  }
+
+  private def zoneMapDir(t: String, v: Long) =
+    s"${versionDir(t, v)}/zonemap"
+
+  /** Build the FILE-STATS zone map for version `v` (default current) —
+    * [[ZoneMap]] stats as a per-version sidecar, INCREMENTALLY: a
+    * partition whose owner is unchanged since the newest already-indexed
+    * version keeps its immutable files' stat rows without a byte read;
+    * only newly-owned partitions are scanned. Stat maintenance thereby
+    * costs O(touched partitions) per version, the same bound as the
+    * upsert that created it. The sidecar lives inside the version dir,
+    * so vacuum reclaims it with its version and a pinned reader's index
+    * is as immutable as its data. */
+  def buildZoneMap(spark: SparkSession, t: String, cols: Seq[String],
+      version: Option[Long] = None,
+      store: CommitStore = CommitStore.local): Long = {
+    val v = version.getOrElse(currentVersion(t, store).getOrElse(
+      throw new IllegalStateException(s"$t has no committed snapshot")))
+    val m = manifest(t, v, store)
+    if (m.isEmpty) throw new IllegalStateException(
+      s"$t has no snapshot v$v (vacuumed or never committed)")
+    def dirOf(p: String, o: Long) = s"${dataDir(t, o)}/$p"
+    val expectedCols = ("file" +: cols.flatMap(c =>
+      Seq(s"min__$c", s"max__$c", s"nulls__$c")) :+ "rows").toSet
+    val prevIndexed = versions(t, store).filter(x => x < v &&
+      store.exists(s"${zoneMapDir(t, x)}/_SUCCESS")).lastOption
+    val idx = prevIndexed match {
+      case Some(pv) =>
+        val old = spark.read.parquet(zoneMapDir(t, pv))
+        if (old.columns.toSet != expectedCols)
+          // indexed columns changed → full rebuild
+          ZoneMap.collect(spark, m.toSeq.sorted.map {
+            case (p, o) => dirOf(p, o) }, cols)
+        else {
+          val pm = manifest(t, pv, store)
+          val (carried, fresh) = m.toSeq.sorted.partition {
+            case (p, o) => pm.get(p).contains(o)
+          }
+          // stat rows re-keyed by (owner version, partition dir) parsed
+          // from the file path — a join against the carried set, never a
+          // wide literal disjunction
+          import spark.implicits._
+          val carriedDf = carried.map { case (p, o) => (o, p) }
+            .toDF("__o", "__part")
+          val keptRows = old
+            .withColumn("__o",
+              regexp_extract(col("file"), "/v(\\d+)/data/", 1)
+                .cast("long"))
+            .withColumn("__part",
+              regexp_extract(col("file"), "/data/(__p=[^/]+)/", 1))
+            .join(broadcast(carriedDf), Seq("__o", "__part"), "left_semi")
+            .drop("__o", "__part")
+          val freshRows =
+            if (fresh.isEmpty) None
+            else Some(ZoneMap.collect(spark,
+              fresh.map { case (p, o) => dirOf(p, o) }, cols))
+          freshRows.fold(keptRows)(keptRows.unionByName(_))
+        }
+      case None =>
+        ZoneMap.collect(spark, m.toSeq.sorted.map {
+          case (p, o) => dirOf(p, o) }, cols)
+    }
+    idx.write.mode(SaveMode.Overwrite).parquet(zoneMapDir(t, v))
+    v
+  }
+
+  /** Zone-map-pruned range read of a version (default current): the
+    * file list shrinks to stats survivors BEFORE the scan plans; without
+    * an index the read degrades to the full manifest scan with the same
+    * predicate (pruning is an optimization, never a semantic). */
+  def readBetween(spark: SparkSession, t: String, c: String, lo: Any,
+      hi: Any, version: Option[Long] = None,
+      store: CommitStore = CommitStore.local): DataFrame = {
+    val v = version.getOrElse(currentVersion(t, store).getOrElse(
+      throw new IllegalStateException(s"$t has no committed snapshot")))
+    if (store.exists(s"${zoneMapDir(t, v)}/_SUCCESS"))
+      ZoneMap.readBetween(spark,
+        spark.read.parquet(zoneMapDir(t, v)), c, lo, hi)
+    else
+      readVersion(spark, t, v, store)
+        .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
   private def commitPointer(t: String, v: Long,

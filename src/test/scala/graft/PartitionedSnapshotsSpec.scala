@@ -246,6 +246,86 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
       Map(generations.toString -> n.toLong))
   }
 
+  test("compact coalesces fragmented partitions into ONE file as a new" +
+      " version; compact partitions carry over and pinned readers are" +
+      " untouched") {
+    val t = tmpTable()
+    val store = CommitStore.local
+    // 8 rows written from 4 tasks → 4 files in partition F
+    val v1 = PS.write(spark, t,
+      Seq.tabulate(8)(i => (i.toLong, "F", s"f$i"))
+        .toDF("k", "d", "v").repartition(4), "d")
+    assert(v1 == 1L)
+    // partition C arrives compact (single row, single file)
+    val v2 = PS.upsert(spark, t,
+      Seq((100L, "C", "c")).toDF("k", "d", "v"), Seq("k"), "d")
+    def files(v: Long, p: String): Int =
+      store.listEntries(f"$t/_snapshots/v$v%05d/data/__p=$p")
+        .count(e => !e.isDir && e.name.endsWith(".parquet"))
+    assert(files(1L, "F") >= 2, "precondition: F is fragmented")
+    assert(files(2L, "C") == 1)
+    val before = rows(t)
+    val (v3, compacted) = PS.compact(spark, t, "d")
+    assert(v3 == 3L && compacted == Seq("__p=F"),
+      s"($v3, $compacted)")
+    assert(files(3L, "F") == 1, "compacted to one file")
+    assert(rows(t) == before, "row set is bit-identical")
+    assert(PS.manifest(t, 3L) ==
+      Map("__p=F" -> 3L, "__p=C" -> 2L),
+      "compact partition C carried over without rewriting")
+    // a reader pinned BEFORE the compaction keeps its immutable dirs
+    assert(PS.readVersion(spark, t, 2L).count() == 9)
+    // nothing fragmented left → no-op, no version burned
+    assert(PS.compact(spark, t, "d") == ((3L, Seq.empty)))
+    // maxRecordsPerFile caps the rewrite: 8 rows, 3-row cap →
+    // ceil(8/3) = 3 files rolled inside the single task
+    val t2 = tmpTable()
+    PS.write(spark, t2,
+      Seq.tabulate(8)(i => (i.toLong, "F", s"g$i"))
+        .toDF("k", "d", "v").repartition(4), "d")
+    val (v5, parts5) = PS.compact(spark, t2, "d", maxRecordsPerFile = 3)
+    assert(parts5 == Seq("__p=F"), parts5.toString)
+    assert(store.listEntries(f"$t2/_snapshots/v$v5%05d/data/__p=F")
+      .count(e => !e.isDir && e.name.endsWith(".parquet")) == 3)
+    assert(PS.read(spark, t2).count() == 8)
+  }
+
+  test("zone map prunes the FILE LIST before the scan plans; rebuild" +
+      " after an upsert re-scans only newly-owned partitions") {
+    val t = tmpTable()
+    // 3 partitions, disjoint k ranges: P0=0-9, P1=10-19, P2=20-29
+    PS.write(spark, t,
+      Seq.tabulate(30)(i => (i.toLong, s"P${i / 10}", s"v$i"))
+        .toDF("k", "d", "v"), "d")
+    PS.buildZoneMap(spark, t, Seq("k"))
+    val full = PS.read(spark, t)
+    val pruned = PS.readBetween(spark, t, "k", 12L, 17L)
+    assert(pruned.select("k", "d", "v").as[(Long, String, String)]
+      .collect().toSet ==
+      (12 to 17).map(i => (i.toLong, "P1", s"v$i")).toSet)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"pruned ${pruned.inputFiles.length} vs full " +
+        s"${full.inputFiles.length} — P0/P2 files should be skipped")
+    assert(pruned.inputFiles.forall(_.contains("__p=P1")),
+      "only P1's files survive a [12,17] range")
+    // incremental rebuild: the upsert touches ONLY P2; carried
+    // partitions keep their v1 stat rows without re-reading data
+    PS.upsert(spark, t,
+      Seq((25L, "P2", "V25")).toDF("k", "d", "v"), Seq("k"), "d")
+    PS.buildZoneMap(spark, t, Seq("k"))
+    val idx = spark.read.parquet(s"$t/_snapshots/v00002/zonemap")
+    assert(idx.filter(col("file").contains("/v00001/data/__p=P0/"))
+      .count() > 0, "P0 stats carried from the v1 index")
+    assert(idx.filter(col("file").contains("/v00002/data/__p=P2/"))
+      .count() > 0, "P2 stats re-collected for its new owner")
+    assert(PS.readBetween(spark, t, "k", 25L, 25L)
+      .select("k", "v").as[(Long, String)].collect().toSeq ==
+      Seq((25L, "V25")))
+    // a range no file can hold: zero rows, schema intact, no scan
+    val none = PS.readBetween(spark, t, "k", 1000L, 2000L)
+    assert(none.count() == 0 && none.columns.contains("v"))
+  }
+
   test("the whole flow runs through the HADOOP binding (store-agnostic" +
       " control plane)") {
     val store = CommitStore.hadoop()
