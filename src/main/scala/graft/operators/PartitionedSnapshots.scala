@@ -243,10 +243,19 @@ object PartitionedSnapshots {
     * the same task — set it to keep files inside executor-memory-sized
     * row groups at 100 TB; 0 = no cap).
     *
+    * `clusterBy` sorts rows within each task (partition first, then the
+    * cluster key), so when `maxRecordsPerFile` rolls a partition into
+    * several files each covers a NARROW, disjoint cluster-key range —
+    * the OPTIMIZE+CLUSTER move that makes both the zone map
+    * ([[buildZoneMap]]/[[readBetween]]) and parquet row-group stats
+    * selective on a non-partition column. Multi-dimension layouts
+    * compose via [[ZOrder.zValue]] on a precomputed column.
+    *
     * Returns (version, compacted partition dirs) — (current, Nil)
     * without burning a version when nothing is fragmented. */
   def compact(spark: SparkSession, t: String, partCol: String,
       minFiles: Int = 2, maxRecordsPerFile: Long = 0,
+      clusterBy: Seq[String] = Nil,
       store: CommitStore = CommitStore.local): (Long, Seq[String]) = {
     require(minFiles >= 2, "minFiles < 2 would rewrite compact partitions")
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
@@ -261,9 +270,13 @@ object PartitionedSnapshots {
       else {
         val v = versions(t, store).last + 1
         val dirs = frag.map { case (p, owner) => s"${dataDir(t, owner)}/$p" }
-        val rows = spark.read.option("mergeSchema", "true")
+        val shuffled = spark.read.option("mergeSchema", "true")
           .parquet(dirs: _*)
           .repartition(col(partCol))
+        val rows =
+          if (clusterBy.isEmpty) shuffled
+          else shuffled.sortWithinPartitions(
+            (partCol +: clusterBy).map(col): _*)
         rows.withColumn("__p", col(partCol))
           .write.partitionBy("__p")
           .option("maxRecordsPerFile", maxRecordsPerFile)

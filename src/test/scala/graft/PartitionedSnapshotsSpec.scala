@@ -326,6 +326,46 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     assert(none.count() == 0 && none.columns.contains("v"))
   }
 
+  test("compact(clusterBy) makes zone-map pruning selective WITHIN a" +
+      " partition: rolled files cover disjoint cluster-key ranges") {
+    val t = tmpTable()
+    // one partition, 30 rows, k interleaved across 5 writer tasks
+    PS.write(spark, t,
+      Seq.tabulate(30)(i => (((i * 7) % 30).toLong, "F", s"v$i"))
+        .toDF("k", "d", "v").repartition(5), "d")
+    val (v2, _) = PS.compact(spark, t, "d", maxRecordsPerFile = 10,
+      clusterBy = Seq("k"))
+    PS.buildZoneMap(spark, t, Seq("k"))
+    val idx = spark.read.parquet(f"$t/_snapshots/v$v2%05d/zonemap")
+    assert(idx.count() == 3, "30 rows / 10-row cap = 3 rolled files")
+    val spans = idx.select("min__k", "max__k").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(spans == Seq((0L, 9L), (10L, 19L), (20L, 29L)),
+      s"sorted roll → disjoint ranges, got $spans")
+    val hit = PS.readBetween(spark, t, "k", 3L, 7L)
+    assert(hit.inputFiles.length == 1,
+      "a 5-key range lands in ONE of the three files")
+    assert(hit.select("k").as[Long].collect().toSet == (3L to 7L).toSet)
+  }
+
+  test("upsert with a NEW column evolves the schema: old partitions read" +
+      " as null, cross-schema merges keep old rows") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq((1L, "A", "a")).toDF("k", "d", "v"), "d")
+    PS.upsert(spark, t,
+      Seq((2L, "B", "b", 9L)).toDF("k", "d", "v", "extra"), Seq("k"), "d")
+    assert(PS.read(spark, t).select("k", "v", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(9L))))
+    // an upsert INTO the pre-evolution partition merges across the
+    // schema gap: the old row survives with a null in the new column
+    PS.upsert(spark, t,
+      Seq((3L, "A", "c", 7L)).toDF("k", "d", "v", "extra"), Seq("k"), "d")
+    assert(PS.read(spark, t).select("k", "v", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", Some(9L)), (3L, "c", Some(7L))))
+  }
+
   test("the whole flow runs through the HADOOP binding (store-agnostic" +
       " control plane)") {
     val store = CommitStore.hadoop()
