@@ -353,14 +353,24 @@ object PartitionedSnapshots {
     * tracking — [[Snapshots.streamCommit]]'s shape with O(touched
     * partitions) data cost per batch. Crash-replayed batches re-commit
     * idempotently in content (keyed delete+insert), burning one version
-    * number that vacuum reclaims. */
+    * number that vacuum reclaims.
+    *
+    * `zoneMapCols` keeps the file-stats index FRESH under streaming
+    * ingestion: after each batch's commit, [[buildZoneMap]] extends the
+    * previous index incrementally (carried partitions reuse their stat
+    * rows), so pruned reads never consult stale stats and the per-batch
+    * stat cost matches the batch's own O(touched partitions). */
   def streamCommit(spark: SparkSession, stream: DataFrame, t: String,
       keys: Seq[String], partCol: String, checkpoint: String,
+      zoneMapCols: Seq[String] = Nil,
       store: CommitStore = CommitStore.local)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch((batch: DataFrame, _: Long) => {
-        upsert(spark, t, batch, keys, partCol, store); ()
+        upsert(spark, t, batch, keys, partCol, store)
+        if (zoneMapCols.nonEmpty)
+          buildZoneMap(spark, t, zoneMapCols, store = store)
+        ()
       })
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -146,7 +146,8 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     val schema = spark.read.parquet(in).schema
     def drain(): Unit = {
       val q = PS.streamCommit(spark,
-        spark.readStream.schema(schema).parquet(in), t, Seq("k"), "d", cp)
+        spark.readStream.schema(schema).parquet(in), t, Seq("k"), "d", cp,
+        zoneMapCols = Seq("k"))
       assert(q.awaitTermination(120000), "stream did not drain")
     }
     drain()
@@ -155,6 +156,17 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     drain()
     assert(rows(t).map(r => (r._1, r._3)) == Set((1L, "A2"), (2L, "b")))
     assert(PS.currentVersion(t).exists(_ >= 2L))
+    // the zone map followed every commit: the CURRENT version is
+    // indexed and a pruned point read skips the other partition's files
+    val cur = PS.currentVersion(t).get
+    assert(CommitStore.local.exists(
+      f"$t/_snapshots/v$cur%05d/zonemap/_SUCCESS"),
+      "stats stayed fresh under streaming ingestion")
+    val hit = PS.readBetween(spark, t, "k", 2L, 2L)
+    assert(hit.select("k", "v").as[(Long, String)].collect().toSeq ==
+      Seq((2L, "b")))
+    assert(hit.inputFiles.forall(_.contains("__p=p2")),
+      "k=2 lives in p2 only; p1's files are pruned")
   }
 
   test("property: PartitionedSnapshots ≡ Snapshots over the same" +

@@ -170,6 +170,49 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("d13: semantic dedup plans cluster-locally — the centroid set" +
+      " broadcasts and the pair scan is an EQUI-join on the cell key," +
+      " never all-pairs") {
+    val (ns, s) = planOf("d13_semdedup")
+    // the assignment subtree lives inside the cached relation — descend
+    val cached = ns.collect {
+      case i: org.apache.spark.sql.execution.columnar
+          .InMemoryTableScanExec => nodes(i.relation.cachedPlan)
+    }.flatten
+    val all = ns ++ cached
+    assert(!all.exists(_.nodeName.contains("CartesianProduct")), s)
+    assert(all.exists(_.nodeName.contains("BroadcastNestedLoopJoin")),
+      "centroid assignment broadcasts the centroid set")
+    assert(ns.exists(n => n.nodeName.contains("SortMergeJoin") ||
+      n.nodeName.contains("ShuffledHashJoin") ||
+      n.nodeName.contains("BroadcastHashJoin")),
+      s"pair scan should key on the cell:\n$s")
+  }
+
+  test("dynamic partition pruning: a selective dim filter becomes a" +
+      " runtime partition filter on the partitioned fact scan") {
+    // At 100 TB a fact table is hive-partitioned and a dim-filtered join
+    // must not scan every partition: DPP turns the filtered dim's keys
+    // into a runtime PartitionFilter on the fact scan (broadcast-reuse
+    // form). The catalog's single-file test tables can't show this, so
+    // the fixture is a small partitioned table of the same shape as the
+    // ingest layout (S4/S5 partitioned sinks).
+    import org.apache.spark.sql.functions.{col, sum}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dpp").toString
+    spark.range(0, 10000)
+      .select(col("id"), (col("id") % 20).as("pd"))
+      .write.partitionBy("pd").mode("overwrite").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.range(0, 20).select(col("id").as("pd"),
+      (col("id") % 5).as("grp"))
+    val q = fact.join(dim.filter(col("grp") === 0), "pd").agg(sum("id"))
+    q.collect()
+    val s = q.queryExecution.executedPlan.toString
+    assert(s.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$s")
+  }
+
   test("s01: the query side broadcasts against the corpus (no corpus" +
       " shuffle before ranking)") {
     val (ns, _) = planOf("s01_knn_brute")
