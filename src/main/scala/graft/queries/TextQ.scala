@@ -23,7 +23,7 @@ object TextQ {
     t04Fingerprint, t05PiiScrub, t06CorpusFilter, t07HashSplit,
     t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample,
     t12Decontaminate, t13ChunkOverlap, t14Repetition, t15RareTokens,
-    t16TrigramNovelty, t17TokenGini, t18BigramLm)
+    t16TrigramNovelty, t17TokenGini, t18BigramLm, t19ImportanceWeight)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -776,4 +776,85 @@ object TextQ {
     SELECT prev_tok, next_tok, c, n_prev,
       CAST(c AS DOUBLE) / CAST(n_prev AS DOUBLE) AS cond_p, rk
     FROM ranked WHERE rk <= 3 ORDER BY prev_tok, rk"""))
+
+  /** DSIR-style data-selection importance weighting (Xie et al. 2023):
+    * score every doc by how much its HASHED-BIGRAM distribution looks
+    * like a target slice (here lang='en') vs the whole corpus. Bigrams
+    * hash into 256 buckets (16 md5 hex bits — engine-portable); each
+    * bucket gets the EXACT-INTEGER cross-difference
+    * (tgt_b+1)*(src_total+B) - (src_b+1)*(tgt_total+B) — the common-
+    * denominator numerator of the smoothed ratio p_t(b) - p_s(b), i.e.
+    * the first-order (count-form) proxy for DSIR's log-ratio, kept
+    * transcendental-free like t16/t18 so the oracle is exact, not
+    * float-fuzzy. A doc's score sums its bigram instances' bucket
+    * weights; high = target-like (upsample), low = generic (down).
+    *
+    * Scale shape: the bucket weight table is 256 ROWS regardless of
+    * corpus size — broadcast; per-doc scoring is one narrow map + one
+    * groupBy(doc_id) with map-side combine. The two corpus-distribution
+    * aggregates reduce to 256-row tables before anything joins. */
+  val t19ImportanceWeight: Q = Q("t19_importance_weight", (s, d) => {
+    val B = 256
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.TextExprs.shingles(
+          tokens(col("text")), 2)).as("g"))
+      .withColumn("b",
+        conv(substring(md5(col("g")), 1, 4), 16, 10).cast("long") % B)
+      .cache()
+    val src = grams.groupBy(col("b")).agg(count(lit(1)).as("src_n"))
+    val tgt = grams.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("tgt_n"))
+    val totals = grams.agg(count(lit(1)).as("src_total"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tgt_total"))
+    val weights = src.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        ((coalesce(col("tgt_n"), lit(0L)) + 1) * (col("src_total") + B) -
+          (col("src_n") + 1) * (col("tgt_total") + B)).as("wt"))
+    val perDoc = grams.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wt")).as("score"), count(lit(1)).as("n"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("score"), lit(0L)).cast("long").as("dsir_score"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0) AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, lang,
+        unnest(list_transform(range(1, len(t)),
+          i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks),
+    bk AS (
+      SELECT doc_id, lang,
+        CAST('0x' || substr(md5(g), 1, 4) AS BIGINT) % 256 AS b
+      FROM grams),
+    src AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS src_n
+            FROM bk GROUP BY b),
+    tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tgt_n
+            FROM bk WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS src_total,
+              CAST(COUNT(*) FILTER (WHERE lang = 'en') AS BIGINT)
+                AS tgt_total
+            FROM bk),
+    w AS (SELECT s.b,
+            (COALESCE(t.tgt_n, 0) + 1) * (src_total + 256)
+              - (s.src_n + 1) * (tgt_total + 256) AS wt
+          FROM src s LEFT JOIN tgt t ON s.b = t.b CROSS JOIN tot),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM bk JOIN w ON bk.b = w.b GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(COALESCE(p.score, 0) AS BIGINT) AS dsir_score,
+      CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bigrams
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    ORDER BY d.doc_id"""))
 }
