@@ -133,10 +133,8 @@ object PartitionedSnapshots {
             // columns — round-trip exactly.
             val touchedDirs = updCached
               .select(col(partCol).cast("string")).distinct()
-              .collect().map(r =>
-                "__p=" + (if (r.isNullAt(0)) "__HIVE_DEFAULT_PARTITION__"
-                  else org.apache.spark.sql.catalyst.catalog
-                    .ExternalCatalogUtils.escapePathName(r.getString(0))))
+              .collect().map(r => partDirName(
+                if (r.isNullAt(0)) None else Some(r.getString(0))))
               .toSet
             val existingDirs = m.collect {
               case (p, owner) if touchedDirs(p) =>
@@ -224,6 +222,65 @@ object PartitionedSnapshots {
       drop
     }
   }
+
+  /** Partition dir name for a rendered (cast-to-string) partition value,
+    * using Spark's own escaping — the writer's rendering. */
+  private def partDirName(rendered: Option[String]): String =
+    "__p=" + rendered.fold("__HIVE_DEFAULT_PARTITION__")(
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName)
+
+  /** Predicate DELETE as a new version — the GDPR/retention path every
+    * lakehouse needs: one detection scan finds the partitions holding
+    * matches (predicate pushdown + footer stats prune it), ONLY those
+    * partitions rewrite without their matching rows, and every other
+    * partition's manifest entry carries over untouched — O(touched
+    * partitions) data cost, like upsert. A partition whose every row
+    * matches leaves the manifest entirely. Readers pinned to prior
+    * versions still see the deleted rows until vacuum reclaims their
+    * version dirs — the usual MVCC caveat for hard-delete compliance
+    * (run vacuum to make removal physical).
+    *
+    * Returns the committed version (the CURRENT version, burning
+    * nothing, when no row matches). */
+  def delete(spark: SparkSession, t: String,
+      where: org.apache.spark.sql.Column, partCol: String,
+      store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      val cur = currentVersion(t, store).getOrElse(
+        throw new IllegalStateException(s"$t has no committed snapshot"))
+      val m = manifest(t, cur, store)
+      // collect is partition-VALUE-sized (the touched set), never rows
+      val touchedDirs = readVersion(spark, t, cur, store)
+        .filter(where)
+        .select(col(partCol).cast("string")).distinct()
+        .collect()
+        .map(r => partDirName(
+          if (r.isNullAt(0)) None else Some(r.getString(0))))
+        .toSet
+      if (touchedDirs.isEmpty) cur
+      else {
+        val v = versions(t, store).last + 1
+        val dirs = m.collect {
+          case (p, o) if touchedDirs(p) => s"${dataDir(t, o)}/$p"
+        }.toSeq
+        val kept = spark.read.option("mergeSchema", "true")
+          .parquet(dirs: _*)
+          .filter(org.apache.spark.sql.functions.not(where))
+        val parts = writeData(kept, t, v, partCol, store)
+        val unexpected = parts.filterNot(touchedDirs)
+        if (unexpected.nonEmpty)
+          throw new IllegalStateException(
+            "partition rendering mismatch during delete: wrote " +
+              unexpected.mkString(", ") + " outside the detected " +
+              "partitions — aborting commit (orphan version; vacuum " +
+              "reclaims it)")
+        writeManifest(t, v,
+          (m -- touchedDirs) ++ parts.map(_ -> v).toMap, store)
+        commitPointer(t, v, store)
+        v
+      }
+    }
 
   /** OPTIMIZE: rewrite the current version's FRAGMENTED partitions
     * (≥ `minFiles` data files — the debris a streaming upsert cadence

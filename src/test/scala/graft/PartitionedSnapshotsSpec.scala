@@ -378,6 +378,33 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
       Set((1L, "a", None), (2L, "b", Some(9L)), (3L, "c", Some(7L))))
   }
 
+  test("predicate delete rewrites ONLY partitions holding matches;" +
+      " a fully-deleted partition leaves the manifest; pinned readers" +
+      " keep the deleted rows until vacuum") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq(
+      (1L, "A", "a1"), (2L, "A", "drop-me"),
+      (3L, "B", "b1"), (4L, "C", "drop-me"), (5L, "C", "drop-me"))
+      .toDF("k", "d", "v"), "d")
+    // one matching row in A: A rewrites, B and C carry over
+    val v2 = PS.delete(spark, t, col("k") === 2L, "d")
+    assert(v2 == 2L)
+    assert(rows(t) == Set((1L, "A", "a1"), (3L, "B", "b1"),
+      (4L, "C", "drop-me"), (5L, "C", "drop-me")))
+    assert(PS.manifest(t, 2L) ==
+      Map("__p=A" -> 2L, "__p=B" -> 1L, "__p=C" -> 1L))
+    // MVCC: the pinned v1 reader still sees the deleted row
+    assert(PS.readVersion(spark, t, 1L).count() == 5)
+    // every row of C matches: its manifest entry disappears
+    val v3 = PS.delete(spark, t, col("v") === "drop-me", "d")
+    assert(v3 == 3L)
+    assert(rows(t) == Set((1L, "A", "a1"), (3L, "B", "b1")))
+    assert(PS.manifest(t, 3L) == Map("__p=A" -> 2L, "__p=B" -> 1L))
+    // nothing matches: no version burned
+    assert(PS.delete(spark, t, col("k") === 99L, "d") == 3L)
+    assert(PS.currentVersion(t).contains(3L))
+  }
+
   test("the whole flow runs through the HADOOP binding (store-agnostic" +
       " control plane)") {
     val store = CommitStore.hadoop()
