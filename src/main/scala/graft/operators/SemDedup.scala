@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+
+/** SemDeDup (Abbas et al. 2023) at PRODUCTION K — the operator form of
+  * catalog query d13. The query fixes its clustering to deterministic
+  * label seeds so DuckDB verifies the keep rule exactly; here the
+  * clustering is a real [[KMeans]] fit at caller-chosen K (K ~ √N bounds
+  * per-cell pair work — the published configuration), then the same
+  * order-independent keep rule: of every same-cell pair with cosine ≥
+  * `threshold`, the member FARTHEST from its centroid survives (ties on
+  * id). Because the beat relation totally orders every near-dup pair,
+  * the kept set provably contains NO same-cell pair above the threshold
+  * (SemDedupSpec pins this invariant plus witness existence).
+  *
+  * Scale shape: centroids broadcast (model-sized driver state only);
+  * the quadratic scan never crosses cell boundaries — the only wide
+  * exchange is the shuffle on the cell key; output is one row per input
+  * vector. The intermediate assignment is cached for its three uses;
+  * callers clear the cache (or session) when done, as with the query
+  * catalog's scoped caches.
+  */
+object SemDedup {
+
+  /** Returns (idCol, cell, cos_c, kept) — one row per corpus vector. */
+  def run(spark: SparkSession, corpus: DataFrame, k: Int,
+      threshold: Double, fitRounds: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && threshold > 0.0)
+    val model = KMeans.fit(spark, corpus, k, fitRounds, idCol, vecCol)
+    val assigned = corpus
+      .select(col(idCol), col(vecCol),
+        VectorFns.norm(col(vecCol)).as("__nrm"))
+      .join(model.assignments.select(col(idCol), col("cell"),
+        col("cos").as("cos_c")), idCol)
+      .cache()
+    val pairCos =
+      when(col("a.__nrm") === 0 || col("b.__nrm") === 0, lit(null))
+        .otherwise(VectorFns.dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.__nrm") * col("b.__nrm")))
+    // b beats a ⟺ b is the pair member kept under keep-farthest-from-
+    // centroid; an EXISTS over beaten near-dup pairs marks a dropped.
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol") &&
+          (col("b.cos_c") < col("a.cos_c") ||
+            (col("b.cos_c") === col("a.cos_c") &&
+              col(s"b.$idCol") < col(s"a.$idCol"))))
+      .filter(pairCos >= threshold)
+      .select(col(s"a.$idCol").as("__dropped")).distinct()
+    assigned
+      .join(dropped, col(idCol) === col("__dropped"), "left")
+      .select(col(idCol), col("cell"), col("cos_c"),
+        col("__dropped").isNull.as("kept"))
+  }
+}

@@ -23,6 +23,8 @@ class PlanAuditSpec extends AnyFunSuite {
   private def nodes(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p.children ++ (p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan) // materialized stages hold their subtree here
       case _ => Nil
     })
     p +: kids.flatMap(nodes)
@@ -173,6 +175,9 @@ class PlanAuditSpec extends AnyFunSuite {
   test("d13: semantic dedup plans cluster-locally — the centroid set" +
       " broadcasts and the pair scan is an EQUI-join on the cell key," +
       " never all-pairs") {
+    // a PRIOR test may have materialized d13's caches (suite order);
+    // pin the fresh plan, not whatever AQE finalized for the old one
+    spark.catalog.clearCache()
     val (ns, s) = planOf("d13_semdedup")
     // the assignment subtree lives inside the cached relation — descend
     val cached = ns.collect {
