@@ -223,6 +223,44 @@ object PartitionedSnapshots {
     }
   }
 
+  /** RESTORE: roll the table back (or forward) to retained version `v`
+    * as a NEW commit — `v`'s manifest re-commits under the next version
+    * number and the pointer flips. ZERO data moves: the new manifest
+    * references `v`'s owner dirs, which ownership [[vacuum]] then keeps
+    * alive for as long as the restore is retained. History is preserved
+    * (the undone versions stay readable until vacuumed) — the
+    * lakehouse RESTORE semantic, not a destructive reset. */
+  def restore(spark: SparkSession, t: String, v: Long,
+      store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      val m = manifest(t, v, store)
+      if (m.isEmpty) throw new IllegalStateException(
+        s"$t has no snapshot v$v (vacuumed or never committed)")
+      val newV = versions(t, store).last + 1
+      // no data write creates the version dir here, so make it: the dir
+      // keeps numbering collision-free and hosts the manifest
+      store.mkdirs(versionDir(t, newV))
+      writeManifest(t, newV, m, store)
+      commitPointer(t, newV, store)
+      newV
+    }
+
+  /** Commit log, newest first: (version, partitions, partitions OWNED
+    * by that version, committed?) — pure manifest metadata, no data
+    * read. Orphan dirs (no manifest) are skipped; `committed` is false
+    * for versions above the current pointer (landed but never flipped,
+    * or flipped past by a restore's re-commit). */
+  def history(t: String, store: CommitStore = CommitStore.local)
+      : Seq[(Long, Int, Int, Boolean)] = {
+    val cur = currentVersion(t, store)
+    versions(t, store).reverse.flatMap { v =>
+      val m = manifest(t, v, store)
+      if (m.isEmpty) None
+      else Some((v, m.size, m.values.count(_ == v),
+        cur.exists(v <= _)))
+    }
+  }
+
   /** Partition dir name for a rendered (cast-to-string) partition value,
     * using Spark's own escaping — the writer's rendering. */
   private def partDirName(rendered: Option[String]): String =

@@ -405,6 +405,31 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     assert(PS.currentVersion(t).contains(3L))
   }
 
+  test("restore re-commits an old manifest with ZERO data movement;" +
+      " ownership vacuum keeps the restored owners alive") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq((1L, "A", "good"), (2L, "B", "b"))
+      .toDF("k", "d", "v"), "d")
+    PS.upsert(spark, t, Seq((1L, "A", "fat-fingered"))
+      .toDF("k", "d", "v"), Seq("k"), "d")
+    assert(rows(t).contains((1L, "A", "fat-fingered")))
+    val v3 = PS.restore(spark, t, 1L)
+    assert(v3 == 3L)
+    assert(rows(t) == Set((1L, "A", "good"), (2L, "B", "b")))
+    // metadata-only: v3 owns NOTHING, it references v1's dirs
+    assert(PS.manifest(t, 3L) == Map("__p=A" -> 1L, "__p=B" -> 1L))
+    assert(!CommitStore.local.exists(s"$t/_snapshots/v00003/data"))
+    // the undone v2 stays time-travelable until vacuumed
+    assert(PS.readVersion(spark, t, 2L).count() == 2)
+    // vacuum keeps v1 (owner of everything the current manifest needs),
+    // drops the undone v2
+    assert(PS.vacuum(t, keep = 1) == Seq(2L))
+    assert(rows(t) == Set((1L, "A", "good"), (2L, "B", "b")))
+    // history: newest first, ownership counts, all at-or-below pointer
+    assert(PS.history(t) ==
+      Seq((3L, 2, 0, true), (1L, 2, 2, true)))
+  }
+
   test("the whole flow runs through the HADOOP binding (store-agnostic" +
       " control plane)") {
     val store = CommitStore.hadoop()
