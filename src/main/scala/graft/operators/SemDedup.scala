@@ -55,4 +55,67 @@ object SemDedup {
       .select(col(idCol), col("cell"), col("cos_c"),
         col("__dropped").isNull.as("kept"))
   }
+
+  /** INCREMENTAL semantic dedup: KEEP/DROP decisions for a NEW batch
+    * against a persisted clustered corpus — the [[NearDup.pairsWithCorpus]]
+    * twin for the embedding family. The corpus index is
+    * [[VectorSearch.writeIndex]]'s layout ((id, vec, nrm) PARTITIONED BY
+    * cell), so the scan is partition-PRUNED to the batch's own cells —
+    * a day's batch against a 100 TB corpus reads only the cells the
+    * batch lands in. Corpus members always win (the corpus is the
+    * stable, already-deduped set — re-litigating it per batch would
+    * churn accepted data); batch-internal pairs use the standard
+    * keep-farthest-from-centroid rule.
+    *
+    * Returns (idCol, cell, cos_c, kept, dropped_by) — `dropped_by` is
+    * 'corpus', 'batch', or null, with corpus precedence. Survivors are
+    * what an ingest appends to the index (per-cell file adds, per
+    * writeIndex's contract). */
+  def batchAgainstIndex(spark: SparkSession, batch: DataFrame,
+      centroids: DataFrame, indexPath: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0.0)
+    val assigned = batch
+      .select(col(idCol), col(vecCol),
+        VectorFns.norm(col(vecCol)).as("__nrm"))
+      .join(VectorSearch.ivfAssign(batch, centroids, corpusId = idCol,
+        cellId = "cell", vecCol = vecCol)
+        .select(col(idCol), col("cell"), col("cos").as("cos_c")), idCol)
+      .cache()
+    // batch-cell literals collect (batch-sized, bounded) → the index
+    // read lists and scans ONLY those partitions
+    val cells = assigned.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("cell"), col(vecCol).as("__cv"), col("nrm").as("__cn"))
+    val corpusCos =
+      when(col("a.__nrm") === 0 || col("b.__cn") === 0, lit(null))
+        .otherwise(VectorFns.dot(col(s"a.$vecCol"), col("b.__cv")) /
+          (col("a.__nrm") * col("b.__cn")))
+    val dupOfCorpus = assigned.as("a").join(idx.as("b"), Seq("cell"))
+      .filter(corpusCos >= threshold)
+      .select(col(s"a.$idCol").as("__c_dropped")).distinct()
+    val pairCos =
+      when(col("a.__nrm") === 0 || col("b.__nrm") === 0, lit(null))
+        .otherwise(VectorFns.dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.__nrm") * col("b.__nrm")))
+    val dupOfBatch = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol") &&
+          (col("b.cos_c") < col("a.cos_c") ||
+            (col("b.cos_c") === col("a.cos_c") &&
+              col(s"b.$idCol") < col(s"a.$idCol"))))
+      .filter(pairCos >= threshold)
+      .select(col(s"a.$idCol").as("__b_dropped")).distinct()
+    assigned
+      .join(dupOfCorpus, col(idCol) === col("__c_dropped"), "left")
+      .join(dupOfBatch, col(idCol) === col("__b_dropped"), "left")
+      .select(col(idCol), col("cell"), col("cos_c"),
+        (col("__c_dropped").isNull && col("__b_dropped").isNull)
+          .as("kept"),
+        when(col("__c_dropped").isNotNull, lit("corpus"))
+          .when(col("__b_dropped").isNotNull, lit("batch"))
+          .otherwise(lit(null)).as("dropped_by"))
+  }
 }

@@ -59,4 +59,44 @@ class SemDedupSpec extends AnyFunSuite {
       scored.unpersist()
     } finally out.unpersist()
   }
+
+  test("batchAgainstIndex: corpus near-dups always lose the batch row," +
+      " batch pairs use the standard rule, and the index scan is" +
+      " pruned to the batch's cells") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_semidx").toString
+    // three cells on coordinate axes; cell 2 exists ONLY in the corpus
+    val centroids = Seq(
+      (0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 1f, 0f, 0f)),
+      (2, Seq(0f, 0f, 1f, 0f))).toDF("cell", "embedding")
+    val corpus = Seq(
+      (1L, Seq(1f, 0.1f, 0f, 0f)),    // cell 0
+      (2L, Seq(0.1f, 1f, 0f, 0f)),    // cell 1
+      (3L, Seq(0f, 0f, 1f, 0.1f)))    // cell 2
+      .toDF("vec_id", "embedding")
+    graft.operators.VectorSearch.writeIndex(corpus, centroids, dir)
+    val batch = Seq(
+      (101L, Seq(1f, 0.11f, 0f, 0f)), // ~corpus #1 → dropped_by corpus
+      (102L, Seq(0f, 1f, 0.5f, 0f)),  // near-dup pair with 103; closer
+      (103L, Seq(0f, 1f, 0.52f, 0f)), //   to centroid → 102 drops
+      (104L, Seq(0f, 0f, 0f, 1f)))    // novel → kept
+      .toDF("vec_id", "embedding")
+    val out = SemDedup.batchAgainstIndex(spark, batch, centroids, dir,
+      threshold = 0.95)
+    val got = out.select(col("vec_id"), col("kept"), col("dropped_by"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2))))).toMap
+    assert(got(101L) == ((false, Some("corpus"))), got.toString)
+    assert(got(102L) == ((false, Some("batch"))), got.toString)
+    assert(got(103L) == ((true, None)), got.toString)
+    assert(got(104L) == ((true, None)), got.toString)
+    // the batch landed in cells 0 and 1 only: the cell literals reach
+    // the index scan as a PARTITION filter (inputFiles lists the
+    // pre-pruning catalog, so pin the plan, which is what executes)
+    val planStr = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell[^\\]]*IN \\([01],[01]\\)".r
+      .findFirstIn(planStr).isDefined,
+      s"no cell partition filter on the index scan:\n$planStr")
+  }
 }
