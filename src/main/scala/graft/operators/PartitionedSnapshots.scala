@@ -109,15 +109,26 @@ object PartitionedSnapshots {
     * carrying update rows are read, merged, and rewritten — every other
     * partition's manifest entry carries over untouched. Data cost is
     * O(touched partitions); commit cost is one manifest + one pointer
-    * flip. */
+    * flip.
+    *
+    * `optimizeWrite` repartitions the merged rows by `partCol` before
+    * writing, so each touched partition lands as ONE file instead of
+    * one per task — fragmentation prevented at write time instead of
+    * cured by [[compact]] later (Delta's optimized-write trade: one
+    * extra shuffle of the touched rows per commit buys a scan-friendly
+    * layout; leave it off for latency-critical streaming commits and
+    * compact on a schedule instead). */
   def upsert(spark: SparkSession, t: String, updates: DataFrame,
       keys: Seq[String], partCol: String,
+      optimizeWrite: Boolean = false,
       store: CommitStore = CommitStore.local): Long =
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
       val v = versions(t, store).lastOption.getOrElse(0L) + 1
+      def shaped(df: DataFrame): DataFrame =
+        if (optimizeWrite) df.repartition(col(partCol)) else df
       currentVersion(t, store) match {
         case None =>
-          val parts = writeData(updates, t, v, partCol, store)
+          val parts = writeData(shaped(updates), t, v, partCol, store)
           writeManifest(t, v, parts.map(_ -> v).toMap, store)
         case Some(cur) =>
           val m = manifest(t, cur, store)
@@ -147,7 +158,7 @@ object PartitionedSnapshots {
                 .join(updCached.select(keys.map(col): _*).distinct(),
                   keys, "left_anti")
                 .unionByName(updCached, allowMissingColumns = true)
-            val parts = writeData(merged, t, v, partCol, store)
+            val parts = writeData(shaped(merged), t, v, partCol, store)
             // a written dir that exists in the manifest but was NOT
             // predicted as touched means the value→dir rendering
             // disagreed with the writer's — its existing rows were not
@@ -462,7 +473,7 @@ object PartitionedSnapshots {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch((batch: DataFrame, _: Long) => {
-        upsert(spark, t, batch, keys, partCol, store)
+        upsert(spark, t, batch, keys, partCol, store = store)
         if (zoneMapCols.nonEmpty)
           buildZoneMap(spark, t, zoneMapCols, store = store)
         ()

@@ -430,6 +430,34 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
       Seq((3L, 2, 0, true), (1L, 2, 2, true)))
   }
 
+  test("optimizeWrite lands each touched partition as ONE file" +
+      " (fragmentation prevented at write time)") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq((100L, "Z", "z")).toDF("k", "d", "v"), "d")
+    PS.upsert(spark, t,
+      Seq.tabulate(8)(i => (i.toLong, "F", s"f$i"))
+        .toDF("k", "d", "v").repartition(4),
+      Seq("k"), "d", optimizeWrite = true)
+    assert(CommitStore.local
+      .listEntries(s"$t/_snapshots/v00002/data/__p=F")
+      .count(e => !e.isDir && e.name.endsWith(".parquet")) == 1)
+    assert(PS.read(spark, t).count() == 9)
+  }
+
+  test("changes() spans a schema-evolution boundary: a row gaining a" +
+      " non-null value in the new column registers as an update") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq((1L, "A", "a"), (2L, "B", "b"))
+      .toDF("k", "d", "v"), "d")
+    PS.upsert(spark, t,
+      Seq((1L, "A", "a", 5L)).toDF("k", "d", "v", "extra"), Seq("k"), "d")
+    val ch = PS.changes(spark, t, 1L, 2L, Seq("k"))
+      .select(col("k"), col("change_type"), col("extra"))
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(ch == Seq((1L, "update", Some(5L))),
+      s"untouched partition B never enters the diff; got $ch")
+  }
+
   test("the whole flow runs through the HADOOP binding (store-agnostic" +
       " control plane)") {
     val store = CommitStore.hadoop()
@@ -437,7 +465,7 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     PS.write(spark, t, Seq((1L, "x", "a"), (2L, "y", "b"))
       .toDF("k", "d", "v"), "d", store)
     PS.upsert(spark, t, Seq((2L, "y", "B")).toDF("k", "d", "v"),
-      Seq("k"), "d", store)
+      Seq("k"), "d", store = store)
     assert(PS.read(spark, t, store).select("k", "v")
       .as[(Long, String)].collect().toMap == Map(1L -> "a", 2L -> "B"))
     assert(PS.currentVersion(t, store).contains(2L))
