@@ -557,7 +557,11 @@ object PartitionedSnapshots {
         ZoneMap.collect(spark, m.toSeq.sorted.map {
           case (p, o) => dirOf(p, o) }, cols)
     }
-    idx.write.mode(SaveMode.Overwrite).parquet(zoneMapDir(t, v))
+    // checked tmp+swap: a reader mid-rebuild sees the OLD index or the
+    // NEW one, never a half-written dir (the same primitive every
+    // materializer swaps through)
+    Incremental.atomicOverwrite(store, zoneMapDir(t, v))(tmp =>
+      idx.write.mode(SaveMode.Overwrite).parquet(tmp))
     v
   }
 
