@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
 object MultimodalQ {
 
   def all: Seq[Q] = Seq(m01MediaFeatures, m02FrameSample, m03ChunkEnergy,
-    m04Resize, m05ModalityRoute, m06MediaDedup, m07PerceptualBuckets)
+    m04Resize, m05ModalityRoute, m06MediaDedup, m07PerceptualBuckets,
+    m08MmPack)
 
   /** Binary decode → typed features, one codec per partition. The entire
     * decode is narrow; only the 4-float feature rows ever shuffle. */
@@ -241,4 +242,48 @@ object MultimodalQ {
         AS n_similar,
       id = MIN(id) OVER (PARTITION BY kind, phash) AS is_canonical
     FROM bits ORDER BY id"""))
+
+  /** MULTIMODAL sequence packing — the VLM-training layout step: a
+    * document's cost is its text tokens PLUS its media "patch tokens"
+    * (stub: ceil(byte_len/64), standing in for the vision encoder's
+    * resolution-derived patch count), and the combined stream packs into
+    * 256-token sequences per source shard with the same exact-integer
+    * concat-and-chunk layout as t08. Same scale shape as Packing.pack:
+    * the window partitions by shard, one running sum per task, nothing
+    * global. */
+  val m08MmPack: Q = Q("m08_mm_pack", (s, d) => {
+    import graft.functions.TextFns.tokens
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_text_tokens"),
+        expr("CAST((length(text) + 63) DIV 64 AS BIGINT)")
+          .as("n_patches"))
+      .withColumn("n_tokens", col("n_text_tokens") + col("n_patches"))
+    graft.operators.Packing
+      .pack(base, col("source"), col("doc_id"), col("n_tokens"), 256)
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH base AS (
+      SELECT doc_id, source,
+        CAST(len(list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0)) AS BIGINT) AS n_text_tokens,
+        CAST((len(text) + 63) // 64 AS BIGINT) AS n_patches
+      FROM documents),
+    costed AS (
+      SELECT doc_id, source, n_text_tokens, n_patches,
+        n_text_tokens + n_patches AS n_tokens
+      FROM base),
+    packed AS (
+      SELECT doc_id, source, n_text_tokens, n_patches, n_tokens,
+        CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_end
+      FROM costed)
+    SELECT doc_id, source, n_text_tokens, n_patches, n_tokens, cum_end,
+      cum_end - n_tokens AS start_offset,
+      CAST(floor((cum_end - n_tokens) / 256) AS BIGINT) AS first_chunk,
+      CAST(floor((cum_end - 1) / 256) AS BIGINT) AS last_chunk,
+      CAST(floor((cum_end - 1) / 256)
+        - floor((cum_end - n_tokens) / 256) + 1 AS BIGINT) AS n_chunks
+    FROM packed ORDER BY doc_id"""))
 }
