@@ -25,7 +25,8 @@ object DedupQ {
   def all: Seq[Q] = Seq(d01Exact, d02MinhashLsh, d03Simhash, d04NgramJaccard,
     d05EmbedNearDup, d06DedupClusters, d07EmbedLshNearDup,
     d08NormalizedDedup, d09EditDistance, d10WinnowPairs,
-    d11BoilerplateChunks, d12ClusterCanonical, d13SemDedup)
+    d11BoilerplateChunks, d12ClusterCanonical, d13SemDedup,
+    d14BoilerplateStrip)
 
   /** Token bigram SETS per doc — the shingle basis for d02/d04. Native
     * ShinglesExpr (one loop) instead of the staggered-slice zip_with
@@ -600,6 +601,84 @@ object DedupQ {
       ROW_NUMBER() OVER (PARTITION BY cluster_id
         ORDER BY n_distinct_tokens DESC, doc_id ASC) = 1 AS keep
     FROM lbl ORDER BY doc_id"""))
+
+  /** The APPLICATION of d11's detection — C4/RefinedWeb-style boilerplate
+    * REMOVAL with document reconstruction: chunk the normalized token
+    * stream (8-token blocks, same basis as d11), drop every chunk shared
+    * by ≥2 docs, and reassemble each document from its surviving chunks
+    * IN ORDER plus the unchunked tail. Output is the cleaned corpus (the
+    * normalized token stream — the form the downstream tokenizer
+    * consumes), not just per-doc counts.
+    *
+    * Scale shape: two shuffles on short chunk strings (frequency, then
+    * the flag join) and one groupBy(doc_id) whose payload is the doc's
+    * own kept chunks — the reconstruction never moves other docs' text,
+    * and the window-free sort happens inside the per-doc aggregate
+    * (array_sort over collect_list, bounded by the doc's chunk count). */
+  val d14BoilerplateStrip: Q = Q("d14_boilerplate_strip", (s, dir) => {
+    def nz(c: org.apache.spark.sql.Column) =
+      when(c === "", lit(null)).otherwise(c)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("nfull", (size(col("t")) / 8).cast("int"))
+    val chunks = base.filter(col("nfull") >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nfull") - 1),
+          i => array_join(slice(col("t"), i * 8 + 1, lit(8)), " "))))
+      .toDF("doc_id", "idx", "chunk")
+    val freq = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val agg = chunks.join(freq, Seq("chunk"))
+      .select(col("doc_id"), col("idx"), col("chunk"),
+        (col("n_docs") < 2).as("keep"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(array_sort(collect_list(
+          when(col("keep"), struct(col("idx"), col("chunk"))))),
+          c => c.getField("chunk")), " ").as("body"))
+    base.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        concat_ws(" ",
+          nz(coalesce(col("body"), lit(""))),
+          nz(array_join(slice(col("t"), col("nfull") * 8 + 1,
+            size(col("t")) - col("nfull") * 8), " ")))
+          .as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'),
+        x -> len(x) > 0) AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id, t, CAST(floor(len(t) / 8) AS INT) AS nfull
+      FROM toks),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS idx,
+        array_to_string(t[(i*8+1):(i*8+8)], ' ') AS chunk
+      FROM base, UNNEST(range(0, nfull)) AS u(i)),
+    freq AS (
+      SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY chunk),
+    agg AS (
+      SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(CASE WHEN f.n_docs < 2 THEN 0 ELSE 1 END) AS BIGINT)
+          AS n_dropped,
+        string_agg(CASE WHEN f.n_docs < 2 THEN c.chunk END, ' '
+          ORDER BY c.idx) AS body
+      FROM chunks c JOIN freq f USING (chunk)
+      GROUP BY c.doc_id)
+    SELECT b.doc_id,
+      COALESCE(a.n_chunks, 0) AS n_chunks,
+      COALESCE(a.n_dropped, 0) AS n_dropped,
+      concat_ws(' ',
+        NULLIF(COALESCE(a.body, ''), ''),
+        NULLIF(array_to_string(b.t[(b.nfull*8+1):len(b.t)], ' '), ''))
+        AS cleaned_text
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    ORDER BY b.doc_id"""))
 
   /** Semantic dedup, SemDeDup-style (Abbas et al. 2023): cluster the
     * embedding space (deterministic IVF centroids, broadcast; one nearest-
