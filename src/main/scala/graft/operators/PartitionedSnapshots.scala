@@ -122,6 +122,43 @@ object PartitionedSnapshots {
       keys: Seq[String], partCol: String,
       optimizeWrite: Boolean = false,
       store: CommitStore = CommitStore.local): Long =
+    upsertImpl(spark, t, updates, keys, partCol, optimizeWrite,
+      publish = true, store)
+
+  /** WRITE-AUDIT-PUBLISH, stage half: the upsert's data and manifest
+    * land as a fully-formed version but the pointer does NOT flip —
+    * readers stay on the old version while audits (row counts, Quality
+    * checks, reconciliation) run against `readVersion(staged)`. Flip
+    * with [[publish]] when the audit passes; abandon by doing nothing
+    * (vacuum reclaims unpublished versions above the pointer as
+    * orphans — which also means: do NOT run vacuum between stage and
+    * publish). */
+  def stageUpsert(spark: SparkSession, t: String, updates: DataFrame,
+      keys: Seq[String], partCol: String,
+      optimizeWrite: Boolean = false,
+      store: CommitStore = CommitStore.local): Long =
+    upsertImpl(spark, t, updates, keys, partCol, optimizeWrite,
+      publish = false, store)
+
+  /** WRITE-AUDIT-PUBLISH, publish half: flip the pointer to a STAGED
+    * version after its audit passed. Refuses to move backwards (use
+    * [[restore]] for rollback — it preserves linear history). */
+  def publish(t: String, v: Long,
+      store: CommitStore = CommitStore.local): Unit =
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      if (manifest(t, v, store).isEmpty) throw new IllegalStateException(
+        s"$t has no staged snapshot v$v (vacuumed or never staged)")
+      val cur = currentVersion(t, store)
+      if (cur.exists(_ >= v)) throw new IllegalStateException(
+        s"$t is already at v${cur.get} >= staged v$v — publish only " +
+          "moves forward; use restore for rollback")
+      commitPointer(t, v, store)
+    }
+
+  private def upsertImpl(spark: SparkSession, t: String,
+      updates: DataFrame, keys: Seq[String], partCol: String,
+      optimizeWrite: Boolean, publish: Boolean,
+      store: CommitStore): Long =
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
       val v = versions(t, store).lastOption.getOrElse(0L) + 1
       def shaped(df: DataFrame): DataFrame =
@@ -176,7 +213,7 @@ object PartitionedSnapshots {
               m ++ parts.map(_ -> v).toMap, store)
           } finally updCached.unpersist()
       }
-      commitPointer(t, v, store)
+      if (publish) commitPointer(t, v, store)
       v
     }
 

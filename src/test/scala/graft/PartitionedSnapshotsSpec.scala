@@ -458,6 +458,32 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
       s"untouched partition B never enters the diff; got $ch")
   }
 
+  test("write-audit-publish: a staged version is invisible until" +
+      " publish, audits read it directly, and abandoned stages vacuum" +
+      " as orphans") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq((1L, "A", "a")).toDF("k", "d", "v"), "d")
+    val staged = PS.stageUpsert(spark, t,
+      Seq((2L, "B", "b")).toDF("k", "d", "v"), Seq("k"), "d")
+    assert(staged == 2L)
+    // readers stay on v1 while the audit runs
+    assert(PS.currentVersion(t).contains(1L))
+    assert(rows(t) == Set((1L, "A", "a")))
+    assert(PS.readVersion(spark, t, staged).count() == 2,
+      "the audit reads the staged version")
+    PS.publish(t, staged)
+    assert(PS.currentVersion(t).contains(2L))
+    assert(rows(t) == Set((1L, "A", "a"), (2L, "B", "b")))
+    // publish only moves forward (restore handles rollback)
+    intercept[IllegalStateException](PS.publish(t, 1L))
+    // a failed-audit stage is simply never published: vacuum reclaims
+    // it as an above-pointer orphan
+    val abandoned = PS.stageUpsert(spark, t,
+      Seq((9L, "C", "bad-batch")).toDF("k", "d", "v"), Seq("k"), "d")
+    assert(PS.vacuum(t, keep = 2) == Seq(abandoned))
+    assert(rows(t) == Set((1L, "A", "a"), (2L, "B", "b")))
+  }
+
   test("the whole flow runs through the HADOOP binding (store-agnostic" +
       " control plane)") {
     val store = CommitStore.hadoop()
