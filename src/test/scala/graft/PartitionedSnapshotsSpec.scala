@@ -484,6 +484,55 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     assert(rows(t) == Set((1L, "A", "a"), (2L, "B", "b")))
   }
 
+  test("property: the full lifecycle (upsert / optimizeWrite / delete /" +
+      " compact / restore) tracks an in-memory model over a random op" +
+      " sequence, and every historical version stays readable") {
+    val rnd = new scala.util.Random(7L)
+    val t = tmpTable()
+    // model: key -> value; partition is a FIXED function of the key
+    // (the partCol-immutability contract)
+    def dOf(k: Long) = s"P${k % 4}"
+    def df(m: Map[Long, String]) =
+      m.toSeq.map { case (k, v) => (k, dOf(k), v) }.toDF("k", "d", "v")
+    var model = Map(1L -> "init", 5L -> "init5")
+    var committed = Vector.empty[(Long, Map[Long, String])]
+    def snap(v: Long): Unit = { committed :+= (v -> model) }
+    snap(PS.write(spark, t, df(model), "d"))
+    (1 to 14).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 | 1 => // keyed upsert, sometimes optimized
+          val batch = (1 to (1 + rnd.nextInt(3))).map(_ =>
+            rnd.nextInt(12).toLong -> s"s$step").toMap
+          model ++= batch
+          snap(PS.upsert(spark, t, df(batch), Seq("k"), "d",
+            optimizeWrite = rnd.nextBoolean()))
+        case 2 => // predicate delete on the value column
+          val victim = s"s${1 + rnd.nextInt(math.max(step - 1, 1))}"
+          val before = model
+          model = model.filterNot(_._2 == victim)
+          val v = PS.delete(spark, t, col("v") === victim, "d")
+          if (model != before) snap(v)
+        case 3 => // maintenance: never changes content
+          PS.compact(spark, t, "d") match {
+            case (v, parts) if parts.nonEmpty => snap(v)
+            case _ => ()
+          }
+        case 4 => // rollback/forward to any committed version
+          val (v, state) = committed(rnd.nextInt(committed.size))
+          model = state
+          snap(PS.restore(spark, t, v))
+      }
+      assert(rows(t).map(r => r._1 -> r._3).toMap == model,
+        s"divergence after step $step")
+    }
+    // every committed version still reads back as its recorded state
+    committed.foreach { case (v, state) =>
+      assert(PS.readVersion(spark, t, v).select("k", "v")
+        .as[(Long, String)].collect().toMap == state,
+        s"history broken at v$v")
+    }
+  }
+
   test("the whole flow runs through the HADOOP binding (store-agnostic" +
       " control plane)") {
     val store = CommitStore.hadoop()
