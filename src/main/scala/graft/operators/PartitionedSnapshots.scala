@@ -391,16 +391,22 @@ object PartitionedSnapshots {
     * several files each covers a NARROW, disjoint cluster-key range —
     * the OPTIMIZE+CLUSTER move that makes both the zone map
     * ([[buildZoneMap]]/[[readBetween]]) and parquet row-group stats
-    * selective on a non-partition column. Multi-dimension layouts
-    * compose via [[ZOrder.zValue]] on a precomputed column.
+    * selective on a non-partition column. `zOrderBy` is the
+    * multi-dimension form (OPTIMIZE ZORDER BY parity): rows sort on a
+    * Morton key interleaving every named dimension ([[ZOrder.zValue]];
+    * per-dim min/max collected to literals over the fragmented rows),
+    * so each rolled file covers a narrow range in EVERY dimension, not
+    * just the leading one. Mutually exclusive with `clusterBy`.
     *
     * Returns (version, compacted partition dirs) — (current, Nil)
     * without burning a version when nothing is fragmented. */
   def compact(spark: SparkSession, t: String, partCol: String,
       minFiles: Int = 2, maxRecordsPerFile: Long = 0,
-      clusterBy: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil, zOrderBy: Seq[String] = Nil,
       store: CommitStore = CommitStore.local): (Long, Seq[String]) = {
     require(minFiles >= 2, "minFiles < 2 would rewrite compact partitions")
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "pick clusterBy (single-dim) or zOrderBy (Morton), not both")
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
       val cur = currentVersion(t, store).getOrElse(
         throw new IllegalStateException(s"$t has no committed snapshot"))
@@ -413,13 +419,33 @@ object PartitionedSnapshots {
       else {
         val v = versions(t, store).last + 1
         val dirs = frag.map { case (p, owner) => s"${dataDir(t, owner)}/$p" }
-        val shuffled = spark.read.option("mergeSchema", "true")
+        val frag0 = spark.read.option("mergeSchema", "true")
           .parquet(dirs: _*)
-          .repartition(col(partCol))
+        val withZ =
+          if (zOrderBy.isEmpty) frag0
+          else {
+            val aggs = zOrderBy.flatMap(c => Seq(
+              org.apache.spark.sql.functions.min(col(c)).cast("double"),
+              org.apache.spark.sql.functions.max(col(c)).cast("double")))
+            val stats = frag0.agg(aggs.head, aggs.tail: _*).first()
+            def statAt(i: Int): Double =
+              Option(stats.get(i)).map(_.asInstanceOf[Double])
+                .getOrElse(0.0)
+            frag0.withColumn("__z", ZOrder.zValue(
+              zOrderBy.zipWithIndex.map { case (c, i) =>
+                ZOrder.scale(col(c), statAt(2 * i), statAt(2 * i + 1))
+              }))
+          }
+        val sortCols =
+          if (zOrderBy.nonEmpty) Seq(partCol, "__z")
+          else if (clusterBy.nonEmpty) partCol +: clusterBy
+          else Nil
+        val shuffled = withZ.repartition(col(partCol))
+        val rows0 =
+          if (sortCols.isEmpty) shuffled
+          else shuffled.sortWithinPartitions(sortCols.map(col): _*)
         val rows =
-          if (clusterBy.isEmpty) shuffled
-          else shuffled.sortWithinPartitions(
-            (partCol +: clusterBy).map(col): _*)
+          if (zOrderBy.isEmpty) rows0 else rows0.drop("__z")
         rows.withColumn("__p", col(partCol))
           .write.partitionBy("__p")
           .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -484,6 +484,30 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     assert(rows(t) == Set((1L, "A", "a"), (2L, "B", "b")))
   }
 
+  test("compact(zOrderBy) rolls files that are narrow in EVERY" +
+      " dimension: each 4-row file covers one 2x2 quadrant of the grid") {
+    val t = tmpTable()
+    // 4x4 grid in one partition, deliberately scrambled across tasks
+    val pts = (for { x <- 0 until 4; y <- 0 until 4 }
+      yield ((x * 4 + y).toLong, "G", x.toLong, y.toLong))
+    PS.write(spark, t,
+      new scala.util.Random(3).shuffle(pts)
+        .toDF("k", "d", "x", "y").repartition(4), "d")
+    val (v2, parts) = PS.compact(spark, t, "d", maxRecordsPerFile = 4,
+      zOrderBy = Seq("x", "y"))
+    assert(parts == Seq("__p=G"))
+    PS.buildZoneMap(spark, t, Seq("x", "y"))
+    val idx = spark.read.parquet(f"$t/_snapshots/v$v2%05d/zonemap")
+      .select(col("min__x"), col("max__x"), col("min__y"), col("max__y"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(idx.length == 4, s"16 rows / 4-row cap = 4 files, got ${idx.length}")
+    idx.foreach { case (x0, x1, y0, y1) =>
+      assert(x1 - x0 <= 1 && y1 - y0 <= 1,
+        s"file spans x[$x0,$x1] y[$y0,$y1] — not a Morton quadrant")
+    }
+    assert(PS.read(spark, t).count() == 16)
+  }
+
   test("property: the full lifecycle (upsert / optimizeWrite / delete /" +
       " compact / restore) tracks an in-memory model over a random op" +
       " sequence, and every historical version stays readable") {
@@ -546,5 +570,29 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     assert(PS.currentVersion(t, store).contains(2L))
     assert(PS.vacuum(t, keep = 1, store = store).isEmpty,
       "v1 still owns partition x — ownership vacuum keeps it")
+    // the newer lifecycle ops run through the same seam: delete,
+    // restore, WAP on t; compact + zone map on a fragmented t2
+    PS.delete(spark, t, col("k") === 2L, "d", store)
+    assert(PS.read(spark, t, store).count() == 1)
+    PS.restore(spark, t, 2L, store)
+    assert(PS.read(spark, t, store).count() == 2, "delete undone")
+    val beforeStage = PS.currentVersion(t, store).get
+    val staged = PS.stageUpsert(spark, t,
+      Seq((99L, "z", "staged")).toDF("k", "d", "v"), Seq("k"), "d",
+      store = store)
+    assert(PS.currentVersion(t, store).contains(beforeStage),
+      "staged version invisible through the hadoop binding too")
+    PS.publish(t, staged, store)
+    assert(PS.read(spark, t, store).select("k")
+      .as[Long].collect().toSet == Set(1L, 2L, 99L))
+    val t2 = tmpTable()
+    PS.write(spark, t2,
+      Seq.tabulate(6)(i => (10L + i, "x", s"f$i")).toDF("k", "d", "v")
+        .repartition(3), "d", store)
+    val (v2b, compacted) = PS.compact(spark, t2, "d", store = store)
+    assert(compacted == Seq("__p=x"))
+    PS.buildZoneMap(spark, t2, Seq("k"), store = store)
+    assert(PS.readBetween(spark, t2, "k", 12L, 12L, store = store)
+      .count() == 1 && v2b == 2L)
   }
 }
