@@ -83,12 +83,21 @@ object SemDedup {
         .select(col(idCol), col("cell"), col("cos").as("cos_c")), idCol)
       .cache()
     // batch-cell literals collect (batch-sized, bounded) → the index
-    // read lists and scans ONLY those partitions
+    // read lists and scans ONLY those partitions. A not-yet-written
+    // index (first batch of a stream) is an empty corpus.
     val cells = assigned.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val idx = spark.read.parquet(indexPath)
-      .filter(col("cell").isin(cells: _*))
-      .select(col("cell"), col(vecCol).as("__cv"), col("nrm").as("__cn"))
+    val idx = (try Some(spark.read.parquet(indexPath))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") => None
+      })
+      .map(_.filter(col("cell").isin(cells: _*))
+        .select(col("cell"), col(vecCol).as("__cv"),
+          col("nrm").as("__cn")))
+      .getOrElse(assigned.limit(0)
+        .select(col("cell"), col(vecCol).as("__cv"),
+          col("__nrm").as("__cn")))
     val corpusCos =
       when(col("a.__nrm") === 0 || col("b.__cn") === 0, lit(null))
         .otherwise(VectorFns.dot(col(s"a.$vecCol"), col("b.__cv")) /
@@ -118,4 +127,35 @@ object SemDedup {
           .when(col("__b_dropped").isNotNull, lit("batch"))
           .otherwise(lit(null)).as("dropped_by"))
   }
+
+  /** STREAMING semantic dedup — the full incremental loop: every
+    * micro-batch decides against the index as it stands
+    * ([[batchAgainstIndex]]: cell-pruned scan, corpus wins), then its
+    * SURVIVORS append to the index in [[VectorSearch.writeIndex]]'s
+    * cell-partitioned layout (per-cell file adds — no rewrite), so a
+    * later batch's near-dup of an earlier batch's survivor is dropped.
+    * The accepted corpus only ever grows with non-duplicates; run
+    * [[run]] offline to re-cluster when the centroids drift. */
+  def streamDedup(spark: SparkSession, stream: DataFrame,
+      centroids: DataFrame, indexPath: String, threshold: Double,
+      checkpoint: String, idCol: String = "vec_id",
+      vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => {
+        val decisions =
+          batchAgainstIndex(spark, batch, centroids, indexPath,
+            threshold, idCol, vecCol)
+        decisions
+          .filter(col("kept"))
+          .join(batch.select(col(idCol), col(vecCol)), idCol)
+          .select(col(idCol), col(vecCol),
+            VectorFns.norm(col(vecCol)).as("nrm"), col("cell"))
+          .write.partitionBy("cell")
+          .mode(org.apache.spark.sql.SaveMode.Append).parquet(indexPath)
+        ()
+      })
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }

@@ -99,4 +99,35 @@ class SemDedupSpec extends AnyFunSuite {
       .findFirstIn(planStr).isDefined,
       s"no cell partition filter on the index scan:\n$planStr")
   }
+
+  test("streamDedup: a later batch's near-dup of an earlier survivor" +
+      " is dropped; the accepted index grows only by non-duplicates") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_semstream").toString
+    val in = s"$base/in"; val idx = s"$base/idx"; val cp = s"$base/cp"
+    val centroids = Seq(
+      (0, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 1f, 0f, 0f)))
+      .toDF("cell", "embedding")
+    Seq((1L, Seq(1f, 0.1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def drain(): Unit = {
+      val q = SemDedup.streamDedup(spark,
+        spark.readStream.schema(schema).parquet(in), centroids, idx,
+        threshold = 0.95, checkpoint = cp)
+      assert(q.awaitTermination(120000), "stream did not drain")
+    }
+    drain()
+    assert(spark.read.parquet(idx).count() == 2,
+      "first batch (no index yet) admits both distinct vectors")
+    // batch 2: a near-dup of survivor 1 plus a genuinely novel vector
+    Seq((11L, Seq(1f, 0.11f, 0f, 0f)), (12L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(in)
+    drain()
+    val ids = spark.read.parquet(idx).select("vec_id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 12L),
+      s"11 duplicates survivor 1 and must not enter the index: $ids")
+  }
 }
