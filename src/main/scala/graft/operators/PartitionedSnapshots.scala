@@ -39,7 +39,11 @@ import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_extract}
   * CONTRACT: `partCol` must be an immutable function of the upsert key
   * (a row never migrates partitions) — the standard lakehouse layout
   * assumption. Cross-partition key moves need `Incremental
-  * .upsertPartitioned`'s key-location scan instead.
+  * .upsertPartitioned`'s key-location scan instead. Multi-column
+  * layouts compose by deriving ONE partCol from the components
+  * (`concat_ws("/", date, region)` — the separator is escaped by the
+  * dir rendering, so the layout stays one level and the manifest
+  * addresses it exactly).
   */
 object PartitionedSnapshots {
 
