@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
 object SimilarityQ {
 
   def all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03IvfAssign, s04IvfSearch,
-    s05QuantizedRerank, s06KmeansUpdate, s07PqRerank, s08RangeSearch)
+    s05QuantizedRerank, s06KmeansUpdate, s07PqRerank, s08RangeSearch,
+    s09FilteredKnn)
 
   /** Corpus with per-VECTOR norms precomputed and materialized: norms are
     * O(N), not O(pairs) — computing them inside the pair expression would
@@ -79,6 +80,54 @@ object SimilarityQ {
       FROM scored)
     SELECT query_id, rank, vec_id AS neighbor_id, cos
     FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank"""))
+
+  /** FILTERED vector search — the metadata-predicate + similarity combo
+    * every vector store ships (and the standard retrieval shape for
+    * RAG: "top-k among docs matching the filter"): per query (vec_id <
+    * 5), exact cosine top-5 among corpus vectors whose label is EVEN,
+    * self excluded. PRE-filtering (predicate before ranking) is the
+    * semantics — post-filtering a plain top-k under-returns when the
+    * filter is selective. Scale shape = s01's: the tiny query side
+    * broadcasts, the filter prunes the corpus scan BEFORE any scoring
+    * (pushed to the parquet reader), and at index scale it composes
+    * with s04's IVF by filtering inside the probed cells. */
+  val s09FilteredKnn: Q = Q("s09_filtered_knn", (s, d) => {
+    val e = normed(s, d)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(queries)
+      .join(e.filter(col("label") % 2 === 0),
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosPre(col("q"), col("qn"), col("embedding"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, e.vec_id, e.label,
+        CASE WHEN ${VectorSql.norm("qv")} = 0
+          OR ${VectorSql.norm("e.embedding")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("qv", "e.embedding")}
+          / (${VectorSql.norm("qv")} * ${VectorSql.norm("e.embedding")})
+        END AS cos
+      FROM q JOIN embeddings e
+        ON query_id <> e.vec_id AND e.label % 2 = 0),
+    ranked AS (
+      SELECT query_id, vec_id, label, cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, rank, vec_id AS neighbor_id, label, cos
+    FROM ranked WHERE rank <= 5
     ORDER BY query_id, rank"""))
 
   /** LSH-bucketed ANN: 8 sign-bit hyperplane buckets; per query (vec_id <
