@@ -194,6 +194,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"pair scan should key on the cell:\n$s")
   }
 
+  test("t19: the bucket-weight table joins the gram stream by" +
+      " BROADCAST (256 rows regardless of corpus size); nothing" +
+      " cartesian") {
+    spark.catalog.clearCache()
+    val (ns, s) = planOf("t19_importance_weight")
+    assert(!ns.exists(_.nodeName.contains("CartesianProduct")), s)
+    assert(ns.exists(_.nodeName.contains("BroadcastHashJoin")),
+      s"weights should broadcast onto the grams:\n$s")
+  }
+
+  test("d14: boilerplate strip joins only on the short chunk key and" +
+      " reconstructs per doc — no nested-loop, no cartesian") {
+    val (ns, s) = planOf("d14_boilerplate_strip")
+    assert(!ns.exists(n => n.nodeName.contains("CartesianProduct") ||
+      n.nodeName.contains("BroadcastNestedLoopJoin")), s)
+  }
+
+  test("m08: multimodal packing is one window over narrow per-doc" +
+      " costs — join-free") {
+    val (ns, s) = planOf("m08_mm_pack")
+    assert(!ns.exists(_.nodeName.toLowerCase.contains("join")), s)
+    assert(ns.exists(_.nodeName.contains("Window")), s)
+  }
+
+  test("s09: filtered kNN broadcasts the query side; the corpus is" +
+      " filtered BEFORE ranking and never sort-merge joined") {
+    val (ns, _) = planOf("s09_filtered_knn")
+    assert(ns.exists(_.nodeName.contains("BroadcastNestedLoopJoin")))
+    assert(!ns.exists(_.nodeName.contains("SortMergeJoin")))
+  }
+
   test("dynamic partition pruning: a selective dim filter becomes a" +
       " runtime partition filter on the partitioned fact scan") {
     // At 100 TB a fact table is hive-partitioned and a dim-filtered join
