@@ -649,8 +649,45 @@ object PartitionedSnapshots {
         .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
   }
 
+  private def metaPath(t: String, v: Long) =
+    s"${versionDir(t, v)}/commit_meta"
+
+  /** Wall-clock publish time of version `v`, if recorded (versions
+    * written before this field existed have none and are simply not
+    * addressable by timestamp). */
+  def commitTimeMs(t: String, v: Long,
+      store: CommitStore = CommitStore.local): Option[Long] =
+    store.read(metaPath(t, v)).map(b =>
+      new String(b, "UTF-8").trim.stripPrefix("ts=").toLong)
+
+  /** TIMESTAMP AS OF: the newest version PUBLISHED at or before
+    * `tsMs` — publish order is linear (restore re-commits forward), so
+    * this is exactly Delta's timestamp time travel. None when the
+    * table's history starts after `tsMs`. */
+  def versionAt(t: String, tsMs: Long,
+      store: CommitStore = CommitStore.local): Option[Long] = {
+    val cur = currentVersion(t, store).getOrElse(return None)
+    versions(t, store).filter(_ <= cur)
+      .filter(v => commitTimeMs(t, v, store).exists(_ <= tsMs))
+      .sorted.lastOption
+  }
+
+  /** Read the table as of a wall-clock instant (see [[versionAt]]). */
+  def readAsOf(spark: SparkSession, t: String, tsMs: Long,
+      store: CommitStore = CommitStore.local): DataFrame =
+    versionAt(t, tsMs, store) match {
+      case Some(v) => readVersion(spark, t, v, store)
+      case None => throw new IllegalStateException(
+        s"$t has no version published at or before $tsMs")
+    }
+
   private def commitPointer(t: String, v: Long,
       store: CommitStore): Unit = {
+    // publish time rides in the version dir (vacuumed with it): the
+    // anchor for TIMESTAMP AS OF addressing. Written before the flip —
+    // an orphan with a meta but no pointer is still invisible.
+    store.write(metaPath(t, v),
+      s"ts=${System.currentTimeMillis}".getBytes("UTF-8"))
     val tmp = pointer(t) + ".__tmp"
     store.write(tmp, v.toString.getBytes("UTF-8"))
     if (!store.rename(tmp, pointer(t), replaceExisting = true))

@@ -508,6 +508,31 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     assert(PS.read(spark, t).count() == 16)
   }
 
+  test("TIMESTAMP AS OF: versions address by publish time; a restore" +
+      " re-anchors the present while past instants keep their version") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq((1L, "A", "a")).toDF("k", "d", "v"), "d")
+    val ts1 = PS.commitTimeMs(t, 1L).get
+    Thread.sleep(20)
+    PS.upsert(spark, t, Seq((2L, "B", "b")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    val ts2 = PS.commitTimeMs(t, 2L).get
+    assert(ts1 <= ts2)
+    assert(PS.versionAt(t, ts1).contains(1L))
+    assert(PS.versionAt(t, ts2).contains(2L))
+    assert(PS.versionAt(t, ts1 - 1).isEmpty,
+      "before the first publish nothing is addressable")
+    assert(PS.readAsOf(spark, t, ts1).count() == 1)
+    assert(PS.readAsOf(spark, t, System.currentTimeMillis).count() == 2)
+    Thread.sleep(20)
+    PS.restore(spark, t, 1L)
+    assert(PS.versionAt(t, System.currentTimeMillis).contains(3L),
+      "the restore is the newest publish")
+    assert(PS.readAsOf(spark, t, System.currentTimeMillis).count() == 1)
+    assert(PS.versionAt(t, ts2).contains(2L),
+      "the pre-restore instant still reads its own version")
+  }
+
   test("property: the full lifecycle (upsert / optimizeWrite / delete /" +
       " compact / restore) tracks an in-memory model over a random op" +
       " sequence, and every historical version stays readable") {
