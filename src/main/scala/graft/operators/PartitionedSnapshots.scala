@@ -297,19 +297,24 @@ object PartitionedSnapshots {
       newV
     }
 
-  /** Commit log, newest first: (version, partitions, partitions OWNED
-    * by that version, committed?) — pure manifest metadata, no data
-    * read. Orphan dirs (no manifest) are skipped; `committed` is false
-    * for versions above the current pointer (landed but never flipped,
-    * or flipped past by a restore's re-commit). */
+  /** One commit-log entry: partition count, partitions this version
+    * OWNS data for, whether it is at-or-below the pointer, and its
+    * publish time (None while staged / for pre-feature versions). */
+  final case class Commit(version: Long, partitions: Int, owned: Int,
+      committed: Boolean, publishedMs: Option[Long])
+
+  /** Commit log, newest first — pure manifest metadata, no data read.
+    * Orphan dirs (no manifest) are skipped; `committed` is false for
+    * versions above the current pointer (staged but never flipped, or
+    * flipped past by a restore's re-commit). */
   def history(t: String, store: CommitStore = CommitStore.local)
-      : Seq[(Long, Int, Int, Boolean)] = {
+      : Seq[Commit] = {
     val cur = currentVersion(t, store)
     versions(t, store).reverse.flatMap { v =>
       val m = manifest(t, v, store)
       if (m.isEmpty) None
-      else Some((v, m.size, m.values.count(_ == v),
-        cur.exists(v <= _)))
+      else Some(Commit(v, m.size, m.values.count(_ == v),
+        cur.exists(v <= _), commitTimeMs(t, v, store)))
     }
   }
 

@@ -425,9 +425,13 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     // drops the undone v2
     assert(PS.vacuum(t, keep = 1) == Seq(2L))
     assert(rows(t) == Set((1L, "A", "good"), (2L, "B", "b")))
-    // history: newest first, ownership counts, all at-or-below pointer
-    assert(PS.history(t) ==
-      Seq((3L, 2, 0, true), (1L, 2, 2, true)))
+    // history: newest first, ownership counts, all at-or-below
+    // pointer, publish times recorded and ordered
+    val h = PS.history(t)
+    assert(h.map(c => (c.version, c.partitions, c.owned, c.committed))
+      == Seq((3L, 2, 0, true), (1L, 2, 2, true)))
+    assert(h.forall(_.publishedMs.isDefined) &&
+      h(0).publishedMs.get >= h(1).publishedMs.get)
   }
 
   test("optimizeWrite lands each touched partition as ONE file" +
