@@ -213,8 +213,42 @@ object Snapshots {
     v
   }
 
+  // underscore-prefixed: Spark's file listing treats it as metadata and
+  // the snapshot dir stays directly readable as parquet
+  private def metaPath(table: String, v: Long) =
+    s"${versionDir(table, v)}/_commit_meta"
+
+  /** Wall-clock publish time of version `v`, if recorded (pre-feature
+    * versions have none and are not addressable by timestamp). */
+  def commitTimeMs(tablePath: String, v: Long,
+      store: CommitStore = CommitStore.local): Option[Long] =
+    store.read(metaPath(tablePath, v)).map(b =>
+      new String(b, "UTF-8").trim.stripPrefix("ts=").toLong)
+
+  /** TIMESTAMP AS OF: newest version published at or before `tsMs` —
+    * [[PartitionedSnapshots.versionAt]]'s semantics for the full-copy
+    * format. */
+  def versionAt(tablePath: String, tsMs: Long,
+      store: CommitStore = CommitStore.local): Option[Long] = {
+    val cur = currentVersion(tablePath, store).getOrElse(return None)
+    versions(tablePath, store).filter(_ <= cur)
+      .filter(v => commitTimeMs(tablePath, v, store).exists(_ <= tsMs))
+      .sorted.lastOption
+  }
+
+  /** Read the table as of a wall-clock instant (see [[versionAt]]). */
+  def readAsOf(spark: SparkSession, tablePath: String, tsMs: Long,
+      store: CommitStore = CommitStore.local): DataFrame =
+    versionAt(tablePath, tsMs, store) match {
+      case Some(v) => readVersion(spark, tablePath, v, store)
+      case None => throw new IllegalStateException(
+        s"$tablePath has no version published at or before $tsMs")
+    }
+
   private def commitPointer(table: String, v: Long,
       store: CommitStore): Unit = {
+    store.write(metaPath(table, v),
+      s"ts=${System.currentTimeMillis}".getBytes("UTF-8"))
     val tmp = pointer(table) + ".__tmp"
     store.write(tmp, v.toString.getBytes("UTF-8"))
     // a failed flip means readers still resolve the PREVIOUS version —

@@ -25,6 +25,23 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(Snapshots.readVersion(spark, t, 1).count() == 2)
   }
 
+  test("TIMESTAMP AS OF addresses snapshots by publish time (the" +
+      " PartitionedSnapshots semantics on the full-copy format)") {
+    val t = tmpTable()
+    Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    val ts1 = Snapshots.commitTimeMs(t, 1L).get
+    Thread.sleep(20)
+    Snapshots.write(spark, t, Seq((1L, "a2"), (2L, "b")).toDF("k", "v"))
+    assert(Snapshots.versionAt(t, ts1).contains(1L))
+    assert(Snapshots.versionAt(t, ts1 - 1).isEmpty)
+    assert(Snapshots.readAsOf(spark, t, ts1).count() == 1)
+    assert(Snapshots
+      .readAsOf(spark, t, System.currentTimeMillis).count() == 2)
+    // the meta file does not disturb a direct parquet read of the dir
+    assert(Snapshots.readVersion(spark, t, 1L)
+      .select("v").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("upsert merges by key into a NEW snapshot; the previous version" +
       " is untouched (reader isolation)") {
     val t = tmpTable()
