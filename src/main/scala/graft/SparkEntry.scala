@@ -17,7 +17,7 @@ object SparkEntry {
     * correctness significance. */
   def catalog: Seq[Q] =
     DedupQ.all ++ SimilarityQ.all ++ TextQ.all ++ MultimodalQ.all ++
-      Relational.all ++ Windows.all
+      Relational.all ++ Windows.all ++ AnalyticsQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.KmvSketch
+import org.apache.spark.sql.functions._
+
+/** Audience-analytics catalog: sketch-based segment overlap (the set
+  * algebra HLL cannot do) and ordered funnel conversion — the two marts
+  * the reference's dashboard layer asks of the events fact beyond plain
+  * rollups (dashboard/app.py engagement views; dbt_project/models/marts).
+  *
+  * Both queries are deterministic end-to-end — q61's sketch estimates are
+  * order statistics over md5 hashes and ratios of exact integers, so even
+  * the APPROXIMATE numbers hash-match the DuckDB oracle bit-for-bit
+  * (unlike HLL/GK queries q29/q31/q51, which gate via bound columns).
+  */
+object AnalyticsQ {
+
+  def all: Seq[Q] = Seq(q61KmvOverlap, q62Funnel)
+
+  private val K = 64
+
+  /** KMV sketch segment overlap: distinct active USER-DAY estimates per
+    * event-type pair — union, intersection, Jaccard — from k=64 sketches,
+    * with the exact counts riding along as the error gate (segments share
+    * ~20-40% of their user-days, so the intersection path is genuinely
+    * exercised). At 100 TB the sketch table (5 rows × 64 hashes) is all
+    * that meets the pair join; the events fact is read once. `approx_ok`
+    * pins the estimator inside the KMV standard error (1/√(k-2) ≈ 12.7%;
+    * gate 3σ) against the exact intersection computed by a distinct-pair
+    * self-join twin. */
+  val q61KmvOverlap: Q = Q("q61_kmv_overlap", (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("ud", concat(col("user_id").cast("string"), lit(":"),
+        to_date(col("ts")).cast("string")))
+    val sketches = KmvSketch.sketchWithExact(ev, "event_type",
+      col("ud"), K)
+    val overlaps = KmvSketch.pairwiseOverlap(sketches, "event_type", K)
+      .withColumnRenamed("ga", "type_a").withColumnRenamed("gb", "type_b")
+    // exact intersection twin: distinct (type, user-day) pairs self-joined
+    val pairs = ev.select(col("event_type"), col("ud")).distinct()
+    val exactInter = pairs.as("x")
+      .join(pairs.as("y"), col("x.ud") === col("y.ud") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    overlaps.join(exactInter, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        coalesce(col("inter_exact"), lit(0L)).as("inter_exact"),
+        col("est_union"), col("est_inter"), col("jaccard_est"),
+        (abs(col("est_inter") - coalesce(col("inter_exact"), lit(0L))
+          .cast("double")) <=
+          lit(3.0 / math.sqrt(K - 2)) * col("est_union")).as("approx_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }, Some(s"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type,
+        md5(CAST(user_id AS VARCHAR) || ':' ||
+            CAST(CAST(ts AS DATE) AS VARCHAR)) AS h
+      FROM events),
+    ranked AS (
+      SELECT event_type, h,
+        row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+      FROM hashes),
+    sk AS (SELECT event_type, h FROM ranked WHERE rn <= $K),
+    seg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM hashes GROUP BY event_type),
+    prs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM seg a JOIN seg b ON a.event_type < b.event_type),
+    uni0 AS (
+      SELECT DISTINCT p.type_a, p.type_b, s.h
+      FROM prs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)),
+    uni AS (
+      SELECT type_a, type_b, h,
+        row_number() OVER (PARTITION BY type_a, type_b ORDER BY h ASC) AS rn
+      FROM uni0),
+    unik AS (SELECT type_a, type_b, h, rn FROM uni WHERE rn <= $K),
+    uagg AS (
+      SELECT type_a, type_b, CAST(COUNT(*) AS INT) AS u_size, max(h) AS kth
+      FROM unik GROUP BY type_a, type_b),
+    common AS (
+      SELECT u.type_a, u.type_b, CAST(COUNT(*) AS INT) AS n_common
+      FROM unik u
+      JOIN sk sa ON sa.event_type = u.type_a AND sa.h = u.h
+      JOIN sk sb ON sb.event_type = u.type_b AND sb.h = u.h
+      GROUP BY u.type_a, u.type_b),
+    pairs2 AS (
+      SELECT DISTINCT event_type,
+        CAST(user_id AS VARCHAR) || ':' ||
+          CAST(CAST(ts AS DATE) AS VARCHAR) AS ud
+      FROM events),
+    interx AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+        CAST(COUNT(*) AS BIGINT) AS inter_exact
+      FROM pairs2 x JOIN pairs2 y ON x.ud = y.ud
+        AND x.event_type < y.event_type
+      GROUP BY 1, 2),
+    est AS (
+      SELECT u.type_a, u.type_b, u.u_size,
+        CASE WHEN u.u_size < $K THEN CAST(u.u_size AS DOUBLE)
+             ELSE CAST(${K - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE) /
+               CAST(CAST('0x' || substr(u.kth, 1, 12) AS BIGINT) AS DOUBLE)
+        END AS est_union,
+        COALESCE(c.n_common, 0) AS n_common
+      FROM uagg u LEFT JOIN common c
+        ON c.type_a = u.type_a AND c.type_b = u.type_b)
+    SELECT e.type_a, e.type_b, sa.n_exact AS n_a, sb.n_exact AS n_b,
+      COALESCE(i.inter_exact, 0) AS inter_exact,
+      e.est_union,
+      (CAST(e.n_common AS DOUBLE) / CAST(e.u_size AS DOUBLE)) * e.est_union
+        AS est_inter,
+      CAST(e.n_common AS DOUBLE) / CAST(e.u_size AS DOUBLE) AS jaccard_est,
+      (abs((CAST(e.n_common AS DOUBLE) / CAST(e.u_size AS DOUBLE))
+           * e.est_union - CAST(COALESCE(i.inter_exact, 0) AS DOUBLE))
+        <= ${3.0 / math.sqrt(K - 2)} * e.est_union) AS approx_ok
+    FROM est e
+    JOIN seg sa ON sa.event_type = e.type_a
+    JOIN seg sb ON sb.event_type = e.type_b
+    LEFT JOIN interx i ON i.type_a = e.type_a AND i.type_b = e.type_b
+    ORDER BY e.type_a, e.type_b"""))
+
+  /** Ordered 3-step funnel (view → click → purchase) within 7 days of the
+    * first view: per-step reached-user counts and conversion rates. Each
+    * step is a keyed MIN aggregate joined to the previous step's
+    * timestamp — three user-keyed shuffles that all reuse one hash
+    * partitioning, never a per-event sequence scan; the strictly-greater
+    * timestamp ordering makes "then" well-defined and deterministic. */
+  val q62Funnel: Q = Q("q62_funnel", (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").as("e")
+      .join(s1.as("s1"), col("e.user_id") === col("s1.user_id"))
+      .filter(col("e.ts") > col("t1") &&
+        col("e.ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.ts")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase").as("e")
+      .join(s2.as("s2"), col("e.user_id") === col("s2.user_id"))
+      .filter(col("e.ts") > col("t2") &&
+        col("e.ts") <= col("s2.t1") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.ts")).as("t3"))
+    val n1 = s1.agg(count(lit(1)).as("users")).withColumn("step", lit(1))
+    val n2 = s2.agg(count(lit(1)).as("users")).withColumn("step", lit(2))
+    val n3 = s3.agg(count(lit(1)).as("users")).withColumn("step", lit(3))
+    val steps = n1.unionByName(n2).unionByName(n3)
+      .withColumn("step_name",
+        element_at(array(lit("view"), lit("click"), lit("purchase")),
+          col("step")))
+    val first = n1.select(col("users").as("u1"))
+    steps.crossJoin(first)
+      .withColumn("prev_users",
+        lag(col("users"), 1).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("step"))))
+      .select(col("step"), col("step_name"), col("users"),
+        (col("users").cast("double") /
+          coalesce(col("prev_users"), col("users")).cast("double"))
+          .as("conv_from_prev"),
+        (col("users").cast("double") / col("u1").cast("double"))
+          .as("conv_from_first"))
+      .orderBy(col("step"))
+  }, Some("""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    steps AS (
+      SELECT 1 AS step, 'view' AS step_name,
+        CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+      UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+      UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT))
+    SELECT step, step_name, users,
+      CAST(users AS DOUBLE) /
+        CAST(COALESCE(lag(users) OVER (ORDER BY step), users) AS DOUBLE)
+        AS conv_from_prev,
+      CAST(users AS DOUBLE) /
+        CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) AS conv_from_first
+    FROM steps ORDER BY step"""))
+}

@@ -23,7 +23,8 @@ object TextQ {
     t04Fingerprint, t05PiiScrub, t06CorpusFilter, t07HashSplit,
     t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample,
     t12Decontaminate, t13ChunkOverlap, t14Repetition, t15RareTokens,
-    t16TrigramNovelty, t17TokenGini, t18BigramLm, t19ImportanceWeight)
+    t16TrigramNovelty, t17TokenGini, t18BigramLm, t19ImportanceWeight,
+    t20BpePairs)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -857,4 +858,38 @@ object TextQ {
       CAST(COALESCE(p.n, 0) AS BIGINT) AS n_bigrams
     FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
     ORDER BY d.doc_id"""))
+
+  /** BPE training, round one: the weighted adjacent-symbol pair counts
+    * over the word-frequency vocabulary — the aggregate [[graft.operators
+    * .Bpe.fit]] argmaxes every merge round. The corpus folds once into
+    * (word, count) (vocabulary-sized, the Sennrich trick that makes BPE
+    * tractable at 100 TB), so the per-round cost is independent of corpus
+    * size; full multi-round training is spec-gated (BpeSpec — rounds are
+    * sequential by definition, not oracle-expressible in one SQL). Top-20
+    * pairs with (count DESC, pair ASC) determinism, the exact argmax
+    * order training uses. */
+  val t20BpePairs: Q = Q("t20_bpe_pairs", (s, d) => {
+    import graft.operators.Bpe
+    val wc = Bpe.wordCounts(Tables.documents(s, d), col("text"))
+    wc.select(col("c"),
+        explode(Bpe.adjacentPairs(Bpe.charSymbols(col("word")))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+      .select(col("pair"), col("cnt"))
+  }, Some("""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), ' +'),
+        x -> len(x) > 0)) AS word
+      FROM documents),
+    wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+           FROM words GROUP BY word),
+    pos AS (SELECT word, c, unnest(range(1, len(word) + 1)) AS i FROM wc),
+    pairs AS (
+      SELECT CASE WHEN i < len(word)
+               THEN substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
+               ELSE substr(word, i, 1) || ' </w>' END AS pair, c
+      FROM pos)
+    SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM pairs
+    GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"""))
 }
