@@ -403,4 +403,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "d12's window input carries the text payload")
     spark.catalog.clearCache() // d06-style pair cache cleanup
   }
+
+  test("q61: the KMV rank cut gets WindowGroupLimit pushdown (per-" +
+      "partition top-k BEFORE the exchange) and nothing plans cartesian") {
+    val (ns, s) = planOf("q61_kmv_overlap")
+    assert(ns.exists(_.nodeName.contains("WindowGroupLimit")),
+      s"no WindowGroupLimit in:\n$s")
+    assert(!ns.exists(_.nodeName.contains("CartesianProduct")),
+      "q61 planned a cartesian product")
+  }
+
+  test("q62: every funnel step scan pushes its event_type filter and" +
+      " reads only (user_id, event_type, ts)") {
+    val (ns, s) = planOf("q62_funnel")
+    assert("PushedFilters: \\[[^\\]]*event_type".r.findFirstIn(s).isDefined,
+      s"no pushed event_type filter in:\n$s")
+    val scans = ns.filter(n => n.nodeName.contains("Scan") &&
+      n.output.exists(_.name.contains("event_type")))
+    assert(scans.nonEmpty && scans.forall(_.output.size <= 3),
+      s"funnel scans over-read: ${scans.map(_.output.map(_.name))}")
+  }
+
+  test("t20: BPE pair counting is two map-side-combined aggregates and" +
+      " a TakeOrdered top-k — no Expand, no global sort of the pairs") {
+    val (ns, _) = planOf("t20_bpe_pairs")
+    assert(!ns.exists(_.nodeName.contains("Expand")),
+      "t20 planned an Expand")
+    assert(ns.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      s"t20's limit should plan TakeOrderedAndProject: ${ns.map(_.nodeName)}")
+  }
 }
