@@ -570,42 +570,41 @@ object PartitionedSnapshots {
 
   private def zoneMapDir(t: String, v: Long) =
     s"${versionDir(t, v)}/zonemap"
+  private def bloomIdxDir(t: String, v: Long) =
+    s"${versionDir(t, v)}/bloomidx"
 
-  /** Build the FILE-STATS zone map for version `v` (default current) —
-    * [[ZoneMap]] stats as a per-version sidecar, INCREMENTALLY: a
-    * partition whose owner is unchanged since the newest already-indexed
-    * version keeps its immutable files' stat rows without a byte read;
-    * only newly-owned partitions are scanned. Stat maintenance thereby
-    * costs O(touched partitions) per version, the same bound as the
-    * upsert that created it. The sidecar lives inside the version dir,
-    * so vacuum reclaims it with its version and a pinned reader's index
-    * is as immutable as its data. */
-  def buildZoneMap(spark: SparkSession, t: String, cols: Seq[String],
-      version: Option[Long] = None,
-      store: CommitStore = CommitStore.local): Long = {
+  /** Shared incremental per-file sidecar builder (zone map and bloom
+    * index): a partition whose owner is unchanged since the newest
+    * already-indexed version keeps its immutable files' index rows
+    * without a byte read; only newly-owned partitions are scanned, so
+    * index maintenance costs O(touched partitions) per version — the
+    * same bound as the upsert that created it. The sidecar lives inside
+    * the version dir, so vacuum reclaims it with its version and a
+    * pinned reader's index is as immutable as its data. */
+  private def buildFileIndex(spark: SparkSession, t: String,
+      version: Option[Long], store: CommitStore,
+      dirFor: (String, Long) => String, expectedCols: Set[String],
+      collectStats: Seq[String] => DataFrame): Long = {
     val v = version.getOrElse(currentVersion(t, store).getOrElse(
       throw new IllegalStateException(s"$t has no committed snapshot")))
     val m = manifest(t, v, store)
     if (m.isEmpty) throw new IllegalStateException(
       s"$t has no snapshot v$v (vacuumed or never committed)")
     def dirOf(p: String, o: Long) = s"${dataDir(t, o)}/$p"
-    val expectedCols = ("file" +: cols.flatMap(c =>
-      Seq(s"min__$c", s"max__$c", s"nulls__$c")) :+ "rows").toSet
     val prevIndexed = versions(t, store).filter(x => x < v &&
-      store.exists(s"${zoneMapDir(t, x)}/_SUCCESS")).lastOption
+      store.exists(s"${dirFor(t, x)}/_SUCCESS")).lastOption
     val idx = prevIndexed match {
       case Some(pv) =>
-        val old = spark.read.parquet(zoneMapDir(t, pv))
+        val old = spark.read.parquet(dirFor(t, pv))
         if (old.columns.toSet != expectedCols)
           // indexed columns changed → full rebuild
-          ZoneMap.collect(spark, m.toSeq.sorted.map {
-            case (p, o) => dirOf(p, o) }, cols)
+          collectStats(m.toSeq.sorted.map { case (p, o) => dirOf(p, o) })
         else {
           val pm = manifest(t, pv, store)
           val (carried, fresh) = m.toSeq.sorted.partition {
             case (p, o) => pm.get(p).contains(o)
           }
-          // stat rows re-keyed by (owner version, partition dir) parsed
+          // index rows re-keyed by (owner version, partition dir) parsed
           // from the file path — a join against the carried set, never a
           // wide literal disjunction
           import spark.implicits._
@@ -621,20 +620,60 @@ object PartitionedSnapshots {
             .drop("__o", "__part")
           val freshRows =
             if (fresh.isEmpty) None
-            else Some(ZoneMap.collect(spark,
-              fresh.map { case (p, o) => dirOf(p, o) }, cols))
+            else Some(collectStats(
+              fresh.map { case (p, o) => dirOf(p, o) }))
           freshRows.fold(keptRows)(keptRows.unionByName(_))
         }
       case None =>
-        ZoneMap.collect(spark, m.toSeq.sorted.map {
-          case (p, o) => dirOf(p, o) }, cols)
+        collectStats(m.toSeq.sorted.map { case (p, o) => dirOf(p, o) })
     }
     // checked tmp+swap: a reader mid-rebuild sees the OLD index or the
     // NEW one, never a half-written dir (the same primitive every
     // materializer swaps through)
-    Incremental.atomicOverwrite(store, zoneMapDir(t, v))(tmp =>
+    Incremental.atomicOverwrite(store, dirFor(t, v))(tmp =>
       idx.write.mode(SaveMode.Overwrite).parquet(tmp))
     v
+  }
+
+  /** Build the FILE-STATS zone map for version `v` (default current) —
+    * [[ZoneMap]] stats as a per-version sidecar, built incrementally
+    * (see [[buildFileIndex]]). */
+  def buildZoneMap(spark: SparkSession, t: String, cols: Seq[String],
+      version: Option[Long] = None,
+      store: CommitStore = CommitStore.local): Long =
+    buildFileIndex(spark, t, version, store, zoneMapDir,
+      ("file" +: cols.flatMap(c =>
+        Seq(s"min__$c", s"max__$c", s"nulls__$c")) :+ "rows").toSet,
+      dirs => ZoneMap.collect(spark, dirs, cols))
+
+  /** Build the per-file BLOOM index for version `v` (default current) —
+    * [[BloomIndex]] blooms as a per-version sidecar, built incrementally
+    * (see [[buildFileIndex]]): the equality-probe complement to the zone
+    * map for high-cardinality columns whose values are spread across
+    * every partition's [min,max]. */
+  def buildBloomIndex(spark: SparkSession, t: String, cols: Seq[String],
+      expectedItemsPerFile: Long = 1000000L, fpp: Double = 0.01,
+      version: Option[Long] = None,
+      store: CommitStore = CommitStore.local): Long =
+    buildFileIndex(spark, t, version, store, bloomIdxDir,
+      ("file" +: cols.map(c => s"bloom__$c") :+ "rows").toSet,
+      dirs => BloomIndex.collect(spark, dirs, cols,
+        expectedItemsPerFile, fpp))
+
+  /** Bloom-pruned point lookup on a version (default current): the file
+    * list shrinks to bloom survivors BEFORE the scan plans; without an
+    * index the read degrades to the full manifest scan with the same
+    * predicate (pruning is an optimization, never a semantic). */
+  def readEquals(spark: SparkSession, t: String, c: String,
+      values: Seq[Any], version: Option[Long] = None,
+      store: CommitStore = CommitStore.local): DataFrame = {
+    val v = version.getOrElse(currentVersion(t, store).getOrElse(
+      throw new IllegalStateException(s"$t has no committed snapshot")))
+    if (store.exists(s"${bloomIdxDir(t, v)}/_SUCCESS"))
+      BloomIndex.readEquals(spark,
+        spark.read.parquet(bloomIdxDir(t, v)), c, values)
+    else
+      readVersion(spark, t, v, store).filter(col(c).isin(values: _*))
   }
 
   /** Zone-map-pruned range read of a version (default current): the

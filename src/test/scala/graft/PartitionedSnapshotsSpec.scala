@@ -338,6 +338,39 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     assert(none.count() == 0 && none.columns.contains("v"))
   }
 
+  test("bloom index: point lookups read only bloom-surviving files;" +
+      " incremental rebuild carries untouched partitions' blooms") {
+    val t = tmpTable()
+    // 3 partitions × high-cardinality key: every partition's [min,max]
+    // covers the probe, so a zone map would prune NOTHING here
+    PS.write(spark, t,
+      Seq.tabulate(30)(i => (i.toLong, s"P${i % 3}", s"v$i"))
+        .toDF("k", "d", "v"), "d")
+    PS.buildBloomIndex(spark, t, Seq("k"), expectedItemsPerFile = 1000)
+    val full = PS.read(spark, t)
+    val hit = PS.readEquals(spark, t, "k", Seq(14L))
+    assert(hit.select("k", "d", "v").as[(Long, String, String)]
+      .collect().toSeq == Seq((14L, "P2", "v14")))
+    assert(hit.inputFiles.length < full.inputFiles.length,
+      s"bloom prune must skip files: ${hit.inputFiles.length} vs " +
+        s"${full.inputFiles.length}")
+    // incremental rebuild: upsert touches ONLY P0; carried partitions
+    // keep their v1 bloom rows without re-reading data
+    PS.upsert(spark, t,
+      Seq((0L, "P0", "V0")).toDF("k", "d", "v"), Seq("k"), "d")
+    PS.buildBloomIndex(spark, t, Seq("k"), expectedItemsPerFile = 1000)
+    val idx = spark.read.parquet(s"$t/_snapshots/v00002/bloomidx")
+    assert(idx.filter(col("file").contains("/v00001/data/__p=P1/"))
+      .count() > 0, "P1 blooms carried from the v1 index")
+    assert(idx.filter(col("file").contains("/v00002/data/__p=P0/"))
+      .count() > 0, "P0 blooms re-collected for its new owner")
+    assert(PS.readEquals(spark, t, "k", Seq(0L))
+      .select("v").as[String].collect().toSeq == Seq("V0"))
+    // a pinned version keeps answering through its own immutable index
+    assert(PS.readEquals(spark, t, "k", Seq(14L), version = Some(1L))
+      .count() == 1)
+  }
+
   test("compact(clusterBy) makes zone-map pruning selective WITHIN a" +
       " partition: rolled files cover disjoint cluster-key ranges") {
     val t = tmpTable()
