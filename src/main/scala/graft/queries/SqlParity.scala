@@ -809,5 +809,108 @@ object SqlParity {
         ${decAvgSql("p_retailprice")} AS avg_price
       FROM part JOIN flat ON CAST(p_partkey AS BIGINT) = flat.k
       GROUP BY top_key ORDER BY top_key""",
+
+    // Dialect notes: DuckDB parses hex via CAST('0x…' AS BIGINT), Spark
+    // via conv(…, 16, 10); the estimator arithmetic is the same exact-
+    // integer division in both, so doubles match the engine of record.
+    "q61_kmv_overlap" -> s"""
+      WITH hashes AS (
+        SELECT DISTINCT event_type,
+          md5(concat(CAST(user_id AS STRING), ':',
+            CAST(CAST(ts AS DATE) AS STRING))) AS h
+        FROM events),
+      ranked AS (
+        SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+        FROM hashes),
+      sk AS (SELECT event_type, h FROM ranked WHERE rn <= 64),
+      seg AS (
+        SELECT event_type, COUNT(*) AS n_exact FROM hashes
+        GROUP BY event_type),
+      prs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM seg a JOIN seg b ON a.event_type < b.event_type),
+      uni0 AS (
+        SELECT DISTINCT p.type_a, p.type_b, s.h
+        FROM prs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)),
+      uni AS (
+        SELECT type_a, type_b, h,
+          row_number() OVER (PARTITION BY type_a, type_b
+                             ORDER BY h ASC) AS rn
+        FROM uni0),
+      unik AS (SELECT type_a, type_b, h FROM uni WHERE rn <= 64),
+      uagg AS (
+        SELECT type_a, type_b, COUNT(*) AS u_size, max(h) AS kth
+        FROM unik GROUP BY type_a, type_b),
+      common AS (
+        SELECT u.type_a, u.type_b, COUNT(*) AS n_common
+        FROM unik u
+        JOIN sk sa ON sa.event_type = u.type_a AND sa.h = u.h
+        JOIN sk sb ON sb.event_type = u.type_b AND sb.h = u.h
+        GROUP BY u.type_a, u.type_b),
+      pairs2 AS (
+        SELECT DISTINCT event_type,
+          concat(CAST(user_id AS STRING), ':',
+            CAST(CAST(ts AS DATE) AS STRING)) AS ud
+        FROM events),
+      interx AS (
+        SELECT x.event_type AS type_a, y.event_type AS type_b,
+          COUNT(*) AS inter_exact
+        FROM pairs2 x JOIN pairs2 y ON x.ud = y.ud
+          AND x.event_type < y.event_type
+        GROUP BY x.event_type, y.event_type),
+      est AS (
+        SELECT u.type_a, u.type_b, u.u_size,
+          CASE WHEN u.u_size < 64 THEN CAST(u.u_size AS DOUBLE)
+               ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) /
+                 CAST(conv(substring(u.kth, 1, 12), 16, 10) AS DOUBLE)
+          END AS est_union,
+          COALESCE(c.n_common, 0) AS n_common
+        FROM uagg u LEFT JOIN common c
+          ON c.type_a = u.type_a AND c.type_b = u.type_b)
+      SELECT e.type_a, e.type_b, sa.n_exact AS n_a, sb.n_exact AS n_b,
+        COALESCE(i.inter_exact, CAST(0 AS BIGINT)) AS inter_exact,
+        e.est_union,
+        (CAST(e.n_common AS DOUBLE) / CAST(e.u_size AS DOUBLE))
+          * e.est_union AS est_inter,
+        CAST(e.n_common AS DOUBLE) / CAST(e.u_size AS DOUBLE)
+          AS jaccard_est,
+        (abs((CAST(e.n_common AS DOUBLE) / CAST(e.u_size AS DOUBLE))
+             * e.est_union - CAST(COALESCE(i.inter_exact, 0) AS DOUBLE))
+          <= ${3.0 / math.sqrt(62)} * e.est_union) AS approx_ok
+      FROM est e
+      JOIN seg sa ON sa.event_type = e.type_a
+      JOIN seg sb ON sb.event_type = e.type_b
+      LEFT JOIN interx i ON i.type_a = e.type_a AND i.type_b = e.type_b
+      ORDER BY e.type_a, e.type_b""",
+
+    "q62_funnel" -> """
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s2.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id),
+      steps AS (
+        SELECT 1 AS step, 'view' AS step_name,
+          (SELECT COUNT(*) FROM s1) AS users
+        UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3))
+      SELECT step, step_name, users,
+        CAST(users AS DOUBLE) /
+          CAST(COALESCE(lag(users) OVER (ORDER BY step), users) AS DOUBLE)
+          AS conv_from_prev,
+        CAST(users AS DOUBLE) /
+          CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) AS conv_from_first
+      FROM steps ORDER BY step""",
   )
 }

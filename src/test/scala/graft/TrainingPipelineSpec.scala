@@ -95,4 +95,30 @@ class TrainingPipelineSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(a == b)
   }
+
+  test("the tokenizer stage composes: BPE merges learned ON the curated" +
+      " train split, packing by LEARNED token counts conserves tokens") {
+    val (_, _, _, _, clean, _) = curate()
+    val train = clean.filter(col("split") === "train")
+      .select(col("doc_id"), col("source"), col("text"))
+    val merges = graft.operators.Bpe.fit(
+      graft.operators.Bpe.wordCounts(train, col("text")), numMerges = 20)
+    assert(merges.size == 20, s"corpus supports 20 merges: $merges")
+    // encode round-trip: stripping markers reconstructs the text's words
+    val enc = train.select(col("doc_id"), col("text"),
+      graft.operators.Bpe.encode(col("text"), merges).as("toks"))
+    val bad = enc.filter(
+      regexp_replace(array_join(col("toks"), ""), "</w>", "") =!=
+        array_join(tokens(col("text")), "")).count()
+    assert(bad == 0, s"$bad docs fail the encode round-trip")
+    // repack by learned-token counts instead of whitespace counts
+    val packed = Packing.pack(
+      enc.join(train.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).as("n_tokens")),
+      col("source"), col("doc_id"), col("n_tokens"), capacity = 256)
+    val total = enc.select(sum(size(col("toks")))).as[Long].head()
+    val packedTotal = packed.select(sum(col("n_tokens"))).as[Long].head()
+    assert(total == packedTotal, "packing conserves learned tokens")
+  }
 }
