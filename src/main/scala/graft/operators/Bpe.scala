@@ -92,4 +92,28 @@ object Bpe {
     * merge list — single chars and "</w>" plus one entry per merge. */
   def vocabOf(merges: Seq[String]): Seq[String] =
     merges.map(_.replace(" ", ""))
+
+  /** Full id-stable vocabulary: observed base chars (sorted) + the
+    * end-of-word marker + one merged symbol per merge in training
+    * order. Index in this list IS the token id — a pure function of
+    * (corpus, merges), so ids are reproducible across exports. */
+  def fullVocab(wordCounts: DataFrame, merges: Seq[String]): Seq[String] = {
+    val chars = wordCounts
+      .select(explode(filter(split(col("word"), ""),
+        s => length(s) > 0)).as("c"))
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    (chars :+ "</w>") ++ vocabOf(merges)
+  }
+
+  /** Tokenize to TOKEN IDS under (merges, vocab): the trained model's
+    * export form. Symbols outside the vocabulary (chars never seen at
+    * fit time) map to -1, the UNK convention — `try_element_at` because
+    * ANSI mode makes plain map access throw on absent keys. */
+  def encodeIds(text: Column, merges: Seq[String],
+      vocab: Seq[String]): Column = {
+    val m = map(vocab.zipWithIndex.flatMap { case (s, i) =>
+      Seq(lit(s), lit(i)) }: _*)
+    transform(encode(text, merges),
+      t => coalesce(try_element_at(m, t), lit(-1)))
+  }
 }

@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Data-derived bucket width: ~the 75th-percentile interval span, so
+    * a typical interval replicates to ≤2 cells and a typical cell meets
+    * few intervals. Callers with domain knowledge (calendar days, price
+    * bands) should pass their natural width instead; this is the
+    * stats-based default for unknown span distributions (one approx-
+    * quantile pass over the SPANS only — no payload read). */
+  def autoWidth(intervals: DataFrame, lo: Column, hi: Column): Double = {
+    val q = intervals.select((hi - lo).cast("double").as("__span"))
+      .na.drop().stat.approxQuantile("__span", Array(0.75), 0.01)
+    require(q.nonEmpty, "autoWidth needs at least one non-null interval")
+    math.max(q(0), java.lang.Double.MIN_NORMAL)
+  }
+
   /** points ⋈ intervals on `lo <= pt < hi` (half-open, the SQL band-join
     * convention). `pt`, `lo`, `hi` are expressions over the respective
     * inputs; both frames may be arbitrarily large. Output columns =
