@@ -91,24 +91,37 @@ object KmvSketch {
   def merge(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_union(a, b)), 1, k)
 
-  /** All within-group pairs of `sketches` (output of [[sketchWithExact]])
-    * with union/intersection/Jaccard estimates. The sketch table is
-    * group-count-sized, so the self-join is broadcast-trivial; no pass
-    * over the underlying data happens here — that is the point. */
-  def pairwiseOverlap(sketches: DataFrame, group: String, k: Int): DataFrame = {
-    val a = sketches.select(col(group).as("ga"), col("sk").as("ska"),
-      col("n_exact").as("n_a"))
-    val b = sketches.select(col(group).as("gb"), col("sk").as("skb"),
-      col("n_exact").as("n_b"))
+  /** All within-group pairs of a (group, sk) sketch table with
+    * union/intersection/Jaccard estimates — works on sketches alone
+    * (e.g. a [[KmvRollup]] table where the raw data is long gone). The
+    * sketch table is group-count-sized, so the self-join is broadcast-
+    * trivial; no pass over the underlying data happens here — that is
+    * the point. */
+  def overlapEstimates(sketches: DataFrame, group: String,
+      k: Int): DataFrame = {
+    val a = sketches.select(col(group).as("ga"), col("sk").as("ska"))
+    val b = sketches.select(col(group).as("gb"), col("sk").as("skb"))
     val u = merge(col("ska"), col("skb"), k)
     // survivors of the union sketch present in BOTH inputs
     val common = size(array_intersect(array_intersect(u, col("ska")), col("skb")))
     val estU = estimate(u, k)
     val rho = common.cast("double") / size(u).cast("double")
     a.join(b, col("ga") < col("gb"))
-      .select(col("ga"), col("gb"), col("n_a"), col("n_b"),
+      .select(col("ga"), col("gb"),
         estU.as("est_union"),
         (rho * estU).as("est_inter"),
         rho.as("jaccard_est"))
+  }
+
+  /** [[overlapEstimates]] over a [[sketchWithExact]] table, with the
+    * exact per-group counts riding along (n_a/n_b) for gates. */
+  def pairwiseOverlap(sketches: DataFrame, group: String, k: Int): DataFrame = {
+    val ests = overlapEstimates(sketches, group, k)
+    val n = sketches.select(col(group), col("n_exact"))
+    ests
+      .join(n.select(col(group).as("ga"), col("n_exact").as("n_a")), "ga")
+      .join(n.select(col(group).as("gb"), col("n_exact").as("n_b")), "gb")
+      .select(col("ga"), col("gb"), col("n_a"), col("n_b"),
+        col("est_union"), col("est_inter"), col("jaccard_est"))
   }
 }

@@ -80,6 +80,61 @@ object ShardWriter {
     manifest
   }
 
+  /** Incremental re-export after an upstream change (new/changed/removed
+    * rows from a re-run of the curation pipeline): recompute the manifest
+    * from the new corpus — one aggregate, no data write — diff it against
+    * the stored manifest, and rewrite ONLY the shards whose row count or
+    * checksum moved (dynamic partition overwrite, so untouched shard
+    * files stay byte-identical for resumable loaders). Falls back to a
+    * full [[write]] when no manifest exists or the shard count changed.
+    * Returns the rewritten shard ids. */
+  def writeIncremental(spark: SparkSession, df: DataFrame, id: Column,
+      nTokens: Column, dir: String, n: Int): Seq[Int] = {
+    require(n > 0, s"shard count must be positive, got $n")
+    val manifestPath = s"$dir/_manifest"
+    val havePrev =
+      try spark.read.parquet(manifestPath).count() == n.toLong
+      catch { case _: Exception => false }
+    if (!havePrev) {
+      write(spark, df, id, nTokens, dir, n)
+      return (0 until n).toSeq
+    }
+    val keyed = df.withColumn("__shard", shardOf(id, n))
+    val fresh = manifestOf(keyed, id, nTokens)
+    val stored = spark.read.parquet(manifestPath)
+    val changed = stored.as("s")
+      .join(fresh.as("a"), col("s.shard") === col("a.shard"), "full_outer")
+      .filter(col("s.checksum").isNull || col("a.checksum").isNull ||
+        col("s.checksum") =!= col("a.checksum") ||
+        col("s.rows") =!= col("a.rows"))
+      .select(coalesce(col("s.shard"), col("a.shard")).as("shard"))
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (changed.nonEmpty) {
+      keyed
+        .filter(col("__shard").isin(changed.map(Integer.valueOf): _*))
+        .withColumn("__ord", orderKey(id))
+        .repartition(changed.size, col("__shard"))
+        .sortWithinPartitions(col("__shard"), col("__ord"))
+        .drop("__ord")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__shard")
+        .parquet(s"$dir/data")
+      // a shard whose rows ALL vanished gets no partition from the
+      // dynamic overwrite — drop its stale dir explicitly
+      val freshShards = fresh.select("shard").collect()
+        .map(_.getInt(0)).toSet
+      changed.filterNot(freshShards).foreach { s =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/data/__shard=$s")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+      fresh.orderBy(col("shard")).coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(manifestPath)
+    }
+    changed
+  }
+
   /** Re-read one shard in its manifest order (the order training sees). */
   def readShard(spark: SparkSession, dir: String, shard: Int,
       id: Column): DataFrame =
