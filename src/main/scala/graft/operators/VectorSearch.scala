@@ -91,6 +91,21 @@ object VectorSearch {
       .write.partitionBy(cellId)
       .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
+  /** Append a batch to a persisted index: new vectors assign to their
+    * cells and land as per-cell file ADDS — no rewrite of existing index
+    * files, the incremental corpus-growth path (the same per-cell-append
+    * contract SemDedup.streamDedup uses). Centroids must be the index's
+    * own (an index is defined by its centroid set; re-fit ⇒ rebuild). */
+  def appendToIndex(batch: DataFrame, centroids: DataFrame, path: String,
+                    corpusId: String = "vec_id", cellId: String = "cell",
+                    vecCol: String = "embedding"): Unit =
+    cellRanks(batch, centroids, corpusId, cellId, vecCol)
+      .filter(col("__rn") === 1)
+      .select(col(corpusId), col("__v").as(vecCol), col("__n").as("nrm"),
+        col(cellId))
+      .write.partitionBy(cellId)
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+
   /** Search a persisted index: queries pick their `nprobe` cells from
     * the (broadcast-sized) centroid table, the probed cell ids collect
     * to a literal IN-list (the static-pruning idiom), and the index scan
