@@ -15,7 +15,7 @@ object MultimodalQ {
 
   def all: Seq[Q] = Seq(m01MediaFeatures, m02FrameSample, m03ChunkEnergy,
     m04Resize, m05ModalityRoute, m06MediaDedup, m07PerceptualBuckets,
-    m08MmPack)
+    m08MmPack, m09HammingNeardup)
 
   /** Binary decode → typed features, one codec per partition. The entire
     * decode is narrow; only the 4-float feature rows ever shuffle. */
@@ -286,4 +286,94 @@ object MultimodalQ {
       CAST(floor((cum_end - 1) / 256)
         - floor((cum_end - n_tokens) / 256) + 1 AS BIGINT) AS n_chunks
     FROM packed ORDER BY doc_id"""))
+
+  /** Hamming-ball perceptual near-dup — m07 generalized from exact-hash
+    * buckets to DISTANCE ≤ 2: band the 8-bit phash into 4×2-bit LSH
+    * buckets (pigeonhole: hamming ≤ 2 < 4 bands ⇒ at least one band
+    * collides, so candidate generation is COMPLETE, zero recall loss —
+    * the d02 banding guarantee in hash space), equi-join candidates per
+    * (kind, band, value), verify with bit_count(xor) ≤ 2, and aggregate
+    * per doc (neighbor count + min-id canonical). The stub's 8-bit hash
+    * saturates at corpus scale (every bucket collides), which is exactly
+    * why the output is the per-doc AGGREGATE, not the pair list — with a
+    * production 64-bit phash the same plan's candidate sets are sparse.
+    * The payload never shuffles: the codec boundary emits 4 ints/doc. */
+  val m09HammingNeardup: Q = Q("m09_hamming_neardup", (s, d) => {
+    import s.implicits._
+    val media = Media.asMedia(Tables.documents(s, d), "doc_id", "text",
+        "doc")
+      .withColumn("kind", element_at(
+        array(lit("doc"), lit("img"), lit("audio")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")))
+      .as[Media.MediaRow]
+    val hashes = Media.perceptualHash(media).toDF()
+      .select(col("id"), col("kind"), col("phash"))
+    val bands = hashes.select(col("id"), col("kind"), col("phash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("b"),
+        pmod(shiftright(col("phash"), 2 * b), lit(4)).as("v"))): _*))
+        .as("band"))
+      .select(col("id"), col("kind"), col("phash"),
+        col("band.b").as("b"), col("band.v").as("v"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.kind") === col("y.kind") && col("x.b") === col("y.b") &&
+          col("x.v") === col("y.v") && col("x.id") < col("y.id"))
+      .select(col("x.kind").as("kind"), col("x.id").as("id_a"),
+        col("y.id").as("id_b"), col("x.phash").as("ph_a"),
+        col("y.phash").as("ph_b"))
+      .distinct()
+      .filter(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= 2)
+    val sym = cand.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(cand.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val agg = sym.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_near"), min(col("nb")).as("min_nb"))
+    hashes.join(agg, Seq("id"), "left")
+      .select(col("id"), col("kind"), col("phash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        least(col("id"), coalesce(col("min_nb"), col("id")))
+          .as("canonical_id"))
+      .orderBy(col("id"))
+  }, Some("""
+    WITH m AS (
+      SELECT doc_id AS id,
+        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'doc' WHEN 1 THEN 'img'
+          ELSE 'audio' END AS kind,
+        CAST(len(text) // 8 AS INT) AS w, text
+      FROM documents),
+    blocks AS (
+      SELECT id, kind, w, b,
+        CASE WHEN w = 0 THEN CAST(0 AS BIGINT)
+          ELSE CAST(list_reduce(list_transform(
+            string_split(substr(text, b * w + 1, w), ''), c -> ord(c)),
+            (a, c) -> a + c) AS BIGINT) END AS bs
+      FROM m, (SELECT CAST(unnest(range(0, 8)) AS INT) AS b)),
+    tot AS (SELECT id, CAST(SUM(bs) AS BIGINT) AS total
+            FROM blocks GROUP BY id),
+    bits AS (
+      SELECT blocks.id, kind,
+        CAST(SUM(CASE WHEN w > 0 AND 8 * bs > total
+          THEN 1 << b ELSE 0 END) AS INT) AS phash
+      FROM blocks JOIN tot USING (id) GROUP BY blocks.id, kind),
+    bands AS (
+      SELECT id, kind, phash, b,
+        CAST((phash // (1 << (2 * b))) % 4 AS INT) AS v
+      FROM bits, (SELECT CAST(unnest(range(0, 4)) AS INT) AS b)),
+    cand AS (
+      SELECT DISTINCT x.kind, x.id AS id_a, y.id AS id_b,
+        x.phash AS ph_a, y.phash AS ph_b
+      FROM bands x JOIN bands y ON x.kind = y.kind AND x.b = y.b
+        AND x.v = y.v AND x.id < y.id),
+    near AS (
+      SELECT * FROM cand WHERE bit_count(xor(ph_a, ph_b)) <= 2),
+    sym AS (
+      SELECT id_a AS id, id_b AS nb FROM near
+      UNION ALL SELECT id_b, id_a FROM near),
+    agg AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_near, MIN(nb) AS min_nb
+      FROM sym GROUP BY id)
+    SELECT b.id, b.kind, b.phash,
+      COALESCE(a.n_near, 0) AS n_near,
+      LEAST(b.id, COALESCE(a.min_nb, b.id)) AS canonical_id
+    FROM bits b LEFT JOIN agg a ON b.id = a.id
+    ORDER BY b.id"""))
 }

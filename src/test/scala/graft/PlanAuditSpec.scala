@@ -424,6 +424,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"funnel scans over-read: ${scans.map(_.output.map(_.name))}")
   }
 
+  test("m09: hamming near-dup candidates meet in an EQUI-join on the" +
+      " (kind, band, value) key — never a cartesian/NLJ all-pairs") {
+    val (ns, _) = planOf("m09_hamming_neardup")
+    assert(!ns.exists(n => n.nodeName.contains("CartesianProduct") ||
+      n.nodeName.contains("BroadcastNestedLoopJoin")),
+      "m09 planned an all-pairs join shape")
+  }
+
   test("t20: BPE pair counting is two map-side-combined aggregates and" +
       " a TakeOrdered top-k — no Expand, no global sort of the pairs") {
     val (ns, _) = planOf("t20_bpe_pairs")
