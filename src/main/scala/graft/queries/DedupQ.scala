@@ -26,7 +26,7 @@ object DedupQ {
     d05EmbedNearDup, d06DedupClusters, d07EmbedLshNearDup,
     d08NormalizedDedup, d09EditDistance, d10WinnowPairs,
     d11BoilerplateChunks, d12ClusterCanonical, d13SemDedup,
-    d14BoilerplateStrip)
+    d14BoilerplateStrip, d15Containment)
 
   /** Token bigram SETS per doc — the shingle basis for d02/d04. Native
     * ShinglesExpr (one loop) instead of the staggered-slice zip_with
@@ -230,6 +230,51 @@ object DedupQ {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** ASYMMETRIC near-dup: shingle CONTAINMENT |Sa∩Sb|/|Sa| — Jaccard
+    * misses doc-in-doc relations (a tweet quoted inside an article has
+    * tiny Jaccard but containment ≈ 1), which is the quote/subset/
+    * template signal a curation pipeline wants separately from symmetric
+    * near-dup (Broder's resemblance vs containment distinction, SEQUENCES
+    * 1997). Both directions ride one pair row; detection gate is on the
+    * MAX direction. Same shingle-postings equi-join shape as d04 (the
+    * pair meets on shared shingles — never all-pairs), same deliberate
+    * doc_id < 500 bound, which at sf0.01 is the whole corpus; the
+    * production path for 100 TB is d02's LSH candidates verified with
+    * containment instead of Jaccard. */
+  val d15Containment: Q = Q("d15_containment", (s, d) => {
+    val sets = bigramSets(s, d).filter(col("doc_id") < 500).cache()
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / col("na").cast("double"))
+          .as("cont_a_in_b"),
+        (col("n_inter").cast("double") / col("nb").cast("double"))
+          .as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }, Some(s"""
+    WITH docs AS (
+      SELECT * FROM ($bigramSetsSql) WHERE doc_id < 500)
+    SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+          / len(a.sh) AS cont_a_in_b,
+        CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE)
+          / len(b.sh) AS cont_b_in_a
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+    WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.6
+    ORDER BY doc_a, doc_b"""))
 
   val d04NgramJaccard: Q = Q("d04_ngram_jaccard", (s, d) => {
     exactJaccardPairs(s, d, 0.2)
