@@ -113,6 +113,24 @@ object KmvSketch {
         rho.as("jaccard_est"))
   }
 
+  /** Directional CONTAINMENT estimates |A∩B|/|A| and |A∩B|/|B| from
+    * sketches alone — the asymmetric overlap question (d15's signal at
+    * the sketch tier): is cohort A essentially a subset of cohort B?
+    * est∩ comes from [[overlapEstimates]]; the denominators are the
+    * per-group estimates, so everything remains deterministic ratios
+    * of order statistics. */
+  def containmentEstimates(sketches: DataFrame, group: String,
+      k: Int): DataFrame = {
+    val ests = overlapEstimates(sketches, group, k)
+    val e = sketches.select(col(group), estimate(col("sk"), k).as("est"))
+    ests
+      .join(e.select(col(group).as("ga"), col("est").as("est_a")), "ga")
+      .join(e.select(col(group).as("gb"), col("est").as("est_b")), "gb")
+      .select(col("ga"), col("gb"),
+        (col("est_inter") / col("est_a")).as("cont_a_in_b"),
+        (col("est_inter") / col("est_b")).as("cont_b_in_a"))
+  }
+
   /** [[overlapEstimates]] over a [[sketchWithExact]] table, with the
     * exact per-group counts riding along (n_a/n_b) for gates. */
   def pairwiseOverlap(sketches: DataFrame, group: String, k: Int): DataFrame = {

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, MinhashSigExpr, RollingFpExpr, ShinglesExpr}
+import graft.functions.{BpeEncodeExpr, BpeMergeExpr, DotProduct, MinhashSigExpr, RollingFpExpr, ShinglesExpr}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -32,6 +32,13 @@ object GraftExtensions {
       s"expected integer literal, got $other")
   }
 
+  private def strLit(e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"expected string literal, got $other")
+  }
+
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("dot_product", classOf[DotProduct].getCanonicalName,
       exprs => DotProduct(exprs(0), exprs(1))),
@@ -43,6 +50,12 @@ object GraftExtensions {
     // shingles(tokens, k) — k must be an integer literal
     ("shingles", classOf[ShinglesExpr].getCanonicalName,
       exprs => ShinglesExpr(exprs(0), intLit(exprs(1)))),
+    // bpe_merge(symbols, 'a', 'b') — one greedy merge pass
+    ("bpe_merge", classOf[BpeMergeExpr].getCanonicalName,
+      exprs => BpeMergeExpr(exprs(0), strLit(exprs(1)), strLit(exprs(2)))),
+    // bpe_encode(word, 'a b', 'ab c', …) — merge literals in train order
+    ("bpe_encode", classOf[BpeEncodeExpr].getCanonicalName,
+      exprs => BpeEncodeExpr(exprs(0), exprs.drop(1).map(strLit))),
   )
 
   /** Register everything on an already-built session. */

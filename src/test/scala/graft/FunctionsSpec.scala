@@ -52,6 +52,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(sh == Seq("a b c", "b c d"))
   }
 
+  test("bpe_merge and bpe_encode are callable from SQL") {
+    GraftExtensions.register(spark)
+    val merged = spark.sql(
+      "SELECT bpe_merge(array('l', 'o', 'w'), 'l', 'o') AS m")
+      .first().getSeq[String](0)
+    assert(merged == Seq("lo", "w"))
+    val toks = spark.sql(
+      "SELECT bpe_encode('lowest', 'e s', 'es t', 'est </w>', 'l o'," +
+        " 'lo w') AS t")
+      .first().getSeq[String](0)
+    assert(toks == Seq("low", "est</w>"))
+  }
+
   test("shingles builds word k-grams; short inputs give empty arrays") {
     val df = Seq("a b c d", "a b", "x").toDF("t")
       .select(TextFns.shingles(TextFns.tokens(col("t")), 3).as("sh"))

@@ -60,6 +60,12 @@ class KmvBloomIndexSpec extends AnyFunSuite {
     val inter = ov.getAs[Double]("est_inter")
     assert(math.abs(jac - 500.0 / 1500.0) < 0.2, s"jaccard_est $jac")
     assert(math.abs(inter - 500.0) < 500 * 0.5, s"est_inter $inter")
+    // directional containment: |a∩b|/|a| truth = 0.5 both ways here
+    val ct = KmvSketch.containmentEstimates(sk, "seg", k).head()
+    assert(math.abs(ct.getAs[Double]("cont_a_in_b") - 0.5) < 0.25,
+      s"cont_a_in_b ${ct.getAs[Double]("cont_a_in_b")}")
+    assert(math.abs(ct.getAs[Double]("cont_b_in_a") - 0.5) < 0.25,
+      s"cont_b_in_a ${ct.getAs[Double]("cont_b_in_a")}")
   }
 
   test("bloom index: no false negatives, real pruning, null-safe") {
