@@ -58,6 +58,28 @@ object Quality {
     }
   }
 
+  /** ROW-LEVEL contract routing — the quarantine form of the table-level
+    * checks, for streaming gates where a violation must not poison the
+    * batch: split `df` into (passing, failing) under named row
+    * constraints; failing rows carry `violations`, the array of violated
+    * constraint names, so the quarantine partition is self-describing
+    * and replayable after the contract or producer is fixed. A NULL
+    * constraint result counts as a violation (a contract you cannot
+    * evaluate is not satisfied — same polarity as SQL CHECK would NOT
+    * give you, chosen deliberately for the quarantine path). Pure narrow
+    * projection + filter: composes with foreachBatch at any scale. */
+  def partition(df: DataFrame,
+      constraints: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    require(constraints.nonEmpty, "at least one constraint")
+    val viols = array(constraints.map { case (n, c) =>
+      when(!coalesce(c, lit(false)), lit(n)) }: _*)
+    val tagged = df.withColumn("__viol",
+      filter(viols, v => v.isNotNull))
+    (tagged.filter(size(col("__viol")) === 0).drop("__viol"),
+      tagged.filter(size(col("__viol")) > 0)
+        .withColumnRenamed("__viol", "violations"))
+  }
+
   /** Evaluate a named suite; throws if any check fails (dbt_runner.py:43-44
     * semantics) unless failFast=false, in which case results are returned. */
   def run(checks: Seq[(String, () => Long)],

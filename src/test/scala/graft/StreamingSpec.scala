@@ -440,6 +440,40 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "n_events").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (1L, 1L), (2L, 1L)))
   }
+
+  test("streaming contract gate: foreachBatch routes failing rows to a" +
+      " self-describing quarantine, passing rows to bronze") {
+    import graft.operators.Quality
+    val base = Files.createTempDirectory("graft_contract").toString
+    val in = s"$base/in"; val ok = s"$base/bronze"; val bad = s"$base/qtn"
+    Seq(
+      ("e1", "view", 1.0), ("e2", "view", -3.0), // negative value
+      ("e3", null, 2.0), // null type
+      ("e4", "buy", 4.0))
+      .toDF("event_id", "event_type", "value").write.parquet(in)
+    val stream = spark.readStream.schema(
+      StructType(Seq(StructField("event_id", StringType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))).parquet(in)
+    val q = stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val (pass, fail) = Quality.partition(batch, Seq(
+          "type_not_null" -> col("event_type").isNotNull,
+          "value_nonneg" -> (col("value") >= 0)))
+        pass.write.mode("append").parquet(ok)
+        fail.write.mode("append").parquet(bad)
+        ()
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(ok).select("event_id").as[String]
+      .collect().toSet == Set("e1", "e4"))
+    val qtn = spark.read.parquet(bad)
+      .select(col("event_id"), col("violations"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet)
+      .toMap
+    assert(qtn == Map("e2" -> Set("value_nonneg"),
+      "e3" -> Set("type_not_null")))
+  }
 }
 
 class StatefulSessionsSpec extends AnyFunSuite {
