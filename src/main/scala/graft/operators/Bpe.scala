@@ -105,6 +105,31 @@ object Bpe {
     (chars :+ "</w>") ++ vocabOf(merges)
   }
 
+  /** Persist a trained model (ordered merges + id-stable vocab) as a
+    * parquet artifact through the checked atomic swap — training jobs
+    * re-publish without readers ever seeing a half-written model. */
+  def save(spark: org.apache.spark.sql.SparkSession, path: String,
+      merges: Seq[String], vocab: Seq[String],
+      store: CommitStore = CommitStore.local): Unit = {
+    import spark.implicits._
+    val df = merges.zipWithIndex.map { case (m, i) =>
+      ("merge", i, m) }.toSeq ++
+      vocab.zipWithIndex.map { case (v, i) => ("vocab", i, v) }
+    Incremental.atomicOverwrite(store, path)(tmp =>
+      df.toDF("kind", "idx", "value").coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp))
+  }
+
+  /** Load a model saved by [[save]]: (merges, vocab) in training order. */
+  def load(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[String], Seq[String]) = {
+    val rows = spark.read.parquet(path)
+      .orderBy(col("kind"), col("idx"))
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    (rows.filter(_._1 == "merge").map(_._2).toSeq,
+      rows.filter(_._1 == "vocab").map(_._2).toSeq)
+  }
+
   /** Tokenize to TOKEN IDS under (merges, vocab): the trained model's
     * export form. Symbols outside the vocabulary (chars never seen at
     * fit time) map to -1, the UNK convention — `try_element_at` because
