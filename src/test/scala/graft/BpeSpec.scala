@@ -50,6 +50,19 @@ class BpeSpec extends AnyFunSuite {
     assert(toks.mkString.replace("</w>", "") == "lowest")
   }
 
+  test("save/load round-trips the model (merges + vocab, order intact)") {
+    val wc = Bpe.wordCounts(Seq("low lower").toDF("text"), col("text"))
+    val merges = Bpe.fit(wc, 4, minCount = 1L)
+    val vocab = Bpe.fullVocab(wc, merges)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bpe").resolve("model").toString
+    Bpe.save(spark, path, merges, vocab)
+    assert(Bpe.load(spark, path) == ((merges, vocab)))
+    // re-publish overwrites atomically
+    Bpe.save(spark, path, merges.take(2), vocab)
+    assert(Bpe.load(spark, path)._1 == merges.take(2))
+  }
+
   test("wordCounts + round-one pair counts match a hand count") {
     val wc = Bpe.wordCounts(
       Seq("low low", "low newest").toDF("text"), col("text"))
