@@ -48,6 +48,19 @@ object ZoneMap {
     index.filter(col(s"max__$c") >= lit(lo) && col(s"min__$c") <= lit(hi))
       .select("file").collect().map(_.getString(0)).toSeq
 
+  /** Conjunctive pruning over several columns: a file survives only if
+    * EVERY predicate's [lo, hi] intersects its interval — pruning power
+    * multiplies across independent columns (the reason Z-order layouts
+    * index several dims: each column's surviving fraction compounds). */
+  def pruneBetweenAll(index: DataFrame,
+      preds: Seq[(String, Any, Any)]): Seq[String] = {
+    require(preds.nonEmpty, "at least one predicate")
+    val cond = preds.map { case (c, lo, hi) =>
+      col(s"max__$c") >= lit(lo) && col(s"min__$c") <= lit(hi)
+    }.reduce(_ && _)
+    index.filter(cond).select("file").collect().map(_.getString(0)).toSeq
+  }
+
   /** Zone-map-pruned range read: scan only surviving files, with the
     * exact predicate re-applied (pruning is a superset guarantee). */
   def readBetween(spark: SparkSession, index: DataFrame, c: String,

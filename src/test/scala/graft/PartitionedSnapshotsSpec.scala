@@ -338,6 +338,39 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     assert(none.count() == 0 && none.columns.contains("v"))
   }
 
+  test("partition layout EVOLVES via a full-rebuild version: same rows" +
+      " under the new layout, pinned readers keep the old one, vacuum" +
+      " reclaims the superseded layout at horizon") {
+    val t = tmpTable()
+    // v1: partitioned by date; rows carry an orthogonal region column
+    val v1 = PS.write(spark, t, Seq(
+      (1L, "2024-01-01", "emea"), (2L, "2024-01-01", "apac"),
+      (3L, "2024-01-02", "emea"), (4L, "2024-01-02", "amer"))
+      .toDF("k", "d", "region"), "d")
+    // re-layout by region: read current, rewrite as the NEXT version —
+    // write() on an existing table is exactly the Iceberg
+    // partition-evolution move (a metadata-committed full rebuild)
+    val v2 = PS.write(spark, t, PS.read(spark, t), "region")
+    assert(v2 == v1 + 1)
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "d", "region").as[(Long, String, String)]
+        .collect().toSet
+    assert(rowSet(PS.read(spark, t)) ==
+      rowSet(PS.readVersion(spark, t, v1)), "content is layout-free")
+    // the new layout's data dirs are region-named
+    val store = CommitStore.local
+    val v2parts = store.listEntries(s"$t/_snapshots/v%05d/data".format(v2))
+      .filter(_.isDir).map(_.name).sorted
+    assert(v2parts == Seq("__p=amer", "__p=apac", "__p=emea"),
+      s"v2 layout: $v2parts")
+    // pinned v1 reader keeps answering from the date layout
+    assert(PS.readVersion(spark, t, v1).inputFiles
+      .forall(_.contains("__p=2024-")), "v1 reads date-layout files")
+    // vacuum at horizon 1 drops the date layout entirely
+    assert(PS.vacuum(t, keep = 1) == Seq(v1))
+    assert(rowSet(PS.read(spark, t)).size == 4)
+  }
+
   test("bloom index: point lookups read only bloom-surviving files;" +
       " incremental rebuild carries untouched partitions' blooms") {
     val t = tmpTable()

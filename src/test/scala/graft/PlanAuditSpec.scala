@@ -404,6 +404,32 @@ class PlanAuditSpec extends AnyFunSuite {
     spark.catalog.clearCache() // d06-style pair cache cleanup
   }
 
+  test("CBO: ANALYZE ... FOR COLUMNS turns a selective equality filter" +
+      " into a tight cardinality estimate (the stats surface a cost-" +
+      "based planner needs)") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS cbo_fact")
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .saveAsTable("cbo_fact")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      spark.sql("ANALYZE TABLE cbo_fact COMPUTE STATISTICS")
+      val total = spark.table("cbo_fact").count()
+      def estimate(): Option[BigInt] =
+        spark.table("cbo_fact").filter(col("o_custkey") === 1L)
+          .queryExecution.optimizedPlan.stats.rowCount
+      spark.sql(
+        "ANALYZE TABLE cbo_fact COMPUTE STATISTICS FOR COLUMNS o_custkey")
+      val withCol = estimate()
+      assert(withCol.isDefined, "column stats must yield a rowCount")
+      assert(withCol.get < total / 10,
+        s"estimate ${withCol.get} not selective vs $total rows")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS cbo_fact")
+    }
+  }
+
   test("q61: the KMV rank cut gets WindowGroupLimit pushdown (per-" +
       "partition top-k BEFORE the exchange) and nothing plans cartesian") {
     val (ns, s) = planOf("q61_kmv_overlap")

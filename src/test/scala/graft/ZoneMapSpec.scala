@@ -36,4 +36,22 @@ class ZoneMapSpec extends AnyFunSuite {
     val none = ZoneMap.readBetween(spark, idx, "x", 100L, 200L)
     assert(none.count() == 0 && none.columns.contains("id"))
   }
+
+  test("conjunctive pruning compounds across columns: a file must" +
+      " intersect EVERY predicate to survive") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zm2").toString
+    // x ranges overlap between a and b; y separates them
+    Seq((1L, 5L, 100L), (2L, 6L, 110L)).toDF("id", "x", "y")
+      .coalesce(1).write.parquet(s"$dir/a")
+    Seq((3L, 5L, 200L), (4L, 7L, 210L)).toDF("id", "x", "y")
+      .coalesce(1).write.parquet(s"$dir/b")
+    val idx = ZoneMap.collect(spark, Seq(s"$dir/a", s"$dir/b"),
+      Seq("x", "y"))
+    // x alone keeps both files; adding y prunes to one
+    assert(ZoneMap.pruneBetweenAll(idx, Seq(("x", 5L, 6L))).size == 2)
+    val both = ZoneMap.pruneBetweenAll(idx,
+      Seq(("x", 5L, 6L), ("y", 200L, 220L)))
+    assert(both.size == 1 && both.head.contains("/b/"), s"got $both")
+  }
 }
