@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQ {
 
-  def all: Seq[Q] = Seq(q61KmvOverlap, q62Funnel)
+  def all: Seq[Q] = Seq(q61KmvOverlap, q62Funnel, q63KmvContainment)
 
   private val K = 64
 
@@ -192,4 +192,131 @@ object AnalyticsQ {
       CAST(users AS DOUBLE) /
         CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) AS conv_from_first
     FROM steps ORDER BY step"""))
+
+  /** Directional KMV containment between event-type segments: is A's
+    * user-day audience essentially a SUBSET of B's? — the asymmetric
+    * question Jaccard (q61) symmetrizes away (d15's containment signal
+    * at the sketch tier). Estimates are est∩/est_A and est∩/est_B from
+    * the same sketches as q61, with exact containments riding along as
+    * the gate; like q61, the APPROXIMATE numbers are deterministic
+    * order statistics and hash-match DuckDB bit-for-bit. All set
+    * algebra runs on the 5-row sketch table. */
+  val q63KmvContainment: Q = Q("q63_kmv_containment", (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("ud", concat(col("user_id").cast("string"), lit(":"),
+        to_date(col("ts")).cast("string")))
+    val sketches = KmvSketch.sketchWithExact(ev, "event_type",
+      col("ud"), K)
+    val conts = KmvSketch.containmentEstimates(sketches, "event_type", K)
+      .withColumnRenamed("ga", "type_a").withColumnRenamed("gb", "type_b")
+    val pairs = ev.select(col("event_type"), col("ud")).distinct()
+    val exactInter = pairs.as("x")
+      .join(pairs.as("y"), col("x.ud") === col("y.ud") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    val exact = sketches.select(col("event_type"), col("n_exact"))
+    conts
+      .join(exactInter, Seq("type_a", "type_b"), "left")
+      .join(exact.select(col("event_type").as("type_a"),
+        col("n_exact").as("n_a")), "type_a")
+      .join(exact.select(col("event_type").as("type_b"),
+        col("n_exact").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"),
+        col("cont_a_in_b"), col("cont_b_in_a"),
+        (coalesce(col("inter_exact"), lit(0L)).cast("double") /
+          col("n_a").cast("double")).as("cont_ab_exact"),
+        (coalesce(col("inter_exact"), lit(0L)).cast("double") /
+          col("n_b").cast("double")).as("cont_ba_exact"),
+        (abs(col("cont_a_in_b") -
+          coalesce(col("inter_exact"), lit(0L)).cast("double") /
+            col("n_a").cast("double")) <= lit(0.25) &&
+         abs(col("cont_b_in_a") -
+          coalesce(col("inter_exact"), lit(0L)).cast("double") /
+            col("n_b").cast("double")) <= lit(0.25)).as("approx_ok"))
+      .orderBy(col("type_a"), col("type_b"))
+  }, Some(s"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type,
+        md5(CAST(user_id AS VARCHAR) || ':' ||
+            CAST(CAST(ts AS DATE) AS VARCHAR)) AS h
+      FROM events),
+    ranked AS (
+      SELECT event_type, h,
+        row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+      FROM hashes),
+    sk AS (SELECT event_type, h FROM ranked WHERE rn <= $K),
+    seg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM hashes GROUP BY event_type),
+    segsk AS (
+      SELECT event_type, CAST(COUNT(*) AS INT) AS sk_size, max(h) AS kth
+      FROM sk GROUP BY event_type),
+    segest AS (
+      SELECT s.event_type,
+        CASE WHEN s.sk_size < $K THEN CAST(s.sk_size AS DOUBLE)
+             ELSE CAST(${K - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE) /
+               CAST(CAST('0x' || substr(s.kth, 1, 12) AS BIGINT) AS DOUBLE)
+        END AS est
+      FROM segsk s),
+    prs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM seg a JOIN seg b ON a.event_type < b.event_type),
+    uni0 AS (
+      SELECT DISTINCT p.type_a, p.type_b, s.h
+      FROM prs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)),
+    uni AS (
+      SELECT type_a, type_b, h,
+        row_number() OVER (PARTITION BY type_a, type_b ORDER BY h ASC) AS rn
+      FROM uni0),
+    unik AS (SELECT type_a, type_b, h FROM uni WHERE rn <= $K),
+    uagg AS (
+      SELECT type_a, type_b, CAST(COUNT(*) AS INT) AS u_size, max(h) AS kth
+      FROM unik GROUP BY type_a, type_b),
+    common AS (
+      SELECT u.type_a, u.type_b, CAST(COUNT(*) AS INT) AS n_common
+      FROM unik u
+      JOIN sk sa ON sa.event_type = u.type_a AND sa.h = u.h
+      JOIN sk sb ON sb.event_type = u.type_b AND sb.h = u.h
+      GROUP BY u.type_a, u.type_b),
+    pairs2 AS (
+      SELECT DISTINCT event_type,
+        CAST(user_id AS VARCHAR) || ':' ||
+          CAST(CAST(ts AS DATE) AS VARCHAR) AS ud
+      FROM events),
+    interx AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+        CAST(COUNT(*) AS BIGINT) AS inter_exact
+      FROM pairs2 x JOIN pairs2 y ON x.ud = y.ud
+        AND x.event_type < y.event_type
+      GROUP BY 1, 2),
+    est AS (
+      SELECT u.type_a, u.type_b,
+        (CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+          / CAST(u.u_size AS DOUBLE)) *
+        CASE WHEN u.u_size < $K THEN CAST(u.u_size AS DOUBLE)
+             ELSE CAST(${K - 1} AS DOUBLE) * CAST(281474976710656 AS DOUBLE) /
+               CAST(CAST('0x' || substr(u.kth, 1, 12) AS BIGINT) AS DOUBLE)
+        END AS est_inter
+      FROM uagg u LEFT JOIN common c
+        ON c.type_a = u.type_a AND c.type_b = u.type_b)
+    SELECT e.type_a, e.type_b,
+      e.est_inter / ea.est AS cont_a_in_b,
+      e.est_inter / eb.est AS cont_b_in_a,
+      CAST(COALESCE(i.inter_exact, 0) AS DOUBLE)
+        / CAST(sa.n_exact AS DOUBLE) AS cont_ab_exact,
+      CAST(COALESCE(i.inter_exact, 0) AS DOUBLE)
+        / CAST(sb.n_exact AS DOUBLE) AS cont_ba_exact,
+      (abs(e.est_inter / ea.est - CAST(COALESCE(i.inter_exact, 0) AS DOUBLE)
+          / CAST(sa.n_exact AS DOUBLE)) <= 0.25
+       AND abs(e.est_inter / eb.est - CAST(COALESCE(i.inter_exact, 0) AS DOUBLE)
+          / CAST(sb.n_exact AS DOUBLE)) <= 0.25) AS approx_ok
+    FROM est e
+    JOIN segest ea ON ea.event_type = e.type_a
+    JOIN segest eb ON eb.event_type = e.type_b
+    JOIN seg sa ON sa.event_type = e.type_a
+    JOIN seg sb ON sb.event_type = e.type_b
+    LEFT JOIN interx i ON i.type_a = e.type_a AND i.type_b = e.type_b
+    ORDER BY e.type_a, e.type_b"""))
 }
