@@ -912,5 +912,87 @@ object SqlParity {
         CAST(users AS DOUBLE) /
           CAST((SELECT COUNT(*) FROM s1) AS DOUBLE) AS conv_from_first
       FROM steps ORDER BY step""",
+    // q63: same dialect translation as q61 (conv() hex parse; concat)
+    "q63_kmv_containment" -> s"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type,
+        md5(concat(CAST(user_id AS STRING), ':', CAST(CAST(ts AS DATE) AS STRING))) AS h
+      FROM events),
+    ranked AS (
+      SELECT event_type, h,
+        row_number() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+      FROM hashes),
+    sk AS (SELECT event_type, h FROM ranked WHERE rn <= 64),
+    seg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM hashes GROUP BY event_type),
+    segsk AS (
+      SELECT event_type, CAST(COUNT(*) AS INT) AS sk_size, max(h) AS kth
+      FROM sk GROUP BY event_type),
+    segest AS (
+      SELECT s.event_type,
+        CASE WHEN s.sk_size < 64 THEN CAST(s.sk_size AS DOUBLE)
+             ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) /
+               CAST(conv(substring(s.kth, 1, 12), 16, 10) AS DOUBLE)
+        END AS est
+      FROM segsk s),
+    prs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM seg a JOIN seg b ON a.event_type < b.event_type),
+    uni0 AS (
+      SELECT DISTINCT p.type_a, p.type_b, s.h
+      FROM prs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)),
+    uni AS (
+      SELECT type_a, type_b, h,
+        row_number() OVER (PARTITION BY type_a, type_b ORDER BY h ASC) AS rn
+      FROM uni0),
+    unik AS (SELECT type_a, type_b, h FROM uni WHERE rn <= 64),
+    uagg AS (
+      SELECT type_a, type_b, CAST(COUNT(*) AS INT) AS u_size, max(h) AS kth
+      FROM unik GROUP BY type_a, type_b),
+    common AS (
+      SELECT u.type_a, u.type_b, CAST(COUNT(*) AS INT) AS n_common
+      FROM unik u
+      JOIN sk sa ON sa.event_type = u.type_a AND sa.h = u.h
+      JOIN sk sb ON sb.event_type = u.type_b AND sb.h = u.h
+      GROUP BY u.type_a, u.type_b),
+    pairs2 AS (
+      SELECT DISTINCT event_type,
+        concat(CAST(user_id AS STRING), ':', CAST(CAST(ts AS DATE) AS STRING)) AS ud
+      FROM events),
+    interx AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+        CAST(COUNT(*) AS BIGINT) AS inter_exact
+      FROM pairs2 x JOIN pairs2 y ON x.ud = y.ud
+        AND x.event_type < y.event_type
+      GROUP BY 1, 2),
+    est AS (
+      SELECT u.type_a, u.type_b,
+        (CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+          / CAST(u.u_size AS DOUBLE)) *
+        CASE WHEN u.u_size < 64 THEN CAST(u.u_size AS DOUBLE)
+             ELSE CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) /
+               CAST(conv(substring(u.kth, 1, 12), 16, 10) AS DOUBLE)
+        END AS est_inter
+      FROM uagg u LEFT JOIN common c
+        ON c.type_a = u.type_a AND c.type_b = u.type_b)
+    SELECT e.type_a, e.type_b,
+      e.est_inter / ea.est AS cont_a_in_b,
+      e.est_inter / eb.est AS cont_b_in_a,
+      CAST(COALESCE(i.inter_exact, 0) AS DOUBLE)
+        / CAST(sa.n_exact AS DOUBLE) AS cont_ab_exact,
+      CAST(COALESCE(i.inter_exact, 0) AS DOUBLE)
+        / CAST(sb.n_exact AS DOUBLE) AS cont_ba_exact,
+      (abs(e.est_inter / ea.est - CAST(COALESCE(i.inter_exact, 0) AS DOUBLE)
+          / CAST(sa.n_exact AS DOUBLE)) <= 0.25
+       AND abs(e.est_inter / eb.est - CAST(COALESCE(i.inter_exact, 0) AS DOUBLE)
+          / CAST(sb.n_exact AS DOUBLE)) <= 0.25) AS approx_ok
+    FROM est e
+    JOIN segest ea ON ea.event_type = e.type_a
+    JOIN segest eb ON eb.event_type = e.type_b
+    JOIN seg sa ON sa.event_type = e.type_a
+    JOIN seg sb ON sb.event_type = e.type_b
+    LEFT JOIN interx i ON i.type_a = e.type_a AND i.type_b = e.type_b
+    ORDER BY e.type_a, e.type_b""",
   )
 }

@@ -44,6 +44,35 @@ class KmvRollupSpec extends AnyFunSuite {
       "disjoint segments must show zero sketch overlap")
   }
 
+  test("streaming refresh: foreachBatch folds micro-batches into the" +
+      " sketch table; the result equals the batch rollup") {
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_kmvstream").toString
+    val data = s"$in/data"
+    val t = tmp()
+    batch(0, 300).write.parquet(data)
+    val r = new KmvRollup(spark, t, "seg", "id", k = 32)
+    val stream = spark.readStream
+      .schema(batch(0, 1).schema).parquet(data)
+    val q = stream.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, _: Long) => r.refresh(b)
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$in/_cp").start()
+    q.awaitTermination()
+    batch(300, 700).write.mode("append").parquet(data)
+    val q2 = stream.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, _: Long) => r.refresh(b)
+    }.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$in/_cp").start()
+    q2.awaitTermination()
+    val streamed = r.read().select("seg", "sk").collect()
+      .map(x => x.getString(0) -> x.getSeq[String](1)).toMap
+    val direct = KmvSketch.sketch(batch(0, 700), "seg", col("id"), 32)
+      .collect().map(x => x.getString(0) -> x.getSeq[String](1)).toMap
+    assert(streamed == direct,
+      "streamed folds must equal the batch rollup of the same rows")
+  }
+
   test("writeIncremental rewrites only drifted shards; removed-row and" +
       " first-write paths work") {
     val dir = java.nio.file.Files
