@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQ {
 
-  def all: Seq[Q] = Seq(q61KmvOverlap, q62Funnel, q63KmvContainment)
+  def all: Seq[Q] = Seq(q61KmvOverlap, q62Funnel, q63KmvContainment,
+    q64TimeToConvert)
 
   private val K = 64
 
@@ -319,4 +320,65 @@ object AnalyticsQ {
     JOIN seg sb ON sb.event_type = e.type_b
     LEFT JOIN interx i ON i.type_a = e.type_a AND i.type_b = e.type_b
     ORDER BY e.type_a, e.type_b"""))
+
+  /** Time-to-convert distribution per acquisition cohort: for users who
+    * complete q62's view→click→purchase funnel, the hours from first
+    * view to first qualifying purchase — count, median and p75 per
+    * first-view DATE cohort. Quartile fractions only (q31's rule: with
+    * integer-microsecond inputs and {0,.25,.5,.75} positions every
+    * type-7 interpolation intermediate is exact in binary, so the
+    * doubles hash-match DuckDB); the one non-integer step, micros→hours,
+    * is a single double division. Same three user-keyed aggregates as
+    * q62 plus one cohort-keyed sort-based percentile — no new shuffle
+    * shape. */
+  val q64TimeToConvert: Q = Q("q64_time_to_convert", (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").as("e")
+      .join(s1.as("s1"), col("e.user_id") === col("s1.user_id"))
+      .filter(col("e.ts") > col("t1") &&
+        col("e.ts") <= col("t1") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.ts")).as("t2"), min(col("t1")).as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase").as("e")
+      .join(s2.as("s2"), col("e.user_id") === col("s2.user_id"))
+      .filter(col("e.ts") > col("t2") &&
+        col("e.ts") <= col("s2.t1") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("e.ts")).as("t3"), min(col("s2.t1")).as("t1"))
+    s3
+      .select(to_date(col("t1")).as("cohort"),
+        (unix_micros(col("t3")) - unix_micros(col("t1"))).as("dt_us"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_converted"),
+        (percentile(col("dt_us"), lit(0.5)) /
+          lit(3600000000.0)).as("p50_hours"),
+        (percentile(col("dt_us"), lit(0.75)) /
+          lit(3600000000.0)).as("p75_hours"))
+      .orderBy(col("cohort"))
+  }, Some("""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t1 + INTERVAL 7 DAY
+      GROUP BY e.user_id)
+    SELECT CAST(t1 AS DATE) AS cohort,
+      CAST(COUNT(*) AS BIGINT) AS n_converted,
+      quantile_cont(epoch_us(t3) - epoch_us(t1), 0.5)
+        / CAST(3600000000 AS DOUBLE) AS p50_hours,
+      quantile_cont(epoch_us(t3) - epoch_us(t1), 0.75)
+        / CAST(3600000000 AS DOUBLE) AS p75_hours
+    FROM s3 GROUP BY CAST(t1 AS DATE) ORDER BY cohort"""))
 }
