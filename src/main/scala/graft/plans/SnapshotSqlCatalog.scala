@@ -1,0 +1,119 @@
+package graft.plans
+
+import graft.operators.{CommitStore, PartitionedSnapshots, Snapshots}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 TABLE CATALOG over the snapshot formats — the SQL front
+  * door to the MVCC tables, wired through Spark's own connector API so
+  * the scans stay NATIVE parquet (pushdown, pruning, vectorized read —
+  * a resolved snapshot IS a parquet dir set, and the plugin hands
+  * Spark's ParquetTable exactly those dirs):
+  *
+  * {{{
+  * spark.sql.catalog.snap      = graft.plans.SnapshotSqlCatalog
+  * spark.sql.catalog.snap.root = /warehouse/snaptables
+  *
+  * SELECT * FROM snap.events_agg                        -- current version
+  * SELECT * FROM snap.events_agg VERSION AS OF 3        -- version travel
+  * SELECT * FROM snap.events_agg TIMESTAMP AS OF '...'  -- publish-time
+  * }}}
+  *
+  * Spark parses VERSION AS OF / TIMESTAMP AS OF natively and calls the
+  * corresponding `loadTable` overloads — the same integration seam
+  * Delta/Iceberg plug; no custom parser or analyzer rule needed.
+  * Both snapshot formats resolve: a PartitionedSnapshots table (manifest
+  * per version) maps to its owner-resolved partition dirs, a full-copy
+  * Snapshots table to its version dir. Writes go through the operator
+  * APIs (upsert/write/streamCommit — they carry the lock and commit
+  * protocol); the catalog is intentionally read-only, so every mutation
+  * keeps its single-writer/atomic-flip guarantees.
+  */
+class SnapshotSqlCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+  private val store: CommitStore = CommitStore.local
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"set spark.sql.catalog.$name.root to the snapshot-tables dir"))
+  }
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def currentOf(t: String): Option[Long] =
+    PartitionedSnapshots.currentVersion(t, store)
+
+  /** Version v's data dirs: manifest-resolved owner dirs for the
+    * partitioned format, the version dir itself for full-copy. */
+  private def dirsOf(t: String, v: Long): Seq[String] = {
+    val m = PartitionedSnapshots.manifest(t, v, store)
+    if (m.nonEmpty)
+      m.toSeq.sorted.map { case (p, o) => f"$t/_snapshots/v$o%05d/data/$p" }
+    else f"$t/_snapshots/v$v%05d" :: Nil
+  }
+
+  private def tableFor(ident: Identifier, v: Long): Table =
+    ParquetTable(s"$catalogName.${ident.name}@v$v", SparkSession.active,
+      CaseInsensitiveStringMap.empty(), dirsOf(pathOf(ident), v), None,
+      classOf[ParquetFileFormat])
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = pathOf(ident)
+    currentOf(t) match {
+      case Some(v) => tableFor(ident, v)
+      case None => throw new NoSuchTableException(ident)
+    }
+  }
+
+  /** VERSION AS OF n */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = pathOf(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new NoSuchTableException(ident)
+    }
+    if (PartitionedSnapshots.versions(t, store).contains(v))
+      tableFor(ident, v)
+    else throw new NoSuchTableException(ident)
+  }
+
+  /** TIMESTAMP AS OF ts — Spark hands MICROSECONDS since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = pathOf(ident)
+    val tsMs = timestampMicros / 1000L
+    PartitionedSnapshots.versionAt(t, tsMs, store)
+      .orElse(Snapshots.versionAt(t, tsMs, store))
+      .map(tableFor(ident, _))
+      .getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    currentOf(pathOf(ident)).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (root +: namespace.toSeq).mkString("/")
+    store.listEntries(dir)
+      .filter(e => e.isDir && store.exists(s"$dir/${e.name}/_current"))
+      .map(e => Identifier.of(namespace, e.name)).toArray
+  }
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$catalogName is read-only: $op must go through the snapshot " +
+        "operator APIs (they carry the lock + commit protocol)")
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = readOnly("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+}
