@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.KmvSketch
 import org.apache.spark.sql.functions._
+import Dsl._
 
 /** Audience-analytics catalog: sketch-based segment overlap (the set
   * algebra HLL cannot do) and ordered funnel conversion — the two marts
@@ -17,7 +18,7 @@ import org.apache.spark.sql.functions._
 object AnalyticsQ {
 
   def all: Seq[Q] = Seq(q61KmvOverlap, q62Funnel, q63KmvContainment,
-    q64TimeToConvert)
+    q64TimeToConvert, q65RevenueGini)
 
   private val K = 64
 
@@ -381,4 +382,68 @@ object AnalyticsQ {
       quantile_cont(epoch_us(t3) - epoch_us(t1), 0.75)
         / CAST(3600000000 AS DOUBLE) AS p75_hours
     FROM s3 GROUP BY CAST(t1 AS DATE) ORDER BY cohort"""))
+
+  /** Revenue concentration per market segment: Gini coefficient and
+    * top-decile share of customer spend — the inequality metrics a
+    * commerce mart reports next to plain totals. All moments are EXACT
+    * (decimal spend sums, integer ranks; within a tie group Σ rank·s is
+    * order-invariant because s is constant, so the rank tiebreak cannot
+    * move the answer) with one double division at the end:
+    * G = 2·Σ(rank·s)/(n·Σs) − (n+1)/n over spend ascending. One
+    * customer-keyed aggregate, one segment-keyed window, one final
+    * segment aggregate — the q50 RFM shape with a different statistic. */
+  val q65RevenueGini: Q = Q("q65_revenue_gini", (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(d2(col("o_totalprice"))).as("spend"))
+      .join(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"))
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("spend").asc, col("o_custkey").asc)
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("spend").desc, col("o_custkey").asc)
+    spend
+      .withColumn("rk", row_number().over(wAsc))
+      .withColumn("rk_desc", row_number().over(wDesc))
+      .withColumn("n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("c_mktsegment"))))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("double").as("total_revenue"),
+        (lit(2.0) * sum(col("spend") * col("rk")).cast("double") /
+          (count(lit(1)).cast("double") *
+            sum(col("spend")).cast("double")) -
+          (count(lit(1)) + 1).cast("double") /
+            count(lit(1)).cast("double")).as("gini"),
+        (sum(when(col("rk_desc") <=
+            ceil(col("n").cast("double") / 10.0), col("spend")))
+          .cast("double") / sum(col("spend")).cast("double"))
+          .as("top_decile_share"))
+      .orderBy(col("c_mktsegment"))
+  }, Some(s"""
+    WITH spend AS (
+      SELECT o_custkey, SUM(${d2Sql("o_totalprice")}) AS spend
+      FROM orders GROUP BY o_custkey),
+    seg AS (
+      SELECT s.o_custkey, s.spend, c.c_mktsegment,
+        row_number() OVER (PARTITION BY c.c_mktsegment
+          ORDER BY s.spend ASC, s.o_custkey ASC) AS rk,
+        row_number() OVER (PARTITION BY c.c_mktsegment
+          ORDER BY s.spend DESC, s.o_custkey ASC) AS rk_desc,
+        COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS n
+      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey)
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      CAST(SUM(spend) AS DOUBLE) AS total_revenue,
+      CAST(2 AS DOUBLE) * CAST(SUM(spend * rk) AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(spend) AS DOUBLE))
+        - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS gini,
+      CAST(SUM(CASE WHEN rk_desc <= ceil(CAST(n AS DOUBLE) / 10.0)
+        THEN spend END) AS DOUBLE) / CAST(SUM(spend) AS DOUBLE)
+        AS top_decile_share
+    FROM seg GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 }
