@@ -18,7 +18,7 @@ import Dsl._
 object AnalyticsQ {
 
   def all: Seq[Q] = Seq(q61KmvOverlap, q62Funnel, q63KmvContainment,
-    q64TimeToConvert, q65RevenueGini)
+    q64TimeToConvert, q65RevenueGini, q66NewVsReturning)
 
   private val K = 64
 
@@ -446,4 +446,41 @@ object AnalyticsQ {
         THEN spend END) AS DOUBLE) / CAST(SUM(spend) AS DOUBLE)
         AS top_decile_share
     FROM seg GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Monthly revenue split NEW vs RETURNING customers — the acquisition
+    * dashboard's first chart: an order is "new" iff it is its
+    * customer's FIRST-ever order (min order date, orderkey tiebreak for
+    * same-day firsts). One customer-keyed window over the orders fact
+    * (no self-join — the q42 lesson), then a month rollup riding exact
+    * decimal sums; the share is one double division. */
+  val q66NewVsReturning: Q = Q("q66_new_vs_returning", (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_new"),
+        decSum(col("o_totalprice")).as("revenue"),
+        decSumExpr(when(col("rn") === 1, d2(col("o_totalprice")))
+          .otherwise(d2(lit(0)))).as("new_revenue"))
+      .withColumn("new_share",
+        col("new_revenue") / col("revenue"))
+      .orderBy(col("month"))
+  }, Some(s"""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders)
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      ${decSumSql("o_totalprice")} AS revenue,
+      ${decSumExprSql(s"CASE WHEN rn = 1 THEN ${d2Sql("o_totalprice")} ELSE ${d2Sql("0")} END")} AS new_revenue,
+      ${decSumExprSql(s"CASE WHEN rn = 1 THEN ${d2Sql("o_totalprice")} ELSE ${d2Sql("0")} END")}
+        / ${decSumSql("o_totalprice")} AS new_share
+    FROM ranked GROUP BY strftime(o_orderdate, '%Y-%m')
+    ORDER BY month"""))
 }

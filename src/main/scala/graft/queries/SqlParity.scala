@@ -994,5 +994,66 @@ object SqlParity {
     JOIN seg sb ON sb.event_type = e.type_b
     LEFT JOIN interx i ON i.type_a = e.type_a AND i.type_b = e.type_b
     ORDER BY e.type_a, e.type_b""",
+    "q64_time_to_convert" -> """
+      WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3, min(s2.t1) AS t1
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s2.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id)
+      SELECT CAST(t1 AS DATE) AS cohort,
+        CAST(COUNT(*) AS BIGINT) AS n_converted,
+        percentile(unix_micros(t3) - unix_micros(t1), 0.5)
+          / CAST(3600000000 AS DOUBLE) AS p50_hours,
+        percentile(unix_micros(t3) - unix_micros(t1), 0.75)
+          / CAST(3600000000 AS DOUBLE) AS p75_hours
+      FROM s3 GROUP BY CAST(t1 AS DATE) ORDER BY cohort""",
+
+    "q65_revenue_gini" -> s"""
+      WITH spend AS (
+        SELECT o_custkey, SUM(${d2Sql("o_totalprice")}) AS spend
+        FROM orders GROUP BY o_custkey),
+      seg AS (
+        SELECT s.o_custkey, s.spend, c.c_mktsegment,
+          row_number() OVER (PARTITION BY c.c_mktsegment
+            ORDER BY s.spend ASC, s.o_custkey ASC) AS rk,
+          row_number() OVER (PARTITION BY c.c_mktsegment
+            ORDER BY s.spend DESC, s.o_custkey ASC) AS rk_desc,
+          COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS n
+        FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey)
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        CAST(SUM(spend) AS DOUBLE) AS total_revenue,
+        CAST(2 AS DOUBLE) * CAST(SUM(spend * rk) AS DOUBLE)
+          / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(spend) AS DOUBLE))
+          - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS gini,
+        CAST(SUM(CASE WHEN rk_desc <= ceil(CAST(n AS DOUBLE) / 10.0)
+          THEN spend END) AS DOUBLE) / CAST(SUM(spend) AS DOUBLE)
+          AS top_decile_share
+      FROM seg GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q66_new_vs_returning" -> s"""
+      WITH ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+        FROM orders)
+      SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+        CAST(COUNT(*) AS BIGINT) AS n_orders,
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        ${decSumSql("o_totalprice")} AS revenue,
+        ${decSumExprSql(s"CASE WHEN rn = 1 THEN ${d2Sql("o_totalprice")} ELSE ${d2Sql("0")} END")} AS new_revenue,
+        ${decSumExprSql(s"CASE WHEN rn = 1 THEN ${d2Sql("o_totalprice")} ELSE ${d2Sql("0")} END")}
+          / ${decSumSql("o_totalprice")} AS new_share
+      FROM ranked GROUP BY date_format(o_orderdate, 'yyyy-MM')
+      ORDER BY month""",
   )
 }

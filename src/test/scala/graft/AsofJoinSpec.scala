@@ -64,6 +64,17 @@ class AsofJoinSpec extends AnyFunSuite {
       quotes.repartition(3), Seq("sym"), "tt", "qt")) == rows(got))
   }
 
+  test("composite keys: matching respects every key column") {
+    val t = Seq(("t1", "A", "US", 10L), ("t2", "A", "EU", 10L))
+      .toDF("trade_id", "sym", "venue", "tt")
+    val q = Seq(("A", "US", 5L, "us-quote"), ("A", "EU", 7L, "eu-quote"))
+      .toDF("sym", "venue", "qt", "quote_id")
+    val got = AsofJoin.joinAsof(t, q, Seq("sym", "venue"), "tt", "qt")
+      .select("trade_id", "quote_id").as[(String, String)]
+      .collect().toSet
+    assert(got == Set(("t1", "us-quote"), ("t2", "eu-quote")))
+  }
+
   test("exclusive mode: a quote AT the trade instant does not match") {
     val t = Seq(("t1", "A", 10L)).toDF("trade_id", "sym", "tt")
     val q = Seq(("A", 10L, "q10", 1.0), ("A", 5L, "q5", 2.0))
