@@ -458,6 +458,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "m09 planned an all-pairs join shape")
   }
 
+  test("q66: the first-order flag is ONE customer-keyed window over the" +
+      " fact — no self-join (the q42 no-self-join rule)") {
+    val (ns, _) = planOf("q66_new_vs_returning")
+    assert(!ns.exists(_.nodeName.contains("Join")),
+      s"q66 planned a join: ${ns.map(_.nodeName).filter(_.contains("Join"))}")
+    assert(ns.exists(_.nodeName.contains("Window")))
+  }
+
+  test("q65: the spend aggregate meets the customer dim in a broadcast" +
+      " hash join (never a shuffle of the segment side)") {
+    val (ns, _) = planOf("q65_revenue_gini")
+    assert(ns.exists(_.nodeName.contains("BroadcastHashJoin")),
+      s"q65 join nodes: ${ns.map(_.nodeName).filter(_.contains("Join"))}")
+  }
+
   test("t20: BPE pair counting is two map-side-combined aggregates and" +
       " a TakeOrdered top-k — no Expand, no global sort of the pairs") {
     val (ns, _) = planOf("t20_bpe_pairs")
