@@ -26,7 +26,7 @@ object SimilarityQ {
 
   def all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03IvfAssign, s04IvfSearch,
     s05QuantizedRerank, s06KmeansUpdate, s07PqRerank, s08RangeSearch,
-    s09FilteredKnn)
+    s09FilteredKnn, s10Mmr)
 
   /** Corpus with per-VECTOR norms precomputed and materialized: norms are
     * O(N), not O(pairs) — computing them inside the pair expression would
@@ -589,4 +589,73 @@ object SimilarityQ {
     SELECT query_id, vec_id AS neighbor_id, cos,
       CAST(COUNT(*) OVER (PARTITION BY query_id) AS BIGINT) AS n_matches
     FROM matches ORDER BY query_id, neighbor_id"""))
+
+  /** MMR diversified retrieval under the ORACLE gate: retrieve the
+    * top-12 candidates for query vector 0, then greedily select k=3 by
+    * λ·rel − (1−λ)·max-sim (λ=0.5) — graft.operators.Mmr driving the
+    * selection, with DuckDB replaying the greedy rounds as CHAINED
+    * ARGMAX CTEs (fixed k makes the sequential loop SQL-expressible).
+    * Every cosine shares the DotProduct fold order, so relevance AND
+    * the mmr scores hash-match bit-for-bit — the operator's driver
+    * loop is proven equivalent to a relational spelling, not just to
+    * the in-repo reference implementation (MmrSpec). */
+  val s10Mmr: Q = Q("s10_mmr", (s, d) => {
+    val e = normed(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
+    val w = Window.orderBy(col("rel").desc, col("vec_id").asc)
+    val pool = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        (VectorFns.dot(col("embedding"), typedLit(q)) /
+          (col("nrm") * lit(qn))).as("rel"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 12)
+      .select(col("vec_id"), col("embedding"))
+    graft.operators.Mmr.rerank(pool, "vec_id", "embedding", q,
+        k = 3, lambda = 0.5)
+      .select(col("mmr_rank"), col("vec_id").as("neighbor_id"),
+        col("relevance"), col("mmr_score"))
+      .orderBy(col("mmr_rank"))
+  }, Some(s"""
+    WITH q AS (
+      SELECT embedding AS qv, ${VectorSql.norm("embedding")} AS qn
+      FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.embedding,
+        ${VectorSql.dot("qv", "e.embedding")}
+          / (${VectorSql.norm("e.embedding")} * qn) AS rel
+      FROM embeddings e, q WHERE e.vec_id <> 0),
+    pool AS (
+      SELECT vec_id, embedding, rel,
+        row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS rk
+      FROM scored),
+    cand AS (SELECT vec_id, embedding, rel FROM pool WHERE rk <= 12),
+    p1 AS (
+      SELECT vec_id, embedding, rel, 0.5 * rel AS score
+      FROM cand ORDER BY 0.5 * rel DESC, vec_id ASC LIMIT 1),
+    s2 AS (
+      SELECT c.vec_id, c.embedding, c.rel,
+        0.5 * c.rel - 0.5 * (${VectorSql.dot("c.embedding", "p1.embedding")}
+          / (${VectorSql.norm("c.embedding")}
+             * ${VectorSql.norm("p1.embedding")})) AS score
+      FROM cand c, p1 WHERE c.vec_id <> p1.vec_id),
+    p2 AS (SELECT * FROM s2 ORDER BY score DESC, vec_id ASC LIMIT 1),
+    s3 AS (
+      SELECT c.vec_id, c.rel,
+        0.5 * c.rel - 0.5 * greatest(
+          ${VectorSql.dot("c.embedding", "p1.embedding")}
+            / (${VectorSql.norm("c.embedding")}
+               * ${VectorSql.norm("p1.embedding")}),
+          ${VectorSql.dot("c.embedding", "p2.embedding")}
+            / (${VectorSql.norm("c.embedding")}
+               * ${VectorSql.norm("p2.embedding")})) AS score
+      FROM cand c, p1, p2
+      WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id),
+    p3 AS (SELECT * FROM s3 ORDER BY score DESC, vec_id ASC LIMIT 1)
+    SELECT 1 AS mmr_rank, vec_id AS neighbor_id, rel AS relevance,
+      score AS mmr_score FROM p1
+    UNION ALL SELECT 2, vec_id, rel, score FROM p2
+    UNION ALL SELECT 3, vec_id, rel, score FROM p3
+    ORDER BY mmr_rank"""))
 }
