@@ -676,6 +676,49 @@ object PartitionedSnapshots {
       readVersion(spark, t, v, store).filter(col(c).isin(values: _*))
   }
 
+  /** COMBINED sidecar pruning: range predicates prune through the zone
+    * map, equality probes through the bloom index, and the scan reads
+    * only files surviving EVERY available index (set intersection —
+    * the two sidecars answer different predicate shapes, so their
+    * pruning powers compound). Any index that is absent simply does not
+    * prune; with neither present this degrades to the filtered manifest
+    * scan. All predicates are re-applied exactly on the survivors. */
+  def readWhere(spark: SparkSession, t: String,
+      ranges: Seq[(String, Any, Any)] = Nil,
+      equalities: Seq[(String, Seq[Any])] = Nil,
+      version: Option[Long] = None,
+      store: CommitStore = CommitStore.local): DataFrame = {
+    require(ranges.nonEmpty || equalities.nonEmpty,
+      "give at least one predicate")
+    val v = version.getOrElse(currentVersion(t, store).getOrElse(
+      throw new IllegalStateException(s"$t has no committed snapshot")))
+    val zm = Option(zoneMapDir(t, v))
+      .filter(d => ranges.nonEmpty && store.exists(s"$d/_SUCCESS"))
+      .map(d => ZoneMap.pruneBetweenAll(
+        spark.read.parquet(d), ranges).toSet)
+    val bi = Option(bloomIdxDir(t, v))
+      .filter(d => equalities.nonEmpty && store.exists(s"$d/_SUCCESS"))
+      .map { d =>
+        val idx = spark.read.parquet(d)
+        equalities.map { case (c, vs) =>
+          BloomIndex.pruneEquals(idx, c, vs).toSet
+        }.reduce(_ intersect _)
+      }
+    val exact = (ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    } ++ equalities.map { case (c, vs) => col(c).isin(vs: _*) })
+      .reduce(_ && _)
+    (zm, bi) match {
+      case (None, None) => readVersion(spark, t, v, store).filter(exact)
+      case _ =>
+        val files = (zm.toSeq ++ bi.toSeq).reduce(_ intersect _).toSeq
+        if (files.isEmpty) readVersion(spark, t, v, store)
+          .filter(exact).limit(0)
+        else spark.read.option("mergeSchema", "true")
+          .parquet(files.sorted: _*).filter(exact)
+    }
+  }
+
   /** Zone-map-pruned range read of a version (default current): the
     * file list shrinks to stats survivors BEFORE the scan plans; without
     * an index the read degrades to the full manifest scan with the same

@@ -404,6 +404,33 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("readWhere intersects zone-map and bloom survivors: combined" +
+      " range+equality predicates prune harder than either alone") {
+    val t = tmpTable()
+    // 4 partitions: k ranges disjoint per partition (zone-map friendly),
+    // u high-cardinality across all partitions (bloom friendly)
+    PS.write(spark, t,
+      Seq.tabulate(40)(i => (i.toLong, s"u${i % 10}", s"P${i / 10}", s"v$i"))
+        .toDF("k", "u", "d", "v"), "d")
+    PS.buildZoneMap(spark, t, Seq("k"))
+    PS.buildBloomIndex(spark, t, Seq("u"), expectedItemsPerFile = 100)
+    val full = PS.read(spark, t)
+    // range alone keeps P1; equality alone keeps every partition holding
+    // u3; combined keeps their intersection
+    val both = PS.readWhere(spark, t,
+      ranges = Seq(("k", 10L, 19L)), equalities = Seq(("u", Seq("u3"))))
+    assert(both.select("k", "u", "v").as[(Long, String, String)]
+      .collect().toSet == Set((13L, "u3", "v13")))
+    assert(both.inputFiles.length < full.inputFiles.length)
+    val rangeOnly = PS.readWhere(spark, t, ranges = Seq(("k", 10L, 19L)))
+    assert(rangeOnly.inputFiles.forall(_.contains("__p=P1")))
+    assert(both.inputFiles.length <= rangeOnly.inputFiles.length)
+    // absent matches: empty result, schema intact
+    val none = PS.readWhere(spark, t,
+      ranges = Seq(("k", 10L, 19L)), equalities = Seq(("u", Seq("zz"))))
+    assert(none.count() == 0 && none.columns.contains("v"))
+  }
+
   test("compact(clusterBy) makes zone-map pruning selective WITHIN a" +
       " partition: rolled files cover disjoint cluster-key ranges") {
     val t = tmpTable()
