@@ -23,6 +23,9 @@ import org.apache.spark.sql.functions._
   *   7. bpe_train           learn subword merges on the train split
   *   8. tokenize_pack       encode to token ids, pack 512-token seqs
   *   9. export              balanced shard export + manifest verify
+  *  10. day-2 incremental    a new batch through the INCREMENTAL paths:
+  *                           bloom dedup vs the corpus, the frozen
+  *                           saved tokenizer, manifest-diff re-export
   *
   * Output: phase log to stderr, ONE JSON line to stdout. Recorded in
   * PLANS.md. SPARK_GRAFT_SF_DIR selects the scale (default sf0.1).
@@ -172,6 +175,44 @@ object CurationBench {
         col("n_tokens")).size
     }
 
+    // ── DAY-2 INCREMENTAL PASS: a new document batch flows through the
+    // incremental paths — bloom dedup against the existing corpus, the
+    // FROZEN tokenizer (Bpe.load — production freezes the vocab), and
+    // manifest-diff shard re-export. Batch = half exact duplicates of
+    // the corpus (the dedup must drop them) + half genuinely new docs.
+    val nIncNew = {
+      val dup = docs.limit(250).select(col("doc_id"), col("source"),
+        col("text"))
+      val fresh = docs.limit(250)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" appended day2 material")).as("text"))
+      val batch = dup.unionByName(fresh)
+      val survivors = phase("inc_dedup") {
+        val kept = BloomDedup.filterNew(
+          batch.withColumn("h", md5(col("text"))),
+          train.withColumn("h", md5(col("text"))), "h",
+          expectedItems = 10000)
+          .localCheckpoint(true)
+        kept.count(); kept
+      }
+      val (ms2, vocab2) = phase("inc_load_model") {
+        Bpe.load(spark, s"$out/bpe_model")
+      }
+      phase("inc_encode_export") {
+        val newEnc = survivors.select(col("doc_id"),
+          size(Bpe.encodeIds(col("text"), ms2, vocab2)).as("n_tokens"))
+        val allEnc = train.select(col("doc_id"),
+          size(Bpe.encodeIds(col("text"), ms2, vocab2)).as("n_tokens"))
+          .unionByName(newEnc)
+        val changed = ShardWriter.writeIncremental(spark, allEnc,
+          col("doc_id"), col("n_tokens"), s"$out/shards", nShards)
+        require(ShardWriter.verify(spark, s"$out/shards", col("doc_id"),
+          col("n_tokens")).isEmpty, "incremental export must verify")
+        changed.size
+      }
+      survivors.count()
+    }
+
     val total = (System.nanoTime() - t0) / 1e9
     System.err.println(f"🏁 Curation pipeline done in $total%.1fs")
     val phaseJson = phases.map { case (n, s) =>
@@ -183,7 +224,7 @@ object CurationBench {
       s""""distill_agreement":${math.round(aucLike * 1000) / 1000.0},""" +
       s""""vec_survivors":$nVecSurvivors,"bpe_merges":$merges,""" +
       s""""tokens":$nTokens,"sequences":$nSeqs,"shards":$nShards,""" +
-      s""""bad_shards":$badShards}""")
+      s""""bad_shards":$badShards,"inc_new_docs":$nIncNew}""")
     spark.stop()
   }
 }
