@@ -604,13 +604,15 @@ object SimilarityQ {
     val q = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
     val qn = math.sqrt(q.map(x => x.toDouble * x.toDouble).sum)
-    val w = Window.orderBy(col("rel").desc, col("vec_id").asc)
+    // top-12 via orderBy+limit: plans TakeOrderedAndProject (per-
+    // partition top-k, then a 12-row merge) — a global rank window
+    // would single-partition the corpus (pinned in PlanAuditSpec)
     val pool = e.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"),
         (VectorFns.dot(col("embedding"), typedLit(q)) /
           (col("nrm") * lit(qn))).as("rel"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 12)
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(12)
       .select(col("vec_id"), col("embedding"))
     graft.operators.Mmr.rerank(pool, "vec_id", "embedding", q,
         k = 3, lambda = 0.5)

@@ -458,6 +458,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "m09 planned an all-pairs join shape")
   }
 
+  test("s10: the MMR candidate pool cuts top-12 via TakeOrdered (per-" +
+      "partition top-k) — never a single-partition global rank window") {
+    val (ns, _) = planOf("s10_mmr")
+    assert(ns.exists(_.nodeName.contains("TakeOrderedAndProject")),
+      s"pool must plan TakeOrdered: ${ns.map(_.nodeName).distinct}")
+    spark.catalog.clearCache() // normed() cache cleanup
+  }
+
   test("q66: the first-order flag is ONE customer-keyed window over the" +
       " fact — no self-join (the q42 no-self-join rule)") {
     val (ns, _) = planOf("q66_new_vs_returning")
