@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_extract}
+import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_extract, when}
 
 /** MANIFEST-COMMIT MVCC for PARTITIONED tables — the incremental sibling
   * of [[Snapshots]]. Where `Snapshots` materializes a FULL table copy per
@@ -375,6 +375,96 @@ object PartitionedSnapshots {
         commitPointer(t, v, store)
         v
       }
+    }
+
+  /** Column refs for [[merge]] clause expressions: `target("c")` /
+    * `source("c")` address the two sides of the matched join. */
+  def target(c: String): org.apache.spark.sql.Column = col(s"__t_$c")
+  def source(c: String): org.apache.spark.sql.Column = col(s"__s_$c")
+
+  /** Delta-style MERGE INTO on the partitioned snapshot format — the
+    * general conditional write the specialized ops compose from
+    * ([[upsert]] = update-all-columns + insert; [[delete]] = a matched
+    * delete with no source):
+    *
+    *  - MATCHED rows satisfying `whenMatchedDelete` are dropped;
+    *  - other MATCHED rows have the columns in `whenMatchedUpdate`
+    *    recomputed (expressions over [[target]]/[[source]] refs;
+    *    columns not named keep their target value);
+    *  - NOT-MATCHED source rows are inserted when `insertNotMatched`
+    *    (source schema must cover the target's columns);
+    *  - NOT-MATCHED target rows are untouched — and so are entire
+    *    untouched PARTITIONS: the merge reads and rewrites only the
+    *    partitions the source addresses, commits a manifest + pointer
+    *    like every other writer, and costs O(touched partitions).
+    *
+    * Same contract as [[upsert]]: the partition column is immutable per
+    * key (an update must not move a row across partitions — express
+    * that as delete + insert through two merges if ever needed). */
+  def merge(spark: SparkSession, t: String, src: DataFrame,
+      keys: Seq[String], partCol: String,
+      whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      insertNotMatched: Boolean = true,
+      store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      val cur = currentVersion(t, store).getOrElse(
+        throw new IllegalStateException(s"$t has no committed snapshot"))
+      val m = manifest(t, cur, store)
+      val v = versions(t, store).last + 1
+      val srcCached = src.cache()
+      try {
+        val touchedDirs = srcCached
+          .select(col(partCol).cast("string")).distinct()
+          .collect().map(r => partDirName(
+            if (r.isNullAt(0)) None else Some(r.getString(0))))
+          .toSet
+        val existingDirs = m.collect {
+          case (p, o) if touchedDirs(p) => s"${dataDir(t, o)}/$p"
+        }.toSeq
+        val targetCols = read(spark, t, store).columns.toSeq
+        val tgt =
+          if (existingDirs.isEmpty) read(spark, t, store).limit(0)
+          else spark.read.option("mergeSchema", "true")
+            .parquet(existingDirs: _*)
+        val tAliased = targetCols.foldLeft(tgt)((d, c) =>
+          d.withColumnRenamed(c, s"__t_$c"))
+        // alias EVERY source column (clause expressions may reference
+        // source-only columns like a delete flag)
+        val sAliased = srcCached.columns.foldLeft(srcCached)((d, c) =>
+          d.withColumnRenamed(c, s"__s_$c"))
+        val joined = tAliased.join(sAliased,
+          keys.map(k => target(k) <=> source(k)).reduce(_ && _),
+          "full_outer")
+        val isMatched = target(keys.head).isNotNull &&
+          source(keys.head).isNotNull
+        val isSourceOnly = target(keys.head).isNull
+        val afterDelete = whenMatchedDelete match {
+          case Some(cond) => joined.filter(!(isMatched && cond))
+          case None => joined
+        }
+        val resolved = afterDelete
+          .filter(!isSourceOnly || lit(insertNotMatched))
+          .select(targetCols.map { c =>
+            when(isSourceOnly, source(c))
+              .when(isMatched,
+                whenMatchedUpdate.getOrElse(c, target(c)))
+              .otherwise(target(c)).as(c)
+          }: _*)
+        val parts = writeData(resolved, t, v, partCol, store)
+        val unexpected = parts.filterNot(touchedDirs)
+        if (unexpected.nonEmpty)
+          throw new IllegalStateException(
+            "partition rendering mismatch during merge: wrote " +
+              unexpected.mkString(", ") + " outside the source's " +
+              "partitions — an update moved a row across partitions " +
+              "or the partCol type is unsupported (orphan version; " +
+              "vacuum reclaims it)")
+        writeManifest(t, v,
+          (m -- touchedDirs) ++ parts.map(_ -> v).toMap, store)
+        commitPointer(t, v, store)
+        v
+      } finally srcCached.unpersist()
     }
 
   /** OPTIMIZE: rewrite the current version's FRAGMENTED partitions

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{CommitStore, Snapshots, PartitionedSnapshots => PS}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -402,6 +402,45 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     // a pinned version keeps answering through its own immutable index
     assert(PS.readEquals(spark, t, "k", Seq(14L), version = Some(1L))
       .count() == 1)
+  }
+
+  test("MERGE INTO: conditional update + delete + insert in one commit," +
+      " untouched partitions carry over, pinned readers see the old rows") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq(
+      (1L, "A", "keep"), (2L, "A", "update-me"), (3L, "A", "delete-me"),
+      (4L, "B", "other-partition"))
+      .toDF("k", "d", "v"), "d")
+    // source addresses ONLY partition A: update k=2 (value from the
+    // source), delete k=3 (flagged), insert k=9
+    val src = Seq(
+      (2L, "A", "updated", false), (3L, "A", "", true),
+      (9L, "A", "inserted", false))
+      .toDF("k", "d", "v", "del")
+    val v2 = PS.merge(spark, t, src, Seq("k"), "d",
+      whenMatchedUpdate = Map("v" -> PS.source("v")),
+      whenMatchedDelete = Some(PS.source("del")))
+    assert(v2 == 2L)
+    assert(rows(t) == Set((1L, "A", "keep"), (2L, "A", "updated"),
+      (9L, "A", "inserted"), (4L, "B", "other-partition")))
+    // partition B's manifest entry carried over (owner still v1)
+    val m = PS.manifest(t, v2)
+    assert(m("__p=B") == 1L && m("__p=A") == 2L, s"$m")
+    // pinned reader still sees the pre-merge rows
+    assert(PS.readVersion(spark, t, 1L).count() == 4)
+    // update expressions can COMBINE both sides
+    PS.merge(spark, t,
+      Seq((2L, "A", "suffix", false)).toDF("k", "d", "v", "del"),
+      Seq("k"), "d",
+      whenMatchedUpdate = Map("v" ->
+        concat(PS.target("v"), lit("+"), PS.source("v"))),
+      insertNotMatched = false)
+    assert(rows(t).contains((2L, "A", "updated+suffix")))
+    // insertNotMatched=false drops unmatched source rows
+    PS.merge(spark, t,
+      Seq((99L, "A", "never", false)).toDF("k", "d", "v", "del"),
+      Seq("k"), "d", insertNotMatched = false)
+    assert(!rows(t).exists(_._1 == 99L))
   }
 
   test("readWhere intersects zone-map and bloom survivors: combined" +
