@@ -427,30 +427,9 @@ object PartitionedSnapshots {
           if (existingDirs.isEmpty) read(spark, t, store).limit(0)
           else spark.read.option("mergeSchema", "true")
             .parquet(existingDirs: _*)
-        val tAliased = targetCols.foldLeft(tgt)((d, c) =>
-          d.withColumnRenamed(c, s"__t_$c"))
-        // alias EVERY source column (clause expressions may reference
-        // source-only columns like a delete flag)
-        val sAliased = srcCached.columns.foldLeft(srcCached)((d, c) =>
-          d.withColumnRenamed(c, s"__s_$c"))
-        val joined = tAliased.join(sAliased,
-          keys.map(k => target(k) <=> source(k)).reduce(_ && _),
-          "full_outer")
-        val isMatched = target(keys.head).isNotNull &&
-          source(keys.head).isNotNull
-        val isSourceOnly = target(keys.head).isNull
-        val afterDelete = whenMatchedDelete match {
-          case Some(cond) => joined.filter(!(isMatched && cond))
-          case None => joined
-        }
-        val resolved = afterDelete
-          .filter(!isSourceOnly || lit(insertNotMatched))
-          .select(targetCols.map { c =>
-            when(isSourceOnly, source(c))
-              .when(isMatched,
-                whenMatchedUpdate.getOrElse(c, target(c)))
-              .otherwise(target(c)).as(c)
-          }: _*)
+        val resolved = MergeClauses.resolve(tgt, srcCached, keys,
+          targetCols, whenMatchedUpdate, whenMatchedDelete,
+          insertNotMatched)
         val parts = writeData(resolved, t, v, partCol, store)
         val unexpected = parts.filterNot(touchedDirs)
         if (unexpected.nonEmpty)
@@ -872,5 +851,45 @@ object PartitionedSnapshots {
         s"commit failed: could not flip $t/_current to v$v — readers " +
           "still see the previous version; the new version dir is an " +
           "orphan (vacuum reclaims it)")
+  }
+}
+
+/** Shared MERGE clause resolution for both snapshot formats: align the
+  * matched / matched-delete / not-matched-insert semantics once so
+  * [[PartitionedSnapshots.merge]] (touched partitions only) and
+  * [[Snapshots.merge]] (full copy) cannot drift. Keys are assumed
+  * non-null (the upsert-key contract of both formats). */
+private[operators] object MergeClauses {
+  import org.apache.spark.sql.functions.{lit, when}
+
+  def resolve(tgt: DataFrame, src: DataFrame, keys: Seq[String],
+      targetCols: Seq[String],
+      whenMatchedUpdate: Map[String, org.apache.spark.sql.Column],
+      whenMatchedDelete: Option[org.apache.spark.sql.Column],
+      insertNotMatched: Boolean): DataFrame = {
+    import PartitionedSnapshots.{source, target}
+    val tAliased = targetCols.foldLeft(tgt)((d, c) =>
+      d.withColumnRenamed(c, s"__t_$c"))
+    // alias EVERY source column (clause expressions may reference
+    // source-only columns like a delete flag)
+    val sAliased = src.columns.foldLeft(src)((d, c) =>
+      d.withColumnRenamed(c, s"__s_$c"))
+    val joined = tAliased.join(sAliased,
+      keys.map(k => target(k) <=> source(k)).reduce(_ && _),
+      "full_outer")
+    val isMatched = target(keys.head).isNotNull &&
+      source(keys.head).isNotNull
+    val isSourceOnly = target(keys.head).isNull
+    val afterDelete = whenMatchedDelete match {
+      case Some(cond) => joined.filter(!(isMatched && cond))
+      case None => joined
+    }
+    afterDelete
+      .filter(!isSourceOnly || lit(insertNotMatched))
+      .select(targetCols.map { c =>
+        when(isSourceOnly, source(c))
+          .when(isMatched, whenMatchedUpdate.getOrElse(c, target(c)))
+          .otherwise(target(c)).as(c)
+      }: _*)
   }
 }

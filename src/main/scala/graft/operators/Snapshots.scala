@@ -91,6 +91,35 @@ object Snapshots {
       v
     }
 
+  /** Delta-style MERGE INTO on the full-copy format — the same clause
+    * semantics as [[PartitionedSnapshots.merge]] (shared
+    * [[MergeClauses]] resolution, so the two formats cannot drift):
+    * matched rows update via expressions over `PartitionedSnapshots
+    * .target`/`source` refs or delete on a condition, unmatched source
+    * rows optionally insert, unmatched target rows carry over — one
+    * full-copy version + pointer flip, the dimension-table trade. */
+  def merge(spark: SparkSession, tablePath: String, src: DataFrame,
+      keys: Seq[String],
+      whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      insertNotMatched: Boolean = true,
+      store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
+      val cur = currentVersion(tablePath, store).getOrElse(
+        throw new IllegalStateException(
+          s"$tablePath has no committed snapshot"))
+      val tgt = spark.read.option("mergeSchema", "true")
+        .parquet(versionDir(tablePath, cur))
+      val resolved = MergeClauses.resolve(tgt, src, keys,
+        tgt.columns.toSeq, whenMatchedUpdate, whenMatchedDelete,
+        insertNotMatched).localCheckpoint()
+      val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
+      resolved.write.mode(SaveMode.Overwrite)
+        .parquet(versionDir(tablePath, v))
+      commitPointer(tablePath, v, store)
+      v
+    }
+
   /** Read the current committed snapshot. */
   def read(spark: SparkSession, tablePath: String,
       store: CommitStore = CommitStore.local): DataFrame =

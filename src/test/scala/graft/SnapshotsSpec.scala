@@ -42,6 +42,24 @@ class SnapshotsSpec extends AnyFunSuite {
       .select("v").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("MERGE INTO on the full-copy format: same clause semantics as" +
+      " PartitionedSnapshots.merge (shared resolution)") {
+    import graft.operators.{PartitionedSnapshots => PSM}
+    val t = tmpTable()
+    Snapshots.write(spark, t, Seq(
+      (1L, "keep"), (2L, "update-me"), (3L, "delete-me")).toDF("k", "v"))
+    val src = Seq((2L, "updated", false), (3L, "", true),
+      (9L, "inserted", false)).toDF("k", "v", "del")
+    val v2 = Snapshots.merge(spark, t, src, Seq("k"),
+      whenMatchedUpdate = Map("v" -> PSM.source("v")),
+      whenMatchedDelete = Some(PSM.source("del")))
+    assert(v2 == 2L)
+    assert(Snapshots.read(spark, t).as[(Long, String)].collect().toMap ==
+      Map(1L -> "keep", 2L -> "updated", 9L -> "inserted"))
+    // pinned v1 keeps the pre-merge rows
+    assert(Snapshots.readVersion(spark, t, 1L).count() == 3)
+  }
+
   test("upsert merges by key into a NEW snapshot; the previous version" +
       " is untouched (reader isolation)") {
     val t = tmpTable()
