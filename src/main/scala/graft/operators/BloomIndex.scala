@@ -62,9 +62,16 @@ object BloomIndex {
     * all-NULL in `c`) can never match an equality probe and is pruned. */
   def pruneEquals(index: DataFrame, c: String, values: Seq[Any]): Seq[String] = {
     require(values.nonEmpty, "probe at least one value")
+    // hash through the SAME expression the build side folded —
+    // XxHash64(Cast(v AS string)) evaluated by Spark, NOT JVM
+    // v.toString: the two renderings differ for timestamp ('.0'
+    // suffix), date, double, decimal and boolean values, and a
+    // rendering mismatch is a FALSE NEGATIVE (silently dropped file)
+    val tz = Option(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     val hashes = values.map { v =>
-      new XxHash64(Seq(Literal.create(v.toString,
-        org.apache.spark.sql.types.StringType)))
+      new XxHash64(Seq(org.apache.spark.sql.catalyst.expressions.Cast(
+        Literal(v), org.apache.spark.sql.types.StringType, tz)))
         .eval(null).asInstanceOf[Long]
     }
     index.select(col("file"), col(s"bloom__$c")).collect().toSeq

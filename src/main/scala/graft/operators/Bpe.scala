@@ -102,7 +102,11 @@ object Bpe {
       .select(explode(filter(split(col("word"), ""),
         s => length(s) > 0)).as("c"))
       .distinct().collect().map(_.getString(0)).sorted.toSeq
-    (chars :+ "</w>") ++ vocabOf(merges)
+    // distinct KEEP-FIRST: two merges can concatenate to the same
+    // symbol ('a bc' and 'ab c' both yield 'abc'); the id is then the
+    // first occurrence, and the map literal in encodeIds stays
+    // duplicate-free (map() throws on dup keys under ANSI dedup policy)
+    ((chars :+ "</w>") ++ vocabOf(merges)).distinct
   }
 
   /** Persist a trained model (ordered merges + id-stable vocab) as a
@@ -136,8 +140,11 @@ object Bpe {
     * ANSI mode makes plain map access throw on absent keys. */
   def encodeIds(text: Column, merges: Seq[String],
       vocab: Seq[String]): Column = {
-    val m = map(vocab.zipWithIndex.flatMap { case (s, i) =>
-      Seq(lit(s), lit(i)) }: _*)
+    // defensive keep-first dedupe for callers passing a hand-built
+    // vocab with duplicate symbols (fullVocab already dedupes)
+    val m = map(vocab.zipWithIndex.groupBy(_._1).view
+      .mapValues(_.head._2).toSeq.sortBy(_._2)
+      .flatMap { case (s, i) => Seq(lit(s), lit(i)) }: _*)
     transform(encode(text, merges),
       t => coalesce(try_element_at(m, t), lit(-1)))
   }

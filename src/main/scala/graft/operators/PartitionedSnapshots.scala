@@ -880,8 +880,13 @@ private[operators] object MergeClauses {
     val isMatched = target(keys.head).isNotNull &&
       source(keys.head).isNotNull
     val isSourceOnly = target(keys.head).isNull
+    // NULL delete-condition means NOT deleted (SQL/Delta MERGE
+    // semantics) — without the coalesce, three-valued logic would make
+    // the whole filter predicate NULL and silently DROP the row
     val afterDelete = whenMatchedDelete match {
-      case Some(cond) => joined.filter(!(isMatched && cond))
+      case Some(cond) =>
+        joined.filter(!(isMatched &&
+          org.apache.spark.sql.functions.coalesce(cond, lit(false))))
       case None => joined
     }
     afterDelete

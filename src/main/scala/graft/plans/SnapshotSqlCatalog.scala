@@ -76,13 +76,18 @@ class SnapshotSqlCatalog extends TableCatalog {
     }
   }
 
-  /** VERSION AS OF n */
+  /** VERSION AS OF n — only versions AT OR BELOW the commit pointer
+    * resolve: version dirs above `_current` are staged-but-unpublished
+    * (write-audit-publish) or abandoned writers, and SQL time travel
+    * must not read data the pointer never committed (mirrors the
+    * commit-pointer contract of the operator read path). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = pathOf(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new NoSuchTableException(ident)
     }
-    if (PartitionedSnapshots.versions(t, store).contains(v))
+    val cur = currentOf(t).getOrElse(throw new NoSuchTableException(ident))
+    if (v <= cur && PartitionedSnapshots.versions(t, store).contains(v))
       tableFor(ident, v)
     else throw new NoSuchTableException(ident)
   }

@@ -75,6 +75,48 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Set(("t1", "us-quote"), ("t2", "eu-quote")))
   }
 
+  test("nullable right columns carry atomically from the latest row") {
+    // latest quote before t=3 is q2 whose px is NULL — the carry must
+    // deliver (q2, null, qt=2), never mix q1's px=5.0 with q2's id
+    val t = Seq(("t1", "A", 3L), ("t2", "A", 1L)).toDF("trade_id", "sym", "tt")
+    val q = Seq(("A", 1L, "q1", Some(5.0)), ("A", 2L, "q2", None))
+      .toDF("sym", "qt", "quote_id", "px")
+    val got = AsofJoin.joinAsof(t, q, Seq("sym"), "tt", "qt")
+      .select("trade_id", "quote_id", "px", "qt__asof")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        r.getLong(3))).toSet
+    assert(got == Set(("t1", "q2", None, 2L), ("t2", "q1", Some(5.0), 1L)))
+    // exclusive at tt=2: only q1 (strictly before) matches
+    val excl = AsofJoin.joinAsof(t.filter(col("tt") === 3L)
+      .withColumn("tt", lit(2L)), q, Seq("sym"), "tt", "qt",
+      inclusive = false).select("quote_id", "px").head()
+    assert(excl.getString(0) == "q1" && excl.getDouble(1) == 5.0)
+  }
+
+  test("random nullable right data == naive reference") {
+    val r = new scala.util.Random(11)
+    val q = (for (s <- Seq("A", "B"); t <- 0 until 40) yield
+      (s, t * 10L + r.nextInt(5), s"$s-q$t",
+        if (r.nextBoolean()) Some(r.nextDouble() * 100) else None))
+      .toDF("sym", "qt", "quote_id", "px")
+      .groupBy("sym", "qt").agg(max("quote_id").as("quote_id"),
+        max("px").as("px"))
+    val t = (for (s <- Seq("A", "B"); i <- 0 until 60) yield
+      (s"$s-t$i", s, r.nextInt(420).toLong)).toDF("trade_id", "sym", "tt")
+    val got = AsofJoin.joinAsof(t, q, Seq("sym"), "tt", "qt")
+    val w = Window.partitionBy(col("trade_id")).orderBy(col("qt").desc)
+    val naive = t.join(q, Seq("sym"), "left")
+      .filter(col("qt") <= col("tt") || col("qt").isNull)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("trade_id"), col("sym"), col("tt"),
+        col("quote_id"), col("px"), col("qt").as("qt__asof"))
+    assert(rows(got.filter(col("quote_id").isNotNull)
+      .select("trade_id", "sym", "tt", "quote_id", "px", "qt__asof")) ==
+      rows(naive.filter(col("quote_id").isNotNull)))
+    assert(got.count() == t.count())
+  }
+
   test("exclusive mode: a quote AT the trade instant does not match") {
     val t = Seq(("t1", "A", 10L)).toDF("trade_id", "sym", "tt")
     val q = Seq(("A", 10L, "q10", 1.0), ("A", 5L, "q5", 2.0))

@@ -63,6 +63,22 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.load(spark, path)._1 == merges.take(2))
   }
 
+  test("duplicate merged symbols: vocab dedupes keep-first, encodeIds" +
+      " builds a legal map (ANSI dup-key policy would throw)") {
+    // 'a bc' and 'ab c' both concatenate to 'abc' — raw vocab would
+    // hold the symbol twice and map() would throw at runtime
+    val merges = Seq("b c", "a bc", "a b", "ab c")
+    val wc = Seq(("abc", 2L)).toDF("word", "c")
+    val vocab = Bpe.fullVocab(wc, merges)
+    assert(vocab.count(_ == "abc") == 1, s"dedupe keep-first: $vocab")
+    assert(vocab == Seq("a", "b", "c", "</w>", "bc", "abc", "ab"))
+    // encodeIds runs (no dup-key throw) and maps to the FIRST id
+    val ids = Seq("abc").toDF("text")
+      .select(Bpe.encodeIds(col("text"), merges, vocab).as("ids"))
+      .head().getSeq[Int](0)
+    assert(ids.head == vocab.indexOf("abc"), s"ids=$ids vocab=$vocab")
+  }
+
   test("wordCounts + round-one pair counts match a hand count") {
     val wc = Bpe.wordCounts(
       Seq("low low", "low newest").toDF("text"), col("text"))

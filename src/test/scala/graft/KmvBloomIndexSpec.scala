@@ -97,4 +97,27 @@ class KmvBloomIndexSpec extends AnyFunSuite {
     val none = BloomIndex.readEquals(spark, idx, "key", Seq("absent"))
     assert(none.count() == 0 && none.columns.contains("id"))
   }
+
+  test("bloom probe: non-string types hash like the build side" +
+      " (timestamp '.0'-suffix JVM rendering must not false-negative)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bi2").toString
+    val ts = java.sql.Timestamp.valueOf("2024-03-05 10:30:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-03-06 11:00:00")
+    Seq((1L, ts, 2.5), (2L, ts2, 7.25)).toDF("id", "t", "x")
+      .coalesce(1).write.parquet(s"$dir/a")
+    Seq((3L, java.sql.Timestamp.valueOf("2025-01-01 00:00:00"), 9.0))
+      .toDF("id", "t", "x").coalesce(1).write.parquet(s"$dir/b")
+    val idx = BloomIndex.collect(spark, Seq(s"$dir/a", s"$dir/b"),
+      Seq("t", "x"), expectedItemsPerFile = 100)
+    // java.sql.Timestamp.toString appends '.0' — hashing v.toString
+    // would MISS the owner file (false negative). The probe must
+    // evaluate Spark's own cast-to-string rendering.
+    val hitT = BloomIndex.pruneEquals(idx, "t", Seq(ts))
+    assert(hitT.exists(_.contains("/a/")), s"timestamp owner lost: $hitT")
+    val hitX = BloomIndex.pruneEquals(idx, "x", Seq(2.5))
+    assert(hitX.exists(_.contains("/a/")), s"double owner lost: $hitX")
+    // end-to-end read returns the row
+    assert(BloomIndex.readEquals(spark, idx, "t", Seq(ts))
+      .select("id").as[Long].collect().toSeq == Seq(1L))
+  }
 }

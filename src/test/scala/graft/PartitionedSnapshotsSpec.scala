@@ -443,6 +443,25 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     assert(!rows(t).exists(_._1 == 99L))
   }
 
+  test("MERGE delete: a NULL delete-condition means NOT deleted" +
+      " (three-valued logic must not silently drop matched rows)") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq(
+      (1L, "A", "null-flag"), (2L, "A", "true-flag"), (3L, "A", "false-flag"))
+      .toDF("k", "d", "v"), "d")
+    val src = Seq(
+      (1L, "A", "u1", None: Option[Boolean]),
+      (2L, "A", "u2", Some(true)),
+      (3L, "A", "u3", Some(false)))
+      .toDF("k", "d", "v", "del")
+    PS.merge(spark, t, src, Seq("k"), "d",
+      whenMatchedUpdate = Map("v" -> PS.source("v")),
+      whenMatchedDelete = Some(PS.source("del")),
+      insertNotMatched = false)
+    // k=2 deleted; k=1 (NULL flag) and k=3 (false flag) updated, KEPT
+    assert(rows(t) == Set((1L, "A", "u1"), (3L, "A", "u3")))
+  }
+
   test("readWhere intersects zone-map and bloom survivors: combined" +
       " range+equality predicates prune harder than either alone") {
     val t = tmpTable()

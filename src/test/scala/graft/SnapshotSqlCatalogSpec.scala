@@ -59,6 +59,26 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       .as[String].collect().toSeq == Seq("x"))
   }
 
+  test("VERSION AS OF refuses staged-but-unpublished (WAP) versions" +
+      " above the commit pointer") {
+    val t = s"$root/wap"
+    PS.write(spark, t, Seq((1L, "A", "v1")).toDF("k", "d", "v"), "d")
+    // stage v2 WITHOUT publishing: the pointer still says v1, so SQL
+    // time travel must not expose the un-audited data
+    val staged = PS.stageUpsert(spark, t,
+      Seq((2L, "A", "unaudited")).toDF("k", "d", "v"), Seq("k"), "d")
+    assert(staged == 2L)
+    assert(spark.sql("SELECT * FROM snap.wap").count() == 1)
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM snap.wap VERSION AS OF 2").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    // after publish the same version resolves
+    PS.publish(t, staged)
+    assert(spark.sql("SELECT * FROM snap.wap VERSION AS OF 2")
+      .count() == 2)
+  }
+
   test("listTables sees committed tables; mutations are refused") {
     spark.sql("SELECT 1").collect() // force catalog init via root
     val names = spark.sql("SHOW TABLES IN snap").select("tableName")
