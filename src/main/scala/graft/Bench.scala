@@ -19,7 +19,61 @@ object Bench {
       .map(_.getUsage.getMax).sum / (1024 * 1024)
   }
 
+  /** Re-launch this main in a FRESH child JVM with the JIT flags the
+    * bench needs (round-7 driver-run mitigation). Two measured failure
+    * modes this removes, both producing the "cpu_s inflated ~10× with
+    * flat runq/steal" signature on byte-identical code and data:
+    *  - a launcher without `-XX:ReservedCodeCacheSize=1g`: the suite's
+    *    ~150 generated classes overflow the 240 MB default, the sweeper
+    *    flushes HOT methods, and every later query re-compiles (and
+    *    meanwhile runs interpreted);
+    *  - a JVM that already ran other Spark work (a verify pass sharing
+    *    the process): polluted profiles deoptimize shared paths until
+    *    HotSpot's per-method recompilation cutoff STICKS them at
+    *    C1/interpreted for the rest of the suite.
+    * The child inherits the parent's args (heap, --add-opens) plus the
+    * explicit flags; `PerMethodRecompilationCutoff=-1` removes the
+    * stuck-at-C1 cliff. Child stdout (the ONE json line) is captured
+    * and re-printed so the driver's capture sees an identical surface;
+    * stderr streams through live. Fork failure falls back to inline. */
+  private def forkFresh(): Option[Int] = try {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths.get(
+      sys.props("java.home"), "bin", "java").toString
+    val inherited = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") ||
+        a.startsWith("-javaagent") || a.startsWith("-Xrunjdwp"))
+    val flags = Seq(
+      "-XX:ReservedCodeCacheSize=1g",
+      "-XX:PerMethodRecompilationCutoff=-1",
+      "-XX:PerBytecodeRecompilationCutoff=-1")
+    val cmd = (Seq(javaBin) ++ inherited ++ flags ++
+      Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_FORKED", "1")
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    System.err.println("[bench] forking fresh JVM (code cache 1g, " +
+      "recompilation cutoff off)")
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val code = p.waitFor()
+    if (code == 0) { print(out); System.out.flush(); Some(0) }
+    else {
+      System.err.println(s"[bench] forked JVM exited $code — " +
+        "falling back to inline run")
+      None
+    }
+  } catch { case e: Throwable =>
+    System.err.println(s"[bench] fork failed (${e.getMessage}) — inline")
+    None
+  }
+
   def main(args: Array[String]): Unit = {
+    if (sys.env.getOrElse("SPARK_GRAFT_FORKED", "0") != "1" &&
+        sys.env.getOrElse("SPARK_GRAFT_NO_FORK", "0") != "1" &&
+        forkFresh().isDefined) return
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Whole-stage codegen across 40 distinct complex plans wants >512MB
@@ -189,9 +243,14 @@ object Bench {
       // once per round, making them the suite's steal magnets (d06's
       // unattributed 2.6× in round 6): they always get 3 samples so a
       // single spiked run can never be half the evidence.
+      // ...plus the round-7 driver-run inflation cluster (q08/q09/q10/
+      // q50 window queries, sub-second steady-state — a third sample is
+      // nearly free and caps a churn-spiked pair)
       val iterative = Set("d06_dedup_clusters", "d12_cluster_canonical",
         "q57_pagerank", "d02_minhash_lsh", "s06_kmeans_update",
-        "s07_pq_rerank", "q54_hierarchy_flatten")
+        "s07_pq_rerank", "q54_hierarchy_flatten",
+        "q08_dedup_latest", "q09_first_touch", "q10_window_funcs",
+        "q50_rfm")
       val minRuns = if (iterative(q.name)) 3 else 2
       timedRun()
       while (ok && runs.size < minRuns) timedRun()

@@ -97,6 +97,30 @@ object PartitionedSnapshots {
       .map(_.name)
   }
 
+  private def propsPath(t: String) = s"$t/_table"
+
+  /** The table's recorded layout metadata: `partCol` (always, from any
+    * operator write) and `keys` (from keyed ops). This is what lets the
+    * SQL front door ([[graft.plans.SnapshotSqlCatalog]]) route INSERT
+    * INTO / MERGE INTO without the caller re-supplying the layout —
+    * the operator APIs record it as a side effect of writing. */
+  def tableProps(t: String,
+      store: CommitStore = CommitStore.local): Map[String, String] =
+    store.read(propsPath(t)).map(b => new String(b, "UTF-8")
+      .split("\n").filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
+      }.toMap).getOrElse(Map.empty)
+
+  private def writeProps(t: String, partCol: String, keys: Seq[String],
+      store: CommitStore): Unit = {
+    val prev = tableProps(t, store)
+    val next = prev ++ Map("partCol" -> partCol) ++
+      (if (keys.nonEmpty) Map("keys" -> keys.mkString(",")) else Map.empty)
+    if (next != prev)
+      store.write(propsPath(t), next.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+  }
+
   /** First commit (or full rebuild): every partition owned by the new
     * version. */
   def write(spark: SparkSession, t: String, df: DataFrame,
@@ -106,8 +130,20 @@ object PartitionedSnapshots {
       val parts = writeData(df, t, v, partCol, store)
       writeManifest(t, v, parts.map(_ -> v).toMap, store)
       commitPointer(t, v, store)
+      writeProps(t, partCol, Nil, store)
       v
     }
+
+  /** Plain APPEND (SQL INSERT INTO semantics) as a new version: rows
+    * are ADDED with no keyed dedup — existing rows of the partitions
+    * receiving data are read and unioned, every other partition's
+    * manifest entry carries over untouched. Same O(touched partitions)
+    * cost and commit protocol as [[upsert]]. */
+  def append(spark: SparkSession, t: String, rows: DataFrame,
+      partCol: String, optimizeWrite: Boolean = false,
+      store: CommitStore = CommitStore.local): Long =
+    upsertImpl(spark, t, rows, Nil, partCol, optimizeWrite,
+      publish = true, store)
 
   /** Keyed delete+insert upsert as a new version: ONLY the partitions
     * carrying update rows are read, merged, and rewritten — every other
@@ -192,13 +228,19 @@ object PartitionedSnapshots {
               case (p, owner) if touchedDirs(p) =>
                 s"${dataDir(t, owner)}/$p"
             }.toSeq
+            // empty `keys` = append semantics: keep every existing row
             val merged =
               if (existingDirs.isEmpty) updCached
-              else spark.read.option("mergeSchema", "true")
-                .parquet(existingDirs: _*)
-                .join(updCached.select(keys.map(col): _*).distinct(),
-                  keys, "left_anti")
-                .unionByName(updCached, allowMissingColumns = true)
+              else {
+                val existing = spark.read.option("mergeSchema", "true")
+                  .parquet(existingDirs: _*)
+                val kept =
+                  if (keys.isEmpty) existing
+                  else existing.join(
+                    updCached.select(keys.map(col): _*).distinct(),
+                    keys, "left_anti")
+                kept.unionByName(updCached, allowMissingColumns = true)
+              }
             val parts = writeData(shaped(merged), t, v, partCol, store)
             // a written dir that exists in the manifest but was NOT
             // predicted as touched means the value→dir rendering
@@ -218,6 +260,7 @@ object PartitionedSnapshots {
           } finally updCached.unpersist()
       }
       if (publish) commitPointer(t, v, store)
+      writeProps(t, partCol, keys, store)
       v
     }
 
@@ -406,6 +449,7 @@ object PartitionedSnapshots {
       whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
       whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
       insertNotMatched: Boolean = true,
+      insertCond: Option[org.apache.spark.sql.Column] = None,
       store: CommitStore = CommitStore.local): Long =
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
       val cur = currentVersion(t, store).getOrElse(
@@ -429,7 +473,7 @@ object PartitionedSnapshots {
             .parquet(existingDirs: _*)
         val resolved = MergeClauses.resolve(tgt, srcCached, keys,
           targetCols, whenMatchedUpdate, whenMatchedDelete,
-          insertNotMatched)
+          insertNotMatched, insertCond)
         val parts = writeData(resolved, t, v, partCol, store)
         val unexpected = parts.filterNot(touchedDirs)
         if (unexpected.nonEmpty)
@@ -442,6 +486,7 @@ object PartitionedSnapshots {
         writeManifest(t, v,
           (m -- touchedDirs) ++ parts.map(_ -> v).toMap, store)
         commitPointer(t, v, store)
+        writeProps(t, partCol, keys, store)
         v
       } finally srcCached.unpersist()
     }
@@ -866,7 +911,8 @@ private[operators] object MergeClauses {
       targetCols: Seq[String],
       whenMatchedUpdate: Map[String, org.apache.spark.sql.Column],
       whenMatchedDelete: Option[org.apache.spark.sql.Column],
-      insertNotMatched: Boolean): DataFrame = {
+      insertNotMatched: Boolean,
+      insertCond: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import PartitionedSnapshots.{source, target}
     val tAliased = targetCols.foldLeft(tgt)((d, c) =>
       d.withColumnRenamed(c, s"__t_$c"))
@@ -889,8 +935,13 @@ private[operators] object MergeClauses {
           org.apache.spark.sql.functions.coalesce(cond, lit(false))))
       case None => joined
     }
+    // NULL insert-condition means NOT inserted (same three-valued rule
+    // as the delete clause)
+    val insertOk = insertCond
+      .map(c => org.apache.spark.sql.functions.coalesce(c, lit(false)))
+      .getOrElse(lit(true))
     afterDelete
-      .filter(!isSourceOnly || lit(insertNotMatched))
+      .filter(!isSourceOnly || (lit(insertNotMatched) && insertOk))
       .select(targetCols.map { c =>
         when(isSourceOnly, source(c))
           .when(isMatched, whenMatchedUpdate.getOrElse(c, target(c)))

@@ -18,11 +18,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * parity (SURVEY §4 conclusion) so only expressions are injected.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, clazz, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz, name), builder))
     }
+    // SQL MERGE INTO for snapshot-catalog tables (lowered to the
+    // manifest-commit merge before Spark's row-level rewrite would
+    // reject the table)
+    e.injectResolutionRule(spark => new SnapshotMergeRule(spark))
+  }
 }
 
 object GraftExtensions {

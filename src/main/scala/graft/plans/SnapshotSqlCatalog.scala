@@ -1,11 +1,15 @@
 package graft.plans
 
 import graft.operators.{CommitStore, PartitionedSnapshots, Snapshots}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSourceV2 TABLE CATALOG over the snapshot formats — the SQL front
@@ -71,7 +75,16 @@ class SnapshotSqlCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val t = pathOf(ident)
     currentOf(t) match {
-      case Some(v) => tableFor(ident, v)
+      case Some(v) =>
+        val inner = tableFor(ident, v)
+        // the CURRENT version of a partitioned-format table is writable
+        // (INSERT INTO / INSERT OVERWRITE / intercepted MERGE INTO —
+        // all routed through the operator commit protocol); time-travel
+        // loads and full-copy tables stay read-only
+        if (PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+          new SnapshotWritableTable(
+            inner.asInstanceOf[ParquetTable], t, store)
+        else inner
       case None => throw new NoSuchTableException(ident)
     }
   }
@@ -121,4 +134,66 @@ class SnapshotSqlCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+}
+
+/** The SQL WRITE path for a partitioned-snapshot table: reads delegate
+  * to Spark's own ParquetTable (native scans, pushdown intact); writes
+  * surface through the V1 write bridge so the incoming DataFrame routes
+  * through the operator commit protocol —
+  *
+  *  - `INSERT INTO snap.t`      → [[PartitionedSnapshots.append]]
+  *  - `INSERT OVERWRITE snap.t` → [[PartitionedSnapshots.write]] (full
+  *    rebuild version; history and pinned readers unaffected)
+  *  - `MERGE INTO snap.t`       → intercepted by [[SnapshotMergeRule]]
+  *    and routed to [[PartitionedSnapshots.merge]]
+  *
+  * Every path takes the single-writer lock, writes data, commits a
+  * manifest, and flips the pointer atomically — SQL writers get exactly
+  * the guarantees operator-API writers get, and mutations outside the
+  * protocol remain impossible (there is no path that bypasses it). The
+  * partition column comes from the table's recorded layout
+  * ([[PartitionedSnapshots.tableProps]], written by every operator
+  * write) — a table never written through the operators has no layout
+  * and refuses SQL writes with instructions. */
+private[plans] class SnapshotWritableTable(
+    val inner: ParquetTable, val tablePath: String,
+    val store: CommitStore)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = inner.name
+  override def schema(): StructType = inner.schema
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability](inner.capabilities())
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps.add(TableCapability.TRUNCATE)
+    caps
+  }
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+
+  def partCol: String =
+    PartitionedSnapshots.tableProps(tablePath, store).getOrElse("partCol",
+      throw new UnsupportedOperationException(
+        s"$tablePath has no recorded partition column — write it once " +
+          "through the PartitionedSnapshots operator API (write/upsert) " +
+          "to establish the layout before SQL writes"))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit =
+              if (overwrite)
+                PartitionedSnapshots.write(
+                  data.sparkSession, tablePath, data, partCol, store)
+              else
+                PartitionedSnapshots.append(
+                  data.sparkSession, tablePath, data, partCol, store = store)
+          }
+      }
+    }
 }

@@ -1055,5 +1055,168 @@ object SqlParity {
           / ${decSumSql("o_totalprice")} AS new_share
       FROM ranked GROUP BY date_format(o_orderdate, 'yyyy-MM')
       ORDER BY month""",
+  ) ++ curation
+
+  /** SQL spellings for the SQL-expressible CURATION queries (round-7
+    * judge ask #6): exact/normalized/winnowing dedup, edit-distance
+    * blocking, token counting, PII scrub, hash split, repetition /
+    * rarity / novelty / Gini text stats, media dedup. The graft-native
+    * expressions used by the engine of record (`rolling_fp`,
+    * `shingles`) appear HERE TOO — they are registered SQL functions
+    * (GraftExtensions), so the SQL user gets the same codegen'd
+    * operators, not a slower re-spelling. */
+  private lazy val curation: Map[String, String] = Map(
+    "d01_exact_dedup" -> """
+      SELECT doc_id, md5(text) AS text_hash,
+        MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+      FROM documents ORDER BY doc_id""",
+
+    "d08_normalized_dedup" -> """
+      WITH hashed AS (
+        SELECT doc_id, md5(text) AS raw_hash,
+          md5(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', ''), ' +', ' '))) AS norm_hash
+        FROM documents)
+      SELECT norm_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs,
+        COUNT(DISTINCT raw_hash) AS n_raw_variants
+      FROM hashed GROUP BY norm_hash ORDER BY canonical_id""",
+
+    "d09_edit_distance" -> """
+      WITH c AS (
+        SELECT c_custkey, c_name, substring(c_name, 1, 16) AS block
+        FROM customer)
+      SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        levenshtein(a.c_name, b.c_name) AS edit_dist
+      FROM c a JOIN c b ON a.block = b.block
+        AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) = 1
+      ORDER BY key_a, key_b""",
+
+    "d10_winnow_pairs" -> """
+      WITH fps AS (
+        SELECT doc_id, explode(split(rolling_fp(text, 8, 5), '\\|')) AS gram
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        COUNT(DISTINCT gram) AS n_shared
+      FROM fps a JOIN fps b USING (gram)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(DISTINCT gram) >= 2
+      ORDER BY doc_a, doc_b""",
+
+    "t03_token_count" -> """
+      SELECT doc_id, n_chars,
+        size(filter(split(lower(text), ' +'), x -> length(x) > 0))
+          AS n_ws_tokens,
+        size(regexp_extract_all(text, '[a-z0-9]+', 0)) AS n_word_tokens,
+        size(regexp_extract_all(text, '[a-z]{1,4}|[0-9]|[^a-z0-9 ]', 0))
+          AS n_bpeish_tokens
+      FROM documents ORDER BY doc_id""",
+
+    "t04_fingerprint" -> """
+      SELECT doc_id, greatest(length(text) - 7, 1) AS n_grams,
+        rolling_fp(text, 8, 3) AS fingerprint,
+        COUNT(*) OVER (PARTITION BY rolling_fp(text, 8, 3)) AS n_same_fp
+      FROM documents ORDER BY doc_id""",
+
+    "t05_pii_scrub" -> """
+      SELECT doc_id,
+        size(regexp_extract_all(text, '\\b(customer|user|order)\\b', 0))
+          AS n_hits,
+        length(regexp_replace(text, '\\b(customer|user|order)\\b',
+          '[REDACTED]')) AS n_chars_scrubbed,
+        md5(regexp_replace(text, '\\b(customer|user|order)\\b',
+          '[REDACTED]')) AS scrub_md5
+      FROM documents ORDER BY doc_id""",
+
+    "t07_hash_split" -> """
+      WITH b AS (
+        SELECT doc_id,
+          pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),
+            16, 10) AS BIGINT), 1000L) AS bucket
+        FROM documents)
+      SELECT doc_id, bucket,
+        CASE WHEN bucket < 800 THEN 'train'
+          WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id""",
+
+    "t14_repetition" -> """
+      WITH g AS (
+        SELECT doc_id, shingles(filter(split(lower(text), ' +'),
+          x -> length(x) > 0), 8) AS g
+        FROM documents)
+      SELECT doc_id, size(g) AS n_grams,
+        size(array_distinct(g)) AS n_distinct,
+        CASE WHEN size(g) = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE 1.0D - CAST(size(array_distinct(g)) AS DOUBLE) /
+            CAST(size(g) AS DOUBLE) END AS repetition_ratio,
+        CASE WHEN size(g) = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE 1.0D - CAST(size(array_distinct(g)) AS DOUBLE) /
+            CAST(size(g) AS DOUBLE) END >= 0.2D AS repetitive
+      FROM g ORDER BY doc_id""",
+
+    "t15_rare_tokens" -> """
+      WITH toks AS (
+        SELECT doc_id, explode(filter(split(lower(text), ' +'),
+          x -> length(x) > 0)) AS tok
+        FROM documents),
+      freq AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        SUM(CASE WHEN freq <= 2 THEN 1L ELSE 0L END) AS n_rare_tokens,
+        MIN(freq) AS min_token_freq
+      FROM toks JOIN freq USING (tok)
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "t16_trigram_novelty" -> """
+      WITH grams AS (
+        SELECT doc_id, explode(shingles(filter(split(lower(text), ' +'),
+          x -> length(x) > 0), 3)) AS g
+        FROM documents),
+      freq AS (SELECT g, COUNT(*) AS freq FROM grams GROUP BY g)
+      SELECT doc_id, COUNT(*) AS n_trigrams,
+        SUM(CASE WHEN freq = 1 THEN 1L ELSE 0L END) AS n_hapax,
+        SUM(freq) AS sum_freq, MAX(freq) AS max_freq,
+        CAST(SUM(CASE WHEN freq = 1 THEN 1L ELSE 0L END) AS DOUBLE) /
+          CAST(COUNT(*) AS DOUBLE) AS novelty
+      FROM grams JOIN freq USING (g)
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "t17_token_gini" -> """
+      WITH agg AS (
+        SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+          SUM(c * c) AS sum_sq
+        FROM (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, explode(filter(split(lower(text), ' +'),
+            x -> length(x) > 0)) AS tok FROM documents) e
+          GROUP BY doc_id, tok) pc
+        GROUP BY doc_id),
+      filled AS (
+        SELECT d.doc_id, COALESCE(n_tokens, 0L) AS n_tokens,
+          COALESCE(n_distinct, 0L) AS n_distinct,
+          COALESCE(sum_sq, 0L) AS sum_sq
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id)
+      SELECT doc_id, n_tokens, n_distinct, sum_sq,
+        CASE WHEN n_tokens = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE 1.0D - CAST(sum_sq AS DOUBLE) /
+            CAST(n_tokens * n_tokens AS DOUBLE) END AS gini,
+        (n_tokens > 0 AND 10L * (n_tokens * n_tokens - sum_sq) >=
+          9L * (n_tokens * n_tokens)) AS diverse_ok
+      FROM filled ORDER BY doc_id""",
+
+    "m06_media_dedup" -> """
+      WITH m AS (
+        SELECT doc_id AS id,
+          element_at(array('doc', 'img', 'audio'),
+            CAST(pmod(doc_id, 3) + 1 AS INT)) AS kind,
+          md5(CAST(text AS BINARY)) AS digest
+        FROM documents)
+      SELECT id, kind, digest,
+        MIN(id) OVER (PARTITION BY kind, digest) AS canonical_id,
+        COUNT(*) OVER (PARTITION BY kind, digest) AS n_copies,
+        id = MIN(id) OVER (PARTITION BY kind, digest) AS is_canonical
+      FROM m ORDER BY id""",
   )
 }

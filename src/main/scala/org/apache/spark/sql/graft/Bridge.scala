@@ -15,6 +15,16 @@ object Bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over an already-analyzed logical plan (the `private[sql]`
+    * Dataset.ofRows) — lets a command node re-enter the DataFrame API
+    * with the plan Spark resolved for it (e.g. the USING side of an
+    * intercepted MERGE INTO). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a native expression on an ALREADY-built session (for
     * sessions created without `withExtensions`). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

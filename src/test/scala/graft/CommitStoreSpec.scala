@@ -40,7 +40,13 @@ class CommitStoreSpec extends AnyFunSuite {
         ("hadoop", CommitStore.hadoop(), false),
         // conditional-put (If-None-Match) semantics: createNew is
         // natively atomic on object stores, so the race suite runs
-        ("object", CommitStore.inMemoryObject(), true))
+        ("object", CommitStore.inMemoryObject(), true),
+        // the same conditional-put semantics over REAL sockets: the
+        // HTTP client binding against a loopback object service whose
+        // If-None-Match/If-Match conditions are enforced server-side —
+        // createNew atomicity is the service's, so the race suite runs
+        ("http", CommitStore.httpObject(new TestObjectService().endpoint),
+          true))
 
   for ((name, store, atomicCreate) <- bindings) {
 

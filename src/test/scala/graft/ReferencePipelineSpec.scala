@@ -38,14 +38,56 @@ class ReferencePipelineSpec extends AnyFunSuite {
     assert(TestSpark.rows(p.table("metrics_daily_kpis")) == kpisBefore)
 
     // incremental batch: 3 more simulated hours (the first 6 are a
-    // deterministic prefix) flow through the same run path; corpus stays
-    // green and the tables grow
+    // deterministic prefix) flow through the same run path — the
+    // steady-state run is sliver-narrowed (sidecars exist from the
+    // first run); corpus stays green and the tables grow. A hand-made
+    // LATE event (old event_ts, newest arrival) rides along: the
+    // arrival sliver must admit it even though its event time is old.
     val evCount6 = p.table("fact_events").count()
-    val (ev9, ord9) = ReferenceFixtures.bronze(spark, 9)
+    val (ev9raw, ord9) = ReferenceFixtures.bronze(spark, 9)
+    import org.apache.spark.sql.functions._
+    val maxes = ev9raw.agg(max("event_time"), max("pipeline_ingested_at"),
+      max("batch_id")).head()
+    val lateArrival = new java.sql.Timestamp(
+      maxes.getTimestamp(1).getTime + 60000L)
+    val lateRow = ev9raw.limit(1)
+      .withColumn("event_id", lit("late-event-1"))
+      .withColumn("session_id", lit("late-session-1"))
+      .withColumn("event_time", lit(new java.sql.Timestamp(
+        maxes.getTimestamp(0).getTime - 2 * 3600 * 1000L)))
+      .withColumn("source_ingested_at", lit(lateArrival))
+      .withColumn("pipeline_ingested_at", lit(lateArrival))
+      .withColumn("batch_id", lit(maxes.getLong(2) + 1))
+    val ev9 = ev9raw.unionByName(lateRow)
     val results9 = p.run(ev9, ord9)
     assert(results9.forall(_.passed))
     assert(p.table("fact_events").count() > evCount6)
     assert(p.table("fact_events").count() ==
       p.table("stg_clickstream_events").count())
+    assert(p.table("fact_events")
+      .filter(col("event_id") === "late-event-1").count() == 1,
+      "arrival sliver must admit a late-event-time row")
+
+    // THE sliver-correctness gate: the incrementally-maintained models
+    // equal a from-scratch rebuild of the same bronze (row-identical),
+    // and a FULL-OVERLAP pipeline (sliver narrowing off — the
+    // crash-recovery path) lands the same rows too
+    val scratchBase = Files.createTempDirectory("graft_refpipe_s").toString
+    val scratch = new ReferencePipeline(spark, scratchBase)
+    scratch.run(ev9, ord9)
+    val overlapBase = Files.createTempDirectory("graft_refpipe_o").toString
+    val overlap = new ReferencePipeline(spark, overlapBase, sliver = false)
+    overlap.run(ev6, ord6); overlap.run(ev9, ord9)
+    for (m <- Seq("stg_clickstream_events", "stg_clickstream_sessions",
+        "stg_orders", "stg_order_items", "fact_events", "fact_orders",
+        "fact_order_items", "fact_sessions", "metrics_daily_kpis")) {
+      def rowsOf(q: ReferencePipeline) =
+        TestSpark.rows(q.table(m).select(
+          p.table(m).columns.sorted.map(col): _*))
+      assert(rowsOf(p) == rowsOf(scratch),
+        s"$m: sliver-incremental != scratch rebuild")
+      assert(rowsOf(p) == rowsOf(overlap),
+        s"$m: sliver-incremental != full-overlap incremental")
+    }
   }
 }

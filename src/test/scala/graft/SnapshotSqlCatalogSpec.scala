@@ -79,6 +79,74 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       .count() == 2)
   }
 
+  test("INSERT INTO / INSERT OVERWRITE route through the commit" +
+      " protocol: versions advance, pinned readers unaffected") {
+    val t = s"$root/ins"
+    PS.write(spark, t, Seq((1L, "A", "a1"), (2L, "B", "b1"))
+      .toDF("k", "d", "v"), "d")
+    spark.sql("INSERT INTO snap.ins VALUES (3, 'A', 'a3'), (4, 'C', 'c4')")
+    assert(PS.currentVersion(t).contains(2L))
+    assert(spark.sql("SELECT * FROM snap.ins").count() == 4)
+    // append = no key dedup: inserting an existing key ADDS a row
+    spark.sql("INSERT INTO snap.ins VALUES (1, 'A', 'a1-dup')")
+    assert(spark.sql("SELECT * FROM snap.ins WHERE k = 1").count() == 2)
+    // untouched partition B carried over (owner still v1)
+    assert(PS.manifest(t, 3L)("__p=B") == 1L)
+    // pinned reader isolation across SQL writes
+    assert(spark.sql("SELECT * FROM snap.ins VERSION AS OF 1").count() == 2)
+    // INSERT OVERWRITE = full rebuild version; history intact
+    spark.sql("INSERT OVERWRITE snap.ins VALUES (9, 'Z', 'z9')")
+    assert(spark.sql("SELECT * FROM snap.ins").count() == 1)
+    assert(spark.sql("SELECT * FROM snap.ins VERSION AS OF 3").count() == 5)
+  }
+
+  test("MERGE INTO lowers to the manifest-commit merge: conditional" +
+      " update, delete, insert; SQL clause-order semantics") {
+    val t = s"$root/mrg"
+    PS.write(spark, t, Seq(
+      (1L, "A", "keep", 10), (2L, "A", "update-me", 20),
+      (3L, "A", "delete-me", 30), (4L, "B", "other", 40))
+      .toDF("k", "d", "v", "amt"), "d")
+    Seq((2L, "A", "updated", 21, false), (3L, "A", "x", 0, true),
+      (9L, "A", "inserted", 90, false))
+      .toDF("k", "d", "v", "amt", "del")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql("""
+      MERGE INTO snap.mrg t USING mrg_src s ON t.k = s.k
+      WHEN MATCHED AND s.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v, amt = t.amt + s.amt
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert(PS.currentVersion(t).contains(2L))
+    val got = spark.sql("SELECT k, v, amt FROM snap.mrg")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((1L, "keep", 10), (2L, "updated", 41),
+      (9L, "inserted", 90), (4L, "other", 40)), s"$got")
+    // untouched partition carried; pinned reader sees pre-merge rows
+    assert(PS.manifest(t, 2L)("__p=B") == 1L)
+    assert(spark.sql("SELECT * FROM snap.mrg VERSION AS OF 1")
+      .count() == 4)
+    // conditional INSERT: only rows passing the guard insert
+    Seq((20L, "A", "big", 100, false), (21L, "A", "small", 1, false))
+      .toDF("k", "d", "v", "amt", "del")
+      .createOrReplaceTempView("mrg_src2")
+    spark.sql("""
+      MERGE INTO snap.mrg t USING mrg_src2 s ON t.k = s.k
+      WHEN NOT MATCHED AND s.amt > 50 THEN INSERT *
+    """)
+    assert(spark.sql("SELECT v FROM snap.mrg WHERE k >= 20")
+      .as[String].collect().toSeq == Seq("big"))
+    // unsupported shapes refuse loudly, not silently
+    val e = intercept[Exception] {
+      spark.sql("""
+        MERGE INTO snap.mrg t USING mrg_src2 s ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, d, v, amt) VALUES
+          (s.k, s.d, upper(s.v), s.amt)
+      """)
+    }
+    assert(e.getMessage.contains("INSERT *"), e.getMessage)
+  }
+
   test("listTables sees committed tables; mutations are refused") {
     spark.sql("SELECT 1").collect() // force catalog init via root
     val names = spark.sql("SHOW TABLES IN snap").select("tableName")

@@ -17,6 +17,7 @@ class SqlParitySpec extends AnyFunSuite {
       Tables.load(spark, sf, t).createOrReplaceTempView(t)
     }
     Tables.events(spark, sf).createOrReplaceTempView("events")
+    Tables.documents(spark, sf).createOrReplaceTempView("documents")
   }
 
   SqlParity.sql.foreach { case (name, text) =>

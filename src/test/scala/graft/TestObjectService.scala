@@ -1,0 +1,97 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import scala.collection.mutable
+
+/** Loopback HTTP object service for the conditional-put binding
+  * ([[graft.operators.CommitStore.httpObject]]): a minimal S3-shaped
+  * API — `PUT`/`GET`/`HEAD`/`DELETE ?key=` with `If-None-Match: *` /
+  * `If-Match: <etag>` conditions enforced ATOMICALLY server-side (one
+  * monitor, the stand-in for the store's request serialization), plus a
+  * `?keys=<prefix>` LIST page. ETags are per-write generation counters
+  * (the GCS generation model; S3's content etags serve the same CAS
+  * role). The race suite drives N real client threads through real
+  * sockets at this service — the wire-level twin of the in-memory
+  * binding's proof. */
+final class TestObjectService {
+
+  private final case class Obj(bytes: Array[Byte], mtimeMs: Long,
+    etag: String)
+  private val objects = mutable.HashMap.empty[String, Obj]
+  private var gen = 0L
+  private val lock = new Object
+
+  private val server = HttpServer.create(
+    new InetSocketAddress("127.0.0.1", 0), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.start()
+
+  def endpoint: String =
+    s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  def stop(): Unit = server.stop(0)
+
+  private def query(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
+      .filter(_.contains("=")).map { p =>
+        val i = p.indexOf('=')
+        p.take(i) -> java.net.URLDecoder.decode(p.drop(i + 1), "UTF-8")
+      }.toMap
+
+  private def respond(ex: HttpExchange, code: Int,
+      body: Array[Byte] = Array.emptyByteArray,
+      headers: Seq[(String, String)] = Nil): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    val isHead = ex.getRequestMethod == "HEAD"
+    ex.sendResponseHeaders(code,
+      if (isHead) -1 else if (body.isEmpty) -1 else body.length.toLong)
+    if (!isHead && body.nonEmpty) ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val q = query(ex)
+    val method = ex.getRequestMethod
+    (method, q.get("key"), q.get("keys")) match {
+      case (_, None, Some(prefix)) => // LIST page
+        val lines = lock.synchronized {
+          objects.iterator.filter(_._1.startsWith(prefix)).map {
+            case (k, o) => s"$k\t${o.bytes.length}\t${o.mtimeMs}"
+          }.toVector
+        }
+        respond(ex, 200, lines.mkString("\n").getBytes("UTF-8"))
+      case ("PUT", Some(key), _) =>
+        val body = ex.getRequestBody.readAllBytes()
+        val ifNoneMatch =
+          Option(ex.getRequestHeaders.getFirst("If-None-Match"))
+        lock.synchronized {
+          if (ifNoneMatch.contains("*") && objects.contains(key))
+            respond(ex, 412)
+          else {
+            gen += 1
+            val o = Obj(body, System.currentTimeMillis(), s""""g$gen"""")
+            objects(key) = o
+            respond(ex, 200, headers = Seq("ETag" -> o.etag))
+          }
+        }
+      case ("GET" | "HEAD", Some(key), _) =>
+        lock.synchronized { objects.get(key) } match {
+          case Some(o) => respond(ex, 200, o.bytes, Seq(
+            "ETag" -> o.etag, "X-Mtime-Ms" -> o.mtimeMs.toString))
+          case None => respond(ex, 404)
+        }
+      case ("DELETE", Some(key), _) =>
+        val ifMatch = Option(ex.getRequestHeaders.getFirst("If-Match"))
+        lock.synchronized {
+          objects.get(key) match {
+            case None => respond(ex, 404)
+            case Some(o) if ifMatch.exists(_ != o.etag) => respond(ex, 412)
+            case Some(_) => objects.remove(key); respond(ex, 200)
+          }
+        }
+      case _ => respond(ex, 400)
+    }
+  } catch { case _: Throwable => try respond(ex, 500) catch { case _: Throwable => () } }
+}
