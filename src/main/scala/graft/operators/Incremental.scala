@@ -170,6 +170,40 @@ object Incremental {
     * single-writer lock. Used by the Incremental materializer and the
     * MaterializedAgg/SketchDistinct rollup folds — one swap
     * implementation, one contract. */
+  /** Content signature for cheap change detection: `(count,
+    * Σ xxhash64(row) as decimal)` over the rows of `df` projected to
+    * `cols` (a CANONICAL — name-sorted — union schema with casts, so
+    * both sides of a comparison hash identical bytes for identical
+    * logical rows). `by = Some(p)` returns one signature per group.
+    * One narrow map-side-combined aggregate — no full-row shuffle;
+    * detection misses only on a 64-bit hash-sum collision (~n·2⁻⁶⁴). */
+  private[graft] def contentSig(df: DataFrame,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)],
+      by: Option[String]): Map[Any, (Long, Any)] = {
+    val aligned = cols.map { case (n, t) =>
+      (if (df.columns.contains(n)) col(n) else lit(null)).cast(t).as(n) }
+    val base = df.select(aligned: _*)
+    val h = xxhash64(cols.map(c => col(c._1)): _*)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    by match {
+      case Some(p) =>
+        base.groupBy(col(p))
+          .agg(count(lit(1)).as("__n"), sum(h).as("__s"))
+          .collect().map(r => r.get(0) -> ((r.getLong(1), r.get(2))))
+          .toMap
+      case None =>
+        val r = base.agg(count(lit(1)).as("__n"), sum(h).as("__s")).first()
+        Map((null: Any) -> ((r.getLong(0), r.get(1))))
+    }
+  }
+
+  /** The canonical (name-sorted) union schema of two frames — the
+    * projection [[contentSig]] compares under. */
+  private[graft] def unionSchemaOf(a: DataFrame, b: DataFrame)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    a.limit(0).unionByName(b.limit(0), allowMissingColumns = true)
+      .schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+
   private[graft] def atomicOverwrite(store: CommitStore, target: String)(
       writeTmp: String => Unit): Unit = {
     val tmp = target + ".__tmp"
@@ -318,13 +352,38 @@ final class Incremental(spark: SparkSession,
     Incremental.withLock(targetPath, Incremental.DefaultLockStaleMs, store) {
       val updatesCached = updates.cache()
       try {
-        val merged =
-          if (!store.exists(targetPath)) updatesCached
-          else spark.read.option("mergeSchema", "true").parquet(targetPath)
-            .join(updatesCached.select(keys.map(col): _*).distinct(),
-              keys, "left_anti")
-            .unionByName(updatesCached, allowMissingColumns = true)
-        atomicOverwrite(targetPath, merged)
+        if (!store.exists(targetPath))
+          atomicOverwrite(targetPath, updatesCached)
+        else {
+          val tgt = spark.read.option("mergeSchema", "true")
+            .parquet(targetPath)
+          val updKeys0 =
+            updatesCached.select(keys.map(col): _*).distinct()
+          // broadcast the (sliver-sized) key set so the semi/anti
+          // passes below stream the target once instead of shuffling it
+          val updKeys =
+            if (updKeys0.count() <= 2000000L) broadcast(updKeys0)
+            else updKeys0
+          // NO-OP short circuit: if the update batch is content-equal
+          // to the keyed rows it would replace, the delete+insert
+          // replaces the table with identical content — skip the full
+          // rewrite+swap. Compared by (count, Σ xxhash64(row)) over the
+          // union schema: two NARROW map-side-combined aggregates
+          // (decimal sum — no full-row shuffle, collision odds
+          // ~n·2⁻⁶⁴), catching new keys (count differs), changed rows
+          // and multiplicity (sum differs). Saves the whole-table
+          // write on re-runs and sliver re-admits.
+          val cols = Incremental.unionSchemaOf(tgt, updatesCached)
+          val replaced = tgt.join(updKeys, keys, "left_semi")
+          val unchanged =
+            Incremental.contentSig(updatesCached, cols, None) ==
+              Incremental.contentSig(replaced, cols, None)
+          if (!unchanged) {
+            val merged = tgt.join(updKeys, keys, "left_anti")
+              .unionByName(updatesCached, allowMissingColumns = true)
+            atomicOverwrite(targetPath, merged)
+          }
+        }
       } finally updatesCached.unpersist()
     }
   }
@@ -348,7 +407,14 @@ final class Incremental(spark: SparkSession,
                                       keys: Seq[String],
                                       partCol: String): Unit = {
     val updatesCached = updates.cache()
-    val updKeys = updatesCached.select(keys.map(col): _*).distinct().cache()
+    val updKeys0 = updatesCached.select(keys.map(col): _*).distinct().cache()
+    // the key set is sliver-sized at steady state; broadcasting it
+    // turns every target⋈keys semi/anti below into a single broadcast
+    // pass over the target instead of a full wide-row shuffle (the
+    // auto threshold won't, at ~10 MB). Guarded: a backfill-scale key
+    // set falls back to the shuffle join.
+    val updKeys =
+      if (updKeys0.count() <= 2000000L) broadcast(updKeys0) else updKeys0
     try {
       // Partition discovery re-INFERS the partition column's type from the
       // dir names (a "2024-01-01" string partCol comes back as DATE);
@@ -370,14 +436,46 @@ final class Incremental(spark: SparkSession,
         .select(partCol).distinct().collect().map(_.get(0))
       val updParts = updatesCached.select(partCol).distinct()
         .collect().map(_.get(0))
-      val touched = (keyParts ++ updParts).distinct.toSeq
+      val touched0 = (keyParts ++ updParts).distinct.toSeq
+      // CHANGE-DRIVEN partition pruning: a touched partition whose
+      // delete+insert result would be IDENTICAL to its current content
+      // must not rewrite. The steady-state case: an arrival-sliver's
+      // re-admit slack replays boundary rows verbatim, and without this
+      // check a whole date partition rewrites to an equal state every
+      // run. Compared per partition by (count, hash-sum) signatures —
+      // update rows vs the keyed rows they would replace: a new key,
+      // changed content, or moved key makes the signatures differ and
+      // the partition rewrites; a verbatim re-admit matches and the
+      // partition (its READ for the merge AND its write) is skipped.
+      // Two narrow aggregates, not a full-row shuffle — the
+      // read-to-avoid-write trade every copy-on-write lakehouse makes.
+      val tgtTouched0 = target().filter(col(partCol).isin(touched0: _*))
+      val cols = Incremental.unionSchemaOf(tgtTouched0, updatesCached)
+      val sigU = Incremental.contentSig(updatesCached, cols, Some(partCol))
+      val sigR = Incremental.contentSig(
+        tgtTouched0.join(updKeys, keys, "left_semi"), cols, Some(partCol))
+      def sigAt(m: Map[Any, (Long, Any)], p: Any): (Long, Any) =
+        m.getOrElse(p, (0L, null))
+      val touched = touched0.filter(p =>
+        sigAt(sigU, p) != sigAt(sigR, p))
+      System.err.println(s"[inc] $targetPath: ${touched0.size} touched," +
+        s" ${touched.size} changed -> rewrite ${touched.mkString(",")}" +
+        (if (touched.size < touched0.size)
+           s"; skip ${touched0.filterNot(touched.contains).mkString(",")}"
+         else ""))
+      if (touched.isEmpty) return
       val existing = target()
         .filter(col(partCol).isin(touched: _*)) // static partition pruning
         .join(updKeys, keys, "left_anti")
+      // update rows landing in UNCHANGED partitions must not reach the
+      // output: dynamic overwrite rewrites every partition present in
+      // it, and those rows without their partition's existing rows
+      // would REPLACE the partition with just themselves
+      val updTouched = updatesCached.filter(col(partCol).isin(touched: _*))
       // localCheckpoint cuts the file lineage: the merged rows are
       // materialized BEFORE the dynamic overwrite deletes the partition
       // dirs they were read from (read-overwrite conflict otherwise)
-      val merged = existing.unionByName(updatesCached,
+      val merged = existing.unionByName(updTouched,
         allowMissingColumns = true).localCheckpoint()
       merged.write.partitionBy(partCol).mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
@@ -406,7 +504,7 @@ final class Incremental(spark: SparkSession,
           .foreach(store.deleteRecursively)
       }
     } finally {
-      updKeys.unpersist()
+      updKeys0.unpersist()
       updatesCached.unpersist()
     }
   }

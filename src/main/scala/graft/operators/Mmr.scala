@@ -85,4 +85,30 @@ object Mmr {
       .drop("__id_str")
       .orderBy(col("mmr_rank"))
   }
+
+  /** RETRIEVE-then-DIVERSIFY in one operator call (the RAG hot path):
+    * [[VectorSearch.ivfPqSearch]] pools `poolSize` candidates for the
+    * query over the billion-scale index layout (probed cells only, PQ
+    * candidates, exact rerank), the pool — ids + float vectors, a
+    * retrieval-sized sliver — is materialized EXACTLY ONCE
+    * (`localCheckpoint`), and [[rerank]]'s k greedy rounds run over
+    * that checkpointed sliver: the index, corpus, and PQ codes are
+    * never touched again regardless of k (MmrSpec pins corpus-scan
+    * count independent of k). */
+  def retrieveDiverse(corpus: DataFrame, centroids: DataFrame,
+      model: ProductQuantizer.Model, queryVec: Seq[Float], k: Int,
+      poolSize: Int = 100, lambda: Double = 0.7, nprobe: Int = 2,
+      candidates: Int = 200, id: String = "vec_id",
+      cellId: String = "cell", vecCol: String = "embedding"): DataFrame = {
+    val s = corpus.sparkSession
+    import s.implicits._
+    val queries = Seq((0L, queryVec)).toDF(id, vecCol)
+    val pool = VectorSearch.ivfPqSearch(corpus, queries, centroids,
+        model, k = poolSize, nprobe = nprobe, candidates = candidates,
+        corpusId = id, queryId = id, cellId = cellId, vecCol = vecCol)
+      .select(col("neighbor_id").as(id))
+      .join(corpus.select(col(id), col(vecCol)), Seq(id))
+      .localCheckpoint(true)
+    rerank(pool, id, vecCol, queryVec, k, lambda)
+  }
 }

@@ -121,6 +121,23 @@ object PartitionedSnapshots {
         .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
   }
 
+  /** Register a table's layout + declared schema BEFORE any data
+    * exists (SQL `CREATE TABLE`): the table reads as empty with the
+    * declared schema until the first write establishes v1 through the
+    * normal commit path. Refuses over an existing committed table. */
+  def initTable(t: String, partCol: String, schemaJson: String,
+      store: CommitStore = CommitStore.local): Unit =
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      if (currentVersion(t, store).isDefined)
+        throw new IllegalStateException(
+          s"$t already has committed data — cannot re-declare it")
+      store.mkdirs(t)
+      val p = tableProps(t, store) ++
+        Map("partCol" -> partCol, "schema" -> schemaJson)
+      store.write(propsPath(t), p.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+    }
+
   /** First commit (or full rebuild): every partition owned by the new
     * version. */
   def write(spark: SparkSession, t: String, df: DataFrame,
@@ -420,6 +437,63 @@ object PartitionedSnapshots {
       }
     }
 
+  /** Predicate UPDATE as a new version (SQL `UPDATE t SET … WHERE …`):
+    * one detection scan finds the partitions holding matches, ONLY
+    * those rewrite with the assignments applied to their matching rows
+    * (a NULL predicate row is NOT updated — three-valued logic), and
+    * every other partition's manifest entry carries over — the same
+    * O(touched partitions) shape as [[delete]]. Assignments must not
+    * move a row across partitions (checked, like [[merge]]).
+    *
+    * Returns the committed version (the CURRENT version, burning
+    * nothing, when no row matches). */
+  def updateWhere(spark: SparkSession, t: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      where: org.apache.spark.sql.Column, partCol: String,
+      store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      val cur = currentVersion(t, store).getOrElse(
+        throw new IllegalStateException(s"$t has no committed snapshot"))
+      val m = manifest(t, cur, store)
+      val touchedDirs = readVersion(spark, t, cur, store)
+        .filter(where)
+        .select(col(partCol).cast("string")).distinct()
+        .collect()
+        .map(r => partDirName(
+          if (r.isNullAt(0)) None else Some(r.getString(0))))
+        .toSet
+      if (touchedDirs.isEmpty) cur
+      else {
+        val v = versions(t, store).last + 1
+        val dirs = m.collect {
+          case (p, o) if touchedDirs(p) => s"${dataDir(t, o)}/$p"
+        }.toSeq
+        val cols = readVersion(spark, t, cur, store).columns.toSeq
+        val hit = org.apache.spark.sql.functions.coalesce(
+          where, lit(false))
+        val updated = spark.read.option("mergeSchema", "true")
+          .parquet(dirs: _*)
+          .select(cols.map { c =>
+            set.get(c) match {
+              case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }: _*)
+        val parts = writeData(updated, t, v, partCol, store)
+        val unexpected = parts.filterNot(touchedDirs)
+        if (unexpected.nonEmpty)
+          throw new IllegalStateException(
+            "partition rendering mismatch during update: wrote " +
+              unexpected.mkString(", ") + " outside the detected " +
+              "partitions — an assignment moved a row across " +
+              "partitions (orphan version; vacuum reclaims it)")
+        writeManifest(t, v,
+          (m -- touchedDirs) ++ parts.map(_ -> v).toMap, store)
+        commitPointer(t, v, store)
+        v
+      }
+    }
+
   /** Column refs for [[merge]] clause expressions: `target("c")` /
     * `source("c")` address the two sides of the matched join. */
   def target(c: String): org.apache.spark.sql.Column = col(s"__t_$c")
@@ -443,13 +517,22 @@ object PartitionedSnapshots {
     *
     * Same contract as [[upsert]]: the partition column is immutable per
     * key (an update must not move a row across partitions — express
-    * that as delete + insert through two merges if ever needed). */
+    * that as delete + insert through two merges if ever needed).
+    *
+    * Schema: by default the output projects to the TARGET's columns —
+    * extra source columns are usable in clause expressions (a delete
+    * flag) but never land, matching Delta's default. `evolveSchema`
+    * widens the target with the source's new columns first (nulls for
+    * pre-existing rows — upsert's append_new_columns pin), so an
+    * INSERT/UPDATE can land them; untouched partitions keep their old
+    * footers and every read path mergeSchema-reconciles. */
   def merge(spark: SparkSession, t: String, src: DataFrame,
       keys: Seq[String], partCol: String,
       whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
       whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
       insertNotMatched: Boolean = true,
       insertCond: Option[org.apache.spark.sql.Column] = None,
+      evolveSchema: Boolean = false,
       store: CommitStore = CommitStore.local): Long =
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
       val cur = currentVersion(t, store).getOrElse(
@@ -466,11 +549,27 @@ object PartitionedSnapshots {
         val existingDirs = m.collect {
           case (p, o) if touchedDirs(p) => s"${dataDir(t, o)}/$p"
         }.toSeq
-        val targetCols = read(spark, t, store).columns.toSeq
-        val tgt =
-          if (existingDirs.isEmpty) read(spark, t, store).limit(0)
+        val full = read(spark, t, store)
+        val targetCols0 = full.columns.toSeq
+        val tgt0 =
+          if (existingDirs.isEmpty) full.limit(0)
           else spark.read.option("mergeSchema", "true")
             .parquet(existingDirs: _*)
+        // schema evolution: widen the target with the source's NEW
+        // columns (null for existing rows) so clauses can land them
+        val newCols =
+          if (evolveSchema)
+            srcCached.columns.toSeq.filterNot(targetCols0.contains)
+          else Nil
+        val targetCols = targetCols0 ++ newCols
+        // also null-fill any table column the touched (old-footer)
+        // partitions predate — mergeSchema over a pre-evolution subset
+        // surfaces only the columns those footers carry
+        val tgt = targetCols.foldLeft(tgt0)((d, c) =>
+          if (d.columns.contains(c)) d
+          else d.withColumn(c, lit(null).cast(
+            if (newCols.contains(c)) srcCached.schema(c).dataType
+            else full.schema(c).dataType)))
         val resolved = MergeClauses.resolve(tgt, srcCached, keys,
           targetCols, whenMatchedUpdate, whenMatchedDelete,
           insertNotMatched, insertCond)

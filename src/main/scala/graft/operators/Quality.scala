@@ -83,8 +83,26 @@ object Quality {
   /** Evaluate a named suite; throws if any check fails (dbt_runner.py:43-44
     * semantics) unless failFast=false, in which case results are returned. */
   def run(checks: Seq[(String, () => Long)],
-          failFast: Boolean = false): Seq[CheckResult] = {
-    val results = checks.map { case (n, f) => CheckResult(n, f()) }
+          failFast: Boolean = false,
+          parallelism: Int = 8): Seq[CheckResult] = {
+    // checks are independent read-only counts; running them from a
+    // driver-side pool overlaps their Spark jobs (scheduler interleaves
+    // stages), collapsing a 100+-check gate from sum-of-latencies to
+    // roughly the longest few — same results, same order
+    val results =
+      if (parallelism <= 1 || checks.size <= 1)
+        checks.map { case (n, f) => CheckResult(n, f()) }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, checks.size))
+        try {
+          checks.map { case (n, f) =>
+            pool.submit(new java.util.concurrent.Callable[CheckResult] {
+              override def call(): CheckResult = CheckResult(n, f())
+            })
+          }.map(_.get())
+        } finally pool.shutdown()
+      }
     val bad = results.filter(!_.passed)
     if (failFast && bad.nonEmpty)
       throw new IllegalStateException(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Coalesce, EqualTo, Expression, If, Literal, Not}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -39,24 +39,44 @@ import org.apache.spark.sql.graft.Bridge
 class SnapshotMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case m: MergeIntoTable if m.resolved && targetOf(m).isDefined =>
-      convert(m, targetOf(m).get)
+    case m: MergeIntoTable if m.resolved && targetOf(m.targetTable).isDefined =>
+      convert(m, targetOf(m.targetTable).get)
+    case u: UpdateTable if u.resolved && targetOf(u.table).isDefined =>
+      convertUpdate(u, targetOf(u.table).get)
     case _ => plan
   }
 
-  private def targetOf(m: MergeIntoTable): Option[SnapshotWritableTable] = {
+  private def targetOf(plan: LogicalPlan): Option[SnapshotWritableTable] = {
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
         strip(a.child)
       case other => other
     }
-    strip(m.targetTable) match {
+    strip(plan) match {
       case r: DataSourceV2Relation => r.table match {
         case t: SnapshotWritableTable => Some(t)
         case _ => None
       }
       case _ => None
     }
+  }
+
+  /** SQL `UPDATE snap.t SET … WHERE …` → the touched-partition rewrite
+    * ([[PartitionedSnapshots.updateWhere]]): a single-frame command, so
+    * attrs resolve by plain name — no `__t_`/`__s_` aliasing. */
+  private def convertUpdate(u: UpdateTable,
+      t: SnapshotWritableTable): LogicalPlan = {
+    def plain(e: Expression): Expression = e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }
+    val set = u.assignments.map {
+      case Assignment(k: AttributeReference, v) =>
+        k.name -> Bridge.toColumn(plain(v))
+      case Assignment(k, _) =>
+        fail(s"UPDATE SET must assign plain target columns, got: ${k.sql}")
+    }.toMap
+    SnapshotUpdateCommand(t.tablePath, set,
+      Bridge.toColumn(u.condition.map(plain).getOrElse(Literal(true))), t)
   }
 
   private def fail(msg: String): Nothing =
@@ -180,6 +200,19 @@ case class SnapshotMergeCommand(
       whenMatchedUpdate = update, whenMatchedDelete = delete,
       insertNotMatched = insertNotMatched, insertCond = insertCond,
       store = table.store)
+    Nil
+  }
+}
+
+/** The lowered UPDATE: [[PartitionedSnapshots.updateWhere]] against the
+  * recorded partition layout. */
+case class SnapshotUpdateCommand(
+    tablePath: String, set: Map[String, Column], where: Column,
+    table: SnapshotWritableTable) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    PartitionedSnapshots.updateWhere(spark, tablePath, set, where,
+      table.partCol, table.store)
     Nil
   }
 }

@@ -22,21 +22,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * spark.sql.catalog.snap      = graft.plans.SnapshotSqlCatalog
   * spark.sql.catalog.snap.root = /warehouse/snaptables
   *
-  * SELECT * FROM snap.events_agg                        -- current version
-  * SELECT * FROM snap.events_agg VERSION AS OF 3        -- version travel
-  * SELECT * FROM snap.events_agg TIMESTAMP AS OF '...'  -- publish-time
+  * SELECT * FROM snap.t                          -- current version
+  * SELECT * FROM snap.t VERSION AS OF 3          -- version travel
+  * SELECT * FROM snap.t TIMESTAMP AS OF '...'    -- publish-time
+  * CREATE TABLE snap.t (…) PARTITIONED BY (d)    -- declare layout
+  * CREATE TABLE snap.t2 PARTITIONED BY (d) AS …  -- CTAS
+  * INSERT INTO / INSERT OVERWRITE snap.t …       -- append / rebuild
+  * MERGE INTO snap.t USING s ON … WHEN …         -- conditional write
+  * UPDATE snap.t SET … WHERE …                   -- partition-pruned
+  * DELETE FROM snap.t WHERE …                    -- partition-pruned
   * }}}
   *
-  * Spark parses VERSION AS OF / TIMESTAMP AS OF natively and calls the
-  * corresponding `loadTable` overloads — the same integration seam
-  * Delta/Iceberg plug; no custom parser or analyzer rule needed.
-  * Both snapshot formats resolve: a PartitionedSnapshots table (manifest
-  * per version) maps to its owner-resolved partition dirs, a full-copy
-  * Snapshots table to its version dir. Writes go through the operator
-  * APIs (upsert/write/streamCommit — they carry the lock and commit
-  * protocol); the catalog is intentionally read-only, so every mutation
-  * keeps its single-writer/atomic-flip guarantees.
-  */
+  * Reads: Spark parses VERSION AS OF / TIMESTAMP AS OF natively and
+  * calls the corresponding `loadTable` overloads — the same integration
+  * seam Delta/Iceberg plug. Both snapshot formats resolve: a
+  * PartitionedSnapshots table (manifest per version) maps to its
+  * owner-resolved partition dirs, a full-copy Snapshots table to its
+  * version dir; scans stay NATIVE parquet either way.
+  *
+  * Writes (partitioned-format tables only): every SQL mutation routes
+  * through the PartitionedSnapshots commit protocol — single-writer
+  * lock, touched-partition data write, manifest, atomic pointer flip —
+  * via [[SnapshotWritableTable]] (INSERT/DELETE/UPDATE…) and
+  * [[SnapshotMergeRule]] (MERGE INTO). There is NO path that bypasses
+  * the protocol: full-copy tables and time-travel loads stay
+  * read-only, and ALTER/DROP/RENAME are refused. */
 class SnapshotSqlCatalog extends TableCatalog {
 
   private var catalogName: String = _
@@ -85,8 +95,50 @@ class SnapshotSqlCatalog extends TableCatalog {
           new SnapshotWritableTable(
             inner.asInstanceOf[ParquetTable], t, store)
         else inner
-      case None => throw new NoSuchTableException(ident)
+      case None =>
+        // declared-but-empty table (CREATE TABLE before any write):
+        // serve the declared schema over zero files; the first INSERT
+        // establishes v1 through the normal commit path
+        val props = PartitionedSnapshots.tableProps(t, store)
+        (props.get("schema"), props.get("partCol")) match {
+          case (Some(json), Some(_)) =>
+            new SnapshotWritableTable(
+              ParquetTable(s"$catalogName.${ident.name}@v0",
+                SparkSession.active, CaseInsensitiveStringMap.empty(),
+                Nil, Some(org.apache.spark.sql.types.DataType
+                  .fromJson(json).asInstanceOf[StructType]),
+                classOf[ParquetFileFormat]), t, store)
+          case _ => throw new NoSuchTableException(ident)
+        }
     }
+  }
+
+  /** SQL `CREATE TABLE snap.t (…) PARTITIONED BY (c)` (and the create
+    * half of CTAS): records the layout + declared schema; data arrives
+    * through the write path. Exactly one identity partition column is
+    * required — the format is partition-addressed. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val t = pathOf(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.toString)
+    val partCol = partitions.toSeq match {
+      case Seq(tr) if tr.name == "identity" && tr.references.length == 1 =>
+        tr.references()(0).fieldNames.mkString(".")
+      case Seq() => throw new UnsupportedOperationException(
+        "snapshot tables are partition-addressed: declare " +
+          "PARTITIONED BY (<one column>)")
+      case other => throw new UnsupportedOperationException(
+        "only a single identity partition column is supported, got: " +
+          other.mkString(", "))
+    }
+    if (!schema.fieldNames.contains(partCol))
+      throw new IllegalArgumentException(
+        s"partition column $partCol is not in the schema")
+    PartitionedSnapshots.initTable(t, partCol, schema.json, store)
+    loadTable(ident)
   }
 
   /** VERSION AS OF n — only versions AT OR BELOW the commit pointer
@@ -116,7 +168,9 @@ class SnapshotSqlCatalog extends TableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    currentOf(pathOf(ident)).isDefined
+    currentOf(pathOf(ident)).isDefined ||
+      PartitionedSnapshots.tableProps(pathOf(ident), store)
+        .contains("schema")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = (root +: namespace.toSeq).mkString("/")
@@ -158,10 +212,34 @@ class SnapshotSqlCatalog extends TableCatalog {
 private[plans] class SnapshotWritableTable(
     val inner: ParquetTable, val tablePath: String,
     val store: CommitStore)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
+
+  /** SQL `DELETE FROM snap.t WHERE …`: Spark hands the translated
+    * filters here and [[PartitionedSnapshots.delete]] rewrites only
+    * the partitions holding matches (a new manifest version through
+    * the commit protocol — pinned readers keep the deleted rows until
+    * vacuum). `canDeleteWhere` accepts exactly the filters
+    * [[SnapshotSqlCatalog.filterToColumn]] can express; anything else
+    * makes Spark refuse the DELETE up front instead of half-applying. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => SnapshotSqlCatalog.filterToColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val where = filters.toSeq
+      .map(f => SnapshotSqlCatalog.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"unsupported DELETE filter: $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    PartitionedSnapshots.delete(SparkSession.active, tablePath, where,
+      partCol, store)
+  }
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability](inner.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)
@@ -196,4 +274,37 @@ private[plans] class SnapshotWritableTable(
           }
       }
     }
+}
+
+object SnapshotSqlCatalog {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+  import org.apache.spark.sql.sources._
+
+  /** DSv1 Filter → Column for the DELETE push-through — the standard
+    * translatable subset; None makes `canDeleteWhere` refuse up front. */
+  private[plans] def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+        yield lc && rc
+    case Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r))
+        yield lc || rc
+    case Not(c) => filterToColumn(c).map(not)
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
 }

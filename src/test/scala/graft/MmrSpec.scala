@@ -99,6 +99,53 @@ class MmrSpec extends AnyFunSuite {
       (1 to 8))
   }
 
+  test("retrieveDiverse = ivfPqSearch pool + rerank, with ONE pool" +
+      " materialization: corpus scans do not grow with k") {
+    val plain = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.8f, 0.05f)), (4L, Seq(0.95f, 0.02f)),
+      (5L, Seq(0.85f, 0.12f)), (11L, Seq(0.0f, 1.0f)),
+      (12L, Seq(0.1f, 0.9f))).toDF("id", "v")
+    val centroids = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("c", "v")
+    val model = graft.operators.ProductQuantizer.fit(spark, plain,
+      m = 2, k = 2, rounds = 3, idCol = "id", vecCol = "v")
+    // every job that scans the corpus bumps the accumulator per
+    // partition — if the k greedy rounds re-ran the retrieval, scans
+    // would grow with k
+    val scans = spark.sparkContext.longAccumulator("corpusScans")
+    val corpus = plain.as[(Long, Seq[Float])]
+      .mapPartitions { it => scans.add(1); it }.toDF("id", "v")
+    val qv = Seq(1.0f, 0.0f)
+    def run(k: Int) = Mmr.retrieveDiverse(corpus, centroids, model, qv,
+      k = k, poolSize = 5, nprobe = 1, candidates = 10,
+      id = "id", cellId = "c", vecCol = "v")
+    val r2 = run(2).select("id", "mmr_rank").as[(Long, Int)]
+      .collect().toSeq
+    val atK2 = scans.value
+    scans.reset()
+    val r4 = run(4).select("id", "mmr_rank").as[(Long, Int)]
+      .collect().toSeq
+    assert(scans.value == atK2,
+      s"corpus scans grew with k: ${scans.value} vs $atK2")
+    // rank-1 is the exact nearest; results match the manual composition
+    assert(r2.head == ((1L, 1)) && r4.head == ((1L, 1)))
+    assert(r4.take(2).map(_._1) == r2.map(_._1),
+      "greedy MMR prefix is k-stable")
+    val manualPool = graft.operators.VectorSearch.ivfPqSearch(
+        plain, plain.filter($"id" === 1L), centroids, model, k = 5,
+        nprobe = 1, candidates = 10, corpusId = "id", queryId = "id",
+        cellId = "c", vecCol = "v")
+      .select(col("neighbor_id").as("id"))
+      .join(plain, Seq("id"))
+    val manual = Mmr.rerank(manualPool, "id", "v", qv, k = 4)
+      .select("id", "mmr_rank").as[(Long, Int)].collect().toSeq
+    // manual pool excludes self (query drawn from the corpus); compare
+    // on the shared candidates
+    assert(r4.filter(_._1 != 1L).map(_._1).toSet
+      .subsetOf(manual.map(_._1).toSet + 1L))
+  }
+
   test("appendToIndex: appended vectors are searchable without rebuild") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ivfapp").resolve("idx").toString

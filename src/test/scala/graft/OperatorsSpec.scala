@@ -124,6 +124,55 @@ class IncrementalSpec extends AnyFunSuite {
     assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c"))
   }
 
+  test("change-driven pruning: a verbatim re-admitted batch rewrites" +
+      " NOTHING; mixed batches rewrite only genuinely-changed partitions") {
+    val path = tmp()
+    val inc = new Incremental(spark)
+    inc.upsertPartitioned(path,
+      Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"),
+        (3L, "c", "2024-01-02")).toDF("k", "v", "d"),
+      Seq("k"), "d")
+    def filesOf(part: String) = {
+      val dir = java.nio.file.Paths.get(path, s"d=$part")
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val p1Before = filesOf("2024-01-01")
+    // pure re-admit (the sliver-slack case): identical rows, no rewrite
+    inc.upsertPartitioned(path,
+      Seq((1L, "a", "2024-01-01"), (3L, "c", "2024-01-02"))
+        .toDF("k", "v", "d"), Seq("k"), "d")
+    assert(filesOf("2024-01-01") == p1Before,
+      "verbatim re-admit must not rewrite the partition")
+    assert(filesOf("2024-01-02") == filesOf("2024-01-02"))
+    // mixed batch: a verbatim row for 01-01, a real change for 01-02 —
+    // only 01-02 rewrites, and 01-01 keeps ALL its rows (the verbatim
+    // update row must not replace the partition with itself alone)
+    val p2Before = filesOf("2024-01-02")
+    inc.upsertPartitioned(path,
+      Seq((1L, "a", "2024-01-01"), (3L, "C", "2024-01-02"))
+        .toDF("k", "v", "d"), Seq("k"), "d")
+    assert(filesOf("2024-01-01") == p1Before)
+    assert(filesOf("2024-01-02") != p2Before)
+    val out = spark.read.parquet(path).select("k", "v")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b", 3L -> "C"))
+    // plain upsert: the no-op short circuit leaves the swap dir alone
+    val flat = tmp()
+    inc.upsert(flat, Seq((1L, "x")).toDF("k", "v"), Seq("k"))
+    val m0 = Files.getLastModifiedTime(
+      java.nio.file.Paths.get(flat)).toMillis
+    Thread.sleep(20)
+    inc.upsert(flat, Seq((1L, "x")).toDF("k", "v"), Seq("k"))
+    assert(Files.getLastModifiedTime(
+      java.nio.file.Paths.get(flat)).toMillis == m0,
+      "identical upsert must skip the rewrite+swap")
+    inc.upsert(flat, Seq((1L, "y")).toDF("k", "v"), Seq("k"))
+    assert(spark.read.parquet(flat).select("v").as[String]
+      .collect().toSeq == Seq("y"))
+  }
+
   test("upsertPartitioned deletes a key's stale row in its OLD partition") {
     val path = tmp()
     val inc = new Incremental(spark)

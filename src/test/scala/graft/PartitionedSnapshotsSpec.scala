@@ -462,6 +462,47 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     assert(rows(t) == Set((1L, "A", "u1"), (3L, "A", "u3")))
   }
 
+  test("MERGE evolveSchema: a new source column lands (nulls for" +
+      " pre-existing rows); history and untouched partitions stay green") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq((1L, "A", "a1"), (2L, "A", "a2"),
+      (3L, "B", "b1")).toDF("k", "d", "v"), "d")
+    val src = Seq((2L, "A", "a2-upd", "extra-2"),
+      (9L, "A", "a9", "extra-9")).toDF("k", "d", "v", "note")
+    // without the flag the new column is silently usable but not landed
+    PS.merge(spark, t, src, Seq("k"), "d",
+      whenMatchedUpdate = Map("v" -> PS.source("v")))
+    assert(!PS.read(spark, t).columns.contains("note"))
+    // with the flag it lands: matched update + insert carry it, rows
+    // the source never touched read null
+    PS.merge(spark, t, src, Seq("k"), "d",
+      whenMatchedUpdate = Map("v" -> PS.source("v"),
+        "note" -> PS.source("note")),
+      evolveSchema = true)
+    val got = PS.read(spark, t)
+      .select("k", "v", "note")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, "a1", None), (2L, "a2-upd", Some("extra-2")),
+      (9L, "a9", Some("extra-9")), (3L, "b1", None)), s"$got")
+    // untouched partition B: old footers, still readable via mergeSchema
+    assert(PS.read(spark, t).filter(col("k") === 3L).count() == 1)
+    // pinned history (pre-evolution versions) reads green
+    assert(PS.readVersion(spark, t, 1L).columns.toSet ==
+      Set("k", "d", "v"))
+    assert(PS.readVersion(spark, t, 1L).count() == 3)
+    // a FURTHER merge on the evolved table touching only the old-footer
+    // partition still resolves the evolved column (null-filled)
+    PS.merge(spark, t, Seq((3L, "B", "b1-upd", "extra-3"))
+      .toDF("k", "d", "v", "note"), Seq("k"), "d",
+      whenMatchedUpdate = Map("v" -> PS.source("v"),
+        "note" -> PS.source("note")))
+    assert(PS.read(spark, t).filter(col("k") === 3L)
+      .select("v", "note").as[(String, String)].head() ==
+      (("b1-upd", "extra-3")))
+  }
+
   test("readWhere intersects zone-map and bloom survivors: combined" +
       " range+equality predicates prune harder than either alone") {
     val t = tmpTable()

@@ -147,6 +147,60 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("INSERT *"), e.getMessage)
   }
 
+  test("DELETE FROM / UPDATE rewrite only touched partitions through" +
+      " the commit protocol; versions advance; pinned readers isolated") {
+    val t = s"$root/dml"
+    PS.write(spark, t, Seq(
+      (1L, "A", "a1", 10), (2L, "A", "a2", 20),
+      (3L, "B", "b1", 30), (4L, "B", "b2", 40))
+      .toDF("k", "d", "v", "amt"), "d")
+    // DELETE: only partition A holds matches -> B's owner carries over
+    spark.sql("DELETE FROM snap.dml WHERE amt < 15")
+    assert(PS.currentVersion(t).contains(2L))
+    assert(spark.sql("SELECT k FROM snap.dml").as[Long]
+      .collect().toSet == Set(2L, 3L, 4L))
+    assert(PS.manifest(t, 2L)("__p=B") == 1L)
+    // UPDATE with expression over the row; only partition B rewrites
+    spark.sql("UPDATE snap.dml SET v = concat(v, '!'), amt = amt + 1" +
+      " WHERE d = 'B' AND amt >= 40")
+    assert(PS.currentVersion(t).contains(3L))
+    val got = spark.sql("SELECT k, v, amt FROM snap.dml")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got == Set((2L, "a2", 20), (3L, "b1", 30), (4L, "b2!", 41)),
+      s"$got")
+    assert(PS.manifest(t, 3L)("__p=A") == 2L, "A carried over")
+    // pinned reader pre-DML
+    assert(spark.sql("SELECT * FROM snap.dml VERSION AS OF 1")
+      .count() == 4)
+    // no-match UPDATE burns no version
+    spark.sql("UPDATE snap.dml SET amt = 0 WHERE k = 999")
+    assert(PS.currentVersion(t).contains(3L))
+  }
+
+  test("CREATE TABLE + first INSERT and CTAS establish v1 through the" +
+      " commit protocol") {
+    spark.sql("CREATE TABLE snap.created (k BIGINT, d STRING, v STRING)" +
+      " PARTITIONED BY (d)")
+    // declared-but-empty: reads as zero rows with the declared schema
+    assert(spark.sql("SELECT * FROM snap.created").count() == 0)
+    assert(spark.table("snap.created").columns.toSet ==
+      Set("k", "d", "v"))
+    spark.sql("INSERT INTO snap.created VALUES (1, 'A', 'a1')")
+    assert(PS.currentVersion(s"$root/created").contains(1L))
+    assert(spark.sql("SELECT v FROM snap.created").as[String]
+      .collect().toSeq == Seq("a1"))
+    // CTAS: create + write in one statement
+    spark.sql("CREATE TABLE snap.ctas PARTITIONED BY (d) AS" +
+      " SELECT k, v, d FROM snap.created")
+    assert(spark.sql("SELECT * FROM snap.ctas").count() == 1)
+    assert(PS.tableProps(s"$root/ctas").get("partCol").contains("d"))
+    // duplicate create refuses
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE snap.created (x INT) PARTITIONED BY (x)")
+    }
+    assert(e.getMessage.toLowerCase.contains("exists"), e.getMessage)
+  }
+
   test("listTables sees committed tables; mutations are refused") {
     spark.sql("SELECT 1").collect() // force catalog init via root
     val names = spark.sql("SHOW TABLES IN snap").select("tableName")
