@@ -18,7 +18,8 @@ import Dsl._
 object AnalyticsQ {
 
   def all: Seq[Q] = Seq(q61KmvOverlap, q62Funnel, q63KmvContainment,
-    q64TimeToConvert, q65RevenueGini, q66NewVsReturning)
+    q64TimeToConvert, q65RevenueGini, q66NewVsReturning,
+    q67OrderGaps, q68ParetoAbc)
 
   private val K = 64
 
@@ -483,4 +484,109 @@ object AnalyticsQ {
         / ${decSumSql("o_totalprice")} AS new_share
     FROM ranked GROUP BY strftime(o_orderdate, '%Y-%m')
     ORDER BY month"""))
+
+  /** Inter-purchase cadence by market segment: per-customer order gaps
+    * via a keyed lag window (one shuffle on o_custkey — the purchase
+    * history is already the partition), rolled up to segment stats
+    * through a broadcast dim join. Deterministic: same-instant orders
+    * tie-break on o_orderkey; the average divides an exact integer
+    * day-sum. The marketing "time between purchases" mart every
+    * commerce warehouse ships. */
+  val q67OrderGaps: Q = Q("q67_order_gaps", (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val gaps = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"),
+          col("prev").cast("date")).as("gap"))
+    val c = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    gaps.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("o_custkey")).as("repeat_customers"),
+        count(lit(1)).as("n_gaps"),
+        (sum(col("gap")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_gap_days"),
+        min(col("gap")).as("min_gap_days"),
+        max(col("gap")).as("max_gap_days"))
+      .orderBy(col("c_mktsegment"))
+  }, Some("""
+    WITH gaps AS (
+      SELECT o_custkey,
+        date_diff('day',
+          CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate ASC, o_orderkey ASC) AS DATE),
+          CAST(o_orderdate AS DATE)) AS gap
+      FROM orders)
+    SELECT c_mktsegment,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS repeat_customers,
+      CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS avg_gap_days,
+      CAST(MIN(gap) AS INT) AS min_gap_days,
+      CAST(MAX(gap) AS INT) AS max_gap_days
+    FROM gaps JOIN customer ON o_custkey = c_custkey
+    WHERE gap IS NOT NULL
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Pareto / ABC revenue classification of parts: rank parts by exact
+    * decimal revenue, label by cumulative share (A <= 80 %, B <= 95 %,
+    * C rest), report per class. Scale shape: the fact table pre-reduces
+    * to ONE row per part before anything global happens, so the
+    * single-partition running-sum window runs over catalog-cardinality
+    * rows (a dimension, not the fact) — the same pre-aggregate-first
+    * discipline as every q6x. Shares divide exact decimal sums, so the
+    * class boundaries are engine-deterministic. */
+  val q68ParetoAbc: Q = Q("q68_pareto_abc", (s, d) => {
+    val byPart = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(d2(col("l_extendedprice"))).as("rev_dec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rev_dec").desc, col("l_partkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val tot = byPart.agg(sum(col("rev_dec")).as("total_dec"))
+    byPart
+      .withColumn("running_dec", sum(col("rev_dec")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("share", col("running_dec").cast("double") /
+        col("total_dec").cast("double"))
+      .withColumn("abc_class",
+        when(col("share") <= 0.8, "A")
+          .when(col("share") <= 0.95, "B").otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev_dec")).cast("double").as("class_revenue"),
+        (sum(col("rev_dec")).cast("double") /
+          max(col("total_dec").cast("double"))).as("revenue_share"))
+      .orderBy(col("abc_class"))
+  }, Some("""
+    WITH by_part AS (
+      SELECT l_partkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(rev_dec) AS total_dec FROM by_part),
+    classed AS (
+      SELECT l_partkey, rev_dec, total_dec,
+        SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS running_dec
+      FROM by_part CROSS JOIN tot),
+    labeled AS (
+      SELECT *,
+        CASE WHEN CAST(running_dec AS DOUBLE) /
+            CAST(total_dec AS DOUBLE) <= 0.8 THEN 'A'
+          WHEN CAST(running_dec AS DOUBLE) /
+            CAST(total_dec AS DOUBLE) <= 0.95 THEN 'B'
+          ELSE 'C' END AS abc_class
+      FROM classed)
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      CAST(SUM(rev_dec) AS DOUBLE) AS class_revenue,
+      CAST(SUM(rev_dec) AS DOUBLE) / MAX(CAST(total_dec AS DOUBLE))
+        AS revenue_share
+    FROM labeled GROUP BY abc_class ORDER BY abc_class"""))
 }

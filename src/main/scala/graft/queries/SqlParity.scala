@@ -1218,5 +1218,110 @@ object SqlParity {
         COUNT(*) OVER (PARTITION BY kind, digest) AS n_copies,
         id = MIN(id) OVER (PARTITION BY kind, digest) AS is_canonical
       FROM m ORDER BY id""",
+
+    // the vector queries are SQL-expressible because dot_product is a
+    // registered SQL function (the SAME native codegen'd expression the
+    // engine of record uses — identical IEEE fold order, so doubles
+    // match bit-for-bit)
+    "s01_knn_brute" -> """
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(dot_product(embedding, embedding)) AS nrm
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+            FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, e.vec_id,
+          CASE WHEN qn = 0D OR nrm = 0D THEN NULL
+            ELSE dot_product(qv, embedding) / (qn * nrm) END AS cos
+        FROM q JOIN e ON query_id <> e.vec_id),
+      ranked AS (
+        SELECT query_id, vec_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id AS neighbor_id, cos
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank""",
+
+    "d05_embed_neardup" -> """
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(dot_product(embedding, embedding)) AS nrm
+        FROM embeddings)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        CASE WHEN a.nrm = 0D OR b.nrm = 0D THEN NULL
+          ELSE dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm)
+          END AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE CASE WHEN a.nrm = 0D OR b.nrm = 0D THEN NULL
+        ELSE dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm)
+        END >= 0.4D
+      ORDER BY vec_a, vec_b""",
+
+    "t10_tfidf" -> """
+      WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, explode(filter(split(lower(text), ' +'),
+          x -> length(x) > 0)) AS term FROM documents) toks
+        GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, tf.term, tf, df,
+          CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+            CAST(df AS DOUBLE) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tf, df, score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS rnk
+        FROM scored)
+      SELECT doc_id, rnk, term, tf, df, score
+      FROM ranked WHERE rnk <= 3
+      ORDER BY doc_id, rnk""",
+
+    "q67_order_gaps" -> """
+      WITH gaps AS (
+        SELECT o_custkey,
+          datediff(CAST(o_orderdate AS DATE),
+            CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate ASC, o_orderkey ASC) AS DATE)) AS gap
+        FROM orders)
+      SELECT c_mktsegment,
+        COUNT(DISTINCT o_custkey) AS repeat_customers,
+        COUNT(*) AS n_gaps,
+        CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS avg_gap_days,
+        MIN(gap) AS min_gap_days, MAX(gap) AS max_gap_days
+      FROM gaps JOIN customer ON o_custkey = c_custkey
+      WHERE gap IS NOT NULL
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q68_pareto_abc" -> """
+      WITH by_part AS (
+        SELECT l_partkey,
+          SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev_dec
+        FROM lineitem GROUP BY l_partkey),
+      tot AS (SELECT SUM(rev_dec) AS total_dec FROM by_part),
+      classed AS (
+        SELECT l_partkey, rev_dec, total_dec,
+          SUM(rev_dec) OVER (ORDER BY rev_dec DESC, l_partkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS running_dec
+        FROM by_part CROSS JOIN tot),
+      labeled AS (
+        SELECT *,
+          CASE WHEN CAST(running_dec AS DOUBLE) /
+              CAST(total_dec AS DOUBLE) <= 0.8D THEN 'A'
+            WHEN CAST(running_dec AS DOUBLE) /
+              CAST(total_dec AS DOUBLE) <= 0.95D THEN 'B'
+            ELSE 'C' END AS abc_class
+        FROM classed)
+      SELECT abc_class, COUNT(*) AS n_parts,
+        CAST(SUM(rev_dec) AS DOUBLE) AS class_revenue,
+        CAST(SUM(rev_dec) AS DOUBLE) / MAX(CAST(total_dec AS DOUBLE))
+          AS revenue_share
+      FROM labeled GROUP BY abc_class ORDER BY abc_class""",
   )
 }

@@ -18,6 +18,7 @@ class SqlParitySpec extends AnyFunSuite {
     }
     Tables.events(spark, sf).createOrReplaceTempView("events")
     Tables.documents(spark, sf).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, sf).createOrReplaceTempView("embeddings")
   }
 
   SqlParity.sql.foreach { case (name, text) =>
