@@ -103,6 +103,7 @@ object Snapshots {
       whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
       whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
       insertNotMatched: Boolean = true,
+      insertCond: Option[org.apache.spark.sql.Column] = None,
       store: CommitStore = CommitStore.local): Long =
     Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
       val cur = currentVersion(tablePath, store).getOrElse(
@@ -112,9 +113,28 @@ object Snapshots {
         .parquet(versionDir(tablePath, cur))
       val resolved = MergeClauses.resolve(tgt, src, keys,
         tgt.columns.toSeq, whenMatchedUpdate, whenMatchedDelete,
-        insertNotMatched).localCheckpoint()
+        insertNotMatched, insertCond).localCheckpoint()
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
       resolved.write.mode(SaveMode.Overwrite)
+        .parquet(versionDir(tablePath, v))
+      commitPointer(tablePath, v, store)
+      v
+    }
+
+  /** Plain APPEND (SQL INSERT INTO semantics) as a new full-copy
+    * version: current rows ∪ new rows — the right trade at dimension
+    * scale, where a version IS a self-contained table copy. */
+  def append(spark: SparkSession, tablePath: String, rows: DataFrame,
+      store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
+      val merged = currentVersion(tablePath, store) match {
+        case Some(cur) => spark.read.option("mergeSchema", "true")
+          .parquet(versionDir(tablePath, cur))
+          .unionByName(rows, allowMissingColumns = true)
+        case None => rows
+      }
+      val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
+      merged.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, v))
       commitPointer(tablePath, v, store)
       v

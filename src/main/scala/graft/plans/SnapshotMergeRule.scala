@@ -34,19 +34,59 @@ import org.apache.spark.sql.graft.Bridge
   *    either order, each optionally conditional;
   *  - one WHEN NOT MATCHED INSERT whose values are the matching source
   *    columns (the `INSERT *` shape), optionally conditional;
-  *  - WHEN NOT MATCHED BY SOURCE and schema evolution are refused.
+  *  - WITH SCHEMA EVOLUTION lowers to merge(evolveSchema = true) —
+  *    evolved assignment keys name source columns; WHEN NOT MATCHED BY
+  *    SOURCE is refused.
   */
 class SnapshotMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case m: MergeIntoTable if m.resolved && targetOf(m.targetTable).isDefined =>
       convert(m, targetOf(m.targetTable).get)
-    case u: UpdateTable if u.resolved && targetOf(u.table).isDefined =>
-      convertUpdate(u, targetOf(u.table).get)
+    // WITH SCHEMA EVOLUTION can never fully resolve here — an evolved
+    // assignment key names a column the target does not have yet — so
+    // the plan is intercepted as soon as everything ELSE is resolved
+    // (the evolved keys are validated against the source's columns;
+    // the lowered merge widens the target before applying them)
+    case m: MergeIntoTable
+        if m.withSchemaEvolution && targetOf(m.targetTable).isDefined &&
+          evolutionReady(m) =>
+      convert(m, targetOf(m.targetTable).get)
+    case u: UpdateTable if u.resolved && targetOf(u.table)
+        .exists(_.isInstanceOf[SnapshotWritableTable]) =>
+      convertUpdate(u, targetOf(u.table).get
+        .asInstanceOf[SnapshotWritableTable])
     case _ => plan
   }
 
-  private def targetOf(plan: LogicalPlan): Option[SnapshotWritableTable] = {
+  /** An evolution merge is convertible once relations, the ON clause,
+    * every action condition/value, and every NON-evolved assignment key
+    * are resolved; the only unresolved leaves allowed are single-part
+    * assignment keys naming SOURCE columns (the columns being added). */
+  private def evolutionReady(m: MergeIntoTable): Boolean = {
+    val srcCols = m.sourceTable.output.map(_.name).toSet
+    def keyOk(k: Expression): Boolean = k match {
+      case _: AttributeReference => true
+      case u: UnresolvedAttribute =>
+        u.nameParts.size == 1 && srcCols.contains(u.nameParts.head)
+      case _ => false
+    }
+    def actionOk(a: org.apache.spark.sql.catalyst.plans.logical.MergeAction)
+        : Boolean = a match {
+      case UpdateAction(c, as, _) => c.forall(_.resolved) &&
+        as.forall(x => x.value.resolved && keyOk(x.key))
+      case DeleteAction(c) => c.forall(_.resolved)
+      case InsertAction(c, as) => c.forall(_.resolved) &&
+        as.forall(x => x.value.resolved && keyOk(x.key))
+      case _ => false
+    }
+    m.targetTable.resolved && m.sourceTable.resolved &&
+      m.mergeCondition.resolved &&
+      (m.matchedActions ++ m.notMatchedActions ++
+        m.notMatchedBySourceActions).forall(actionOk)
+  }
+
+  private def targetOf(plan: LogicalPlan): Option[SnapshotDmlTable] = {
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
         strip(a.child)
@@ -54,7 +94,7 @@ class SnapshotMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     strip(plan) match {
       case r: DataSourceV2Relation => r.table match {
-        case t: SnapshotWritableTable => Some(t)
+        case t: SnapshotDmlTable => Some(t)
         case _ => None
       }
       case _ => None
@@ -84,14 +124,11 @@ class SnapshotMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       s"MERGE INTO snapshot table: $msg")
 
   private def convert(m: MergeIntoTable,
-      t: SnapshotWritableTable): LogicalPlan = {
+      t: SnapshotDmlTable): LogicalPlan = {
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("WHEN NOT MATCHED BY SOURCE is not supported (the snapshot " +
         "merge touches only source-addressed partitions; rewrite as a " +
         "separate predicate delete)")
-    if (m.withSchemaEvolution)
-      fail("WITH SCHEMA EVOLUTION is not supported through SQL; use " +
-        "PartitionedSnapshots.upsert (it evolves the schema)")
     val tgtSet = m.targetTable.outputSet
     val srcSet = m.sourceTable.outputSet
 
@@ -122,19 +159,30 @@ class SnapshotMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         s"target.k = source.k same-name equalities, got: ${other.sql}")
     }
 
+    // assignment keys: resolved target attrs, or — under WITH SCHEMA
+    // EVOLUTION — bare names of source columns being added
+    def keyName(k: Expression): String = k match {
+      case a: AttributeReference => a.name
+      case u: UnresolvedAttribute
+          if m.withSchemaEvolution && u.nameParts.size == 1 &&
+            m.sourceTable.output.exists(_.name == u.nameParts.head) =>
+        u.nameParts.head
+      case other =>
+        fail("UPDATE/INSERT must assign plain target columns (or, " +
+          s"WITH SCHEMA EVOLUTION, new source columns), got: ${other.sql}")
+    }
+
     def updMap(cond: Option[Expression],
         assigns: Seq[Assignment]): Map[String, Column] =
-      assigns.map {
-        case Assignment(k: AttributeReference, v) =>
-          val value = cond match {
-            case None => xlate(v)
-            // NULL condition = clause does not fire (row keeps target)
-            case Some(c) => If(Coalesce(Seq(xlate(c), Literal(false))),
-              xlate(v), UnresolvedAttribute(Seq(s"__t_${k.name}")))
-          }
-          k.name -> Bridge.toColumn(value)
-        case Assignment(k, _) =>
-          fail(s"UPDATE SET must assign plain target columns, got: ${k.sql}")
+      assigns.map { asg =>
+        val name = keyName(asg.key)
+        val value = cond match {
+          case None => xlate(asg.value)
+          // NULL condition = clause does not fire (row keeps target)
+          case Some(c) => If(Coalesce(Seq(xlate(c), Literal(false))),
+            xlate(asg.value), UnresolvedAttribute(Seq(s"__t_$name")))
+        }
+        name -> Bridge.toColumn(value)
       }.toMap
 
     val (update, delete) = m.matchedActions match {
@@ -163,13 +211,15 @@ class SnapshotMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val (insert, insertCond) = m.notMatchedActions match {
       case Seq() => (false, None)
       case Seq(InsertAction(c, assigns)) =>
-        assigns.foreach {
-          case Assignment(k: AttributeReference, v: AttributeReference)
-              if srcSet.contains(v) && v.name == k.name => ()
-          case Assignment(k, v) =>
-            fail("INSERT values must be the matching source columns " +
-              s"(the INSERT * shape), got ${v.sql} for ${k.sql}; " +
-              "project the USING side instead")
+        assigns.foreach { asg =>
+          asg.value match {
+            case v: AttributeReference
+                if srcSet.contains(v) && v.name == keyName(asg.key) => ()
+            case v =>
+              fail("INSERT values must be the matching source columns " +
+                s"(the INSERT * shape), got ${v.sql} for " +
+                s"${asg.key.sql}; project the USING side instead")
+          }
         }
         (true, c.map(e => Bridge.toColumn(Coalesce(Seq(xlate(e),
           Literal(false))))))
@@ -178,7 +228,7 @@ class SnapshotMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 
     SnapshotMergeCommand(t.tablePath, keys, m.sourceTable,
-      update, delete, insert, insertCond, t)
+      update, delete, insert, insertCond, m.withSchemaEvolution, t)
   }
 }
 
@@ -190,16 +240,14 @@ case class SnapshotMergeCommand(
     tablePath: String, keys: Seq[String], source: LogicalPlan,
     update: Map[String, Column], delete: Option[Column],
     insertNotMatched: Boolean, insertCond: Option[Column],
-    table: SnapshotWritableTable) extends LeafRunnableCommand {
+    evolveSchema: Boolean,
+    table: SnapshotDmlTable) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(source)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    PartitionedSnapshots.merge(spark, tablePath,
-      Bridge.ofRows(spark, source), keys, table.partCol,
-      whenMatchedUpdate = update, whenMatchedDelete = delete,
-      insertNotMatched = insertNotMatched, insertCond = insertCond,
-      store = table.store)
+    table.runMerge(spark, keys, Bridge.ofRows(spark, source),
+      update, delete, insertNotMatched, insertCond, evolveSchema)
     Nil
   }
 }

@@ -40,13 +40,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * owner-resolved partition dirs, a full-copy Snapshots table to its
   * version dir; scans stay NATIVE parquet either way.
   *
-  * Writes (partitioned-format tables only): every SQL mutation routes
-  * through the PartitionedSnapshots commit protocol — single-writer
-  * lock, touched-partition data write, manifest, atomic pointer flip —
-  * via [[SnapshotWritableTable]] (INSERT/DELETE/UPDATE…) and
-  * [[SnapshotMergeRule]] (MERGE INTO). There is NO path that bypasses
-  * the protocol: full-copy tables and time-travel loads stay
-  * read-only, and ALTER/DROP/RENAME are refused. */
+  * Writes: every SQL mutation routes through the operator commit
+  * protocol. Partitioned-format tables ([[SnapshotWritableTable]])
+  * take the full surface — INSERT, MERGE (incl. WITH SCHEMA
+  * EVOLUTION), UPDATE, DELETE — with single-writer lock,
+  * touched-partition data write, manifest, atomic pointer flip;
+  * full-copy tables ([[FullCopyWritableTable]]) take INSERT and MERGE
+  * as whole-version copies (the dimension-scale trade). There is NO
+  * path that bypasses the protocol: time-travel loads stay read-only
+  * and ALTER/DROP/RENAME are refused. */
 class SnapshotSqlCatalog extends TableCatalog {
 
   private var catalogName: String = _
@@ -77,9 +79,14 @@ class SnapshotSqlCatalog extends TableCatalog {
     else f"$t/_snapshots/v$v%05d" :: Nil
   }
 
+  // mergeSchema: an evolved table's partitions legitimately carry
+  // mixed footers (pre-/post-evolution); the union schema is the
+  // table's schema — same contract as the operator read path
   private def tableFor(ident: Identifier, v: Long): Table =
     ParquetTable(s"$catalogName.${ident.name}@v$v", SparkSession.active,
-      CaseInsensitiveStringMap.empty(), dirsOf(pathOf(ident), v), None,
+      new CaseInsensitiveStringMap(
+        java.util.Map.of("mergeSchema", "true")),
+      dirsOf(pathOf(ident), v), None,
       classOf[ParquetFileFormat])
 
   override def loadTable(ident: Identifier): Table = {
@@ -87,14 +94,16 @@ class SnapshotSqlCatalog extends TableCatalog {
     currentOf(t) match {
       case Some(v) =>
         val inner = tableFor(ident, v)
-        // the CURRENT version of a partitioned-format table is writable
-        // (INSERT INTO / INSERT OVERWRITE / intercepted MERGE INTO —
-        // all routed through the operator commit protocol); time-travel
-        // loads and full-copy tables stay read-only
+        // the CURRENT version of either format is writable (INSERT /
+        // intercepted MERGE via the operator commit protocol; the
+        // partitioned format additionally takes UPDATE/DELETE);
+        // time-travel loads stay read-only
         if (PartitionedSnapshots.manifest(t, v, store).nonEmpty)
           new SnapshotWritableTable(
             inner.asInstanceOf[ParquetTable], t, store)
-        else inner
+        else
+          new FullCopyWritableTable(
+            inner.asInstanceOf[ParquetTable], t, store)
       case None =>
         // declared-but-empty table (CREATE TABLE before any write):
         // serve the declared schema over zero files; the first INSERT
@@ -209,11 +218,38 @@ class SnapshotSqlCatalog extends TableCatalog {
   * ([[PartitionedSnapshots.tableProps]], written by every operator
   * write) — a table never written through the operators has no layout
   * and refuses SQL writes with instructions. */
+/** Common face of the writable snapshot tables — what the SQL DML
+  * lowering ([[SnapshotMergeRule]]) needs: the table path, the store
+  * binding, and a merge entry point that routes to the right format. */
+private[plans] sealed trait SnapshotDmlTable extends Table {
+  def tablePath: String
+  def store: CommitStore
+  def runMerge(spark: SparkSession, keys: Seq[String], src: DataFrame,
+      update: Map[String, org.apache.spark.sql.Column],
+      delete: Option[org.apache.spark.sql.Column],
+      insertNotMatched: Boolean,
+      insertCond: Option[org.apache.spark.sql.Column],
+      evolveSchema: Boolean): Unit
+}
+
 private[plans] class SnapshotWritableTable(
     val inner: ParquetTable, val tablePath: String,
     val store: CommitStore)
-  extends Table with SupportsRead with SupportsWrite
+  extends SnapshotDmlTable with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  override def runMerge(spark: SparkSession, keys: Seq[String],
+      src: DataFrame, update: Map[String, org.apache.spark.sql.Column],
+      delete: Option[org.apache.spark.sql.Column],
+      insertNotMatched: Boolean,
+      insertCond: Option[org.apache.spark.sql.Column],
+      evolveSchema: Boolean): Unit = {
+    PartitionedSnapshots.merge(spark, tablePath, src, keys, partCol,
+      whenMatchedUpdate = update, whenMatchedDelete = delete,
+      insertNotMatched = insertNotMatched, insertCond = insertCond,
+      evolveSchema = evolveSchema, store = store)
+    ()
+  }
 
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
@@ -244,6 +280,10 @@ private[plans] class SnapshotWritableTable(
     val caps = new java.util.HashSet[TableCapability](inner.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)
     caps.add(TableCapability.TRUNCATE)
+    // lets the analyzer resolve MERGE … WITH SCHEMA EVOLUTION against
+    // the source-widened target; the lowered merge then widens the
+    // stored schema (merge(evolveSchema = true))
+    caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     caps
   }
   override def newScanBuilder(
@@ -307,4 +347,61 @@ object SnapshotSqlCatalog {
     case _: AlwaysFalse => Some(lit(false))
     case _ => None
   }
+}
+
+/** SQL writes for a FULL-COPY (Snapshots) table — the dimension-scale
+  * format where each version is a self-contained copy: `INSERT INTO` →
+  * [[Snapshots.append]], `INSERT OVERWRITE` → [[Snapshots.write]],
+  * `MERGE INTO` → [[Snapshots.merge]] (via [[SnapshotMergeRule]]).
+  * UPDATE/DELETE and schema-evolving MERGE stay with the partitioned
+  * format (re-materialize a dimension with INSERT OVERWRITE instead). */
+private[plans] class FullCopyWritableTable(
+    val inner: ParquetTable, val tablePath: String,
+    val store: CommitStore)
+  extends SnapshotDmlTable with SupportsRead with SupportsWrite {
+
+  override def name(): String = inner.name
+  override def schema(): StructType = inner.schema
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability](inner.capabilities())
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps.add(TableCapability.TRUNCATE)
+    caps
+  }
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    inner.newScanBuilder(options)
+
+  override def runMerge(spark: SparkSession, keys: Seq[String],
+      src: DataFrame, update: Map[String, org.apache.spark.sql.Column],
+      delete: Option[org.apache.spark.sql.Column],
+      insertNotMatched: Boolean,
+      insertCond: Option[org.apache.spark.sql.Column],
+      evolveSchema: Boolean): Unit = {
+    if (evolveSchema)
+      throw new UnsupportedOperationException(
+        "WITH SCHEMA EVOLUTION is not supported on full-copy snapshot " +
+          "tables — INSERT OVERWRITE the re-shaped dimension instead")
+    Snapshots.merge(spark, tablePath, src, keys,
+      whenMatchedUpdate = update, whenMatchedDelete = delete,
+      insertNotMatched = insertNotMatched, insertCond = insertCond,
+      store = store)
+    ()
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit =
+              if (overwrite)
+                Snapshots.write(data.sparkSession, tablePath, data, store)
+              else
+                Snapshots.append(data.sparkSession, tablePath, data, store)
+          }
+      }
+    }
 }

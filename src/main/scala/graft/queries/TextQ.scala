@@ -24,7 +24,7 @@ object TextQ {
     t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample,
     t12Decontaminate, t13ChunkOverlap, t14Repetition, t15RareTokens,
     t16TrigramNovelty, t17TokenGini, t18BigramLm, t19ImportanceWeight,
-    t20BpePairs)
+    t20BpePairs, t21LmDocScore)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -892,4 +892,93 @@ object TextQ {
       FROM pos)
     SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt FROM pairs
     GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"""))
+
+  /** Per-document FLUENCY scoring under the corpus bigram LM — the
+    * KenLM-style quality filter of every pretraining pipeline (score
+    * each doc by how typical its token transitions are), kept
+    * oracle-exact by reporting order-free statistics instead of a
+    * summed log-prob (float sums are partition-order-dependent; counts,
+    * int-compared ratios, and min/max of identical divisions are not):
+    * per doc — n_bigrams, n_singleton (transitions occurring once in
+    * the whole corpus), n_common (conditional probability >= 0.1,
+    * decided by the EXACT integer test 10·c >= n_prev), min/max
+    * conditional probability, and the fluency/novelty ratios. Scale
+    * shape: the LM is the (prev,next)-count table — vocabulary², built
+    * once with map-side combine; docs join it on the bigram key, so
+    * the heavy side shuffles by bigram, never by doc payload. */
+  val t21LmDocScore: Q = Q("t21_lm_doc_score", (s, d) => {
+    val docs = Tables.documents(s, d)
+    val docGrams = docs
+      .select(col("doc_id"), explode(graft.functions.TextExprs.shingles(
+        tokens(col("text")), 2)).as("g"))
+      .select(col("doc_id"),
+        split(col("g"), " ").getItem(0).as("prev_tok"),
+        split(col("g"), " ").getItem(1).as("next_tok"))
+    val lm = docGrams.groupBy(col("prev_tok"), col("next_tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_prev", sum(col("c")).over(
+        Window.partitionBy(col("prev_tok"))))
+    val scored = docGrams.join(lm, Seq("prev_tok", "next_tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singleton"),
+        sum(when(col("c") * 10 >= col("n_prev"), 1L).otherwise(0L))
+          .as("n_common"),
+        min(col("c").cast("double") / col("n_prev").cast("double"))
+          .as("min_p"),
+        max(col("c").cast("double") / col("n_prev").cast("double"))
+          .as("max_p"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_singleton"), lit(0L)).as("n_singleton"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        col("min_p"), col("max_p"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(col("n_common").cast("double") /
+            col("n_bigrams").cast("double")).as("fluency_ratio"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(col("n_singleton").cast("double") /
+            col("n_bigrams").cast("double")).as("novelty_ratio"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'),
+        x -> len(x) > 0) AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, t[i] AS prev_tok, t[i + 1] AS next_tok
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+    lm AS (
+      SELECT prev_tok, next_tok, COUNT(*) AS c
+      FROM grams GROUP BY prev_tok, next_tok),
+    lm2 AS (
+      SELECT prev_tok, next_tok, c,
+        CAST(SUM(c) OVER (PARTITION BY prev_tok) AS BIGINT) AS n_prev
+      FROM lm),
+    scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_singleton,
+        CAST(SUM(CASE WHEN c * 10 >= n_prev THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_common,
+        MIN(CAST(c AS DOUBLE) / CAST(n_prev AS DOUBLE)) AS min_p,
+        MAX(CAST(c AS DOUBLE) / CAST(n_prev AS DOUBLE)) AS max_p
+      FROM grams JOIN lm2 USING (prev_tok, next_tok)
+      GROUP BY doc_id)
+    SELECT d.doc_id,
+      COALESCE(n_bigrams, 0) AS n_bigrams,
+      COALESCE(n_singleton, 0) AS n_singleton,
+      COALESCE(n_common, 0) AS n_common,
+      min_p, max_p,
+      CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN NULL
+        ELSE CAST(n_common AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        END AS fluency_ratio,
+      CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN NULL
+        ELSE CAST(n_singleton AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+        END AS novelty_ratio
+    FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+    ORDER BY d.doc_id"""))
 }

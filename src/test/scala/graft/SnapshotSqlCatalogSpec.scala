@@ -59,6 +59,30 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       .as[String].collect().toSeq == Seq("x"))
   }
 
+  test("full-copy tables take SQL INSERT and MERGE through the" +
+      " version-copy commit protocol") {
+    val t = s"$root/dim2"
+    Snapshots.write(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    spark.sql("INSERT INTO snap.dim2 VALUES (3, 'c')")
+    assert(Snapshots.currentVersion(t).contains(2L))
+    assert(spark.sql("SELECT * FROM snap.dim2").count() == 3)
+    Seq((2L, "B"), (4L, "d")).toDF("id", "name")
+      .createOrReplaceTempView("dim2_src")
+    spark.sql("""
+      MERGE INTO snap.dim2 t USING dim2_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET name = s.name
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val got = spark.sql("SELECT id, name FROM snap.dim2")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")), s"$got")
+    // history intact; pinned reads unaffected
+    assert(spark.sql("SELECT * FROM snap.dim2 VERSION AS OF 1")
+      .count() == 2)
+    spark.sql("INSERT OVERWRITE snap.dim2 VALUES (9, 'z')")
+    assert(spark.sql("SELECT * FROM snap.dim2").count() == 1)
+  }
+
   test("VERSION AS OF refuses staged-but-unpublished (WAP) versions" +
       " above the commit pointer") {
     val t = s"$root/wap"
@@ -199,6 +223,28 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       spark.sql("CREATE TABLE snap.created (x INT) PARTITIONED BY (x)")
     }
     assert(e.getMessage.toLowerCase.contains("exists"), e.getMessage)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION lands a new source column via SQL") {
+    val t = s"$root/evo"
+    PS.write(spark, t, Seq((1L, "A", "v1"), (3L, "B", "v3"))
+      .toDF("k", "d", "v"), "d")
+    Seq((1L, "A", "v1u", "n1"), (2L, "A", "v2", "n2"))
+      .toDF("k", "d", "v", "note").createOrReplaceTempView("evo_src")
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO snap.evo t USING evo_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v, note = s.note
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val got = spark.sql("SELECT k, v, note FROM snap.evo")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    assert(got == Set((1L, "v1u", Some("n1")), (2L, "v2", Some("n2")),
+      (3L, "v3", None)), s"$got")
+    // pre-evolution history still reads with its own schema
+    assert(spark.sql("SELECT * FROM snap.evo VERSION AS OF 1")
+      .columns.toSet == Set("k", "d", "v"))
   }
 
   test("listTables sees committed tables; mutations are refused") {
