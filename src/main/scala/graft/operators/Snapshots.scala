@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 
 /** Snapshot-versioned tables: MVCC + time travel on plain parquet via a
   * MANIFEST-COMMIT protocol — the second half of the concurrent-safety
@@ -116,6 +116,54 @@ object Snapshots {
         insertNotMatched, insertCond).localCheckpoint()
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
       resolved.write.mode(SaveMode.Overwrite)
+        .parquet(versionDir(tablePath, v))
+      commitPointer(tablePath, v, store)
+      v
+    }
+
+  /** Predicate UPDATE as a new full-copy version (SQL `UPDATE … SET …
+    * WHERE …`): matching rows get the assignments recomputed (a NULL
+    * predicate row is NOT updated), everything rewrites as one copy —
+    * dimension-scale semantics, like every op on this format. */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      where: org.apache.spark.sql.Column,
+      store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
+      val cur = currentVersion(tablePath, store).getOrElse(
+        throw new IllegalStateException(
+          s"$tablePath has no committed snapshot"))
+      val tgt = spark.read.option("mergeSchema", "true")
+        .parquet(versionDir(tablePath, cur))
+      val hit = coalesce(where, lit(false))
+      val updated = tgt.select(tgt.columns.toSeq.map { c =>
+        set.get(c) match {
+          case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
+      updated.write.mode(SaveMode.Overwrite)
+        .parquet(versionDir(tablePath, v))
+      commitPointer(tablePath, v, store)
+      v
+    }
+
+  /** Predicate DELETE as a new full-copy version (SQL `DELETE FROM …
+    * WHERE …`): surviving rows rewrite as one copy; NULL-predicate
+    * rows survive (three-valued logic). */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      where: org.apache.spark.sql.Column,
+      store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
+      val cur = currentVersion(tablePath, store).getOrElse(
+        throw new IllegalStateException(
+          s"$tablePath has no committed snapshot"))
+      val kept = spark.read.option("mergeSchema", "true")
+        .parquet(versionDir(tablePath, cur))
+        .filter(!coalesce(where, lit(false)))
+      val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
+      kept.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, v))
       commitPointer(tablePath, v, store)
       v

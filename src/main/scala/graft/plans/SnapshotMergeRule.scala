@@ -52,10 +52,8 @@ class SnapshotMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if m.withSchemaEvolution && targetOf(m.targetTable).isDefined &&
           evolutionReady(m) =>
       convert(m, targetOf(m.targetTable).get)
-    case u: UpdateTable if u.resolved && targetOf(u.table)
-        .exists(_.isInstanceOf[SnapshotWritableTable]) =>
-      convertUpdate(u, targetOf(u.table).get
-        .asInstanceOf[SnapshotWritableTable])
+    case u: UpdateTable if u.resolved && targetOf(u.table).isDefined =>
+      convertUpdate(u, targetOf(u.table).get)
     case _ => plan
   }
 
@@ -105,7 +103,7 @@ class SnapshotMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * ([[PartitionedSnapshots.updateWhere]]): a single-frame command, so
     * attrs resolve by plain name — no `__t_`/`__s_` aliasing. */
   private def convertUpdate(u: UpdateTable,
-      t: SnapshotWritableTable): LogicalPlan = {
+      t: SnapshotDmlTable): LogicalPlan = {
     def plain(e: Expression): Expression = e.transform {
       case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
     }
@@ -256,11 +254,10 @@ case class SnapshotMergeCommand(
   * recorded partition layout. */
 case class SnapshotUpdateCommand(
     tablePath: String, set: Map[String, Column], where: Column,
-    table: SnapshotWritableTable) extends LeafRunnableCommand {
+    table: SnapshotDmlTable) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    PartitionedSnapshots.updateWhere(spark, tablePath, set, where,
-      table.partCol, table.store)
+    table.runUpdate(spark, set, where)
     Nil
   }
 }

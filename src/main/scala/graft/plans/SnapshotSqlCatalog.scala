@@ -230,6 +230,9 @@ private[plans] sealed trait SnapshotDmlTable extends Table {
       insertNotMatched: Boolean,
       insertCond: Option[org.apache.spark.sql.Column],
       evolveSchema: Boolean): Unit
+  def runUpdate(spark: SparkSession,
+      set: Map[String, org.apache.spark.sql.Column],
+      where: org.apache.spark.sql.Column): Unit
 }
 
 private[plans] class SnapshotWritableTable(
@@ -248,6 +251,14 @@ private[plans] class SnapshotWritableTable(
       whenMatchedUpdate = update, whenMatchedDelete = delete,
       insertNotMatched = insertNotMatched, insertCond = insertCond,
       evolveSchema = evolveSchema, store = store)
+    ()
+  }
+
+  override def runUpdate(spark: SparkSession,
+      set: Map[String, org.apache.spark.sql.Column],
+      where: org.apache.spark.sql.Column): Unit = {
+    PartitionedSnapshots.updateWhere(spark, tablePath, set, where,
+      partCol, store)
     ()
   }
 
@@ -353,15 +364,40 @@ object SnapshotSqlCatalog {
   * format where each version is a self-contained copy: `INSERT INTO` →
   * [[Snapshots.append]], `INSERT OVERWRITE` → [[Snapshots.write]],
   * `MERGE INTO` → [[Snapshots.merge]] (via [[SnapshotMergeRule]]).
-  * UPDATE/DELETE and schema-evolving MERGE stay with the partitioned
-  * format (re-materialize a dimension with INSERT OVERWRITE instead). */
+  * `UPDATE`/`DELETE FROM` rewrite the whole copy ([[Snapshots
+  * .updateWhere]]/[[Snapshots.deleteWhere]]); only schema-evolving
+  * MERGE stays partitioned-format-only. */
 private[plans] class FullCopyWritableTable(
     val inner: ParquetTable, val tablePath: String,
     val store: CommitStore)
-  extends SnapshotDmlTable with SupportsRead with SupportsWrite {
+  extends SnapshotDmlTable with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = inner.name
   override def schema(): StructType = inner.schema
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => SnapshotSqlCatalog.filterToColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val where = filters.toSeq
+      .map(f => SnapshotSqlCatalog.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"unsupported DELETE filter: $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Snapshots.deleteWhere(SparkSession.active, tablePath, where, store)
+    ()
+  }
+
+  override def runUpdate(spark: SparkSession,
+      set: Map[String, org.apache.spark.sql.Column],
+      where: org.apache.spark.sql.Column): Unit = {
+    Snapshots.updateWhere(spark, tablePath, set, where, store)
+    ()
+  }
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability](inner.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)

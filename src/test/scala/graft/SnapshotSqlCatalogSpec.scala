@@ -79,6 +79,13 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     // history intact; pinned reads unaffected
     assert(spark.sql("SELECT * FROM snap.dim2 VERSION AS OF 1")
       .count() == 2)
+    // UPDATE / DELETE rewrite the whole copy as new versions
+    spark.sql("UPDATE snap.dim2 SET name = upper(name) WHERE id <= 2")
+    assert(spark.sql("SELECT name FROM snap.dim2 ORDER BY id")
+      .as[String].collect().toSeq == Seq("A", "B", "c", "d"))
+    spark.sql("DELETE FROM snap.dim2 WHERE id = 4")
+    assert(spark.sql("SELECT id FROM snap.dim2").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L))
     spark.sql("INSERT OVERWRITE snap.dim2 VALUES (9, 'z')")
     assert(spark.sql("SELECT * FROM snap.dim2").count() == 1)
   }
