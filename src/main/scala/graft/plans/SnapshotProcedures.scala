@@ -1,0 +1,152 @@
+package graft.plans
+
+import graft.operators.{CommitStore, PartitionedSnapshots, Snapshots}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, DataTypes, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL MAINTENANCE PROCEDURES for the snapshot catalog — the lakehouse
+  * operations console (`OPTIMIZE`/`VACUUM`-class commands), wired
+  * through Spark 4's DSv2 [[ProcedureCatalog]] seam (SPARK-44167), so
+  * they parse natively:
+  *
+  * {{{
+  * CALL snap.system.history(table => 'sales')
+  * CALL snap.system.vacuum(table => 'sales', keep => 3)
+  * CALL snap.system.compact(table => 'sales', min_files => 2)
+  * CALL snap.system.compact(table => 'sales', zorder_by => 'k,u')
+  * CALL snap.system.restore(table => 'sales', version => 2)
+  * CALL snap.system.publish(table => 'sales', version => 5)
+  * CALL snap.system.build_zone_map(table => 'sales', cols => 'k')
+  * CALL snap.system.build_bloom_index(table => 'sales', cols => 'u')
+  * }}}
+  *
+  * Every procedure routes to the corresponding operator (same
+  * single-writer lock + commit protocol as every other writer) and
+  * returns its outcome as a result set (a driver-local scan —
+  * maintenance outputs are metadata-sized by construction). `vacuum`
+  * routes by format; the physical-layout procedures (compact, zone
+  * map, bloom, restore, publish) are partitioned-format operations. */
+private[plans] object SnapshotProcedures {
+
+  val names: Seq[String] = Seq("history", "vacuum", "compact", "restore",
+    "publish", "build_zone_map", "build_bloom_index")
+
+  def load(procName: String, pathOf: String => String,
+      store: CommitStore): Option[UnboundProcedure] =
+    if (!names.contains(procName)) None
+    else Some(new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String =
+        s"graft snapshot maintenance: $procName"
+      override def bind(inputType: StructType): BoundProcedure =
+        bound(procName, pathOf, store)
+    })
+
+  private def p(n: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, t).build()
+  private def pd(n: String, t: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(n, t).defaultValue(default).build()
+
+  private def result(outSchema: StructType,
+      outRows: Seq[InternalRow]): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = outSchema
+      override def rows(): Array[InternalRow] = outRows.toArray
+      override def description(): String = "procedure result"
+    }).iterator()
+
+  private def row(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.toArray)
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def bound(procName: String, pathOf: String => String,
+      store: CommitStore): BoundProcedure = new BoundProcedure {
+    override def name(): String = procName
+    override def description(): String =
+      s"graft snapshot maintenance: $procName"
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = procName match {
+      case "history" => Array(p("table", DataTypes.StringType))
+      case "vacuum" => Array(p("table", DataTypes.StringType),
+        pd("keep", DataTypes.IntegerType, "1"))
+      case "compact" => Array(p("table", DataTypes.StringType),
+        pd("min_files", DataTypes.IntegerType, "2"),
+        pd("max_records_per_file", DataTypes.LongType, "0"),
+        pd("cluster_by", DataTypes.StringType, "''"),
+        pd("zorder_by", DataTypes.StringType, "''"))
+      case "restore" | "publish" => Array(
+        p("table", DataTypes.StringType),
+        p("version", DataTypes.LongType))
+      case "build_zone_map" => Array(p("table", DataTypes.StringType),
+        p("cols", DataTypes.StringType))
+      case "build_bloom_index" => Array(p("table", DataTypes.StringType),
+        p("cols", DataTypes.StringType),
+        pd("expected_items_per_file", DataTypes.LongType, "1000000"))
+    }
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spark = SparkSession.active
+      val t = pathOf(input.getUTF8String(0).toString)
+      def csv(i: Int): Seq[String] = input.getUTF8String(i).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      def partColOf: String =
+        PartitionedSnapshots.tableProps(t, store).getOrElse("partCol",
+          throw new UnsupportedOperationException(
+            s"$t has no recorded partition column — a " +
+              "partitioned-format table is required"))
+      procName match {
+        case "history" =>
+          val commits = PartitionedSnapshots.history(t, store)
+          result(StructType.fromDDL("version BIGINT, partitions INT, " +
+            "owned_partitions INT, committed BOOLEAN, " +
+            "commit_time_ms BIGINT"),
+            commits.map(c => row(c.version, c.partitions, c.owned,
+              c.committed, c.publishedMs.map(Long.box).orNull)))
+        case "vacuum" =>
+          val keep = input.getInt(1)
+          val isPartitioned = PartitionedSnapshots.currentVersion(t, store)
+            .exists(v =>
+              PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+          val deleted =
+            if (isPartitioned) PartitionedSnapshots.vacuum(t, keep, store)
+            else Snapshots.vacuum(t, keep, store)
+          result(StructType.fromDDL("deleted_version BIGINT"),
+            deleted.map(v => row(v)))
+        case "compact" =>
+          val (v, parts) = PartitionedSnapshots.compact(spark, t,
+            partColOf, minFiles = input.getInt(1),
+            maxRecordsPerFile = input.getLong(2),
+            clusterBy = csv(3), zOrderBy = csv(4), store = store)
+          result(StructType.fromDDL(
+            "version BIGINT, partitions_compacted INT"),
+            Seq(row(v, parts.size)))
+        case "restore" =>
+          val v = PartitionedSnapshots.restore(spark, t,
+            input.getLong(1), store)
+          result(StructType.fromDDL("new_version BIGINT"), Seq(row(v)))
+        case "publish" =>
+          PartitionedSnapshots.publish(t, input.getLong(1), store)
+          result(StructType.fromDDL("published_version BIGINT"),
+            Seq(row(input.getLong(1))))
+        case "build_zone_map" =>
+          PartitionedSnapshots.buildZoneMap(spark, t, csv(1),
+            store = store)
+          result(StructType.fromDDL("cols STRING"),
+            Seq(row(utf8(csv(1).mkString(",")))))
+        case "build_bloom_index" =>
+          PartitionedSnapshots.buildBloomIndex(spark, t, csv(1),
+            expectedItemsPerFile = input.getLong(2), store = store)
+          result(StructType.fromDDL("cols STRING"),
+            Seq(row(utf8(csv(1).mkString(",")))))
+      }
+    }
+  }
+}

@@ -49,7 +49,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * as whole-version copies (the dimension-scale trade). There is NO
   * path that bypasses the protocol: time-travel loads stay read-only
   * and ALTER/DROP/RENAME are refused. */
-class SnapshotSqlCatalog extends TableCatalog {
+class SnapshotSqlCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -187,6 +188,22 @@ class SnapshotSqlCatalog extends TableCatalog {
       .filter(e => e.isDir && store.exists(s"$dir/${e.name}/_current"))
       .map(e => Identifier.of(namespace, e.name)).toArray
   }
+
+  /** `CALL snap.system.<proc>(…)` — see [[SnapshotProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    if (ident.namespace.toSeq == Seq("system"))
+      SnapshotProcedures.load(ident.name,
+        name => (root +: name.split('.').toSeq).mkString("/"), store)
+        .getOrElse(throw new NoSuchTableException(ident))
+    else throw new NoSuchTableException(ident)
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      SnapshotProcedures.names
+        .map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(

@@ -254,6 +254,47 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       .columns.toSet == Set("k", "d", "v"))
   }
 
+  test("CALL snap.system.*: history, compact, restore, vacuum, indexes" +
+      " — the SQL maintenance console over the commit protocol") {
+    val t = s"$root/maint"
+    PS.write(spark, t, Seq.tabulate(8)(i =>
+      (i.toLong, s"P${i % 2}", s"v$i")).toDF("k", "d", "v"), "d")
+    // fragment partition P0 with two single-row upserts
+    PS.upsert(spark, t, Seq((0L, "P0", "V0")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    PS.upsert(spark, t, Seq((2L, "P0", "V2")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    // history: newest first, versions committed
+    val hist = spark.sql("CALL snap.system.history(table => 'maint')")
+      .select("version", "committed").as[(Long, Boolean)].collect()
+    assert(hist.map(_._1).toSeq == Seq(3L, 2L, 1L) &&
+      hist.forall(_._2), hist.mkString(","))
+    // compact rolls the fragmented partition as a new version
+    val c = spark.sql(
+      "CALL snap.system.compact(table => 'maint', min_files => 2)")
+      .as[(Long, Int)].head()
+    assert(c._1 == 4L && c._2 >= 1, s"$c")
+    assert(PS.read(spark, t).count() == 8)
+    // zone map + bloom index build by name
+    spark.sql("CALL snap.system.build_zone_map(table => 'maint'," +
+      " cols => 'k')")
+    spark.sql("CALL snap.system.build_bloom_index(table => 'maint'," +
+      " cols => 'v', expected_items_per_file => 100)")
+    assert(PS.readBetween(spark, t, "k", 0L, 1L).count() == 2)
+    // restore to v1 re-commits old owners with zero data movement
+    val rv = spark.sql(
+      "CALL snap.system.restore(table => 'maint', version => 1)")
+      .as[Long].head()
+    assert(rv == 5L && PS.read(spark, t)
+      .filter(col("k") === 0L).select("v").as[String].head() == "v0")
+    // vacuum reclaims unreferenced versions and reports them
+    val deleted = spark.sql(
+      "CALL snap.system.vacuum(table => 'maint', keep => 1)")
+      .as[Long].collect().toSet
+    assert(deleted.nonEmpty, "vacuum must reclaim superseded versions")
+    assert(PS.read(spark, t).count() == 8)
+  }
+
   test("listTables sees committed tables; mutations are refused") {
     spark.sql("SELECT 1").collect() // force catalog init via root
     val names = spark.sql("SHOW TABLES IN snap").select("tableName")
