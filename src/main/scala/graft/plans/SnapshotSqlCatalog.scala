@@ -241,6 +241,22 @@ class SnapshotSqlCatalog extends TableCatalog
 private[plans] sealed trait SnapshotDmlTable extends Table {
   def tablePath: String
   def store: CommitStore
+
+  /** `SHOW TBLPROPERTIES snap.t` discoverability: the recorded layout
+    * (partCol/keys), format, and current committed version. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    PartitionedSnapshots.tableProps(tablePath, store)
+      .filterNot(_._1 == "schema")
+      .foreach { case (k, v) => m.put(k, v) }
+    m.put("format", this match {
+      case _: SnapshotWritableTable => "graft.partitioned-snapshots"
+      case _ => "graft.snapshots"
+    })
+    PartitionedSnapshots.currentVersion(tablePath, store)
+      .foreach(v => m.put("current_version", v.toString))
+    m
+  }
   def runMerge(spark: SparkSession, keys: Seq[String], src: DataFrame,
       update: Map[String, org.apache.spark.sql.Column],
       delete: Option[org.apache.spark.sql.Column],

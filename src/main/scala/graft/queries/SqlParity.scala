@@ -1323,5 +1323,40 @@ object SqlParity {
         CAST(SUM(rev_dec) AS DOUBLE) / MAX(CAST(total_dec AS DOUBLE))
           AS revenue_share
       FROM labeled GROUP BY abc_class ORDER BY abc_class""",
+
+    "t21_lm_doc_score" -> """
+      WITH grams AS (
+        SELECT doc_id, split(g, ' ')[0] AS prev_tok,
+          split(g, ' ')[1] AS next_tok
+        FROM (SELECT doc_id, explode(shingles(filter(split(lower(text),
+          ' +'), x -> length(x) > 0), 2)) AS g FROM documents) e),
+      lm AS (
+        SELECT prev_tok, next_tok, COUNT(*) AS c
+        FROM grams GROUP BY prev_tok, next_tok),
+      lm2 AS (
+        SELECT prev_tok, next_tok, c,
+          SUM(c) OVER (PARTITION BY prev_tok) AS n_prev
+        FROM lm),
+      scored AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          SUM(CASE WHEN c = 1 THEN 1L ELSE 0L END) AS n_singleton,
+          SUM(CASE WHEN c * 10 >= n_prev THEN 1L ELSE 0L END) AS n_common,
+          MIN(CAST(c AS DOUBLE) / CAST(n_prev AS DOUBLE)) AS min_p,
+          MAX(CAST(c AS DOUBLE) / CAST(n_prev AS DOUBLE)) AS max_p
+        FROM grams JOIN lm2 USING (prev_tok, next_tok)
+        GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(n_bigrams, 0L) AS n_bigrams,
+        COALESCE(n_singleton, 0L) AS n_singleton,
+        COALESCE(n_common, 0L) AS n_common,
+        min_p, max_p,
+        CASE WHEN COALESCE(n_bigrams, 0L) = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE CAST(n_common AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+          END AS fluency_ratio,
+        CASE WHEN COALESCE(n_bigrams, 0L) = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE CAST(n_singleton AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+          END AS novelty_ratio
+      FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
+      ORDER BY d.doc_id""",
   )
 }

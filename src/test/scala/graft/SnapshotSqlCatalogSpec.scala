@@ -295,6 +295,15 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(PS.read(spark, t).count() == 8)
   }
 
+  test("SHOW TBLPROPERTIES surfaces the recorded layout and version") {
+    val props = spark.sql("SHOW TBLPROPERTIES snap.maint")
+      .as[(String, String)].collect().toMap
+    assert(props.get("partCol").contains("d"), s"$props")
+    assert(props.get("keys").contains("k"), s"$props")
+    assert(props.get("format").contains("graft.partitioned-snapshots"))
+    assert(props.contains("current_version"))
+  }
+
   test("listTables sees committed tables; mutations are refused") {
     spark.sql("SELECT 1").collect() // force catalog init via root
     val names = spark.sql("SHOW TABLES IN snap").select("tableName")
