@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest-commit merge before Spark's row-level rewrite would
     // reject the table)
     e.injectResolutionRule(spark => new SnapshotMergeRule(spark))
+    // table_changes(t, from[, to[, keys]]) — the CDC table-valued
+    // function over both snapshot formats (see TableChanges)
+    e.injectTableFunction((FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft.plans.TableChanges", "table_changes"),
+      (exprs: Seq[Expression]) => TableChanges.build(exprs)))
   }
 }
 

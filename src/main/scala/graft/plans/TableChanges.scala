@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.operators.{CommitStore, PartitionedSnapshots, Snapshots}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** `table_changes` TABLE-VALUED FUNCTION — the SQL face of snapshot CDC
+  * (the complement of `VERSION AS OF` time travel):
+  *
+  * {{{
+  * SELECT * FROM table_changes('snap.sales', 1, 3)   -- between versions
+  * SELECT * FROM table_changes('snap.sales', 2)      -- from v2 to current
+  * SELECT * FROM table_changes('/path/to/dim', 1, 2, 'id')  -- explicit keys
+  * }}}
+  *
+  * Injected via `SparkSessionExtensions.injectTableFunction`, so the call
+  * lowers at ANALYSIS time to the same lazy plan the operator API builds —
+  * [[PartitionedSnapshots.changes]] for the partitioned format (manifest
+  * diff first: only partitions whose owner changed are read at all) or
+  * [[Snapshots.changes]] for full-copy tables. Nothing materializes on the
+  * driver; the TVF result is an ordinary distributed relation tagged with
+  * a `change_type` column (insert / update / delete).
+  *
+  * Table resolution: a `cat.name` first segment naming a configured
+  * [[SnapshotSqlCatalog]] (`spark.sql.catalog.<cat>.root`) resolves under
+  * that root; anything else is a filesystem path. Keys come from the
+  * table's recorded layout (`_table` props, maintained by every keyed
+  * writer); tables without recorded keys (e.g. full-copy dims) take them
+  * as an explicit fourth argument.
+  */
+object TableChanges {
+
+  private def strLit(e: Expression): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+      v.toString
+    case other => throw new IllegalArgumentException(
+      s"table_changes: expected string literal, got $other")
+  }
+
+  private def longLit(e: Expression): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"table_changes: expected integer version literal, got $other")
+  }
+
+  /** `cat.ns….name` under a configured snapshot catalog root, else a
+    * filesystem path used verbatim. */
+  private def resolvePath(spark: SparkSession, name: String): String = {
+    val parts = name.split('.')
+    if (parts.length < 2) name
+    else spark.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
+      .map(root => (root +: parts.tail.toSeq).mkString("/"))
+      .getOrElse(name)
+  }
+
+  def build(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.size < 2 || exprs.size > 4)
+      throw new IllegalArgumentException(
+        "table_changes(table, from_version[, to_version[, keys_csv]])")
+    val spark = SparkSession.active
+    val store = CommitStore.local
+    val t = resolvePath(spark, strLit(exprs.head))
+    val fromV = longLit(exprs(1))
+    val toV =
+      if (exprs.size >= 3) longLit(exprs(2))
+      else PartitionedSnapshots.currentVersion(t, store).getOrElse(
+        throw new IllegalStateException(
+          s"table_changes: $t has no committed snapshot"))
+    val keys: Seq[String] =
+      if (exprs.size == 4)
+        strLit(exprs(3)).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      else PartitionedSnapshots.tableProps(t, store).get("keys")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+        .getOrElse(throw new UnsupportedOperationException(
+          s"table_changes: $t records no key columns — pass them " +
+            "explicitly: table_changes(table, from, to, 'k1,k2')"))
+    val df =
+      if (PartitionedSnapshots.manifest(t, toV, store).nonEmpty)
+        PartitionedSnapshots.changes(spark, t, fromV, toV, keys, store)
+      else Snapshots.changes(spark, t, fromV, toV, keys, store)
+    df.queryExecution.logical
+  }
+}

@@ -304,6 +304,45 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(props.contains("current_version"))
   }
 
+  test("table_changes TVF: CDC between versions from plain SQL, keys " +
+      "from the recorded layout, 2-arg form reads to current") {
+    val t = s"$root/cdc"
+    PS.write(spark, t, Seq((1L, "A", "a1"), (2L, "A", "b1"), (3L, "B", "c1"))
+      .toDF("k", "d", "v"), "d")                       // v1
+    PS.upsert(spark, t, Seq((2L, "A", "b2"), (4L, "B", "d1"))
+      .toDF("k", "d", "v"), Seq("k"), "d")             // v2: update + insert
+    PS.delete(spark, t, col("k") === 3L, "d")          // v3: delete
+    val rows = spark.sql("SELECT k, v, change_type " +
+        s"FROM table_changes('snap.cdc', 1, 3) ORDER BY k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows == Seq((2L, "b2", "update"), (3L, "c1", "delete"),
+      (4L, "d1", "insert")), s"$rows")
+    // 2-arg form: to_version defaults to the commit pointer
+    val twoArg = spark.sql(
+      "SELECT k, change_type FROM table_changes('snap.cdc', 1)")
+      .as[(Long, String)].collect().toSet
+    assert(twoArg == Set((2L, "update"), (3L, "delete"), (4L, "insert")))
+    // unchanged-partition rows never appear (k=1 untouched throughout)
+    assert(!rows.exists(_._1 == 1L))
+  }
+
+  test("table_changes TVF: full-copy tables take explicit keys; " +
+      "missing keys refuse with instructions") {
+    val t = s"$root/cdcdim"
+    Snapshots.write(spark, t, Seq((10L, "x")).toDF("id", "name"))
+    Snapshots.upsert(spark, t, Seq((10L, "x2"), (11L, "y"))
+      .toDF("id", "name"), Seq("id"))
+    val rows = spark.sql("SELECT id, name, change_type FROM " +
+        "table_changes('snap.cdcdim', 1, 2, 'id') ORDER BY id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows == Seq((10L, "x2", "update"), (11L, "y", "insert")))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('snap.cdcdim', 1, 2)")
+        .collect()
+    }
+    assert(e.getMessage.contains("records no key columns"), e.getMessage)
+  }
+
   test("listTables sees committed tables; mutations are refused") {
     spark.sql("SELECT 1").collect() // force catalog init via root
     val names = spark.sql("SHOW TABLES IN snap").select("tableName")
