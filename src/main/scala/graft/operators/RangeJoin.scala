@@ -46,9 +46,17 @@ object RangeJoin {
   /** points ⋈ intervals on `lo <= pt < hi` (half-open, the SQL band-join
     * convention). `pt`, `lo`, `hi` are expressions over the respective
     * inputs; both frames may be arbitrarily large. Output columns =
-    * points ++ intervals (caller projects). */
+    * points ++ intervals (caller projects).
+    *
+    * `equiKeys` names columns present on BOTH sides that must also match
+    * (the SCD2 point-in-time shape: `dim_key` equal AND date in
+    * validity). They JOIN rather than post-filter, so the shuffle key is
+    * (cell, keys) and a cell shared by a million keys hashes apart
+    * instead of pairing up — without them the per-cell candidate set is
+    * the full cross of both sides' cell residents. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
-      pt: Column, lo: Column, hi: Column, bucketWidth: Double): DataFrame = {
+      pt: Column, lo: Column, hi: Column, bucketWidth: Double,
+      equiKeys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val cellOfPt = floor(pt / lit(bucketWidth))
     val p = points.withColumn("__cell", cellOfPt)
@@ -58,7 +66,7 @@ object RangeJoin {
     val i = intervals.withColumn("__cell",
       explode(sequence(floor(lo / lit(bucketWidth)),
         floor(hi / lit(bucketWidth)))))
-    p.join(i, "__cell")
+    p.join(i, "__cell" +: equiKeys)
       .filter(lo <= pt && pt < hi)
       .drop("__cell")
   }

@@ -19,7 +19,7 @@ object AnalyticsQ {
 
   def all: Seq[Q] = Seq(q61KmvOverlap, q62Funnel, q63KmvContainment,
     q64TimeToConvert, q65RevenueGini, q66NewVsReturning,
-    q67OrderGaps, q68ParetoAbc)
+    q67OrderGaps, q68ParetoAbc, q69Retention, q70PitSnapshot)
 
   private val K = 64
 
@@ -589,4 +589,114 @@ object AnalyticsQ {
       CAST(SUM(rev_dec) AS DOUBLE) / MAX(CAST(total_dec AS DOUBLE))
         AS revenue_share
     FROM labeled GROUP BY abc_class ORDER BY abc_class"""))
+
+  /** Cohort retention triangle — the canonical growth mart: customers
+    * cohorted by first-order month, activity counted per (cohort,
+    * month-offset) cell. Scale shape: the fact pre-reduces to distinct
+    * (customer, month) BEFORE anything else (one shuffle on the
+    * customer key covers first-month + activity + the offset join — the
+    * partitioning is reused), and cohort sizes are a cohort-cardinality
+    * dim that broadcasts. Counts are exact integers; the only double is
+    * one final division. */
+  val q69Retention: Q = Q("q69_retention", (s, d) => {
+    val activity = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        trunc(col("o_orderdate").cast("date"), "month").as("m"))
+      .distinct()
+    val firstM = activity.groupBy(col("o_custkey"))
+      .agg(min(col("m")).as("cohort"))
+    val sizes = firstM.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    activity.join(firstM, Seq("o_custkey"))
+      .select(col("cohort"),
+        months_between(col("m"), col("cohort")).cast("int").as("offset_m"),
+        col("o_custkey"))
+      .groupBy(col("cohort"), col("offset_m"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .select(date_format(col("cohort"), "yyyy-MM").as("cohort_month"),
+        col("offset_m"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_month"), col("offset_m"))
+  }, Some("""
+    WITH activity AS (
+      SELECT DISTINCT o_custkey,
+        date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+      FROM orders),
+    firstm AS (
+      SELECT o_custkey, MIN(m) AS cohort FROM activity GROUP BY o_custkey),
+    sizes AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firstm GROUP BY cohort),
+    cells AS (
+      SELECT cohort, CAST(date_diff('month', cohort, m) AS INT) AS offset_m,
+        CAST(COUNT(DISTINCT a.o_custkey) AS BIGINT) AS n_active
+      FROM activity a JOIN firstm f ON a.o_custkey = f.o_custkey
+      GROUP BY cohort, offset_m)
+    SELECT strftime(cohort, '%Y-%m') AS cohort_month, offset_m, n_active,
+      cohort_size,
+      CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+    FROM cells JOIN sizes USING (cohort)
+    ORDER BY cohort_month, offset_m"""))
+
+  /** SCD2 point-in-time snapshot — q58's validity intervals CONSUMED:
+    * for every month-end, which order-status was current per customer,
+    * rolled up to (snapshot, status) census counts. The Spark side runs
+    * [[graft.operators.RangeJoin.pointInInterval]] with the customer as
+    * an EQUI key — the interval join shuffles on (grid cell, customer),
+    * never nested-loops, and the open current-interval sentinel is
+    * clamped to the spine's end so it replicates to a bounded cell span
+    * instead of sentinel/width copies. The month-end spine × customer
+    * probe set is dimension-sized by construction. */
+  val q70PitSnapshot: Q = Q("q70_pit_snapshot", (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("valid_from").asc, col("o_orderkey").asc)
+    val epoch = lit("1970-01-01").cast("date")
+    // one epoch-day past the spine's last probe: the [lo, clamp) check
+    // equals [lo, valid_to) for every probe ≤ the spine end
+    val clamp = datediff(lit("2002-01-01").cast("date"), epoch)
+    val iv = Tables.orders(s, d)
+      .filter(col("o_custkey") < 300)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        to_date(col("o_orderdate")).as("valid_from"))
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(w),
+          lit("9999-12-31").cast("date")))
+      .select(col("o_custkey"), col("o_orderstatus"),
+        datediff(col("valid_from"), epoch).as("lo"),
+        least(datediff(col("valid_to"), epoch), clamp).as("hi"))
+    val spine = Tables.orders(s, d).limit(1)
+      .select(explode(sequence(lit("1995-01-01").cast("date"),
+        lit("2001-08-01").cast("date"),
+        expr("interval 1 month"))).as("mstart"))
+      .select(last_day(col("mstart")).as("snap"))
+    val points = iv.select(col("o_custkey")).distinct()
+      .crossJoin(broadcast(spine))
+      .withColumn("pt", datediff(col("snap"), epoch))
+    graft.operators.RangeJoin
+      .pointInInterval(points, iv, col("pt"), col("lo"), col("hi"),
+        bucketWidth = 365.0, equiKeys = Seq("o_custkey"))
+      .groupBy(col("snap"), col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("snap"), col("o_orderstatus"))
+  }, Some("""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey, o_orderstatus,
+        CAST(o_orderdate AS DATE) AS valid_from
+      FROM orders WHERE o_custkey < 300),
+    iv AS (
+      SELECT o_custkey, o_orderstatus, valid_from,
+        COALESCE(LEAD(valid_from) OVER (PARTITION BY o_custkey
+          ORDER BY valid_from, o_orderkey), DATE '9999-12-31') AS valid_to
+      FROM base),
+    spine AS (
+      SELECT last_day(CAST(unnest(generate_series(DATE '1995-01-01',
+        DATE '2001-08-01', INTERVAL 1 MONTH)) AS DATE)) AS snap)
+    SELECT snap, o_orderstatus,
+      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM spine JOIN iv ON valid_from <= snap AND snap < valid_to
+    GROUP BY snap, o_orderstatus
+    ORDER BY snap, o_orderstatus"""))
 }

@@ -26,7 +26,7 @@ object SimilarityQ {
 
   def all: Seq[Q] = Seq(s01KnnBrute, s02KnnLsh, s03IvfAssign, s04IvfSearch,
     s05QuantizedRerank, s06KmeansUpdate, s07PqRerank, s08RangeSearch,
-    s09FilteredKnn, s10Mmr)
+    s09FilteredKnn, s10Mmr, s11FilteredIvf)
 
   /** Corpus with per-VECTOR norms precomputed and materialized: norms are
     * O(N), not O(pairs) — computing them inside the pair expression would
@@ -660,4 +660,84 @@ object SimilarityQ {
     UNION ALL SELECT 2, vec_id, rel, score FROM p2
     UNION ALL SELECT 3, vec_id, rel, score FROM p3
     ORDER BY mmr_rank"""))
+
+  /** FILTERED IVF search — s09's metadata predicate composed with s04's
+    * cell-probed index, the production RAG shape at index scale: the
+    * filter (label even) prunes the ASSIGNMENT side BEFORE any scoring,
+    * so only matching vectors inside the probed cells are ranked
+    * (pre-filtering semantics — post-filtering a top-k under-returns
+    * when the filter is selective). Scale shape = s04's: one equi-join
+    * on the cell key, the tiny probe side broadcast, no join back to
+    * the corpus; the predicate rides the index scan. */
+  val s11FilteredIvf: Q = Q("s11_filtered_ivf", (s, d) => {
+    val ranks = cellRanks(normed(s, d)).cache()
+    val assignment = ranks
+      .filter(col("rn") === 1 && col("label") % 2 === 0)
+      .select(col("vec_id"), col("label"),
+        col("centroid_label").as("cell"), col("embedding"), col("nrm"))
+    val probes = ranks.filter(col("vec_id") < 10 && col("rn") <= 2)
+      .select(col("vec_id").as("query_id"),
+        col("centroid_label").as("cell"),
+        col("embedding").as("q"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(probes)
+      .join(assignment, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("label"), col("cell"),
+        cosPre(col("q"), col("qn"), col("embedding"), col("nrm")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("label"), col("cos"), col("cell").as("probed_cell"))
+      .orderBy(col("query_id"), col("rank"))
+  }, Some(s"""
+    WITH seeds AS (
+      SELECT label AS centroid_label, MIN(vec_id) AS seed_id
+      FROM embeddings GROUP BY label),
+    centroids AS (
+      SELECT centroid_label, e.embedding AS centroid
+      FROM seeds JOIN embeddings e ON seed_id = e.vec_id),
+    scored AS (
+      SELECT e.vec_id, e.label, centroid_label,
+        CASE WHEN ${VectorSql.norm("e.embedding")} = 0
+          OR ${VectorSql.norm("centroid")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("e.embedding", "centroid")}
+          / (${VectorSql.norm("e.embedding")} * ${VectorSql.norm("centroid")})
+        END AS cos
+      FROM embeddings e CROSS JOIN centroids),
+    ranked AS (
+      SELECT vec_id, label, centroid_label, cos,
+        row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, centroid_label ASC) AS rn
+      FROM scored),
+    assignment AS (
+      SELECT vec_id, label, centroid_label AS cell
+      FROM ranked WHERE rn = 1 AND label % 2 = 0),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_label AS cell
+      FROM ranked WHERE vec_id < 10 AND rn <= 2),
+    queries AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 10),
+    cands AS (
+      SELECT p.query_id, a.vec_id, a.label, p.cell,
+        CASE WHEN ${VectorSql.norm("qv")} = 0
+          OR ${VectorSql.norm("e.embedding")} = 0 THEN NULL
+        ELSE ${VectorSql.dot("qv", "e.embedding")}
+          / (${VectorSql.norm("qv")} * ${VectorSql.norm("e.embedding")})
+        END AS cos
+      FROM probes p
+      JOIN assignment a ON p.cell = a.cell AND p.query_id <> a.vec_id
+      JOIN queries ON queries.query_id = p.query_id
+      JOIN embeddings e ON e.vec_id = a.vec_id),
+    final_ranked AS (
+      SELECT query_id, vec_id, label, cell, cos,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM cands)
+    SELECT query_id, rank, vec_id AS neighbor_id, label, cos,
+      cell AS probed_cell
+    FROM final_ranked WHERE rank <= 5
+    ORDER BY query_id, rank"""))
 }

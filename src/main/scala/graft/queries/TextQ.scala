@@ -24,7 +24,7 @@ object TextQ {
     t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample,
     t12Decontaminate, t13ChunkOverlap, t14Repetition, t15RareTokens,
     t16TrigramNovelty, t17TokenGini, t18BigramLm, t19ImportanceWeight,
-    t20BpePairs, t21LmDocScore)
+    t20BpePairs, t21LmDocScore, t22GopherGrams)
 
   private val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -981,4 +981,103 @@ object TextQ {
         END AS novelty_ratio
     FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
     ORDER BY d.doc_id"""))
+
+  /** Gopher-rule n-gram duplication filter (Rae et al. 2021 §A1.1
+    * repetition rules, the public heuristic every curation stack ships):
+    * fraction of token characters covered by the single most frequent
+    * 2-gram / 3-gram, plus mean token length, gated at the published
+    * thresholds (0.20 / 0.18, mean length in [3,10]). Complements t14
+    * (distinct-ratio of long shingles — many-gram redundancy) with the
+    * ONE-hot-gram signal that catches boilerplate spam t14's ratio
+    * dilutes. Ties on gram frequency break lexicographically, so the
+    * "top" gram is deterministic in both engines. Per-doc keyed aggs
+    * only — no cross-doc state, pipelines on the scan at corpus scale. */
+  val t22GopherGrams: Q = Q("t22_gopher_grams", (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .cache()
+    val base = toks
+      .select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("tok"))).as("n_tok_chars"),
+        count(lit(1)).as("n_tokens"))
+    def top(n: Int): org.apache.spark.sql.DataFrame = {
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("c").desc, col("g").asc)
+      toks.select(col("doc_id"),
+          explode(graft.functions.TextExprs.shingles(col("t"), n)).as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("g").as(s"top${n}_gram"),
+          col("c").as(s"top${n}_count"))
+    }
+    def frac(n: Int) =
+      (col(s"top${n}_count") *
+        length(regexp_replace(col(s"top${n}_gram"), " ", "")))
+        .cast("double") / col("n_tok_chars").cast("double")
+    base.join(top(2), Seq("doc_id"), "left")
+      .join(top(3), Seq("doc_id"), "left")
+      .withColumn("mean_tok_len", col("n_tok_chars").cast("double") /
+        col("n_tokens").cast("double"))
+      .withColumn("dup2_frac", frac(2))
+      .withColumn("dup3_frac", frac(3))
+      .withColumn("gopher_ok",
+        coalesce(col("dup2_frac") <= 0.20, lit(true)) &&
+          coalesce(col("dup3_frac") <= 0.18, lit(true)) &&
+          col("mean_tok_len").between(3.0, 10.0))
+      .select(col("doc_id"), col("n_tok_chars"), col("n_tokens"),
+        col("mean_tok_len"), col("top2_gram"), col("top2_count"),
+        col("dup2_frac"), col("top3_gram"), col("top3_count"),
+        col("dup3_frac"), col("gopher_ok"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'),
+        x -> len(x) > 0) AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id, CAST(SUM(len(tok)) AS BIGINT) AS n_tok_chars,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    t2 AS (
+      SELECT doc_id, g AS top2_gram, CAST(c AS BIGINT) AS top2_count
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY c DESC, g ASC) AS rn FROM c2)
+      WHERE rn = 1),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+    t3 AS (
+      SELECT doc_id, g AS top3_gram, CAST(c AS BIGINT) AS top3_count
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY c DESC, g ASC) AS rn FROM c3)
+      WHERE rn = 1),
+    joined AS (
+      SELECT base.doc_id, n_tok_chars, n_tokens,
+        CAST(n_tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          AS mean_tok_len,
+        top2_gram, top2_count,
+        CAST(top2_count * len(replace(top2_gram, ' ', '')) AS DOUBLE)
+          / CAST(n_tok_chars AS DOUBLE) AS dup2_frac,
+        top3_gram, top3_count,
+        CAST(top3_count * len(replace(top3_gram, ' ', '')) AS DOUBLE)
+          / CAST(n_tok_chars AS DOUBLE) AS dup3_frac
+      FROM base
+      LEFT JOIN t2 ON base.doc_id = t2.doc_id
+      LEFT JOIN t3 ON base.doc_id = t3.doc_id)
+    SELECT doc_id, n_tok_chars, n_tokens, mean_tok_len,
+      top2_gram, top2_count, dup2_frac, top3_gram, top3_count, dup3_frac,
+      (COALESCE(dup2_frac <= 0.20, TRUE)
+        AND COALESCE(dup3_frac <= 0.18, TRUE)
+        AND mean_tok_len BETWEEN 3.0 AND 10.0) AS gopher_ok
+    FROM joined ORDER BY doc_id"""))
 }

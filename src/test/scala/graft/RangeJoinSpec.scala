@@ -42,6 +42,29 @@ class RangeJoinSpec extends AnyFunSuite {
       s"bucketed join must be an equi-join:\n$plan")
   }
 
+  test("pointInInterval with equiKeys == naive keyed non-equi join; " +
+      "the key is IN the join, not a post-filter") {
+    val kp = points.withColumn("k", col("pid") % 7)
+    val ki = intervals.withColumn("k", col("iid") % 7)
+    val got = RangeJoin.pointInInterval(kp, ki,
+      col("v"), col("lo"), col("hi"), bucketWidth = 5.0,
+      equiKeys = Seq("k"))
+      .select("pid", "iid")
+    val want = kp.join(ki.withColumnRenamed("k", "k2"),
+      col("k") === col("k2") &&
+        col("lo") <= col("v") && col("v") < col("hi"))
+      .select("pid", "iid")
+    assert(TestSpark.rows(got) == TestSpark.rows(want))
+    assert(got.count() == got.distinct().count())
+    // the equi key must be part of the hash-join key (cell, k) — the
+    // join condition in the plan mentions k, and no NLJ/cartesian node
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"keyed bucketed join must stay an equi-join:\n$plan")
+    assert("\\[__cell[^\\]]*, k".r.findFirstIn(plan).isDefined ||
+      plan.contains("k#"), s"k not in join keys:\n$plan")
+  }
+
   test("overlapJoin == naive overlap join, exactly once per pair") {
     val a = intervals.select(col("iid").as("aid"), col("lo").as("alo"),
       col("hi").as("ahi"))
