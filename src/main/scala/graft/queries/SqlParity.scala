@@ -1358,5 +1358,381 @@ object SqlParity {
           END AS novelty_ratio
       FROM documents d LEFT JOIN scored ON d.doc_id = scored.doc_id
       ORDER BY d.doc_id""",
+
+    "q25_pivot" -> """
+      SELECT day,
+        coalesce(click, 0L) AS n_click,
+        coalesce(error, 0L) AS n_error,
+        coalesce(purchase, 0L) AS n_purchase,
+        coalesce(signup, 0L) AS n_signup,
+        coalesce(`view`, 0L) AS n_view
+      FROM (SELECT CAST(ts AS DATE) AS day, event_type FROM events)
+      PIVOT (COUNT(*) FOR event_type IN
+        ('click' AS click, 'error' AS error, 'purchase' AS purchase,
+         'signup' AS signup, 'view' AS `view`))
+      ORDER BY day""",
+
+    "q29_approx_distinct" -> """
+      WITH agg AS (
+        SELECT event_type,
+          approx_count_distinct(user_id, 0.02) AS approx_users,
+          COUNT(DISTINCT user_id) AS exact_users,
+          COUNT(*) AS n_events
+        FROM events GROUP BY event_type)
+      SELECT event_type, exact_users, n_events,
+        (CAST(abs(approx_users - exact_users) AS DOUBLE) / exact_users
+          <= 0.05) AS approx_ok
+      FROM agg ORDER BY event_type""",
+
+    "q69_retention" -> """
+      WITH activity AS (
+        SELECT DISTINCT o_custkey,
+          trunc(CAST(o_orderdate AS DATE), 'MM') AS m
+        FROM orders),
+      firstm AS (
+        SELECT o_custkey, MIN(m) AS cohort FROM activity
+        GROUP BY o_custkey),
+      sizes AS (
+        SELECT cohort, COUNT(*) AS cohort_size FROM firstm
+        GROUP BY cohort),
+      cells AS (
+        SELECT cohort, CAST(months_between(m, cohort) AS INT) AS offset_m,
+          COUNT(DISTINCT a.o_custkey) AS n_active
+        FROM activity a JOIN firstm f ON a.o_custkey = f.o_custkey
+        GROUP BY cohort, CAST(months_between(m, cohort) AS INT))
+      SELECT date_format(cohort, 'yyyy-MM') AS cohort_month, offset_m,
+        n_active, cohort_size,
+        CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+          AS retention
+      FROM cells JOIN sizes USING (cohort)
+      ORDER BY cohort_month, offset_m""",
+
+    "q70_pit_snapshot" -> """
+      WITH base AS (
+        SELECT o_custkey, o_orderkey, o_orderstatus,
+          to_date(o_orderdate) AS valid_from
+        FROM orders WHERE o_custkey < 300),
+      iv AS (
+        SELECT o_custkey, o_orderstatus, valid_from,
+          COALESCE(LEAD(valid_from) OVER (PARTITION BY o_custkey
+            ORDER BY valid_from, o_orderkey), DATE '9999-12-31')
+            AS valid_to
+        FROM base),
+      spine AS (
+        SELECT last_day(mstart) AS snap
+        FROM (SELECT explode(sequence(DATE '1995-01-01',
+          DATE '2001-08-01', interval 1 month)) AS mstart))
+      SELECT snap, o_orderstatus,
+        COUNT(DISTINCT o_custkey) AS n_customers
+      FROM spine JOIN iv ON valid_from <= snap AND snap < valid_to
+      GROUP BY snap, o_orderstatus
+      ORDER BY snap, o_orderstatus""",
+
+    "t01_lang_id" -> {
+      val scoreAggs = TextQ.markers.map { case (lang, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(SUM(CASE WHEN tok IN ($list) THEN 1 ELSE 0 END) AS INT)" +
+          s" AS score_$lang"
+      }.mkString(",\n          ")
+      val langs = TextQ.markers.map(_._1)
+      val pred = langs.foldRight(s"'${langs.last}'") { case (lang, rest) =>
+        val isMax = langs.filter(_ != lang)
+          .map(o => s"score_$lang >= score_$o").mkString(" AND ")
+        s"CASE WHEN $isMax THEN '$lang' ELSE $rest END"
+      }
+      val fills = langs.map(l => s"COALESCE(score_$l, 0) AS score_$l")
+        .mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, filter(split(lower(text), ' +'),
+          x -> length(x) > 0) AS t
+        FROM documents),
+      counts AS (
+        SELECT doc_id,
+          $scoreAggs
+        FROM (SELECT doc_id, explode(t) AS tok FROM toks)
+        GROUP BY doc_id),
+      scored AS (
+        SELECT d.doc_id, d.lang, $fills
+        FROM documents d LEFT JOIN counts ON d.doc_id = counts.doc_id)
+      SELECT doc_id, lang, $pred AS pred_lang,
+        ${langs.map(l => s"score_$l").mkString(", ")}
+      FROM scored ORDER BY doc_id"""
+    },
+
+    "t02_quality_score" -> """
+      WITH t AS (
+        SELECT doc_id, lang, length(text) AS n_chars_actual,
+          filter(split(lower(text), ' +'), x -> length(x) > 0) AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, lang, n_chars_actual,
+          size(toks) AS n_tokens,
+          size(filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
+          size(array_distinct(toks)) AS n_distinct,
+          aggregate(transform(toks, x -> length(x)), 0,
+            (a, x) -> a + x) AS sum_tok_len
+        FROM t)
+      SELECT doc_id, lang, n_chars_actual, n_tokens, n_stop, n_distinct,
+        CAST(sum_tok_len AS DOUBLE) / n_tokens AS avg_token_len,
+        CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+        CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+        (n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.2
+          AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.1) AS quality_ok
+      FROM m ORDER BY doc_id""",
+
+    "t06_corpus_filter" -> """
+      WITH t AS (
+        SELECT doc_id, lang, md5(text) AS text_hash,
+          filter(split(lower(text), ' +'), x -> length(x) > 0) AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, lang, text_hash,
+          size(toks) AS n_tokens,
+          size(filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
+          size(array_distinct(toks)) AS n_distinct
+        FROM t),
+      flagged AS (
+        SELECT lang,
+          (n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.2
+            AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.1)
+            AS quality_ok,
+          (doc_id = MIN(doc_id) OVER (PARTITION BY text_hash))
+            AS is_canonical
+        FROM m)
+      SELECT lang, COUNT(*) AS n_docs,
+        SUM(CASE WHEN quality_ok AND is_canonical THEN 1L ELSE 0L END)
+          AS n_kept,
+        SUM(CASE WHEN NOT quality_ok THEN 1L ELSE 0L END)
+          AS n_dropped_quality,
+        SUM(CASE WHEN quality_ok AND NOT is_canonical THEN 1L ELSE 0L END)
+          AS n_dropped_dup
+      FROM flagged GROUP BY lang ORDER BY lang""",
+
+    "t12_decontaminate" -> """
+      WITH grams AS (
+        SELECT doc_id,
+          pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),
+            16, 10) AS LONG), 1000L) AS bucket,
+          explode(shingles(filter(split(lower(text), ' +'),
+            x -> length(x) > 0), 5)) AS gram
+        FROM documents),
+      train AS (
+        SELECT DISTINCT doc_id, gram FROM grams WHERE bucket < 800),
+      eval_g AS (SELECT DISTINCT gram FROM grams WHERE bucket >= 900),
+      perdoc AS (
+        SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id),
+      shared AS (
+        SELECT doc_id, COUNT(*) AS shared
+        FROM train JOIN eval_g USING (gram) GROUP BY doc_id)
+      SELECT p.doc_id, n_grams,
+        coalesce(shared, 0L) AS n_shared,
+        (coalesce(shared, 0L) > 0) AS contaminated
+      FROM perdoc p LEFT JOIN shared ON p.doc_id = shared.doc_id
+      ORDER BY p.doc_id""",
+
+    "t13_chunk_overlap" -> """
+      WITH base AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) > 0),
+      chunks AS (
+        SELECT doc_id, text, len,
+          explode(sequence(0,
+            CAST(greatest(0, floor((len - 1) / 48)) AS INT))) AS chunk_idx
+        FROM base)
+      SELECT doc_id, chunk_idx, chunk_idx * 48 AS `offset`,
+        least(64, len - chunk_idx * 48) AS chunk_len,
+        md5(substring(text, chunk_idx * 48 + 1, 64)) AS chunk_md5
+      FROM chunks ORDER BY doc_id, chunk_idx""",
+
+    "t18_bigram_lm" -> """
+      WITH grams AS (
+        SELECT explode(shingles(filter(split(lower(text), ' +'),
+          x -> length(x) > 0), 2)) AS g
+        FROM documents),
+      pairs AS (
+        SELECT split(g, ' ')[0] AS prev_tok, split(g, ' ')[1] AS next_tok
+        FROM grams),
+      counts AS (
+        SELECT prev_tok, next_tok, COUNT(*) AS c
+        FROM pairs GROUP BY prev_tok, next_tok),
+      win AS (
+        SELECT prev_tok, next_tok, c,
+          SUM(c) OVER (PARTITION BY prev_tok) AS n_prev,
+          row_number() OVER (PARTITION BY prev_tok
+            ORDER BY c DESC, next_tok ASC) AS rk
+        FROM counts)
+      SELECT prev_tok, next_tok, c, n_prev,
+        CAST(c AS DOUBLE) / CAST(n_prev AS DOUBLE) AS cond_p, rk
+      FROM win WHERE rk <= 3 ORDER BY prev_tok, rk""",
+
+    "t22_gopher_grams" -> """
+      WITH toks AS (
+        SELECT doc_id, filter(split(lower(text), ' +'),
+          x -> length(x) > 0) AS t
+        FROM documents),
+      base AS (
+        SELECT doc_id, CAST(SUM(length(tok)) AS BIGINT) AS n_tok_chars,
+          COUNT(*) AS n_tokens
+        FROM (SELECT doc_id, explode(t) AS tok FROM toks)
+        GROUP BY doc_id),
+      c2 AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, explode(shingles(t, 2)) AS g FROM toks)
+        GROUP BY doc_id, g),
+      t2 AS (
+        SELECT doc_id, g AS top2_gram, c AS top2_count
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY c DESC, g ASC) AS rn FROM c2)
+        WHERE rn = 1),
+      c3 AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, explode(shingles(t, 3)) AS g FROM toks)
+        GROUP BY doc_id, g),
+      t3 AS (
+        SELECT doc_id, g AS top3_gram, c AS top3_count
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY c DESC, g ASC) AS rn FROM c3)
+        WHERE rn = 1),
+      joined AS (
+        SELECT base.doc_id, n_tok_chars, n_tokens,
+          CAST(n_tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            AS mean_tok_len,
+          top2_gram, top2_count,
+          CAST(top2_count * length(replace(top2_gram, ' ', ''))
+            AS DOUBLE) / CAST(n_tok_chars AS DOUBLE) AS dup2_frac,
+          top3_gram, top3_count,
+          CAST(top3_count * length(replace(top3_gram, ' ', ''))
+            AS DOUBLE) / CAST(n_tok_chars AS DOUBLE) AS dup3_frac
+        FROM base
+        LEFT JOIN t2 ON base.doc_id = t2.doc_id
+        LEFT JOIN t3 ON base.doc_id = t3.doc_id)
+      SELECT doc_id, n_tok_chars, n_tokens, mean_tok_len,
+        top2_gram, top2_count, dup2_frac,
+        top3_gram, top3_count, dup3_frac,
+        (COALESCE(dup2_frac <= 0.20, TRUE)
+          AND COALESCE(dup3_frac <= 0.18, TRUE)
+          AND mean_tok_len BETWEEN 3.0 AND 10.0) AS gopher_ok
+      FROM joined ORDER BY doc_id""",
+
+    "s04_ivf_search" -> """
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+          sqrt(dot_product(embedding, embedding)) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT label AS centroid_label, MIN(vec_id) AS seed_id
+        FROM embeddings GROUP BY label),
+      centroids AS (
+        SELECT centroid_label, e.embedding AS centroid, e.nrm AS cn
+        FROM seeds JOIN e ON seed_id = e.vec_id),
+      scored AS (
+        SELECT e.vec_id, centroid_label,
+          CASE WHEN e.nrm = 0D OR cn = 0D THEN NULL
+            ELSE dot_product(e.embedding, centroid) / (e.nrm * cn)
+            END AS cos
+        FROM e CROSS JOIN centroids),
+      ranked AS (
+        SELECT vec_id, centroid_label, cos,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, centroid_label ASC) AS rn
+        FROM scored),
+      assignment AS (
+        SELECT vec_id, centroid_label AS cell FROM ranked WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, centroid_label AS cell
+        FROM ranked WHERE vec_id < 10 AND rn <= 2),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+        FROM e WHERE vec_id < 10),
+      cands AS (
+        SELECT p.query_id, a.vec_id, p.cell,
+          CASE WHEN qn = 0D OR e.nrm = 0D THEN NULL
+            ELSE dot_product(qv, e.embedding) / (qn * e.nrm) END AS cos
+        FROM probes p
+        JOIN assignment a ON p.cell = a.cell AND p.query_id <> a.vec_id
+        JOIN q ON q.query_id = p.query_id
+        JOIN e ON e.vec_id = a.vec_id),
+      final_ranked AS (
+        SELECT query_id, vec_id, cell, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM cands)
+      SELECT query_id, rank, vec_id AS neighbor_id, cos,
+        cell AS probed_cell
+      FROM final_ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
+    "s11_filtered_ivf" -> """
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+          sqrt(dot_product(embedding, embedding)) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT label AS centroid_label, MIN(vec_id) AS seed_id
+        FROM embeddings GROUP BY label),
+      centroids AS (
+        SELECT centroid_label, e.embedding AS centroid, e.nrm AS cn
+        FROM seeds JOIN e ON seed_id = e.vec_id),
+      scored AS (
+        SELECT e.vec_id, e.label, centroid_label,
+          CASE WHEN e.nrm = 0D OR cn = 0D THEN NULL
+            ELSE dot_product(e.embedding, centroid) / (e.nrm * cn)
+            END AS cos
+        FROM e CROSS JOIN centroids),
+      ranked AS (
+        SELECT vec_id, label, centroid_label, cos,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, centroid_label ASC) AS rn
+        FROM scored),
+      assignment AS (
+        SELECT vec_id, label, centroid_label AS cell
+        FROM ranked WHERE rn = 1 AND label % 2 = 0),
+      probes AS (
+        SELECT vec_id AS query_id, centroid_label AS cell
+        FROM ranked WHERE vec_id < 10 AND rn <= 2),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+        FROM e WHERE vec_id < 10),
+      cands AS (
+        SELECT p.query_id, a.vec_id, a.label, p.cell,
+          CASE WHEN qn = 0D OR e.nrm = 0D THEN NULL
+            ELSE dot_product(qv, e.embedding) / (qn * e.nrm) END AS cos
+        FROM probes p
+        JOIN assignment a ON p.cell = a.cell AND p.query_id <> a.vec_id
+        JOIN q ON q.query_id = p.query_id
+        JOIN e ON e.vec_id = a.vec_id),
+      final_ranked AS (
+        SELECT query_id, vec_id, label, cell, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM cands)
+      SELECT query_id, rank, vec_id AS neighbor_id, label, cos,
+        cell AS probed_cell
+      FROM final_ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
+    "d04_ngram_jaccard" -> """
+      WITH sets AS (
+        SELECT doc_id,
+          array_distinct(shingles(filter(split(lower(text), ' +'),
+            x -> length(x) > 0), 2)) AS sh
+        FROM documents WHERE doc_id < 500),
+      ex AS (SELECT doc_id, explode(sh) AS shingle FROM sets),
+      sizes AS (SELECT doc_id, size(sh) AS n FROM sets),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      j AS (
+        SELECT doc_a, doc_b,
+          CAST(n_inter AS DOUBLE)
+            / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        JOIN sizes na ON doc_a = na.doc_id
+        JOIN sizes nb ON doc_b = nb.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM j
+      WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""",
   )
 }

@@ -26,7 +26,7 @@ object TextQ {
     t16TrigramNovelty, t17TokenGini, t18BigramLm, t19ImportanceWeight,
     t20BpePairs, t21LmDocScore, t22GopherGrams)
 
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[queries] val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
     "en" -> Seq("the", "a", "order", "table"),
     "es" -> Seq("slow", "agg", "merge", "vector"),
