@@ -1734,5 +1734,195 @@ object SqlParity {
         JOIN sizes nb ON doc_b = nb.doc_id)
       SELECT doc_a, doc_b, jaccard FROM j
       WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""",
+
+    "d15_containment" -> """
+      WITH sets AS (
+        SELECT doc_id,
+          array_distinct(shingles(filter(split(lower(text), ' +'),
+            x -> length(x) > 0), 2)) AS sh
+        FROM documents WHERE doc_id < 500),
+      ex AS (SELECT doc_id, explode(sh) AS shingle FROM sets),
+      sizes AS (SELECT doc_id, size(sh) AS n FROM sets),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+      c AS (
+        SELECT doc_a, doc_b,
+          CAST(n_inter AS DOUBLE) / CAST(na.n AS DOUBLE) AS cont_a_in_b,
+          CAST(n_inter AS DOUBLE) / CAST(nb.n AS DOUBLE) AS cont_b_in_a
+        FROM inter
+        JOIN sizes na ON doc_a = na.doc_id
+        JOIN sizes nb ON doc_b = nb.doc_id)
+      SELECT doc_a, doc_b, cont_a_in_b, cont_b_in_a FROM c
+      WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.6
+      ORDER BY doc_a, doc_b""",
+
+    "d03_simhash" -> {
+      val wCols = (0 until 32).map { bb =>
+        val shift = (7 - bb / 4) * 4 + (bb % 4)
+        s"SUM(CAST((shiftright(v, $shift) & 1) * 2 - 1 AS BIGINT))" +
+          s" AS w$bb"
+      }.mkString(",\n          ")
+      val simExpr = (0 until 32).map(bb =>
+        s"CASE WHEN w$bb >= 0 THEN ${1L << bb}L ELSE 0L END")
+        .mkString(" + ")
+      s"""
+      WITH inst AS (
+        SELECT doc_id,
+          CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS LONG) AS v
+        FROM (SELECT doc_id, explode(filter(split(lower(text), ' +'),
+          x -> length(x) > 0)) AS tok FROM documents)),
+      wsum AS (
+        SELECT doc_id,
+          $wCols
+        FROM inst GROUP BY doc_id),
+      bits AS (
+        SELECT doc_id, CAST($simExpr AS BIGINT) AS simhash FROM wsum),
+      bandsrc AS (
+        SELECT doc_id, simhash, explode(sequence(0, 3)) AS band
+        FROM bits),
+      bands AS (
+        SELECT doc_id, simhash, band,
+          shiftright(simhash, band * 8) & 255 AS byte
+        FROM bandsrc),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+      ORDER BY doc_a, doc_b"""
+    },
+
+    "s03_ivf_assign" -> """
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+          sqrt(dot_product(embedding, embedding)) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT label AS centroid_label, MIN(vec_id) AS seed_id
+        FROM embeddings GROUP BY label),
+      centroids AS (
+        SELECT centroid_label, e.embedding AS centroid, e.nrm AS cn
+        FROM seeds JOIN e ON seed_id = e.vec_id),
+      scored AS (
+        SELECT e.vec_id, e.label, centroid_label,
+          CASE WHEN e.nrm = 0D OR cn = 0D THEN NULL
+            ELSE dot_product(e.embedding, centroid) / (e.nrm * cn)
+            END AS cos
+        FROM e CROSS JOIN centroids),
+      ranked AS (
+        SELECT vec_id, label, centroid_label, cos,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, centroid_label ASC) AS rn
+        FROM scored)
+      SELECT vec_id, label, centroid_label AS assigned_cell, cos,
+        (label = centroid_label) AS matches_label
+      FROM ranked WHERE rn = 1 ORDER BY vec_id""",
+
+    "s08_range_search" -> """
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(dot_product(embedding, embedding)) AS nrm
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+        FROM e WHERE vec_id < 20),
+      scored AS (
+        SELECT query_id, e.vec_id,
+          CASE WHEN qn = 0D OR nrm = 0D THEN NULL
+            ELSE dot_product(qv, embedding) / (qn * nrm) END AS cos
+        FROM q JOIN e ON query_id <> e.vec_id),
+      m AS (
+        SELECT query_id, vec_id, cos,
+          COUNT(*) OVER (PARTITION BY query_id) AS n_matches
+        FROM scored WHERE cos >= 0.3)
+      SELECT query_id, vec_id AS neighbor_id, cos, n_matches
+      FROM m ORDER BY query_id, neighbor_id""",
+
+    "t19_importance_weight" -> """
+      WITH grams AS (
+        SELECT doc_id, lang,
+          explode(shingles(filter(split(lower(text), ' +'),
+            x -> length(x) > 0), 2)) AS g
+        FROM documents),
+      bk AS (
+        SELECT doc_id, lang,
+          CAST(conv(substring(md5(g), 1, 4), 16, 10) AS LONG) % 256 AS b
+        FROM grams),
+      src AS (SELECT b, COUNT(*) AS src_n FROM bk GROUP BY b),
+      tgt AS (
+        SELECT b, COUNT(*) AS tgt_n FROM bk WHERE lang = 'en' GROUP BY b),
+      totals AS (
+        SELECT COUNT(*) AS src_total,
+          SUM(CASE WHEN lang = 'en' THEN 1L ELSE 0L END) AS tgt_total
+        FROM bk),
+      weights AS (
+        SELECT b, ((coalesce(tgt_n, 0L) + 1) * (src_total + 256)
+          - (src_n + 1) * (tgt_total + 256)) AS wt
+        FROM src LEFT JOIN tgt USING (b) CROSS JOIN totals),
+      perdoc AS (
+        SELECT doc_id, SUM(wt) AS score, COUNT(*) AS n
+        FROM bk JOIN weights USING (b) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(score, 0L) AS LONG) AS dsir_score,
+        CAST(coalesce(n, 0L) AS LONG) AS n_bigrams
+      FROM documents d LEFT JOIN perdoc ON d.doc_id = perdoc.doc_id
+      ORDER BY d.doc_id""",
+
+    "t20_bpe_pairs" -> """
+      WITH words AS (
+        SELECT word, COUNT(*) AS c FROM (
+          SELECT explode(filter(split(lower(text), ' +'),
+            x -> length(x) > 0)) AS word
+          FROM documents)
+        GROUP BY word),
+      syms AS (
+        SELECT c, concat(filter(split(word, ''), s -> length(s) > 0),
+          array('</w>')) AS sy
+        FROM words),
+      pairs AS (
+        SELECT c, explode(zip_with(
+          slice(sy, 1, greatest(size(sy) - 1, 0)),
+          slice(sy, 2, greatest(size(sy) - 1, 0)),
+          (x, y) -> concat_ws(' ', x, y))) AS pair
+        FROM syms)
+      SELECT pair, SUM(c) AS cnt
+      FROM pairs GROUP BY pair
+      ORDER BY cnt DESC, pair ASC LIMIT 20""",
+
+    "q28_asof_join" -> """
+      WITH ev AS (
+        SELECT user_id AS k, ts AS t, event_id, event_type FROM events),
+      ord AS (
+        SELECT k, t, o_orderkey FROM (
+          SELECT o_custkey AS k, o_orderdate AS t,
+            MAX(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY o_custkey, o_orderdate)
+        WHERE k IN (SELECT DISTINCT k FROM ev)),
+      tagged AS (
+        SELECT k, t, 0 AS kind, CAST(NULL AS BIGINT) AS event_id,
+          CAST(NULL AS STRING) AS event_type, o_orderkey, t AS o_t
+        FROM ord
+        UNION ALL
+        SELECT k, t, 1 AS kind, event_id, event_type,
+          CAST(NULL AS BIGINT) AS o_orderkey,
+          CAST(NULL AS TIMESTAMP) AS o_t
+        FROM ev),
+      carried AS (
+        SELECT *,
+          last(o_orderkey, true) OVER (PARTITION BY k ORDER BY t, kind
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS last_order_key,
+          last(o_t, true) OVER (PARTITION BY k ORDER BY t, kind
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS last_order_ts
+        FROM tagged)
+      SELECT event_id, k AS user_id, t AS ts, event_type,
+        last_order_key, last_order_ts,
+        last_order_key IS NOT NULL AS has_prior_order
+      FROM carried WHERE kind = 1 ORDER BY event_id""",
   )
 }
