@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.{ChangeFeed => CF, PartitionedSnapshots => PS, Snapshots}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Pull-based change-feed consumption: snapshot bootstrap, incremental
+  * drains, exactly-once re-delivery on crash (poll without commit),
+  * forward-only cursors, multi-consumer independence, Latest start, the
+  * full-copy format, and the retention-horizon failure mode. */
+class ChangeFeedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() =
+    Files.createTempDirectory("graft_cf").toString + "/t"
+
+  private def drain(t: String, cid: String): Seq[(Long, String, String)] = {
+    val b = CF.poll(spark, t, cid).get
+    val rows = b.df.select(col("k"), col("v"), col("change_type"))
+      .as[(Long, String, String)].collect().toSeq.sortBy(_._1)
+    CF.commit(t, cid, b.toVersion)
+    rows
+  }
+
+  test("snapshot bootstrap, then incremental drains; caught-up poll " +
+      "is None; commit is per-consumer") {
+    val t = tmp()
+    PS.write(spark, t, Seq((1L, "A", "a1"), (2L, "B", "b1"))
+      .toDF("k", "d", "v"), "d")
+    PS.upsert(spark, t, Seq((2L, "B", "b2"), (3L, "A", "c1"))
+      .toDF("k", "d", "v"), Seq("k"), "d")
+
+    // bootstrap sees the CURRENT state as inserts (v2), not history
+    assert(drain(t, "c1") ==
+      Seq((1L, "a1", "insert"), (2L, "b2", "insert"), (3L, "c1", "insert")))
+    assert(CF.poll(spark, t, "c1").isEmpty, "caught up -> None")
+
+    // new commits drain incrementally
+    PS.delete(spark, t, col("k") === 1L, "d")
+    PS.upsert(spark, t, Seq((3L, "A", "c2")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    assert(drain(t, "c1") ==
+      Seq((1L, "a1", "delete"), (3L, "c2", "update")))
+    assert(CF.poll(spark, t, "c1").isEmpty)
+
+    // a second consumer starting now bootstraps from the current state
+    assert(drain(t, "c2") ==
+      Seq((2L, "b2", "insert"), (3L, "c2", "insert")))
+    assert(CF.consumers(t) == Map("c1" -> 4L, "c2" -> 4L))
+  }
+
+  test("at-least-once re-delivery: poll without commit returns the " +
+      "same batch again; commit is forward-only and pointer-bounded") {
+    val t = tmp()
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d")
+    val b1 = CF.poll(spark, t, "c").get
+    CF.commit(t, "c", b1.toVersion)
+    PS.upsert(spark, t, Seq((1L, "A", "a2")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+
+    val p1 = CF.poll(spark, t, "c").get
+    val p2 = CF.poll(spark, t, "c").get // crash-before-commit replay
+    assert(p1.fromVersion == p2.fromVersion && p1.toVersion == p2.toVersion)
+    assert(TestSpark.rows(p1.df) == TestSpark.rows(p2.df))
+    CF.commit(t, "c", p2.toVersion)
+
+    intercept[IllegalArgumentException] {
+      CF.commit(t, "c", p2.toVersion - 1) // backwards
+    }
+    intercept[IllegalArgumentException] {
+      CF.commit(t, "c", p2.toVersion + 10) // beyond the pointer
+    }
+  }
+
+  test("Latest start: first poll is an empty batch pinned at current; " +
+      "only future changes flow") {
+    val t = tmp()
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d")
+    val b = CF.poll(spark, t, "tail", startFrom = CF.Latest).get
+    assert(b.df.isEmpty && b.fromVersion == b.toVersion)
+    CF.commit(t, "tail", b.toVersion)
+    PS.upsert(spark, t, Seq((2L, "B", "b1")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    assert(drain(t, "tail") == Seq((2L, "b1", "insert")))
+  }
+
+  test("full-copy Snapshots tables feed through the same API with " +
+      "explicit keys") {
+    val t = tmp()
+    Snapshots.write(spark, t, Seq((10L, "x")).toDF("k", "v"))
+    val b = CF.poll(spark, t, "c", keys = Seq("k")).get
+    assert(b.df.count() == 1)
+    CF.commit(t, "c", b.toVersion)
+    Snapshots.upsert(spark, t, Seq((10L, "x2"), (11L, "y"))
+      .toDF("k", "v"), Seq("k"))
+    val b2 = CF.poll(spark, t, "c", keys = Seq("k")).get
+    assert(b2.df.select(col("k"), col("change_type"))
+      .as[(Long, String)].collect().toSet ==
+      Set((10L, "update"), (11L, "insert")))
+  }
+
+  test("keys come from the recorded layout when omitted; a keyless " +
+      "table refuses with instructions") {
+    val t = tmp()
+    Snapshots.write(spark, t, Seq((10L, "x")).toDF("k", "v"))
+    CF.commit(t, "c", 1L)
+    Snapshots.upsert(spark, t, Seq((11L, "y")).toDF("k", "v"), Seq("k"))
+    val e = intercept[UnsupportedOperationException] {
+      CF.poll(spark, t, "c")
+    }
+    assert(e.getMessage.contains("no key columns"), e.getMessage)
+  }
+
+  test("a consumer behind the retention horizon fails loudly with " +
+      "re-bootstrap instructions; reset re-bootstraps") {
+    val t = tmp()
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d")
+    CF.commit(t, "lagger", 1L)
+    (2 to 4).foreach(i => PS.upsert(spark, t,
+      Seq((i.toLong, "A", s"v$i")).toDF("k", "d", "v"), Seq("k"), "d"))
+    PS.vacuum(t, keep = 1)
+    val e = intercept[IllegalStateException] {
+      CF.poll(spark, t, "lagger")
+    }
+    assert(e.getMessage.contains("retention horizon"), e.getMessage)
+    CF.reset(t, "lagger")
+    val b = CF.poll(spark, t, "lagger").get // snapshot re-bootstrap
+    assert(b.df.count() == 4)
+    assert(b.df.filter(col("change_type") =!= "insert").isEmpty)
+  }
+}
