@@ -23,7 +23,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL snap.system.publish(table => 'sales', version => 5)
   * CALL snap.system.build_zone_map(table => 'sales', cols => 'k')
   * CALL snap.system.build_bloom_index(table => 'sales', cols => 'u')
+  * CALL snap.system.feed_cursor(table => 'sales', consumer => 'idx')
+  * CALL snap.system.feed_commit(table => 'sales', consumer => 'idx',
+  *                              version => 3)
+  * CALL snap.system.feed_consumers(table => 'sales')
   * }}}
+  *
+  * The `feed_*` procedures + the `table_changes` TVF make the change
+  * feed drivable from PURE SQL: read the cursor, `SELECT * FROM
+  * table_changes('snap.sales', cursor, current)`, apply, commit.
   *
   * Every procedure routes to the corresponding operator (same
   * single-writer lock + commit protocol as every other writer) and
@@ -34,7 +42,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[plans] object SnapshotProcedures {
 
   val names: Seq[String] = Seq("history", "vacuum", "compact", "restore",
-    "publish", "build_zone_map", "build_bloom_index")
+    "publish", "build_zone_map", "build_bloom_index",
+    "feed_cursor", "feed_commit", "feed_consumers")
 
   def load(procName: String, pathOf: String => String,
       store: CommitStore): Option[UnboundProcedure] =
@@ -90,6 +99,12 @@ private[plans] object SnapshotProcedures {
       case "build_bloom_index" => Array(p("table", DataTypes.StringType),
         p("cols", DataTypes.StringType),
         pd("expected_items_per_file", DataTypes.LongType, "1000000"))
+      case "feed_cursor" => Array(p("table", DataTypes.StringType),
+        p("consumer", DataTypes.StringType))
+      case "feed_consumers" => Array(p("table", DataTypes.StringType))
+      case "feed_commit" => Array(p("table", DataTypes.StringType),
+        p("consumer", DataTypes.StringType),
+        p("version", DataTypes.LongType))
     }
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -146,6 +161,30 @@ private[plans] object SnapshotProcedures {
             expectedItemsPerFile = input.getLong(2), store = store)
           result(StructType.fromDDL("cols STRING"),
             Seq(row(utf8(csv(1).mkString(",")))))
+        case "feed_cursor" =>
+          // the SQL consumer loop: read the cursor here, drain with
+          // SELECT * FROM table_changes(t, cursor, current), then
+          // feed_commit(current)
+          val consumer = input.getUTF8String(1).toString
+          val cur = graft.operators.ChangeFeed.cursor(t, consumer, store)
+          val ptr = PartitionedSnapshots.currentVersion(t, store)
+          result(StructType.fromDDL(
+            "consumer STRING, cursor_version BIGINT, current_version BIGINT"),
+            Seq(row(utf8(consumer), cur.map(Long.box).orNull,
+              ptr.map(Long.box).orNull)))
+        case "feed_commit" =>
+          val consumer = input.getUTF8String(1).toString
+          graft.operators.ChangeFeed.commit(t, consumer,
+            input.getLong(2), store)
+          result(StructType.fromDDL(
+            "consumer STRING, committed_version BIGINT"),
+            Seq(row(utf8(consumer), input.getLong(2))))
+        case "feed_consumers" =>
+          val all = graft.operators.ChangeFeed.consumers(t, store)
+            .toSeq.sortBy(_._1)
+          result(StructType.fromDDL(
+            "consumer STRING, cursor_version BIGINT"),
+            all.map { case (n, v) => row(utf8(n), v) })
       }
     }
   }

@@ -343,6 +343,39 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("records no key columns"), e.getMessage)
   }
 
+  test("pure-SQL change-feed loop: feed_cursor -> table_changes -> " +
+      "feed_commit -> feed_consumers") {
+    val t = s"$root/feed"
+    PS.write(spark, t, Seq((1L, "A", "a1"), (2L, "A", "b1"))
+      .toDF("k", "d", "v"), "d")
+    PS.upsert(spark, t, Seq((2L, "A", "b2"), (3L, "B", "c1"))
+      .toDF("k", "d", "v"), Seq("k"), "d")
+
+    val c0 = spark.sql(
+      "CALL snap.system.feed_cursor(table => 'feed', consumer => 'idx')")
+      .as[(String, Option[Long], Option[Long])].collect().head
+    assert(c0 == (("idx", None, Some(2L))), s"$c0")
+
+    // bootstrap from v1, drain to current, then commit the drained head
+    val drained = spark.sql(
+      "SELECT k, v, change_type FROM table_changes('snap.feed', 1, 2) " +
+        "ORDER BY k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(drained == Seq((2L, "b2", "update"), (3L, "c1", "insert")))
+    spark.sql("CALL snap.system.feed_commit(table => 'feed', " +
+      "consumer => 'idx', version => 2)").collect()
+
+    val c1 = spark.sql(
+      "CALL snap.system.feed_cursor(table => 'feed', consumer => 'idx')")
+      .as[(String, Option[Long], Option[Long])].collect().head
+    assert(c1 == (("idx", Some(2L), Some(2L))), "caught up")
+
+    val consumers = spark.sql(
+      "CALL snap.system.feed_consumers(table => 'feed')")
+      .as[(String, Long)].collect().toSeq
+    assert(consumers == Seq(("idx", 2L)))
+  }
+
   test("listTables sees committed tables; mutations are refused") {
     spark.sql("SELECT 1").collect() // force catalog init via root
     val names = spark.sql("SHOW TABLES IN snap").select("tableName")
