@@ -1924,5 +1924,71 @@ object SqlParity {
         last_order_key, last_order_ts,
         last_order_key IS NOT NULL AS has_prior_order
       FROM carried WHERE kind = 1 ORDER BY event_id""",
+
+    "t23_source_filter" -> """
+      WITH m AS (
+        SELECT doc_id, source,
+          size(t) AS n_tokens,
+          size(filter(t, x -> x IN ('the', 'a'))) AS n_stop,
+          size(array_distinct(t)) AS n_distinct
+        FROM (SELECT doc_id, source,
+          filter(split(lower(text), ' +'), x -> length(x) > 0) AS t
+          FROM documents)),
+      v AS (
+        SELECT source,
+          (n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.2
+            AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.1)
+            AS quality_ok
+        FROM m),
+      agg AS (
+        SELECT source, COUNT(*) AS n_docs,
+          SUM(CASE WHEN quality_ok THEN 1L ELSE 0L END) AS n_ok
+        FROM v GROUP BY source)
+      SELECT source, n_docs, n_ok,
+        CAST(n_ok AS DOUBLE) / CAST(n_docs AS DOUBLE) AS ok_rate,
+        (CAST(n_ok AS DOUBLE) / CAST(n_docs AS DOUBLE) < 0.5)
+          AS source_blocked,
+        CASE WHEN CAST(n_ok AS DOUBLE) / CAST(n_docs AS DOUBLE) < 0.5
+          THEN 0L ELSE n_ok END AS n_docs_kept
+      FROM agg ORDER BY source""",
+
+    "t24_ccnet_buckets" -> """
+      WITH grams AS (
+        SELECT doc_id, split(g, ' ')[0] AS prev_tok,
+          split(g, ' ')[1] AS next_tok
+        FROM (SELECT doc_id, explode(shingles(filter(split(lower(text),
+          ' +'), x -> length(x) > 0), 2)) AS g FROM documents)),
+      lm AS (
+        SELECT prev_tok, next_tok, c,
+          SUM(c) OVER (PARTITION BY prev_tok) AS n_prev
+        FROM (SELECT prev_tok, next_tok, COUNT(*) AS c
+          FROM grams GROUP BY prev_tok, next_tok)),
+      scored AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          SUM(CASE WHEN c * 10 >= n_prev THEN 1L ELSE 0L END)
+            AS n_common
+        FROM grams JOIN lm USING (prev_tok, next_tok) GROUP BY doc_id),
+      bucketed AS (
+        SELECT doc_id,
+          CAST(n_common AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+            AS fluency,
+          ntile(3) OVER (ORDER BY CAST(n_common AS DOUBLE)
+            / CAST(n_bigrams AS DOUBLE) DESC, doc_id ASC) AS tercile,
+          pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),
+            16, 10) AS LONG), 1000L) AS hb
+        FROM scored),
+      labeled AS (
+        SELECT fluency,
+          CASE WHEN tercile = 1 THEN 'head'
+            WHEN tercile = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+          hb
+        FROM bucketed)
+      SELECT bucket, COUNT(*) AS n_docs,
+        MIN(fluency) AS min_fluency, MAX(fluency) AS max_fluency,
+        SUM(CASE WHEN bucket = 'head'
+          OR (bucket = 'middle' AND hb < 500)
+          OR (bucket = 'tail' AND hb < 100) THEN 1L ELSE 0L END)
+          AS n_sampled
+      FROM labeled GROUP BY bucket ORDER BY bucket""",
   )
 }

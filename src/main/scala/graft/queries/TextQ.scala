@@ -24,7 +24,8 @@ object TextQ {
     t08SeqPack, t09MixtureSample, t10Tfidf, t11QuotaSample,
     t12Decontaminate, t13ChunkOverlap, t14Repetition, t15RareTokens,
     t16TrigramNovelty, t17TokenGini, t18BigramLm, t19ImportanceWeight,
-    t20BpePairs, t21LmDocScore, t22GopherGrams)
+    t20BpePairs, t21LmDocScore, t22GopherGrams, t23SourceFilter,
+    t24CcnetBuckets)
 
   private[queries] val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -1080,4 +1081,149 @@ object TextQ {
         AND COALESCE(dup3_frac <= 0.18, TRUE)
         AND mean_tok_len BETWEEN 3.0 AND 10.0) AS gopher_ok
     FROM joined ORDER BY doc_id"""))
+
+  /** SOURCE-level filtering — the C4/RefinedWeb domain-blocklist shape:
+    * per-doc quality verdicts (t02's rules) roll up to a per-source OK
+    * rate, and a source whose rate falls under 50 % is blocked wholesale
+    * (its residual good docs dropped too — the point of domain filtering:
+    * a bad host poisons trust in its good pages). Doc scoring pipelines
+    * on the scan; the rollup shuffles one verdict row per doc on a
+    * domain-cardinality key. The blocklist this emits is the broadcast
+    * side of the production filter join. */
+  val t23SourceFilter: Q = Q("t23_source_filter", (s, d) => {
+    val m = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        size(col("t")).as("n_tokens"),
+        size(filter(col("t"), x => x.isin("the", "a"))).as("n_stop"),
+        size(array_distinct(col("t"))).as("n_distinct"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 20 &&
+          col("n_stop").cast("double") / col("n_tokens") <= 0.2 &&
+          col("n_distinct").cast("double") / col("n_tokens") >= 0.1)
+    m.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_ok"))
+      .withColumn("ok_rate",
+        col("n_ok").cast("double") / col("n_docs").cast("double"))
+      .withColumn("source_blocked", col("ok_rate") < 0.5)
+      .withColumn("n_docs_kept",
+        when(col("source_blocked"), 0L).otherwise(col("n_ok")))
+      .orderBy(col("source"))
+  }, Some("""
+    WITH m AS (
+      SELECT doc_id, source,
+        len(t) AS n_tokens,
+        len(list_filter(t, x -> list_contains(['the', 'a'], x))) AS n_stop,
+        len(list_distinct(t)) AS n_distinct
+      FROM (SELECT doc_id, source,
+        list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0) AS t
+        FROM documents)),
+    v AS (
+      SELECT source,
+        (n_tokens >= 20
+          AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.2
+          AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.1) AS quality_ok
+      FROM m),
+    agg AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ok
+      FROM v GROUP BY source)
+    SELECT source, n_docs, n_ok,
+      CAST(n_ok AS DOUBLE) / CAST(n_docs AS DOUBLE) AS ok_rate,
+      (CAST(n_ok AS DOUBLE) / CAST(n_docs AS DOUBLE) < 0.5)
+        AS source_blocked,
+      CASE WHEN CAST(n_ok AS DOUBLE) / CAST(n_docs AS DOUBLE) < 0.5
+        THEN 0 ELSE n_ok END AS n_docs_kept
+    FROM agg ORDER BY source"""))
+
+  /** CCNet-style LM-score bucketing (Wenzek et al. 2020): docs rank by a
+    * corpus-LM fluency score into head/middle/tail TERCILES, and each
+    * bucket keeps a different quota (head all, middle 50 %, tail 10 % —
+    * by the t07/t12 deterministic md5 bucket, not an RNG). This is the
+    * mixture lever LLM pipelines actually ship: oversample text the LM
+    * finds natural without discarding the tail entirely. The tercile
+    * window is single-partition but runs over ONE pre-reduced score row
+    * per doc (q68's discipline — corpus-cardinality, not token
+    * cardinality); docs with no bigram (nothing to score) are out of
+    * scope by construction. */
+  val t24CcnetBuckets: Q = Q("t24_ccnet_buckets", (s, d) => {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExprs.shingles(
+          tokens(col("text")), 2)).as("g"))
+      .select(col("doc_id"),
+        split(col("g"), " ").getItem(0).as("prev_tok"),
+        split(col("g"), " ").getItem(1).as("next_tok"))
+    val lm = grams.groupBy(col("prev_tok"), col("next_tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_prev",
+        sum(col("c")).over(Window.partitionBy(col("prev_tok"))))
+    val scored = grams.join(lm, Seq("prev_tok", "next_tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c") * 10 >= col("n_prev"), 1L).otherwise(0L))
+          .as("n_common"))
+      .withColumn("fluency",
+        col("n_common").cast("double") / col("n_bigrams").cast("double"))
+    scored
+      .withColumn("tercile", ntile(3).over(
+        Window.orderBy(col("fluency").desc, col("doc_id").asc)))
+      .withColumn("bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle").otherwise("tail"))
+      .withColumn("hb", pmod(
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(1000L)))
+      .withColumn("sampled",
+        col("bucket") === "head" ||
+          (col("bucket") === "middle" && col("hb") < 500) ||
+          (col("bucket") === "tail" && col("hb") < 100))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("fluency")).as("min_fluency"),
+        max(col("fluency")).as("max_fluency"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy(col("bucket"))
+  }, Some("""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'),
+        x -> len(x) > 0) AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, t[i] AS prev_tok, t[i + 1] AS next_tok
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+    lm AS (
+      SELECT prev_tok, next_tok, c,
+        SUM(c) OVER (PARTITION BY prev_tok) AS n_prev
+      FROM (SELECT prev_tok, next_tok, COUNT(*) AS c
+        FROM grams GROUP BY prev_tok, next_tok)),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        SUM(CASE WHEN c * 10 >= n_prev THEN 1 ELSE 0 END) AS n_common
+      FROM grams JOIN lm USING (prev_tok, next_tok)
+      GROUP BY doc_id),
+    bucketed AS (
+      SELECT doc_id,
+        CAST(n_common AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency,
+        ntile(3) OVER (ORDER BY CAST(n_common AS DOUBLE)
+          / CAST(n_bigrams AS DOUBLE) DESC, doc_id ASC) AS tercile,
+        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          AS BIGINT) % 1000 AS hb
+      FROM scored),
+    labeled AS (
+      SELECT fluency,
+        CASE WHEN tercile = 1 THEN 'head'
+          WHEN tercile = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        hb
+      FROM bucketed)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      MIN(fluency) AS min_fluency, MAX(fluency) AS max_fluency,
+      CAST(SUM(CASE WHEN bucket = 'head'
+        OR (bucket = 'middle' AND hb < 500)
+        OR (bucket = 'tail' AND hb < 100) THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_sampled
+    FROM labeled GROUP BY bucket ORDER BY bucket"""))
 }
