@@ -171,6 +171,29 @@ object ChangeFeed {
     store.delete(cursorPath(t, consumerId)); ()
   }
 
+  /** Vacuum that RESPECTS consumer lag: widens `keep` so every version
+    * a registered consumer still needs (its cursor and everything
+    * after) survives — the retention-horizon failure in [[poll]]
+    * becomes unreachable for consumers that commit through this API,
+    * at the cost of disk held until the slowest consumer advances.
+    * A table with no registered consumers vacuums exactly like
+    * [[PartitionedSnapshots.vacuum]]/[[Snapshots.vacuum]]. Returns the
+    * reclaimed versions. */
+  def safeVacuum(t: String, keep: Int = 1,
+      store: CommitStore = CommitStore.local): Seq[Long] = {
+    val cur = PartitionedSnapshots.currentVersion(t, store).getOrElse(
+      return Seq.empty)
+    val floor = consumers(t, store).values.reduceOption(_ min _)
+    // keep counts back from the pointer; a cursor at v needs v retained
+    // (the next poll diffs FROM it), so the window must reach v
+    val needed = floor.map(v => (cur - v + 1).toInt.max(keep))
+      .getOrElse(keep)
+    val isPartitioned = PartitionedSnapshots.currentVersion(t, store)
+      .exists(v => PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+    if (isPartitioned) PartitionedSnapshots.vacuum(t, needed, store)
+    else Snapshots.vacuum(t, needed, store)
+  }
+
   /** All consumers tracking `t` with their committed cursors — the lag
     * report vacuum policy should consult. */
   def consumers(t: String, store: CommitStore = CommitStore.local)

@@ -113,6 +113,50 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no key columns"), e.getMessage)
   }
 
+  test("safeVacuum widens retention to the slowest consumer's cursor; " +
+      "after it catches up, reclamation proceeds") {
+    val t = tmp()
+    // single partition value → every upsert rewrites it, so superseded
+    // versions own nothing and are reclaimable the moment retention
+    // allows
+    PS.write(spark, t, Seq((1L, "A", "v1")).toDF("k", "d", "v"), "d")
+    CF.commit(t, "slow", 1L)
+    (2 to 5).foreach(i => PS.upsert(spark, t,
+      Seq((1L, "A", s"v$i")).toDF("k", "d", "v"), Seq("k"), "d"))
+
+    assert(CF.safeVacuum(t, keep = 1).isEmpty,
+      "nothing reclaimable while the slow consumer still needs v1")
+    val b = CF.poll(spark, t, "slow").get // still drains fine
+    assert(b.fromVersion == 1L && b.toVersion == 5L)
+    assert(b.df.select(col("v")).as[String].collect().toSeq == Seq("v5"))
+    CF.commit(t, "slow", b.toVersion)
+
+    val dropped = CF.safeVacuum(t, keep = 1)
+    assert(dropped.nonEmpty && dropped.forall(_ < 5L),
+      s"caught-up consumer unblocks reclamation: $dropped")
+  }
+
+  test("streaming ingest to consumer e2e: streamCommit micro-batches " +
+      "become drainable change batches") {
+    val base = Files.createTempDirectory("graft_cf_sc").toString
+    val t = s"$base/t"; val in = s"$base/in"; val cp = s"$base/cp"
+    Seq((1L, "p1", "a")).toDF("k", "d", "v").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def drainStream(): Unit = {
+      val q = PS.streamCommit(spark,
+        spark.readStream.schema(schema).parquet(in), t, Seq("k"), "d", cp)
+      assert(q.awaitTermination(120000), "stream did not drain")
+    }
+    drainStream()
+    assert(drain(t, "idx") == Seq((1L, "a", "insert"))) // bootstrap
+    Seq((1L, "p1", "a2"), (2L, "p2", "b")).toDF("k", "d", "v")
+      .write.mode("append").parquet(in)
+    drainStream()
+    assert(drain(t, "idx") ==
+      Seq((1L, "a2", "update"), (2L, "b", "insert")))
+    assert(CF.poll(spark, t, "idx").isEmpty, "caught up with the stream")
+  }
+
   test("a consumer behind the retention horizon fails loudly with " +
       "re-bootstrap instructions; reset re-bootstraps") {
     val t = tmp()
