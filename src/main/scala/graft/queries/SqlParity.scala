@@ -1990,5 +1990,72 @@ object SqlParity {
           OR (bucket = 'tail' AND hb < 100) THEN 1L ELSE 0L END)
           AS n_sampled
       FROM labeled GROUP BY bucket ORDER BY bucket""",
+
+    "d02_minhash_lsh" -> {
+      // 8 bands × 2 signature rows — the same md5 band keys
+      // TextFns.lshBandKeys builds; minhash_sig is the registered
+      // native expression, so the SQL user runs the same codegen'd
+      // kernel as the operator
+      val bandList = (0 until 8).map(b =>
+        s"md5(concat_ws('|', '$b', sig[${2 * b}], sig[${2 * b + 1}]))")
+        .mkString(",\n          ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, array_distinct(shingles(filter(split(lower(text),
+          ' +'), x -> length(x) > 0), 2)) AS sh
+        FROM documents),
+      sigs AS (SELECT doc_id, sh, minhash_sig(sh) AS sig FROM docs),
+      bands AS (
+        SELECT doc_id, explode(array(
+          $bandList)) AS band
+        FROM sigs),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band
+        WHERE a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b,
+          CASE WHEN CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE) = 0
+            THEN NULL
+            ELSE CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE)
+            END AS jaccard,
+          CAST(size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y),
+            v -> v)) AS DOUBLE) / 16 AS est_jaccard
+        FROM cands
+        JOIN sigs sa ON doc_a = sa.doc_id
+        JOIN sigs sb ON doc_b = sb.doc_id)
+      SELECT doc_a, doc_b, jaccard, est_jaccard FROM pairs
+      WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+    },
+
+    "s02_knn_lsh" -> {
+      val dims = Seq(0, 9, 18, 27, 36, 45, 54, 63)
+      val bucketSql = dims.map(i =>
+        s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(", ")
+      s"""
+      WITH b AS (
+        SELECT vec_id, embedding,
+          sqrt(dot_product(embedding, embedding)) AS nrm,
+          concat($bucketSql) AS bucket
+        FROM embeddings),
+      q AS (
+        SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket
+        FROM b WHERE vec_id < 20),
+      scored AS (
+        SELECT query_id, q.bucket, e.vec_id,
+          CASE WHEN qn = 0D OR e.nrm = 0D THEN NULL
+            ELSE dot_product(qv, e.embedding) / (qn * e.nrm) END AS cos
+        FROM q JOIN b e ON q.bucket = e.bucket AND query_id <> e.vec_id),
+      ranked AS (
+        SELECT query_id, bucket, vec_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id AS neighbor_id, cos, bucket
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""
+    },
   )
 }
