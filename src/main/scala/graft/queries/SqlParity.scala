@@ -2057,5 +2057,125 @@ object SqlParity {
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank"""
     },
+
+    "d07_embed_lsh_neardup" -> {
+      // 16 bands × 4 consecutive dims, the d07 layout; Spark arrays are
+      // 0-indexed (the DuckDB oracle's spelling is 1-indexed)
+      val bandSelects = (0 until 16).map { b =>
+        val key = (0 until 4).map(i => b * 4 + i).map(i =>
+          s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+          .mkString(", ")
+        s"SELECT vec_id, $b AS band, concat($key) AS key FROM embeddings"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(dot_product(embedding, embedding)) AS nrm
+        FROM embeddings),
+      bands AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+          AND x.vec_id < y.vec_id),
+      verified AS (
+        SELECT vec_a, vec_b,
+          CASE WHEN a.nrm = 0D OR b.nrm = 0D THEN NULL
+            ELSE dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm)
+            END AS cos
+        FROM cand
+        JOIN e a ON vec_a = a.vec_id
+        JOIN e b ON vec_b = b.vec_id)
+      SELECT vec_a, vec_b, cos FROM verified WHERE cos >= 0.4
+      ORDER BY vec_a, vec_b"""
+    },
+
+    "d11_boilerplate_chunks" -> """
+      WITH chunks AS (
+        SELECT doc_id, explode(transform(
+          sequence(0, CAST(size(t) / 8 AS INT) - 1),
+          i -> array_join(slice(t, i * 8 + 1, 8), ' '))) AS chunk
+        FROM (SELECT doc_id,
+          filter(split(lower(text), ' +'), x -> length(x) > 0) AS t
+          FROM documents)
+        WHERE size(t) >= 8),
+      freq AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY chunk)
+      SELECT doc_id, COUNT(*) AS n_chunks,
+        SUM(CASE WHEN n_docs >= 2 THEN 1L ELSE 0L END)
+          AS n_boilerplate_chunks,
+        MAX(n_docs) AS max_chunk_docs
+      FROM chunks JOIN freq USING (chunk)
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "d14_boilerplate_strip" -> """
+      WITH base AS (
+        SELECT doc_id, t, CAST(size(t) / 8 AS INT) AS nfull
+        FROM (SELECT doc_id,
+          filter(split(lower(text), ' +'), x -> length(x) > 0) AS t
+          FROM documents)),
+      chunks AS (
+        SELECT doc_id, posexplode(transform(sequence(0, nfull - 1),
+          i -> array_join(slice(t, i * 8 + 1, 8), ' '))) AS (idx, chunk)
+        FROM base WHERE nfull >= 1),
+      freq AS (
+        SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY chunk),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_chunks,
+          SUM(CASE WHEN n_docs < 2 THEN 0L ELSE 1L END) AS n_dropped,
+          array_join(transform(array_sort(collect_list(
+            CASE WHEN n_docs < 2 THEN struct(idx, chunk) END)),
+            c -> c.chunk), ' ') AS body
+        FROM chunks JOIN freq USING (chunk)
+        GROUP BY doc_id)
+      SELECT base.doc_id,
+        coalesce(n_chunks, 0L) AS n_chunks,
+        coalesce(n_dropped, 0L) AS n_dropped,
+        concat_ws(' ',
+          nullif(coalesce(body, ''), ''),
+          nullif(array_join(slice(t, nfull * 8 + 1,
+            size(t) - nfull * 8), ' '), '')) AS cleaned_text
+      FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id
+      ORDER BY base.doc_id""",
+
+    "t09_mixture_sample" -> """
+      WITH by_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+          pmod(CAST(regexp_extract(source, '([0-9]+)$', 1) AS LONG), 4L)
+            + 1L AS weight
+        FROM documents GROUP BY source),
+      totals AS (
+        SELECT SUM(n_docs) AS total_docs, SUM(weight) AS w_sum
+        FROM by_source),
+      rates AS (
+        SELECT source, n_docs, weight,
+          floor(least(1.0D, floor(total_docs * 2 / 5) * weight / w_sum
+            / n_docs) * 1000) AS thresh
+        FROM by_source CROSS JOIN totals),
+      marked AS (
+        SELECT d.source,
+          pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),
+            16, 10) AS LONG), 1000L) AS bucket
+        FROM documents d)
+      SELECT r.source, n_docs, weight, thresh,
+        SUM(CASE WHEN bucket < thresh THEN 1L ELSE 0L END) AS n_sampled
+      FROM marked m JOIN rates r ON m.source = r.source
+      GROUP BY r.source, n_docs, weight, thresh
+      ORDER BY r.source""",
+
+    "t11_quota_sample" -> """
+      WITH drawn AS (
+        SELECT doc_id, source, md5(CAST(doc_id AS STRING)) AS draw
+        FROM documents),
+      ranked AS (
+        SELECT source, doc_id,
+          row_number() OVER (PARTITION BY source
+            ORDER BY draw, doc_id) AS smp_rank
+        FROM drawn)
+      SELECT source, smp_rank, doc_id
+      FROM ranked WHERE smp_rank <= 10
+      ORDER BY source, smp_rank""",
   )
 }
