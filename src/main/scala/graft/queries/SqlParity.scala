@@ -2177,5 +2177,121 @@ object SqlParity {
       SELECT source, smp_rank, doc_id
       FROM ranked WHERE smp_rank <= 10
       ORDER BY source, smp_rank""",
+
+    "t08_seq_pack" -> """
+      WITH toks AS (
+        SELECT doc_id, source,
+          size(filter(split(lower(text), ' +'), x -> length(x) > 0))
+            AS n_tokens
+        FROM documents),
+      packed AS (
+        SELECT doc_id, source, n_tokens,
+          SUM(CAST(n_tokens AS LONG)) OVER (PARTITION BY source
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS cum_end
+        FROM toks)
+      SELECT doc_id, source, n_tokens, cum_end,
+        cum_end - n_tokens AS start_offset,
+        floor((cum_end - n_tokens) / 128) AS first_chunk,
+        floor((cum_end - 1) / 128) AS last_chunk,
+        floor((cum_end - 1) / 128) - floor((cum_end - n_tokens) / 128)
+          + 1L AS n_chunks
+      FROM packed ORDER BY doc_id""",
+
+    "s05_quantized_rerank" -> """
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(dot_product(embedding, embedding)) AS nrm
+        FROM embeddings),
+      quant AS (
+        SELECT vec_id,
+          CASE WHEN mx = 0D
+            THEN transform(embedding, x -> CAST(0.0D AS FLOAT))
+            ELSE transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / mx) AS FLOAT))
+            END AS qvec
+        FROM (SELECT vec_id, embedding,
+          array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+            AS mx
+          FROM embeddings)),
+      qn AS (
+        SELECT vec_id, qvec, sqrt(dot_product(qvec, qvec)) AS qn
+        FROM quant),
+      qq AS (
+        SELECT vec_id AS query_id, qvec AS qqv, qn AS qqn
+        FROM qn WHERE vec_id < 10),
+      exq AS (
+        SELECT vec_id AS query_id, embedding AS q, nrm AS q_nrm
+        FROM e WHERE vec_id < 10),
+      cands AS (
+        SELECT query_id, vec_id, qcos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY qcos DESC, vec_id ASC) AS qrank
+        FROM (SELECT query_id, qn.vec_id,
+          CASE WHEN qqn = 0D OR qn.qn = 0D THEN NULL
+            ELSE dot_product(qqv, qn.qvec) / (qqn * qn.qn) END AS qcos
+          FROM qq JOIN qn ON query_id <> qn.vec_id)),
+      reranked AS (
+        SELECT c.query_id, c.vec_id, qcos,
+          CASE WHEN q_nrm = 0D OR e.nrm = 0D THEN NULL
+            ELSE dot_product(q, e.embedding) / (q_nrm * e.nrm)
+            END AS cos
+        FROM cands c
+        JOIN e ON c.vec_id = e.vec_id
+        JOIN exq ON exq.query_id = c.query_id
+        WHERE qrank <= 20),
+      final_ranked AS (
+        SELECT query_id, vec_id, cos, qcos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM reranked)
+      SELECT query_id, rank, vec_id AS neighbor_id, cos, qcos
+      FROM final_ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
+    "s10_mmr" -> """
+      WITH q AS (
+        SELECT embedding AS qv, sqrt(dot_product(embedding, embedding))
+          AS qn
+        FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT e.vec_id, e.embedding,
+          dot_product(qv, e.embedding)
+            / (sqrt(dot_product(e.embedding, e.embedding)) * qn) AS rel
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+      pool AS (
+        SELECT vec_id, embedding, rel,
+          row_number() OVER (ORDER BY rel DESC, vec_id ASC) AS rk
+        FROM scored),
+      cand AS (SELECT vec_id, embedding, rel FROM pool WHERE rk <= 12),
+      p1 AS (
+        SELECT vec_id, embedding, rel, 0.5D * rel AS score
+        FROM cand ORDER BY 0.5D * rel DESC, vec_id ASC LIMIT 1),
+      s2 AS (
+        SELECT c.vec_id, c.embedding, c.rel,
+          0.5D * c.rel - 0.5D * (dot_product(c.embedding, p1.embedding)
+            / (sqrt(dot_product(c.embedding, c.embedding))
+               * sqrt(dot_product(p1.embedding, p1.embedding)))) AS score
+        FROM cand c CROSS JOIN p1 WHERE c.vec_id <> p1.vec_id),
+      p2 AS (SELECT * FROM s2 ORDER BY score DESC, vec_id ASC LIMIT 1),
+      s3 AS (
+        SELECT c.vec_id, c.rel,
+          0.5D * c.rel - 0.5D * greatest(
+            dot_product(c.embedding, p1.embedding)
+              / (sqrt(dot_product(c.embedding, c.embedding))
+                 * sqrt(dot_product(p1.embedding, p1.embedding))),
+            dot_product(c.embedding, p2.embedding)
+              / (sqrt(dot_product(c.embedding, c.embedding))
+                 * sqrt(dot_product(p2.embedding, p2.embedding))))
+            AS score
+        FROM cand c CROSS JOIN p1 CROSS JOIN p2
+        WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id),
+      p3 AS (SELECT * FROM s3 ORDER BY score DESC, vec_id ASC LIMIT 1)
+      SELECT 1 AS mmr_rank, vec_id AS neighbor_id, rel AS relevance,
+        score AS mmr_score FROM p1
+      UNION ALL SELECT 2, vec_id, rel, score FROM p2
+      UNION ALL SELECT 3, vec_id, rel, score FROM p3
+      ORDER BY mmr_rank""",
   )
 }
