@@ -17,11 +17,17 @@ package graft.queries
   * the same shape via CTEs rather than the Expand×3 dual-COUNT(DISTINCT)
   * form — the SQL a user SHOULD run at 100 TB.
   *
-  * Not in this map: queries whose surface is an operator API rather than
-  * SQL (q14 salting, q28 as-of carry-forward, q29 HLL sketch), and the
-  * corpus catalogs (d/s/t/m) whose native expressions (minhash, rolling
-  * fingerprint) have no Spark-SQL spelling. (q51 IS here: the
-  * Datasketches hll_* family has first-class SQL spellings.)
+  * Not in this map (16 of 129): queries whose computation is genuinely
+  * procedural — iterative rounds with driver-controlled convergence
+  * (d06/d12 label propagation, d13/s06 Lloyd iterations, s07 PQ
+  * training) — the m01–m09 set whose decode step crosses the codec
+  * boundary in mapPartitions, q14 (salting is an operator API), and
+  * q44 (the CountMinSketch probe is a driver-side sketch API).
+  * Everything else — including the dedup/similarity/text curation set —
+  * has a Spark-SQL spelling here, because the native expressions
+  * (dot_product, shingles, minhash_sig, rolling_fp, bpe_merge) are
+  * SQL-registered via GraftExtensions. (q51 IS here: the Datasketches
+  * hll_* family has first-class SQL spellings.)
   */
 object SqlParity {
 
