@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+
+/** Table-level CHECK CONSTRAINTS on snapshot tables (Delta's
+  * `ALTER TABLE … ADD CONSTRAINT` semantics): named boolean SQL
+  * expressions recorded in the table's `_table` props and enforced by
+  * EVERY writer of either snapshot format — operator APIs and the SQL
+  * front door alike — before anything lands on disk:
+  *
+  * {{{
+  * Constraints.add(spark, t, "qty_pos", "quantity > 0")
+  * PartitionedSnapshots.upsert(…)   // refused if any written row violates
+  * spark.sql("INSERT INTO snap.t …") // same — one enforcement point
+  * }}}
+  *
+  * Semantics are SQL-standard CHECK: a row passes when the expression is
+  * TRUE **or NULL** (three-valued logic — `coalesce(not(e), false)`
+  * detects violations), matching Delta/ANSI. `add` validates the CURRENT
+  * table first, so a recorded constraint is an invariant of every
+  * version from its creation onward. A violating write refuses with the
+  * constraint name and sample rows BEFORE any data or version dir is
+  * created — nothing to vacuum, no version burned.
+  *
+  * Cost: one extra pass over the rows being written per commit (the
+  * violation scan short-circuits via `limit`); never a table scan for
+  * the partitioned format, whose writers hand only the touched
+  * partitions' rows to enforcement.
+  */
+object Constraints {
+
+  private val Prefix = "constraint:"
+
+  /** Recorded constraints: name → SQL expression. */
+  def list(t: String, store: CommitStore = CommitStore.local)
+      : Map[String, String] =
+    PartitionedSnapshots.tableProps(t, store).collect {
+      case (k, v) if k.startsWith(Prefix) => k.stripPrefix(Prefix) -> v
+    }
+
+  /** Record a CHECK constraint after validating the current table
+    * satisfies it (a table with no committed data validates vacuously).
+    * Refuses names that collide or expressions the current data
+    * violates. */
+  def add(spark: SparkSession, t: String, name: String, exprStr: String,
+      store: CommitStore = CommitStore.local): Unit = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_]+"),
+      s"constraint name must be [A-Za-z0-9_]+, got '$name'")
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      if (list(t, store).contains(name))
+        throw new IllegalStateException(
+          s"constraint '$name' already exists on $t — drop it first")
+      PartitionedSnapshots.currentVersion(t, store).foreach { v =>
+        val current =
+          if (PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+            PartitionedSnapshots.readVersion(spark, t, v, store)
+          else Snapshots.readVersion(spark, t, v, store)
+        val bad = current.filter(coalesce(not(expr(exprStr)), lit(false)))
+          .limit(3).collect()
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"cannot add constraint '$name' ($exprStr) to $t: existing " +
+            s"rows violate it, e.g. ${bad.mkString("; ")}")
+      }
+      PartitionedSnapshots.updateProps(t,
+        Map(Prefix + name -> exprStr), store = store)
+    }
+  }
+
+  /** Drop a recorded constraint (no-op if absent). */
+  def drop(t: String, name: String,
+      store: CommitStore = CommitStore.local): Unit =
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      PartitionedSnapshots.updateProps(t, Map.empty,
+        remove = Seq(Prefix + name), store = store)
+    }
+
+  /** Enforcement hook every snapshot writer calls on the rows it is
+    * about to write: throws (nothing written, no version burned) when
+    * any row violates a recorded constraint. */
+  private[operators] def enforce(df: DataFrame, t: String,
+      store: CommitStore): Unit = {
+    val cs = list(t, store)
+    if (cs.nonEmpty) cs.toSeq.sortBy(_._1).foreach { case (name, ex) =>
+      val bad = df.filter(coalesce(not(expr(ex)), lit(false)))
+        .limit(3).collect()
+      if (bad.nonEmpty) throw new IllegalStateException(
+        s"CHECK constraint '$name' ($ex) violated by rows e.g. " +
+          s"${bad.mkString("; ")} — commit refused, no version burned")
+    }
+  }
+}

@@ -89,6 +89,9 @@ object PartitionedSnapshots {
     * real partition column in the footers (see class doc). */
   private def writeData(df: DataFrame, t: String, v: Long,
       partCol: String, store: CommitStore): Seq[String] = {
+    // CHECK constraints gate every data write of this format — before
+    // the version dir exists, so a refusal burns nothing
+    Constraints.enforce(df, t, store)
     df.withColumn("__p", col(partCol))
       .write.partitionBy("__p").mode(SaveMode.Overwrite)
       .parquet(dataDir(t, v))
@@ -110,6 +113,21 @@ object PartitionedSnapshots {
       .split("\n").filter(_.contains("=")).map { l =>
         val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
       }.toMap).getOrElse(Map.empty)
+
+  /** Generic props merge/remove (constraints etc.) — same file, same
+    * single-line k=v format as [[writeProps]]. Callers hold the table
+    * lock. */
+  private[operators] def updateProps(t: String, kv: Map[String, String],
+      remove: Seq[String] = Nil,
+      store: CommitStore = CommitStore.local): Unit = {
+    val prev = tableProps(t, store)
+    val next = (prev -- remove) ++ kv
+    if (next != prev) {
+      store.mkdirs(t)
+      store.write(propsPath(t), next.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+    }
+  }
 
   private def writeProps(t: String, partCol: String, keys: Seq[String],
       store: CommitStore): Unit = {

@@ -61,6 +61,7 @@ object Snapshots {
   def write(spark: SparkSession, tablePath: String, df: DataFrame,
       store: CommitStore = CommitStore.local): Long =
     Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
+      Constraints.enforce(df, tablePath, store)
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
       df.write.mode(SaveMode.Overwrite).parquet(versionDir(tablePath, v))
       commitPointer(tablePath, v, store)
@@ -85,6 +86,7 @@ object Snapshots {
             // but the plan must not lazily re-resolve after the commit
             .localCheckpoint()
       }
+      Constraints.enforce(merged, tablePath, store)
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
       merged.write.mode(SaveMode.Overwrite).parquet(versionDir(tablePath, v))
       commitPointer(tablePath, v, store)
@@ -114,6 +116,7 @@ object Snapshots {
       val resolved = MergeClauses.resolve(tgt, src, keys,
         tgt.columns.toSeq, whenMatchedUpdate, whenMatchedDelete,
         insertNotMatched, insertCond).localCheckpoint()
+      Constraints.enforce(resolved, tablePath, store)
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
       resolved.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, v))
@@ -142,6 +145,7 @@ object Snapshots {
           case None => col(c)
         }
       }: _*)
+      Constraints.enforce(updated, tablePath, store)
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
       updated.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, v))
@@ -181,6 +185,7 @@ object Snapshots {
           .unionByName(rows, allowMissingColumns = true)
         case None => rows
       }
+      Constraints.enforce(merged, tablePath, store)
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
       merged.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, v))

@@ -43,7 +43,8 @@ private[plans] object SnapshotProcedures {
 
   val names: Seq[String] = Seq("history", "vacuum", "compact", "restore",
     "publish", "build_zone_map", "build_bloom_index",
-    "feed_cursor", "feed_commit", "feed_consumers")
+    "feed_cursor", "feed_commit", "feed_consumers",
+    "add_constraint", "drop_constraint", "show_constraints")
 
   def load(procName: String, pathOf: String => String,
       store: CommitStore): Option[UnboundProcedure] =
@@ -105,6 +106,12 @@ private[plans] object SnapshotProcedures {
       case "feed_commit" => Array(p("table", DataTypes.StringType),
         p("consumer", DataTypes.StringType),
         p("version", DataTypes.LongType))
+      case "add_constraint" => Array(p("table", DataTypes.StringType),
+        p("name", DataTypes.StringType),
+        p("expr", DataTypes.StringType))
+      case "drop_constraint" => Array(p("table", DataTypes.StringType),
+        p("name", DataTypes.StringType))
+      case "show_constraints" => Array(p("table", DataTypes.StringType))
     }
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -179,6 +186,21 @@ private[plans] object SnapshotProcedures {
           result(StructType.fromDDL(
             "consumer STRING, committed_version BIGINT"),
             Seq(row(utf8(consumer), input.getLong(2))))
+        case "add_constraint" =>
+          val (n, ex) = (input.getUTF8String(1).toString,
+            input.getUTF8String(2).toString)
+          graft.operators.Constraints.add(spark, t, n, ex, store)
+          result(StructType.fromDDL("name STRING, expr STRING"),
+            Seq(row(utf8(n), utf8(ex))))
+        case "drop_constraint" =>
+          val n = input.getUTF8String(1).toString
+          graft.operators.Constraints.drop(t, n, store)
+          result(StructType.fromDDL("dropped STRING"), Seq(row(utf8(n))))
+        case "show_constraints" =>
+          val cs = graft.operators.Constraints.list(t, store)
+            .toSeq.sortBy(_._1)
+          result(StructType.fromDDL("name STRING, expr STRING"),
+            cs.map { case (n, ex) => row(utf8(n), utf8(ex)) })
         case "feed_consumers" =>
           val all = graft.operators.ChangeFeed.consumers(t, store)
             .toSeq.sortBy(_._1)

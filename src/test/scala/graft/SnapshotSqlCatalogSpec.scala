@@ -376,6 +376,29 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(consumers == Seq(("idx", 2L)))
   }
 
+  test("CHECK constraints gate the SQL write path: add_constraint -> " +
+      "INSERT refused -> show/drop -> INSERT passes") {
+    val t = s"$root/ck"
+    PS.write(spark, t, Seq((1L, "A", 5.0)).toDF("k", "d", "qty"), "d")
+    spark.sql("CALL snap.system.add_constraint(table => 'ck', " +
+      "name => 'qty_pos', expr => 'qty > 0')").collect()
+    assert(spark.sql("CALL snap.system.show_constraints(table => 'ck')")
+      .as[(String, String)].collect().toSeq ==
+      Seq(("qty_pos", "qty > 0")))
+
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO snap.ck VALUES (2L, 'A', -3.0D)")
+    }
+    assert(e.getMessage.contains("qty_pos"), e.getMessage)
+    assert(spark.sql("SELECT COUNT(*) FROM snap.ck").as[Long].head == 1L)
+
+    spark.sql("INSERT INTO snap.ck VALUES (2L, 'A', 3.0D)")
+    spark.sql("CALL snap.system.drop_constraint(table => 'ck', " +
+      "name => 'qty_pos')").collect()
+    spark.sql("INSERT INTO snap.ck VALUES (3L, 'A', -3.0D)")
+    assert(spark.sql("SELECT COUNT(*) FROM snap.ck").as[Long].head == 3L)
+  }
+
   test("listTables sees committed tables; mutations are refused") {
     spark.sql("SELECT 1").collect() // force catalog init via root
     val names = spark.sql("SHOW TABLES IN snap").select("tableName")
