@@ -171,6 +171,70 @@ object ChangeFeed {
     store.delete(cursorPath(t, consumerId)); ()
   }
 
+  /** MIRROR the source table into a downstream snapshot table by
+    * draining ONE change batch and applying it as a single MERGE — the
+    * incremental-materialization pattern (a replica, a filtered
+    * extract's base, a serving copy) without rebuilding the target:
+    *
+    * {{{
+    * // each call: poll → merge (insert/update/delete in one commit) →
+    * // commit the cursor; None when already caught up
+    * ChangeFeed.mirror(spark, src, "replica", dst, partCol = Some("d"))
+    * }}}
+    *
+    * Crash-safe the same way every consumer is: the cursor commits
+    * AFTER the merge, so a crash in between re-delivers the batch and
+    * the keyed merge re-applies it idempotently in CONTENT (one extra
+    * version number, vacuumable). Deletes on the source become target
+    * deletes via the merge's matched-delete clause; a delete for a row
+    * the target never had is skipped. First call bootstraps the target
+    * from the batch's insert rows. Data cost per call is the CDC cost
+    * (changed partitions) + the merge's touched partitions.
+    *
+    * `partCol = Some(c)` makes the target partitioned-format (the
+    * fact-scale choice); `None` a full-copy table (dimension-scale). */
+  def mirror(spark: SparkSession, srcT: String, consumerId: String,
+      targetT: String, partCol: Option[String] = None,
+      keys: Seq[String] = Nil, startFrom: Start = Snapshot,
+      store: CommitStore = CommitStore.local): Option[Batch] = {
+    val ks = keysOf(srcT, keys, store)
+    poll(spark, srcT, consumerId, ks, startFrom, store).map { b =>
+      val rows = b.df
+      val vals = rows.columns.filterNot(_ == "change_type").toSeq
+      val hasTarget =
+        PartitionedSnapshots.currentVersion(targetT, store).isDefined
+      if (!hasTarget) {
+        val boot = rows.filter(col("change_type") =!= "delete")
+          .select(vals.map(col): _*)
+        partCol match {
+          case Some(pc) =>
+            PartitionedSnapshots.write(spark, targetT, boot, pc, store)
+          case None => Snapshots.write(spark, targetT, boot, store)
+        }
+      } else if (!rows.isEmpty) {
+        val update = vals.filterNot(ks.contains)
+          .map(c => c -> PartitionedSnapshots.source(c)).toMap
+        val del = Some(PartitionedSnapshots.source("change_type") === "delete")
+        val insCond =
+          Some(PartitionedSnapshots.source("change_type") =!= "delete")
+        partCol match {
+          case Some(pc) =>
+            PartitionedSnapshots.merge(spark, targetT, rows, ks, pc,
+              whenMatchedUpdate = update, whenMatchedDelete = del,
+              insertNotMatched = true, insertCond = insCond,
+              store = store)
+          case None =>
+            Snapshots.merge(spark, targetT, rows, ks,
+              whenMatchedUpdate = update, whenMatchedDelete = del,
+              insertNotMatched = true, insertCond = insCond,
+              store = store)
+        }
+      }
+      commit(srcT, consumerId, b.toVersion, store)
+      b
+    }
+  }
+
   /** Vacuum that RESPECTS consumer lag: widens `keep` so every version
     * a registered consumer still needs (its cursor and everything
     * after) survives — the retention-horizon failure in [[poll]]

@@ -157,6 +157,44 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(CF.poll(spark, t, "idx").isEmpty, "caught up with the stream")
   }
 
+  test("mirror: downstream snapshot table tracks the source across " +
+      "insert/update/delete; crash before cursor commit re-applies " +
+      "idempotently") {
+    val base = Files.createTempDirectory("graft_cf_mir").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    def dstRows() = PS.read(spark, dst).select(col("k"), col("v"))
+      .as[(Long, String)].collect().toSet
+
+    PS.write(spark, src, Seq((1L, "A", "a1"), (2L, "B", "b1"))
+      .toDF("k", "d", "v"), "d")
+    // bootstrap
+    assert(CF.mirror(spark, src, "rep", dst,
+      partCol = Some("d"), keys = Seq("k")).isDefined)
+    assert(dstRows() == Set((1L, "a1"), (2L, "b1")))
+    assert(CF.mirror(spark, src, "rep", dst,
+      partCol = Some("d"), keys = Seq("k")).isEmpty, "caught up")
+
+    // update + insert + delete propagate in ONE merge
+    PS.upsert(spark, src, Seq((2L, "B", "b2"), (3L, "A", "c1"))
+      .toDF("k", "d", "v"), Seq("k"), "d")
+    PS.delete(spark, src, col("k") === 1L, "d")
+    assert(CF.mirror(spark, src, "rep", dst,
+      partCol = Some("d"), keys = Seq("k")).isDefined)
+    assert(dstRows() == Set((2L, "b2"), (3L, "c1")))
+
+    // crash replay: poll+apply WITHOUT commit, then mirror again — the
+    // keyed merge makes the re-apply content-idempotent
+    PS.upsert(spark, src, Seq((3L, "A", "c2")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    val b = CF.poll(spark, src, "rep").get // simulate: drained but…
+    assert(b.df.count() == 1)              // …crashed before commit
+    assert(CF.mirror(spark, src, "rep", dst,
+      partCol = Some("d"), keys = Seq("k")).isDefined)      // re-delivers + applies
+    assert(dstRows() == Set((2L, "b2"), (3L, "c2")))
+    assert(CF.mirror(spark, src, "rep", dst,
+      partCol = Some("d"), keys = Seq("k")).isEmpty)
+  }
+
   test("a consumer behind the retention horizon fails loudly with " +
       "re-bootstrap instructions; reset re-bootstraps") {
     val t = tmp()
