@@ -44,7 +44,7 @@ private[plans] object SnapshotProcedures {
   val names: Seq[String] = Seq("history", "vacuum", "compact", "restore",
     "publish", "build_zone_map", "build_bloom_index",
     "feed_cursor", "feed_commit", "feed_consumers",
-    "add_constraint", "drop_constraint", "show_constraints")
+    "add_constraint", "drop_constraint", "show_constraints", "mirror")
 
   def load(procName: String, pathOf: String => String,
       store: CommitStore): Option[UnboundProcedure] =
@@ -112,6 +112,11 @@ private[plans] object SnapshotProcedures {
       case "drop_constraint" => Array(p("table", DataTypes.StringType),
         p("name", DataTypes.StringType))
       case "show_constraints" => Array(p("table", DataTypes.StringType))
+      case "mirror" => Array(p("table", DataTypes.StringType),
+        p("consumer", DataTypes.StringType),
+        p("target", DataTypes.StringType),
+        pd("part_col", DataTypes.StringType, "''"),
+        pd("keys", DataTypes.StringType, "''"))
     }
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -201,6 +206,17 @@ private[plans] object SnapshotProcedures {
             .toSeq.sortBy(_._1)
           result(StructType.fromDDL("name STRING, expr STRING"),
             cs.map { case (n, ex) => row(utf8(n), utf8(ex)) })
+        case "mirror" =>
+          // drain one change batch from `table` into `target` (same
+          // catalog root) as a single merge — ChangeFeed.mirror
+          val consumer = input.getUTF8String(1).toString
+          val target = pathOf(input.getUTF8String(2).toString)
+          val pc = csv(3).headOption
+          val res = graft.operators.ChangeFeed.mirror(spark, t,
+            consumer, target, partCol = pc, keys = csv(4), store = store)
+          result(StructType.fromDDL(
+            "applied BOOLEAN, from_version BIGINT, to_version BIGINT"),
+            res.toSeq.map(b => row(true, b.fromVersion, b.toVersion)))
         case "feed_consumers" =>
           val all = graft.operators.ChangeFeed.consumers(t, store)
             .toSeq.sortBy(_._1)

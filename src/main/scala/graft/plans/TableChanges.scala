@@ -12,6 +12,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * SELECT * FROM table_changes('snap.sales', 1, 3)   -- between versions
   * SELECT * FROM table_changes('snap.sales', 2)      -- from v2 to current
   * SELECT * FROM table_changes('/path/to/dim', 1, 2, 'id')  -- explicit keys
+  * SELECT * FROM table_changes('snap.sales',         -- timestamp bounds
+  *   TIMESTAMP '2026-08-14 08:00:00', TIMESTAMP '2026-08-14 09:00:00')
   * }}}
   *
   * Injected via `SparkSessionExtensions.injectTableFunction`, so the call
@@ -38,11 +40,22 @@ object TableChanges {
       s"table_changes: expected string literal, got $other")
   }
 
-  private def longLit(e: Expression): Long = e match {
+  /** A version bound: an integer literal is a version number; a
+    * TIMESTAMP literal resolves through publish-time time travel
+    * ([[PartitionedSnapshots.versionAt]] — the version current AS OF
+    * that instant), mirroring `TIMESTAMP AS OF`. */
+  private def versionArg(e: Expression, t: String,
+      store: CommitStore): Long = e match {
     case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, org.apache.spark.sql.types.TimestampType) =>
+      PartitionedSnapshots.versionAt(t, v / 1000L, store).getOrElse(
+        throw new IllegalStateException(
+          s"table_changes: $t has no version published at or before " +
+            s"timestamp micros=$v"))
     case Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
-      s"table_changes: expected integer version literal, got $other")
+      "table_changes: expected an integer version or TIMESTAMP " +
+        s"literal, got $other")
   }
 
   /** `cat.ns….name` under a configured snapshot catalog root, else a
@@ -62,9 +75,9 @@ object TableChanges {
     val spark = SparkSession.active
     val store = CommitStore.local
     val t = resolvePath(spark, strLit(exprs.head))
-    val fromV = longLit(exprs(1))
+    val fromV = versionArg(exprs(1), t, store)
     val toV =
-      if (exprs.size >= 3) longLit(exprs(2))
+      if (exprs.size >= 3) versionArg(exprs(2), t, store)
       else PartitionedSnapshots.currentVersion(t, store).getOrElse(
         throw new IllegalStateException(
           s"table_changes: $t has no committed snapshot"))

@@ -326,6 +326,35 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(!rows.exists(_._1 == 1L))
   }
 
+  test("table_changes TVF takes TIMESTAMP bounds via publish-time " +
+      "time travel; SQL mirror procedure replicates to a target table") {
+    val t = s"$root/cdcts"
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d")
+    val ts1 = PS.commitTimeMs(t, 1L).get
+    Thread.sleep(5)
+    PS.upsert(spark, t, Seq((2L, "A", "b1")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    val ts2 = PS.commitTimeMs(t, 2L).get
+    val (l1, l2) = (new java.sql.Timestamp(ts1).toString,
+      new java.sql.Timestamp(ts2).toString)
+    val rows = spark.sql("SELECT k, change_type FROM table_changes(" +
+        s"'snap.cdcts', TIMESTAMP '$l1', TIMESTAMP '$l2')")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((2L, "insert")), s"$rows")
+
+    // pure-SQL replication: CALL mirror drains into a sibling table
+    val applied = spark.sql("CALL snap.system.mirror(table => 'cdcts', " +
+      "consumer => 'rep', target => 'cdcts_rep', part_col => 'd')")
+      .as[(Boolean, Long, Long)].collect().toSeq
+    assert(applied == Seq((true, 0L, 2L)), s"$applied")
+    assert(spark.sql("SELECT COUNT(*) FROM snap.cdcts_rep")
+      .as[Long].head == 2L)
+    // caught up → zero result rows
+    assert(spark.sql("CALL snap.system.mirror(table => 'cdcts', " +
+      "consumer => 'rep', target => 'cdcts_rep', part_col => 'd')")
+      .count() == 0L)
+  }
+
   test("table_changes TVF: full-copy tables take explicit keys; " +
       "missing keys refuse with instructions") {
     val t = s"$root/cdcdim"
