@@ -19,7 +19,8 @@ object AnalyticsQ {
 
   def all: Seq[Q] = Seq(q61KmvOverlap, q62Funnel, q63KmvContainment,
     q64TimeToConvert, q65RevenueGini, q66NewVsReturning,
-    q67OrderGaps, q68ParetoAbc, q69Retention, q70PitSnapshot)
+    q67OrderGaps, q68ParetoAbc, q69Retention, q70PitSnapshot,
+    q71FulfillmentLag)
 
   private val K = 64
 
@@ -699,4 +700,43 @@ object AnalyticsQ {
     FROM spine JOIN iv ON valid_from <= snap AND snap < valid_to
     GROUP BY snap, o_orderstatus
     ORDER BY snap, o_orderstatus"""))
+
+  /** Fulfillment latency — order-to-first-ship lag percentiles by order
+    * priority, the SLA mart ops dashboards live on. Scale shape: the
+    * fact pre-reduces to ONE first-ship row per order (map-side-combined
+    * MIN on the join key, so the orders join meets a pre-aggregated
+    * side), then a priority-keyed aggregate over integer day lags —
+    * exact type-7 percentile interpolation over integers stays
+    * engine-deterministic (q31/q64's discipline). */
+  val q71FulfillmentLag: Q = Q("q71_fulfillment_lag", (s, d) => {
+    val firstShip = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(min(to_date(col("l_shipdate"))).as("first_ship"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("od"))
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("first_ship"), col("od")).as("lag_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("lag_days")).as("min_lag"),
+        percentile(col("lag_days"), lit(0.5)).as("p50_lag"),
+        percentile(col("lag_days"), lit(0.9)).as("p90_lag"),
+        max(col("lag_days")).as("max_lag"))
+      .orderBy(col("o_orderpriority"))
+  }, Some("""
+    WITH fs AS (
+      SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS first_ship
+      FROM lineitem GROUP BY l_orderkey),
+    lags AS (
+      SELECT o_orderpriority,
+        date_diff('day', CAST(o_orderdate AS DATE), first_ship) AS lag_days
+      FROM orders JOIN fs ON o_orderkey = l_orderkey)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(MIN(lag_days) AS INT) AS min_lag,
+      quantile_cont(lag_days, 0.5) AS p50_lag,
+      quantile_cont(lag_days, 0.9) AS p90_lag,
+      CAST(MAX(lag_days) AS INT) AS max_lag
+    FROM lags GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 }

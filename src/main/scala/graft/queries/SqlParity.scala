@@ -2064,6 +2064,21 @@ object SqlParity {
       ORDER BY query_id, rank"""
     },
 
+    "q71_fulfillment_lag" -> """
+      WITH fs AS (
+        SELECT l_orderkey, MIN(to_date(l_shipdate)) AS first_ship
+        FROM lineitem GROUP BY l_orderkey),
+      lags AS (
+        SELECT o_orderpriority,
+          datediff(first_ship, to_date(o_orderdate)) AS lag_days
+        FROM orders JOIN fs ON o_orderkey = l_orderkey)
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+        MIN(lag_days) AS min_lag,
+        percentile(lag_days, 0.5) AS p50_lag,
+        percentile(lag_days, 0.9) AS p90_lag,
+        MAX(lag_days) AS max_lag
+      FROM lags GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
     "d07_embed_lsh_neardup" -> {
       // 16 bands × 4 consecutive dims, the d07 layout; Spark arrays are
       // 0-indexed (the DuckDB oracle's spelling is 1-indexed)
