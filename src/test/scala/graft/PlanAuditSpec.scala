@@ -489,4 +489,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ns.exists(_.nodeName.contains("TakeOrderedAndProject")),
       s"t20's limit should plan TakeOrderedAndProject: ${ns.map(_.nodeName)}")
   }
+
+  test("q69: cohort sizes broadcast (the cohort dim never shuffles the" +
+      " activity side a second time)") {
+    val (ns, _) = planOf("q69_retention")
+    assert(ns.exists(_.nodeName.contains("BroadcastHashJoin")),
+      s"q69 join nodes: ${ns.map(_.nodeName).filter(_.contains("Join"))}")
+  }
+
+  test("q70: the SCD2 point-in-time probe is an EQUI-join on (cell," +
+      " customer); the only NLJ is the literal month-spine cross") {
+    val (ns, s) = planOf("q70_pit_snapshot")
+    assert(!ns.exists(_.nodeName.contains("CartesianProduct")),
+      s"q70 planned a cartesian: ${
+        ns.map(_.nodeName).filter(_.contains("Join"))}")
+    // the deliberate spine × customers cross (80 literal rows,
+    // broadcast) is the ONE permitted nested loop
+    assert(ns.count(_.nodeName.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"q70 joins: ${ns.map(_.nodeName).filter(_.contains("Join"))}")
+    // the interval probe itself hashes on the grid cell
+    assert(s.contains("__cell"),
+      s"PIT probe not an equi-join on the grid cell:\n$s")
+  }
+
+  test("q71: the fact pre-reduces to one first-ship row per order" +
+      " BEFORE meeting orders (partial aggregate below the join)") {
+    val (ns, _) = planOf("q71_fulfillment_lag")
+    val plan = ns.map(_.nodeName)
+    assert(!ns.exists(n => n.nodeName.contains("NestedLoop") ||
+      n.nodeName.contains("CartesianProduct")), s"$plan")
+    assert(ns.exists(_.nodeName.contains("HashAggregate")), s"$plan")
+  }
 }
