@@ -46,6 +46,13 @@ object TableChanges {
     * that instant), mirroring `TIMESTAMP AS OF`. */
   private def versionArg(e: Expression, t: String,
       store: CommitStore): Long = e match {
+    // a DATE literal is ALSO an Int at this layer — without the guard
+    // it would silently read as a tiny version number
+    case Literal(_, org.apache.spark.sql.types.DateType) =>
+      throw new IllegalArgumentException(
+        "table_changes: DATE bounds are ambiguous — use a TIMESTAMP " +
+          "literal (resolved via publish-time time travel) or an " +
+          "integer version")
     case Literal(v: Int, _) => v.toLong
     case Literal(v: Long, org.apache.spark.sql.types.TimestampType) =>
       PartitionedSnapshots.versionAt(t, v / 1000L, store).getOrElse(

@@ -342,6 +342,15 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq
     assert(rows == Seq((2L, "insert")), s"$rows")
 
+    // a DATE bound would silently parse as a tiny version number —
+    // refused with instructions instead
+    val de = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('snap.cdcts', " +
+        "DATE '2026-08-14', 2)").collect()
+    }
+    assert(de.getMessage.contains("DATE bounds are ambiguous"),
+      de.getMessage)
+
     // pure-SQL replication: CALL mirror drains into a sibling table
     val applied = spark.sql("CALL snap.system.mirror(table => 'cdcts', " +
       "consumer => 'rep', target => 'cdcts_rep', part_col => 'd')")
