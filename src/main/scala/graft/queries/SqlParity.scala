@@ -17,9 +17,9 @@ package graft.queries
   * the same shape via CTEs rather than the Expand×3 dual-COUNT(DISTINCT)
   * form — the SQL a user SHOULD run at 100 TB.
   *
-  * Not in this map (16 of 129): queries whose computation is genuinely
+  * Not in this map (15 of 130): queries whose computation is genuinely
   * procedural — iterative rounds with driver-controlled convergence
-  * (d06/d12 label propagation, d13/s06 Lloyd iterations, s07 PQ
+  * (d06/d12 label propagation, s06 k-means updates, s07 PQ
   * training) — the m01–m09 set whose decode step crosses the codec
   * boundary in mapPartitions, q14 (salting is an operator API), and
   * q44 (the CountMinSketch probe is a driver-side sketch API).
@@ -2078,6 +2078,45 @@ object SqlParity {
         percentile(lag_days, 0.9) AS p90_lag,
         MAX(lag_days) AS max_lag
       FROM lags GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "d13_semdedup" -> """
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+          sqrt(dot_product(embedding, embedding)) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT label AS centroid_label, MIN(vec_id) AS seed_id
+        FROM embeddings GROUP BY label),
+      centroids AS (
+        SELECT centroid_label, e.embedding AS centroid, e.nrm AS cn
+        FROM seeds JOIN e ON seed_id = e.vec_id),
+      scored AS (
+        SELECT e.vec_id, centroid_label,
+          CASE WHEN e.nrm = 0D OR cn = 0D THEN NULL
+            ELSE dot_product(e.embedding, centroid) / (e.nrm * cn)
+            END AS cos
+        FROM e CROSS JOIN centroids),
+      ranked AS (
+        SELECT vec_id, centroid_label, cos,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, centroid_label ASC) AS rn
+        FROM scored),
+      assigned AS (
+        SELECT r.vec_id, centroid_label AS cell, cos AS cos_c,
+          e.embedding, e.nrm
+        FROM ranked r JOIN e ON r.vec_id = e.vec_id WHERE rn = 1),
+      dropped AS (
+        SELECT DISTINCT a.vec_id AS dvid
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id
+          AND (b.cos_c < a.cos_c
+            OR (b.cos_c = a.cos_c AND b.vec_id < a.vec_id))
+        WHERE (CASE WHEN a.nrm = 0D OR b.nrm = 0D THEN NULL
+          ELSE dot_product(a.embedding, b.embedding) / (a.nrm * b.nrm)
+          END) >= 0.4)
+      SELECT vec_id, cell, cos_c, (dvid IS NULL) AS kept
+      FROM assigned LEFT JOIN dropped ON vec_id = dvid
+      ORDER BY vec_id""",
 
     "d07_embed_lsh_neardup" -> {
       // 16 bands × 4 consecutive dims, the d07 layout; Spark arrays are
