@@ -17,10 +17,9 @@ package graft.queries
   * the same shape via CTEs rather than the Expand×3 dual-COUNT(DISTINCT)
   * form — the SQL a user SHOULD run at 100 TB.
   *
-  * Not in this map (15 of 130): queries whose computation is genuinely
+  * Not in this map (14 of 130): queries whose computation is genuinely
   * procedural — iterative rounds with driver-controlled convergence
-  * (d06/d12 label propagation, s06 k-means updates, s07 PQ
-  * training) — the m01–m09 set whose decode step crosses the codec
+  * (d06/d12 label propagation, s07 PQ training) — the m01–m09 set whose decode step crosses the codec
   * boundary in mapPartitions, q14 (salting is an operator API), and
   * q44 (the CountMinSketch probe is a driver-side sketch API).
   * Everything else — including the dedup/similarity/text curation set —
@@ -2078,6 +2077,39 @@ object SqlParity {
         percentile(lag_days, 0.9) AS p90_lag,
         MAX(lag_days) AS max_lag
       FROM lags GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "s06_kmeans_update" -> """
+      WITH e AS (
+        SELECT vec_id, embedding,
+          sqrt(dot_product(embedding, embedding)) AS nrm
+        FROM embeddings),
+      seeds AS (
+        SELECT label AS centroid_label, MIN(vec_id) AS seed_id
+        FROM embeddings GROUP BY label),
+      centroids AS (
+        SELECT centroid_label, e.embedding AS centroid, e.nrm AS cn
+        FROM seeds JOIN e ON seed_id = e.vec_id),
+      scored AS (
+        SELECT e.vec_id, centroid_label,
+          CASE WHEN e.nrm = 0D OR cn = 0D THEN NULL
+            ELSE dot_product(e.embedding, centroid) / (e.nrm * cn)
+            END AS cos
+        FROM e CROSS JOIN centroids),
+      ranked AS (
+        SELECT vec_id, centroid_label, cos,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cos DESC, centroid_label ASC) AS rn
+        FROM scored),
+      exploded AS (
+        SELECT centroid_label AS cell_id, posexplode(embedding) AS (dim, v)
+        FROM ranked r JOIN e ON r.vec_id = e.vec_id WHERE rn = 1),
+      agg AS (
+        SELECT cell_id, dim, COUNT(*) AS n_vecs,
+          SUM(CAST(floor(CAST(v AS DOUBLE) * 1024) AS LONG)) AS sum_q
+        FROM exploded GROUP BY cell_id, dim)
+      SELECT cell_id, dim, n_vecs, sum_q,
+        CAST(sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS centroid_q
+      FROM agg ORDER BY cell_id, dim""",
 
     "d13_semdedup" -> """
       WITH e AS (
