@@ -17,9 +17,9 @@ package graft.queries
   * the same shape via CTEs rather than the Expand×3 dual-COUNT(DISTINCT)
   * form — the SQL a user SHOULD run at 100 TB.
   *
-  * Not in this map (14 of 130): queries whose computation is genuinely
-  * procedural — iterative rounds with driver-controlled convergence
-  * (d06/d12 label propagation, s07 PQ training) — the m01–m09 set whose decode step crosses the codec
+  * Not in this map (12 of 130): queries whose computation is genuinely
+  * procedural (s07's PQ training — joint Lloyd rounds across
+  * subspaces with driver-controlled convergence) — the m01–m09 set whose decode step crosses the codec
   * boundary in mapPartitions, q14 (salting is an operator API), and
   * q44 (the CountMinSketch probe is a driver-side sketch API).
   * Everything else — including the dedup/similarity/text curation set —
@@ -31,6 +31,64 @@ package graft.queries
 object SqlParity {
 
   import Dsl._
+
+  /** Spark-SQL CTE chain mirroring NearDup.lshPairs up to a verified
+    * `pairs(doc_a, doc_b, jaccard, est_jaccard)` relation (jaccard ≥
+    * 0.5 applied INSIDE, like the engine's pairsOf) — shared by
+    * d02/d06/d12, same sharing the DuckDB oracles use. minhash_sig is
+    * the registered native expression. */
+  private val lshPairsSparkCtes: String = {
+    val bandList = (0 until 8).map(b =>
+      s"md5(concat_ws('|', '$b', sig[${2 * b}], sig[${2 * b + 1}]))")
+      .mkString(",\n          ")
+    s"""docs AS (
+        SELECT doc_id, array_distinct(shingles(filter(split(lower(text),
+          ' +'), x -> length(x) > 0), 2)) AS sh
+        FROM documents),
+      sigs AS (SELECT doc_id, sh, minhash_sig(sh) AS sig FROM docs),
+      bands AS (
+        SELECT doc_id, explode(array(
+          $bandList)) AS band
+        FROM sigs),
+      cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band
+        WHERE a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT * FROM (
+          SELECT doc_a, doc_b,
+            CASE WHEN CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE) = 0
+              THEN NULL
+              ELSE CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE)
+              END AS jaccard,
+            CAST(size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y),
+              v -> v)) AS DOUBLE) / 16 AS est_jaccard
+          FROM cands
+          JOIN sigs sa ON doc_a = sa.doc_id
+          JOIN sigs sb ON doc_b = sb.doc_id)
+        WHERE jaccard >= 0.5)"""
+  }
+
+  /** Three unrolled min-label-propagation rounds over the verified pair
+    * graph (Cluster.minLabelPropagation's fixed-round catalog form) —
+    * appended after [[lshPairsSparkCtes]]; shared by d06/d12. */
+  private val clusterRoundsSparkCtes: String = {
+    def round(prev: String, cur: String) =
+      s"""$cur AS (
+        SELECT n.doc_id, LEAST(n.lbl, COALESCE(MIN(r.lbl), n.lbl)) AS lbl
+        FROM $prev n LEFT JOIN edges e ON n.doc_id = e.u
+        LEFT JOIN $prev r ON e.v = r.doc_id GROUP BY n.doc_id, n.lbl)"""
+    s"""nodes AS (SELECT DISTINCT doc_id FROM
+        (SELECT doc_a AS doc_id FROM pairs
+         UNION ALL SELECT doc_b FROM pairs)),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      r0 AS (SELECT doc_id, doc_id AS lbl FROM nodes),
+      ${round("r0", "r1")},
+      ${round("r1", "r2")},
+      ${round("r2", "r3")}"""
+  }
 
   /** query name → Spark SQL over temp views named like the test tables. */
   val sql: Map[String, String] = Map(
@@ -1996,43 +2054,32 @@ object SqlParity {
           AS n_sampled
       FROM labeled GROUP BY bucket ORDER BY bucket""",
 
-    "d02_minhash_lsh" -> {
-      // 8 bands × 2 signature rows — the same md5 band keys
-      // TextFns.lshBandKeys builds; minhash_sig is the registered
-      // native expression, so the SQL user runs the same codegen'd
-      // kernel as the operator
-      val bandList = (0 until 8).map(b =>
-        s"md5(concat_ws('|', '$b', sig[${2 * b}], sig[${2 * b + 1}]))")
-        .mkString(",\n          ")
-      s"""
-      WITH docs AS (
-        SELECT doc_id, array_distinct(shingles(filter(split(lower(text),
-          ' +'), x -> length(x) > 0), 2)) AS sh
-        FROM documents),
-      sigs AS (SELECT doc_id, sh, minhash_sig(sh) AS sig FROM docs),
-      bands AS (
-        SELECT doc_id, explode(array(
-          $bandList)) AS band
-        FROM sigs),
-      cands AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band
-        WHERE a.doc_id < b.doc_id),
-      pairs AS (
-        SELECT doc_a, doc_b,
-          CASE WHEN CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE) = 0
-            THEN NULL
-            ELSE CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)
-              / CAST(size(array_union(sa.sh, sb.sh)) AS DOUBLE)
-            END AS jaccard,
-          CAST(size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y),
-            v -> v)) AS DOUBLE) / 16 AS est_jaccard
-        FROM cands
-        JOIN sigs sa ON doc_a = sa.doc_id
-        JOIN sigs sb ON doc_b = sb.doc_id)
+    "d02_minhash_lsh" -> s"""
+      WITH $lshPairsSparkCtes
       SELECT doc_a, doc_b, jaccard, est_jaccard FROM pairs
-      WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
-    },
+      ORDER BY doc_a, doc_b""",
+
+    "d06_dedup_clusters" -> s"""
+      WITH $lshPairsSparkCtes,
+      $clusterRoundsSparkCtes
+      SELECT doc_id, lbl AS cluster_id, doc_id = lbl AS is_canonical
+      FROM r3 ORDER BY doc_id""",
+
+    "d12_cluster_canonical" -> s"""
+      WITH $lshPairsSparkCtes,
+      $clusterRoundsSparkCtes,
+      stats AS (
+        SELECT doc_id, CAST(size(array_distinct(filter(split(lower(text),
+          ' +'), x -> length(x) > 0))) AS LONG) AS n_distinct_tokens
+        FROM documents),
+      lbl AS (
+        SELECT s.doc_id, COALESCE(r3.lbl, s.doc_id) AS cluster_id,
+          s.n_distinct_tokens
+        FROM stats s LEFT JOIN r3 ON s.doc_id = r3.doc_id)
+      SELECT doc_id, cluster_id, n_distinct_tokens,
+        ROW_NUMBER() OVER (PARTITION BY cluster_id
+          ORDER BY n_distinct_tokens DESC, doc_id ASC) = 1 AS keep
+      FROM lbl ORDER BY doc_id""",
 
     "s02_knn_lsh" -> {
       val dims = Seq(0, 9, 18, 27, 36, 45, 54, 63)
