@@ -431,6 +431,17 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM snap.ck").as[Long].head == 1L)
 
     spark.sql("INSERT INTO snap.ck VALUES (2L, 'A', 3.0D)")
+
+    // the lowered MERGE INTO path enforces too
+    Seq((1L, "A", -7.0)).toDF("k", "d", "qty")
+      .createOrReplaceTempView("ck_src")
+    val me = intercept[Exception] {
+      spark.sql("MERGE INTO snap.ck t USING ck_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET qty = s.qty " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(me.getMessage.contains("qty_pos"), me.getMessage)
+
     spark.sql("CALL snap.system.drop_constraint(table => 'ck', " +
       "name => 'qty_pos')").collect()
     spark.sql("INSERT INTO snap.ck VALUES (3L, 'A', -3.0D)")
