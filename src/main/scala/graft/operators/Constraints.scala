@@ -89,4 +89,102 @@ object Constraints {
           s"${bad.mkString("; ")} — commit refused, no version burned")
     }
   }
+
+  /** The combined per-write gate: materialize generated columns, then
+    * enforce CHECK constraints (in that order — constraints may
+    * reference generated columns). Returns the frame to write. */
+  private[operators] def prepare(df: DataFrame, t: String,
+      store: CommitStore): DataFrame = {
+    val g = GeneratedColumns.applyTo(df, t, store)
+    enforce(g, t, store)
+    g
+  }
+}
+
+/** GENERATED COLUMNS on snapshot tables (Delta's
+  * `GENERATED ALWAYS AS (expr)`): a column derived from other columns
+  * by a recorded SQL expression, materialized by every writer of both
+  * formats at the same choke points as [[Constraints]]:
+  *
+  *  - a write that OMITS the column (or provides NULL) gets it
+  *    COMPUTED — so operator-level appends never hand-maintain it, and
+  *    rows read from pre-feature footers (mergeSchema nulls) BACKFILL
+  *    lazily whenever their partition rewrites;
+  *  - a write that provides a NON-NULL value must match the expression
+  *    (null-safe equality) or the commit refuses — the Delta guarantee
+  *    that the column can never silently diverge from its definition.
+  *
+  * The classic use is derived partition keys (`order_month =
+  * trunc(o_orderdate, 'MM')`): writers supply only the natural columns
+  * and the layout column derives consistently everywhere. */
+object GeneratedColumns {
+
+  private val Prefix = "generated:"
+
+  /** Recorded generated columns: column → SQL expression. */
+  def list(t: String, store: CommitStore = CommitStore.local)
+      : Map[String, String] =
+    PartitionedSnapshots.tableProps(t, store).collect {
+      case (k, v) if k.startsWith(Prefix) => k.stripPrefix(Prefix) -> v
+    }
+
+  /** Record a generated column after validating that every existing
+    * NON-NULL value already matches the expression (nulls backfill on
+    * the next rewrite of their partition). */
+  def add(spark: SparkSession, t: String, colName: String,
+      exprStr: String, store: CommitStore = CommitStore.local): Unit = {
+    require(colName.nonEmpty && colName.matches("[A-Za-z0-9_]+"),
+      s"column name must be [A-Za-z0-9_]+, got '$colName'")
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      if (list(t, store).contains(colName))
+        throw new IllegalStateException(
+          s"generated column '$colName' already recorded on $t")
+      PartitionedSnapshots.currentVersion(t, store).foreach { v =>
+        val current =
+          if (PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+            PartitionedSnapshots.readVersion(spark, t, v, store)
+          else Snapshots.readVersion(spark, t, v, store)
+        if (current.columns.contains(colName)) {
+          val c = org.apache.spark.sql.functions.col(colName)
+          val bad = current
+            .filter(c.isNotNull && !(c <=> expr(exprStr)))
+            .limit(3).collect()
+          if (bad.nonEmpty) throw new IllegalStateException(
+            s"cannot record '$colName' AS ($exprStr) on $t: existing " +
+              s"non-null values diverge, e.g. ${bad.mkString("; ")}")
+        }
+      }
+      PartitionedSnapshots.updateProps(t,
+        Map(Prefix + colName -> exprStr), store = store)
+    }
+  }
+
+  /** Drop a recorded generated column definition (the data column
+    * stays; it just stops being derived/validated). */
+  def drop(t: String, colName: String,
+      store: CommitStore = CommitStore.local): Unit =
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      PartitionedSnapshots.updateProps(t, Map.empty,
+        remove = Seq(Prefix + colName), store = store)
+    }
+
+  /** Per-write materialization + divergence check (see class doc). */
+  private[operators] def applyTo(df: DataFrame, t: String,
+      store: CommitStore): DataFrame = {
+    val gs = list(t, store)
+    gs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (cName, ex)) =>
+      if (!d.columns.contains(cName))
+        d.withColumn(cName, expr(ex))
+      else {
+        val c = org.apache.spark.sql.functions.col(cName)
+        val bad = d.filter(c.isNotNull && !(c <=> expr(ex)))
+          .limit(3).collect()
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"generated column '$cName' AS ($ex) received diverging " +
+            s"non-null values, e.g. ${bad.mkString("; ")} — commit " +
+            "refused, no version burned")
+        d.withColumn(cName, coalesce(c, expr(ex)))
+      }
+    }
+  }
 }

@@ -89,10 +89,11 @@ object PartitionedSnapshots {
     * real partition column in the footers (see class doc). */
   private def writeData(df: DataFrame, t: String, v: Long,
       partCol: String, store: CommitStore): Seq[String] = {
-    // CHECK constraints gate every data write of this format — before
-    // the version dir exists, so a refusal burns nothing
-    Constraints.enforce(df, t, store)
-    df.withColumn("__p", col(partCol))
+    // generated columns materialize and CHECK constraints gate every
+    // data write of this format — before the version dir exists, so a
+    // refusal burns nothing
+    val prepared = Constraints.prepare(df, t, store)
+    prepared.withColumn("__p", col(partCol))
       .write.partitionBy("__p").mode(SaveMode.Overwrite)
       .parquet(dataDir(t, v))
     store.listEntries(dataDir(t, v))

@@ -61,9 +61,10 @@ object Snapshots {
   def write(spark: SparkSession, tablePath: String, df: DataFrame,
       store: CommitStore = CommitStore.local): Long =
     Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
-      Constraints.enforce(df, tablePath, store)
+      val prepared = Constraints.prepare(df, tablePath, store)
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
-      df.write.mode(SaveMode.Overwrite).parquet(versionDir(tablePath, v))
+      prepared.write.mode(SaveMode.Overwrite)
+        .parquet(versionDir(tablePath, v))
       commitPointer(tablePath, v, store)
       v
     }
@@ -86,9 +87,10 @@ object Snapshots {
             // but the plan must not lazily re-resolve after the commit
             .localCheckpoint()
       }
-      Constraints.enforce(merged, tablePath, store)
+      val prepared = Constraints.prepare(merged, tablePath, store)
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
-      merged.write.mode(SaveMode.Overwrite).parquet(versionDir(tablePath, v))
+      prepared.write.mode(SaveMode.Overwrite)
+        .parquet(versionDir(tablePath, v))
       commitPointer(tablePath, v, store)
       v
     }
@@ -116,9 +118,9 @@ object Snapshots {
       val resolved = MergeClauses.resolve(tgt, src, keys,
         tgt.columns.toSeq, whenMatchedUpdate, whenMatchedDelete,
         insertNotMatched, insertCond).localCheckpoint()
-      Constraints.enforce(resolved, tablePath, store)
+      val prepared = Constraints.prepare(resolved, tablePath, store)
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
-      resolved.write.mode(SaveMode.Overwrite)
+      prepared.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, v))
       commitPointer(tablePath, v, store)
       v
@@ -145,9 +147,9 @@ object Snapshots {
           case None => col(c)
         }
       }: _*)
-      Constraints.enforce(updated, tablePath, store)
+      val prepared = Constraints.prepare(updated, tablePath, store)
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
-      updated.write.mode(SaveMode.Overwrite)
+      prepared.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, v))
       commitPointer(tablePath, v, store)
       v
@@ -185,9 +187,9 @@ object Snapshots {
           .unionByName(rows, allowMissingColumns = true)
         case None => rows
       }
-      Constraints.enforce(merged, tablePath, store)
+      val prepared = Constraints.prepare(merged, tablePath, store)
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
-      merged.write.mode(SaveMode.Overwrite)
+      prepared.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, v))
       commitPointer(tablePath, v, store)
       v

@@ -44,7 +44,9 @@ private[plans] object SnapshotProcedures {
   val names: Seq[String] = Seq("history", "vacuum", "compact", "restore",
     "publish", "build_zone_map", "build_bloom_index",
     "feed_cursor", "feed_commit", "feed_consumers",
-    "add_constraint", "drop_constraint", "show_constraints", "mirror")
+    "add_constraint", "drop_constraint", "show_constraints", "mirror",
+    "add_generated_column", "drop_generated_column",
+    "show_generated_columns")
 
   def load(procName: String, pathOf: String => String,
       store: CommitStore): Option[UnboundProcedure] =
@@ -112,6 +114,15 @@ private[plans] object SnapshotProcedures {
       case "drop_constraint" => Array(p("table", DataTypes.StringType),
         p("name", DataTypes.StringType))
       case "show_constraints" => Array(p("table", DataTypes.StringType))
+      case "add_generated_column" => Array(
+        p("table", DataTypes.StringType),
+        p("col", DataTypes.StringType),
+        p("expr", DataTypes.StringType))
+      case "drop_generated_column" => Array(
+        p("table", DataTypes.StringType),
+        p("col", DataTypes.StringType))
+      case "show_generated_columns" => Array(
+        p("table", DataTypes.StringType))
       case "mirror" => Array(p("table", DataTypes.StringType),
         p("consumer", DataTypes.StringType),
         p("target", DataTypes.StringType),
@@ -217,6 +228,21 @@ private[plans] object SnapshotProcedures {
           result(StructType.fromDDL(
             "applied BOOLEAN, from_version BIGINT, to_version BIGINT"),
             res.toSeq.map(b => row(true, b.fromVersion, b.toVersion)))
+        case "add_generated_column" =>
+          val (n, ex) = (input.getUTF8String(1).toString,
+            input.getUTF8String(2).toString)
+          graft.operators.GeneratedColumns.add(spark, t, n, ex, store)
+          result(StructType.fromDDL("col STRING, expr STRING"),
+            Seq(row(utf8(n), utf8(ex))))
+        case "drop_generated_column" =>
+          val n = input.getUTF8String(1).toString
+          graft.operators.GeneratedColumns.drop(t, n, store)
+          result(StructType.fromDDL("dropped STRING"), Seq(row(utf8(n))))
+        case "show_generated_columns" =>
+          val gs = graft.operators.GeneratedColumns.list(t, store)
+            .toSeq.sortBy(_._1)
+          result(StructType.fromDDL("col STRING, expr STRING"),
+            gs.map { case (n, ex) => row(utf8(n), utf8(ex)) })
         case "feed_consumers" =>
           val all = graft.operators.ChangeFeed.consumers(t, store)
             .toSeq.sortBy(_._1)

@@ -61,6 +61,58 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(PS.read(spark, t).count() == 4)
   }
 
+  test("generated columns: derived partition key computes when " +
+      "omitted, diverging non-null values refuse, nulls backfill on " +
+      "rewrite, drop stops derivation") {
+    import graft.operators.GeneratedColumns
+    val t = tmp()
+    // declare layout + generated partition key BEFORE any data
+    PS.initTable(t, "m",
+      spark.range(0).select(col("id").as("k"),
+        lit("").as("d"), lit("").as("m")).schema.json)
+    GeneratedColumns.add(spark, t, "m", "substring(d, 1, 1)")
+
+    // writers supply only the natural columns — the layout col derives
+    PS.write(spark, t, Seq((1L, "Alpha"), (2L, "Beta"))
+      .toDF("k", "d"), "m")
+    assert(PS.read(spark, t).select(col("k"), col("m"))
+      .as[(Long, String)].collect().toSet == Set((1L, "A"), (2L, "B")))
+
+    // providing a matching value passes; a diverging one refuses
+    PS.upsert(spark, t, Seq((3L, "Cat", "C")).toDF("k", "d", "m"),
+      Seq("k"), "m")
+    val e = intercept[IllegalStateException] {
+      PS.upsert(spark, t, Seq((4L, "Dog", "X")).toDF("k", "d", "m"),
+        Seq("k"), "m")
+    }
+    assert(e.getMessage.contains("diverging"), e.getMessage)
+
+    // a NULL value counts as absent — computed, not rejected
+    PS.upsert(spark, t,
+      Seq((4L, "Dog", null.asInstanceOf[String])).toDF("k", "d", "m"),
+      Seq("k"), "m")
+    assert(PS.read(spark, t).filter(col("k") === 4L).select(col("m"))
+      .as[String].head == "D")
+
+    GeneratedColumns.drop(t, "m")
+    PS.upsert(spark, t, Seq((5L, "Emu", "Z")).toDF("k", "d", "m"),
+      Seq("k"), "m") // no longer validated
+    assert(PS.read(spark, t).filter(col("k") === 5L).select(col("m"))
+      .as[String].head == "Z")
+  }
+
+  test("generated columns: add validates existing non-null data; " +
+      "divergence refuses the definition") {
+    import graft.operators.GeneratedColumns
+    val t = tmp()
+    PS.write(spark, t, Seq((1L, "Alpha", "A"), (2L, "Beta", "X"))
+      .toDF("k", "d", "m"), "m")
+    val e = intercept[IllegalStateException] {
+      GeneratedColumns.add(spark, t, "m", "substring(d, 1, 1)")
+    }
+    assert(e.getMessage.contains("diverge"), e.getMessage)
+  }
+
   test("full-copy format: append and merge enforce; refusal leaves " +
       "the table untouched") {
     val t = tmp()

@@ -448,6 +448,28 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM snap.ck").as[Long].head == 3L)
   }
 
+  test("generated columns from SQL: NULL input derives the value, " +
+      "divergence refuses, show lists the definition") {
+    val t = s"$root/gen"
+    PS.write(spark, t, Seq((1L, "Alpha", "A")).toDF("k", "d", "m"), "m")
+    spark.sql("CALL snap.system.add_generated_column(table => 'gen', " +
+      "col => 'm', expr => 'substring(d, 1, 1)')").collect()
+    assert(spark.sql(
+      "CALL snap.system.show_generated_columns(table => 'gen')")
+      .as[(String, String)].collect().toSeq ==
+      Seq(("m", "substring(d, 1, 1)")))
+
+    spark.sql(
+      "INSERT INTO snap.gen VALUES (2L, 'Beta', CAST(NULL AS STRING))")
+    assert(spark.sql("SELECT m FROM snap.gen WHERE k = 2")
+      .as[String].head == "B")
+
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO snap.gen VALUES (3L, 'Cat', 'X')")
+    }
+    assert(e.getMessage.contains("diverging"), e.getMessage)
+  }
+
   test("listTables sees committed tables; mutations are refused") {
     spark.sql("SELECT 1").collect() // force catalog init via root
     val names = spark.sql("SHOW TABLES IN snap").select("tableName")
