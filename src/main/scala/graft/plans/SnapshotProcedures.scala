@@ -88,7 +88,8 @@ private[plans] object SnapshotProcedures {
     override def parameters(): Array[ProcedureParameter] = procName match {
       case "history" => Array(p("table", DataTypes.StringType))
       case "vacuum" => Array(p("table", DataTypes.StringType),
-        pd("keep", DataTypes.IntegerType, "1"))
+        pd("keep", DataTypes.IntegerType, "1"),
+        pd("respect_consumers", DataTypes.BooleanType, "false"))
       case "compact" => Array(p("table", DataTypes.StringType),
         pd("min_files", DataTypes.IntegerType, "2"),
         pd("max_records_per_file", DataTypes.LongType, "0"),
@@ -150,12 +151,19 @@ private[plans] object SnapshotProcedures {
               c.committed, c.publishedMs.map(Long.box).orNull)))
         case "vacuum" =>
           val keep = input.getInt(1)
-          val isPartitioned = PartitionedSnapshots.currentVersion(t, store)
-            .exists(v =>
-              PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+          // respect_consumers widens retention to the slowest
+          // registered change-feed cursor (ChangeFeed.safeVacuum)
           val deleted =
-            if (isPartitioned) PartitionedSnapshots.vacuum(t, keep, store)
-            else Snapshots.vacuum(t, keep, store)
+            if (input.getBoolean(2))
+              graft.operators.ChangeFeed.safeVacuum(t, keep, store)
+            else {
+              val isPartitioned =
+                PartitionedSnapshots.currentVersion(t, store).exists(v =>
+                  PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+              if (isPartitioned)
+                PartitionedSnapshots.vacuum(t, keep, store)
+              else Snapshots.vacuum(t, keep, store)
+            }
           result(StructType.fromDDL("deleted_version BIGINT"),
             deleted.map(v => row(v)))
         case "compact" =>

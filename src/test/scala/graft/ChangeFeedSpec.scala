@@ -157,6 +157,32 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(CF.poll(spark, t, "idx").isEmpty, "caught up with the stream")
   }
 
+  test("streaming replication chain: streamCommit micro-batches flow " +
+      "through mirror into a replica table") {
+    val base = Files.createTempDirectory("graft_cf_chain").toString
+    val src = s"$base/src"; val rep = s"$base/rep"
+    val in = s"$base/in"; val cp = s"$base/cp"
+    Seq((1L, "p1", "a")).toDF("k", "d", "v").write.parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def ingestAndMirror(): Unit = {
+      val q = PS.streamCommit(spark,
+        spark.readStream.schema(schema).parquet(in), src,
+        Seq("k"), "d", cp)
+      assert(q.awaitTermination(120000))
+      CF.mirror(spark, src, "rep", rep, partCol = Some("d"),
+        keys = Seq("k"))
+      ()
+    }
+    ingestAndMirror()
+    Seq((1L, "p1", "a2"), (2L, "p2", "b")).toDF("k", "d", "v")
+      .write.mode("append").parquet(in)
+    ingestAndMirror()
+    assert(PS.read(spark, rep).select(col("k"), col("v"))
+      .as[(Long, String)].collect().toSet == Set((1L, "a2"), (2L, "b")))
+    assert(TestSpark.rows(PS.read(spark, rep)) ==
+      TestSpark.rows(PS.read(spark, src)), "replica == source")
+  }
+
   test("mirror: downstream snapshot table tracks the source across " +
       "insert/update/delete; crash before cursor commit re-applies " +
       "idempotently") {

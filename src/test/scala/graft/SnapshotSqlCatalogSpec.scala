@@ -448,6 +448,22 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM snap.ck").as[Long].head == 3L)
   }
 
+  test("vacuum(respect_consumers => true) retains the slow consumer's " +
+      "versions; reclaims after it catches up") {
+    val t = s"$root/sv"
+    PS.write(spark, t, Seq((1L, "A", "v1")).toDF("k", "d", "v"), "d")
+    graft.operators.ChangeFeed.commit(t, "lag", 1L)
+    (2 to 4).foreach(i => PS.upsert(spark, t,
+      Seq((1L, "A", s"v$i")).toDF("k", "d", "v"), Seq("k"), "d"))
+    assert(spark.sql("CALL snap.system.vacuum(table => 'sv', " +
+      "keep => 1, respect_consumers => true)").count() == 0L,
+      "slow consumer pins retention")
+    graft.operators.ChangeFeed.commit(t, "lag", 4L)
+    assert(spark.sql("CALL snap.system.vacuum(table => 'sv', " +
+      "keep => 1, respect_consumers => true)").count() > 0L,
+      "caught-up consumer unblocks reclamation")
+  }
+
   test("generated columns from SQL: NULL input derives the value, " +
       "divergence refuses, show lists the definition") {
     val t = s"$root/gen"
