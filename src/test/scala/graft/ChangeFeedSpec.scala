@@ -221,6 +221,40 @@ class ChangeFeedSpec extends AnyFunSuite {
       partCol = Some("d"), keys = Seq("k")).isEmpty)
   }
 
+  test("property: over a random upsert/delete sequence, the mirrored " +
+      "replica equals the source at every drain point") {
+    val rnd = new scala.util.Random(42L)
+    val base = Files.createTempDirectory("graft_cf_prop").toString
+    val src = s"$base/src"; val rep = s"$base/rep"
+    val parts = Seq("A", "B", "C")
+    // partition key derived from the row key — stable per key, the
+    // documented upsert contract (cross-partition key moves are
+    // refused by merge/updateWhere and out of upsert's contract)
+    def randRows(n: Int) = (1 to n).map { _ =>
+      val k = rnd.nextInt(20).toLong
+      (k, parts((k % 3).toInt), s"v${rnd.nextInt(1000)}")
+    }.toDF("k", "d", "v")
+
+    PS.write(spark, src, randRows(6), "d")
+    (1 to 12).foreach { i =>
+      if (rnd.nextInt(4) == 0)
+        PS.delete(spark, src, col("k") === rnd.nextInt(20).toLong, "d")
+      else
+        PS.upsert(spark, src, randRows(1 + rnd.nextInt(4)), Seq("k"), "d")
+      if (i % 3 == 0) { // drain every few ops — batches span versions
+        CF.mirror(spark, src, "rep", rep, partCol = Some("d"),
+          keys = Seq("k"))
+        assert(TestSpark.rows(PS.read(spark, rep)) ==
+          TestSpark.rows(PS.read(spark, src)),
+          s"replica diverged after op $i")
+      }
+    }
+    CF.mirror(spark, src, "rep", rep, partCol = Some("d"),
+      keys = Seq("k"))
+    assert(TestSpark.rows(PS.read(spark, rep)) ==
+      TestSpark.rows(PS.read(spark, src)))
+  }
+
   test("a consumer behind the retention horizon fails loudly with " +
       "re-bootstrap instructions; reset re-bootstraps") {
     val t = tmp()
