@@ -46,7 +46,7 @@ private[plans] object SnapshotProcedures {
     "feed_cursor", "feed_commit", "feed_consumers",
     "add_constraint", "drop_constraint", "show_constraints", "mirror",
     "add_generated_column", "drop_generated_column",
-    "show_generated_columns")
+    "show_generated_columns", "detail")
 
   def load(procName: String, pathOf: String => String,
       store: CommitStore): Option[UnboundProcedure] =
@@ -124,6 +124,7 @@ private[plans] object SnapshotProcedures {
         p("col", DataTypes.StringType))
       case "show_generated_columns" => Array(
         p("table", DataTypes.StringType))
+      case "detail" => Array(p("table", DataTypes.StringType))
       case "mirror" => Array(p("table", DataTypes.StringType),
         p("consumer", DataTypes.StringType),
         p("target", DataTypes.StringType),
@@ -251,6 +252,34 @@ private[plans] object SnapshotProcedures {
             .toSeq.sortBy(_._1)
           result(StructType.fromDDL("col STRING, expr STRING"),
             gs.map { case (n, ex) => row(utf8(n), utf8(ex)) })
+        case "detail" =>
+          // DESCRIBE DETAIL: one metadata-sized row from manifests +
+          // file listings of the LIVE dirs only
+          val schemaD = StructType.fromDDL("format STRING, " +
+            "current_version BIGINT, num_versions INT, " +
+            "num_partitions INT, num_files INT, size_bytes BIGINT, " +
+            "num_constraints INT, num_generated_columns INT, " +
+            "num_consumers INT")
+          PartitionedSnapshots.currentVersion(t, store) match {
+            case None => result(schemaD, Nil)
+            case Some(v) =>
+              val m = PartitionedSnapshots.manifest(t, v, store)
+              val dirs =
+                if (m.nonEmpty) m.toSeq.map { case (part, o) =>
+                  f"$t/_snapshots/v$o%05d/data/$part" }
+                else Seq(f"$t/_snapshots/v$v%05d")
+              val reports = dirs.map(d =>
+                graft.operators.TableStats.report(d, store = store))
+              result(schemaD, Seq(row(
+                utf8(if (m.nonEmpty) "graft.partitioned-snapshots"
+                  else "graft.snapshots"),
+                v, PartitionedSnapshots.versions(t, store).size,
+                m.size, reports.map(_.totalFiles).sum,
+                reports.map(_.totalBytes).sum,
+                graft.operators.Constraints.list(t, store).size,
+                graft.operators.GeneratedColumns.list(t, store).size,
+                graft.operators.ChangeFeed.consumers(t, store).size)))
+          }
         case "feed_consumers" =>
           val all = graft.operators.ChangeFeed.consumers(t, store)
             .toSeq.sortBy(_._1)

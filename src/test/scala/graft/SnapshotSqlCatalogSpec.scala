@@ -486,6 +486,21 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("diverging"), e.getMessage)
   }
 
+  test("CALL snap.system.detail: one metadata-sized row with format, " +
+      "layout, live file stats, and feature counts") {
+    spark.sql("SELECT 1 FROM snap.cdc LIMIT 1").collect() // table exists
+    val d = spark.sql("CALL snap.system.detail(table => 'cdc')")
+      .collect().head
+    assert(d.getString(0) == "graft.partitioned-snapshots")
+    assert(d.getLong(1) >= 3L, "cdc saw three commits")
+    assert(d.getInt(4) > 0 && d.getLong(5) > 0L, "live files counted")
+    // full-copy tables report their format too
+    val dim = spark.sql("CALL snap.system.detail(table => 'dim')")
+      .collect().head
+    assert(dim.getString(0) == "graft.snapshots")
+    assert(dim.getInt(3) == 0, "full-copy has no manifest partitions")
+  }
+
   test("listTables sees committed tables; mutations are refused") {
     spark.sql("SELECT 1").collect() // force catalog init via root
     val names = spark.sql("SHOW TABLES IN snap").select("tableName")
