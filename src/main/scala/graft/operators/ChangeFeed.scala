@@ -131,11 +131,16 @@ object ChangeFeed {
             0L, cur))
         case Latest =>
           // empty by construction (both endpoints are the same version)
-          // — shape it from the table without requiring key resolution
+          // — shape it from the table without requiring key resolution.
+          // The pin is committed HERE (it applies nothing, so there is
+          // nothing to durably apply first): a consumer that skips
+          // committing empty batches would otherwise re-receive this
+          // bootstrap batch forever and never converge to None
           val shape =
             if (PartitionedSnapshots.manifest(t, cur, store).nonEmpty)
               PartitionedSnapshots.readVersion(spark, t, cur, store)
             else Snapshots.readVersion(spark, t, cur, store)
+          commit(t, consumerId, cur, store)
           Some(Batch(shape.limit(0)
             .withColumn("change_type", lit(null).cast("string")),
             cur, cur))

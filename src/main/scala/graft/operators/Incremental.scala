@@ -176,14 +176,24 @@ object Incremental {
     * both sides of a comparison hash identical bytes for identical
     * logical rows). `by = Some(p)` returns one signature per group.
     * One narrow map-side-combined aggregate — no full-row shuffle;
-    * detection misses only on a 64-bit hash-sum collision (~n·2⁻⁶⁴). */
+    * detection misses only on a 64-bit hash-sum collision (~n·2⁻⁶⁴).
+    *
+    * NULL anchoring (ADVICE r8 high): Spark's `HashExpression` leaves
+    * the accumulator UNTOUCHED for a null child, so hashing the raw
+    * columns makes (a='x', b=NULL) and (a=NULL, b='x') collide
+    * deterministically for same-typed columns — a null-swap update
+    * would be skipped by the no-op short circuit. Interleaving each
+    * column's `isNull` flag (never null itself) anchors every value to
+    * its position: the flag sequence differs whenever the null pattern
+    * differs, restoring the ~n·2⁻⁶⁴ collision class. */
   private[graft] def contentSig(df: DataFrame,
       cols: Seq[(String, org.apache.spark.sql.types.DataType)],
       by: Option[String]): Map[Any, (Long, Any)] = {
     val aligned = cols.map { case (n, t) =>
       (if (df.columns.contains(n)) col(n) else lit(null)).cast(t).as(n) }
     val base = df.select(aligned: _*)
-    val h = xxhash64(cols.map(c => col(c._1)): _*)
+    val h = xxhash64(cols.flatMap(c =>
+        Seq(col(c._1).isNull, col(c._1))): _*)
       .cast(org.apache.spark.sql.types.DecimalType(38, 0))
     by match {
       case Some(p) =>
@@ -296,9 +306,22 @@ final class Incremental(spark: SparkSession,
         lit(p) - expr(s"INTERVAL $slack"))
       case None => source
     }
+    // The high mark is computed HERE, at sliver creation — strictly
+    // BEFORE the consuming materialization lists the source — never by
+    // a second scan inside advance() (the r8 verdict race: a file
+    // landing between the consumer's pass and a later advance() scan
+    // would raise the mark past rows the consumer never processed,
+    // leaving only the slack margin between that and data loss). With
+    // the mark frozen at creation, everything it credits is a SUBSET of
+    // what the later materialization reads (append-only source: a
+    // listing at T0 ⊆ a listing at T1>T0), so under-recording — the
+    // safe, idempotent-re-admit direction — is the only possible error,
+    // even with slack = 0. The cost profile is unchanged: one narrow
+    // pushed-down max scan per run, moved from advance-time to
+    // creation-time.
+    val m = df.agg(max(col(arrivalCol).cast("timestamp"))).first()
+    val sliverMax = if (m.isNullAt(0)) None else Some(m.getTimestamp(0))
     Sliver(df, prev.isDefined, () => {
-      val m = df.agg(max(col(arrivalCol).cast("timestamp"))).first()
-      val sliverMax = if (m.isNullAt(0)) None else Some(m.getTimestamp(0))
       val newMax = (prev.toSeq ++ sliverMax).maxByOption(_.getTime)
       newMax.foreach { ts =>
         val micros = java.time.temporal.ChronoUnit.MICROS

@@ -93,14 +93,39 @@ object Quality {
       if (parallelism <= 1 || checks.size <= 1)
         checks.map { case (n, f) => CheckResult(n, f()) }
       else {
+        // SparkContext scheduler thread-locals (job group, pool, tags,
+        // description) do not cross into executor-pool threads; copy the
+        // caller's values so checks stay attributable and cancellable as
+        // the caller's job group
+        val callerCtx = scala.util.Try(
+          org.apache.spark.sql.SparkSession.active.sparkContext).toOption
+        val schedulerKeys = Seq("spark.jobGroup.id",
+          "spark.job.description", "spark.job.interruptOnCancel",
+          "spark.scheduler.pool", "spark.job.tags")
+        val inherited = callerCtx.toSeq.flatMap(sc =>
+          schedulerKeys.map(k => k -> sc.getLocalProperty(k)))
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(parallelism, checks.size))
         try {
           checks.map { case (n, f) =>
             pool.submit(new java.util.concurrent.Callable[CheckResult] {
-              override def call(): CheckResult = CheckResult(n, f())
+              override def call(): CheckResult = {
+                callerCtx.foreach(sc => inherited.foreach {
+                  case (k, v) => sc.setLocalProperty(k, v) })
+                CheckResult(n, f())
+              }
             })
-          }.map(_.get())
+          }.map { fut =>
+            // rethrow the check's OWN exception, not the pool's
+            // ExecutionException wrapper — callers catching the check's
+            // type (e.g. a missing-table AnalysisException) keep working
+            // exactly as with the inline path
+            try fut.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw Option(e.getCause).getOrElse(e)
+            }
+          }
         } finally pool.shutdown()
       }
     val bad = results.filter(!_.passed)

@@ -168,8 +168,12 @@ object Snapshots {
       val kept = spark.read.option("mergeSchema", "true")
         .parquet(versionDir(tablePath, cur))
         .filter(!coalesce(where, lit(false)))
+      // deletes cannot violate CHECK, but the single-choke-point
+      // invariant ("every writer calls the gate") and generated-column
+      // lazy backfill apply to this full rewrite like any other
+      val prepared = Constraints.prepare(kept, tablePath, store)
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
-      kept.write.mode(SaveMode.Overwrite)
+      prepared.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, v))
       commitPointer(tablePath, v, store)
       v

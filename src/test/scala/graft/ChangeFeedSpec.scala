@@ -86,6 +86,20 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(drain(t, "tail") == Seq((2L, "b1", "insert")))
   }
 
+  test("Latest start converges even when the consumer never commits " +
+      "the empty bootstrap batch (pin committed inside poll)") {
+    val t = tmp()
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d")
+    val b = CF.poll(spark, t, "lazy", startFrom = CF.Latest).get
+    assert(b.df.isEmpty)
+    // consumer skips committing empty batches — the second poll must be
+    // None (caught up), not the bootstrap batch again, forever
+    assert(CF.poll(spark, t, "lazy", startFrom = CF.Latest).isEmpty)
+    PS.upsert(spark, t, Seq((2L, "B", "b1")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    assert(drain(t, "lazy") == Seq((2L, "b1", "insert")))
+  }
+
   test("full-copy Snapshots tables feed through the same API with " +
       "explicit keys") {
     val t = tmp()

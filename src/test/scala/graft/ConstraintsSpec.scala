@@ -113,6 +113,25 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("diverge"), e.getMessage)
   }
 
+  test("full-copy deleteWhere routes through the constraints gate: " +
+      "generated-column nulls backfill on the delete's rewrite") {
+    import graft.operators.GeneratedColumns
+    val t = tmp()
+    // rows persisted BEFORE the generated-column definition, with nulls
+    Snapshots.write(spark, t,
+      Seq((1L, "Alpha", Option.empty[String]),
+        (2L, "Beta", Option.empty[String]),
+        (3L, "Cat", Option.empty[String])).toDF("k", "d", "m"))
+    GeneratedColumns.add(spark, t, "m", "substring(d, 1, 1)")
+    // deleteWhere is a full rewrite like every other full-copy writer:
+    // the surviving rows must get the same lazy backfill the others apply
+    Snapshots.deleteWhere(spark, t, col("k") === 3L)
+    val out = Snapshots.read(spark, t).select(col("k"), col("m"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "A", 2L -> "B"),
+      "survivors' generated-column nulls must be backfilled")
+  }
+
   test("full-copy format: append and merge enforce; refusal leaves " +
       "the table untouched") {
     val t = tmp()

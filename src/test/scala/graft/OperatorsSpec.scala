@@ -173,6 +173,77 @@ class IncrementalSpec extends AnyFunSuite {
       .collect().toSeq == Seq("y"))
   }
 
+  test("null-swap update is detected, not skipped as a no-op" +
+      " (contentSig anchors null positions)") {
+    // (k, a='x', b=null) -> (k, a=null, b='x'): a raw xxhash64 over the
+    // columns is IDENTICAL for both rows (null children leave the hash
+    // accumulator untouched), so count+hash-sum matched and the no-op
+    // short circuit silently dropped the update (ADVICE r8 high)
+    val path = tmp()
+    val inc = new Incremental(spark)
+    inc.upsert(path,
+      Seq((1L, Option("x"), Option.empty[String])).toDF("k", "a", "b"),
+      Seq("k"))
+    inc.upsert(path,
+      Seq((1L, Option.empty[String], Option("x"))).toDF("k", "a", "b"),
+      Seq("k"))
+    val row = spark.read.parquet(path)
+      .select("k", "a", "b").as[(Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(row == Seq((1L, None, Some("x"))),
+      "null-swap update must replace the row")
+    // same class through the partition-granular change pruning
+    val ppath = tmp()
+    inc.upsertPartitioned(ppath,
+      Seq((1L, Option("x"), Option.empty[String], "2024-01-01"))
+        .toDF("k", "a", "b", "d"), Seq("k"), "d")
+    inc.upsertPartitioned(ppath,
+      Seq((1L, Option.empty[String], Option("x"), "2024-01-01"))
+        .toDF("k", "a", "b", "d"), Seq("k"), "d")
+    val prow = spark.read.parquet(ppath)
+      .select("k", "a", "b").as[(Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(prow == Seq((1L, None, Some("x"))),
+      "partition change pruning must see the null-swap as a change")
+  }
+
+  test("sliver advance() records the creation-time mark: a file landing" +
+      " between materialize and advance never raises it past unprocessed" +
+      " rows (slack = 0)") {
+    val srcDir = Files.createTempDirectory("graft_sliver_src").toString
+    val target = tmp()
+    val inc = new Incremental(spark)
+    def run(slack: String = "0 SECONDS") = {
+      val s = inc.sliverWindow(spark.read.parquet(srcDir), target, "arr",
+        slack)
+      inc.upsert(target, s.df, Seq("k")); s
+    }
+    // run 0 bootstraps the sidecar
+    Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "arr")
+      .write.mode("append").parquet(srcDir)
+    run().advance()
+    // run 1: sliver created and materialized...
+    Seq((2L, ts("2024-01-01 11:00:00"))).toDF("k", "arr")
+      .write.mode("append").parquet(srcDir)
+    val s1 = run()
+    assert(s1.narrowed)
+    // ...then a file lands BETWEEN the materialization and advance(),
+    // spanning arrivals both below and at its max — the r8 verdict race.
+    // A re-scanning advance() would record 12:00 and run 2 (slack=0)
+    // would never admit the 11:30 row.
+    Seq((3L, ts("2024-01-01 11:30:00")), (4L, ts("2024-01-01 12:00:00")))
+      .toDF("k", "arr").write.mode("append").parquet(srcDir)
+    spark.catalog.refreshByPath(srcDir) // force a re-listing source
+    s1.advance()
+    assert(inc.processedThrough(target, "arr")
+      .contains(ts("2024-01-01 11:00:00")),
+      "recorded mark must be run 1's creation-time max, not the late file's")
+    run().advance()
+    assert(spark.read.parquet(target).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 4L),
+      "no row may be lost to the mid-run file with slack = 0")
+  }
+
   test("upsertPartitioned deletes a key's stale row in its OLD partition") {
     val path = tmp()
     val inc = new Incremental(spark)
@@ -500,6 +571,19 @@ class QualitySpec extends AnyFunSuite {
     val res = Quality.run(checks)
     assert(res.head.violations == 1 && !res.head.passed)
     assertThrows[IllegalStateException](Quality.run(checks, failFast = true))
+  }
+
+  test("parallel run rethrows a failing check's OWN exception type, " +
+      "not the pool's ExecutionException wrapper") {
+    final class BoomException(m: String) extends RuntimeException(m)
+    val checks: Seq[(String, () => Long)] = Seq(
+      "ok" -> (() => 0L),
+      "boom" -> (() => throw new BoomException("check blew up")),
+      "ok2" -> (() => 0L))
+    // parallelism > 1 routes through the pool; callers catching the
+    // check's own exception (the inline-path contract) must still see it
+    val e = intercept[BoomException](Quality.run(checks, parallelism = 4))
+    assert(e.getMessage == "check blew up")
   }
 }
 
