@@ -157,6 +157,50 @@ object PartitionedSnapshots {
         .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
     }
 
+  /** `ALTER TABLE t ADD COLUMN` for BOTH snapshot formats (the reference's
+    * `on_schema_change: append_new_columns` contract, dbt_project.yml:29,
+    * SQL-first): appends one nullable column to the table's DECLARED
+    * schema (`_table` props). No data rewrites — committed files are
+    * immutable; existing rows surface the column as null via the read
+    * path's declared-schema overlay, and the next write may carry it.
+    * Constraints and generated columns live under separate prop keys and
+    * are untouched. Always nullable (existing rows have no value); drops,
+    * renames and type changes are refused at the SQL layer — they would
+    * reinterpret committed data. */
+  def addColumn(spark: SparkSession, t: String, column: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      store: CommitStore = CommitStore.local): Unit = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      // base = what a reader sees today: the current version's file
+      // schema (mergeSchema union across evolved footers), widened by
+      // any declared-only columns from a previous CREATE/ALTER
+      val fileSchema: Option[StructType] = currentVersion(t, store).map {
+        v =>
+          if (manifest(t, v, store).nonEmpty)
+            readVersion(spark, t, v, store).schema
+          else Snapshots.readVersion(spark, t, v, store).schema
+      }
+      val declared = tableProps(t, store).get("schema").map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[StructType])
+      val base = (fileSchema, declared) match {
+        case (Some(f), Some(d)) => StructType(f.fields ++ d.fields
+          .filterNot(df => f.fieldNames.exists(_.equalsIgnoreCase(df.name))))
+        case (Some(f), None) => f
+        case (None, Some(d)) => d
+        case (None, None) => throw new IllegalStateException(
+          s"$t has neither committed data nor a declared schema")
+      }
+      if (base.fieldNames.exists(_.equalsIgnoreCase(column)))
+        throw new IllegalArgumentException(
+          s"column $column already exists in $t")
+      val widened = StructType(base.fields :+
+        StructField(column, dataType, nullable = true))
+      updateProps(t, Map("schema" -> widened.json), store = store)
+    }
+  }
+
   /** First commit (or full rebuild): every partition owned by the new
     * version. */
   def write(spark: SparkSession, t: String, df: DataFrame,

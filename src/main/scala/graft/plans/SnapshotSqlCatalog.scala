@@ -82,13 +82,35 @@ class SnapshotSqlCatalog extends TableCatalog
 
   // mergeSchema: an evolved table's partitions legitimately carry
   // mixed footers (pre-/post-evolution); the union schema is the
-  // table's schema — same contract as the operator read path
-  private def tableFor(ident: Identifier, v: Long): Table =
-    ParquetTable(s"$catalogName.${ident.name}@v$v", SparkSession.active,
-      new CaseInsensitiveStringMap(
-        java.util.Map.of("mergeSchema", "true")),
-      dirsOf(pathOf(ident), v), None,
-      classOf[ParquetFileFormat])
+  // table's schema — same contract as the operator read path.
+  // Declared-schema OVERLAY: a column added via ALTER TABLE (or present
+  // in the CREATE schema) that no committed file carries yet must still
+  // be visible, as null — the file schema is widened with declared-only
+  // fields. File fields always win on type (they hold the data), so a
+  // stale declared schema can never mask or reinterpret evolution that
+  // arrived through the data path (MERGE … WITH SCHEMA EVOLUTION).
+  private def tableFor(ident: Identifier, v: Long): Table = {
+    val t = pathOf(ident)
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("mergeSchema", "true"))
+    val dirs = dirsOf(t, v)
+    val base = ParquetTable(s"$catalogName.${ident.name}@v$v",
+      SparkSession.active, opts, dirs, None, classOf[ParquetFileFormat])
+    PartitionedSnapshots.tableProps(t, store).get("schema") match {
+      case Some(json) =>
+        val declared = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[StructType]
+        val fileSchema = base.schema
+        val missing = declared.fields.filterNot(f =>
+          fileSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        if (missing.isEmpty) base
+        else ParquetTable(s"$catalogName.${ident.name}@v$v",
+          SparkSession.active, opts, dirs,
+          Some(StructType(fileSchema.fields ++ missing)),
+          classOf[ParquetFileFormat])
+      case None => base
+    }
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val t = pathOf(ident)
@@ -209,8 +231,42 @@ class SnapshotSqlCatalog extends TableCatalog
     throw new UnsupportedOperationException(
       s"$catalogName is read-only: $op must go through the snapshot " +
         "operator APIs (they carry the lock + commit protocol)")
+
+  /** `ALTER TABLE snap.t ADD COLUMN c TYPE` — the one schema mutation a
+    * versioned table can take without touching committed data: the
+    * declared schema widens ([[PartitionedSnapshots.addColumn]], under
+    * the table lock), existing rows read the column as null, and the
+    * next INSERT/MERGE may carry it. Matches the reference's
+    * `on_schema_change: append_new_columns` contract. Everything else
+    * (drops, renames, type changes, NOT NULL, positioned adds) is
+    * refused — each would reinterpret or invalidate committed
+    * immutable versions that pinned readers may still hold. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER TABLE")
+      changes: TableChange*): Table = {
+    val t = pathOf(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "nested ADD COLUMN is not supported on snapshot tables")
+        if (!add.isNullable)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN must be nullable: existing committed rows have " +
+              "no value for it")
+        if (add.position() != null)
+          throw new UnsupportedOperationException(
+            "FIRST/AFTER positioning is not supported: new columns " +
+              "append at the end of the schema")
+        PartitionedSnapshots.addColumn(SparkSession.active, t,
+          add.fieldNames()(0), add.dataType(), store)
+      case other => throw new UnsupportedOperationException(
+        "only ADD COLUMN is supported via ALTER TABLE on snapshot " +
+          "tables (drops/renames/type changes would reinterpret " +
+          s"committed immutable versions): $other")
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")

@@ -511,4 +511,61 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("read-only"), e.getMessage)
   }
+
+  test("ALTER TABLE ADD COLUMN: old rows null, next INSERT carries it, " +
+      "old versions readable, constraints preserved") {
+    val t = s"$root/alt"
+    PS.write(spark, t, Seq((1L, "A", 5.0)).toDF("k", "d", "qty"), "d")
+    graft.operators.Constraints.add(spark, t, "qty_pos", "qty > 0")
+    spark.sql("ALTER TABLE snap.alt ADD COLUMN note STRING")
+    // existing committed rows surface the new column as null
+    assert(spark.sql("SELECT k, note FROM snap.alt")
+      .as[(Long, Option[String])].collect().toSeq == Seq((1L, None)))
+    // the next INSERT lands the column through the commit protocol
+    spark.sql("INSERT INTO snap.alt VALUES (2, 'A', 3.0, 'hello')")
+    assert(spark.sql("SELECT k, note FROM snap.alt")
+      .as[(Long, Option[String])].collect().toMap ==
+      Map(1L -> None, 2L -> Some("hello")))
+    // history green: the pre-ALTER version still reads
+    assert(spark.sql("SELECT k FROM snap.alt VERSION AS OF 1")
+      .as[Long].collect().toSeq == Seq(1L))
+    // CHECK constraints survive the ALTER and still gate writes
+    val ce = intercept[Exception] {
+      spark.sql("INSERT INTO snap.alt VALUES (3, 'A', -1.0, 'bad')")
+    }
+    assert(ce.getMessage.contains("qty_pos"), ce.getMessage)
+    // double-ALTER of the same column refuses
+    val dup = intercept[Exception] {
+      spark.sql("ALTER TABLE snap.alt ADD COLUMN note STRING")
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+  }
+
+  test("ALTER TABLE refuses drops, renames, type changes; full-copy " +
+      "and declared-empty tables take ADD COLUMN too") {
+    // refusals on the partitioned table from the previous test
+    for (bad <- Seq(
+        "ALTER TABLE snap.alt DROP COLUMN note",
+        "ALTER TABLE snap.alt RENAME COLUMN note TO memo",
+        "ALTER TABLE snap.alt ALTER COLUMN qty TYPE STRING")) {
+      val e = intercept[Exception] { spark.sql(bad) }
+      assert(e.getMessage.contains("only ADD COLUMN") ||
+        e.getMessage.contains("not supported"), s"$bad -> ${e.getMessage}")
+    }
+    // full-copy format
+    val td = s"$root/altdim"
+    Snapshots.write(spark, td, Seq((1L, "x")).toDF("id", "name"))
+    spark.sql("ALTER TABLE snap.altdim ADD COLUMN tier INT")
+    spark.sql("INSERT INTO snap.altdim VALUES (2, 'y', 7)")
+    assert(spark.sql("SELECT id, tier FROM snap.altdim")
+      .as[(Long, Option[Int])].collect().toMap ==
+      Map(1L -> None, 2L -> Some(7)))
+    // declared-but-empty table: ALTER before the first INSERT
+    spark.sql("CREATE TABLE snap.altnew (k BIGINT, d STRING) " +
+      "PARTITIONED BY (d)")
+    spark.sql("ALTER TABLE snap.altnew ADD COLUMN v DOUBLE")
+    spark.sql("INSERT INTO snap.altnew VALUES (1, 'A', 2.5)")
+    assert(spark.sql("SELECT k, v FROM snap.altnew")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 2.5)))
+  }
 }
