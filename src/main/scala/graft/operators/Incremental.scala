@@ -48,6 +48,11 @@ object Incremental {
 
   private def lockFor(target: String): String = target + ".__lock"
 
+  /** Content prefix marking a released lock on CAS-capable (object
+    * store) bindings, where the lock object is never deleted — see
+    * [[release]]. Tokens are UUID-led and can never collide with it. */
+  private[graft] val ReleasedMarker = "released"
+
   private def parentOf(path: String): Option[String] = {
     val i = path.lastIndexOf('/')
     if (i > 0) Some(path.substring(0, i)) else None
@@ -75,7 +80,17 @@ object Incremental {
     * cleaned by the same staleness horizon: the arbiter protects
     * microseconds of work, so an arbiter file older than `staleMs` is
     * unambiguously dead (tombstone-renamed to a unique name — safe
-    * because an ACTIVE arbiter is never anywhere near the horizon). */
+    * because an ACTIVE arbiter is never anywhere near the horizon).
+    *
+    * CAS-capable bindings (object stores; round-9) take a PUT-only path
+    * instead: steal and released-lock reacquire are each ONE
+    * `putIfWitness` (`PUT If-Match: <etag>`) on the very generation the
+    * staleness/released decision observed, and [[release]] CAS-writes a
+    * `released` marker rather than deleting. The arbiter exists to
+    * compensate rename-based stores for exactly this missing CAS; with
+    * a native one there is no delete anywhere in the lock lifecycle —
+    * which is what real S3 (conditional PUT only, NO conditional
+    * DELETE) can actually serialize. */
   private[graft] def acquire(target: String,
       staleMs: Long = DefaultLockStaleMs,
       store: CommitStore = CommitStore.local): String = {
@@ -88,6 +103,35 @@ object Incremental {
     def isStale(m: Option[Long]): Boolean =
       m.exists(t => System.currentTimeMillis() - t > staleMs)
     if (tryCreate()) return token
+    // ── CAS-capable bindings (object stores): the PUT-only lock ──
+    // S3 has no conditional DELETE, so the delete-based steal below
+    // cannot be made race-free there. On a binding with a native
+    // compare-and-swap (`PUT If-Match`) the whole lifecycle avoids
+    // deletes instead: release() CAS-writes a `released` marker (the
+    // lock object persists), and both "reacquire a released lock" and
+    // "steal a stale lock" are ONE conditional overwrite — atomic on
+    // the very generation we observed, so a fresh or concurrently-taken
+    // lock can never be displaced. No arbiter, no tombstone, no
+    // check-then-act window anywhere.
+    if (store.casCapable) {
+      store.readWithWitness(lock) match {
+        case Some((bytes, witness)) =>
+          val content = new String(bytes, "UTF-8")
+          val free = content.startsWith(ReleasedMarker) ||
+            isStale(store.modifiedMs(lock))
+          if (free && store.putIfWitness(lock, witness,
+              token.getBytes("UTF-8"))) return token
+          throw new ConcurrentWriteException(
+            if (free) s"$target lock was taken by a concurrent writer " +
+              s"during a CAS acquire ($lock)"
+            else s"$target is locked by a concurrent writer ($lock; " +
+              s"stale-expires after ${staleMs} ms)")
+        case None => // vanished between createNew and read: retry once
+          if (tryCreate()) return token
+          throw new ConcurrentWriteException(
+            s"$target is locked by a concurrent writer ($lock)")
+      }
+    }
     val observed = store.read(lock)
     if (isStale(store.modifiedMs(lock)) && observed.nonEmpty) {
       val arbiter = lock + ".steal"
@@ -128,6 +172,22 @@ object Incremental {
   private[graft] def release(target: String, token: String,
       store: CommitStore = CommitStore.local): Boolean = {
     val lock = lockFor(target)
+    if (store.casCapable) {
+      // PUT-only release: CAS the lock to a `released` marker. Stronger
+      // than the delete path's check-then-act — if the lock was stolen
+      // between our read and the put, the witness changed and the CAS
+      // fails, so a stalled writer can never clobber the thief's lock
+      // even in that window. The marker object persists (one tiny
+      // object per table); acquire treats it as free.
+      return store.readWithWitness(lock) match {
+        case Some((bytes, witness))
+            if new String(bytes, "UTF-8") == token =>
+          store.putIfWitness(lock, witness,
+            (ReleasedMarker + s" ts=${System.currentTimeMillis()}")
+              .getBytes("UTF-8"))
+        case _ => false
+      }
+    }
     val owned = store.read(lock)
       .map(b => new String(b, "UTF-8")).contains(token)
     if (owned) store.delete(lock)
