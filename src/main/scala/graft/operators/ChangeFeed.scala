@@ -90,11 +90,12 @@ object ChangeFeed {
 
   private def changesBetween(spark: SparkSession, t: String, fromV: Long,
       toV: Long, keys: Seq[String], consumerId: String,
-      store: CommitStore): DataFrame =
+      store: CommitStore, preImages: Boolean): DataFrame =
     try {
       if (PartitionedSnapshots.manifest(t, toV, store).nonEmpty)
-        PartitionedSnapshots.changes(spark, t, fromV, toV, keys, store)
-      else Snapshots.changes(spark, t, fromV, toV, keys, store)
+        PartitionedSnapshots.changes(spark, t, fromV, toV, keys, store,
+          preImages)
+      else Snapshots.changes(spark, t, fromV, toV, keys, store, preImages)
     } catch {
       case e: IllegalStateException =>
         throw new IllegalStateException(
@@ -106,10 +107,14 @@ object ChangeFeed {
 
   /** Changes since the consumer's cursor, or None when caught up. Does
     * NOT advance the cursor — call [[commit]] with the batch's
-    * `toVersion` after durably applying it. */
+    * `toVersion` after durably applying it. `preImages = true` emits
+    * Delta-CDF image pairs for updates (update_preimage /
+    * update_postimage — see [[Snapshots.diff]]); [[mirror]] always
+    * consumes post-images (its MERGE needs one row per key). */
   def poll(spark: SparkSession, t: String, consumerId: String,
       keys: Seq[String] = Nil, startFrom: Start = Snapshot,
-      store: CommitStore = CommitStore.local): Option[Batch] = {
+      store: CommitStore = CommitStore.local,
+      preImages: Boolean = false): Option[Batch] = {
     val cur = PartitionedSnapshots.currentVersion(t, store).getOrElse(
       throw new IllegalStateException(s"$t has no committed snapshot"))
     cursor(t, consumerId, store) match {
@@ -120,7 +125,7 @@ object ChangeFeed {
           "table incarnation; reset(t, consumerId) and re-bootstrap")
       case Some(c) =>
         Some(Batch(changesBetween(spark, t, c, cur,
-          keysOf(t, keys, store), consumerId, store), c, cur))
+          keysOf(t, keys, store), consumerId, store, preImages), c, cur))
       case None => startFrom match {
         case Snapshot =>
           val snap =
@@ -146,7 +151,7 @@ object ChangeFeed {
             cur, cur))
         case FromVersion(v) =>
           Some(Batch(changesBetween(spark, t, v, cur,
-            keysOf(t, keys, store), consumerId, store), v, cur))
+            keysOf(t, keys, store), consumerId, store, preImages), v, cur))
       }
     }
   }

@@ -769,7 +769,8 @@ object PartitionedSnapshots {
     * whose day rolled forward pays for one day, not the table. */
   def changes(spark: SparkSession, t: String, fromV: Long, toV: Long,
       keys: Seq[String],
-      store: CommitStore = CommitStore.local): DataFrame = {
+      store: CommitStore = CommitStore.local,
+      preImages: Boolean = false): DataFrame = {
     val mFrom = manifest(t, fromV, store)
     val mTo = manifest(t, toV, store)
     if (mFrom.isEmpty) throw new IllegalStateException(
@@ -782,7 +783,7 @@ object PartitionedSnapshots {
       // identical manifests → definitionally zero changes; return the
       // empty change set in the proper shape without reading data
       val empty = readVersion(spark, t, toV, store).limit(0)
-      return Snapshots.diff(empty, empty, keys)
+      return Snapshots.diff(empty, empty, keys, preImages)
     }
     def side(m: Map[String, Long]): DataFrame = {
       val dirs = changed.toSeq.sorted.flatMap(p =>
@@ -798,7 +799,7 @@ object PartitionedSnapshots {
       if (before.columns.isEmpty) (after.limit(0), after)
       else if (after.columns.isEmpty) (before, before.limit(0))
       else (before, after)
-    Snapshots.diff(b, a, keys)
+    Snapshots.diff(b, a, keys, preImages)
   }
 
   /** Streaming micro-batch commits: every batch upserts as a NEW

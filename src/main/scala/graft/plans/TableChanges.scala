@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * SELECT * FROM table_changes('/path/to/dim', 1, 2, 'id')  -- explicit keys
   * SELECT * FROM table_changes('snap.sales',         -- timestamp bounds
   *   TIMESTAMP '2026-08-14 08:00:00', TIMESTAMP '2026-08-14 09:00:00')
+  * SELECT * FROM table_changes('snap.sales', 1, 3, true) -- Delta-CDF
+  *   -- image parity: updates split into update_preimage/update_postimage
   * }}}
   *
   * Injected via `SparkSessionExtensions.injectTableFunction`, so the call
@@ -75,10 +77,20 @@ object TableChanges {
       .getOrElse(name)
   }
 
-  def build(exprs: Seq[Expression]): LogicalPlan = {
+  def build(exprs0: Seq[Expression]): LogicalPlan = {
+    // Delta-CDF image parity rides an optional TRAILING boolean:
+    // `table_changes(t, 1, 3, true)` / `(…, 'k1,k2', true)` — true
+    // splits each update into update_preimage / update_postimage rows
+    // (same columns; see Snapshots.diff)
+    val preImages = exprs0.lastOption.collect {
+      case Literal(b: Boolean, org.apache.spark.sql.types.BooleanType)
+          if exprs0.size >= 3 => b
+    }
+    val exprs = if (preImages.isDefined) exprs0.dropRight(1) else exprs0
     if (exprs.size < 2 || exprs.size > 4)
       throw new IllegalArgumentException(
-        "table_changes(table, from_version[, to_version[, keys_csv]])")
+        "table_changes(table, from_version[, to_version[, keys_csv]]" +
+          "[, with_preimages])")
     val spark = SparkSession.active
     val store = CommitStore.local
     val t = resolvePath(spark, strLit(exprs.head))
@@ -97,10 +109,12 @@ object TableChanges {
         .getOrElse(throw new UnsupportedOperationException(
           s"table_changes: $t records no key columns — pass them " +
             "explicitly: table_changes(table, from, to, 'k1,k2')"))
+    val pre = preImages.getOrElse(false)
     val df =
       if (PartitionedSnapshots.manifest(t, toV, store).nonEmpty)
-        PartitionedSnapshots.changes(spark, t, fromV, toV, keys, store)
-      else Snapshots.changes(spark, t, fromV, toV, keys, store)
+        PartitionedSnapshots.changes(spark, t, fromV, toV, keys, store,
+          pre)
+      else Snapshots.changes(spark, t, fromV, toV, keys, store, pre)
     df.queryExecution.logical
   }
 }

@@ -51,6 +51,36 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(CF.consumers(t) == Map("c1" -> 4L, "c2" -> 4L))
   }
 
+  test("preImages poll: updates split into Delta-CDF " +
+      "update_preimage/update_postimage pairs; inserts and deletes " +
+      "keep one row; a value->null update carries null in the " +
+      "postimage, not the resurrected old value") {
+    val t = tmp()
+    PS.write(spark, t, Seq((1L, "A", Some("a1")), (2L, "A", Some("b1")),
+      (3L, "B", Some("c1"))).toDF("k", "d", "v"), "d")         // v1
+    PS.upsert(spark, t, Seq((2L, "A", Some("b2")), (3L, "B", None),
+      (4L, "B", Some("d1"))).toDF("k", "d", "v"), Seq("k"), "d") // v2
+    PS.delete(spark, t, col("k") === 1L, "d")                  // v3
+    val b = CF.poll(spark, t, "pi", startFrom = CF.FromVersion(1L),
+      preImages = true).get
+    val rows = b.df.select(col("k"), col("v"), col("change_type"))
+      .as[(Long, Option[String], String)].collect().toSeq
+      .sortBy(r => (r._1, r._3))
+    assert(rows == Seq(
+      (1L, Some("a1"), "delete"),
+      (2L, Some("b2"), "update_postimage"),
+      (2L, Some("b1"), "update_preimage"),
+      (3L, None, "update_postimage"),       // nulling an update column
+      (3L, Some("c1"), "update_preimage"),  // …pre-image keeps the value
+      (4L, Some("d1"), "insert")), s"$rows")
+    // default poll (what mirror consumes) is unchanged: one row per key
+    val plain = CF.poll(spark, t, "pi", startFrom = CF.FromVersion(1L))
+      .get.df.select(col("k"), col("change_type"))
+      .as[(Long, String)].collect().toSet
+    assert(plain == Set((1L, "delete"), (2L, "update"), (3L, "update"),
+      (4L, "insert")))
+  }
+
   test("at-least-once re-delivery: poll without commit returns the " +
       "same batch again; commit is forward-only and pointer-bounded") {
     val t = tmp()

@@ -326,6 +326,16 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(!rows.exists(_._1 == 1L))
   }
 
+  test("table_changes TVF trailing boolean: Delta-CDF image parity " +
+      "from SQL") {
+    val rows = spark.sql("SELECT k, v, change_type " +
+        "FROM table_changes('snap.cdc', 1, 2, true) ORDER BY k, " +
+        "change_type")
+      .as[(Long, String, String)].collect().toSeq
+    assert(rows == Seq((2L, "b2", "update_postimage"),
+      (2L, "b1", "update_preimage"), (4L, "d1", "insert")), s"$rows")
+  }
+
   test("table_changes TVF takes TIMESTAMP bounds via publish-time " +
       "time travel; SQL mirror procedure replicates to a target table") {
     val t = s"$root/cdcts"
