@@ -204,12 +204,13 @@ object PartitionedSnapshots {
   /** First commit (or full rebuild): every partition owned by the new
     * version. */
   def write(spark: SparkSession, t: String, df: DataFrame,
-      partCol: String, store: CommitStore = CommitStore.local): Long =
+      partCol: String, store: CommitStore = CommitStore.local,
+      txn: Option[String] = None): Long =
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
       val v = versions(t, store).lastOption.getOrElse(0L) + 1
       val parts = writeData(df, t, v, partCol, store)
       writeManifest(t, v, parts.map(_ -> v).toMap, store)
-      commitPointer(t, v, store)
+      commitPointer(t, v, store, txn)
       writeProps(t, partCol, Nil, store)
       v
     }
@@ -221,9 +222,10 @@ object PartitionedSnapshots {
     * cost and commit protocol as [[upsert]]. */
   def append(spark: SparkSession, t: String, rows: DataFrame,
       partCol: String, optimizeWrite: Boolean = false,
-      store: CommitStore = CommitStore.local): Long =
+      store: CommitStore = CommitStore.local,
+      txn: Option[String] = None): Long =
     upsertImpl(spark, t, rows, Nil, partCol, optimizeWrite,
-      publish = true, store)
+      publish = true, store, txn)
 
   /** Keyed delete+insert upsert as a new version: ONLY the partitions
     * carrying update rows are read, merged, and rewritten — every other
@@ -241,9 +243,10 @@ object PartitionedSnapshots {
   def upsert(spark: SparkSession, t: String, updates: DataFrame,
       keys: Seq[String], partCol: String,
       optimizeWrite: Boolean = false,
-      store: CommitStore = CommitStore.local): Long =
+      store: CommitStore = CommitStore.local,
+      txn: Option[String] = None): Long =
     upsertImpl(spark, t, updates, keys, partCol, optimizeWrite,
-      publish = true, store)
+      publish = true, store, txn)
 
   /** WRITE-AUDIT-PUBLISH, stage half: the upsert's data and manifest
     * land as a fully-formed version but the pointer does NOT flip —
@@ -278,7 +281,7 @@ object PartitionedSnapshots {
   private def upsertImpl(spark: SparkSession, t: String,
       updates: DataFrame, keys: Seq[String], partCol: String,
       optimizeWrite: Boolean, publish: Boolean,
-      store: CommitStore): Long =
+      store: CommitStore, txn: Option[String] = None): Long =
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
       val v = versions(t, store).lastOption.getOrElse(0L) + 1
       def shaped(df: DataFrame): DataFrame =
@@ -339,7 +342,7 @@ object PartitionedSnapshots {
               m ++ parts.map(_ -> v).toMap, store)
           } finally updCached.unpersist()
       }
-      if (publish) commitPointer(t, v, store)
+      if (publish) commitPointer(t, v, store, txn)
       writeProps(t, partCol, keys, store)
       v
     }
@@ -1021,8 +1024,36 @@ object PartitionedSnapshots {
     * addressable by timestamp). */
   def commitTimeMs(t: String, v: Long,
       store: CommitStore = CommitStore.local): Option[Long] =
-    store.read(metaPath(t, v)).map(b =>
-      new String(b, "UTF-8").trim.stripPrefix("ts=").toLong)
+    metaField(t, v, "ts", store).map(_.toLong)
+
+  /** The streaming transaction marker (`appId/epochId`) recorded with
+    * version `v`'s commit, if it was a streaming-epoch commit. */
+  def commitTxn(t: String, v: Long,
+      store: CommitStore = CommitStore.local): Option[String] =
+    metaField(t, v, "txn", store)
+
+  private def metaField(t: String, v: Long, key: String,
+      store: CommitStore): Option[String] =
+    store.read(metaPath(t, v)).flatMap(b =>
+      new String(b, "UTF-8").split("\n").toSeq
+        .find(_.startsWith(key + "="))
+        .map(_.substring(key.length + 1).trim))
+
+  /** Highest epoch a streaming query (`appId`) has COMMITTED into this
+    * table — Delta's txn-version idempotence pattern: the marker rides
+    * in the committed version's meta (written before the pointer flip,
+    * so an orphan's marker is never visible), and a restarted query
+    * skips any epoch at or below it. Metadata-sized: one small read
+    * per retained version. */
+  def lastCommittedEpoch(t: String, appId: String,
+      store: CommitStore = CommitStore.local): Option[Long] = {
+    val cur = currentVersion(t, store).getOrElse(return None)
+    versions(t, store).filter(_ <= cur)
+      .flatMap(v => commitTxn(t, v, store))
+      .collect { case s if s.startsWith(appId + "/") =>
+        s.substring(appId.length + 1).toLong }
+      .maxOption
+  }
 
   /** TIMESTAMP AS OF: the newest version PUBLISHED at or before
     * `tsMs` — publish order is linear (restore re-commits forward), so
@@ -1046,12 +1077,17 @@ object PartitionedSnapshots {
     }
 
   private def commitPointer(t: String, v: Long,
-      store: CommitStore): Unit = {
-    // publish time rides in the version dir (vacuumed with it): the
+      store: CommitStore, txn: Option[String] = None): Unit = {
+    // publish time (and the streaming txn marker, when this commit is
+    // an epoch's) rides in the version dir (vacuumed with it): the
     // anchor for TIMESTAMP AS OF addressing. Written before the flip —
-    // an orphan with a meta but no pointer is still invisible.
+    // an orphan with a meta but no pointer is still invisible, which
+    // is exactly what makes the txn marker exactly-once: a crash
+    // before the flip leaves no marker a restarted query could
+    // wrongly skip on.
     store.write(metaPath(t, v),
-      s"ts=${System.currentTimeMillis}".getBytes("UTF-8"))
+      (s"ts=${System.currentTimeMillis}" +
+        txn.map(x => s"\ntxn=$x").getOrElse("")).getBytes("UTF-8"))
     val tmp = pointer(t) + ".__tmp"
     store.write(tmp, v.toString.getBytes("UTF-8"))
     if (!store.rename(tmp, pointer(t), replaceExisting = true))

@@ -59,20 +59,22 @@ object Snapshots {
 
   /** Commit `df` as the next snapshot: full write, THEN pointer flip. */
   def write(spark: SparkSession, tablePath: String, df: DataFrame,
-      store: CommitStore = CommitStore.local): Long =
+      store: CommitStore = CommitStore.local,
+      txn: Option[String] = None): Long =
     Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
       val prepared = Constraints.prepare(df, tablePath, store)
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
       prepared.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, v))
-      commitPointer(tablePath, v, store)
+      commitPointer(tablePath, v, store, txn)
       v
     }
 
   /** Keyed upsert as a new snapshot (read current → merge → commit);
     * readers of the previous version are unaffected until the flip. */
   def upsert(spark: SparkSession, tablePath: String, updates: DataFrame,
-      keys: Seq[String], store: CommitStore = CommitStore.local): Long =
+      keys: Seq[String], store: CommitStore = CommitStore.local,
+      txn: Option[String] = None): Long =
     Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
       val merged = currentVersion(tablePath, store) match {
         case None => updates
@@ -91,7 +93,7 @@ object Snapshots {
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
       prepared.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, v))
-      commitPointer(tablePath, v, store)
+      commitPointer(tablePath, v, store, txn)
       v
     }
 
@@ -183,7 +185,8 @@ object Snapshots {
     * version: current rows ∪ new rows — the right trade at dimension
     * scale, where a version IS a self-contained table copy. */
   def append(spark: SparkSession, tablePath: String, rows: DataFrame,
-      store: CommitStore = CommitStore.local): Long =
+      store: CommitStore = CommitStore.local,
+      txn: Option[String] = None): Long =
     Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
       val merged = currentVersion(tablePath, store) match {
         case Some(cur) => spark.read.option("mergeSchema", "true")
@@ -195,7 +198,7 @@ object Snapshots {
       val v = versions(tablePath, store).lastOption.getOrElse(0L) + 1
       prepared.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, v))
-      commitPointer(tablePath, v, store)
+      commitPointer(tablePath, v, store, txn)
       v
     }
 
@@ -356,8 +359,33 @@ object Snapshots {
     * versions have none and are not addressable by timestamp). */
   def commitTimeMs(tablePath: String, v: Long,
       store: CommitStore = CommitStore.local): Option[Long] =
-    store.read(metaPath(tablePath, v)).map(b =>
-      new String(b, "UTF-8").trim.stripPrefix("ts=").toLong)
+    metaField(tablePath, v, "ts", store).map(_.toLong)
+
+  /** Streaming transaction marker of version `v`, if any — see
+    * [[PartitionedSnapshots.commitTxn]]. */
+  def commitTxn(tablePath: String, v: Long,
+      store: CommitStore = CommitStore.local): Option[String] =
+    metaField(tablePath, v, "txn", store)
+
+  private def metaField(t: String, v: Long, key: String,
+      store: CommitStore): Option[String] =
+    store.read(metaPath(t, v)).flatMap(b =>
+      new String(b, "UTF-8").split("\n").toSeq
+        .find(_.startsWith(key + "="))
+        .map(_.substring(key.length + 1).trim))
+
+  /** Highest epoch a streaming query has committed into this table —
+    * [[PartitionedSnapshots.lastCommittedEpoch]] for the full-copy
+    * format. */
+  def lastCommittedEpoch(tablePath: String, appId: String,
+      store: CommitStore = CommitStore.local): Option[Long] = {
+    val cur = currentVersion(tablePath, store).getOrElse(return None)
+    versions(tablePath, store).filter(_ <= cur)
+      .flatMap(v => commitTxn(tablePath, v, store))
+      .collect { case s if s.startsWith(appId + "/") =>
+        s.substring(appId.length + 1).toLong }
+      .maxOption
+  }
 
   /** TIMESTAMP AS OF: newest version published at or before `tsMs` —
     * [[PartitionedSnapshots.versionAt]]'s semantics for the full-copy
@@ -380,9 +408,10 @@ object Snapshots {
     }
 
   private def commitPointer(table: String, v: Long,
-      store: CommitStore): Unit = {
+      store: CommitStore, txn: Option[String] = None): Unit = {
     store.write(metaPath(table, v),
-      s"ts=${System.currentTimeMillis}".getBytes("UTF-8"))
+      (s"ts=${System.currentTimeMillis}" +
+        txn.map(x => s"\ntxn=$x").getOrElse("")).getBytes("UTF-8"))
     val tmp = pointer(table) + ".__tmp"
     store.write(tmp, v.toString.getBytes("UTF-8"))
     // a failed flip means readers still resolve the PREVIOUS version —

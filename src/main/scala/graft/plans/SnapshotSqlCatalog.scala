@@ -380,6 +380,7 @@ private[plans] class SnapshotWritableTable(
     val caps = new java.util.HashSet[TableCapability](inner.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)
     caps.add(TableCapability.TRUNCATE)
+    caps.add(TableCapability.STREAMING_WRITE)
     // lets the analyzer resolve MERGE … WITH SCHEMA EVOLUTION against
     // the source-widened target; the lowered merge then widens the
     // stored schema (merge(evolveSchema = true))
@@ -398,7 +399,13 @@ private[plans] class SnapshotWritableTable(
           "to establish the layout before SQL writes"))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    // SupportsStreamingUpdateAsAppend: Update output mode feeds the
+    // same epoch path as Append — correct here because a keyed table
+    // UPSERTS each epoch (an updated aggregate row replaces its key),
+    // which is exactly update-mode semantics
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.internal.connector
+          .SupportsStreamingUpdateAsAppend {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
@@ -412,6 +419,16 @@ private[plans] class SnapshotWritableTable(
                 PartitionedSnapshots.append(
                   data.sparkSession, tablePath, data, partCol, store = store)
           }
+        // df.writeStream.toTable("snap.t"): stage on executors, commit
+        // each epoch as a snapshot version (see SnapshotStreamingWrite)
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite =
+          new SnapshotStreamingWrite(tablePath, info.schema(),
+            info.queryId(), Some(partCol),
+            PartitionedSnapshots.tableProps(tablePath, store).get("keys")
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .getOrElse(Nil),
+            overwrite, store)
       }
     }
 }
@@ -491,6 +508,7 @@ private[plans] class FullCopyWritableTable(
     val caps = new java.util.HashSet[TableCapability](inner.capabilities())
     caps.add(TableCapability.V1_BATCH_WRITE)
     caps.add(TableCapability.TRUNCATE)
+    caps.add(TableCapability.STREAMING_WRITE)
     caps
   }
   override def newScanBuilder(
@@ -515,7 +533,9 @@ private[plans] class FullCopyWritableTable(
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.internal.connector
+          .SupportsStreamingUpdateAsAppend {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
@@ -527,6 +547,14 @@ private[plans] class FullCopyWritableTable(
               else
                 Snapshots.append(data.sparkSession, tablePath, data, store)
           }
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite =
+          new SnapshotStreamingWrite(tablePath, info.schema(),
+            info.queryId(), None,
+            PartitionedSnapshots.tableProps(tablePath, store).get("keys")
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              .getOrElse(Nil),
+            overwrite, store)
       }
     }
 }

@@ -522,6 +522,55 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("read-only"), e.getMessage)
   }
 
+  test("writeStream.toTable into a snapshot table: epochs commit as " +
+      "versions through the operator protocol, restart across the " +
+      "checkpoint is exactly-once, history readable via VERSION AS OF") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val t = s"$root/streamed" // touch root first: it registers the catalog
+    val srcDir = Files.createTempDirectory("graft_stream_src").toString
+    val cp = Files.createTempDirectory("graft_stream_cp").toString
+    spark.sql("CREATE TABLE snap.streamed (k BIGINT, d STRING, v STRING) " +
+      "PARTITIONED BY (d)")
+    val srcSchema = StructType(Seq(StructField("k", LongType),
+      StructField("d", StringType), StructField("v", StringType)))
+    def writeJson(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(srcDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def run(): Unit = {
+      val q = spark.readStream.schema(srcSchema).json(srcDir)
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("snap.streamed")
+      q.awaitTermination()
+    }
+    writeJson("a.json", Seq("""{"k":1,"d":"A","v":"a1"}""",
+      """{"k":2,"d":"B","v":"b1"}"""))
+    run()
+    assert(spark.sql("SELECT k, v FROM snap.streamed")
+      .as[(Long, String)].collect().toSet == Set((1L, "a1"), (2L, "b1")))
+
+    // restart across the checkpoint: only the NEW file is processed —
+    // were the first epoch re-applied, this keyless table would hold
+    // duplicate k=1/k=2 rows
+    writeJson("b.json", Seq("""{"k":3,"d":"A","v":"c1"}"""))
+    run()
+    assert(spark.sql("SELECT k, v FROM snap.streamed")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a1"), (2L, "b1"), (3L, "c1")),
+      "restart re-applied or dropped an epoch")
+
+    // each epoch is a first-class version: the pre-restart state is
+    // still addressable, and the commits carry streaming txn markers
+    val cur = PS.currentVersion(t).get
+    assert(spark.sql(s"SELECT k FROM snap.streamed VERSION AS OF ${cur - 1}")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(PS.commitTxn(t, cur).exists(_.matches(".+/\\d+")), 
+      s"no txn marker on v$cur: ${PS.commitTxn(t, cur)}")
+    // staging is cleaned after every committed epoch
+    assert(PS.lastCommittedEpoch(t,
+      PS.commitTxn(t, cur).get.split('/').head).nonEmpty)
+  }
+
   test("ALTER TABLE ADD COLUMN: old rows null, next INSERT carries it, " +
       "old versions readable, constraints preserved") {
     val t = s"$root/alt"
