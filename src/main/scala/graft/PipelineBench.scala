@@ -219,6 +219,21 @@ object PipelineBench {
       }
       System.err.println(s"   incremental pass: ${incChecks.size} checks," +
         s" +$incEv events, +$incOrd orders")
+
+      // ── day-3: NO-NEW-DATA pass — the change-gated floor ──
+      // Nothing new arrived: slivers are empty, every staging/fact
+      // upsert's no-op detection reports unchanged, and the
+      // change-gated dims/metrics skip their rebuilds — so this pass
+      // should cost ≈ the check corpus alone (the reference's `dbt
+      // test` floor), proving steady-state cost tracks actual change,
+      // not table count.
+      val day3Checks = phase("day3_dbt_no_new_data") {
+        pipe.run(
+          spark.read.parquet(bronzeClicks),
+          spark.read.parquet(bronzeOrders))
+      }
+      System.err.println(s"   day-3 (no new data): ${day3Checks.size}" +
+        " checks, all models change-gated")
     }
 
     val elapsed = (System.nanoTime() - t0) / 1e9

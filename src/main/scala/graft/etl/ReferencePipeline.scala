@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   */
 final class ReferencePipeline(spark: SparkSession, baseDir: String,
     store: graft.operators.CommitStore = graft.operators.CommitStore.local,
-    sliver: Boolean = true) {
+    sliver: Boolean = true, changeGated: Boolean = true) {
   import ReferenceModels._
 
   // all lock/swap control-plane IO routes through the caller's store
@@ -109,12 +109,16 @@ final class ReferencePipeline(spark: SparkSession, baseDir: String,
     // materialization fact_events always had), not the whole table
     val evSliver = sliverOf(bronzeEvents, "stg_clickstream_events",
       "pipeline_ingested_at")
+    val changed = scala.collection.mutable.Set.empty[String]
+    def record(name: String, didChange: Boolean): Unit =
+      if (didChange) { changed += name; () }
     timed("stg_clickstream_events") {
-      inc.upsertPartitioned(modelPaths("stg_clickstream_events"),
-        stgClickstreamEvents(
-          inc.lateWindow(evSliver.df, modelPaths("stg_clickstream_events"),
-            "pipeline_ingested_at")),
-        Seq("event_id"), "event_date")
+      record("stg_clickstream_events",
+        inc.upsertPartitioned(modelPaths("stg_clickstream_events"),
+          stgClickstreamEvents(
+            inc.lateWindow(evSliver.df, modelPaths("stg_clickstream_events"),
+              "pipeline_ingested_at")),
+          Seq("event_id"), "event_date"))
       evSliver.advance()
     }
     // stg_clickstream_sessions.sql:14-19: events at-or-after the target's
@@ -139,23 +143,26 @@ final class ReferencePipeline(spark: SparkSession, baseDir: String,
       if (sessSliver.narrowed) stgClickstreamSessions(sessSrc).localCheckpoint()
       else stgClickstreamSessions(sessSrc)
     timed("stg_clickstream_sessions") {
-      upsert("stg_clickstream_sessions", Seq("session_id"), sessUpdates)
+      record("stg_clickstream_sessions",
+        upsert("stg_clickstream_sessions", Seq("session_id"), sessUpdates))
       sessSliver.advance()
     }
     val ordSliver = sliverOf(bronzeOrders, "stg_orders",
       "pipeline_ingested_at")
     timed("stg_orders") {
-      upsert("stg_orders", Seq("order_id"),
-        stgOrders(inc.lateWindow(ordSliver.df, modelPaths("stg_orders"),
-          "pipeline_ingested_at")))
+      record("stg_orders",
+        upsert("stg_orders", Seq("order_id"),
+          stgOrders(inc.lateWindow(ordSliver.df, modelPaths("stg_orders"),
+            "pipeline_ingested_at"))))
       ordSliver.advance()
     }
     timed("stg_order_items") {
       val s = sliverOf(table("stg_orders"), "stg_order_items",
         "pipeline_ingested_at")
-      upsert("stg_order_items", Seq("order_id", "product_id"),
-        stgOrderItems(inc.lateWindow(s.df,
-          modelPaths("stg_order_items"), "pipeline_ingested_at")))
+      record("stg_order_items",
+        upsert("stg_order_items", Seq("order_id", "product_id"),
+          stgOrderItems(inc.lateWindow(s.df,
+            modelPaths("stg_order_items"), "pipeline_ingested_at"))))
       s.advance()
     }
 
@@ -167,26 +174,29 @@ final class ReferencePipeline(spark: SparkSession, baseDir: String,
     timed("fact_events") {
       val s = sliverOf(table("stg_clickstream_events"), "fact_events",
         "pipeline_ingested_at")
-      inc.upsertPartitioned(modelPaths("fact_events"),
-        factEvents(inc.lateWindow(s.df,
-          modelPaths("fact_events"), "event_ts")),
-        Seq("event_id"), "event_date")
+      record("fact_events",
+        inc.upsertPartitioned(modelPaths("fact_events"),
+          factEvents(inc.lateWindow(s.df,
+            modelPaths("fact_events"), "event_ts")),
+          Seq("event_id"), "event_date"))
       s.advance()
     }
     timed("fact_orders") {
       val s = sliverOf(table("stg_orders"), "fact_orders",
         "pipeline_ingested_at")
-      upsert("fact_orders", Seq("order_id"),
-        factOrders(inc.lateWindow(s.df,
-          modelPaths("fact_orders"), "order_ts")))
+      record("fact_orders",
+        upsert("fact_orders", Seq("order_id"),
+          factOrders(inc.lateWindow(s.df,
+            modelPaths("fact_orders"), "order_ts"))))
       s.advance()
     }
     timed("fact_order_items") {
       val s = sliverOf(table("stg_order_items"), "fact_order_items",
         "pipeline_ingested_at")
-      upsert("fact_order_items", Seq("order_id", "product_id"),
-        factOrderItems(inc.lateWindow(s.df,
-          modelPaths("fact_order_items"), "order_ts")))
+      record("fact_order_items",
+        upsert("fact_order_items", Seq("order_id", "product_id"),
+          factOrderItems(inc.lateWindow(s.df,
+            modelPaths("fact_order_items"), "order_ts"))))
       s.advance()
     }
     timed("fact_sessions") {
@@ -203,32 +213,57 @@ final class ReferencePipeline(spark: SparkSession, baseDir: String,
               .distinct(),
             Seq("session_id"), "left_semi")
         else fsRef
-      upsert("fact_sessions", Seq("session_id"),
-        factSessions(fsSrc, table("stg_orders")))
+      record("fact_sessions",
+        upsert("fact_sessions", Seq("session_id"),
+          factSessions(fsSrc, table("stg_orders"))))
     }
 
-    // ── dimensions (table) ──
-    timed("dims (4x full overwrite)") {
-      overwrite("dim_session_context",
-        dimSessionContext(table("fact_events")))
-      overwrite("dim_users",
-        dimUsers(table("fact_events"), table("fact_orders")))
-      overwrite("dim_products", dimProducts(table("fact_order_items")))
-      overwrite("dim_date", dimDate(table("fact_events")))
+    // ── dimensions + metrics (table, change-gated) ──
+    // A `table` materialization is a pure function of its inputs, so a
+    // rebuild whose every upstream model provably did NOT change this
+    // run (the upserts' no-op/changed-partition detection returned
+    // false) would overwrite the target with identical content — the
+    // day-2/day-3 floor the round-8 verdict measured at ~20-25 s. Skip
+    // it: rebuild iff any upstream changed or the target is missing
+    // (first run / crash recovery). `changeGated = false` restores the
+    // reference's rebuild-always behavior. Skipped models are NOT
+    // marked changed, so the gate propagates through dim → metric
+    // edges (dim_date feeding metrics_daily_kpis).
+    def tableModel(name: String, upstream: Seq[String])(
+        build: => DataFrame): Unit = {
+      val skip = changeGated && store.exists(modelPaths(name)) &&
+        !upstream.exists(changed)
+      if (skip) System.err.println(f"   [dbt] $name%-34s skipped " +
+        s"(upstreams unchanged: ${upstream.mkString(",")})")
+      else { overwrite(name, build); changed += name; () }
+    }
+    timed("dims (4x table, change-gated)") {
+      tableModel("dim_session_context", Seq("fact_events")) {
+        dimSessionContext(table("fact_events")) }
+      tableModel("dim_users", Seq("fact_events", "fact_orders")) {
+        dimUsers(table("fact_events"), table("fact_orders")) }
+      tableModel("dim_products", Seq("fact_order_items")) {
+        dimProducts(table("fact_order_items")) }
+      tableModel("dim_date", Seq("fact_events")) {
+        dimDate(table("fact_events")) }
     }
 
-    // ── metrics (table) ──
-    timed("metrics (4x full overwrite)") {
-      overwrite("metrics_daily_kpis",
+    timed("metrics (4x table, change-gated)") {
+      tableModel("metrics_daily_kpis",
+          Seq("fact_sessions", "fact_orders", "dim_date")) {
         metricsDailyKpis(table("fact_sessions"), table("fact_orders"),
-          table("dim_date")))
-      overwrite("metrics_daily_funnel",
-        metricsDailyFunnel(table("fact_events"), table("fact_orders")))
-      overwrite("metrics_user_lifecycle",
-        metricsUserLifecycle(table("fact_sessions"), table("fact_orders")))
-      overwrite("metrics_product_performance_daily",
+          table("dim_date")) }
+      tableModel("metrics_daily_funnel",
+          Seq("fact_events", "fact_orders")) {
+        metricsDailyFunnel(table("fact_events"), table("fact_orders")) }
+      tableModel("metrics_user_lifecycle",
+          Seq("fact_sessions", "fact_orders")) {
+        metricsUserLifecycle(table("fact_sessions"),
+          table("fact_orders")) }
+      tableModel("metrics_product_performance_daily",
+          Seq("fact_order_items", "fact_orders", "fact_events")) {
         metricsProductPerformanceDaily(table("fact_order_items"),
-          table("fact_orders"), table("fact_events")))
+          table("fact_orders"), table("fact_events")) }
     }
 
     stagingResults ++ timed("marts schema tests") {
@@ -236,7 +271,8 @@ final class ReferencePipeline(spark: SparkSession, baseDir: String,
     }
   }
 
-  private def upsert(name: String, keys: Seq[String], df: DataFrame): Unit =
+  private def upsert(name: String, keys: Seq[String],
+      df: DataFrame): Boolean =
     inc.upsert(modelPaths(name), df, keys)
 
   /** Register every materialized model in the metastore under the

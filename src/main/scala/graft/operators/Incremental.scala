@@ -310,12 +310,13 @@ final class Incremental(spark: SparkSession,
 
   private def wmPath(targetPath: String) = targetPath + ".__wm"
 
-  /** The arrival high-watermark recorded for `targetPath`'s consumer by
-    * a previous [[Sliver.advance]], if present and well-formed (a torn
-    * or legacy sidecar reads as None — the consumer falls back to the
-    * full-overlap window, which is always correct). */
-  def processedThrough(targetPath: String,
-      arrivalCol: String): Option[java.sql.Timestamp] =
+  /** Sidecar fields: recorded arrival high mark, plus (round-9) the
+    * content signature of the slack re-admit window as of that mark —
+    * what lets the next run prove "nothing new" without re-processing
+    * the window. A sidecar recorded for a different column reads as
+    * absent entirely. */
+  private def sidecarOf(targetPath: String, arrivalCol: String)
+      : Option[(java.sql.Timestamp, Option[String])] =
     store.read(wmPath(targetPath)).flatMap { b =>
       val kv = new String(b, "UTF-8").split("\n")
         .filter(_.contains("=")).map { l =>
@@ -327,8 +328,16 @@ final class Incremental(spark: SparkSession,
         java.sql.Timestamp.from(
           java.time.Instant.EPOCH.plus(m.toLong,
             java.time.temporal.ChronoUnit.MICROS))
-      }.toOption)
+      }.toOption).map(ts => (ts, kv.get("sig")))
     }
+
+  /** The arrival high-watermark recorded for `targetPath`'s consumer by
+    * a previous [[Sliver.advance]], if present and well-formed (a torn
+    * or legacy sidecar reads as None — the consumer falls back to the
+    * full-overlap window, which is always correct). */
+  def processedThrough(targetPath: String,
+      arrivalCol: String): Option[java.sql.Timestamp] =
+    sidecarOf(targetPath, arrivalCol).map(_._1)
 
   /** ARRIVAL-TRACKED sliver window — the day-2 steady-state
     * optimization over the pure lookback contract. The dbt-style
@@ -360,36 +369,81 @@ final class Incremental(spark: SparkSession,
     * contract would drop are still dropped. */
   def sliverWindow(source: DataFrame, targetPath: String,
       arrivalCol: String, slack: String = "1 HOUR"): Sliver = {
-    val prev = processedThrough(targetPath, arrivalCol)
+    val sidecar = sidecarOf(targetPath, arrivalCol)
+    val prev = sidecar.map(_._1)
     val df = prev match {
       case Some(p) => source.filter(col(arrivalCol).cast("timestamp") >=
         lit(p) - expr(s"INTERVAL $slack"))
       case None => source
     }
-    // The high mark is computed HERE, at sliver creation — strictly
-    // BEFORE the consuming materialization lists the source — never by
-    // a second scan inside advance() (the r8 verdict race: a file
-    // landing between the consumer's pass and a later advance() scan
-    // would raise the mark past rows the consumer never processed,
-    // leaving only the slack margin between that and data loss). With
-    // the mark frozen at creation, everything it credits is a SUBSET of
-    // what the later materialization reads (append-only source: a
-    // listing at T0 ⊆ a listing at T1>T0), so under-recording — the
-    // safe, idempotent-re-admit direction — is the only possible error,
-    // even with slack = 0. The cost profile is unchanged: one narrow
-    // pushed-down max scan per run, moved from advance-time to
-    // creation-time.
-    val m = df.agg(max(col(arrivalCol).cast("timestamp"))).first()
-    val sliverMax = if (m.isNullAt(0)) None else Some(m.getTimestamp(0))
-    Sliver(df, prev.isDefined, () => {
-      val newMax = (prev.toSeq ++ sliverMax).maxByOption(_.getTime)
-      newMax.foreach { ts =>
-        val micros = java.time.temporal.ChronoUnit.MICROS
-          .between(java.time.Instant.EPOCH, ts.toInstant)
-        store.write(wmPath(targetPath),
-          s"col=$arrivalCol\nmicros=$micros".getBytes("UTF-8"))
-      }
-    })
+    // All marks and signatures are computed HERE, at sliver creation —
+    // strictly BEFORE the consuming materialization lists the source —
+    // never by a later scan inside advance() (the r8 verdict race: a
+    // file landing between the consumer's pass and a later advance()
+    // scan would credit rows the consumer never processed). Everything
+    // credited at creation is a SUBSET of what the later
+    // materialization reads (append-only source: a listing at T0 ⊆ a
+    // listing at T1>T0), so under-crediting — the safe,
+    // idempotent-re-admit direction — is the only possible error, even
+    // with slack = 0.
+    //
+    // WINDOW SIGNATURE (round-9, the day-3 floor): the slack re-admit
+    // makes every steady-state run re-process `slack` worth of already-
+    // processed rows — by design free in correctness, but it is the
+    // whole remaining cost when NOTHING new arrived. The sidecar
+    // therefore also records (count, xxhash64-sum) over the re-admit
+    // window as of the recorded mark; the next run recomputes that
+    // signature in its creation pass and, when the mark has not
+    // advanced AND the window's content is bit-identical, the sliver is
+    // PROVABLY empty — the consumer gets zero rows and its upsert
+    // no-ops without reading the window's transforms at all. A late-
+    // listed row INSIDE the window changes the signature and restores
+    // the full re-admit; a legacy sidecar (no sig) always re-admits.
+    // Null anchoring matches contentSig: isNull flags interleave so a
+    // null-swap can never alias.
+    val rowHash = xxhash64(df.columns.toSeq.flatMap(c =>
+        Seq(col(c).isNull, col(c))): _*)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    def sigStr(cnt: Long, hs: Any): String =
+      s"$cnt:${Option(hs).map(_.toString).getOrElse("null")}"
+    def windowSig(mark: java.sql.Timestamp): String = {
+      val r = df.filter(col(arrivalCol).cast("timestamp") >=
+          lit(mark) - expr(s"INTERVAL $slack"))
+        .agg(count(lit(1)), sum(rowHash)).first()
+      sigStr(r.getLong(0), r.get(1))
+    }
+    def record(mark: java.sql.Timestamp, sig: String): Unit = {
+      val micros = java.time.temporal.ChronoUnit.MICROS
+        .between(java.time.Instant.EPOCH, mark.toInstant)
+      store.write(wmPath(targetPath),
+        s"col=$arrivalCol\nmicros=$micros\nsig=$sig".getBytes("UTF-8"))
+    }
+    prev match {
+      case Some(p) =>
+        // one narrow pass: new max + the old window's signature
+        val oldWin = col(arrivalCol).cast("timestamp") <= lit(p)
+        val r = df.agg(
+          max(col(arrivalCol).cast("timestamp")),
+          count(when(oldWin, lit(1))),
+          sum(when(oldWin, rowHash))).first()
+        val mx = if (r.isNullAt(0)) None else Some(r.getTimestamp(0))
+        val curSig = sigStr(r.getLong(1), r.get(2))
+        val advanced = mx.exists(_.getTime > p.getTime)
+        if (!advanced && sidecar.flatMap(_._2).contains(curSig))
+          // provably nothing new: empty sliver, sidecar already current
+          Sliver(df.limit(0), narrowed = true, advance = () => ())
+        else {
+          val newMark = (Seq(p) ++ mx).maxBy(_.getTime)
+          val newSig = windowSig(newMark)
+          Sliver(df, narrowed = true, () => record(newMark, newSig))
+        }
+      case None =>
+        val m = df.agg(max(col(arrivalCol).cast("timestamp"))).first()
+        val sliverMax = if (m.isNullAt(0)) None else Some(m.getTimestamp(0))
+        val recorded = sliverMax.map(ts => (ts, windowSig(ts)))
+        Sliver(df, narrowed = false, () =>
+          recorded.foreach { case (ts, sig) => record(ts, sig) })
+    }
   }
 
   /** Scalar watermark: `coalesce(max(tsCol) - lookback, epoch)` over the
@@ -426,7 +480,7 @@ final class Incremental(spark: SparkSession,
     * with `mergeSchema` so a previously-evolved mixed-footer table
     * surfaces its union schema. */
   def upsert(targetPath: String, updates: DataFrame,
-             keys: Seq[String]): Unit = {
+             keys: Seq[String]): Boolean = {
     // crash-safety (tmp+swap) does not cover CONCURRENT writers: two
     // interleaved read-merge-swap sequences each merge against the
     // pre-state and the second swap erases the first writer's rows. The
@@ -435,9 +489,9 @@ final class Incremental(spark: SparkSession,
     Incremental.withLock(targetPath, Incremental.DefaultLockStaleMs, store) {
       val updatesCached = updates.cache()
       try {
-        if (!store.exists(targetPath))
-          atomicOverwrite(targetPath, updatesCached)
-        else {
+        if (!store.exists(targetPath)) {
+          atomicOverwrite(targetPath, updatesCached); true
+        } else {
           val tgt = spark.read.option("mergeSchema", "true")
             .parquet(targetPath)
           val updKeys0 =
@@ -466,6 +520,7 @@ final class Incremental(spark: SparkSession,
               .unionByName(updatesCached, allowMissingColumns = true)
             atomicOverwrite(targetPath, merged)
           }
+          !unchanged
         }
       } finally updatesCached.unpersist()
     }
@@ -474,21 +529,22 @@ final class Incremental(spark: SparkSession,
   /** Partition-granular delete+insert: only partitions present in `updates`
     * are read, merged, and rewritten (dynamic partition overwrite). */
   def upsertPartitioned(targetPath: String, updates: DataFrame,
-                        keys: Seq[String], partCol: String): Unit = {
+                        keys: Seq[String], partCol: String): Boolean = {
     // same single-writer serialization as upsert: the delete-then-
     // dynamic-overwrite sequence is crash-safe but not concurrency-safe
     Incremental.withLock(targetPath, Incremental.DefaultLockStaleMs, store) {
-      if (!store.exists(targetPath))
+      if (!store.exists(targetPath)) {
         updates.write.partitionBy(partCol).mode(SaveMode.Overwrite)
           .parquet(targetPath)
-      else
+        true
+      } else
         upsertPartitionedLocked(targetPath, updates, keys, partCol)
     }
   }
 
   private def upsertPartitionedLocked(targetPath: String, updates: DataFrame,
                                       keys: Seq[String],
-                                      partCol: String): Unit = {
+                                      partCol: String): Boolean = {
     val updatesCached = updates.cache()
     val updKeys0 = updatesCached.select(keys.map(col): _*).distinct().cache()
     // the key set is sliver-sized at steady state; broadcasting it
@@ -546,7 +602,7 @@ final class Incremental(spark: SparkSession,
         (if (touched.size < touched0.size)
            s"; skip ${touched0.filterNot(touched.contains).mkString(",")}"
          else ""))
-      if (touched.isEmpty) return
+      if (touched.isEmpty) return false
       val existing = target()
         .filter(col(partCol).isin(touched: _*)) // static partition pruning
         .join(updKeys, keys, "left_anti")
@@ -586,6 +642,7 @@ final class Incremental(spark: SparkSession,
           .distinct
           .foreach(store.deleteRecursively)
       }
+      true
     } finally {
       updKeys0.unpersist()
       updatesCached.unpersist()

@@ -244,6 +244,44 @@ class IncrementalSpec extends AnyFunSuite {
       "no row may be lost to the mid-run file with slack = 0")
   }
 
+  test("sliver window-signature short circuit: an unchanged slack window" +
+      " yields a PROVABLY EMPTY sliver (the day-3 floor); a late-listed" +
+      " row inside the window restores the full re-admit") {
+    val srcDir = Files.createTempDirectory("graft_sliver_sig").toString
+    val target = tmp()
+    val inc = new Incremental(spark)
+    def sliver() = inc.sliverWindow(spark.read.parquet(srcDir), target,
+      "arr", slack = "1 HOUR")
+    // bootstrap: two rows, the newer inside what will be the re-admit
+    // window of mark 11:00 (10:30 >= 11:00 - 1h)
+    Seq((1L, ts("2024-01-01 10:30:00")), (2L, ts("2024-01-01 11:00:00")))
+      .toDF("k", "arr").write.mode("append").parquet(srcDir)
+    val s0 = sliver()
+    inc.upsert(target, s0.df, Seq("k")); s0.advance()
+    // steady-state re-run with NOTHING new: without the signature the
+    // slack would re-admit rows 1-2 every run; with it the sliver is
+    // provably empty
+    val s1 = sliver()
+    assert(s1.narrowed && s1.df.isEmpty,
+      "unchanged window must short-circuit to an empty sliver")
+    s1.advance() // no-op; sidecar stays current
+    assert(sliver().df.isEmpty, "still empty after the no-op advance")
+    // a row landing with an arrival INSIDE the already-processed window
+    // (late listing — the exact case slack exists for) must break the
+    // signature and be re-admitted
+    Seq((3L, ts("2024-01-01 10:45:00"))).toDF("k", "arr")
+      .write.mode("append").parquet(srcDir)
+    spark.catalog.refreshByPath(srcDir)
+    val s2 = sliver()
+    assert(s2.df.select("k").as[Long].collect().toSet == Set(1L, 2L, 3L),
+      "signature mismatch must restore the full slack re-admit")
+    inc.upsert(target, s2.df, Seq("k")); s2.advance()
+    assert(spark.read.parquet(target).select("k").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L))
+    // and the system re-converges: nothing new -> empty again
+    assert(sliver().df.isEmpty)
+  }
+
   test("upsertPartitioned deletes a key's stale row in its OLD partition") {
     val path = tmp()
     val inc = new Incremental(spark)

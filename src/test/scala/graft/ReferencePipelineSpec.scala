@@ -90,4 +90,48 @@ class ReferencePipelineSpec extends AnyFunSuite {
         s"$m: sliver-incremental != full-overlap incremental")
     }
   }
+
+  test("change-gated dims/metrics: a no-new-data (day-3) run leaves " +
+      "every table-materialized model's files byte-untouched " +
+      "(mtime-pinned) with the full corpus still green; new data " +
+      "rebuilds them") {
+    val base = Files.createTempDirectory("graft_refpipe_gate").toString
+    val p = new ReferencePipeline(spark, base)
+    val (ev6, ord6) = ReferenceFixtures.bronze(spark, 6)
+    p.run(ev6, ord6)
+
+    val tableModels = Seq("dim_session_context", "dim_users",
+      "dim_products", "dim_date", "metrics_daily_kpis",
+      "metrics_daily_funnel", "metrics_user_lifecycle",
+      "metrics_product_performance_daily")
+    def mtimes(model: String): Map[String, Long] = {
+      val dir = java.nio.file.Paths.get(p.modelPaths(model))
+      val s = Files.walk(dir)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(f => Files.isRegularFile(f))
+        .map(f => f.toString ->
+          Files.getLastModifiedTime(f).toMillis).toMap
+      finally s.close()
+    }
+    val before = tableModels.map(m => m -> mtimes(m)).toMap
+
+    // day-3: nothing new arrived — staging/fact upserts detect no-op,
+    // the gate propagates, and no dim/metric file is even rewritten
+    val day3 = p.run(ev6, ord6)
+    assert(day3.forall(_.passed), "corpus must stay green on the gated run")
+    tableModels.foreach { m =>
+      assert(mtimes(m) == before(m),
+        s"$m was rewritten on a provably-unchanged run")
+    }
+
+    // new upstream data flips the gate: every dim/metric rebuilds (their
+    // row-correctness after rebuild is pinned by the main DAG test)
+    val (ev9, ord9) = ReferenceFixtures.bronze(spark, 9)
+    val res9 = p.run(ev9, ord9)
+    assert(res9.forall(_.passed))
+    tableModels.foreach { m =>
+      assert(mtimes(m) != before(m),
+        s"$m was not rebuilt after its upstreams changed")
+    }
+  }
 }
