@@ -17,16 +17,20 @@ package graft.queries
   * the same shape via CTEs rather than the Expand×3 dual-COUNT(DISTINCT)
   * form — the SQL a user SHOULD run at 100 TB.
   *
-  * Not in this map (12 of 130): queries whose computation is genuinely
-  * procedural (s07's PQ training — joint Lloyd rounds across
-  * subspaces with driver-controlled convergence) — the m01–m09 set whose decode step crosses the codec
-  * boundary in mapPartitions, q14 (salting is an operator API), and
-  * q44 (the CountMinSketch probe is a driver-side sketch API).
-  * Everything else — including the dedup/similarity/text curation set —
-  * has a Spark-SQL spelling here, because the native expressions
-  * (dot_product, shingles, minhash_sig, rolling_fp, bpe_merge) are
-  * SQL-registered via GraftExtensions. (q51 IS here: the Datasketches
-  * hll_* family has first-class SQL spellings.)
+  * Not in this map (2 of 130, round-9 sweep): only computations that
+  * are genuinely procedural — s07's PQ training (joint Lloyd rounds
+  * across subspaces with driver-controlled convergence) and q44 (the
+  * CountMinSketch probe is a driver-side sketch API; Spark's SQL
+  * `count_min_sketch` returns an opaque binary with no SQL-side probe).
+  * Everything else — including the dedup/similarity/text curation set,
+  * the full m01–m09 media-descriptor set (the STUB codec's math is
+  * md5/byte-sum arithmetic SQL can spell; a real codec would keep the
+  * honest mapPartitions boundary, with only the innermost digest CTE
+  * changing), and q14's deterministic salted join — has a Spark-SQL
+  * spelling here, because the native expressions (dot_product,
+  * shingles, minhash_sig, rolling_fp, bpe_merge) are SQL-registered via
+  * GraftExtensions. (q51 IS here: the Datasketches hll_* family has
+  * first-class SQL spellings.)
   */
 object SqlParity {
 
@@ -1281,6 +1285,231 @@ object SqlParity {
         COUNT(*) OVER (PARTITION BY kind, digest) AS n_copies,
         id = MIN(id) OVER (PARTITION BY kind, digest) AS is_canonical
       FROM m ORDER BY id""",
+
+    // round-9 sweep: the remaining media-descriptor queries are SQL-
+    // expressible after all — the stub codec's math (md5-derived
+    // features, block byte sums) has exact Spark-SQL spellings. A real
+    // deployment's codec would NOT be (that is the honest mapPartitions
+    // boundary m02/m03/m04 keep), but the descriptor algebra above the
+    // codec — routing, bucketing, packing — is plain SQL, as it should
+    // be: swap the stub for a real decoder and only the innermost
+    // digest/feature CTE changes.
+    "m01_media_features" -> """
+      SELECT doc_id AS id, 'doc' AS kind,
+        length(CAST(text AS BINARY)) AS byte_len,
+        md5(CAST(text AS BINARY)) AS digest,
+        CAST(conv(substr(md5(CAST(text AS BINARY)), 1, 1), 16, 10)
+          AS DOUBLE) / 16.0D AS f0,
+        CAST(conv(substr(md5(CAST(text AS BINARY)), 2, 1), 16, 10)
+          AS DOUBLE) / 16.0D AS f1,
+        CAST(conv(substr(md5(CAST(text AS BINARY)), 3, 1), 16, 10)
+          AS DOUBLE) / 16.0D AS f2,
+        CAST(conv(substr(md5(CAST(text AS BINARY)), 4, 1), 16, 10)
+          AS DOUBLE) / 16.0D AS f3
+      FROM documents ORDER BY id""",
+
+    "m02_frame_sample" -> """
+      WITH m AS (SELECT doc_id AS id, text,
+          length(CAST(text AS BINARY)) AS n FROM documents),
+      long_docs AS (
+        SELECT id, frame_idx,
+          CAST(frame_idx * ((n - 16) div 3) AS INT) AS offset, text
+        FROM m LATERAL VIEW explode(sequence(0, 3)) AS frame_idx
+        WHERE n > 16)
+      SELECT id, frame_idx, offset,
+        md5(CAST(substr(text, offset + 1, 16) AS BINARY)) AS frame_digest
+      FROM long_docs
+      UNION ALL
+      SELECT id, 0, 0, md5(CAST(text AS BINARY))
+      FROM m WHERE n <= 16
+      ORDER BY id, frame_idx""",
+
+    "m03_chunk_energy" -> """
+      WITH m AS (SELECT doc_id AS id, text,
+          length(CAST(text AS BINARY)) AS n FROM documents),
+      long_docs AS (
+        SELECT id, chunk_idx,
+          CAST(chunk_idx * ((n - 32) div 3) AS INT) AS offset, text
+        FROM m LATERAL VIEW explode(sequence(0, 3)) AS chunk_idx
+        WHERE n > 32)
+      SELECT id, chunk_idx, offset,
+        aggregate(split(substr(text, offset + 1, 32), ''), 0L,
+          (a, c) -> a + ascii(c)) AS energy,
+        md5(CAST(substr(text, offset + 1, 32) AS BINARY)) AS chunk_digest
+      FROM long_docs
+      UNION ALL
+      SELECT id, 0, 0,
+        aggregate(split(text, ''), 0L, (a, c) -> a + ascii(c)),
+        md5(CAST(text AS BINARY))
+      FROM m WHERE n <= 32
+      ORDER BY id, chunk_idx""",
+
+    "m04_resize" -> """
+      WITH m AS (SELECT doc_id AS id, text,
+          length(CAST(text AS BINARY)) AS n,
+          CAST((length(CAST(text AS BINARY)) + 3) div 4 AS INT) AS rn
+        FROM documents)
+      SELECT id, n AS orig_len, rn AS resized_len,
+        CASE WHEN rn = 0 THEN md5(CAST('' AS BINARY))
+          ELSE md5(CAST(concat_ws('', transform(sequence(0, rn - 1),
+            i -> substr(text, i * 4 + 1, 1))) AS BINARY)) END
+          AS resized_digest
+      FROM m ORDER BY id""",
+
+    "m05_modality_route" -> """
+      WITH m AS (
+        SELECT doc_id AS id,
+          element_at(array('doc', 'img', 'audio'),
+            CAST(pmod(doc_id, 3) + 1 AS INT)) AS kind,
+          CAST(text AS BINARY) AS media, text
+        FROM documents)
+      SELECT id, kind, length(media) AS n_bytes,
+        md5(media) AS digest,
+        CAST(length(media) AS DOUBLE) AS metric
+      FROM m WHERE kind = 'doc'
+      UNION ALL
+      SELECT id, kind, length(media), md5(media),
+        CAST(conv(substr(md5(media), 1, 1), 16, 10) AS DOUBLE) / 16.0D
+      FROM m WHERE kind = 'img'
+      UNION ALL
+      SELECT id, kind, length(media), md5(media),
+        CAST(aggregate(split(text, ''), 0L, (a, c) -> a + ascii(c))
+          AS DOUBLE)
+      FROM m WHERE kind = 'audio'
+      ORDER BY id""",
+
+    "m07_perceptual_buckets" -> """
+      WITH m AS (
+        SELECT doc_id AS id,
+          element_at(array('doc', 'img', 'audio'),
+            CAST(pmod(doc_id, 3) + 1 AS INT)) AS kind,
+          length(CAST(text AS BINARY)) AS byte_len,
+          CAST(length(CAST(text AS BINARY)) div 8 AS INT) AS w, text
+        FROM documents),
+      blocks AS (
+        SELECT id, kind, byte_len, w, b,
+          CASE WHEN w = 0 THEN 0L
+            ELSE aggregate(split(substr(text, b * w + 1, w), ''), 0L,
+              (a, c) -> a + ascii(c)) END AS bs
+        FROM m LATERAL VIEW explode(sequence(0, 7)) AS b),
+      tot AS (SELECT id, SUM(bs) AS total FROM blocks GROUP BY id),
+      bits AS (
+        SELECT blocks.id, kind, byte_len,
+          CAST(SUM(CASE WHEN w > 0 AND 8L * bs > total
+            THEN shiftleft(1, b) ELSE 0 END) AS INT) AS phash
+        FROM blocks JOIN tot ON blocks.id = tot.id
+        GROUP BY blocks.id, kind, byte_len)
+      SELECT id, kind, byte_len, phash,
+        MIN(id) OVER (PARTITION BY kind, phash) AS canonical_id,
+        COUNT(*) OVER (PARTITION BY kind, phash) AS n_similar,
+        id = MIN(id) OVER (PARTITION BY kind, phash) AS is_canonical
+      FROM bits ORDER BY id""",
+
+    "m08_mm_pack" -> """
+      WITH base AS (
+        SELECT doc_id, source,
+          CAST(size(filter(split(lower(text), ' +'),
+            x -> length(x) > 0)) AS LONG) AS n_text_tokens,
+          CAST((length(text) + 63) div 64 AS LONG) AS n_patches
+        FROM documents),
+      costed AS (
+        SELECT doc_id, source, n_text_tokens, n_patches,
+          n_text_tokens + n_patches AS n_tokens
+        FROM base),
+      packed AS (
+        SELECT doc_id, source, n_text_tokens, n_patches, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+        FROM costed)
+      SELECT doc_id, source, n_text_tokens, n_patches, n_tokens, cum_end,
+        cum_end - n_tokens AS start_offset,
+        floor((cum_end - n_tokens) / 256) AS first_chunk,
+        floor((cum_end - 1) / 256) AS last_chunk,
+        floor((cum_end - 1) / 256) - floor((cum_end - n_tokens) / 256)
+          + 1L AS n_chunks
+      FROM packed ORDER BY doc_id""",
+
+    "m09_hamming_neardup" -> """
+      WITH m AS (
+        SELECT doc_id AS id,
+          element_at(array('doc', 'img', 'audio'),
+            CAST(pmod(doc_id, 3) + 1 AS INT)) AS kind,
+          CAST(length(CAST(text AS BINARY)) div 8 AS INT) AS w, text
+        FROM documents),
+      blocks AS (
+        SELECT id, kind, w, b,
+          CASE WHEN w = 0 THEN 0L
+            ELSE aggregate(split(substr(text, b * w + 1, w), ''), 0L,
+              (a, c) -> a + ascii(c)) END AS bs
+        FROM m LATERAL VIEW explode(sequence(0, 7)) AS b),
+      tot AS (SELECT id, SUM(bs) AS total FROM blocks GROUP BY id),
+      hashes AS (
+        SELECT blocks.id, kind,
+          CAST(SUM(CASE WHEN w > 0 AND 8L * bs > total
+            THEN shiftleft(1, b) ELSE 0 END) AS INT) AS phash
+        FROM blocks JOIN tot ON blocks.id = tot.id
+        GROUP BY blocks.id, kind),
+      bands AS (
+        SELECT id, kind, phash, b,
+          CAST(pmod(shiftright(phash, 2 * b), 4) AS INT) AS v
+        FROM hashes LATERAL VIEW explode(sequence(0, 3)) AS b),
+      cand AS (
+        SELECT DISTINCT x.kind AS kind, x.id AS id_a, y.id AS id_b,
+          x.phash AS ph_a, y.phash AS ph_b
+        FROM bands x JOIN bands y
+          ON x.kind = y.kind AND x.b = y.b AND x.v = y.v
+            AND x.id < y.id),
+      verified AS (
+        SELECT * FROM cand WHERE bit_count(ph_a ^ ph_b) <= 2),
+      sym AS (
+        SELECT id_a AS id, id_b AS nb FROM verified
+        UNION ALL SELECT id_b, id_a FROM verified),
+      agg AS (
+        SELECT id, COUNT(*) AS n_near, MIN(nb) AS min_nb
+        FROM sym GROUP BY id)
+      SELECT h.id, h.kind, h.phash,
+        COALESCE(a.n_near, 0L) AS n_near,
+        LEAST(h.id, COALESCE(a.min_nb, h.id)) AS canonical_id
+      FROM hashes h LEFT JOIN agg a ON h.id = a.id
+      ORDER BY h.id""",
+
+    "s09_filtered_knn" -> """
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+          sqrt(dot_product(embedding, embedding)) AS nrm
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+            FROM e WHERE vec_id < 5),
+      scored AS (
+        SELECT query_id, e.vec_id, e.label,
+          CASE WHEN qn = 0D OR nrm = 0D THEN NULL
+            ELSE dot_product(qv, embedding) / (qn * nrm) END AS cos
+        FROM q JOIN e ON query_id <> e.vec_id AND e.label % 2 = 0),
+      ranked AS (
+        SELECT query_id, vec_id, label, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, vec_id AS neighbor_id, label, cos
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""",
+
+    "q14_salted_join" -> s"""
+      WITH li AS (
+        SELECT l_orderkey, l_extendedprice, l_discount,
+          pmod(l_linenumber, 8) AS salt
+        FROM lineitem),
+      o AS (
+        SELECT o_orderkey, o_orderpriority,
+          explode(sequence(0, 7)) AS salt
+        FROM orders)
+      SELECT o_orderpriority,
+        ${decSumExprSql(s"${d2Sql("l_extendedprice")} * (1 - ${drSql("l_discount")})")} AS revenue,
+        COUNT(*) AS n_items,
+        COUNT(DISTINCT o_orderkey) AS n_orders
+      FROM li JOIN o
+        ON l_orderkey = o_orderkey AND li.salt = o.salt
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // the vector queries are SQL-expressible because dot_product is a
     // registered SQL function (the SAME native codegen'd expression the
