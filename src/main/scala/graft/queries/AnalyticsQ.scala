@@ -20,7 +20,8 @@ object AnalyticsQ {
   def all: Seq[Q] = Seq(q61KmvOverlap, q62Funnel, q63KmvContainment,
     q64TimeToConvert, q65RevenueGini, q66NewVsReturning,
     q67OrderGaps, q68ParetoAbc, q69Retention, q70PitSnapshot,
-    q71FulfillmentLag)
+    q71FulfillmentLag, q72BasketAffinity, q73RepeatSurvival,
+    q74SegmentMigration)
 
   private val K = 64
 
@@ -739,4 +740,170 @@ object AnalyticsQ {
       quantile_cont(lag_days, 0.9) AS p90_lag,
       CAST(MAX(lag_days) AS INT) AS max_lag
     FROM lags GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Market-basket brand affinity: co-occurrence LIFT between part
+    * brands across orders — lift(a,b) = P(a,b) / (P(a)·P(b)) over
+    * order-level brand presence, the standard association-rule score a
+    * merchandising mart computes from the order-item fact. Scale shape:
+    * the per-order brand set is tiny (bounded by lines per order), so
+    * the pair generation is an order-keyed self-equi-join whose
+    * fan-out is brands-per-order squared, NOT catalog squared; the
+    * brand dimension join broadcasts; the final lift table is
+    * brand-pair-sized (hundreds of rows at any SF). All counts are
+    * exact integers; the one division happens after casting exact
+    * integers (< 2^53) to double, so the score is bit-deterministic. */
+  val q72BasketAffinity: Q = Q("q72_basket_affinity", (s, d) => {
+    val base = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val counts = base.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n"))
+    val total = base.select(
+      countDistinct(col("ok")).as("n_orders"))
+    val pairs = base.as("a")
+      .join(base.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(counts
+        .select(col("brand").as("brand_a"), col("n").as("n_a"))), "brand_a")
+      .join(broadcast(counts
+        .select(col("brand").as("brand_b"), col("n").as("n_b"))), "brand_b")
+      .crossJoin(broadcast(total))
+      .select(col("brand_a"), col("brand_b"), col("n_ab"),
+        (col("n_ab").cast("double") * col("n_orders").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }, Some("""
+    WITH base AS (
+      SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    counts AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY brand),
+    tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+            FROM base),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+        CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM base a JOIN base b ON a.ok = b.ok AND a.brand < b.brand
+      GROUP BY 1, 2)
+    SELECT brand_a, brand_b, n_ab,
+      CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN counts na ON brand_a = na.brand
+    JOIN counts nb ON brand_b = nb.brand
+    CROSS JOIN tot
+    ORDER BY brand_a, brand_b"""))
+
+  /** Repeat-purchase SURVIVAL curve: per-customer gaps between
+    * consecutive orders (keyed lag window, total-ordered by date then
+    * order key for same-day determinism), then for each horizon t the
+    * fraction of gaps exceeding t — the retention curve a lifecycle
+    * team reads before fitting any parametric model. Scale shape: one
+    * shuffle on customer for the lag, then the tiny horizon grid
+    * broadcast-crosses the gap rows and pre-reduces map-side to six
+    * output rows; survival is a ratio of exact integers. */
+  val q73RepeatSurvival: Q = Q("q73_repeat_survival", (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("od"), col("o_orderkey"))
+    val gaps = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"))
+      .withColumn("prev", lag(col("od"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(datediff(col("od"), col("prev")).as("gap"))
+    val grid = Seq(7, 14, 30, 60, 90, 180)
+    gaps
+      .crossJoin(broadcast(
+        gaps.sparkSession.createDataFrame(
+          gaps.sparkSession.sparkContext
+            .parallelize(grid.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("t_days",
+              org.apache.spark.sql.types.IntegerType))))))
+      .groupBy(col("t_days"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(when(col("gap") > col("t_days"), 1L).otherwise(0L))
+          .as("n_surviving"))
+      .select(col("t_days"), col("n_gaps"), col("n_surviving"),
+        (col("n_surviving").cast("double") / col("n_gaps").cast("double"))
+          .as("survival"))
+      .orderBy(col("t_days"))
+  }, Some("""
+    WITH gaps AS (
+      SELECT date_diff('day',
+        LAG(CAST(o_orderdate AS DATE)) OVER
+          (PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+        CAST(o_orderdate AS DATE)) AS gap
+      FROM orders),
+    g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+    grid AS (SELECT CAST(unnest([7, 14, 30, 60, 90, 180]) AS INT)
+               AS t_days)
+    SELECT t_days, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      CAST(SUM(CASE WHEN gap > t_days THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_surviving,
+      CAST(SUM(CASE WHEN gap > t_days THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS survival
+    FROM g CROSS JOIN grid
+    GROUP BY t_days ORDER BY t_days"""))
+
+  /** Customer spend-tier MIGRATION matrix: each customer's monthly
+    * spend maps to a tier (exact decimal thresholds), and consecutive
+    * ACTIVE months (keyed lag) produce from->to transition counts plus
+    * each row's share of its origin tier — the lifecycle transition
+    * mart behind churn/upgrade dashboards. Scale shape: one shuffle on
+    * customer for the monthly rollup + lag; the transition matrix is
+    * tier-squared-sized, and the share window runs over that tiny
+    * result, never over the fact. */
+  val q74SegmentMigration: Q = Q("q74_segment_migration", (s, d) => {
+    val monthly = Tables.orders(s, d)
+      .groupBy(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(decSum(col("o_totalprice")).as("spend"))
+      .select(col("o_custkey"), col("month"),
+        when(col("spend") < 150000, "low")
+          .when(col("spend") < 350000, "mid")
+          .otherwise("high").as("tier"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("month"))
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tier_from"))
+    monthly
+      .withColumn("tier_from", lag(col("tier"), 1).over(w))
+      .filter(col("tier_from").isNotNull)
+      .groupBy(col("tier_from"), col("tier").as("tier_to"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") /
+          sum(col("n")).over(byFrom).cast("double"))
+      .orderBy(col("tier_from"), col("tier_to"))
+  }, Some(s"""
+    WITH monthly AS (
+      SELECT o_custkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+          AS month,
+        CASE WHEN ${decSumSql("o_totalprice")} < 150000 THEN 'low'
+          WHEN ${decSumSql("o_totalprice")} < 350000 THEN 'mid'
+          ELSE 'high' END AS tier
+      FROM orders GROUP BY o_custkey, month),
+    trans AS (
+      SELECT LAG(tier) OVER (PARTITION BY o_custkey ORDER BY month)
+          AS tier_from,
+        tier AS tier_to
+      FROM monthly),
+    counts AS (
+      SELECT tier_from, tier_to, CAST(COUNT(*) AS BIGINT) AS n
+      FROM trans WHERE tier_from IS NOT NULL
+      GROUP BY tier_from, tier_to)
+    SELECT tier_from, tier_to, n,
+      CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY tier_from)
+        AS DOUBLE) AS share
+    FROM counts ORDER BY tier_from, tier_to"""))
 }

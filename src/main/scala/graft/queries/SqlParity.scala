@@ -1494,6 +1494,84 @@ object SqlParity {
       FROM ranked WHERE rank <= 5
       ORDER BY query_id, rank""",
 
+    "q72_basket_affinity" -> """
+      WITH base AS (
+        SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey),
+      counts AS (SELECT brand, COUNT(*) AS n FROM base GROUP BY brand),
+      tot AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM base),
+      pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+        FROM base a JOIN base b ON a.ok = b.ok AND a.brand < b.brand
+        GROUP BY a.brand, b.brand)
+      SELECT brand_a, brand_b, n_ab,
+        CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+          / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS lift
+      FROM pairs
+      JOIN counts na ON brand_a = na.brand
+      JOIN counts nb ON brand_b = nb.brand
+      CROSS JOIN tot
+      ORDER BY brand_a, brand_b""",
+
+    "q73_repeat_survival" -> """
+      WITH gaps AS (
+        SELECT datediff(od, LAG(od) OVER
+          (PARTITION BY o_custkey ORDER BY od, o_orderkey)) AS gap
+        FROM (SELECT o_custkey, o_orderkey,
+          to_date(o_orderdate) AS od FROM orders)),
+      g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+      grid AS (SELECT explode(array(7, 14, 30, 60, 90, 180)) AS t_days)
+      SELECT t_days, COUNT(*) AS n_gaps,
+        SUM(CASE WHEN gap > t_days THEN 1L ELSE 0L END) AS n_surviving,
+        CAST(SUM(CASE WHEN gap > t_days THEN 1L ELSE 0L END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS survival
+      FROM g CROSS JOIN grid
+      GROUP BY t_days ORDER BY t_days""",
+
+    "q74_segment_migration" -> s"""
+      WITH monthly AS (
+        SELECT o_custkey, date_format(o_orderdate, 'yyyy-MM') AS month,
+          CASE WHEN ${decSumSql("o_totalprice")} < 150000 THEN 'low'
+            WHEN ${decSumSql("o_totalprice")} < 350000 THEN 'mid'
+            ELSE 'high' END AS tier
+        FROM orders GROUP BY o_custkey, month),
+      trans AS (
+        SELECT LAG(tier) OVER (PARTITION BY o_custkey ORDER BY month)
+            AS tier_from,
+          tier AS tier_to
+        FROM monthly),
+      counts AS (
+        SELECT tier_from, tier_to, COUNT(*) AS n
+        FROM trans WHERE tier_from IS NOT NULL
+        GROUP BY tier_from, tier_to)
+      SELECT tier_from, tier_to, n,
+        CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY tier_from)
+          AS DOUBLE) AS share
+      FROM counts ORDER BY tier_from, tier_to""",
+
+    "t25_bench_contamination" -> """
+      WITH sh AS (
+        SELECT doc_id, array_distinct(shingles(
+          filter(split(lower(text), ' +'), x -> length(x) > 0), 8)) AS sh
+        FROM documents),
+      bench AS (
+        SELECT DISTINCT explode(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+      ex AS (
+        SELECT doc_id, g
+        FROM sh LATERAL VIEW OUTER explode(sh) AS g
+        WHERE doc_id % 97 != 0),
+      hits AS (
+        SELECT ex.doc_id, COUNT(ex.g) AS n_shingles,
+          COALESCE(SUM(CASE WHEN b.g IS NOT NULL THEN 1L END), 0L)
+            AS n_contaminated
+        FROM ex LEFT JOIN bench b ON ex.g = b.g
+        GROUP BY ex.doc_id)
+      SELECT doc_id, n_shingles, n_contaminated,
+        CASE WHEN n_shingles = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE CAST(n_contaminated AS DOUBLE)
+            / CAST(n_shingles AS DOUBLE) END AS contamination
+      FROM hits ORDER BY doc_id""",
+
     "q14_salted_join" -> s"""
       WITH li AS (
         SELECT l_orderkey, l_extendedprice, l_discount,

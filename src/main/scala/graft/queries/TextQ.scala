@@ -25,7 +25,7 @@ object TextQ {
     t12Decontaminate, t13ChunkOverlap, t14Repetition, t15RareTokens,
     t16TrigramNovelty, t17TokenGini, t18BigramLm, t19ImportanceWeight,
     t20BpePairs, t21LmDocScore, t22GopherGrams, t23SourceFilter,
-    t24CcnetBuckets)
+    t24CcnetBuckets, t25BenchContamination)
 
   private[queries] val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -1226,4 +1226,69 @@ object TextQ {
         OR (bucket = 'tail' AND hb < 100) THEN 1 ELSE 0 END) AS BIGINT)
         AS n_sampled
     FROM labeled GROUP BY bucket ORDER BY bucket"""))
+
+  /** Benchmark CONTAMINATION scoring — the eval-leakage audit run
+    * before any training corpus ships: every candidate document's
+    * distinct 8-token shingles are probed against the benchmark set's
+    * shingle inventory (here: docs with doc_id % 97 = 0 stand in for
+    * the held-out benchmark), and the document's contamination is the
+    * matched fraction. The 13-gram industry variants are the same plan
+    * with a different k. Scale shape: the benchmark inventory is SMALL
+    * by construction (eval suites, not corpora) — it builds once,
+    * dedups, and broadcasts, so the corpus-side probe is a narrow
+    * map-side pass (explode + broadcast-hash left join + one keyed
+    * re-aggregate); nothing corpus-sized ever shuffles on shingle
+    * keys. Scores are ratios of exact integers. */
+  val t25BenchContamination: Q = Q("t25_bench_contamination", (s, d) => {
+    import graft.functions.TextExprs
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(TextExprs.shingles(tokens(col("text")), 8))
+          .as("sh"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+      .withColumn("hit", lit(1))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+      .join(broadcast(bench), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("g")).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).cast("long")
+          .as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        when(col("n_shingles") === 0, lit(null).cast("double"))
+          .otherwise(col("n_contaminated").cast("double") /
+            col("n_shingles").cast("double")).as("contamination"))
+      .orderBy(col("doc_id"))
+  }, Some("""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), ' +'),
+        x -> len(x) > 0) AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+        CASE WHEN len(t) >= 8 THEN list_distinct(
+            list_transform(range(1, len(t) - 6),
+              i -> list_aggregate(t[i:i+7], 'string_agg', ' ')))
+          ELSE [] END AS sh
+      FROM t),
+    bench AS (
+      SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+    ex AS (
+      SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+        CAST(SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hit
+      FROM ex LEFT JOIN bench b ON ex.g = b.g
+      GROUP BY ex.doc_id)
+    SELECT s.doc_id,
+      COALESCE(n_sh, 0) AS n_shingles,
+      COALESCE(n_hit, 0) AS n_contaminated,
+      CASE WHEN COALESCE(n_sh, 0) = 0 THEN NULL
+        ELSE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) END
+        AS contamination
+    FROM sh s LEFT JOIN hits ON s.doc_id = hits.doc_id
+    WHERE s.doc_id % 97 <> 0
+    ORDER BY s.doc_id"""))
 }
