@@ -111,6 +111,21 @@ trait CommitStore {
     * serializes it). @return true iff this call replaced it. */
   def putIfWitness(path: String, expected: String,
       content: Array[Byte]): Boolean = false
+
+  /** Refresh `path`'s modification time without changing its content —
+    * the lock HEARTBEAT primitive (a writer legitimately running past
+    * the staleness horizon beats its lock so stealers keep seeing it
+    * fresh). Object stores have no metadata-only touch, so the default
+    * re-PUTs the same bytes under the CAS guard (a concurrently stolen
+    * lock fails the If-Match and the beat reports false); filesystem
+    * bindings override with a real mtime set. @return true iff the
+    * refresh landed on the content the caller still owns. */
+  def touch(path: String): Boolean =
+    if (casCapable)
+      readWithWitness(path).exists { case (bytes, w) =>
+        putIfWitness(path, w, bytes)
+      }
+    else false
 }
 
 object CommitStore {
@@ -278,6 +293,14 @@ final class LocalCommitStore extends CommitStore {
     try Some(Files.getLastModifiedTime(p(path)).toMillis)
     catch { case _: java.io.IOException => None }
 
+  override def touch(path: String): Boolean =
+    try {
+      Files.setLastModifiedTime(p(path),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis()))
+      true
+    } catch { case _: java.io.IOException => false }
+
   override def list(dir: String): Seq[String] =
     if (!Files.exists(p(dir))) Seq.empty
     else Using.resource(Files.list(p(dir))) { s =>
@@ -371,6 +394,12 @@ final class HadoopCommitStore(conf: org.apache.hadoop.conf.Configuration)
     val hp = new HPath(path)
     try Some(fs(hp).getFileStatus(hp).getModificationTime)
     catch { case _: java.io.IOException => None }
+  }
+
+  override def touch(path: String): Boolean = {
+    val hp = new HPath(path)
+    try { fs(hp).setTimes(hp, System.currentTimeMillis(), -1L); true }
+    catch { case _: java.io.IOException => false }
   }
 
   override def list(dir: String): Seq[String] = {

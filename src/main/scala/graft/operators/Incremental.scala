@@ -194,11 +194,54 @@ object Incremental {
     owned
   }
 
-  /** Run `body` holding `target`'s single-writer lock. */
+  /** Lock HEARTBEAT (round-9): a writer legitimately running past
+    * `staleMs` — a first-commit backfill, a huge compaction — must not
+    * have its live lock stolen mid-write (two writers = silent row
+    * loss; the staleness horizon exists for CRASHED writers only). A
+    * daemon thread re-verifies ownership and touches the lock every
+    * `staleMs / 3`, so stealers keep seeing a fresh mtime for as long
+    * as the writer is actually alive, while a genuine crash stops the
+    * beats and the horizon reclaims the lock exactly as before.
+    * Ownership is re-checked before every touch — a beat that finds a
+    * different token (this lock was already stolen during a pause
+    * longer than the horizon, e.g. a stop-the-world GC) stops
+    * immediately rather than freshening the thief's lock; on CAS
+    * bindings the touch itself is witness-guarded, closing even the
+    * read-then-touch window. */
+  private def startHeartbeat(lock: String, token: String, staleMs: Long,
+      store: CommitStore): Thread = {
+    val interval = math.max(staleMs / 3, 50L)
+    val t = new Thread(() => {
+      try {
+        var beating = true
+        while (beating && !Thread.currentThread().isInterrupted) {
+          Thread.sleep(interval)
+          val owned = store.read(lock)
+            .map(b => new String(b, "UTF-8")).contains(token)
+          beating = owned && store.touch(lock)
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat:$lock")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** Run `body` holding `target`'s single-writer lock, heartbeating it
+    * so a long-running writer survives the staleness horizon. */
   private[graft] def withLock[A](target: String, staleMs: Long,
       store: CommitStore)(body: => A): A = {
     val token = acquire(target, staleMs, store)
-    try body finally release(target, token, store)
+    val hb = startHeartbeat(lockFor(target), token, staleMs, store)
+    try body finally {
+      // interrupt AND join before releasing: on CAS bindings a beat
+      // in flight would change the witness under release's read,
+      // failing the release CAS and leaving the lock held until the
+      // staleness horizon
+      hb.interrupt()
+      hb.join(10000)
+      release(target, token, store)
+    }
   }
 
   private[graft] def withLock[A](target: String)(body: => A): A =

@@ -260,10 +260,38 @@ class SnapshotSqlCatalog extends TableCatalog
               "append at the end of the schema")
         PartitionedSnapshots.addColumn(SparkSession.active, t,
           add.fieldNames()(0), add.dataType(), store)
+      // CHECK constraints and generated columns are SQL-manageable
+      // through their recorded property keys — the same `constraint:*`
+      // / `generated:*` entries SHOW TBLPROPERTIES already surfaces:
+      //   ALTER TABLE snap.t SET TBLPROPERTIES('constraint:qty_pos'='qty > 0')
+      //   ALTER TABLE snap.t UNSET TBLPROPERTIES('constraint:qty_pos')
+      // Both route through the operator APIs, which validate the
+      // CURRENT data under the table lock before recording (a recorded
+      // constraint is an invariant of every version from then on).
+      // Other property keys are refused — the remaining `_table` props
+      // (partCol/keys/schema) ARE the table's layout, and a free-form
+      // property write could silently corrupt it.
+      case set: TableChange.SetProperty
+          if set.property.startsWith("constraint:") =>
+        graft.operators.Constraints.add(SparkSession.active, t,
+          set.property.stripPrefix("constraint:"), set.value, store)
+      case set: TableChange.SetProperty
+          if set.property.startsWith("generated:") =>
+        graft.operators.GeneratedColumns.add(SparkSession.active, t,
+          set.property.stripPrefix("generated:"), set.value, store)
+      case rm: TableChange.RemoveProperty
+          if rm.property.startsWith("constraint:") =>
+        graft.operators.Constraints.drop(t,
+          rm.property.stripPrefix("constraint:"), store)
+      case rm: TableChange.RemoveProperty
+          if rm.property.startsWith("generated:") =>
+        graft.operators.GeneratedColumns.drop(t,
+          rm.property.stripPrefix("generated:"), store)
       case other => throw new UnsupportedOperationException(
-        "only ADD COLUMN is supported via ALTER TABLE on snapshot " +
-          "tables (drops/renames/type changes would reinterpret " +
-          s"committed immutable versions): $other")
+        "ALTER TABLE on snapshot tables supports ADD COLUMN and " +
+          "SET/UNSET TBLPROPERTIES('constraint:*' / 'generated:*') " +
+          "(drops/renames/type changes would reinterpret committed " +
+          s"immutable versions): $other")
     }
     loadTable(ident)
   }

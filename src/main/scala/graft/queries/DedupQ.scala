@@ -26,7 +26,7 @@ object DedupQ {
     d05EmbedNearDup, d06DedupClusters, d07EmbedLshNearDup,
     d08NormalizedDedup, d09EditDistance, d10WinnowPairs,
     d11BoilerplateChunks, d12ClusterCanonical, d13SemDedup,
-    d14BoilerplateStrip, d15Containment)
+    d14BoilerplateStrip, d15Containment, d16CrossSourceLeakage)
 
   /** Token bigram SETS per doc — the shingle basis for d02/d04. Native
     * ShinglesExpr (one loop) instead of the staggered-slice zip_with
@@ -803,6 +803,33 @@ object DedupQ {
     SELECT a.vec_id, a.cell, a.cos_c, (d.vec_id IS NULL) AS kept
     FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
     ORDER BY a.vec_id"""))
+
+  /** Cross-source duplicate LEAKAGE matrix — the provenance audit run
+    * before mixing corpora: for every source pair, how many exact-
+    * content groups appear in BOTH (a crawl re-scraped by two vendors,
+    * a dataset bundled into another). Scale shape: the corpus reduces
+    * FIRST to distinct (content-hash, source) rows — hash-keyed
+    * map-side distinct, the payload never shuffles — and the pair join
+    * runs per hash with fan-out bounded by sources-per-hash (a handful),
+    * never corpus x corpus; the result is source-pair-sized. */
+  val d16CrossSourceLeakage: Q = Q("d16_cross_source_leakage", (s, d) => {
+    val hs = Tables.documents(s, d)
+      .select(md5(col("text")).as("h"), col("source"))
+      .distinct()
+    hs.as("a")
+      .join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("source_a"), col("source_b"))
+  }, Some("""
+    WITH hs AS (
+      SELECT DISTINCT md5(text) AS h, source FROM documents)
+    SELECT a.source AS source_a, b.source AS source_b,
+      CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY source_a, source_b"""))
 }
 
 /** DuckDB SQL mirrors of VectorFns — ordered left-to-right double folds

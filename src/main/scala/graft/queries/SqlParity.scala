@@ -1572,6 +1572,34 @@ object SqlParity {
             / CAST(n_shingles AS DOUBLE) END AS contamination
       FROM hits ORDER BY doc_id""",
 
+    "d16_cross_source_leakage" -> """
+      WITH hs AS (
+        SELECT DISTINCT md5(text) AS h, source FROM documents)
+      SELECT a.source AS source_a, b.source AS source_b,
+        COUNT(*) AS n_shared
+      FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source ORDER BY source_a, source_b""",
+
+    "t26_dedup_savings" -> """
+      WITH base AS (
+        SELECT doc_id, source, md5(text) AS h,
+          CAST(size(filter(split(lower(text), ' +'),
+            x -> length(x) > 0)) AS LONG) AS n_tokens
+        FROM documents),
+      marked AS (
+        SELECT source, n_tokens,
+          doc_id = MIN(doc_id) OVER (PARTITION BY h) AS keep
+        FROM base)
+      SELECT source, COUNT(*) AS n_docs,
+        SUM(CASE WHEN NOT keep THEN 1L ELSE 0L END) AS n_dropped,
+        SUM(n_tokens) AS tokens_total,
+        SUM(CASE WHEN NOT keep THEN n_tokens ELSE 0L END)
+          AS tokens_dropped,
+        1.0D - CAST(SUM(CASE WHEN NOT keep THEN n_tokens ELSE 0L END)
+            AS DOUBLE)
+          / CAST(SUM(n_tokens) AS DOUBLE) AS kept_share
+      FROM marked GROUP BY source ORDER BY source""",
+
     "q14_salted_join" -> s"""
       WITH li AS (
         SELECT l_orderkey, l_extendedprice, l_discount,

@@ -25,7 +25,7 @@ object TextQ {
     t12Decontaminate, t13ChunkOverlap, t14Repetition, t15RareTokens,
     t16TrigramNovelty, t17TokenGini, t18BigramLm, t19ImportanceWeight,
     t20BpePairs, t21LmDocScore, t22GopherGrams, t23SourceFilter,
-    t24CcnetBuckets, t25BenchContamination)
+    t24CcnetBuckets, t25BenchContamination, t26DedupSavings)
 
   private[queries] val markers: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("customer", "hash", "join", "row"),
@@ -1291,4 +1291,50 @@ object TextQ {
     FROM sh s LEFT JOIN hits ON s.doc_id = hits.doc_id
     WHERE s.doc_id % 97 <> 0
     ORDER BY s.doc_id"""))
+
+  /** Dedup SAVINGS report per source — the before/after accounting a
+    * curation run publishes: docs and tokens per source, how many fall
+    * to exact dedup (keep-min-id canonical across the WHOLE corpus, so
+    * a doc whose canonical lives in another source counts as dropped
+    * here), and the surviving token share. Scale shape: one hash
+    * window for canonical assignment (d01's shape) over (id, hash,
+    * n_tokens) rows only, then a source-sized rollup; ratios are exact
+    * integer divisions performed once at the end. */
+  val t26DedupSavings: Q = Q("t26_dedup_savings", (s, d) => {
+    val byHash = Window.partitionBy(col("h"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byHash))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(!col("keep"), col("n_tokens")).otherwise(0L))
+          .as("tokens_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        col("tokens_total"), col("tokens_dropped"),
+        (lit(1.0) - col("tokens_dropped").cast("double") /
+          col("tokens_total").cast("double")).as("kept_share"))
+      .orderBy(col("source"))
+  }, Some("""
+    WITH base AS (
+      SELECT doc_id, source, md5(text) AS h,
+        CAST(len(list_filter(string_split_regex(lower(text), ' +'),
+          x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents),
+    marked AS (
+      SELECT source, n_tokens,
+        doc_id = MIN(doc_id) OVER (PARTITION BY h) AS keep
+      FROM base)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dropped,
+      CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+      CAST(SUM(CASE WHEN NOT keep THEN n_tokens ELSE 0 END) AS BIGINT)
+        AS tokens_dropped,
+      1.0 - CAST(SUM(CASE WHEN NOT keep THEN n_tokens ELSE 0 END)
+          AS DOUBLE)
+        / CAST(SUM(n_tokens) AS DOUBLE) AS kept_share
+    FROM marked GROUP BY source ORDER BY source"""))
 }

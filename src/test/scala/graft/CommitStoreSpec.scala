@@ -237,6 +237,37 @@ class CommitStoreSpec extends AnyFunSuite {
       assert(store.readWithWitness(f).isEmpty)
     }
 
+    test(s"[$name] heartbeat: a writer legitimately running past" +
+        " staleMs keeps its lock (no mid-write steal); a crashed" +
+        " writer's lock still expires") {
+      val d = tmp(s"hb_$name")
+      val target = s"$d/t"
+      val staleMs = 400L
+      @volatile var bodyDone = false
+      val writer = new Thread(() => {
+        Incremental.withLock(target, staleMs, store) {
+          Thread.sleep(1400) // 3.5x the horizon
+          bodyDone = true
+        }
+      })
+      writer.start()
+      Thread.sleep(900) // well past staleMs — only heartbeats keep it
+      assertThrows[Incremental.ConcurrentWriteException](
+        Incremental.acquire(target, staleMs = staleMs, store = store))
+      assert(!bodyDone, "probe must have run while the writer held the lock")
+      writer.join(30000)
+      assert(bodyDone)
+      // released cleanly: a fresh acquire succeeds immediately
+      val tok = Incremental.acquire(target, staleMs = staleMs, store = store)
+      assert(Incremental.release(target, tok, store))
+      // and a genuinely CRASHED writer (no heartbeat — raw lock file)
+      // still expires on the horizon
+      store.delete(s"$target.__lock")
+      store.createNew(s"$target.__lock", "crashed".getBytes("UTF-8"))
+      Thread.sleep(600)
+      Incremental.acquire(target, staleMs = staleMs, store = store)
+    }
+
     if (atomicCreate && store.casCapable)
     test(s"[$name] N racing acquires on a RELEASED lock (persistent" +
         " marker) admit exactly one") {

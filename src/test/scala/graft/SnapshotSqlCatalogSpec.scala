@@ -600,6 +600,44 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("already exists"), dup.getMessage)
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES manages CHECK constraints " +
+      "and generated columns from SQL; free-form properties refused") {
+    val t = s"$root/altprops"
+    PS.write(spark, t, Seq((1L, "A", 5.0)).toDF("k", "d", "qty"), "d")
+    // add a constraint from SQL; it gates the very next INSERT
+    spark.sql("ALTER TABLE snap.altprops SET TBLPROPERTIES(" +
+      "'constraint:qty_pos' = 'qty > 0')")
+    val ce = intercept[Exception] {
+      spark.sql("INSERT INTO snap.altprops VALUES (2, 'A', -1.0)")
+    }
+    assert(ce.getMessage.contains("qty_pos"), ce.getMessage)
+    // recording validates CURRENT data: a violated expression refuses
+    val bad = intercept[Exception] {
+      spark.sql("ALTER TABLE snap.altprops SET TBLPROPERTIES(" +
+        "'constraint:qty_big' = 'qty > 100')")
+    }
+    assert(bad.getMessage.contains("qty_big"), bad.getMessage)
+    // UNSET drops it; the insert now lands
+    spark.sql("ALTER TABLE snap.altprops UNSET TBLPROPERTIES(" +
+      "'constraint:qty_pos')")
+    spark.sql("INSERT INTO snap.altprops VALUES (2, 'A', -1.0)")
+    assert(spark.sql("SELECT count(*) FROM snap.altprops")
+      .as[Long].head() == 2L)
+    // generated column from SQL: next write derives it
+    spark.sql("ALTER TABLE snap.altprops SET TBLPROPERTIES(" +
+      "'generated:qty2' = 'qty * 2')")
+    spark.sql("INSERT INTO snap.altprops VALUES (3, 'B', 4.0)")
+    assert(spark.sql("SELECT qty2 FROM snap.altprops WHERE k = 3")
+      .as[Double].head() == 8.0)
+    // free-form table properties are refused (they would collide with
+    // the recorded layout keys)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE snap.altprops SET TBLPROPERTIES(" +
+        "'team' = 'data-eng')")
+    }
+    assert(e.getMessage.contains("SET/UNSET TBLPROPERTIES"), e.getMessage)
+  }
+
   test("ALTER TABLE refuses drops, renames, type changes; full-copy " +
       "and declared-empty tables take ADD COLUMN too") {
     // refusals on the partitioned table from the previous test
@@ -608,7 +646,7 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
         "ALTER TABLE snap.alt RENAME COLUMN note TO memo",
         "ALTER TABLE snap.alt ALTER COLUMN qty TYPE STRING")) {
       val e = intercept[Exception] { spark.sql(bad) }
-      assert(e.getMessage.contains("only ADD COLUMN") ||
+      assert(e.getMessage.contains("would reinterpret") ||
         e.getMessage.contains("not supported"), s"$bad -> ${e.getMessage}")
     }
     // full-copy format
