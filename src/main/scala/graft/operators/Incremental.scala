@@ -477,7 +477,11 @@ final class Incremental(spark: SparkSession,
           Sliver(df.limit(0), narrowed = true, advance = () => ())
         else {
           val newMark = (Seq(p) ++ mx).maxBy(_.getTime)
-          val newSig = windowSig(newMark)
+          // unadvanced mark ⇒ no df row sits above p, so the re-admit
+          // window anchored at p is exactly the rows pass 1 already
+          // signed — reuse it instead of a second aggregate (the
+          // late-row-inside-window case pays one pass, not two)
+          val newSig = if (!advanced) curSig else windowSig(newMark)
           Sliver(df, narrowed = true, () => record(newMark, newSig))
         }
       case None =>
