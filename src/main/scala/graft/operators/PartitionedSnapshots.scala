@@ -391,7 +391,11 @@ object PartitionedSnapshots {
         all.partition(v => store.exists(manifestPath(t, v)))
       val committed = withManifest.filter(_ <= cur)
       val orphans = all.filter(_ > cur) ++ bare.filter(_ <= cur)
-      val retainedManifests = (committed.takeRight(keep).toSet + cur).toSeq
+      // tagged versions are retained regardless of recency (Tags),
+      // and like every retained manifest they keep the owner dirs they
+      // reference alive
+      val retainedManifests = (committed.takeRight(keep).toSet + cur ++
+        Tags.taggedVersions(t, store).filter(committed.contains)).toSeq
       val referenced = retainedManifests
         .flatMap(v => manifest(t, v, store).values).toSet ++
         retainedManifests

@@ -43,6 +43,9 @@ object Snapshots {
   private def versionDir(table: String, v: Long): String =
     f"${snapsDir(table)}/v$v%05d"
 
+  private[operators] def versionDirOf(table: String, v: Long): String =
+    versionDir(table, v)
+
   /** Versions with an existing snapshot dir, ascending (orphans incl.). */
   def versions(tablePath: String,
       store: CommitStore = CommitStore.local): Seq[Long] =
@@ -231,7 +234,9 @@ object Snapshots {
         return Seq.empty) // nothing committed → nothing safe to reason about
       val committed = versions(tablePath, store).filter(_ <= cur)
       val orphans = versions(tablePath, store).filter(_ > cur)
-      val retained = committed.takeRight(keep).toSet + cur
+      // tagged versions are retained regardless of recency (Tags)
+      val retained = committed.takeRight(keep).toSet + cur ++
+        Tags.taggedVersions(tablePath, store)
       val drop = (committed.filterNot(retained) ++ orphans).sorted
       drop.foreach(v => store.deleteRecursively(versionDir(tablePath, v)))
       drop

@@ -46,7 +46,7 @@ private[plans] object SnapshotProcedures {
     "feed_cursor", "feed_commit", "feed_consumers",
     "add_constraint", "drop_constraint", "show_constraints", "mirror",
     "add_generated_column", "drop_generated_column",
-    "show_generated_columns", "detail")
+    "show_generated_columns", "detail", "tag", "drop_tag", "tags")
 
   def load(procName: String, pathOf: String => String,
       store: CommitStore): Option[UnboundProcedure] =
@@ -125,6 +125,13 @@ private[plans] object SnapshotProcedures {
       case "show_generated_columns" => Array(
         p("table", DataTypes.StringType))
       case "detail" => Array(p("table", DataTypes.StringType))
+      case "tag" => Array(p("table", DataTypes.StringType),
+        p("name", DataTypes.StringType),
+        pd("version", DataTypes.LongType, "-1"),
+        pd("replace", DataTypes.BooleanType, "false"))
+      case "drop_tag" => Array(p("table", DataTypes.StringType),
+        p("name", DataTypes.StringType))
+      case "tags" => Array(p("table", DataTypes.StringType))
       case "mirror" => Array(p("table", DataTypes.StringType),
         p("consumer", DataTypes.StringType),
         p("target", DataTypes.StringType),
@@ -221,6 +228,23 @@ private[plans] object SnapshotProcedures {
           val n = input.getUTF8String(1).toString
           graft.operators.Constraints.drop(t, n, store)
           result(StructType.fromDDL("dropped STRING"), Seq(row(utf8(n))))
+        case "tag" =>
+          val name = input.getUTF8String(1).toString
+          val ver = input.getLong(2)
+          val v = graft.operators.Tags.set(t, name,
+            if (ver < 0) None else Some(ver),
+            replace = input.getBoolean(3), store = store)
+          result(StructType.fromDDL("name STRING, version BIGINT"),
+            Seq(row(utf8(name), v)))
+        case "drop_tag" =>
+          val name = input.getUTF8String(1).toString
+          val existed = graft.operators.Tags.drop(t, name, store)
+          result(StructType.fromDDL("name STRING, existed BOOLEAN"),
+            Seq(row(utf8(name), existed)))
+        case "tags" =>
+          val ts = graft.operators.Tags.list(t, store).toSeq.sortBy(_._1)
+          result(StructType.fromDDL("name STRING, version BIGINT"),
+            ts.map { case (n, v) => row(utf8(n), v) })
         case "show_constraints" =>
           val cs = graft.operators.Constraints.list(t, store)
             .toSeq.sortBy(_._1)

@@ -178,10 +178,16 @@ class SnapshotSqlCatalog extends TableCatalog
     * (write-audit-publish) or abandoned writers, and SQL time travel
     * must not read data the pointer never committed (mirrors the
     * commit-pointer contract of the operator read path). */
+  /** `VERSION AS OF x` — a number is a version id; anything else
+    * resolves as a TAG ([[graft.operators.Tags]]; tag names are
+    * validated non-numeric at creation, so the two namespaces cannot
+    * collide). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = pathOf(ident)
     val v = try version.toLong catch {
-      case _: NumberFormatException => throw new NoSuchTableException(ident)
+      case _: NumberFormatException =>
+        graft.operators.Tags.resolve(t, version, store).getOrElse(
+          throw new NoSuchTableException(ident))
     }
     val cur = currentOf(t).getOrElse(throw new NoSuchTableException(ident))
     if (v <= cur && PartitionedSnapshots.versions(t, store).contains(v))

@@ -600,6 +600,37 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("already exists"), dup.getMessage)
   }
 
+  test("version tags from SQL: CALL tag -> VERSION AS OF 'name' -> " +
+      "tags listing -> drop_tag; unknown tag refuses") {
+    val t = s"$root/tagged"
+    PS.write(spark, t, Seq((1L, "A", "v1")).toDF("k", "d", "v"), "d")
+    PS.upsert(spark, t, Seq((1L, "A", "v2")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    val tagged = spark.sql(
+      "CALL snap.system.tag('tagged', 'golden', 1)").collect()
+    assert(tagged.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("golden", 1L)))
+    assert(spark.sql("SELECT v FROM snap.tagged VERSION AS OF 'golden'")
+      .as[String].head() == "v1")
+    assert(spark.sql("SELECT v FROM snap.tagged").as[String].head() == "v2")
+    assert(spark.sql("CALL snap.system.tags('tagged')").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("golden", 1L)))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM snap.tagged VERSION AS OF 'nope'").collect()
+    }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.contains("cannot be found"), e.getMessage)
+    assert(spark.sql("CALL snap.system.drop_tag('tagged', 'golden')")
+      .collect().head.getBoolean(1))
+    val gone = intercept[Exception] {
+      spark.sql("SELECT * FROM snap.tagged VERSION AS OF 'golden'")
+        .collect()
+    }
+    assert(gone.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      gone.getMessage.contains("cannot be found"), gone.getMessage)
+  }
+
   test("ALTER TABLE SET/UNSET TBLPROPERTIES manages CHECK constraints " +
       "and generated columns from SQL; free-form properties refused") {
     val t = s"$root/altprops"
