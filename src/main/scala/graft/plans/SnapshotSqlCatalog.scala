@@ -301,7 +301,38 @@ class SnapshotSqlCatalog extends TableCatalog
     }
     loadTable(ident)
   }
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** `DROP TABLE snap.t`: deletes every version, manifest, tag, and the
+    * recorded layout — under the table lock, so no writer is mid-commit
+    * when the dirs vanish. Registered change-feed consumers make the
+    * drop REFUSE (they would silently lose their upstream; Delta drops
+    * blind — this engine's consumers are first-class, so they gate);
+    * `DROP TABLE … PURGE` ([[purgeTable]]) overrides. */
+  override def dropTable(ident: Identifier): Boolean =
+    dropImpl(ident, force = false)
+
+  override def purgeTable(ident: Identifier): Boolean =
+    dropImpl(ident, force = true)
+
+  private def dropImpl(ident: Identifier, force: Boolean): Boolean = {
+    val t = pathOf(ident)
+    if (!tableExists(ident)) return false
+    graft.operators.Incremental.withLock(t,
+      graft.operators.Incremental.DefaultLockStaleMs, store) {
+      val consumers = graft.operators.ChangeFeed.consumers(t, store)
+      if (consumers.nonEmpty && !force)
+        throw new IllegalStateException(
+          s"${ident.name} has registered change-feed consumers " +
+            s"(${consumers.keys.mkString(", ")}) that would lose their " +
+            "upstream — drain and reset them, or DROP TABLE … PURGE")
+      store.deleteRecursively(t)
+    }
+    // the lock sidecar outlives the dir delete (it is a sibling file);
+    // release just removed or released it — clear any remaining
+    // sidecars so a re-CREATE starts clean
+    store.delete(s"$t.__lock")
+    store.delete(s"$t.__wm")
+    true
+  }
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
 }

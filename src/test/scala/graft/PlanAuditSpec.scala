@@ -225,6 +225,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!ns.exists(_.nodeName.contains("SortMergeJoin")))
   }
 
+  test("q72: the brand dim and count sides broadcast; the pair" +
+      " self-join hashes on the order key (never a cartesian)") {
+    val (ns, s) = planOf("q72_basket_affinity")
+    assert(ns.exists(_.nodeName.contains("BroadcastHashJoin")), s)
+    assert(!ns.exists(_.nodeName.contains("CartesianProduct")), s)
+  }
+
+  test("t25: the benchmark shingle inventory broadcasts — the corpus" +
+      " side is never shuffled on shingle keys") {
+    val (ns, s) = planOf("t25_bench_contamination")
+    assert(ns.exists(_.nodeName.contains("BroadcastHashJoin")), s)
+    assert(!ns.exists(_.nodeName.contains("SortMergeJoin")), s)
+  }
+
+  test("q73: survival grid joins by broadcast; one keyed shuffle for" +
+      " the lag window") {
+    val (ns, s) = planOf("q73_repeat_survival")
+    assert(!ns.exists(_.nodeName.contains("SortMergeJoin")), s)
+    assert(ns.exists(_.nodeName.contains("Window")), s)
+  }
+
+  test("d16: leakage matrix reduces to distinct (hash, source) rows" +
+      " BEFORE the pair join — no join carries the text payload") {
+    val (ns, s) = planOf("d16_cross_source_leakage")
+    // both join inputs are aggregates (the distinct), so the only
+    // columns in flight are the 32-hex hash + source name
+    assert(ns.exists(_.nodeName.contains("HashAggregate")), s)
+    val joins = ns.filter(_.nodeName.toLowerCase.contains("join"))
+    assert(joins.nonEmpty && joins.forall(j =>
+      !j.output.exists(_.name == "text")),
+      "text payload reached a join:\n" + s)
+  }
+
   test("dynamic partition pruning: a selective dim filter becomes a" +
       " runtime partition filter on the partitioned fact scan") {
     // At 100 TB a fact table is hive-partitioned and a dim-filtered join

@@ -511,13 +511,15 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(dim.getInt(3) == 0, "full-copy has no manifest partitions")
   }
 
-  test("listTables sees committed tables; mutations are refused") {
+  test("listTables sees committed tables; RENAME stays refused") {
     spark.sql("SELECT 1").collect() // force catalog init via root
     val names = spark.sql("SHOW TABLES IN snap").select("tableName")
       .as[String].collect().toSet
     assert(names.contains("sales") && names.contains("dim"), s"$names")
+    // DROP TABLE is supported (own test); RENAME would break every
+    // recorded path reference and stays refused
     val e = intercept[Exception] {
-      spark.sql("DROP TABLE snap.sales")
+      spark.sql("ALTER TABLE snap.sales RENAME TO snap.sales2")
     }
     assert(e.getMessage.contains("read-only"), e.getMessage)
   }
@@ -598,6 +600,40 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE snap.alt ADD COLUMN note STRING")
     }
     assert(dup.getMessage.contains("already exists"), dup.getMessage)
+  }
+
+  test("DROP TABLE: removes all versions and layout under the lock; " +
+      "registered consumers gate the drop (PURGE overrides); " +
+      "re-CREATE starts clean") {
+    val t = s"$root/droppable"
+    PS.write(spark, t, Seq((1L, "A", "x")).toDF("k", "d", "v"), "d")
+    PS.upsert(spark, t, Seq((2L, "B", "y")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    // a registered consumer gates the plain drop
+    graft.operators.ChangeFeed.poll(spark, t, "c1").foreach(b =>
+      graft.operators.ChangeFeed.commit(t, "c1", b.toVersion))
+    val gated = intercept[Exception] {
+      spark.sql("DROP TABLE snap.droppable")
+    }
+    assert(gated.getMessage.contains("change-feed consumers"),
+      gated.getMessage)
+    assert(spark.sql("SELECT count(*) FROM snap.droppable")
+      .as[Long].head() == 2L, "gated drop must leave the table intact")
+    // PURGE overrides; everything is gone and the name is reusable
+    spark.sql("DROP TABLE snap.droppable PURGE")
+    val gone = intercept[Exception] {
+      spark.sql("SELECT * FROM snap.droppable").collect()
+    }
+    assert(gone.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      gone.getMessage.contains("cannot be found"), gone.getMessage)
+    spark.sql("CREATE TABLE snap.droppable (k BIGINT, d STRING) " +
+      "PARTITIONED BY (d)")
+    spark.sql("INSERT INTO snap.droppable VALUES (9, 'Z')")
+    assert(spark.sql("SELECT k FROM snap.droppable")
+      .as[Long].collect().toSeq == Seq(9L))
+    // consumer-free tables drop without PURGE
+    spark.sql("DROP TABLE snap.droppable")
+    assert(!spark.catalog.tableExists("snap.droppable"))
   }
 
   test("version tags from SQL: CALL tag -> VERSION AS OF 'name' -> " +
