@@ -156,6 +156,21 @@ object ChangeFeed {
     }
   }
 
+  /** STREAMING drain — `spark.readStream` over the table's change
+    * feed ([[graft.streaming.ChangeFeedSourceProvider]]): versions are
+    * offsets, micro-batches are manifest-diff CDC row sets, the
+    * checkpoint replaces the pull cursor. Same bootstrap semantics as
+    * [[poll]]'s Snapshot/Latest starts. */
+  def readStream(spark: SparkSession, t: String,
+      keys: Seq[String] = Nil, preImages: Boolean = false,
+      latestOnly: Boolean = false): DataFrame = {
+    var r = spark.readStream.format("graft-changes").option("path", t)
+    if (keys.nonEmpty) r = r.option("keys", keys.mkString(","))
+    if (preImages) r = r.option("preImages", "true")
+    if (latestOnly) r = r.option("startingVersion", "latest")
+    r.load()
+  }
+
   /** Durably advance the consumer's cursor to `toVersion` (the polled
     * batch's `toVersion`, AFTER applying it). Forward-only, bounded by
     * the commit pointer; atomic via the same temp+rename discipline as

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.operators.{CommitStore, PartitionedSnapshots, Snapshots}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** STREAMING READS from snapshot tables — the complement of the
+  * `writeStream.toTable` sink: every committed version is a streaming
+  * offset, and each micro-batch is the CDC row set between the last
+  * processed version and the commit pointer:
+  *
+  * {{{
+  * spark.readStream.format("graft-changes")
+  *   .option("path", "/warehouse/sales")     // or snap-catalog path
+  *   .option("keys", "k")                    // omit if recorded
+  *   .load()                                 // rows + change_type
+  *   .writeStream…
+  * }}}
+  *
+  * This is the V1 `Source` seam (the one Delta's own streaming source
+  * uses): `getBatch(start, end)` returns an ordinary DataFrame, which
+  * here is exactly the operator CDC plan — [[PartitionedSnapshots
+  * .changes]]'s manifest-diff (only changed-owner partitions are read)
+  * or [[Snapshots.changes]] for full-copy tables — so the streaming
+  * read inherits the batch path's O(changed partitions) cost and its
+  * determinism: versions are immutable, so a crash-replayed batch
+  * recomputes the IDENTICAL row set (exactly-once with any idempotent
+  * or transactional sink, e.g. the snapshot streaming sink's txn
+  * markers).
+  *
+  * First batch (no checkpoint): the current snapshot as `insert` rows
+  * (`startingVersion=latest` skips the backlog and streams only
+  * commits after stream start). `preImages=true` emits Delta-CDF
+  * update_preimage/update_postimage pairs. Retention interplay: the
+  * checkpointed offset is a VERSION — vacuum must retain at least the
+  * slowest stream's lag (same contract as pull consumers;
+  * `ChangeFeed.safeVacuum` covers registered consumers, streams gate
+  * via `keep`). */
+final class ChangeFeedSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-changes"
+
+  override def sourceSchema(sql: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), ChangeFeedSource.schemaFor(sql.sparkSession,
+      parameters))
+
+  override def createSource(sql: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangeFeedSource(sql.sparkSession, parameters)
+}
+
+private[streaming] object ChangeFeedSource {
+
+  def tableOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-changes requires .option(\"path\", <snapshot table dir>)"))
+
+  def current(spark: SparkSession, t: String,
+      store: CommitStore): DataFrame = {
+    val v = PartitionedSnapshots.currentVersion(t, store).getOrElse(
+      throw new IllegalStateException(
+        s"graft-changes: $t has no committed snapshot"))
+    if (PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+      PartitionedSnapshots.readVersion(spark, t, v, store)
+    else Snapshots.readVersion(spark, t, v, store)
+  }
+
+  def schemaFor(spark: SparkSession,
+      parameters: Map[String, String]): StructType = {
+    val base = current(spark, tableOf(parameters),
+      CommitStore.local).schema
+    StructType(base.fields :+ StructField("change_type", StringType))
+  }
+}
+
+private[streaming] final class ChangeFeedSource(spark: SparkSession,
+    parameters: Map[String, String]) extends Source {
+
+  private val store: CommitStore = CommitStore.local
+  private val t = ChangeFeedSource.tableOf(parameters)
+  private val preImages =
+    parameters.get("preImages").exists(_.toBoolean)
+  private val latestOnly =
+    parameters.get("startingVersion").exists(_.equalsIgnoreCase("latest"))
+  // pinned at stream creation: `latest` means "commits after START",
+  // not "whatever is current when the first batch fires"
+  private val startingVersion: Option[Long] =
+    if (latestOnly) PartitionedSnapshots.currentVersion(t, store)
+    else None
+
+  private def keys: Seq[String] =
+    parameters.get("keys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .orElse(PartitionedSnapshots.tableProps(t, store).get("keys")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty))
+      .getOrElse(throw new UnsupportedOperationException(
+        s"graft-changes: $t records no key columns — pass " +
+          ".option(\"keys\", \"k1,k2\")"))
+
+  override val schema: StructType =
+    ChangeFeedSource.schemaFor(spark, parameters)
+
+  override def getOffset: Option[Offset] =
+    PartitionedSnapshots.currentVersion(t, store).map(LongOffset(_))
+
+  private def versionOf(o: Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame =
+    org.apache.spark.sql.graft.Bridge.asStreaming(batchFor(start, end))
+
+  private def batchFor(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val fromV = start.map(versionOf).orElse(startingVersion)
+    fromV match {
+      case Some(s) if s >= endV =>
+        ChangeFeedSource.current(spark, t, store).limit(0)
+          .withColumn("change_type", lit(null).cast("string"))
+      case Some(s) =>
+        if (PartitionedSnapshots.manifest(t, endV, store).nonEmpty)
+          PartitionedSnapshots.changes(spark, t, s, endV, keys, store,
+            preImages)
+        else Snapshots.changes(spark, t, s, endV, keys, store, preImages)
+      case None =>
+        // bootstrap: the full snapshot at `end` as insert rows
+        val snap =
+          if (PartitionedSnapshots.manifest(t, endV, store).nonEmpty)
+            PartitionedSnapshots.readVersion(spark, t, endV, store)
+          else Snapshots.readVersion(spark, t, endV, store)
+        snap.withColumn("change_type", lit("insert"))
+    }
+  }
+
+  override def stop(): Unit = ()
+}

@@ -25,6 +25,20 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Mark a batch DataFrame as a STREAMING micro-batch result — what a
+    * V1 `Source.getBatch` must return (the engine asserts
+    * `isStreaming`). Same mechanism the Kafka/Delta sources use:
+    * re-enter through `internalCreateDataFrame(rdd, schema,
+    * isStreaming = true)` over the plan's lazy RDD — nothing executes
+    * until the micro-batch runs. */
+  def asStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cs = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Register a native expression on an ALREADY-built session (for
     * sessions created without `withExtensions`). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

@@ -299,6 +299,68 @@ class ChangeFeedSpec extends AnyFunSuite {
       TestSpark.rows(PS.read(spark, src)))
   }
 
+  test("streaming CDC source: readStream bootstraps the snapshot as " +
+      "inserts, tails commits across restarts exactly-once, and " +
+      "startingVersion=latest skips the backlog") {
+    val t = tmp()
+    val cp = Files.createTempDirectory("graft_cfs_cp").toString
+    PS.write(spark, t, Seq((1L, "A", "a1"), (2L, "B", "b1"))
+      .toDF("k", "d", "v"), "d")                              // v1
+    def drainStream(): Seq[(Long, Option[String], String)] = {
+      val sink = new scala.collection.mutable.ArrayBuffer[
+        Seq[(Long, Option[String], String)]]()
+      val q = CF.readStream(spark, t)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          sink += b.select(col("k"), col("v"), col("change_type"))
+            .as[(Long, Option[String], String)].collect().toSeq
+          ()
+        })
+        .start()
+      q.awaitTermination()
+      sink.toSeq.flatten.sortBy(_._1)
+    }
+    // first run: snapshot bootstrap as inserts
+    assert(drainStream() == Seq((1L, Some("a1"), "insert"),
+      (2L, Some("b1"), "insert")))
+    // caught up: a re-run delivers nothing
+    assert(drainStream().isEmpty)
+    // two commits land; the next run (restart across the checkpoint)
+    // drains exactly their CDC rows, once
+    PS.upsert(spark, t, Seq((2L, "B", "b2"), (3L, "A", "c1"))
+      .toDF("k", "d", "v"), Seq("k"), "d")                    // v2
+    PS.delete(spark, t, col("k") === 1L, "d")                 // v3
+    assert(drainStream() == Seq((1L, Some("a1"), "delete"),
+      (2L, Some("b2"), "update"), (3L, Some("c1"), "insert")))
+    assert(drainStream().isEmpty)
+
+    // startingVersion=latest: a FRESH stream (new checkpoint) skips
+    // the whole backlog and tails only post-start commits
+    val cp2 = Files.createTempDirectory("graft_cfs_cp2").toString
+    def drainLatest(): Seq[(Long, String)] = {
+      val sink = new scala.collection.mutable.ArrayBuffer[
+        Seq[(Long, String)]]()
+      val q = CF.readStream(spark, t, latestOnly = true)
+        .writeStream
+        .option("checkpointLocation", cp2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          sink += b.select(col("k"), col("change_type"))
+            .as[(Long, String)].collect().toSeq
+          ()
+        })
+        .start()
+      q.awaitTermination()
+      sink.toSeq.flatten.sortBy(_._1)
+    }
+    assert(drainLatest().isEmpty, "latest start must skip the backlog")
+    PS.upsert(spark, t, Seq((4L, "B", "d1")).toDF("k", "d", "v"),
+      Seq("k"), "d")                                          // v4
+    assert(drainLatest() == Seq((4L, "insert")))
+  }
+
   test("a consumer behind the retention horizon fails loudly with " +
       "re-bootstrap instructions; reset re-bootstraps") {
     val t = tmp()
