@@ -92,7 +92,7 @@ object ChangeFeed {
       toV: Long, keys: Seq[String], consumerId: String,
       store: CommitStore, preImages: Boolean): DataFrame =
     try {
-      if (PartitionedSnapshots.manifest(t, toV, store).nonEmpty)
+      if (PartitionedSnapshots.hasManifest(t, toV, store))
         PartitionedSnapshots.changes(spark, t, fromV, toV, keys, store,
           preImages)
       else Snapshots.changes(spark, t, fromV, toV, keys, store, preImages)
@@ -129,7 +129,7 @@ object ChangeFeed {
       case None => startFrom match {
         case Snapshot =>
           val snap =
-            if (PartitionedSnapshots.manifest(t, cur, store).nonEmpty)
+            if (PartitionedSnapshots.hasManifest(t, cur, store))
               PartitionedSnapshots.readVersion(spark, t, cur, store)
             else Snapshots.readVersion(spark, t, cur, store)
           Some(Batch(snap.withColumn("change_type", lit("insert")),
@@ -142,7 +142,7 @@ object ChangeFeed {
           // committing empty batches would otherwise re-receive this
           // bootstrap batch forever and never converge to None
           val shape =
-            if (PartitionedSnapshots.manifest(t, cur, store).nonEmpty)
+            if (PartitionedSnapshots.hasManifest(t, cur, store))
               PartitionedSnapshots.readVersion(spark, t, cur, store)
             else Snapshots.readVersion(spark, t, cur, store)
           commit(t, consumerId, cur, store)
@@ -278,7 +278,7 @@ object ChangeFeed {
     val needed = floor.map(v => (cur - v + 1).toInt.max(keep))
       .getOrElse(keep)
     val isPartitioned = PartitionedSnapshots.currentVersion(t, store)
-      .exists(v => PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+      .exists(v => PartitionedSnapshots.hasManifest(t, v, store))
     if (isPartitioned) PartitionedSnapshots.vacuum(t, needed, store)
     else Snapshots.vacuum(t, needed, store)
   }

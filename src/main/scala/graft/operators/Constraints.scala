@@ -53,7 +53,7 @@ object Constraints {
           s"constraint '$name' already exists on $t — drop it first")
       PartitionedSnapshots.currentVersion(t, store).foreach { v =>
         val current =
-          if (PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+          if (PartitionedSnapshots.hasManifest(t, v, store))
             PartitionedSnapshots.readVersion(spark, t, v, store)
           else Snapshots.readVersion(spark, t, v, store)
         val bad = current.filter(coalesce(not(expr(exprStr)), lit(false)))
@@ -141,7 +141,7 @@ object GeneratedColumns {
           s"generated column '$colName' already recorded on $t")
       PartitionedSnapshots.currentVersion(t, store).foreach { v =>
         val current =
-          if (PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+          if (PartitionedSnapshots.hasManifest(t, v, store))
             PartitionedSnapshots.readVersion(spark, t, v, store)
           else Snapshots.readVersion(spark, t, v, store)
         if (current.columns.contains(colName)) {

@@ -51,6 +51,15 @@ object PartitionedSnapshots {
   private def pointer(t: String) = s"$t/_current"
   private def versionDir(t: String, v: Long) = f"${snapsDir(t)}/v$v%05d"
   private def dataDir(t: String, v: Long) = s"${versionDir(t, v)}/data"
+  /** Format detector: version `v` is PARTITIONED-format iff its
+    * manifest FILE exists — `manifest(...).nonEmpty` is the wrong test
+    * (a keyed table primed with an empty batch legitimately has an
+    * empty manifest, and misreading it as full-copy makes readers scan
+    * the version dir's control files as parquet). */
+  def hasManifest(t: String, v: Long,
+      store: CommitStore = CommitStore.local): Boolean =
+    store.exists(manifestPath(t, v))
+
   private def manifestPath(t: String, v: Long) =
     s"${versionDir(t, v)}/manifest"
 

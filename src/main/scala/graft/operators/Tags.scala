@@ -47,7 +47,7 @@ object Tags {
           s"$t has no committed snapshot to tag"))
       val v = version.getOrElse(cur)
       val present =
-        PartitionedSnapshots.manifest(t, v, store).nonEmpty ||
+        PartitionedSnapshots.hasManifest(t, v, store) ||
           store.exists(Snapshots.versionDirOf(t, v))
       if (v > cur || !present) throw new IllegalStateException(
         s"$t has no committed snapshot v$v (vacuumed, orphan, or " +

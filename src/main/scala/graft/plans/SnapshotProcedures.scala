@@ -167,7 +167,7 @@ private[plans] object SnapshotProcedures {
             else {
               val isPartitioned =
                 PartitionedSnapshots.currentVersion(t, store).exists(v =>
-                  PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+                  PartitionedSnapshots.hasManifest(t, v, store))
               if (isPartitioned)
                 PartitionedSnapshots.vacuum(t, keep, store)
               else Snapshots.vacuum(t, keep, store)

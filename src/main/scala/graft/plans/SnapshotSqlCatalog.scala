@@ -72,13 +72,17 @@ class SnapshotSqlCatalog extends TableCatalog
     PartitionedSnapshots.currentVersion(t, store)
 
   /** Version v's data dirs: manifest-resolved owner dirs for the
-    * partitioned format, the version dir itself for full-copy. */
-  private def dirsOf(t: String, v: Long): Seq[String] = {
-    val m = PartitionedSnapshots.manifest(t, v, store)
-    if (m.nonEmpty)
-      m.toSeq.sorted.map { case (p, o) => f"$t/_snapshots/v$o%05d/data/$p" }
+    * partitioned format (possibly NONE — a keyed table primed with an
+    * empty batch has a manifest with zero partitions, and its scan is
+    * legitimately empty), the version dir itself for full-copy. The
+    * detector is manifest-file EXISTENCE, not non-emptiness — reading
+    * an empty-manifest version dir as parquet would scan its control
+    * files. */
+  private def dirsOf(t: String, v: Long): Seq[String] =
+    if (PartitionedSnapshots.hasManifest(t, v, store))
+      PartitionedSnapshots.manifest(t, v, store).toSeq.sorted
+        .map { case (p, o) => f"$t/_snapshots/v$o%05d/data/$p" }
     else f"$t/_snapshots/v$v%05d" :: Nil
-  }
 
   // mergeSchema: an evolved table's partitions legitimately carry
   // mixed footers (pre-/post-evolution); the union schema is the
@@ -94,21 +98,34 @@ class SnapshotSqlCatalog extends TableCatalog
     val opts = new CaseInsensitiveStringMap(
       java.util.Map.of("mergeSchema", "true"))
     val dirs = dirsOf(t, v)
-    val base = ParquetTable(s"$catalogName.${ident.name}@v$v",
-      SparkSession.active, opts, dirs, None, classOf[ParquetFileFormat])
-    PartitionedSnapshots.tableProps(t, store).get("schema") match {
-      case Some(json) =>
-        val declared = org.apache.spark.sql.types.DataType.fromJson(json)
-          .asInstanceOf[StructType]
-        val fileSchema = base.schema
-        val missing = declared.fields.filterNot(f =>
-          fileSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-        if (missing.isEmpty) base
-        else ParquetTable(s"$catalogName.${ident.name}@v$v",
-          SparkSession.active, opts, dirs,
-          Some(StructType(fileSchema.fields ++ missing)),
-          classOf[ParquetFileFormat])
-      case None => base
+    val declared = PartitionedSnapshots.tableProps(t, store).get("schema")
+      .map(json => org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType])
+    if (dirs.isEmpty)
+      // an empty-manifest version (keyed table primed with an empty
+      // batch) has nothing to infer from — the declared schema IS the
+      // schema
+      ParquetTable(s"$catalogName.${ident.name}@v$v",
+        SparkSession.active, opts, dirs,
+        Some(declared.getOrElse(throw new IllegalStateException(
+          s"$t v$v has no data files and no declared schema — " +
+            "CREATE TABLE (or write data) first"))),
+        classOf[ParquetFileFormat])
+    else {
+      val base = ParquetTable(s"$catalogName.${ident.name}@v$v",
+        SparkSession.active, opts, dirs, None, classOf[ParquetFileFormat])
+      declared match {
+        case Some(d) =>
+          val fileSchema = base.schema
+          val missing = d.fields.filterNot(f =>
+            fileSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          if (missing.isEmpty) base
+          else ParquetTable(s"$catalogName.${ident.name}@v$v",
+            SparkSession.active, opts, dirs,
+            Some(StructType(fileSchema.fields ++ missing)),
+            classOf[ParquetFileFormat])
+        case None => base
+      }
     }
   }
 
@@ -121,7 +138,7 @@ class SnapshotSqlCatalog extends TableCatalog
         // intercepted MERGE via the operator commit protocol; the
         // partitioned format additionally takes UPDATE/DELETE);
         // time-travel loads stay read-only
-        if (PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+        if (PartitionedSnapshots.hasManifest(t, v, store))
           new SnapshotWritableTable(
             inner.asInstanceOf[ParquetTable], t, store)
         else

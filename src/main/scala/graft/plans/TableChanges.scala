@@ -111,7 +111,7 @@ object TableChanges {
             "explicitly: table_changes(table, from, to, 'k1,k2')"))
     val pre = preImages.getOrElse(false)
     val df =
-      if (PartitionedSnapshots.manifest(t, toV, store).nonEmpty)
+      if (PartitionedSnapshots.hasManifest(t, toV, store))
         PartitionedSnapshots.changes(spark, t, fromV, toV, keys, store,
           pre)
       else Snapshots.changes(spark, t, fromV, toV, keys, store, pre)

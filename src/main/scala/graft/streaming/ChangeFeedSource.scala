@@ -68,7 +68,7 @@ private[streaming] object ChangeFeedSource {
     val v = PartitionedSnapshots.currentVersion(t, store).getOrElse(
       throw new IllegalStateException(
         s"graft-changes: $t has no committed snapshot"))
-    if (PartitionedSnapshots.manifest(t, v, store).nonEmpty)
+    if (PartitionedSnapshots.hasManifest(t, v, store))
       PartitionedSnapshots.readVersion(spark, t, v, store)
     else Snapshots.readVersion(spark, t, v, store)
   }
@@ -126,14 +126,14 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         ChangeFeedSource.current(spark, t, store).limit(0)
           .withColumn("change_type", lit(null).cast("string"))
       case Some(s) =>
-        if (PartitionedSnapshots.manifest(t, endV, store).nonEmpty)
+        if (PartitionedSnapshots.hasManifest(t, endV, store))
           PartitionedSnapshots.changes(spark, t, s, endV, keys, store,
             preImages)
         else Snapshots.changes(spark, t, s, endV, keys, store, preImages)
       case None =>
         // bootstrap: the full snapshot at `end` as insert rows
         val snap =
-          if (PartitionedSnapshots.manifest(t, endV, store).nonEmpty)
+          if (PartitionedSnapshots.hasManifest(t, endV, store))
             PartitionedSnapshots.readVersion(spark, t, endV, store)
           else Snapshots.readVersion(spark, t, endV, store)
         snap.withColumn("change_type", lit("insert"))
