@@ -66,6 +66,9 @@ object GraftExtensions {
     // bpe_encode(word, 'a b', 'ab c', …) — merge literals in train order
     ("bpe_encode", classOf[BpeEncodeExpr].getCanonicalName,
       exprs => BpeEncodeExpr(exprs(0), exprs.drop(1).map(strLit))),
+    // cms_probe(sketch, key) — estimate from count_min_sketch's binary
+    ("cms_probe", classOf[graft.functions.CmsProbeExpr].getCanonicalName,
+      exprs => graft.functions.CmsProbeExpr(exprs(0), exprs(1))),
   )
 
   /** Register everything on an already-built session. */

@@ -17,12 +17,13 @@ package graft.queries
   * the same shape via CTEs rather than the Expand×3 dual-COUNT(DISTINCT)
   * form — the SQL a user SHOULD run at 100 TB.
   *
-  * Not in this map (2 of 130, round-9 sweep): only computations that
-  * are genuinely procedural — s07's PQ training (joint Lloyd rounds
-  * across subspaces with driver-controlled convergence) and q44 (the
-  * CountMinSketch probe is a driver-side sketch API; Spark's SQL
-  * `count_min_sketch` returns an opaque binary with no SQL-side probe).
-  * Everything else — including the dedup/similarity/text curation set,
+  * Not in this map (1 of the catalog, round-9 sweep): only s07's PQ
+  * training is genuinely procedural (joint Lloyd rounds across
+  * subspaces with driver-controlled convergence). q44 joined the map
+  * once `cms_probe` became a registered native — the SQL builds the
+  * sketch with Spark's own `count_min_sketch` aggregate and probes it
+  * in the same query (CMS counters are order-insensitive, so the SQL
+  * sketch is byte-equal to the DataFrame API's). Everything else — including the dedup/similarity/text curation set,
   * the full m01–m09 media-descriptor set (the STUB codec's math is
   * md5/byte-sum arithmetic SQL can spell; a real codec would keep the
   * honest mapPartitions boundary, with only the innermost digest CTE
@@ -1599,6 +1600,25 @@ object SqlParity {
             AS DOUBLE)
           / CAST(SUM(n_tokens) AS DOUBLE) AS kept_share
       FROM marked GROUP BY source ORDER BY source""",
+
+    "q44_heavy_hitters" -> """
+      WITH counts AS (
+        SELECT l_partkey, COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_partkey),
+      top AS (
+        SELECT * FROM counts
+        ORDER BY n_lines DESC, l_partkey ASC LIMIT 20),
+      tot AS (SELECT SUM(n_lines) AS total FROM counts),
+      sk AS (
+        SELECT count_min_sketch(l_partkey, CAST(0.0001 AS DOUBLE),
+          CAST(0.99 AS DOUBLE), 42) AS s
+        FROM lineitem)
+      SELECT l_partkey, n_lines,
+        cms_probe(s, l_partkey) >= n_lines AND
+        cms_probe(s, l_partkey) - n_lines <=
+          greatest(1L, CAST(10 * 0.0001 * total AS LONG)) AS approx_ok
+      FROM top CROSS JOIN sk CROSS JOIN tot
+      ORDER BY l_partkey""",
 
     "q14_salted_join" -> s"""
       WITH li AS (

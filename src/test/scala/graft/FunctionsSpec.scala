@@ -152,4 +152,31 @@ class FunctionsSpec extends AnyFunSuite {
       .first().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
+
+  test("cms_probe estimates from count_min_sketch's binary: never " +
+      "undercounts, exact on unique keys, null-safe") {
+    val df = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k")
+    df.createOrReplaceTempView("cms_in")
+    val rows = spark.sql("""
+      WITH sk AS (SELECT count_min_sketch(k, CAST(0.001 AS DOUBLE),
+        CAST(0.99 AS DOUBLE), 7) AS s FROM cms_in)
+      SELECT k, cms_probe(s, k) AS est
+      FROM (SELECT DISTINCT k FROM cms_in) CROSS JOIN sk ORDER BY k""")
+      .as[(Long, Long)].collect().toMap
+    // a CMS estimate is an upper bound; at this tiny cardinality and
+    // width it is exact
+    assert(rows == Map(1L -> 3L, 2L -> 2L, 3L -> 1L), s"$rows")
+    // absent key: still >= 0 (CMS never answers negative)
+    val absent = spark.sql("""
+      WITH sk AS (SELECT count_min_sketch(k, CAST(0.001 AS DOUBLE),
+        CAST(0.99 AS DOUBLE), 7) AS s FROM cms_in)
+      SELECT cms_probe(s, 999L) FROM sk""").as[Long].head()
+    assert(absent >= 0L)
+    // null inputs are null-safe
+    assert(spark.sql("""
+      WITH sk AS (SELECT count_min_sketch(k, CAST(0.001 AS DOUBLE),
+        CAST(0.99 AS DOUBLE), 7) AS s FROM cms_in)
+      SELECT cms_probe(s, CAST(NULL AS BIGINT)) FROM sk""")
+      .collect().head.isNullAt(0))
+  }
 }
