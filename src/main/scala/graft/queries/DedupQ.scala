@@ -804,32 +804,41 @@ object DedupQ {
     FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
     ORDER BY a.vec_id"""))
 
-  /** Cross-source duplicate LEAKAGE matrix — the provenance audit run
-    * before mixing corpora: for every source pair, how many exact-
-    * content groups appear in BOTH (a crawl re-scraped by two vendors,
-    * a dataset bundled into another). Scale shape: the corpus reduces
-    * FIRST to distinct (content-hash, source) rows — hash-keyed
-    * map-side distinct, the payload never shuffles — and the pair join
-    * runs per hash with fan-out bounded by sources-per-hash (a handful),
-    * never corpus x corpus; the result is source-pair-sized. */
+/** Cross-source duplicate LEAKAGE audit — the provenance report run
+    * before mixing corpora: per source, how many of its distinct
+    * contents also appear in at least one OTHER source (a crawl
+    * re-scraped by two vendors, a dataset bundled into another), and
+    * the leaked share. Scale shape: the corpus reduces FIRST to
+    * distinct (content-hash, source) rows — hash-keyed map-side
+    * distinct, the payload never shuffles — then a hash-keyed degree
+    * count joins back; every relation after the first distinct is
+    * hash+source-name narrow, and the result is source-sized. */
   val d16CrossSourceLeakage: Q = Q("d16_cross_source_leakage", (s, d) => {
     val hs = Tables.documents(s, d)
       .select(md5(col("text")).as("h"), col("source"))
       .distinct()
-    hs.as("a")
-      .join(hs.as("b"),
-        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"),
-        col("b.source").as("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .orderBy(col("source_a"), col("source_b"))
+    val deg = hs.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_src"))
+    hs.join(deg, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contents"),
+        sum(when(col("n_src") > 1, 1L).otherwise(0L)).as("n_leaked"))
+      .select(col("source"), col("n_contents"), col("n_leaked"),
+        (col("n_leaked").cast("double") / col("n_contents").cast("double"))
+          .as("leak_share"))
+      .orderBy(col("source"))
   }, Some("""
     WITH hs AS (
-      SELECT DISTINCT md5(text) AS h, source FROM documents)
-    SELECT a.source AS source_a, b.source AS source_b,
-      CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
-    GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+      SELECT DISTINCT md5(text) AS h, source FROM documents),
+    deg AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_src
+            FROM hs GROUP BY h)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_contents,
+      CAST(SUM(CASE WHEN n_src > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_leaked,
+      CAST(SUM(CASE WHEN n_src > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS leak_share
+    FROM hs JOIN deg ON hs.h = deg.h
+    GROUP BY source ORDER BY source"""))
 }
 
 /** DuckDB SQL mirrors of VectorFns — ordered left-to-right double folds

@@ -1575,11 +1575,14 @@ object SqlParity {
 
     "d16_cross_source_leakage" -> """
       WITH hs AS (
-        SELECT DISTINCT md5(text) AS h, source FROM documents)
-      SELECT a.source AS source_a, b.source AS source_b,
-        COUNT(*) AS n_shared
-      FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
-      GROUP BY a.source, b.source ORDER BY source_a, source_b""",
+        SELECT DISTINCT md5(text) AS h, source FROM documents),
+      deg AS (SELECT h, COUNT(*) AS n_src FROM hs GROUP BY h)
+      SELECT source, COUNT(*) AS n_contents,
+        SUM(CASE WHEN n_src > 1 THEN 1L ELSE 0L END) AS n_leaked,
+        CAST(SUM(CASE WHEN n_src > 1 THEN 1L ELSE 0L END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS leak_share
+      FROM hs JOIN deg ON hs.h = deg.h
+      GROUP BY source ORDER BY source""",
 
     "t26_dedup_savings" -> """
       WITH base AS (

@@ -246,8 +246,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(ns.exists(_.nodeName.contains("Window")), s)
   }
 
-  test("d16: leakage matrix reduces to distinct (hash, source) rows" +
-      " BEFORE the pair join — no join carries the text payload") {
+  test("d16: the leakage audit reduces to distinct (hash, source) rows" +
+      " BEFORE the degree join — no join carries the text payload") {
     val (ns, s) = planOf("d16_cross_source_leakage")
     // both join inputs are aggregates (the distinct), so the only
     // columns in flight are the 32-hex hash + source name
