@@ -163,11 +163,13 @@ object ChangeFeed {
     * [[poll]]'s Snapshot/Latest starts. */
   def readStream(spark: SparkSession, t: String,
       keys: Seq[String] = Nil, preImages: Boolean = false,
-      latestOnly: Boolean = false): DataFrame = {
+      latestOnly: Boolean = false,
+      consumerId: Option[String] = None): DataFrame = {
     var r = spark.readStream.format("graft-changes").option("path", t)
     if (keys.nonEmpty) r = r.option("keys", keys.mkString(","))
     if (preImages) r = r.option("preImages", "true")
     if (latestOnly) r = r.option("startingVersion", "latest")
+    consumerId.foreach(c => r = r.option("consumerId", c))
     r.load()
   }
 

@@ -90,6 +90,12 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     parameters.get("preImages").exists(_.toBoolean)
   private val latestOnly =
     parameters.get("startingVersion").exists(_.equalsIgnoreCase("latest"))
+  // optional retention handshake: mirror the checkpoint's committed
+  // offset into a REGISTERED consumer cursor, so vacuum(respect_
+  // consumers)/safeVacuum retain what this stream still needs — the
+  // same protection pull consumers get, without it the operator must
+  // size `keep` to the slowest stream's lag by hand
+  private val consumerId = parameters.get("consumerId")
   // pinned at stream creation: `latest` means "commits after START",
   // not "whatever is current when the first batch fires"
   private val startingVersion: Option[Long] =
@@ -139,6 +145,22 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         snap.withColumn("change_type", lit("insert"))
     }
   }
+
+  private def commitVersion(v: Long): Unit =
+    consumerId.foreach { cid =>
+      // forward-only, same discipline as a pull consumer's commit; a
+      // replayed commit of an already-passed offset is a no-op
+      val cur = graft.operators.ChangeFeed.cursor(t, cid, store)
+      if (!cur.exists(_ >= v))
+        graft.operators.ChangeFeed.commit(t, cid, v, store)
+    }
+
+  // the engine drives the SparkDataStream overload; the v1 one is kept
+  // in sync for completeness
+  override def commit(end: Offset): Unit = commitVersion(versionOf(end))
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit =
+    commitVersion(end.json.trim.toLong)
 
   override def stop(): Unit = ()
 }

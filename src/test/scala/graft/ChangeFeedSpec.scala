@@ -361,6 +361,44 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(drainLatest() == Seq((4L, "insert")))
   }
 
+  test("streaming retention handshake: consumerId mirrors committed " +
+      "offsets into a registered cursor (lagging at most one completed " +
+      "batch), so consumer-aware vacuum retains what the stream still " +
+      "needs") {
+    val t = tmp()
+    val cp = Files.createTempDirectory("graft_cfs_ret").toString
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d")
+    def drainOnce(): Unit = {
+      val q = CF.readStream(spark, t, consumerId = Some("stream-1"))
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          b.count(); ()
+        })
+        .start()
+      q.awaitTermination()
+    }
+    drainOnce() // bootstrap: the engine commits a source's offset when
+                // the NEXT batch starts, so the cursor may lag one run
+    PS.upsert(spark, t, Seq((2L, "A", "b1")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    PS.upsert(spark, t, Seq((3L, "A", "c1")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    drainOnce()
+    val cur = CF.cursor(t, "stream-1")
+    assert(cur.exists(_ >= 1L),
+      s"stream offset not mirrored into the consumer cursor: $cur")
+    assert(cur.exists(_ <= 3L), s"cursor ran AHEAD of processing: $cur")
+    // the registered cursor makes safeVacuum retain the stream's
+    // resume point; the stream picks up cleanly afterwards
+    CF.safeVacuum(t, keep = 1)
+    PS.upsert(spark, t, Seq((4L, "A", "d1")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    drainOnce()
+    assert(CF.cursor(t, "stream-1").exists(_ >= 3L),
+      s"cursor must advance as batches complete: ${CF.cursor(t, "stream-1")}")
+  }
+
   test("a consumer behind the retention horizon fails loudly with " +
       "re-bootstrap instructions; reset re-bootstraps") {
     val t = tmp()
