@@ -602,6 +602,57 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("already exists"), dup.getMessage)
   }
 
+  test("property: a random SQL DML sequence (INSERT/MERGE/UPDATE/" +
+      "DELETE) leaves the table identical to the same logical ops " +
+      "through the operator API on a twin table, at every step") {
+    val rnd = new scala.util.Random(91L)
+    val sqlT = s"$root/prop_sql"       // driven via snap.prop_sql DML
+    val twin = s"$root/prop_twin"      // driven via the operator API
+    val parts = Seq("A", "B", "C")
+    def rows(n: Int): Seq[(Long, String, Long)] = (1 to n).map { _ =>
+      val k = rnd.nextInt(15).toLong
+      (k, parts((k % 3).toInt), rnd.nextInt(100).toLong)
+    }
+    def seed = Seq((1L, "B", 10L), (2L, "C", 20L), (3L, "A", 30L))
+    PS.write(spark, sqlT, seed.toDF("k", "d", "v"), "d")
+    PS.upsert(spark, sqlT, Seq.empty[(Long, String, Long)]
+      .toDF("k", "d", "v"), Seq("k"), "d") // record keys for MERGE
+    PS.write(spark, twin, seed.toDF("k", "d", "v"), "d")
+    def values(rs: Seq[(Long, String, Long)]) =
+      rs.map { case (k, d, v) => s"($k, '$d', $v)" }.mkString(", ")
+    (1 to 14).foreach { i =>
+      rnd.nextInt(4) match {
+        case 0 => // append
+          val r = rows(1 + rnd.nextInt(3))
+          spark.sql(s"INSERT INTO snap.prop_sql VALUES ${values(r)}")
+          PS.append(spark, twin, r.toDF("k", "d", "v"), "d")
+        case 1 => // keyed merge (update matched, insert unmatched)
+          val r = rows(1 + rnd.nextInt(3))
+            .groupBy(_._1).map(_._2.head).toSeq // one row per key
+          spark.sql("MERGE INTO snap.prop_sql t USING (SELECT " +
+            "CAST(k AS BIGINT) AS k, d, CAST(v AS BIGINT) AS v FROM " +
+            s"VALUES ${values(r)} AS x(k, d, v)) s ON t.k = s.k " +
+            "WHEN MATCHED THEN UPDATE SET v = s.v " +
+            "WHEN NOT MATCHED THEN INSERT *")
+          PS.merge(spark, twin, r.toDF("k", "d", "v"), Seq("k"), "d",
+            whenMatchedUpdate = Map("v" -> PS.source("v")),
+            insertNotMatched = true)
+        case 2 => // predicate update
+          val lo = rnd.nextInt(80).toLong
+          spark.sql(s"UPDATE snap.prop_sql SET v = v + 1 WHERE v >= $lo")
+          PS.updateWhere(spark, twin,
+            Map("v" -> (col("v") + lit(1L))), col("v") >= lit(lo), "d")
+        case 3 => // predicate delete
+          val k = rnd.nextInt(15).toLong
+          spark.sql(s"DELETE FROM snap.prop_sql WHERE k = $k")
+          PS.delete(spark, twin, col("k") === lit(k), "d")
+      }
+      assert(TestSpark.rows(PS.read(spark, sqlT).select("k", "d", "v")) ==
+        TestSpark.rows(PS.read(spark, twin).select("k", "d", "v")),
+        s"SQL front door diverged from the operator API after op $i")
+    }
+  }
+
   test("fully streaming snapshot-to-snapshot pipeline: graft-changes " +
       "source -> transform -> toTable sink, keyed epochs upsert, " +
       "exactly-once across restarts, every epoch a version") {
