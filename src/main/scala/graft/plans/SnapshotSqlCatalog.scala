@@ -510,7 +510,11 @@ private[plans] class SnapshotWritableTable(
             PartitionedSnapshots.tableProps(tablePath, store).get("keys")
               .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
               .getOrElse(Nil),
-            overwrite, store)
+            overwrite, store,
+            // writeStream.option("zoneMapCols", "a,b") keeps the
+            // file-stats index fresh per epoch (streamCommit parity)
+            Option(info.options.get("zoneMapCols")).toSeq
+              .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
       }
     }
 }

@@ -42,7 +42,8 @@ import org.apache.spark.sql.types.StructType
 private[plans] final class SnapshotStreamingWrite(
     tablePath: String, writeSchema: StructType, queryId: String,
     partCol: Option[String], keys: Seq[String], truncate: Boolean,
-    store: CommitStore) extends StreamingWrite {
+    store: CommitStore, zoneMapCols: Seq[String] = Nil)
+  extends StreamingWrite {
 
   private def stagingDir(epochId: Long) =
     s"$tablePath/_streaming/$queryId/$epochId"
@@ -115,6 +116,13 @@ private[plans] final class SnapshotStreamingWrite(
         case (None, _) =>
           Snapshots.append(spark, tablePath, batch, store, txn)
       }
+      // streamCommit parity: keep the file-stats index FRESH under
+      // streaming ingestion — the incremental builder reuses carried
+      // partitions' stat rows, so the per-epoch cost matches the
+      // epoch's own touched partitions
+      if (zoneMapCols.nonEmpty && partCol.isDefined)
+        PartitionedSnapshots.buildZoneMap(spark, tablePath, zoneMapCols,
+          store = store)
     }
     store.deleteRecursively(stagingDir(epochId))
   }

@@ -704,6 +704,35 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       "an empty epoch must not burn a version")
   }
 
+  test("streaming sink zoneMapCols option keeps the file-stats index " +
+      "fresh per epoch (streamCommit parity)") {
+    val t = s"$root/zm_stream"
+    val srcDir = Files.createTempDirectory("graft_zm_src").toString
+    val cp = Files.createTempDirectory("graft_zm_cp").toString
+    spark.sql("CREATE TABLE snap.zm_stream (k BIGINT, d STRING) " +
+      "PARTITIONED BY (d)")
+    Files.write(java.nio.file.Paths.get(srcDir, "a.json"),
+      Seq("""{"k":1,"d":"A"}""", """{"k":9,"d":"B"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.StringType))))
+      .json(srcDir)
+      .writeStream.option("checkpointLocation", cp)
+      .option("zoneMapCols", "k")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("snap.zm_stream")
+    q.awaitTermination()
+    val cur = PS.currentVersion(t).get
+    val idx = spark.read.parquet(f"$t/_snapshots/v$cur%05d/zonemap")
+    assert(idx.count() > 0, "zone map should exist for the epoch's version")
+    assert(idx.columns.contains("min__k") && idx.columns.contains("max__k"),
+      idx.columns.mkString(","))
+  }
+
   test("DROP TABLE: removes all versions and layout under the lock; " +
       "registered consumers gate the drop (PURGE overrides); " +
       "re-CREATE starts clean") {
