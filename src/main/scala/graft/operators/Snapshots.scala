@@ -243,6 +243,27 @@ object Snapshots {
     }
   }
 
+  /** RESTORE: roll the table back (or forward) to retained version `v`
+    * as a NEW commit — [[PartitionedSnapshots.restore]]'s semantics on
+    * the full-copy format: the restored content re-commits under the
+    * next version number (one whole-copy write, this format's trade),
+    * history stays linear and readable until vacuumed. */
+  def restore(spark: SparkSession, tablePath: String, v: Long,
+      store: CommitStore = CommitStore.local): Long =
+    Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
+      val dir = versionDir(tablePath, v)
+      if (!store.exists(dir)) throw new IllegalStateException(
+        s"$tablePath has no snapshot v$v (vacuumed or never committed)")
+      // materialize before writing: the source version is immutable,
+      // but the plan must not lazily re-list after the commit
+      val restored = spark.read.parquet(dir).localCheckpoint()
+      val newV = versions(tablePath, store).lastOption.getOrElse(0L) + 1
+      restored.write.mode(SaveMode.Overwrite)
+        .parquet(versionDir(tablePath, newV))
+      commitPointer(tablePath, newV, store)
+      newV
+    }
+
   /** Change-data-capture between two retained versions: one row per key
     * whose content changed, tagged insert/update/delete — the
     * `table_changes` complement of time travel, and what an incremental

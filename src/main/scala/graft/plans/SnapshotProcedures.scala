@@ -183,8 +183,11 @@ private[plans] object SnapshotProcedures {
             "version BIGINT, partitions_compacted INT"),
             Seq(row(v, parts.size)))
         case "restore" =>
-          val v = PartitionedSnapshots.restore(spark, t,
-            input.getLong(1), store)
+          val target = input.getLong(1)
+          val v =
+            if (PartitionedSnapshots.hasManifest(t, target, store))
+              PartitionedSnapshots.restore(spark, t, target, store)
+            else Snapshots.restore(spark, t, target, store)
           result(StructType.fromDDL("new_version BIGINT"), Seq(row(v)))
         case "publish" =>
           PartitionedSnapshots.publish(t, input.getLong(1), store)

@@ -767,6 +767,22 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("snap.droppable"))
   }
 
+  test("CALL restore works on BOTH formats: full-copy dims roll back " +
+      "as a new whole-copy version with linear history") {
+    val t = s"$root/dimrestore"
+    Snapshots.write(spark, t, Seq((1L, "x1")).toDF("id", "v"))   // v1
+    Snapshots.write(spark, t, Seq((1L, "x2"), (2L, "y"))
+      .toDF("id", "v"))                                          // v2
+    val out = spark.sql(
+      "CALL snap.system.restore('dimrestore', 1)").collect()
+    assert(out.head.getLong(0) == 3L)
+    assert(spark.sql("SELECT v FROM snap.dimrestore")
+      .as[String].collect().toSeq == Seq("x1"))
+    // history linear: the rolled-back state is still readable
+    assert(spark.sql("SELECT count(*) FROM snap.dimrestore " +
+      "VERSION AS OF 2").as[Long].head() == 2L)
+  }
+
   test("version tags from SQL: CALL tag -> VERSION AS OF 'name' -> " +
       "tags listing -> drop_tag; unknown tag refuses") {
     val t = s"$root/tagged"
