@@ -52,15 +52,23 @@ object Constraints {
         throw new IllegalStateException(
           s"constraint '$name' already exists on $t — drop it first")
       PartitionedSnapshots.currentVersion(t, store).foreach { v =>
-        val current =
-          if (PartitionedSnapshots.hasManifest(t, v, store))
-            PartitionedSnapshots.readVersion(spark, t, v, store)
-          else Snapshots.readVersion(spark, t, v, store)
-        val bad = current.filter(coalesce(not(expr(exprStr)), lit(false)))
-          .limit(3).collect()
-        if (bad.nonEmpty) throw new IllegalStateException(
-          s"cannot add constraint '$name' ($exprStr) to $t: existing " +
-            s"rows violate it, e.g. ${bad.mkString("; ")}")
+        // a keyed table primed with an empty batch (manifest present,
+        // zero partitions) validates vacuously — readVersion has no
+        // footers to scan
+        val emptyPrimed = PartitionedSnapshots.hasManifest(t, v, store) &&
+          PartitionedSnapshots.manifest(t, v, store).isEmpty
+        if (!emptyPrimed) {
+          val current =
+            if (PartitionedSnapshots.hasManifest(t, v, store))
+              PartitionedSnapshots.readVersion(spark, t, v, store)
+            else Snapshots.readVersion(spark, t, v, store)
+          val bad = current
+            .filter(coalesce(not(expr(exprStr)), lit(false)))
+            .limit(3).collect()
+          if (bad.nonEmpty) throw new IllegalStateException(
+            s"cannot add constraint '$name' ($exprStr) to $t: existing " +
+              s"rows violate it, e.g. ${bad.mkString("; ")}")
+        }
       }
       PartitionedSnapshots.updateProps(t,
         Map(Prefix + name -> exprStr), store = store)
@@ -140,11 +148,16 @@ object GeneratedColumns {
         throw new IllegalStateException(
           s"generated column '$colName' already recorded on $t")
       PartitionedSnapshots.currentVersion(t, store).foreach { v =>
+        // empty-primed keyed version: nothing to validate (see
+        // Constraints.add)
+        val emptyPrimed = PartitionedSnapshots.hasManifest(t, v, store) &&
+          PartitionedSnapshots.manifest(t, v, store).isEmpty
         val current =
-          if (PartitionedSnapshots.hasManifest(t, v, store))
-            PartitionedSnapshots.readVersion(spark, t, v, store)
-          else Snapshots.readVersion(spark, t, v, store)
-        if (current.columns.contains(colName)) {
+          if (emptyPrimed) None
+          else if (PartitionedSnapshots.hasManifest(t, v, store))
+            Some(PartitionedSnapshots.readVersion(spark, t, v, store))
+          else Some(Snapshots.readVersion(spark, t, v, store))
+        current.filter(_.columns.contains(colName)).foreach { current =>
           val c = org.apache.spark.sql.functions.col(colName)
           val bad = current
             .filter(c.isNotNull && !(c <=> expr(exprStr)))

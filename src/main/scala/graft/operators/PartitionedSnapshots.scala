@@ -184,12 +184,19 @@ object PartitionedSnapshots {
       // base = what a reader sees today: the current version's file
       // schema (mergeSchema union across evolved footers), widened by
       // any declared-only columns from a previous CREATE/ALTER
-      val fileSchema: Option[StructType] = currentVersion(t, store).map {
-        v =>
-          if (manifest(t, v, store).nonEmpty)
-            readVersion(spark, t, v, store).schema
-          else Snapshots.readVersion(spark, t, v, store).schema
-      }
+      // format routing by manifest-FILE existence (hasManifest), never
+      // manifest emptiness: a keyed table primed with an empty batch has
+      // an empty-but-present manifest and must still route as
+      // partitioned — with zero footers to read, so the declared schema
+      // alone is the base (same contract as the catalog read path)
+      val fileSchema: Option[StructType] =
+        currentVersion(t, store).flatMap { v =>
+          if (hasManifest(t, v, store)) {
+            if (manifest(t, v, store).nonEmpty)
+              Some(readVersion(spark, t, v, store).schema)
+            else None
+          } else Some(Snapshots.readVersion(spark, t, v, store).schema)
+        }
       val declared = tableProps(t, store).get("schema").map(j =>
         org.apache.spark.sql.types.DataType.fromJson(j)
           .asInstanceOf[StructType])
@@ -424,9 +431,27 @@ object PartitionedSnapshots {
   def restore(spark: SparkSession, t: String, v: Long,
       store: CommitStore = CommitStore.local): Long =
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
-      val m = manifest(t, v, store)
-      if (m.isEmpty) throw new IllegalStateException(
+      // committed-and-present, the Tags.set rule: the manifest FILE must
+      // exist (an empty manifest — keyed table primed with an empty
+      // batch — restores fine as an empty version) and v must be at or
+      // below the pointer (above it is a staged version or a crashed
+      // writer's orphan; publishing those is publish()'s job, never a
+      // restore side effect)
+      if (!hasManifest(t, v, store)) throw new IllegalStateException(
         s"$t has no snapshot v$v (vacuumed or never committed)")
+      val cur = currentVersion(t, store).getOrElse(
+        throw new IllegalStateException(
+          s"$t has no committed snapshot to restore"))
+      if (v > cur) throw new IllegalStateException(
+        s"$t v$v is staged or orphaned (pointer at v$cur) — only " +
+          "committed versions restore; use publish for staged versions")
+      val m = manifest(t, v, store)
+      // validation scan (read-only; a refusal burns nothing): CHECK
+      // constraints and generated columns recorded AFTER v must hold
+      // over the resurrected rows — the same choke point every data
+      // write passes. The restore itself stays zero-copy.
+      if (m.nonEmpty)
+        Constraints.prepare(readVersion(spark, t, v, store), t, store)
       val newV = versions(t, store).last + 1
       // no data write creates the version dir here, so make it: the dir
       // keeps numbering collision-free and hosts the manifest

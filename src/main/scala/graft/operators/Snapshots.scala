@@ -254,9 +254,24 @@ object Snapshots {
       val dir = versionDir(tablePath, v)
       if (!store.exists(dir)) throw new IllegalStateException(
         s"$tablePath has no snapshot v$v (vacuumed or never committed)")
-      // materialize before writing: the source version is immutable,
-      // but the plan must not lazily re-list after the commit
-      val restored = spark.read.parquet(dir).localCheckpoint()
+      // committed-and-present, the Tags.set rule: a dir ABOVE the
+      // pointer is a crashed writer's orphan (partial output that never
+      // flipped the pointer) — restoring it would publish data no
+      // commit ever vouched for
+      val cur = currentVersion(tablePath, store).getOrElse(
+        throw new IllegalStateException(
+          s"$tablePath has no committed snapshot to restore"))
+      if (v > cur) throw new IllegalStateException(
+        s"$tablePath v$v is an orphan from a crashed writer (pointer " +
+          s"at v$cur) — only committed versions restore")
+      // route through the single write choke point: CHECK constraints
+      // and generated columns recorded AFTER v must hold over the
+      // resurrected rows (refusal burns nothing — the version dir is
+      // only written below). Materialize before writing: the source
+      // version is immutable, but the plan must not lazily re-list
+      // after the commit.
+      val restored = Constraints.prepare(
+        spark.read.parquet(dir), tablePath, store).localCheckpoint()
       val newV = versions(tablePath, store).lastOption.getOrElse(0L) + 1
       restored.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, newV))

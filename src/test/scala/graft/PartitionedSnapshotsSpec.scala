@@ -816,4 +816,66 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     assert(PS.readBetween(spark, t2, "k", 12L, 12L, store = store)
       .count() == 1 && v2b == 2L)
   }
+
+  test("restore refuses versions ABOVE the pointer: a staged (or " +
+      "crashed-writer orphan) version can only publish, never restore") {
+    val t = tmpTable()
+    PS.write(spark, t, Seq((1L, "A", "a")).toDF("k", "d", "v"), "d")
+    val staged = PS.stageUpsert(spark, t,
+      Seq((2L, "B", "b")).toDF("k", "d", "v"), Seq("k"), "d")
+    val e = intercept[IllegalStateException](PS.restore(spark, t, staged))
+    assert(e.getMessage.contains("staged or orphaned"), e.getMessage)
+    assert(PS.currentVersion(t).contains(1L), "pointer untouched")
+    // the staged version still publishes through its own protocol
+    PS.publish(t, staged)
+    assert(rows(t) == Set((1L, "A", "a"), (2L, "B", "b")))
+  }
+
+  test("restore routes through the constraint choke point: a CHECK " +
+      "added after v refuses to resurrect violating rows (zero-copy " +
+      "preserved — the refusal is a read-only validation scan)") {
+    import graft.operators.Constraints
+    val t = tmpTable()
+    PS.write(spark, t, Seq((1L, "A", -5.0)).toDF("k", "d", "qty"), "d")
+    PS.upsert(spark, t, Seq((1L, "A", 5.0)).toDF("k", "d", "qty"),
+      Seq("k"), "d")
+    Constraints.add(spark, t, "qty_pos", "qty > 0") // current v2 passes
+    val e = intercept[IllegalStateException](PS.restore(spark, t, 1L))
+    assert(e.getMessage.contains("qty_pos"), e.getMessage)
+    assert(PS.currentVersion(t).contains(2L), "no version burned")
+    Constraints.drop(t, "qty_pos")
+    assert(PS.restore(spark, t, 1L) == 3L)
+    assert(PS.read(spark, t).select("k", "qty").as[(Long, Double)]
+      .collect().toSet == Set((1L, -5.0)))
+  }
+
+  test("empty-primed keyed version (manifest present, zero partitions)" +
+      " is a first-class citizen: ALTER ADD COLUMN routes as " +
+      "partitioned, constraints add vacuously, restore re-commits the " +
+      "empty manifest") {
+    import graft.operators.Constraints
+    import org.apache.spark.sql.types.StringType
+    val t = tmpTable()
+    PS.initTable(t, "d", spark.range(0).select(col("id").as("k"),
+      lit("").as("d"), lit("").as("v")).schema.json)
+    // prime with an EMPTY batch: v1 commits with a present-but-empty
+    // manifest — the case manifest-emptiness format detection misreads
+    PS.upsert(spark, t, spark.range(0).select(col("id").as("k"),
+      lit("x").as("d"), lit("y").as("v")), Seq("k"), "d")
+    assert(PS.hasManifest(t, 1L) && PS.manifest(t, 1L).isEmpty)
+    // pre-fix this routed to the full-copy reader, which scanned the
+    // version dir's control files as parquet and failed
+    PS.addColumn(spark, t, "extra", StringType)
+    Constraints.add(spark, t, "k_nonneg", "k >= 0") // vacuous over v1
+    PS.upsert(spark, t,
+      Seq((7L, "x", "y", "e")).toDF("k", "d", "v", "extra"),
+      Seq("k"), "d")
+    assert(PS.read(spark, t).columns.toSet ==
+      Set("k", "d", "v", "extra"))
+    // rolling back to the empty primed version re-commits an empty
+    // manifest (an empty table state is restorable like any other)
+    val v3 = PS.restore(spark, t, 1L)
+    assert(PS.hasManifest(t, v3) && PS.manifest(t, v3).isEmpty)
+    assert(PS.currentVersion(t).contains(v3))
+  }
 }

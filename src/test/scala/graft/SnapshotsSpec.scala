@@ -269,4 +269,29 @@ class SnapshotsSpec extends AnyFunSuite {
     System.err.println(s"[snapshots-e2e] $pinnedReads pinned + " +
       s"$currentReads current consistent reads during $generations-gen rebuild")
   }
+
+  test("restore refuses crashed-writer orphans (dir above the pointer)" +
+      " and routes resurrected rows through the constraint choke point") {
+    import graft.operators.{CommitStore, Constraints}
+    val t = tmpTable()
+    Snapshots.write(spark, t, Seq((1L, -5.0)).toDF("k", "qty"))
+    Snapshots.write(spark, t, Seq((1L, 5.0)).toDF("k", "qty"))
+    // simulate a writer that crashed after its data write but before
+    // the pointer flip: a fully-formed version dir ABOVE the pointer
+    Seq((9L, 9.0)).toDF("k", "qty").write
+      .parquet(s"$t/_snapshots/v00003")
+    assert(CommitStore.local.exists(s"$t/_snapshots/v00003"))
+    val e = intercept[IllegalStateException](Snapshots.restore(spark, t, 3L))
+    assert(e.getMessage.contains("orphan"), e.getMessage)
+    assert(Snapshots.currentVersion(t).contains(2L), "pointer untouched")
+    // a CHECK added after v1 (valid on current v2) blocks resurrecting
+    // v1's violating rows; dropping it lets the restore through
+    Constraints.add(spark, t, "qty_pos", "qty > 0")
+    val e2 = intercept[IllegalStateException](Snapshots.restore(spark, t, 1L))
+    assert(e2.getMessage.contains("qty_pos"), e2.getMessage)
+    Constraints.drop(t, "qty_pos")
+    val v = Snapshots.restore(spark, t, 1L)
+    assert(Snapshots.read(spark, t).select("qty").as[Double]
+      .collect().toSeq == Seq(-5.0) && v == 4L)
+  }
 }
