@@ -164,12 +164,15 @@ object ChangeFeed {
   def readStream(spark: SparkSession, t: String,
       keys: Seq[String] = Nil, preImages: Boolean = false,
       latestOnly: Boolean = false,
-      consumerId: Option[String] = None): DataFrame = {
+      consumerId: Option[String] = None,
+      storeName: Option[String] = None): DataFrame = {
     var r = spark.readStream.format("graft-changes").option("path", t)
     if (keys.nonEmpty) r = r.option("keys", keys.mkString(","))
     if (preImages) r = r.option("preImages", "true")
     if (latestOnly) r = r.option("startingVersion", "latest")
     consumerId.foreach(c => r = r.option("consumerId", c))
+    // "local" | "hadoop" | a CommitStore.register-ed binding name
+    storeName.foreach(s => r = r.option("store", s))
     r.load()
   }
 

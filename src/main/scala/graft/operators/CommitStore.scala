@@ -229,6 +229,38 @@ object CommitStore {
     * a concurrent replacement. */
   def httpObjectS3(endpoint: String): CommitStore =
     new HttpObjectCommitStore(endpoint, conditionalDelete = false)
+
+  /** NAMED BINDINGS — the string plug point for surfaces that only
+    * receive string options (the `graft-changes` streaming source's
+    * `.option("store", …)`, checkpointed restarts, SQL). [[register]]
+    * binds a CONFIGURED instance (an authenticated object client, a
+    * tuned Hadoop conf) to a name; [[resolve]] maps a spec string to a
+    * store: `"local"`, `"hadoop"`, or a registered name. Unknown specs
+    * refuse loudly with the valid ones — never a silent fall-through
+    * to the wrong binding. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitStore]()
+
+  def register(name: String, store: CommitStore): Unit = {
+    require(name.nonEmpty && !Set("local", "hadoop")(name),
+      s"'$name' is reserved or empty")
+    registry.put(name, store)
+  }
+
+  def resolve(spec: String): CommitStore = spec match {
+    case "local" => local
+    case "hadoop" => hadoop()
+    case other => Option(registry.get(other)).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown CommitStore binding '$other' — valid: local, hadoop" +
+          (if (registry.isEmpty) ""
+           else {
+             import scala.jdk.CollectionConverters._
+             registry.keySet.asScala.toSeq.sorted
+               .mkString(", ", ", ", "")
+           }) +
+          "; bind configured instances via CommitStore.register(name, store)"))
+  }
 }
 
 /** java.nio implementation — atomic on POSIX. */

@@ -415,7 +415,12 @@ object PartitionedSnapshots {
       val referenced = retainedManifests
         .flatMap(v => manifest(t, v, store).values).toSet ++
         retainedManifests
-      val drop = (committed.filterNot(referenced) ++ orphans).distinct.sorted
+      val committedDrops = committed.filterNot(referenced)
+      // streaming exactly-once: a committed version's txn marker
+      // outlives its version dir (Txns sidecar) — orphans' markers
+      // were never visible and are NOT preserved
+      Txns.preserve(t, committedDrops, v => commitTxn(t, v, store), store)
+      val drop = (committedDrops ++ orphans).distinct.sorted
       drop.foreach(v => store.deleteRecursively(versionDir(t, v)))
       drop
     }
@@ -1085,12 +1090,15 @@ object PartitionedSnapshots {
     * per retained version. */
   def lastCommittedEpoch(t: String, appId: String,
       store: CommitStore = CommitStore.local): Option[Long] = {
-    val cur = currentVersion(t, store).getOrElse(return None)
-    versions(t, store).filter(_ <= cur)
-      .flatMap(v => commitTxn(t, v, store))
-      .collect { case s if s.startsWith(appId + "/") =>
-        s.substring(appId.length + 1).toLong }
-      .maxOption
+    // retained version metas ∪ the vacuum-preserved Txns sidecar: the
+    // marker stays visible across its version's reclamation
+    val fromMetas = currentVersion(t, store).toSeq.flatMap { cur =>
+      versions(t, store).filter(_ <= cur)
+        .flatMap(v => commitTxn(t, v, store))
+        .collect { case s if s.startsWith(appId + "/") =>
+          s.substring(appId.length + 1).toLong }
+    }
+    (fromMetas ++ Txns.get(t, appId, store)).maxOption
   }
 
   /** TIMESTAMP AS OF: the newest version PUBLISHED at or before

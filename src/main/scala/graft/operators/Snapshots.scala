@@ -237,7 +237,12 @@ object Snapshots {
       // tagged versions are retained regardless of recency (Tags)
       val retained = committed.takeRight(keep).toSet + cur ++
         Tags.taggedVersions(tablePath, store)
-      val drop = (committed.filterNot(retained) ++ orphans).sorted
+      val committedDrops = committed.filterNot(retained)
+      // streaming exactly-once: preserve committed versions' txn
+      // markers past reclamation (Txns sidecar); orphans excluded
+      Txns.preserve(tablePath, committedDrops,
+        v => commitTxn(tablePath, v, store), store)
+      val drop = (committedDrops ++ orphans).sorted
       drop.foreach(v => store.deleteRecursively(versionDir(tablePath, v)))
       drop
     }
@@ -420,12 +425,16 @@ object Snapshots {
     * format. */
   def lastCommittedEpoch(tablePath: String, appId: String,
       store: CommitStore = CommitStore.local): Option[Long] = {
-    val cur = currentVersion(tablePath, store).getOrElse(return None)
-    versions(tablePath, store).filter(_ <= cur)
-      .flatMap(v => commitTxn(tablePath, v, store))
-      .collect { case s if s.startsWith(appId + "/") =>
-        s.substring(appId.length + 1).toLong }
-      .maxOption
+    // retained version metas ∪ the vacuum-preserved Txns sidecar (see
+    // [[Txns]])
+    val fromMetas = currentVersion(tablePath, store).toSeq.flatMap {
+      cur =>
+        versions(tablePath, store).filter(_ <= cur)
+          .flatMap(v => commitTxn(tablePath, v, store))
+          .collect { case s if s.startsWith(appId + "/") =>
+            s.substring(appId.length + 1).toLong }
+    }
+    (fromMetas ++ Txns.get(tablePath, appId, store)).maxOption
   }
 
   /** TIMESTAMP AS OF: newest version published at or before `tsMs` —

@@ -38,7 +38,12 @@ import org.apache.spark.sql.types.StructType
   * epoch makes `commit` skip the re-apply entirely. That closes the
   * keyless-append duplication window a bare foreachBatch upsert leaves
   * open, and costs one metadata-sized scan of retained version metas
-  * per epoch. */
+  * per epoch. The marker is also '''vacuum-durable''': when vacuum
+  * reclaims a committed txn-bearing version, it first merges the
+  * epoch into the table's `_txns/<queryId>` sidecar
+  * ([[graft.operators.Txns]]), so an idle stream's marker survives any
+  * retention policy — unlike Delta, whose exactly-once guarantee ends
+  * at its txn-retention window. */
 private[plans] final class SnapshotStreamingWrite(
     tablePath: String, writeSchema: StructType, queryId: String,
     partCol: Option[String], keys: Seq[String], truncate: Boolean,

@@ -17,9 +17,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * spark.readStream.format("graft-changes")
   *   .option("path", "/warehouse/sales")     // or snap-catalog path
   *   .option("keys", "k")                    // omit if recorded
-  *   .load()                                 // rows + change_type
-  *   .writeStream…
-  * }}}
+  *   .option("store", "prod-s3")             // CommitStore binding:
+  *   .load()                                 //   local (default),
+  *   .writeStream…                           //   hadoop, or a
+  * }}}                                       //   registered name
   *
   * This is the V1 `Source` seam (the one Delta's own streaming source
   * uses): `getBatch(start, end)` returns an ordinary DataFrame, which
@@ -63,11 +64,26 @@ private[streaming] object ChangeFeedSource {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-changes requires .option(\"path\", <snapshot table dir>)"))
 
-  def current(spark: SparkSession, t: String,
-      store: CommitStore): DataFrame = {
+  /** The CommitStore binding this stream tails: `.option("store",
+    * "local|hadoop|<registered name>")`, default local. A name is a
+    * [[CommitStore.register]]-ed instance (how an object-store client
+    * with live credentials becomes addressable from string options —
+    * the same value works across checkpointed restarts as long as the
+    * driver re-registers it at startup). Unknown names refuse loudly
+    * at stream CREATION, not with a confusing empty-table error at
+    * first batch. */
+  def storeSpec(parameters: Map[String, String]): String =
+    parameters.getOrElse("store", "local")
+
+  def storeOf(parameters: Map[String, String]): CommitStore =
+    CommitStore.resolve(storeSpec(parameters))
+
+  def current(spark: SparkSession, t: String, store: CommitStore,
+      spec: String): DataFrame = {
     val v = PartitionedSnapshots.currentVersion(t, store).getOrElse(
       throw new IllegalStateException(
-        s"graft-changes: $t has no committed snapshot"))
+        s"graft-changes: $t has no committed snapshot on store " +
+          s"binding '$spec' — wrong .option(\"store\", …)?"))
     if (PartitionedSnapshots.hasManifest(t, v, store))
       PartitionedSnapshots.readVersion(spark, t, v, store)
     else Snapshots.readVersion(spark, t, v, store)
@@ -76,7 +92,7 @@ private[streaming] object ChangeFeedSource {
   def schemaFor(spark: SparkSession,
       parameters: Map[String, String]): StructType = {
     val base = current(spark, tableOf(parameters),
-      CommitStore.local).schema
+      storeOf(parameters), storeSpec(parameters)).schema
     StructType(base.fields :+ StructField("change_type", StringType))
   }
 }
@@ -84,7 +100,8 @@ private[streaming] object ChangeFeedSource {
 private[streaming] final class ChangeFeedSource(spark: SparkSession,
     parameters: Map[String, String]) extends Source {
 
-  private val store: CommitStore = CommitStore.local
+  private val storeSpec = ChangeFeedSource.storeSpec(parameters)
+  private val store: CommitStore = ChangeFeedSource.storeOf(parameters)
   private val t = ChangeFeedSource.tableOf(parameters)
   private val preImages =
     parameters.get("preImages").exists(_.toBoolean)
@@ -129,7 +146,7 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     val fromV = start.map(versionOf).orElse(startingVersion)
     fromV match {
       case Some(s) if s >= endV =>
-        ChangeFeedSource.current(spark, t, store).limit(0)
+        ChangeFeedSource.current(spark, t, store, storeSpec).limit(0)
           .withColumn("change_type", lit(null).cast("string"))
       case Some(s) =>
         if (PartitionedSnapshots.hasManifest(t, endV, store))

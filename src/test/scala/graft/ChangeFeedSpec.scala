@@ -399,6 +399,67 @@ class ChangeFeedSpec extends AnyFunSuite {
       s"cursor must advance as batches complete: ${CF.cursor(t, "stream-1")}")
   }
 
+  test("streaming CDC source tails a table on a NON-LOCAL CommitStore" +
+      " binding via .option(store); missing/unknown bindings refuse " +
+      "loudly naming the cause") {
+    import graft.operators.CommitStore
+    // the non-local binding a snapshot TABLE can fully live on is one
+    // whose namespace Spark's parquet data plane shares — the Hadoop
+    // FileSystem binding (an object binding hosts control files in its
+    // own keyspace, so it can't serve a table's data-dir listings);
+    // register a CONFIGURED instance under a name, the way a real
+    // deployment would bind an authenticated client
+    val had = CommitStore.hadoop()
+    CommitStore.register("cfs-test-hdfs", had)
+    val t = tmp()
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d",
+      had)
+    val cp = Files.createTempDirectory("graft_cfs_store").toString
+    def drain(): Seq[(Long, String)] = {
+      val sink = new scala.collection.mutable.ArrayBuffer[
+        Seq[(Long, String)]]()
+      val q = CF.readStream(spark, t, keys = Seq("k"),
+        storeName = Some("cfs-test-hdfs"))
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          sink += b.select(col("k"), col("change_type"))
+            .as[(Long, String)].collect().toSeq
+          ()
+        })
+        .start()
+      q.awaitTermination()
+      sink.toSeq.flatten.sortBy(_._1)
+    }
+    assert(drain() == Seq((1L, "insert")),
+      "bootstrap through the registered hadoop binding")
+    PS.upsert(spark, t, Seq((2L, "B", "b1")).toDF("k", "d", "v"),
+      Seq("k"), "d", store = had)
+    assert(drain() == Seq((2L, "insert")),
+      "tail a commit made on the hadoop binding")
+
+    // selecting a binding where the table does NOT exist refuses with
+    // the binding named — not a bare "no committed snapshot"
+    val obj = CommitStore.inMemoryObject()
+    CommitStore.register("cfs-test-object", obj)
+    val e = intercept[Exception] {
+      CF.readStream(spark, t, keys = Seq("k"),
+        storeName = Some("cfs-test-object"))
+    }
+    assert(e.getMessage.contains("store binding 'cfs-test-object'"),
+      e.getMessage)
+    // an unregistered name refuses at stream CREATION with valid specs
+    val e2 = intercept[Exception] {
+      CF.readStream(spark, t, keys = Seq("k"),
+        storeName = Some("no-such-binding"))
+    }
+    assert(e2.getMessage.contains("unknown CommitStore binding"),
+      e2.getMessage)
+    // the built-in specs resolve without registration
+    assert(CommitStore.resolve("local") eq CommitStore.local)
+    assert(CommitStore.resolve("hadoop") != null)
+  }
+
   test("a consumer behind the retention horizon fails loudly with " +
       "re-bootstrap instructions; reset re-bootstraps") {
     val t = tmp()

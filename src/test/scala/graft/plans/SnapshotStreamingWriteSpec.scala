@@ -60,4 +60,96 @@ class SnapshotStreamingWriteSpec extends AnyFunSuite {
     assert(PS.lastCommittedEpoch(t, "q-test").contains(8L))
     assert(PS.read(spark, t).count() == 3)
   }
+
+  test("the txn marker is VACUUM-DURABLE: foreign commits age the " +
+      "sink's txn-bearing version past keep, vacuum reclaims it, the " +
+      "query crashes before its checkpoint — the restarted epoch is " +
+      "still skipped (keyless append does not duplicate)") {
+    import graft.operators.Txns
+    val root = Files.createTempDirectory("graft_ssw_vac").toString
+    val t = s"$root/t"
+    PS.write(spark, t, Seq((1L, "A", "x")).toDF("k", "d", "v"), "d") // v1
+    val schema = PS.read(spark, t).schema
+    val w = new SnapshotStreamingWrite(t, schema, "q-vac",
+      Some("d"), Nil, truncate = false, CommitStore.local)
+    def staged(rows: Seq[(Long, String, String)], name: String): String = {
+      val dir = s"$root/$name"
+      rows.toDF("k", "d", "v").coalesce(1).write.parquet(dir)
+      Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+    }
+
+    // the sink commits epoch 3, then goes idle (query down, its
+    // checkpoint never recorded the epoch)
+    w.commit(3L, Array(StagedEpochFiles(
+      staged(Seq((2L, "A", "y")), "e3"), 1L)))
+    val txnVersion = PS.currentVersion(t).get
+    assert(PS.commitTxn(t, txnVersion).contains("q-vac/3"))
+
+    // foreign writers land more commits; every partition rewrites so
+    // ownership cannot save the txn-bearing version from recency GC
+    PS.upsert(spark, t, Seq((1L, "A", "x2"), (2L, "A", "y2"))
+      .toDF("k", "d", "v"), Seq("k"), "d")
+    PS.upsert(spark, t, Seq((1L, "A", "x3"), (2L, "A", "y3"))
+      .toDF("k", "d", "v"), Seq("k"), "d")
+    val dropped = PS.vacuum(t, keep = 1)
+    assert(dropped.contains(txnVersion),
+      s"vacuum must reclaim the txn-bearing v$txnVersion, dropped $dropped")
+    assert(!CommitStore.local.exists(
+      f"$t/_snapshots/v$txnVersion%05d"), "meta dir gone")
+    // the high-water mark survived in the sidecar and through the API
+    assert(Txns.get(t, "q-vac").contains(3L))
+    assert(PS.lastCommittedEpoch(t, "q-vac").contains(3L))
+
+    // restart replays epoch 3 (crash was before the checkpoint):
+    // KEYLESS table — an un-skipped re-apply would append a duplicate
+    val before = PS.read(spark, t).count()
+    w.commit(3L, Array(StagedEpochFiles(
+      staged(Seq((2L, "A", "y")), "e3b"), 1L)))
+    assert(PS.read(spark, t).count() == before,
+      "vacuum lost the marker: replayed epoch duplicated rows")
+
+    // epoch 4 applies and ADVANCES past the sidecar mark
+    w.commit(4L, Array(StagedEpochFiles(
+      staged(Seq((3L, "B", "z")), "e4"), 1L)))
+    assert(PS.lastCommittedEpoch(t, "q-vac").contains(4L))
+  }
+
+  test("orphans do NOT poison the sidecar: a crashed epoch commit " +
+      "(meta written, pointer never flipped) is vacuumed WITHOUT " +
+      "preserving its marker, so the restarted epoch re-applies") {
+    import graft.operators.{Snapshots, Txns}
+    val root = Files.createTempDirectory("graft_ssw_orph").toString
+    val t = s"$root/t"
+    Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v")) // v1
+    // hand-craft a crashed streaming commit: full-copy v2 dir + meta
+    // carrying the txn, but the pointer still at v1
+    Seq((2L, "b")).toDF("k", "v").write.parquet(s"$t/_snapshots/v00002")
+    CommitStore.local.write(s"$t/_snapshots/v00002/_commit_meta",
+      s"ts=${System.currentTimeMillis}\ntxn=q-orph/5".getBytes("UTF-8"))
+    assert(Snapshots.currentVersion(t).contains(1L))
+    // the orphan's marker must already be invisible (above the pointer)
+    assert(Snapshots.lastCommittedEpoch(t, "q-orph").isEmpty)
+    val dropped = Snapshots.vacuum(t, keep = 1)
+    assert(dropped == Seq(2L))
+    assert(Txns.get(t, "q-orph").isEmpty,
+      "vacuum preserved an orphan's txn marker — a restarted query " +
+        "would wrongly skip the never-applied epoch")
+    assert(Snapshots.lastCommittedEpoch(t, "q-orph").isEmpty)
+  }
+
+  test("full-copy format: vacuum preserves committed txn marks in the" +
+      " sidecar too") {
+    import graft.operators.{Snapshots, Txns}
+    val root = Files.createTempDirectory("graft_ssw_fc").toString
+    val t = s"$root/t"
+    Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"),
+      txn = Some("q-fc/11"))
+    Snapshots.write(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Snapshots.write(spark, t, Seq((1L, "a"), (3L, "c")).toDF("k", "v"))
+    assert(Snapshots.lastCommittedEpoch(t, "q-fc").contains(11L))
+    assert(Snapshots.vacuum(t, keep = 1) == Seq(1L, 2L))
+    assert(Txns.get(t, "q-fc").contains(11L))
+    assert(Snapshots.lastCommittedEpoch(t, "q-fc").contains(11L))
+  }
 }
