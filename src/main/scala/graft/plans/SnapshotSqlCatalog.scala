@@ -504,7 +504,13 @@ private[plans] class SnapshotWritableTable(
         // df.writeStream.toTable("snap.t"): stage on executors, commit
         // each epoch as a snapshot version (see SnapshotStreamingWrite)
         override def toStreaming: org.apache.spark.sql.connector.write
-            .streaming.StreamingWrite =
+            .streaming.StreamingWrite = {
+          // schema gate at stream start: type conflicts refuse; new
+          // columns evolve unless .option("evolveSchema", "false")
+          SnapshotStreamingWrite.validateSchema(inner.name,
+            inner.schema, info.schema(),
+            Option(info.options.get("evolveSchema"))
+              .forall(_.toBoolean))
           new SnapshotStreamingWrite(tablePath, info.schema(),
             info.queryId(), Some(partCol),
             PartitionedSnapshots.tableProps(tablePath, store).get("keys")
@@ -515,6 +521,7 @@ private[plans] class SnapshotWritableTable(
             // file-stats index fresh per epoch (streamCommit parity)
             Option(info.options.get("zoneMapCols")).toSeq
               .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+        }
       }
     }
 }
@@ -634,13 +641,18 @@ private[plans] class FullCopyWritableTable(
                 Snapshots.append(data.sparkSession, tablePath, data, store)
           }
         override def toStreaming: org.apache.spark.sql.connector.write
-            .streaming.StreamingWrite =
+            .streaming.StreamingWrite = {
+          SnapshotStreamingWrite.validateSchema(inner.name,
+            inner.schema, info.schema(),
+            Option(info.options.get("evolveSchema"))
+              .forall(_.toBoolean))
           new SnapshotStreamingWrite(tablePath, info.schema(),
             info.queryId(), None,
             PartitionedSnapshots.tableProps(tablePath, store).get("keys")
               .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
               .getOrElse(Nil),
             overwrite, store)
+        }
       }
     }
 }

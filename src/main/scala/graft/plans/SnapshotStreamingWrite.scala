@@ -43,7 +43,16 @@ import org.apache.spark.sql.types.StructType
   * epoch into the table's `_txns/<queryId>` sidecar
   * ([[graft.operators.Txns]]), so an idle stream's marker survives any
   * retention policy — unlike Delta, whose exactly-once guarantee ends
-  * at its txn-retention window. */
+  * at its txn-retention window.
+  *
+  * '''Schema evolution''' follows the engine's batch
+  * `append_new_columns` contract: a restarted stream carrying new
+  * columns widens the table (existing rows read them as null;
+  * constraints and generated columns apply unchanged), gated by
+  * [[SnapshotStreamingWrite.validateSchema]] at stream start —
+  * `.option("evolveSchema", "false")` makes upstream drift fail the
+  * stream instead, and type conflicts on shared columns always refuse
+  * (committed footers are immutable). */
 private[plans] final class SnapshotStreamingWrite(
     tablePath: String, writeSchema: StructType, queryId: String,
     partCol: Option[String], keys: Seq[String], truncate: Boolean,
@@ -135,6 +144,53 @@ private[plans] final class SnapshotStreamingWrite(
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     store.deleteRecursively(stagingDir(epochId))
+}
+
+private[plans] object SnapshotStreamingWrite {
+
+  /** SCHEMA EVOLUTION GATE, applied once at stream (re)start — the
+    * point where a restarted query's source can legitimately differ
+    * from the table (within one run Spark pins the source schema):
+    *
+    *  - columns shared with the table must match types EXACTLY — the
+    *    partitioned format's untouched partitions keep their old
+    *    footers, and a diverging type would not fail here but at some
+    *    later mergeSchema READ, far from the cause;
+    *  - NEW columns evolve the target (existing rows read them as
+    *    null) when `evolveSchema` — the default, matching the batch
+    *    upsert/append `append_new_columns` contract this sink commits
+    *    through — and refuse loudly, naming the columns, when the
+    *    operator set `.option("evolveSchema", "false")` to make
+    *    upstream drift fail the stream instead of widening the table;
+    *  - columns the stream OMITS are fine either way: epochs fill them
+    *    as null (and generated columns compute at the write gate). */
+  def validateSchema(tableName: String, tableSchema: StructType,
+      writeSchema: StructType, evolveSchema: Boolean): Unit = {
+    val byName = tableSchema.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    val conflicts = writeSchema.fields.flatMap { f =>
+      byName.get(f.name.toLowerCase(java.util.Locale.ROOT)).collect {
+        case tf if tf.dataType != f.dataType =>
+          s"${f.name} (stream ${f.dataType.simpleString}, table " +
+            s"${tf.dataType.simpleString})"
+      }
+    }
+    if (conflicts.nonEmpty) throw new IllegalArgumentException(
+      s"$tableName: stream column types conflict with the table's — " +
+        conflicts.mkString(", ") + ". Committed footers are immutable; " +
+        "cast the stream to the table's types (or CTAS-migrate the " +
+        "table) before writing.")
+    val extra = writeSchema.fields.filterNot(f =>
+      byName.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
+    if (extra.nonEmpty && !evolveSchema)
+      throw new IllegalArgumentException(
+        s"$tableName: stream carries new column" +
+          s"${if (extra.length > 1) "s" else ""} " +
+          extra.map(_.name).mkString(", ") +
+          " and evolveSchema=false — drop the columns upstream, or " +
+          "remove the option to let the epoch widen the table " +
+          "(existing rows read the new columns as null)")
+  }
 }
 
 /** One staged parquet file a task wrote for its epoch. */

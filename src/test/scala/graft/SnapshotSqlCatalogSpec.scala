@@ -573,6 +573,90 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       PS.commitTxn(t, cur).get.split('/').head).nonEmpty)
   }
 
+  test("streaming sink schema evolution: a restarted stream with a new" +
+      " column widens a KEYED table (old rows read null, constraints " +
+      "and generated columns preserved); evolveSchema=false and type " +
+      "conflicts refuse at stream start") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val t = s"$root/evol" // touch root first: registers the catalog
+    val srcDir = Files.createTempDirectory("graft_evol_src").toString
+    val cp = Files.createTempDirectory("graft_evol_cp").toString
+    // keyed table with a CHECK constraint and a generated column the
+    // stream never supplies
+    PS.upsert(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    graft.operators.Constraints.add(spark, t, "k_pos", "k > 0")
+    graft.operators.GeneratedColumns.add(spark, t, "v_up", "upper(v)")
+    def writeJson(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(srcDir, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    def run(schema: StructType, opts: Map[String, String] = Map.empty)
+        : Unit = {
+      var w = spark.readStream.schema(schema).json(srcDir)
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      opts.foreach { case (k, v) => w = w.option(k, v) }
+      w.toTable("snap.evol").awaitTermination()
+    }
+    val s1 = StructType(Seq(StructField("k", LongType),
+      StructField("d", StringType), StructField("v", StringType)))
+    writeJson("a.json", Seq("""{"k":2,"d":"A","v":"b1"}"""))
+    run(s1)
+    assert(spark.sql("SELECT k, v_up FROM snap.evol")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "A1"), (2L, "B1")), "generated column computes per epoch")
+
+    // upstream adds a column; the restarted stream widens the table
+    val s2 = StructType(s1.fields :+ StructField("extra", StringType))
+    writeJson("b.json", Seq("""{"k":2,"d":"A","v":"b2","extra":"x"}"""))
+    run(s2)
+    assert(spark.sql("SELECT k, v, extra FROM snap.evol ORDER BY k")
+      .as[(Long, String, Option[String])].collect().toSeq ==
+      Seq((1L, "a1", None), (2L, "b2", Some("x"))),
+      "keyed epoch upsert must widen; pre-existing rows read null")
+    assert(spark.sql("SELECT k, v_up FROM snap.evol WHERE k = 2")
+      .as[(Long, String)].head() == ((2L, "B2")),
+      "generated column recomputed through the evolved epoch")
+    // the CHECK constraint still gates post-evolution epochs
+    writeJson("c.json", Seq("""{"k":-9,"d":"A","v":"bad","extra":"y"}"""))
+    val ce = intercept[Exception] { run(s2) }
+    assert(ce.getMessage != null && (ce.getMessage.contains("k_pos") ||
+      ce.getCause != null && ce.getCause.getMessage.contains("k_pos")),
+      s"constraint must survive evolution: ${ce.getMessage}")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(srcDir, "c.json"))
+
+    // strict mode: a FRESH stream carrying yet another new column
+    // refuses at start, naming it
+    val s3 = StructType(s2.fields :+ StructField("extra2", StringType))
+    writeJson("d.json",
+      Seq("""{"k":3,"d":"A","v":"c1","extra":"x","extra2":"z"}"""))
+    val cp2 = Files.createTempDirectory("graft_evol_cp2").toString
+    val se = intercept[Exception] {
+      var w = spark.readStream.schema(s3).json(srcDir)
+        .writeStream.option("checkpointLocation", cp2)
+        .option("evolveSchema", "false")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      w.toTable("snap.evol").awaitTermination()
+    }
+    def msgChain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgChain(se).contains("extra2") &&
+      msgChain(se).contains("evolveSchema=false"), msgChain(se))
+
+    // a TYPE conflict refuses at stream start regardless of the option
+    val sBad = StructType(Seq(StructField("k", LongType),
+      StructField("d", StringType), StructField("v", LongType)))
+    val cp3 = Files.createTempDirectory("graft_evol_cp3").toString
+    val te = intercept[Exception] {
+      spark.readStream.schema(sBad).json(srcDir)
+        .writeStream.option("checkpointLocation", cp3)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("snap.evol").awaitTermination()
+    }
+    assert(msgChain(te).contains("types conflict"), msgChain(te))
+  }
+
   test("ALTER TABLE ADD COLUMN: old rows null, next INSERT carries it, " +
       "old versions readable, constraints preserved") {
     val t = s"$root/alt"
