@@ -220,22 +220,56 @@ final class ReferencePipeline(spark: SparkSession, baseDir: String,
 
     // ── dimensions + metrics (table, change-gated) ──
     // A `table` materialization is a pure function of its inputs, so a
-    // rebuild whose every upstream model provably did NOT change this
-    // run (the upserts' no-op/changed-partition detection returned
-    // false) would overwrite the target with identical content — the
-    // day-2/day-3 floor the round-8 verdict measured at ~20-25 s. Skip
-    // it: rebuild iff any upstream changed or the target is missing
-    // (first run / crash recovery). `changeGated = false` restores the
-    // reference's rebuild-always behavior. Skipped models are NOT
-    // marked changed, so the gate propagates through dim → metric
-    // edges (dim_date feeding metrics_daily_kpis).
+    // rebuild whose every upstream model provably did NOT change would
+    // overwrite the target with identical content — the day-2/day-3
+    // floor the round-8 verdict measured at ~20-25 s. Skip it: rebuild
+    // iff any upstream changed since the LAST SUCCESSFUL rebuild, or
+    // the target is missing. `changeGated = false` restores the
+    // reference's rebuild-always behavior.
+    //
+    // The gate is CRASH-SAFE by derivation, not bookkeeping (round-9
+    // ADVICE #1): each rebuild records the consumed upstream state in a
+    // `.__deps` sidecar as a fingerprint of the upstreams' FILE
+    // LISTINGS — the dir-swap materializer gives every changed write
+    // new uuid-named files while no-op re-admits are byte/mtime-pinned,
+    // so the fingerprint moves exactly when content does. A crash
+    // between a fact upsert's commit and the dim rebuild leaves the
+    // sidecar pointing at the PRE-upsert listing; the next run's
+    // fingerprints mismatch and the rebuild happens even though that
+    // run's own upserts are content-equal no-ops. (A persisted
+    // "changed" flag would re-open the same window on the other side —
+    // crash between upsert and flag write.) Sidecar written AFTER the
+    // overwrite: a crash between them only costs one spurious rebuild.
+    def depsPath(name: String) = modelPaths(name) + ".__deps"
+    def listingFp(name: String): String = {
+      def walk(dir: String): Seq[String] =
+        store.listEntries(dir).sortBy(_.name).flatMap { e =>
+          if (e.isDir) walk(s"$dir/${e.name}")
+          else Seq(s"${e.name}:${e.bytes}")
+        }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.util.Base64.getEncoder.encodeToString(
+        md.digest(walk(modelPaths(name)).mkString("\n").getBytes("UTF-8")))
+    }
     def tableModel(name: String, upstream: Seq[String])(
         build: => DataFrame): Unit = {
+      // in-memory `changed` is the fast path (skip the listings when
+      // this run already knows an upstream moved); the sidecar
+      // comparison is the crash-proof authority
+      val sig = if (changeGated && !upstream.exists(changed))
+        Some(upstream.map(u => s"$u=${listingFp(u)}").mkString(";"))
+      else None
+      val prev = sig.flatMap(_ =>
+        store.read(depsPath(name)).map(new String(_, "UTF-8")))
       val skip = changeGated && store.exists(modelPaths(name)) &&
-        !upstream.exists(changed)
+        sig.isDefined && prev == sig
       if (skip) System.err.println(f"   [dbt] $name%-34s skipped " +
         s"(upstreams unchanged: ${upstream.mkString(",")})")
-      else { overwrite(name, build); changed += name; () }
+      else {
+        overwrite(name, build); changed += name
+        val after = upstream.map(u => s"$u=${listingFp(u)}").mkString(";")
+        store.write(depsPath(name), after.getBytes("UTF-8"))
+      }
     }
     timed("dims (4x table, change-gated)") {
       tableModel("dim_session_context", Seq("fact_events")) {

@@ -134,4 +134,67 @@ class ReferencePipelineSpec extends AnyFunSuite {
         s"$m was not rebuilt after its upstreams changed")
     }
   }
+
+  test("change-gate crash recovery: a fact change committed by a run " +
+      "that died BEFORE dims/metrics rebuilds them on the next run, " +
+      "even though that run's own upserts are content-equal no-ops") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_refpipe_crash").toString
+    val p = new ReferencePipeline(spark, base)
+    val (ev6, ord6) = ReferenceFixtures.bronze(spark, 6)
+    p.run(ev6, ord6)
+
+    // the crashed run: its fact_orders upsert COMMITTED (simulated as
+    // an out-of-band keyed upsert bumping one order's amount through
+    // the same materializer), then the process died before any
+    // dim/metric rebuilt — the exact round-9 ADVICE window
+    val victim = p.table("fact_orders")
+      .orderBy(col("order_id")).limit(1).localCheckpoint()
+    val orderId = victim.select("order_id").as[String](
+      org.apache.spark.sql.Encoders.STRING).head()
+    val userId = victim.select("user_id").as[String](
+      org.apache.spark.sql.Encoders.STRING).head()
+    val oldRev = p.table("dim_users")
+      .filter(col("user_id") === userId)
+      .select("lifetime_revenue").as[Double](
+        org.apache.spark.sql.Encoders.scalaDouble).head()
+    val inc = new graft.operators.Incremental(spark)
+    inc.upsert(p.modelPaths("fact_orders"),
+      victim.withColumn("order_total_amount",
+        col("order_total_amount") + lit(1000.0)),
+      Seq("order_id"))
+    assert(p.table("fact_orders").filter(col("order_id") === orderId)
+      .select("order_total_amount").as[Double](
+        org.apache.spark.sql.Encoders.scalaDouble).head() > 1000.0 - 1,
+      "the simulated crashed run's fact change must be committed")
+
+    // next run, SAME bronze: every staging/fact upsert is a no-op (the
+    // sliver sidecars are current), so the in-memory changed-set stays
+    // empty — the durable .__deps fingerprint is what must notice the
+    // fact_orders dir swap and force the rebuild
+    val res = p.run(ev6, ord6)
+    assert(res.forall(_.passed))
+    val newRev = p.table("dim_users")
+      .filter(col("user_id") === userId)
+      .select("lifetime_revenue").as[Double](
+        org.apache.spark.sql.Encoders.scalaDouble).head()
+    assert(math.abs(newRev - (oldRev + 1000.0)) < 1e-6,
+      s"dim_users stayed stale after crash recovery: $oldRev -> $newRev")
+
+    // and the gate still closes: one more identical run leaves every
+    // table model untouched (no rebuild-always regression)
+    def mtimes(model: String): Map[String, Long] = {
+      val dir = java.nio.file.Paths.get(p.modelPaths(model))
+      val s = Files.walk(dir)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(f => Files.isRegularFile(f))
+        .map(f => f.toString ->
+          Files.getLastModifiedTime(f).toMillis).toMap
+      finally s.close()
+    }
+    val before = mtimes("dim_users")
+    p.run(ev6, ord6)
+    assert(mtimes("dim_users") == before,
+      "dim_users rebuilt on a provably-unchanged run after recovery")
+  }
 }
