@@ -310,6 +310,30 @@ class SnapshotSqlCatalog extends TableCatalog
           if rm.property.startsWith("generated:") =>
         graft.operators.GeneratedColumns.drop(t,
           rm.property.stripPrefix("generated:"), store)
+      // DROP/RENAME COLUMN and type changes are refused BY DESIGN, with
+      // the migration recipe in the error. Names in committed parquet
+      // footers are the binding this engine reads by; reinterpreting
+      // them metadata-only needs Delta's column mapping (stable field
+      // ids written into every footer and resolved on every read),
+      // which trades every reader's simplicity — and interop with
+      // plain spark.read.parquet over version dirs — for a rare
+      // operation. Time travel makes the trade worse than on Delta:
+      // VERSION AS OF would need per-version mapping state to decide
+      // which name a pinned reader sees. The supported path is a CTAS
+      // migration (see README "Schema migration"): it is explicit,
+      // keeps every old version readable under the old contract, and
+      // costs one rewrite — what a rename of committed data is.
+      case del: TableChange.DeleteColumn => throw refuseReshape(
+        ident, s"DROP COLUMN ${del.fieldNames().mkString(".")}",
+        "SELECT every column EXCEPT the dropped one")
+      case ren: TableChange.RenameColumn => throw refuseReshape(
+        ident, s"RENAME COLUMN ${ren.fieldNames().mkString(".")} TO " +
+          ren.newName(),
+        s"alias `${ren.fieldNames().mkString(".")}` AS `${ren.newName()}`")
+      case upd: TableChange.UpdateColumnType => throw refuseReshape(
+        ident, s"ALTER COLUMN ${upd.fieldNames().mkString(".")} TYPE " +
+          upd.newDataType().simpleString,
+        s"CAST(`${upd.fieldNames().mkString(".")}`)")
       case other => throw new UnsupportedOperationException(
         "ALTER TABLE on snapshot tables supports ADD COLUMN and " +
           "SET/UNSET TBLPROPERTIES('constraint:*' / 'generated:*') " +
@@ -352,6 +376,30 @@ class SnapshotSqlCatalog extends TableCatalog
   }
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+
+  /** The DROP/RENAME/retype refusal, with the CTAS migration recipe
+    * inline — a migrating user gets the path forward in the error, not
+    * just a 'no'. */
+  private def refuseReshape(ident: Identifier, op: String,
+      reshape: String): UnsupportedOperationException =
+    new UnsupportedOperationException(
+      s"$op: committed snapshot versions are immutable and this engine " +
+        "binds columns BY NAME in their parquet footers, so a " +
+        "metadata-only reshape would reinterpret history that pinned " +
+        "readers (VERSION AS OF, tags, change-feed consumers) may " +
+        "still hold. Migrate explicitly with CTAS:\n" +
+        s"  CREATE TABLE $catalogName.${ident.name}_v2 … PARTITIONED " +
+        "BY (…);\n" +
+        s"  INSERT INTO $catalogName.${ident.name}_v2 SELECT … " +
+        s"($reshape) FROM $catalogName.${ident.name};\n" +
+        s"  -- drain consumers, re-tag, then DROP TABLE " +
+        s"$catalogName.${ident.name}\n" +
+        "The old table's full history stays readable under its own " +
+        "contract until dropped. (Delta solves this with column " +
+        "mapping — field ids in every footer; rejected here: it " +
+        "breaks plain-parquet interop on version dirs and needs " +
+        "per-version mapping state under time travel. See README " +
+        "'Schema migration'.)")
 }
 
 /** The SQL WRITE path for a partitioned-snapshot table: reads delegate

@@ -686,6 +686,40 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("already exists"), dup.getMessage)
   }
 
+  test("ALTER TABLE DROP/RENAME/retype COLUMN refuse BY DESIGN with " +
+      "the CTAS migration recipe in the error (documented refusal — " +
+      "committed footers bind columns by name; see README)") {
+    val t = s"$root/reshape"
+    PS.write(spark, t, Seq((1L, "A", 5.0)).toDF("k", "d", "qty"), "d")
+    def refusal(sql: String): String = {
+      val e = intercept[Exception](spark.sql(sql))
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    }
+    val drop = refusal("ALTER TABLE snap.reshape DROP COLUMN qty")
+    assert(drop.contains("DROP COLUMN qty") &&
+      drop.contains("CREATE TABLE") && drop.contains("INSERT INTO") &&
+      drop.contains("column mapping"), drop)
+    val ren = refusal(
+      "ALTER TABLE snap.reshape RENAME COLUMN qty TO amount")
+    assert(ren.contains("RENAME COLUMN qty TO amount") &&
+      ren.contains("`qty` AS `amount`"), ren)
+    val retype = refusal(
+      "ALTER TABLE snap.reshape ALTER COLUMN qty TYPE STRING")
+    assert(retype.contains("TYPE string") && retype.contains("CAST"),
+      retype)
+    // the table is untouched by the refusals and the recipe's first
+    // step works: a CTAS-shaped migration lands the reshape explicitly
+    assert(spark.sql("SELECT qty FROM snap.reshape")
+      .as[Double].collect().toSeq == Seq(5.0))
+    spark.sql("CREATE TABLE snap.reshape_v2 " +
+      "(k BIGINT, d STRING, amount DOUBLE) PARTITIONED BY (d)")
+    spark.sql("INSERT INTO snap.reshape_v2 " +
+      "SELECT k, d, qty AS amount FROM snap.reshape")
+    assert(spark.sql("SELECT amount FROM snap.reshape_v2")
+      .as[Double].collect().toSeq == Seq(5.0))
+  }
+
   test("property: a random SQL DML sequence (INSERT/MERGE/UPDATE/" +
       "DELETE) leaves the table identical to the same logical ops " +
       "through the operator API on a twin table, at every step") {
