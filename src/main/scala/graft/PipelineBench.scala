@@ -53,6 +53,21 @@ object PipelineBench {
     val base = sys.env.getOrElse("SPARK_GRAFT_PIPE_DIR",
       java.nio.file.Files.createTempDirectory("graft_pipe").toString)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // SPARK_GRAFT_PIPE_ARRIVAL=simulated derives pipeline_ingested_at
+    // from each record's sim ingest_time instead of the backfill's wall
+    // clock — the REAL arrival spread a continuously-running pipeline
+    // sees (the default "wallclock" compresses 24 sim-hours of arrivals
+    // into one instant, making every 1 h sliver window span the whole
+    // corpus — a bench artifact, not a production regime).
+    val arrivalMode =
+      sys.env.getOrElse("SPARK_GRAFT_PIPE_ARRIVAL", "wallclock")
+    val arrivalFrom =
+      if (arrivalMode == "simulated") Some("ingest_time") else None
+    // SPARK_GRAFT_PIPE_SLIVER=0 disables sliver narrowing + window
+    // signatures (full-overlap windows) — isolates the sliver
+    // machinery's bookkeeping cost in day-1 attribution runs
+    val sliverOn =
+      sys.env.getOrElse("SPARK_GRAFT_PIPE_SLIVER", "1") != "0"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -133,9 +148,10 @@ object PipelineBench {
     phase("generator_ingestion_backfill") {
       val ingest = new StreamingIngest(spark)
       ingest.backfill(rawClicks, eventSchema, landClicks,
-        s"$base/checkpoint/clickstream", "clickstream")
+        s"$base/checkpoint/clickstream", "clickstream",
+        arrivalFrom = arrivalFrom)
       ingest.backfill(rawOrders, orderSchema, landOrders,
-        s"$base/checkpoint/orders", "orders")
+        s"$base/checkpoint/orders", "orders", arrivalFrom = arrivalFrom)
     }
 
     // ── phase 3: bronze (batch_id-idempotent append) ──
@@ -155,7 +171,8 @@ object PipelineBench {
     }
 
     // ── phase 4: "dbt run && dbt test" — 16 models + full check corpus ──
-    val pipe = new ReferencePipeline(spark, s"$base/warehouse")
+    val pipe = new ReferencePipeline(spark, s"$base/warehouse",
+      sliver = sliverOn)
     val checks = phase("dbt") {
       pipe.run(
         spark.read.parquet(bronzeClicks),
@@ -201,9 +218,10 @@ object PipelineBench {
       phase("incremental_ingest") {
         val ingest = new StreamingIngest(spark)
         ingest.backfill(rawClicks, eventSchema, landClicks,
-          s"$base/checkpoint/clickstream", "clickstream")
+          s"$base/checkpoint/clickstream", "clickstream",
+          arrivalFrom = arrivalFrom)
         ingest.backfill(rawOrders, orderSchema, landOrders,
-          s"$base/checkpoint/orders", "orders")
+          s"$base/checkpoint/orders", "orders", arrivalFrom = arrivalFrom)
       }
       phase("incremental_bronze") {
         val bronze = new BronzeAppend(spark)
@@ -247,7 +265,8 @@ object PipelineBench {
     println(s"""{"metric":"pipeline_e2e","value":${r1(elapsed)},""" +
       s""""unit":"sec","phases":$phasesJson,"hours":$hours,""" +
       s""""sessions_per_hour":$sessions,"events":$nEvents,""" +
-      s""""orders":$nOrders,"checks_passed":${checks.size}}""")
+      s""""orders":$nOrders,"checks_passed":${checks.size},""" +
+      s""""arrival":"$arrivalMode","sliver":$sliverOn}""")
     spark.stop()
   }
 }

@@ -79,13 +79,26 @@ final class StreamingIngest(spark: SparkSession) {
     * byte-identical to what a batch backfill produces (SURVEY §7.4 risk 5:
     * stream and batch paths must agree). `ingest_date` is the PROCESSING
     * date (like the reference, ingestion/streaming_ingest.py:82) — late
-    * events land in the current partition, never a closed one. */
-  def shape(df: DataFrame, sourceSystem: String, batchId: Long): DataFrame =
-    df.withColumn("pipeline_ingested_at", current_timestamp())
+    * events land in the current partition, never a closed one.
+    *
+    * `arrivalFrom`: derive the arrival lineage from a source column
+    * instead of the wall clock — for REPLAYING history as if the
+    * pipeline had been running continuously (a backfill of months of
+    * raw data should carry each record's real ingestion moment, not
+    * one compressed wall-clock instant, or every downstream
+    * arrival-window mechanism sees the whole corpus as "just
+    * arrived"). Null values fall back to the wall clock. */
+  def shape(df: DataFrame, sourceSystem: String, batchId: Long,
+      arrivalFrom: Option[String] = None): DataFrame = {
+    val arrival = arrivalFrom
+      .map(c => coalesce(col(c).cast("timestamp"), current_timestamp()))
+      .getOrElse(current_timestamp())
+    df.withColumn("pipeline_ingested_at", arrival)
       .withColumn("ingest_date",
-        date_format(current_timestamp(), "yyyy-MM-dd"))
+        date_format(col("pipeline_ingested_at"), "yyyy-MM-dd"))
       .withColumn("source_system", lit(sourceSystem))
       .withColumn("batch_id", lit(batchId))
+  }
 
   /** Split raw JSON lines into (parsed, quarantine): a line that fails
     * to parse lands in the quarantine frame with its raw text preserved
@@ -131,7 +144,8 @@ final class StreamingIngest(spark: SparkSession) {
   def stream(inputDir: String, schema: StructType, outDir: String,
              checkpointDir: String, sourceSystem: String,
              maxFilesPerTrigger: Int = 16,
-             trigger: Trigger = Trigger.ProcessingTime("1 second"))
+             trigger: Trigger = Trigger.ProcessingTime("1 second"),
+             arrivalFrom: Option[String] = None)
       : StreamingQuery =
     spark.readStream
       .schema(schema)
@@ -144,7 +158,7 @@ final class StreamingIngest(spark: SparkSession) {
         // (ingest_date, batch_id) layout mirrors the reference's landing
         // zone (S4) — downstream idempotence keys on batch_id, the only
         // partition that is closed the moment it is written
-        shape(batch, sourceSystem, batchId)
+        shape(batch, sourceSystem, batchId, arrivalFrom)
           .write.mode("append").partitionBy("ingest_date", "batch_id")
           .parquet(outDir)
         ()
@@ -158,12 +172,14 @@ final class StreamingIngest(spark: SparkSession) {
     * helper surfaces. */
   def backfill(inputDir: String, schema: StructType, outDir: String,
                checkpointDir: String, sourceSystem: String,
-               maxFilesPerTrigger: Int = 16): Seq[BatchProgress] = {
+               maxFilesPerTrigger: Int = 16,
+               arrivalFrom: Option[String] = None): Seq[BatchProgress] = {
     val rec = new ProgressRecorder
     spark.streams.addListener(rec)
     try {
       val q = stream(inputDir, schema, outDir, checkpointDir, sourceSystem,
-        maxFilesPerTrigger, trigger = Trigger.AvailableNow())
+        maxFilesPerTrigger, trigger = Trigger.AvailableNow(),
+        arrivalFrom = arrivalFrom)
       q.awaitTermination()
       rec.awaitTerminated(q.id)
       rec.batchesFor(q.id)

@@ -474,6 +474,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(qtn == Map("e2" -> Set("value_nonneg"),
       "e3" -> Set("type_not_null")))
   }
+
+  test("shape(arrivalFrom): arrival lineage derives from the source " +
+      "column when replaying history (null values fall back to the " +
+      "wall clock); default stays wall-clock") {
+    val ing = new StreamingIngest(spark)
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 07:30:00")
+    val src = Seq(("e1", Some(t0)), ("e2", None))
+      .toDF("event_id", "ingest_time")
+      .withColumn("ingest_time", col("ingest_time").cast("timestamp"))
+    val byId = ing.shape(src, "clickstream", 7L, Some("ingest_time"))
+      .select("event_id", "pipeline_ingested_at", "ingest_date")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getTimestamp(1), r.getString(2))))
+      .toMap
+    assert(byId("e1")._1 == t0 && byId("e1")._2 == "2024-06-01",
+      "arrival + ingest_date must derive from the source column")
+    assert(byId("e2")._1.getTime >
+      System.currentTimeMillis - 3600L * 1000,
+      "null arrival falls back to the wall clock")
+    val wall = ing.shape(src, "clickstream", 7L)
+      .select("pipeline_ingested_at").collect()
+      .map(_.getTimestamp(0).getTime)
+    assert(wall.forall(_ > System.currentTimeMillis - 3600L * 1000),
+      "default shape keeps processing-time arrival")
+  }
 }
 
 class StatefulSessionsSpec extends AnyFunSuite {
