@@ -285,7 +285,10 @@ object PartitionedSnapshots {
   def publish(t: String, v: Long,
       store: CommitStore = CommitStore.local): Unit =
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
-      if (manifest(t, v, store).isEmpty) throw new IllegalStateException(
+      // manifest-FILE existence, not emptiness: an empty staged batch
+      // is a legitimate version (same hasManifest rule as every other
+      // dispatch site)
+      if (!hasManifest(t, v, store)) throw new IllegalStateException(
         s"$t has no staged snapshot v$v (vacuumed or never staged)")
       val cur = currentVersion(t, store)
       if (cur.exists(_ >= v)) throw new IllegalStateException(
@@ -377,13 +380,29 @@ object PartitionedSnapshots {
     * reader is isolated from every later commit). */
   def readVersion(spark: SparkSession, t: String, v: Long,
       store: CommitStore = CommitStore.local): DataFrame = {
-    val m = manifest(t, v, store)
-    if (m.isEmpty) throw new IllegalStateException(
+    if (!hasManifest(t, v, store)) throw new IllegalStateException(
       s"$t has no snapshot v$v (vacuumed or never committed)")
-    val dirs = m.toSeq.sorted.map { case (p, owner) =>
-      s"${dataDir(t, owner)}/$p"
+    val m = manifest(t, v, store)
+    if (m.isEmpty) {
+      // a committed EMPTY version (keyed table primed with an empty
+      // batch) has zero footers to infer from — the declared schema is
+      // the schema, same contract as the SQL catalog's read path
+      val declared = tableProps(t, store).get("schema").map(j =>
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      declared match {
+        case Some(s) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None => throw new IllegalStateException(
+          s"$t v$v is empty and the table declares no schema — " +
+            "CREATE TABLE (or write data) first")
+      }
+    } else {
+      val dirs = m.toSeq.sorted.map { case (p, owner) =>
+        s"${dataDir(t, owner)}/$p"
+      }
+      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
   /** Drop every version dir that no RETAINED manifest references:
@@ -480,10 +499,15 @@ object PartitionedSnapshots {
       : Seq[Commit] = {
     val cur = currentVersion(t, store)
     versions(t, store).reverse.flatMap { v =>
-      val m = manifest(t, v, store)
-      if (m.isEmpty) None
-      else Some(Commit(v, m.size, m.values.count(_ == v),
-        cur.exists(v <= _), commitTimeMs(t, v, store)))
+      // skip only versions with NO manifest file (crashed-writer
+      // orphans); an empty-but-present manifest is a real commit (a
+      // keyed table primed with an empty batch) and belongs in the log
+      if (!hasManifest(t, v, store)) None
+      else {
+        val m = manifest(t, v, store)
+        Some(Commit(v, m.size, m.values.count(_ == v),
+          cur.exists(v <= _), commitTimeMs(t, v, store)))
+      }
     }
   }
 

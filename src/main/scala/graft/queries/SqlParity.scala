@@ -17,9 +17,19 @@ package graft.queries
   * the same shape via CTEs rather than the Expand×3 dual-COUNT(DISTINCT)
   * form — the SQL a user SHOULD run at 100 TB.
   *
-  * Not in this map (1 of the catalog, round-9 sweep): only s07's PQ
-  * training is genuinely procedural (joint Lloyd rounds across
-  * subspaces with driver-controlled convergence). q44 joined the map
+  * Not in this map (1 of the catalog — FROZEN at 135/136 by decision,
+  * round-10): only s07's PQ training is genuinely procedural —
+  * `ProductQuantizer.fit` runs Lloyd rounds in a DRIVER loop
+  * (`while (moved && r < rounds)`) with a convergence short-circuit
+  * and driver-resident centroid maps re-broadcast each round. The
+  * q54 unrolled-iteration trick could spell the fixed-round body, but
+  * not the data-dependent `moved` exit: a SQL spelling would be
+  * equivalent only on inputs that happen not to converge early —
+  * a conditional parity claim this map does not make. The search +
+  * re-rank HALF of s07 (ADC lookup joins, windowed top-k) is ordinary
+  * relational SQL; it is training that is procedural, the same
+  * boundary every SQL engine draws (Spark/BigQuery put k-means behind
+  * CREATE MODEL, not SELECT). q44 joined the map
   * once `cms_probe` became a registered native — the SQL builds the
   * sketch with Spark's own `count_min_sketch` aggregate and probes it
   * in the same query (CMS counters are order-insensitive, so the SQL

@@ -877,5 +877,28 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
     val v3 = PS.restore(spark, t, 1L)
     assert(PS.hasManifest(t, v3) && PS.manifest(t, v3).isEmpty)
     assert(PS.currentVersion(t).contains(v3))
+    // ...and the empty state READS: zero rows, declared schema
+    assert(PS.read(spark, t).count() == 0)
+    assert(PS.read(spark, t).columns.toSet == Set("k", "d", "v", "extra"))
+    // the commit log shows every committed version, empty ones included
+    assert(PS.history(t).map(c => (c.version, c.partitions)) ==
+      Seq((3L, 0), (2L, 1), (1L, 0)))
+  }
+
+  test("write-audit-publish of an EMPTY first batch: stage, audit " +
+      "zero rows, publish — the empty version is a first-class commit") {
+    val t = tmpTable()
+    PS.initTable(t, "d", spark.range(0).select(col("id").as("k"),
+      lit("").as("d"), lit("").as("v")).schema.json)
+    // a WAP pipeline's first batch legitimately carries zero rows
+    val staged = PS.stageUpsert(spark, t,
+      spark.emptyDataset[(Long, String, String)].toDF("k", "d", "v"),
+      Seq("k"), "d")
+    assert(PS.hasManifest(t, staged) && PS.manifest(t, staged).isEmpty)
+    assert(PS.currentVersion(t).isEmpty, "staged stays invisible")
+    PS.publish(t, staged) // pre-fix: refused as "never staged"
+    assert(PS.currentVersion(t).contains(staged))
+    assert(PS.read(spark, t).count() == 0)
+    assert(PS.read(spark, t).columns.toSet == Set("k", "d", "v"))
   }
 }
