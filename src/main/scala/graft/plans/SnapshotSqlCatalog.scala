@@ -54,7 +54,7 @@ class SnapshotSqlCatalog extends TableCatalog
 
   private var catalogName: String = _
   private var root: String = _
-  private val store: CommitStore = CommitStore.local
+  private var store: CommitStore = CommitStore.local
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -62,6 +62,14 @@ class SnapshotSqlCatalog extends TableCatalog
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"set spark.sql.catalog.$name.root to the snapshot-tables dir"))
+    // spark.sql.catalog.<name>.store = local | hadoop | <registered
+    // name> (CommitStore.register) — the control-plane binding for the
+    // ENTIRE SQL surface of this catalog (DDL/DML/time travel/
+    // procedures); unknown specs refuse loudly here, at catalog init,
+    // naming the valid ones. Registered names must be re-registered by
+    // the driver at startup (an instance is not serializable state).
+    store = Option(options.get("store")).map(CommitStore.resolve)
+      .getOrElse(CommitStore.local)
   }
   override def name(): String = catalogName
 

@@ -67,14 +67,22 @@ object TableChanges {
         s"literal, got $other")
   }
 
-  /** `cat.ns….name` under a configured snapshot catalog root, else a
-    * filesystem path used verbatim. */
-  private def resolvePath(spark: SparkSession, name: String): String = {
+  /** `cat.ns….name` under a configured snapshot catalog root (with
+    * that catalog's CommitStore binding, mirroring
+    * [[SnapshotSqlCatalog.initialize]]), else a filesystem path used
+    * verbatim on the local binding. */
+  private def resolvePath(spark: SparkSession, name: String)
+      : (String, CommitStore) = {
     val parts = name.split('.')
-    if (parts.length < 2) name
+    if (parts.length < 2) (name, CommitStore.local)
     else spark.conf.getOption(s"spark.sql.catalog.${parts.head}.root")
-      .map(root => (root +: parts.tail.toSeq).mkString("/"))
-      .getOrElse(name)
+      .map { root =>
+        val s = spark.conf
+          .getOption(s"spark.sql.catalog.${parts.head}.store")
+          .map(CommitStore.resolve).getOrElse(CommitStore.local)
+        ((root +: parts.tail.toSeq).mkString("/"), s)
+      }
+      .getOrElse((name, CommitStore.local))
   }
 
   def build(exprs0: Seq[Expression]): LogicalPlan = {
@@ -92,8 +100,7 @@ object TableChanges {
         "table_changes(table, from_version[, to_version[, keys_csv]]" +
           "[, with_preimages])")
     val spark = SparkSession.active
-    val store = CommitStore.local
-    val t = resolvePath(spark, strLit(exprs.head))
+    val (t, store) = resolvePath(spark, strLit(exprs.head))
     val fromV = versionArg(exprs(1), t, store)
     val toV =
       if (exprs.size >= 3) versionArg(exprs(2), t, store)

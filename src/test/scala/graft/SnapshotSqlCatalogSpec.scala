@@ -686,6 +686,50 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("already exists"), dup.getMessage)
   }
 
+  test("catalog-level store binding: spark.sql.catalog.<name>.store " +
+      "routes the whole SQL surface (DDL/DML/time travel/CALL/" +
+      "table_changes) through the named CommitStore; unknown bindings " +
+      "refuse at first use") {
+    root // register the base catalog confs first
+    val hroot = Files.createTempDirectory("graft_snaph").toString
+    spark.conf.set("spark.sql.catalog.snaph",
+      "graft.plans.SnapshotSqlCatalog")
+    spark.conf.set("spark.sql.catalog.snaph.root", hroot)
+    spark.conf.set("spark.sql.catalog.snaph.store", "hadoop")
+    spark.sql("CREATE TABLE snaph.ht (k BIGINT, d STRING, v STRING) " +
+      "PARTITIONED BY (d)")
+    spark.sql("INSERT INTO snaph.ht VALUES (1, 'A', 'a1')")
+    spark.sql("INSERT INTO snaph.ht VALUES (2, 'B', 'b1')")
+    assert(spark.sql("SELECT k FROM snaph.ht")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.sql("SELECT k FROM snaph.ht VERSION AS OF 1")
+      .as[Long].collect().toSet == Set(1L))
+    // control files were written through the hadoop binding (same
+    // namespace as local on file:// — the routing is what's pinned)
+    assert(graft.operators.CommitStore.hadoop()
+      .exists(s"$hroot/ht/_current"))
+    // procedures inherit the catalog's store
+    assert(spark.sql("CALL snaph.system.history(table => 'ht')")
+      .collect().length == 2)
+    // the TVF resolves the catalog's store from the session conf
+    assert(spark.sql(
+      "SELECT change_type FROM table_changes('snaph.ht', 1, 2, 'k')")
+      .as[String].collect().toSeq == Seq("insert"))
+    // unknown binding: loud refusal at catalog initialization
+    spark.conf.set("spark.sql.catalog.snapbad",
+      "graft.plans.SnapshotSqlCatalog")
+    spark.conf.set("spark.sql.catalog.snapbad.root", hroot)
+    spark.conf.set("spark.sql.catalog.snapbad.store", "no-such-binding")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE snapbad.x (k BIGINT, d STRING) " +
+        "PARTITIONED BY (d)")
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("unknown CommitStore binding"), chain)
+  }
+
   test("ALTER TABLE DROP/RENAME/retype COLUMN refuse BY DESIGN with " +
       "the CTAS migration recipe in the error (documented refusal — " +
       "committed footers bind columns by name; see README)") {
