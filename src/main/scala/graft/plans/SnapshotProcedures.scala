@@ -46,7 +46,8 @@ private[plans] object SnapshotProcedures {
     "feed_cursor", "feed_commit", "feed_consumers",
     "add_constraint", "drop_constraint", "show_constraints", "mirror",
     "add_generated_column", "drop_generated_column",
-    "show_generated_columns", "detail", "tag", "drop_tag", "tags")
+    "show_generated_columns", "detail", "tag", "drop_tag", "tags",
+    "txns")
 
   def load(procName: String, pathOf: String => String,
       store: CommitStore): Option[UnboundProcedure] =
@@ -131,7 +132,7 @@ private[plans] object SnapshotProcedures {
         pd("replace", DataTypes.BooleanType, "false"))
       case "drop_tag" => Array(p("table", DataTypes.StringType),
         p("name", DataTypes.StringType))
-      case "tags" => Array(p("table", DataTypes.StringType))
+      case "tags" | "txns" => Array(p("table", DataTypes.StringType))
       case "mirror" => Array(p("table", DataTypes.StringType),
         p("consumer", DataTypes.StringType),
         p("target", DataTypes.StringType),
@@ -248,6 +249,27 @@ private[plans] object SnapshotProcedures {
           val ts = graft.operators.Tags.list(t, store).toSeq.sortBy(_._1)
           result(StructType.fromDDL("name STRING, version BIGINT"),
             ts.map { case (n, v) => row(utf8(n), v) })
+        case "txns" =>
+          // streaming exactly-once high-water marks: retained version
+          // metas ∪ the vacuum-preserved _txns sidecar — what
+          // lastCommittedEpoch resolves per query id, surfaced for ops
+          // (which streams have written here, and through what epoch)
+          val cur = PartitionedSnapshots.currentVersion(t, store)
+          val fromMetas = cur.toSeq.flatMap { c =>
+            PartitionedSnapshots.versions(t, store).filter(_ <= c)
+              .flatMap(v =>
+                PartitionedSnapshots.commitTxn(t, v, store).orElse(
+                  graft.operators.Snapshots.commitTxn(t, v, store)))
+          }.flatMap { s =>
+            val i = s.lastIndexOf('/')
+            if (i <= 0) None
+            else scala.util.Try(
+              s.substring(0, i) -> s.substring(i + 1).toLong).toOption
+          }
+          val all = (fromMetas ++ graft.operators.Txns.list(t, store))
+            .groupMapReduce(_._1)(_._2)(math.max).toSeq.sortBy(_._1)
+          result(StructType.fromDDL("query_id STRING, epoch BIGINT"),
+            all.map { case (q, e) => row(utf8(q), e) })
         case "show_constraints" =>
           val cs = graft.operators.Constraints.list(t, store)
             .toSeq.sortBy(_._1)

@@ -686,6 +686,25 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("already exists"), dup.getMessage)
   }
 
+  test("CALL snap.system.txns surfaces streaming exactly-once marks " +
+      "(metas ∪ the vacuum-preserved sidecar)") {
+    val t = s"$root/txnsview"
+    PS.write(spark, t, Seq((1L, "A", "a")).toDF("k", "d", "v"), "d",
+      txn = Some("q-a/3"))
+    PS.upsert(spark, t, Seq((1L, "A", "b")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    PS.upsert(spark, t, Seq((1L, "A", "c")).toDF("k", "d", "v"),
+      Seq("k"), "d", txn = Some("q-b/7"))
+    def txns() = spark.sql(
+      "CALL snap.system.txns(table => 'txnsview')")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(txns() == Seq(("q-a", 3L), ("q-b", 7L)))
+    // vacuum reclaims q-a's version; its mark survives in the sidecar
+    assert(PS.vacuum(t, keep = 1).nonEmpty)
+    assert(txns() == Seq(("q-a", 3L), ("q-b", 7L)),
+      "vacuum lost a query's high-water mark")
+  }
+
   test("catalog-level store binding: spark.sql.catalog.<name>.store " +
       "routes the whole SQL surface (DDL/DML/time travel/CALL/" +
       "table_changes) through the named CommitStore; unknown bindings " +
