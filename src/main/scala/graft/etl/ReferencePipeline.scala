@@ -255,20 +255,24 @@ final class ReferencePipeline(spark: SparkSession, baseDir: String,
         build: => DataFrame): Unit = {
       // in-memory `changed` is the fast path (skip the listings when
       // this run already knows an upstream moved); the sidecar
-      // comparison is the crash-proof authority
-      val sig = if (changeGated && !upstream.exists(changed))
-        Some(upstream.map(u => s"$u=${listingFp(u)}").mkString(";"))
-      else None
+      // comparison is the crash-proof authority. Listings only happen
+      // when a skip is even possible, and at most ONCE per model: the
+      // upstreams are already committed when dims/metrics run, so a
+      // rebuild-on-mismatch records the same fingerprint it compared.
+      def fingerprints() =
+        upstream.map(u => s"$u=${listingFp(u)}").mkString(";")
+      val sig = if (changeGated && store.exists(modelPaths(name)) &&
+          !upstream.exists(changed)) Some(fingerprints())
+        else None
       val prev = sig.flatMap(_ =>
         store.read(depsPath(name)).map(new String(_, "UTF-8")))
-      val skip = changeGated && store.exists(modelPaths(name)) &&
-        sig.isDefined && prev == sig
+      val skip = sig.isDefined && prev == sig
       if (skip) System.err.println(f"   [dbt] $name%-34s skipped " +
         s"(upstreams unchanged: ${upstream.mkString(",")})")
       else {
         overwrite(name, build); changed += name
-        val after = upstream.map(u => s"$u=${listingFp(u)}").mkString(";")
-        store.write(depsPath(name), after.getBytes("UTF-8"))
+        store.write(depsPath(name),
+          sig.getOrElse(fingerprints()).getBytes("UTF-8"))
       }
     }
     timed("dims (4x table, change-gated)") {

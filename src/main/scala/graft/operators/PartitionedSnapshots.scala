@@ -841,12 +841,16 @@ object PartitionedSnapshots {
       keys: Seq[String],
       store: CommitStore = CommitStore.local,
       preImages: Boolean = false): DataFrame = {
+    // manifest-FILE existence is the retention test; an empty manifest
+    // (keyed table primed with an empty batch, or restored to empty) is
+    // a real version whose changes against a data-bearing one are all
+    // inserts/deletes — the manifest-diff below handles it naturally
+    if (!hasManifest(t, fromV, store)) throw new IllegalStateException(
+      s"$t has no snapshot v$fromV (vacuumed or never committed)")
+    if (!hasManifest(t, toV, store)) throw new IllegalStateException(
+      s"$t has no snapshot v$toV (vacuumed or never committed)")
     val mFrom = manifest(t, fromV, store)
     val mTo = manifest(t, toV, store)
-    if (mFrom.isEmpty) throw new IllegalStateException(
-      s"$t has no snapshot v$fromV (vacuumed or never committed)")
-    if (mTo.isEmpty) throw new IllegalStateException(
-      s"$t has no snapshot v$toV (vacuumed or never committed)")
     val changed = (mFrom.keySet ++ mTo.keySet)
       .filter(p => mFrom.get(p) != mTo.get(p))
     if (changed.isEmpty) {
@@ -934,9 +938,12 @@ object PartitionedSnapshots {
       collectStats: Seq[String] => DataFrame): Long = {
     val v = version.getOrElse(currentVersion(t, store).getOrElse(
       throw new IllegalStateException(s"$t has no committed snapshot")))
-    val m = manifest(t, v, store)
-    if (m.isEmpty) throw new IllegalStateException(
+    if (!hasManifest(t, v, store)) throw new IllegalStateException(
       s"$t has no snapshot v$v (vacuumed or never committed)")
+    val m = manifest(t, v, store)
+    // a committed EMPTY version has zero data files: nothing to index,
+    // and an absent index correctly means "no pruning"
+    if (m.isEmpty) return v
     def dirOf(p: String, o: Long) = s"${dataDir(t, o)}/$p"
     val prevIndexed = versions(t, store).filter(x => x < v &&
       store.exists(s"${dirFor(t, x)}/_SUCCESS")).lastOption
@@ -1115,14 +1122,13 @@ object PartitionedSnapshots {
   def lastCommittedEpoch(t: String, appId: String,
       store: CommitStore = CommitStore.local): Option[Long] = {
     // retained version metas ∪ the vacuum-preserved Txns sidecar: the
-    // marker stays visible across its version's reclamation
-    val fromMetas = currentVersion(t, store).toSeq.flatMap { cur =>
+    // marker stays visible across its version's reclamation. One parse
+    // rule for everything (Txns.parseMarker — last '/', exact appId).
+    val markers = currentVersion(t, store).toSeq.flatMap { cur =>
       versions(t, store).filter(_ <= cur)
         .flatMap(v => commitTxn(t, v, store))
-        .collect { case s if s.startsWith(appId + "/") =>
-          s.substring(appId.length + 1).toLong }
     }
-    (fromMetas ++ Txns.get(t, appId, store)).maxOption
+    Txns.all(t, markers, store).get(appId)
   }
 
   /** TIMESTAMP AS OF: the newest version PUBLISHED at or before

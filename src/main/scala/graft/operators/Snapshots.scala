@@ -426,15 +426,13 @@ object Snapshots {
   def lastCommittedEpoch(tablePath: String, appId: String,
       store: CommitStore = CommitStore.local): Option[Long] = {
     // retained version metas ∪ the vacuum-preserved Txns sidecar (see
-    // [[Txns]])
-    val fromMetas = currentVersion(tablePath, store).toSeq.flatMap {
+    // [[Txns]]); Txns.parseMarker is the single parse rule
+    val markers = currentVersion(tablePath, store).toSeq.flatMap {
       cur =>
         versions(tablePath, store).filter(_ <= cur)
           .flatMap(v => commitTxn(tablePath, v, store))
-          .collect { case s if s.startsWith(appId + "/") =>
-            s.substring(appId.length + 1).toLong }
     }
-    (fromMetas ++ Txns.get(tablePath, appId, store)).maxOption
+    Txns.all(tablePath, markers, store).get(appId)
   }
 
   /** TIMESTAMP AS OF: newest version published at or before `tsMs` —

@@ -32,11 +32,36 @@ object Txns {
 
   private def txnsDir(t: String) = s"$t/_txns"
 
-  private def path(t: String, appId: String) = {
-    require(appId.nonEmpty && !appId.contains("/"),
-      s"txn appId must be a plain name, got '$appId'")
-    s"${txnsDir(t)}/$appId"
+  // appIds are usually Spark query UUIDs, but the operator API accepts
+  // ANY txn string — percent-encode so an appId containing '/' (or any
+  // key-hostile char) still maps to one flat sidecar object instead of
+  // crashing the vacuum that tries to preserve it
+  private def fileName(appId: String): String = {
+    require(appId.nonEmpty, "txn appId must be non-empty")
+    java.net.URLEncoder.encode(appId, "UTF-8")
   }
+  private def path(t: String, appId: String) =
+    s"${txnsDir(t)}/${fileName(appId)}"
+
+  /** Parse a commit meta's `appId/epochId` marker. appIds may
+    * themselves contain '/', so the epoch is everything after the LAST
+    * one — the single parse rule shared by [[preserve]], both formats'
+    * `lastCommittedEpoch`, and the `CALL snap.system.txns` view. */
+  def parseMarker(s: String): Option[(String, Long)] = {
+    val i = s.lastIndexOf('/')
+    if (i <= 0) None
+    else scala.util.Try(
+      s.substring(0, i) -> s.substring(i + 1).toLong).toOption
+  }
+
+  /** The high-water epoch for `appId` over retained `markers` (the
+    * commit-meta txn strings of committed versions) ∪ the
+    * vacuum-preserved sidecar — the one resolution rule for
+    * exactly-once replay checks. */
+  def all(t: String, markers: Seq[String],
+      store: CommitStore = CommitStore.local): Map[String, Long] =
+    (markers.flatMap(parseMarker) ++ list(t, store))
+      .groupMapReduce(_._1)(_._2)(math.max)
 
   /** The vacuum-preserved high-water epoch for `appId`, if any. */
   def get(t: String, appId: String,
@@ -47,8 +72,10 @@ object Txns {
   /** All preserved marks: appId → high-water epoch. */
   def list(t: String, store: CommitStore = CommitStore.local)
       : Map[String, Long] =
-    store.list(txnsDir(t)).flatMap(a => get(t, a, store).map(a -> _))
-      .toMap
+    store.list(txnsDir(t)).flatMap { f =>
+      val appId = java.net.URLDecoder.decode(f, "UTF-8")
+      get(t, appId, store).map(appId -> _)
+    }.toMap
 
   /** Merge-max `epoch` into `appId`'s sidecar. Caller holds the table
     * lock. */
@@ -68,13 +95,7 @@ object Txns {
     * neither. */
   private[operators] def preserve(t: String, drops: Seq[Long],
       txnOf: Long => Option[String], store: CommitStore): Unit =
-    drops.flatMap(v => txnOf(v)).flatMap { s =>
-      // split on the LAST '/': Spark query ids are UUIDs, but be
-      // defensive about future appId shapes
-      val i = s.lastIndexOf('/')
-      if (i <= 0) None
-      else scala.util.Try(
-        s.substring(0, i) -> s.substring(i + 1).toLong).toOption
-    }.groupMapReduce(_._1)(_._2)(math.max)
+    drops.flatMap(v => txnOf(v)).flatMap(parseMarker)
+      .groupMapReduce(_._1)(_._2)(math.max)
       .foreach { case (appId, e) => record(t, appId, e, store) }
 }

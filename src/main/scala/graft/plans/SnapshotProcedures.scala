@@ -254,20 +254,16 @@ private[plans] object SnapshotProcedures {
           // metas ∪ the vacuum-preserved _txns sidecar — what
           // lastCommittedEpoch resolves per query id, surfaced for ops
           // (which streams have written here, and through what epoch)
-          val cur = PartitionedSnapshots.currentVersion(t, store)
-          val fromMetas = cur.toSeq.flatMap { c =>
-            PartitionedSnapshots.versions(t, store).filter(_ <= c)
-              .flatMap(v =>
-                PartitionedSnapshots.commitTxn(t, v, store).orElse(
-                  graft.operators.Snapshots.commitTxn(t, v, store)))
-          }.flatMap { s =>
-            val i = s.lastIndexOf('/')
-            if (i <= 0) None
-            else scala.util.Try(
-              s.substring(0, i) -> s.substring(i + 1).toLong).toOption
-          }
-          val all = (fromMetas ++ graft.operators.Txns.list(t, store))
-            .groupMapReduce(_._1)(_._2)(math.max).toSeq.sortBy(_._1)
+          val markers =
+            PartitionedSnapshots.currentVersion(t, store).toSeq
+              .flatMap { c =>
+                PartitionedSnapshots.versions(t, store).filter(_ <= c)
+                  .flatMap(v =>
+                    PartitionedSnapshots.commitTxn(t, v, store).orElse(
+                      graft.operators.Snapshots.commitTxn(t, v, store)))
+              }
+          val all = graft.operators.Txns.all(t, markers, store)
+            .toSeq.sortBy(_._1)
           result(StructType.fromDDL("query_id STRING, epoch BIGINT"),
             all.map { case (q, e) => row(utf8(q), e) })
         case "show_constraints" =>
@@ -312,15 +308,21 @@ private[plans] object SnapshotProcedures {
           PartitionedSnapshots.currentVersion(t, store) match {
             case None => result(schemaD, Nil)
             case Some(v) =>
+              // format by manifest-FILE existence (hasManifest): an
+              // empty-primed partitioned version has zero data dirs —
+              // never the version dir itself (its control files are
+              // not table data)
+              val partitioned =
+                PartitionedSnapshots.hasManifest(t, v, store)
               val m = PartitionedSnapshots.manifest(t, v, store)
               val dirs =
-                if (m.nonEmpty) m.toSeq.map { case (part, o) =>
+                if (partitioned) m.toSeq.map { case (part, o) =>
                   f"$t/_snapshots/v$o%05d/data/$part" }
                 else Seq(f"$t/_snapshots/v$v%05d")
               val reports = dirs.map(d =>
                 graft.operators.TableStats.report(d, store = store))
               result(schemaD, Seq(row(
-                utf8(if (m.nonEmpty) "graft.partitioned-snapshots"
+                utf8(if (partitioned) "graft.partitioned-snapshots"
                   else "graft.snapshots"),
                 v, PartitionedSnapshots.versions(t, store).size,
                 m.size, reports.map(_.totalFiles).sum,

@@ -872,11 +872,23 @@ class PartitionedSnapshotsSpec extends AnyFunSuite {
       Seq("k"), "d")
     assert(PS.read(spark, t).columns.toSet ==
       Set("k", "d", "v", "extra"))
+    // CDC works ACROSS the empty version: empty→data is all inserts,
+    // data→empty(restore) is all deletes (pre-fix both threw
+    // 'no snapshot' and a pull consumer was told to reset)
+    assert(PS.changes(spark, t, 1L, 2L, Seq("k"))
+      .select("k", "change_type").as[(Long, String)].collect().toSeq ==
+      Seq((7L, "insert")))
+    // the zone-map builder treats the empty version as a no-op, not a
+    // missing snapshot
+    assert(PS.buildZoneMap(spark, t, Seq("k"), version = Some(1L)) == 1L)
     // rolling back to the empty primed version re-commits an empty
     // manifest (an empty table state is restorable like any other)
     val v3 = PS.restore(spark, t, 1L)
     assert(PS.hasManifest(t, v3) && PS.manifest(t, v3).isEmpty)
     assert(PS.currentVersion(t).contains(v3))
+    assert(PS.changes(spark, t, 2L, v3, Seq("k"))
+      .select("k", "change_type").as[(Long, String)].collect().toSeq ==
+      Seq((7L, "delete")))
     // ...and the empty state READS: zero rows, declared schema
     assert(PS.read(spark, t).count() == 0)
     assert(PS.read(spark, t).columns.toSet == Set("k", "d", "v", "extra"))

@@ -686,6 +686,21 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("already exists"), dup.getMessage)
   }
 
+  test("DESCRIBE DETAIL on an empty-primed keyed table: format stays " +
+      "partitioned and control files never count as data") {
+    val t = s"$root/emptydetail"
+    PS.initTable(t, "d", spark.range(0).select(col("id").as("k"),
+      lit("").as("d")).schema.json)
+    PS.upsert(spark, t,
+      spark.range(0).select(col("id").as("k"), lit("x").as("d")),
+      Seq("k"), "d")
+    val r = spark.sql("CALL snap.system.detail(table => 'emptydetail')")
+      .collect().head
+    assert(r.getString(0) == "graft.partitioned-snapshots", r.toString)
+    assert(r.getInt(4) == 0 && r.getLong(5) == 0L,
+      s"control files counted as table data: $r")
+  }
+
   test("CALL snap.system.txns surfaces streaming exactly-once marks " +
       "(metas ∪ the vacuum-preserved sidecar)") {
     val t = s"$root/txnsview"

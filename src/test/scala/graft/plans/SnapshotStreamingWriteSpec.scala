@@ -138,6 +138,27 @@ class SnapshotStreamingWriteSpec extends AnyFunSuite {
     assert(Snapshots.lastCommittedEpoch(t, "q-orph").isEmpty)
   }
 
+  test("txn appIds containing '/' survive the whole lifecycle: one " +
+      "parse rule (last '/'), percent-encoded sidecar names, vacuum " +
+      "never crashes on them") {
+    import graft.operators.{Snapshots, Txns}
+    val root = Files.createTempDirectory("graft_ssw_slash").toString
+    val t = s"$root/t"
+    Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"),
+      txn = Some("team/app/42"))
+    Snapshots.write(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    assert(Snapshots.lastCommittedEpoch(t, "team/app").contains(42L))
+    // a PREFIX of the real appId is a different app: None, never a
+    // NumberFormatException from parsing 'app/42' as the epoch
+    assert(Snapshots.lastCommittedEpoch(t, "team").isEmpty)
+    Snapshots.write(spark, t, Seq((3L, "c")).toDF("k", "v"))
+    // vacuum preserves the mark without crashing on the '/' appId
+    assert(Snapshots.vacuum(t, keep = 1) == Seq(1L, 2L))
+    assert(Txns.get(t, "team/app").contains(42L))
+    assert(Txns.list(t) == Map("team/app" -> 42L))
+    assert(Snapshots.lastCommittedEpoch(t, "team/app").contains(42L))
+  }
+
   test("full-copy format: vacuum preserves committed txn marks in the" +
       " sidecar too") {
     import graft.operators.{Snapshots, Txns}
