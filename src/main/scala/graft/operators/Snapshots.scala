@@ -82,8 +82,7 @@ object Snapshots {
       val merged = currentVersion(tablePath, store) match {
         case None => updates
         case Some(cur) =>
-          spark.read.option("mergeSchema", "true")
-            .parquet(versionDir(tablePath, cur))
+          readVersion(spark, tablePath, cur, store)
             .join(updates.select(keys.map(col): _*).distinct(),
               keys, "left_anti")
             .unionByName(updates, allowMissingColumns = true)
@@ -118,8 +117,7 @@ object Snapshots {
       val cur = currentVersion(tablePath, store).getOrElse(
         throw new IllegalStateException(
           s"$tablePath has no committed snapshot"))
-      val tgt = spark.read.option("mergeSchema", "true")
-        .parquet(versionDir(tablePath, cur))
+      val tgt = readVersion(spark, tablePath, cur, store)
       val resolved = MergeClauses.resolve(tgt, src, keys,
         tgt.columns.toSeq, whenMatchedUpdate, whenMatchedDelete,
         insertNotMatched, insertCond).localCheckpoint()
@@ -143,8 +141,7 @@ object Snapshots {
       val cur = currentVersion(tablePath, store).getOrElse(
         throw new IllegalStateException(
           s"$tablePath has no committed snapshot"))
-      val tgt = spark.read.option("mergeSchema", "true")
-        .parquet(versionDir(tablePath, cur))
+      val tgt = readVersion(spark, tablePath, cur, store)
       val hit = coalesce(where, lit(false))
       val updated = tgt.select(tgt.columns.toSeq.map { c =>
         set.get(c) match {
@@ -170,8 +167,7 @@ object Snapshots {
       val cur = currentVersion(tablePath, store).getOrElse(
         throw new IllegalStateException(
           s"$tablePath has no committed snapshot"))
-      val kept = spark.read.option("mergeSchema", "true")
-        .parquet(versionDir(tablePath, cur))
+      val kept = readVersion(spark, tablePath, cur, store)
         .filter(!coalesce(where, lit(false)))
       // deletes cannot violate CHECK, but the single-choke-point
       // invariant ("every writer calls the gate") and generated-column
@@ -192,8 +188,7 @@ object Snapshots {
       txn: Option[String] = None): Long =
     Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
       val merged = currentVersion(tablePath, store) match {
-        case Some(cur) => spark.read.option("mergeSchema", "true")
-          .parquet(versionDir(tablePath, cur))
+        case Some(cur) => readVersion(spark, tablePath, cur, store)
           .unionByName(rows, allowMissingColumns = true)
         case None => rows
       }
@@ -214,13 +209,27 @@ object Snapshots {
         s"$tablePath has no committed snapshot")
     }
 
-  /** Time travel: read an exact retained version. */
+  /** Time travel: read an exact retained version. A version whose
+    * write carried ZERO rows from a zero-partition frame leaves no
+    * schema-bearing parquet files — serve the declared schema (the
+    * partitioned format's contract) instead of failing schema
+    * inference. */
   def readVersion(spark: SparkSession, tablePath: String, v: Long,
       store: CommitStore = CommitStore.local): DataFrame = {
     val dir = versionDir(tablePath, v)
     if (!store.exists(dir)) throw new IllegalStateException(
       s"$tablePath has no snapshot v$v (vacuumed or never committed)")
-    spark.read.parquet(dir)
+    val hasData = store.listEntries(dir)
+      .exists(e => !e.isDir && e.name.endsWith(".parquet"))
+    if (hasData) spark.read.parquet(dir)
+    else PartitionedSnapshots.tableProps(tablePath, store).get("schema")
+      .map(j => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      .getOrElse(throw new IllegalStateException(
+        s"$tablePath v$v has no data files and the table declares no " +
+          "schema — CREATE TABLE (or write data) first"))
   }
 
   /** Drop all snapshots except the newest `keep` committed ones (the

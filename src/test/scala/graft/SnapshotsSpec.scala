@@ -270,6 +270,30 @@ class SnapshotsSpec extends AnyFunSuite {
       s"$currentReads current consistent reads during $generations-gen rebuild")
   }
 
+  test("an EMPTY full-copy version reads back: filtered-to-empty " +
+      "writes read via their schema-bearing footers; a zero-partition" +
+      " write falls back to the declared schema") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val t = tmpTable()
+    // filtered-to-empty: whatever files Spark leaves, the version must
+    // read back as zero rows with the right columns
+    Snapshots.write(spark, t,
+      Seq((1L, "x")).toDF("k", "v").filter(col("k") > 99))
+    assert(Snapshots.read(spark, t).count() == 0)
+    // zero-partition frame (no files at all): declared schema serves
+    val t2 = tmpTable()
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    graft.operators.PartitionedSnapshots.initTable(t2, "k", schema.json)
+    Snapshots.write(spark, t2, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    assert(Snapshots.read(spark, t2).count() == 0)
+    assert(Snapshots.read(spark, t2).columns.toSeq == Seq("k", "v"))
+    // data lands later through the same path
+    Snapshots.append(spark, t2, Seq((5L, "z")).toDF("k", "v"))
+    assert(Snapshots.read(spark, t2).count() == 1)
+  }
+
   test("restore refuses crashed-writer orphans (dir above the pointer)" +
       " and routes resurrected rows through the constraint choke point") {
     import graft.operators.{CommitStore, Constraints}
