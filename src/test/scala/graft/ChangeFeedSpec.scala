@@ -399,6 +399,40 @@ class ChangeFeedSpec extends AnyFunSuite {
       s"cursor must advance as batches complete: ${CF.cursor(t, "stream-1")}")
   }
 
+  test("streaming CDC source survives an EMPTY-PRIMED first version: " +
+      "bootstrap at the empty commit, then tail the first data commit " +
+      "as inserts (pre-fix the batch threw 'no snapshot' and a pull " +
+      "consumer was told to reset)") {
+    val t = tmp()
+    PS.initTable(t, "d", spark.range(0).select(col("id").as("k"),
+      lit("").as("d"), lit("").as("v")).schema.json)
+    // v1: committed, manifest present and EMPTY
+    PS.upsert(spark, t, spark.range(0).select(col("id").as("k"),
+      lit("x").as("d"), lit("y").as("v")), Seq("k"), "d")
+    assert(PS.hasManifest(t, 1L) && PS.manifest(t, 1L).isEmpty)
+    val cp = Files.createTempDirectory("graft_cfs_empty").toString
+    def drain(): Seq[(Long, String)] = {
+      val sink = new scala.collection.mutable.ArrayBuffer[
+        Seq[(Long, String)]]()
+      val q = CF.readStream(spark, t, keys = Seq("k"))
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          sink += b.select(col("k"), col("change_type"))
+            .as[(Long, String)].collect().toSeq
+          ()
+        })
+        .start()
+      q.awaitTermination()
+      sink.toSeq.flatten.sortBy(_._1)
+    }
+    assert(drain().isEmpty, "bootstrap of the empty version is empty")
+    PS.upsert(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"),
+      Seq("k"), "d") // v2: first data
+    assert(drain() == Seq((1L, "insert")),
+      "the empty→data CDC batch must deliver, not die as 'no snapshot'")
+  }
+
   test("streaming CDC source tails a table on a NON-LOCAL CommitStore" +
       " binding via .option(store); missing/unknown bindings refuse " +
       "loudly naming the cause") {
