@@ -74,6 +74,17 @@ object PartitionedSnapshots {
     store.list(snapsDir(t)).filter(_.startsWith("v"))
       .map(_.drop(1).toLong).sorted
 
+  /** Zero-row frame with the table's DECLARED schema (`_table` props,
+    * shared by both snapshot formats) — what a committed version with
+    * no schema-bearing data files reads as. None when nothing is
+    * declared. */
+  private[operators] def declaredEmptyFrame(spark: SparkSession,
+      t: String, store: CommitStore): Option[DataFrame] =
+    tableProps(t, store).get("schema").map(j => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]))
+
   /** partition-dir-name → owning version, for version `v`. */
   def manifest(t: String, v: Long,
       store: CommitStore = CommitStore.local): Map[String, Long] =
@@ -387,16 +398,10 @@ object PartitionedSnapshots {
       // a committed EMPTY version (keyed table primed with an empty
       // batch) has zero footers to infer from — the declared schema is
       // the schema, same contract as the SQL catalog's read path
-      val declared = tableProps(t, store).get("schema").map(j =>
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      declared match {
-        case Some(s) => spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-        case None => throw new IllegalStateException(
+      declaredEmptyFrame(spark, t, store).getOrElse(
+        throw new IllegalStateException(
           s"$t v$v is empty and the table declares no schema — " +
-            "CREATE TABLE (or write data) first")
-      }
+            "CREATE TABLE (or write data) first"))
     } else {
       val dirs = m.toSeq.sorted.map { case (p, owner) =>
         s"${dataDir(t, owner)}/$p"
@@ -1123,12 +1128,17 @@ object PartitionedSnapshots {
       store: CommitStore = CommitStore.local): Option[Long] = {
     // retained version metas ∪ the vacuum-preserved Txns sidecar: the
     // marker stays visible across its version's reclamation. One parse
-    // rule for everything (Txns.parseMarker — last '/', exact appId).
-    val markers = currentVersion(t, store).toSeq.flatMap { cur =>
+    // rule (Txns.parseMarker — last '/', exact appId), but only THIS
+    // appId's sidecar is read — this runs once per streaming epoch, so
+    // it must not scale with the number of writers (Txns.all is for
+    // the CALL txns inspection view).
+    val fromMetas = currentVersion(t, store).toSeq.flatMap { cur =>
       versions(t, store).filter(_ <= cur)
         .flatMap(v => commitTxn(t, v, store))
+        .flatMap(Txns.parseMarker)
+        .collect { case (a, e) if a == appId => e }
     }
-    Txns.all(t, markers, store).get(appId)
+    (fromMetas ++ Txns.get(t, appId, store)).maxOption
   }
 
   /** TIMESTAMP AS OF: the newest version PUBLISHED at or before

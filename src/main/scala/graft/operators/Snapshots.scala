@@ -222,11 +222,8 @@ object Snapshots {
     val hasData = store.listEntries(dir)
       .exists(e => !e.isDir && e.name.endsWith(".parquet"))
     if (hasData) spark.read.parquet(dir)
-    else PartitionedSnapshots.tableProps(tablePath, store).get("schema")
-      .map(j => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.DataType.fromJson(j)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]))
+    else PartitionedSnapshots
+      .declaredEmptyFrame(spark, tablePath, store)
       .getOrElse(throw new IllegalStateException(
         s"$tablePath v$v has no data files and the table declares no " +
           "schema — CREATE TABLE (or write data) first"))
@@ -281,11 +278,13 @@ object Snapshots {
       // route through the single write choke point: CHECK constraints
       // and generated columns recorded AFTER v must hold over the
       // resurrected rows (refusal burns nothing — the version dir is
-      // only written below). Materialize before writing: the source
-      // version is immutable, but the plan must not lazily re-list
-      // after the commit.
+      // only written below). readVersion (not a raw dir read) so an
+      // EMPTY version restores via the declared schema. Materialize
+      // before writing: the source version is immutable, but the plan
+      // must not lazily re-resolve after the commit.
       val restored = Constraints.prepare(
-        spark.read.parquet(dir), tablePath, store).localCheckpoint()
+        readVersion(spark, tablePath, v, store), tablePath, store)
+        .localCheckpoint()
       val newV = versions(tablePath, store).lastOption.getOrElse(0L) + 1
       restored.write.mode(SaveMode.Overwrite)
         .parquet(versionDir(tablePath, newV))
@@ -435,13 +434,17 @@ object Snapshots {
   def lastCommittedEpoch(tablePath: String, appId: String,
       store: CommitStore = CommitStore.local): Option[Long] = {
     // retained version metas ∪ the vacuum-preserved Txns sidecar (see
-    // [[Txns]]); Txns.parseMarker is the single parse rule
-    val markers = currentVersion(tablePath, store).toSeq.flatMap {
+    // [[Txns]]); Txns.parseMarker is the single parse rule, and only
+    // THIS appId's sidecar is read — per-epoch cost must not scale
+    // with the number of writers
+    val fromMetas = currentVersion(tablePath, store).toSeq.flatMap {
       cur =>
         versions(tablePath, store).filter(_ <= cur)
           .flatMap(v => commitTxn(tablePath, v, store))
+          .flatMap(Txns.parseMarker)
+          .collect { case (a, e) if a == appId => e }
     }
-    Txns.all(tablePath, markers, store).get(appId)
+    (fromMetas ++ Txns.get(tablePath, appId, store)).maxOption
   }
 
   /** TIMESTAMP AS OF: newest version published at or before `tsMs` —

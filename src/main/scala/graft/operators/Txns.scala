@@ -38,7 +38,14 @@ object Txns {
   // crashing the vacuum that tries to preserve it
   private def fileName(appId: String): String = {
     require(appId.nonEmpty, "txn appId must be non-empty")
-    java.net.URLEncoder.encode(appId, "UTF-8")
+    java.net.URLEncoder.encode(appId, "UTF-8") match {
+      // URLEncoder leaves '.' bare; an appId of exactly "." or ".."
+      // would escape _txns/ as a path traversal — encode the dots
+      // ("%2E" decodes back to '.', so the round-trip holds)
+      case "." => "%2E"
+      case ".." => "%2E%2E"
+      case other => other
+    }
   }
   private def path(t: String, appId: String) =
     s"${txnsDir(t)}/${fileName(appId)}"
@@ -69,12 +76,19 @@ object Txns {
     store.read(path(t, appId)).flatMap(b =>
       scala.util.Try(new String(b, "UTF-8").trim.toLong).toOption)
 
-  /** All preserved marks: appId → high-water epoch. */
+  /** All preserved marks: appId → high-water epoch. Sidecar names are
+    * percent-encoded appIds; each entry reads by its RAW file name (so
+    * a name that does not decode — never written by this code — still
+    * surfaces, under the raw name, instead of crashing the listing or
+    * silently vanishing). */
   def list(t: String, store: CommitStore = CommitStore.local)
       : Map[String, Long] =
     store.list(txnsDir(t)).flatMap { f =>
-      val appId = java.net.URLDecoder.decode(f, "UTF-8")
-      get(t, appId, store).map(appId -> _)
+      val appId = scala.util.Try(
+        java.net.URLDecoder.decode(f, "UTF-8")).getOrElse(f)
+      store.read(s"${txnsDir(t)}/$f").flatMap(b =>
+        scala.util.Try(new String(b, "UTF-8").trim.toLong).toOption)
+        .map(appId -> _)
     }.toMap
 
   /** Merge-max `epoch` into `appId`'s sidecar. Caller holds the table

@@ -292,6 +292,11 @@ class SnapshotsSpec extends AnyFunSuite {
     // data lands later through the same path
     Snapshots.append(spark, t2, Seq((5L, "z")).toDF("k", "v"))
     assert(Snapshots.read(spark, t2).count() == 1)
+    // and the empty state is RESTORABLE (re-commits via the declared
+    // schema, not a raw dir read that would fail inference)
+    val rv = Snapshots.restore(spark, t2, 1L)
+    assert(Snapshots.read(spark, t2).count() == 0 &&
+      Snapshots.currentVersion(t2).contains(rv))
   }
 
   test("restore refuses crashed-writer orphans (dir above the pointer)" +

@@ -157,6 +157,25 @@ class SnapshotStreamingWriteSpec extends AnyFunSuite {
     assert(Txns.get(t, "team/app").contains(42L))
     assert(Txns.list(t) == Map("team/app" -> 42L))
     assert(Snapshots.lastCommittedEpoch(t, "team/app").contains(42L))
+
+    // pathological appIds ('..' would be a path traversal bare) and a
+    // legacy un-encoded sidecar name both survive the lifecycle
+    val t2 = s"$root/t2"
+    Snapshots.write(spark, t2, Seq((1L, "a")).toDF("k", "v"),
+      txn = Some("../5"))
+    Snapshots.write(spark, t2, Seq((2L, "b")).toDF("k", "v"))
+    Snapshots.write(spark, t2, Seq((3L, "c")).toDF("k", "v"))
+    assert(Snapshots.vacuum(t2, keep = 1) == Seq(1L, 2L),
+      "vacuum must not crash preserving a dotted appId")
+    assert(Txns.get(t2, "..").contains(5L))
+    assert(Txns.list(t2) == Map(".." -> 5L))
+    assert(CommitStore.local.exists(s"$t2/_txns/%2E%2E"),
+      "dotted appId must be encoded inside the table's _txns dir")
+    // a hand-dropped legacy (raw, undecodeable) name lists raw instead
+    // of crashing the inspection view
+    CommitStore.local.mkdirs(s"$t2/_txns")
+    CommitStore.local.write(s"$t2/_txns/job%1", "9".getBytes("UTF-8"))
+    assert(Txns.list(t2).get("job%1").contains(9L))
   }
 
   test("full-copy format: vacuum preserves committed txn marks in the" +
