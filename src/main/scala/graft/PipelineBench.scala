@@ -61,6 +61,13 @@ object PipelineBench {
     // corpus — a bench artifact, not a production regime).
     val arrivalMode =
       sys.env.getOrElse("SPARK_GRAFT_PIPE_ARRIVAL", "wallclock")
+    // loud refusal (the CommitStore.resolve convention): a typo like
+    // 'simulate' must not silently record a wallclock run whose JSON
+    // labels look intentional
+    if (arrivalMode != "wallclock" && arrivalMode != "simulated")
+      throw new IllegalArgumentException(
+        s"SPARK_GRAFT_PIPE_ARRIVAL='$arrivalMode' is not a known arrival " +
+          "regime — valid values: wallclock, simulated")
     val arrivalFrom =
       if (arrivalMode == "simulated") Some("ingest_time") else None
     // SPARK_GRAFT_PIPE_SLIVER=0 disables sliver narrowing + window

@@ -242,14 +242,17 @@ final class ReferencePipeline(spark: SparkSession, baseDir: String,
     // overwrite: a crash between them only costs one spurious rebuild.
     def depsPath(name: String) = modelPaths(name) + ".__deps"
     def listingFp(name: String): String = {
-      def walk(dir: String): Seq[String] =
+      // entries carry their table-RELATIVE path, not just the leaf name:
+      // two layouts holding same-named, same-sized files in different
+      // subdirs must fingerprint differently (round-10 ADVICE #1)
+      def walk(dir: String, prefix: String): Seq[String] =
         store.listEntries(dir).sortBy(_.name).flatMap { e =>
-          if (e.isDir) walk(s"$dir/${e.name}")
-          else Seq(s"${e.name}:${e.bytes}")
+          if (e.isDir) walk(s"$dir/${e.name}", s"$prefix${e.name}/")
+          else Seq(s"$prefix${e.name}:${e.bytes}")
         }
       val md = java.security.MessageDigest.getInstance("MD5")
-      java.util.Base64.getEncoder.encodeToString(
-        md.digest(walk(modelPaths(name)).mkString("\n").getBytes("UTF-8")))
+      java.util.Base64.getEncoder.encodeToString(md.digest(
+        walk(modelPaths(name), "").mkString("\n").getBytes("UTF-8")))
     }
     def tableModel(name: String, upstream: Seq[String])(
         build: => DataFrame): Unit = {

@@ -274,7 +274,8 @@ object ChangeFeed {
     * [[PartitionedSnapshots.vacuum]]/[[Snapshots.vacuum]]. Returns the
     * reclaimed versions. */
   def safeVacuum(t: String, keep: Int = 1,
-      store: CommitStore = CommitStore.local): Seq[Long] = {
+      store: CommitStore = CommitStore.local,
+      txnRetainMs: Option[Long] = None): Seq[Long] = {
     val cur = PartitionedSnapshots.currentVersion(t, store).getOrElse(
       return Seq.empty)
     val floor = consumers(t, store).values.reduceOption(_ min _)
@@ -284,8 +285,9 @@ object ChangeFeed {
       .getOrElse(keep)
     val isPartitioned = PartitionedSnapshots.currentVersion(t, store)
       .exists(v => PartitionedSnapshots.hasManifest(t, v, store))
-    if (isPartitioned) PartitionedSnapshots.vacuum(t, needed, store)
-    else Snapshots.vacuum(t, needed, store)
+    if (isPartitioned)
+      PartitionedSnapshots.vacuum(t, needed, store, txnRetainMs)
+    else Snapshots.vacuum(t, needed, store, txnRetainMs)
   }
 
   /** All consumers tracking `t` with their committed cursors — the lag

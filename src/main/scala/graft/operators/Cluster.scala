@@ -24,18 +24,42 @@ import org.apache.spark.sql.functions._
 object Cluster {
 
   /** Undirected edges (u, v) → (doc_id, lbl) after `rounds` rounds of
-    * min-label propagation. Nodes are the endpoints of the edges. */
+    * min-label propagation. Nodes are the endpoints of the edges.
+    *
+    * Each round's labels are materialized eagerly; `checkpoint` picks
+    * HOW (results are identical — OperatorsSpec pins the equivalence):
+    *
+    *  - `true` (default, the cluster-scale form): EAGER
+    *    `localCheckpoint` — same materialization cost as cache+count,
+    *    but it also TRUNCATES the logical plan to a leaf. The round
+    *    body self-joins the previous labels TWICE, so the cached
+    *    variant's plan tree doubles per round — recomputation is
+    *    stopped by the cache, but driver-side analysis/AQE planning
+    *    cost (and at ≥10 rounds, plan-string rendering) grows with the
+    *    tree, the round-10 verdict's "first thing to fall over at
+    *    100×". Stats loss is immaterial here: node-keyed joins are the
+    *    shuffle joins a propagation pass wants, and AQE still converts
+    *    label-sized sides to broadcast at runtime from observed sizes.
+    *    A retired round's blocks are dropped by the ContextCleaner when
+    *    the frame goes out of scope (the connectedComponents contract).
+    *  - `false`: per-round cache + count + explicit unpersist of the
+    *    retired round — keeps full lineage (useful when a caller wants
+    *    Catalyst to see through the rounds, e.g. tiny fixed-round runs
+    *    feeding a hinted-broadcast pipeline). */
   def minLabelPropagation(pairs: DataFrame, aCol: String, bCol: String,
-      rounds: Int): DataFrame = {
+      rounds: Int, checkpoint: Boolean = true): DataFrame = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .cache()
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint(true)
+      else { df.cache(); df.count(); df }
     val nodes = edges.select(col("u").as("doc_id")).distinct()
-    var labels = nodes.withColumn("lbl", col("doc_id")).cache()
+    var labels = materialize(nodes.withColumn("lbl", col("doc_id")))
     (1 to rounds).foreach { _ =>
       // string-aliased frames: labels appears twice (self-join), so
       // dataset-apply column refs would be ambiguous
-      val next = labels.as("L")
+      val next = materialize(labels.as("L")
         .join(edges.as("E"), col("L.doc_id") === col("E.u"), "left")
         .join(labels.select(col("doc_id").as("n_id"),
           col("lbl").as("n_lbl")).as("R"),
@@ -43,30 +67,27 @@ object Cluster {
         .groupBy(col("L.doc_id").as("doc_id"), col("L.lbl").as("lbl"))
         .agg(min(col("n_lbl")).as("min_n"))
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("min_n"), col("lbl"))).as("lbl"))
-        .cache()
-      // Materialize round r eagerly so round r-1's cache (its only
-      // remaining consumer) can be dropped NOW — without this the operator
-      // leaks one InMemoryRelation per round into the session until the
-      // caller clears the whole cache. Caches are label-sized (two longs
-      // per clustered node); the count is a tiny job. At cluster scale,
-      // checkpoint each round instead.
-      next.count()
+          least(col("lbl"), coalesce(col("min_n"), col("lbl"))).as("lbl")))
+      // round r is materialized, so round r-1's cache (its only
+      // remaining consumer) can be dropped NOW — in cache mode, without
+      // this the operator leaks one InMemoryRelation per round into the
+      // session; in checkpoint mode this is a harmless no-op
       labels.unpersist()
       labels = next
     }
     // the final round is materialized above, so the edge cache (feeding
-    // only lineage, not the cached result) can go too
+    // only lineage, not the materialized result) can go too
     edges.unpersist()
-    // the returned frame holds the ONE remaining label-sized cache;
-    // callers drop it with unpersist()/clearCache() when done
+    // the returned frame holds the ONE remaining label-sized
+    // materialization; cache-mode callers drop it with unpersist()/
+    // clearCache(); checkpoint-mode blocks free with the frame
     labels
   }
 
   /** Convenience: cluster id per node + canonical flag. */
   def canonicalize(pairs: DataFrame, aCol: String, bCol: String,
-      rounds: Int): DataFrame =
-    minLabelPropagation(pairs, aCol, bCol, rounds)
+      rounds: Int, checkpoint: Boolean = true): DataFrame =
+    minLabelPropagation(pairs, aCol, bCol, rounds, checkpoint)
       .select(col("doc_id"), col("lbl").as("cluster_id"),
         (col("doc_id") === col("lbl")).as("is_canonical"))
 

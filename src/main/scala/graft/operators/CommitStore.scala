@@ -247,6 +247,11 @@ object CommitStore {
     registry.put(name, store)
   }
 
+  /** Remove a named binding (tests simulate a fresh driver with this;
+    * production drivers normally register once at startup and never
+    * unbind). @return true iff the name was bound. */
+  def unregister(name: String): Boolean = registry.remove(name) != null
+
   def resolve(spec: String): CommitStore = spec match {
     case "local" => local
     case "hadoop" => hadoop()
@@ -259,7 +264,11 @@ object CommitStore {
              registry.keySet.asScala.toSeq.sorted
                .mkString(", ", ", ", "")
            }) +
-          "; bind configured instances via CommitStore.register(name, store)"))
+          "; bind configured instances via CommitStore.register(name, " +
+          "store). Registrations are PROCESS-LOCAL: a restarted driver " +
+          "(e.g. recovering a checkpointed stream that was started with " +
+          s".option(\"store\", \"$other\")) must re-register the binding " +
+          "at startup, before the stream is re-loaded."))
   }
 }
 

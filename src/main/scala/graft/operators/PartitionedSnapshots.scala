@@ -418,7 +418,8 @@ object PartitionedSnapshots {
     * reclamation (the manifest-GC rule every lakehouse format shares).
     * Returns the versions deleted. */
   def vacuum(t: String, keep: Int = 1,
-      store: CommitStore = CommitStore.local): Seq[Long] = {
+      store: CommitStore = CommitStore.local,
+      txnRetainMs: Option[Long] = None): Seq[Long] = {
     require(keep >= 1, "keep must retain at least the current version")
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
       val cur = currentVersion(t, store).getOrElse(return Seq.empty)
@@ -444,6 +445,11 @@ object PartitionedSnapshots {
       // outlives its version dir (Txns sidecar) — orphans' markers
       // were never visible and are NOT preserved
       Txns.preserve(t, committedDrops, v => commitTxn(t, v, store), store)
+      // opt-in sidecar lifecycle: marks preserved above carry a fresh
+      // mtime, so this sweep can only reclaim marks idle since a PRIOR
+      // vacuum — never one this call just wrote
+      txnRetainMs.foreach(r =>
+        Txns.sweep(t, r, System.currentTimeMillis(), store))
       val drop = (committedDrops ++ orphans).distinct.sorted
       drop.foreach(v => store.deleteRecursively(versionDir(t, v)))
       drop

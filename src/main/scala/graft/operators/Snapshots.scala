@@ -233,7 +233,8 @@ object Snapshots {
     * current version always survives); orphans from crashed writers —
     * dirs above the pointer — are reclaimed too. */
   def vacuum(tablePath: String, keep: Int = 1,
-      store: CommitStore = CommitStore.local): Seq[Long] = {
+      store: CommitStore = CommitStore.local,
+      txnRetainMs: Option[Long] = None): Seq[Long] = {
     require(keep >= 1, "keep must retain at least the current snapshot")
     Incremental.withLock(tablePath, Incremental.DefaultLockStaleMs, store) {
       val cur = currentVersion(tablePath, store).getOrElse(
@@ -248,6 +249,9 @@ object Snapshots {
       // markers past reclamation (Txns sidecar); orphans excluded
       Txns.preserve(tablePath, committedDrops,
         v => commitTxn(tablePath, v, store), store)
+      // opt-in `_txns/` age sweep — see PartitionedSnapshots.vacuum
+      txnRetainMs.foreach(r =>
+        Txns.sweep(tablePath, r, System.currentTimeMillis(), store))
       val drop = (committedDrops ++ orphans).sorted
       drop.foreach(v => store.deleteRecursively(versionDir(tablePath, v)))
       drop

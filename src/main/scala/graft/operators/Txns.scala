@@ -101,6 +101,44 @@ object Txns {
     }
   }
 
+  /** LIFECYCLE: drop `appId`'s vacuum-preserved mark (the Delta
+    * txn-retention contract made explicit): without its mark — sidecar
+    * AND retained metas — a restarted stream for that query id replays
+    * its last epoch, so this is for retiring appIds that will never
+    * write again (a table fed by many short-lived streaming queries
+    * otherwise grows an unbounded `_txns/` listing). The mark may still
+    * be visible from RETAINED version metas after this drop — the
+    * `drop_txn` procedure reports that remaining epoch so the operator
+    * knows whether replay protection actually ended.
+    * @return true iff the sidecar existed. */
+  def drop(t: String, appId: String,
+      store: CommitStore = CommitStore.local): Boolean =
+    store.delete(path(t, appId))
+
+  /** Age-based sweep: delete sidecar marks last PRESERVED (mtime; a
+    * merge-max only rewrites when the epoch advances) more than
+    * `retainMs` ago. Vacuum runs this when the caller opts in with
+    * `txnRetainMs` — the bound Delta places on setTransaction
+    * retention, with the same documented consequence: an idle stream
+    * whose mark ages out replays its last epoch on a
+    * crash-before-checkpoint restart. Sidecar age is a LOWER bound on
+    * the stream's idle time (the mark was preserved only once the
+    * stream's last txn-bearing version itself aged past version
+    * retention). Returns the dropped appIds. Caller holds the table
+    * lock. */
+  private[operators] def sweep(t: String, retainMs: Long, nowMs: Long,
+      store: CommitStore): Seq[String] =
+    store.list(txnsDir(t)).flatMap { f =>
+      val p = s"${txnsDir(t)}/$f"
+      store.modifiedMs(p) match {
+        case Some(m) if nowMs - m > retainMs =>
+          store.delete(p)
+          Some(scala.util.Try(
+            java.net.URLDecoder.decode(f, "UTF-8")).getOrElse(f))
+        case _ => None
+      }
+    }
+
   /** Preserve the txn marks of COMMITTED versions about to be
     * reclaimed: `drops` must contain only versions at or below the
     * pointer (never orphans — see class doc); `txnOf` reads a

@@ -47,7 +47,7 @@ private[plans] object SnapshotProcedures {
     "add_constraint", "drop_constraint", "show_constraints", "mirror",
     "add_generated_column", "drop_generated_column",
     "show_generated_columns", "detail", "tag", "drop_tag", "tags",
-    "txns")
+    "txns", "drop_txn")
 
   def load(procName: String, pathOf: String => String,
       store: CommitStore): Option[UnboundProcedure] =
@@ -90,7 +90,10 @@ private[plans] object SnapshotProcedures {
       case "history" => Array(p("table", DataTypes.StringType))
       case "vacuum" => Array(p("table", DataTypes.StringType),
         pd("keep", DataTypes.IntegerType, "1"),
-        pd("respect_consumers", DataTypes.BooleanType, "false"))
+        pd("respect_consumers", DataTypes.BooleanType, "false"),
+        // opt-in `_txns/` lifecycle: sweep streaming-txn sidecar marks
+        // last preserved more than this many ms ago (-1 = never sweep)
+        pd("txn_retain_ms", DataTypes.LongType, "-1"))
       case "compact" => Array(p("table", DataTypes.StringType),
         pd("min_files", DataTypes.IntegerType, "2"),
         pd("max_records_per_file", DataTypes.LongType, "0"),
@@ -133,6 +136,8 @@ private[plans] object SnapshotProcedures {
       case "drop_tag" => Array(p("table", DataTypes.StringType),
         p("name", DataTypes.StringType))
       case "tags" | "txns" => Array(p("table", DataTypes.StringType))
+      case "drop_txn" => Array(p("table", DataTypes.StringType),
+        p("app_id", DataTypes.StringType))
       case "mirror" => Array(p("table", DataTypes.StringType),
         p("consumer", DataTypes.StringType),
         p("target", DataTypes.StringType),
@@ -150,6 +155,15 @@ private[plans] object SnapshotProcedures {
           throw new UnsupportedOperationException(
             s"$t has no recorded partition column — a " +
               "partitioned-format table is required"))
+      // txn markers still visible from RETAINED committed versions'
+      // metas (either format) — one half of Txns.all's metas ∪ sidecar
+      def retainedTxnMarkers(t: String): Seq[String] =
+        PartitionedSnapshots.currentVersion(t, store).toSeq.flatMap { c =>
+          PartitionedSnapshots.versions(t, store).filter(_ <= c)
+            .flatMap(v =>
+              PartitionedSnapshots.commitTxn(t, v, store).orElse(
+                graft.operators.Snapshots.commitTxn(t, v, store)))
+        }
       procName match {
         case "history" =>
           val commits = PartitionedSnapshots.history(t, store)
@@ -160,18 +174,20 @@ private[plans] object SnapshotProcedures {
               c.committed, c.publishedMs.map(Long.box).orNull)))
         case "vacuum" =>
           val keep = input.getInt(1)
+          val txnRetain = Some(input.getLong(3)).filter(_ >= 0)
           // respect_consumers widens retention to the slowest
           // registered change-feed cursor (ChangeFeed.safeVacuum)
           val deleted =
             if (input.getBoolean(2))
-              graft.operators.ChangeFeed.safeVacuum(t, keep, store)
+              graft.operators.ChangeFeed.safeVacuum(t, keep, store,
+                txnRetain)
             else {
               val isPartitioned =
                 PartitionedSnapshots.currentVersion(t, store).exists(v =>
                   PartitionedSnapshots.hasManifest(t, v, store))
               if (isPartitioned)
-                PartitionedSnapshots.vacuum(t, keep, store)
-              else Snapshots.vacuum(t, keep, store)
+                PartitionedSnapshots.vacuum(t, keep, store, txnRetain)
+              else Snapshots.vacuum(t, keep, store, txnRetain)
             }
           result(StructType.fromDDL("deleted_version BIGINT"),
             deleted.map(v => row(v)))
@@ -254,18 +270,29 @@ private[plans] object SnapshotProcedures {
           // metas ∪ the vacuum-preserved _txns sidecar — what
           // lastCommittedEpoch resolves per query id, surfaced for ops
           // (which streams have written here, and through what epoch)
-          val markers =
-            PartitionedSnapshots.currentVersion(t, store).toSeq
-              .flatMap { c =>
-                PartitionedSnapshots.versions(t, store).filter(_ <= c)
-                  .flatMap(v =>
-                    PartitionedSnapshots.commitTxn(t, v, store).orElse(
-                      graft.operators.Snapshots.commitTxn(t, v, store)))
-              }
-          val all = graft.operators.Txns.all(t, markers, store)
-            .toSeq.sortBy(_._1)
+          val all = graft.operators.Txns.all(t, retainedTxnMarkers(t),
+            store).toSeq.sortBy(_._1)
           result(StructType.fromDDL("query_id STRING, epoch BIGINT"),
             all.map { case (q, e) => row(utf8(q), e) })
+        case "drop_txn" =>
+          // retire a streaming query id's exactly-once mark (the Delta
+          // txn-retention contract, invoked explicitly): after the drop
+          // a restarted stream with this appId REPLAYS its last epoch —
+          // for appIds that will never write again. `remaining_epoch`
+          // is what lastCommittedEpoch still resolves AFTER the drop
+          // (non-null while retained version metas carry the marker;
+          // those age out with vacuum, the sidecar was the durable
+          // copy), so the caller sees whether replay protection
+          // actually ended.
+          val appId = input.getUTF8String(1).toString
+          val existed = graft.operators.Txns.drop(t, appId, store)
+          val remaining = graft.operators.Txns
+            .all(t, retainedTxnMarkers(t), store).get(appId)
+          result(StructType.fromDDL(
+            "query_id STRING, sidecar_existed BOOLEAN, " +
+              "remaining_epoch BIGINT"),
+            Seq(row(utf8(appId), existed,
+              remaining.map(Long.box).orNull)))
         case "show_constraints" =>
           val cs = graft.operators.Constraints.list(t, store)
             .toSeq.sortBy(_._1)

@@ -170,7 +170,10 @@ private[plans] object SnapshotStreamingWrite {
       .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
     val conflicts = writeSchema.fields.flatMap { f =>
       byName.get(f.name.toLowerCase(java.util.Locale.ROOT)).collect {
-        case tf if tf.dataType != f.dataType =>
+        // nullability-insensitive: a struct column differing only in a
+        // nested nullable flag is write-compatible, not a type conflict
+        case tf if !org.apache.spark.sql.graft.Bridge
+            .sameTypeIgnoreNullability(tf.dataType, f.dataType) =>
           s"${f.name} (stream ${f.dataType.simpleString}, table " +
             s"${tf.dataType.simpleString})"
       }

@@ -39,6 +39,14 @@ object Bridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Nullability-insensitive type equality (the `private[sql]`
+    * `DataType.equalsIgnoreNullability`) — the right comparison for
+    * write-compatibility checks, where a struct differing only in a
+    * nested nullable flag is still the same storable type. */
+  def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.types.DataType.equalsIgnoreNullability(a, b)
+
   /** Register a native expression on an ALREADY-built session (for
     * sessions created without `withExtensions`). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

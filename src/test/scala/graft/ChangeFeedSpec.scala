@@ -494,6 +494,138 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(CommitStore.resolve("hadoop") != null)
   }
 
+  test("schema-drift gate: a table WIDENED mid-stream keeps streaming " +
+      "on the pinned projection (no anonymous schema-mismatch); a " +
+      "restart re-pins and delivers the new column") {
+    val t = tmp()
+    val cp = Files.createTempDirectory("graft_cfs_drift").toString
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d")
+    val seen = new scala.collection.mutable.ArrayBuffer[
+      (Seq[String], Set[(Long, String)])]()
+    val q = CF.readStream(spark, t)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        val rows = b.select(col("k"), col("change_type"))
+          .as[(Long, String)].collect().toSet
+        seen.synchronized { seen += ((b.columns.toSeq, rows)) }
+        ()
+      })
+      .start()
+    q.processAllAvailable() // bootstrap on the pinned (k,d,v) schema
+    // the batch upsert's append_new_columns contract widens the table
+    // UNDER the running stream — exactly what the round-10 sink gate
+    // made the default for streaming writers too
+    PS.upsert(spark, t, Seq((2L, "B", "b1", "w1"))
+      .toDF("k", "d", "v", "w"), Seq("k"), "d")
+    q.processAllAvailable()
+    q.stop()
+    val batches = seen.synchronized(seen.toVector)
+    assert(batches.exists(_._2.contains((2L, "insert"))),
+      s"the widened commit must still deliver: $batches")
+    assert(batches.forall(!_._1.contains("w")),
+      s"mid-stream batches must stay on the pinned projection: " +
+        batches.map(_._1))
+
+    // restart (same checkpoint): the source re-pins from the WIDENED
+    // table, so new commits deliver the new column with its value
+    PS.upsert(spark, t, Seq((3L, "A", "c1", "w3"))
+      .toDF("k", "d", "v", "w"), Seq("k"), "d")
+    val seen2 = new scala.collection.mutable.ArrayBuffer[
+      (Seq[String], Set[(Long, Option[String], String)])]()
+    val q2 = CF.readStream(spark, t)
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        val rows = b.select(col("k"), col("w"), col("change_type"))
+          .as[(Long, Option[String], String)].collect().toSet
+        seen2.synchronized { seen2 += ((b.columns.toSeq, rows)) }
+        ()
+      })
+      .start()
+    q2.awaitTermination()
+    val after = seen2.synchronized(seen2.toVector)
+    assert(after.flatMap(_._2).contains((3L, Some("w3"), "insert")),
+      s"restart must adopt the widened schema: $after")
+  }
+
+  test("schema-drift gate: a pinned column RETYPED or DROPPED " +
+      "mid-stream refuses naming the drifted column, never an " +
+      "anonymous analysis error") {
+    def causes(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // retype: full-copy overwrite flips v from string to int
+    val t = tmp()
+    val cp = Files.createTempDirectory("graft_cfs_retype").toString
+    Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"))
+    val q = CF.readStream(spark, t, keys = Seq("k"))
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        b.count(); ()
+      })
+      .start()
+    q.processAllAvailable()
+    Snapshots.write(spark, t, Seq((1L, 5)).toDF("k", "v"))
+    val e = intercept[Throwable] { q.processAllAvailable() }
+    assert(causes(e).contains("drifted") &&
+      causes(e).contains("retyped columns: v"), causes(e))
+
+    // drop: the overwritten version no longer carries v at all
+    val t2 = tmp()
+    val cp2 = Files.createTempDirectory("graft_cfs_dropcol").toString
+    Snapshots.write(spark, t2, Seq((1L, "a")).toDF("k", "v"))
+    val qd = CF.readStream(spark, t2, keys = Seq("k"))
+      .writeStream.option("checkpointLocation", cp2)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        b.count(); ()
+      })
+      .start()
+    qd.processAllAvailable()
+    Snapshots.write(spark, t2, Seq(Tuple1(1L)).toDF("k"))
+    val e2 = intercept[Throwable] { qd.processAllAvailable() }
+    assert(causes(e2).contains("drifted") &&
+      causes(e2).contains("dropped columns: v"), causes(e2))
+  }
+
+  test("checkpointed restart on a REGISTERED store binding without " +
+      "re-registering fails at load with the re-register instruction; " +
+      "re-registering heals the restart") {
+    import graft.operators.CommitStore
+    val had = CommitStore.hadoop()
+    CommitStore.register("cfs-restart-store", had)
+    val t = tmp()
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d",
+      had)
+    val cp = Files.createTempDirectory("graft_cfs_rr").toString
+    def drainOnce(): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val q = CF.readStream(spark, t, keys = Seq("k"),
+        storeName = Some("cfs-restart-store"))
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          n.addAndGet(b.count()); ()
+        })
+        .start()
+      q.awaitTermination()
+      n.get()
+    }
+    assert(drainOnce() == 1L) // bootstrap through the binding
+    // a fresh driver process: the process-local registry is empty
+    assert(CommitStore.unregister("cfs-restart-store"))
+    val e = intercept[Exception] { drainOnce() }
+    assert(e.getMessage.contains(
+      "unknown CommitStore binding 'cfs-restart-store'") &&
+      e.getMessage.contains("re-register"), e.getMessage)
+    // the instructive message names the fix; applying it heals
+    CommitStore.register("cfs-restart-store", had)
+    PS.upsert(spark, t, Seq((2L, "B", "b1")).toDF("k", "d", "v"),
+      Seq("k"), "d", store = had)
+    assert(drainOnce() == 1L, "re-registered restart must resume the tail")
+    CommitStore.unregister("cfs-restart-store")
+    ()
+  }
+
   test("a consumer behind the retention horizon fails loudly with " +
       "re-bootstrap instructions; reset re-bootstraps") {
     val t = tmp()

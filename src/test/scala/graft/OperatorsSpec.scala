@@ -521,6 +521,23 @@ class ClusterSpec extends AnyFunSuite {
     assert((1L to 6L).forall(five(_) == 1L))
   }
 
+  test("checkpointed (default) and cached-lineage propagation modes " +
+      "produce identical labels — the per-round localCheckpoint is a " +
+      "materialization strategy, never a semantics change") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 20L), (11L, 12L)).toDF("a", "b")
+    def labelsOf(checkpoint: Boolean) =
+      Cluster.minLabelPropagation(pairs, "a", "b", rounds = 3,
+        checkpoint = checkpoint).as[(Long, Long)].collect().toSet
+    assert(labelsOf(true) == labelsOf(false))
+    def canon(checkpoint: Boolean) =
+      Cluster.canonicalize(pairs, "a", "b", rounds = 3,
+        checkpoint = checkpoint)
+        .as[(Long, Long, Boolean)].collect().toSet
+    assert(canon(true) == canon(false))
+    spark.catalog.clearCache() // drop the cached-mode label cache
+  }
+
   test("connectedComponents closes a 64-node path in O(log n) rounds" +
       " (pointer jumping), where fixed-round propagation needs diameter") {
     val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")

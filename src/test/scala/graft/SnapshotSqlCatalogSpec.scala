@@ -720,6 +720,52 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       "vacuum lost a query's high-water mark")
   }
 
+  test("CALL snap.system.drop_txn retires a query's exactly-once mark " +
+      "and the txns view reflects the drop; remaining_epoch reports a " +
+      "mark still visible from retained metas") {
+    val t = s"$root/txndrop"
+    PS.write(spark, t, Seq((1L, "A", "a")).toDF("k", "d", "v"), "d",
+      txn = Some("q-gone/3"))
+    PS.upsert(spark, t, Seq((1L, "A", "b")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    PS.upsert(spark, t, Seq((1L, "A", "c")).toDF("k", "d", "v"),
+      Seq("k"), "d", txn = Some("q-live/7"))
+    // q-gone's version ages out; its mark survives only in the sidecar
+    assert(PS.vacuum(t, keep = 1).nonEmpty)
+    def txns() = spark.sql("CALL snap.system.txns(table => 'txndrop')")
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(txns() == Seq(("q-gone", 3L), ("q-live", 7L)))
+
+    // retire q-gone: sidecar existed, nothing left in retained metas →
+    // remaining_epoch null, replay protection has actually ended
+    val r = spark.sql("CALL snap.system.drop_txn(table => 'txndrop', " +
+      "app_id => 'q-gone')").collect()(0)
+    assert(r.getString(0) == "q-gone" && r.getBoolean(1), s"$r")
+    assert(r.isNullAt(2), s"retired mark must leave nothing behind: $r")
+    assert(txns() == Seq(("q-live", 7L)), "txns view must reflect the drop")
+    assert(PS.lastCommittedEpoch(t, "q-gone").isEmpty,
+      "a restarted q-gone now REPLAYS — the documented contract")
+
+    // q-live's mark rides the CURRENT version's meta, not the sidecar:
+    // drop_txn reports it still visible (remaining_epoch = 7)
+    val r2 = spark.sql("CALL snap.system.drop_txn(table => 'txndrop', " +
+      "app_id => 'q-live')").collect()(0)
+    assert(!r2.getBoolean(1), s"no sidecar yet for q-live: $r2")
+    assert(!r2.isNullAt(2) && r2.getLong(2) == 7L,
+      s"meta-borne mark must surface as remaining_epoch: $r2")
+    assert(PS.lastCommittedEpoch(t, "q-live").contains(7L))
+
+    // vacuum with txn_retain_ms is addressable from SQL (fresh marks
+    // survive; the age sweep path is pinned operator-level in
+    // SnapshotStreamingWriteSpec)
+    PS.upsert(spark, t, Seq((1L, "A", "d")).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    spark.sql("CALL snap.system.vacuum(table => 'txndrop', keep => 1, " +
+      "txn_retain_ms => 3600000)").collect()
+    assert(txns() == Seq(("q-live", 7L)),
+      "a fresh mark must survive an hour-scale retention sweep")
+  }
+
   test("catalog-level store binding: spark.sql.catalog.<name>.store " +
       "routes the whole SQL surface (DDL/DML/time travel/CALL/" +
       "table_changes) through the named CommitStore; unknown bindings " +

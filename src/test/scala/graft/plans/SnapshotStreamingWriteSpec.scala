@@ -178,6 +178,68 @@ class SnapshotStreamingWriteSpec extends AnyFunSuite {
     assert(Txns.list(t2).get("job%1").contains(9L))
   }
 
+  test("_txns lifecycle: a dropped mark forces replay on restart (the " +
+      "documented txn-retention contract); the age sweep reclaims idle " +
+      "marks but never one the same vacuum just preserved") {
+    import graft.operators.{Snapshots, Txns}
+    val root = Files.createTempDirectory("graft_ssw_life").toString
+    val t = s"$root/t"
+    def staged(rows: Seq[(Long, String)], name: String): String = {
+      val dir = s"$root/$name"
+      rows.toDF("k", "v").coalesce(1).write.parquet(dir)
+      Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+    }
+    Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v"),
+      txn = Some("q-life/11"))
+    Snapshots.write(spark, t, Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    Snapshots.write(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+    // same-call preserve + sweep: the mark this vacuum just preserved
+    // is mtime-fresh, so even an aggressive retention keeps it
+    assert(Snapshots.vacuum(t, keep = 1,
+      txnRetainMs = Some(60L * 1000)) == Seq(1L, 2L))
+    assert(Txns.get(t, "q-life").contains(11L),
+      "the sweep must never eat a mark the same vacuum preserved")
+    assert(Snapshots.lastCommittedEpoch(t, "q-life").contains(11L))
+
+    // retire the mark: the operator knows q-life will never write again
+    assert(Txns.drop(t, "q-life"))
+    assert(!Txns.drop(t, "q-life"), "second drop: nothing left")
+    assert(Snapshots.lastCommittedEpoch(t, "q-life").isEmpty)
+    // ...so a crash-before-checkpoint restart REPLAYS epoch 11, and on
+    // this keyless table the replay applies (duplicates) — exactly the
+    // documented consequence the retired mark trades away
+    val w = new SnapshotStreamingWrite(t, Snapshots.read(spark, t).schema,
+      "q-life", None, Nil, truncate = false, CommitStore.local)
+    val before = Snapshots.read(spark, t).count()
+    w.commit(11L, Array(StagedEpochFiles(
+      staged(Seq((1L, "a")), "e11"), 1L)))
+    assert(Snapshots.read(spark, t).count() == before + 1,
+      "a dropped mark must force the replayed epoch to apply")
+
+    // age-based sweep: a mark idle past txn_retain_ms is reclaimed
+    val t2 = s"$root/t2"
+    Snapshots.write(spark, t2, Seq((1L, "a")).toDF("k", "v"),
+      txn = Some("q-idle/4"))
+    Snapshots.write(spark, t2, Seq((2L, "b")).toDF("k", "v"))
+    Snapshots.write(spark, t2, Seq((3L, "c")).toDF("k", "v"))
+    assert(Snapshots.vacuum(t2, keep = 1) == Seq(1L, 2L))
+    assert(Txns.get(t2, "q-idle").contains(4L))
+    // age the sidecar on disk (a year of idleness in one syscall)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$t2/_txns/q-idle"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 100L * 60 * 1000))
+    Snapshots.write(spark, t2, Seq((4L, "d")).toDF("k", "v"))
+    assert(Snapshots.vacuum(t2, keep = 1,
+      txnRetainMs = Some(60L * 1000)).nonEmpty)
+    assert(Txns.get(t2, "q-idle").isEmpty,
+      "a mark idle past txn_retain_ms must sweep")
+    assert(Snapshots.lastCommittedEpoch(t2, "q-idle").isEmpty,
+      "after the sweep the replay check must force a replay")
+  }
+
   test("full-copy format: vacuum preserves committed txn marks in the" +
       " sidecar too") {
     import graft.operators.{Snapshots, Txns}
