@@ -387,14 +387,27 @@ object Bench {
     val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    // host-conditions sums, computed BEFORE the best-file rewrite so
+    // the stale re-baseline below can consult them (round-11 review):
+    // a degraded-host run must never become the new table-wide bar
+    val stealSumD = results.flatMap(_._3).map(_.steal).sum
+    val runqSumD = results.flatMap(_._3).map(_.runq).sum
+    val hostHealthy = stealSumD + runqSumD < 120.0
+    if (!hostHealthy)
+      System.err.println(f"[bench] host NOT healthy (steal " +
+        f"$stealSumD%.1f s + runq $runqSumD%.1f s) — stale best-known " +
+        "entries keep their old values this run")
     val bestJson = results.map { case (k, v, runs) =>
       val (ht, hc) = hist.getOrElse(k, (Double.MaxValue, Double.MaxValue))
       val hr = histRound.getOrElse(k, 0)
       val okCpu = if (v >= 0) runs.map(_.cpu).min else Double.MaxValue
       // stale best (set >2 rounds ago under a different host regime):
       // replace with this run's fresh sample instead of min-ing against
-      // a bar no current run can meet — keeps the requeue trigger honest
-      val stale = roundNow.exists(r => hist.contains(k) && r - hr > 2)
+      // a bar no current run can meet — keeps the requeue trigger
+      // honest. Only from a HEALTHY run: re-baselining from a churn-
+      // inflated run would silence the requeue table-wide.
+      val stale = hostHealthy &&
+        roundNow.exists(r => hist.contains(k) && r - hr > 2)
       val (nt, nc, nr) =
         if (v < 0) (ht, hc, hr)
         else if (stale) (v, okCpu, roundNow.get)
@@ -446,8 +459,8 @@ object Bench {
     // sample, plus the median per-query inflation of this run's reported
     // time vs the committed best-known (≈1.0 on a clean host; a UNIFORM
     // >1.1 with large steal/runq sums reads "host churn", not "code").
-    val stealSum = r3(results.flatMap(_._3).map(_.steal).sum)
-    val runqSum = r3(results.flatMap(_._3).map(_.runq).sum)
+    val stealSum = r3(stealSumD)
+    val runqSum = r3(runqSumD)
     val inflations = results
       .collect { case (k, v, _) if v > 0 && hist.contains(k) =>
         v / hist(k)._1 }

@@ -55,6 +55,7 @@ object ScaleBench {
     // directional-exact (same caveat Bench documents for its counters).
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
     val blocks = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val cacheNow = new java.util.concurrent.atomic.AtomicLong
     val peakCache = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -71,12 +72,17 @@ object ScaleBench {
             : Unit = {
           val i = e.blockUpdatedInfo
           if (i.blockId.isRDD) {
+            // O(1) per event (running sum, not a map walk): the shared
+            // listener thread must never become the bottleneck — a
+            // backed-up bus DROPS events and silently corrupts the
+            // reported metrics
             val sz = i.memSize + i.diskSize
-            if (i.storageLevel.isValid && sz > 0)
-              blocks.put(i.blockId.name, sz)
-            else blocks.remove(i.blockId.name)
-            val tot = blocks.values().stream()
-              .mapToLong(x => x).sum()
+            val adding = i.storageLevel.isValid && sz > 0
+            val old =
+              if (adding) Option(blocks.put(i.blockId.name, sz))
+              else Option(blocks.remove(i.blockId.name))
+            val tot = cacheNow.addAndGet(
+              (if (adding) sz else 0L) - old.getOrElse(0L))
             peakCache.accumulateAndGet(tot, math.max(_, _))
           }
         }
@@ -106,7 +112,7 @@ object ScaleBench {
         (1 to 2).foreach { i =>
           spark.catalog.clearCache()
           settle()
-          blocks.clear(); peakCache.set(0L)
+          blocks.clear(); cacheNow.set(0L); peakCache.set(0L)
           val sw0 = shuffleWrite.get
           val t0 = System.nanoTime()
           q.run(spark, dir).write.format("noop").mode("overwrite").save()

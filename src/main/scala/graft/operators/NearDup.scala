@@ -83,12 +83,17 @@ object NearDup {
     * LSH-verified edges (never all-pairs). The signature cache is
     * dropped before returning: minLabelPropagation materializes every
     * round eagerly, so the returned (label-sized, cached) frame no
-    * longer reads through the signatures. */
+    * longer reads through the signatures. `checkpoint = false` keeps
+    * this operator's documented lifecycle — the caller drops the
+    * returned frame with `unpersist()` and a long-lived session
+    * looping the operator accumulates nothing (the checkpointed mode's
+    * blocks free only when the ContextCleaner GCs the frame, which a
+    * tight loop outpaces). */
   def clusters(src: DataFrame, idCol: String, textCol: String,
                threshold: Double = 0.5, rounds: Int = 3): DataFrame = {
     val sigs = signatures(src, idCol, textCol).cache()
     try Cluster.canonicalize(pairsOf(sigs, threshold),
-      "doc_a", "doc_b", rounds)
+      "doc_a", "doc_b", rounds, checkpoint = false)
     finally sigs.unpersist()
   }
 

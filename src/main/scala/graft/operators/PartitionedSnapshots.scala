@@ -444,12 +444,13 @@ object PartitionedSnapshots {
       // streaming exactly-once: a committed version's txn marker
       // outlives its version dir (Txns sidecar) — orphans' markers
       // were never visible and are NOT preserved
+      // sweep clock captured BEFORE preserve: marks preserved below get
+      // an mtime >= sweepNow, so the sweep can only reclaim marks idle
+      // since a PRIOR vacuum — never one this call just wrote, even at
+      // txnRetainMs = 0 (by construction, not by retention size)
+      val sweepNow = System.currentTimeMillis()
       Txns.preserve(t, committedDrops, v => commitTxn(t, v, store), store)
-      // opt-in sidecar lifecycle: marks preserved above carry a fresh
-      // mtime, so this sweep can only reclaim marks idle since a PRIOR
-      // vacuum — never one this call just wrote
-      txnRetainMs.foreach(r =>
-        Txns.sweep(t, r, System.currentTimeMillis(), store))
+      txnRetainMs.foreach(r => Txns.sweep(t, r, sweepNow, store))
       val drop = (committedDrops ++ orphans).distinct.sorted
       drop.foreach(v => store.deleteRecursively(versionDir(t, v)))
       drop

@@ -124,8 +124,10 @@ object Txns {
     * crash-before-checkpoint restart. Sidecar age is a LOWER bound on
     * the stream's idle time (the mark was preserved only once the
     * stream's last txn-bearing version itself aged past version
-    * retention). Returns the dropped appIds. Caller holds the table
-    * lock. */
+    * retention). `nowMs` is the caller's clock captured BEFORE its own
+    * preserve pass, so a mark written in the same vacuum (mtime >=
+    * nowMs) is never sweepable regardless of `retainMs`. Returns the
+    * dropped appIds. Caller holds the table lock. */
   private[operators] def sweep(t: String, retainMs: Long, nowMs: Long,
       store: CommitStore): Seq[String] =
     store.list(txnsDir(t)).flatMap { f =>

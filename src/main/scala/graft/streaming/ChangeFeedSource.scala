@@ -156,37 +156,58 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     *    the stream continues on its pinned view, and a RESTART re-pins
     *    from the current table schema, picking the new columns up
     *    (Delta CDF needs schemaTrackingLocation for the same);
-    *  - a pinned column DROPPED or RETYPED refuses loudly, naming the
-    *    drifted columns — the batch can no longer serve the declared
-    *    schema, and fabricating nulls/casts would silently corrupt the
+    *  - a pinned column DROPPED refuses loudly (a restart heals: the
+    *    re-pinned schema no longer expects the column, and CDC batches
+    *    spanning the drop carry it as nulls the projection removes);
+    *  - a pinned column RETYPED refuses loudly with the RE-BOOTSTRAP
+    *    remedy: a CDC span crossing a retype cannot be replayed (the
+    *    version diff would coerce the two types), so a restart alone
+    *    re-wedges on its first batch — the checkpoint must be
+    *    discarded and the stream re-bootstrapped from the current
+    *    snapshot. Fabricating casts instead would silently corrupt the
     *    downstream exactly-once apply. */
   private def conform(df: DataFrame): DataFrame = {
     refuseDrift(df.schema, schema.fields)
+    val byName = df.schema.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
     // project to the pinned columns, pinned order and casing: a batch
     // from a widened table conforms here instead of failing the engine's
-    // schema assertion
-    df.select(schema.fields.map(f => col(f.name).as(f.name))
+    // schema assertion. Resolve by the batch's ACTUAL column name (the
+    // gate above is case-insensitive; under spark.sql.caseSensitive a
+    // pinned-name lookup could miss a case-only variant) and alias back
+    // to the pinned name.
+    df.select(schema.fields.map(f =>
+      col(byName(f.name.toLowerCase(java.util.Locale.ROOT))).as(f.name))
       .toIndexedSeq: _*)
   }
 
-  /** Refuse, naming every drifted column, when `have` cannot serve the
-    * `pinned` fields. Called twice per batch: on the END version's
-    * TABLE schema before the CDC plan is built (a retyped column would
-    * otherwise fail inside the version diff as an anonymous analysis
-    * error), and on the batch frame itself (the safety net conform
-    * projects through). */
-  private def refuseDrift(have: StructType,
-      pinned: Array[StructField]): Unit = {
+  /** Refuse, naming every drifted column and the remedy that actually
+    * heals it, when `have` cannot serve the `pinned` fields. Called on
+    * the END version's table schema before the CDC plan is built (a
+    * retyped column would otherwise fail inside the version diff as an
+    * anonymous analysis error), on the START version's schema (a span
+    * CROSSING a retype is unreplayable even when the current table
+    * matches the re-pinned schema — the post-restart wedge), and on
+    * the batch frame itself (the safety net conform projects
+    * through). */
+  private def refuseDrift(have: StructType, pinned: Array[StructField],
+      spanFromVersion: Option[Long] = None): Unit = {
     val byName = have.fields
       .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
-    val missing = pinned.map(_.name).filterNot(n =>
-      byName.contains(n.toLowerCase(java.util.Locale.ROOT)))
+    // a column missing from the SPAN-START version is a widen since
+    // then (the diff fills nulls) — only current-table checks treat a
+    // missing pinned column as a drop
+    val missing =
+      if (spanFromVersion.isDefined) Array.empty[String]
+      else pinned.map(_.name).filterNot(n =>
+        byName.contains(n.toLowerCase(java.util.Locale.ROOT)))
     val retyped = pinned.flatMap { f =>
       byName.get(f.name.toLowerCase(java.util.Locale.ROOT)).collect {
         case bf if !org.apache.spark.sql.graft.Bridge
             .sameTypeIgnoreNullability(bf.dataType, f.dataType) =>
-          s"${f.name} (pinned ${f.dataType.simpleString}, table now " +
-            s"${bf.dataType.simpleString})"
+          s"${f.name} (pinned ${f.dataType.simpleString}, " +
+            s"${spanFromVersion.fold("table now")(v => s"v$v had")} " +
+            bf.dataType.simpleString + ")"
       }
     }
     if (missing.nonEmpty || retyped.nonEmpty)
@@ -197,17 +218,34 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
             s" — dropped columns: ${missing.mkString(", ")}" else "") +
           (if (retyped.nonEmpty)
             s" — retyped columns: ${retyped.mkString(", ")}" else "") +
-          ". Restart the stream to re-pin the source schema from the " +
-          "current table.")
+          ". " +
+          (if (retyped.nonEmpty)
+            "A CDC span cannot be replayed across a retype: discard " +
+              "this stream's checkpoint and re-bootstrap from the " +
+              "current snapshot (a restart alone re-pins the new type " +
+              "but wedges again on the first batch spanning the change)."
+           else
+            "Restart the stream to re-pin the source schema from the " +
+              "current table."))
   }
 
-  /** The table's schema at version `v` — what the end-of-batch gate
-    * compares against the pinned schema (metadata-sized: the declared
-    * schema / changed footers, never a data read). */
+  // schema lookups are per VERSION of an immutable table — cache them
+  // so the per-batch gates cost one manifest/footer read per NEW
+  // version, not per micro-batch (a second-scale trigger would
+  // otherwise re-list the end version every tick)
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[Long, StructType]
+
+  /** The table's schema at version `v` — what the drift gates compare
+    * against the pinned schema (metadata-sized: the declared schema /
+    * changed footers, never a data read; cached per version). */
   private def schemaAt(v: Long): StructType =
-    (if (PartitionedSnapshots.hasManifest(t, v, store))
-      PartitionedSnapshots.readVersion(spark, t, v, store)
-    else Snapshots.readVersion(spark, t, v, store)).schema
+    schemaCache.getOrElseUpdate(v, {
+      if (schemaCache.size > 16) schemaCache.clear()
+      (if (PartitionedSnapshots.hasManifest(t, v, store))
+        PartitionedSnapshots.readVersion(spark, t, v, store)
+      else Snapshots.readVersion(spark, t, v, store)).schema
+    })
 
   private def batchFor(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
@@ -220,8 +258,13 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         // pre-gate on the END version's table schema: a retype between
         // s and endV must refuse HERE with the drift named, not throw
         // an anonymous analysis error inside the version diff below
-        refuseDrift(schemaAt(endV),
-          schema.fields.filterNot(_.name == "change_type"))
+        val dataFields = schema.fields.filterNot(_.name == "change_type")
+        refuseDrift(schemaAt(endV), dataFields)
+        // ...and on the START version: after a restart re-pins a
+        // retyped schema the end check passes, but the span s→endV
+        // still crosses the retype and the diff would coerce the
+        // column — refuse with the re-bootstrap remedy instead
+        refuseDrift(schemaAt(s), dataFields, spanFromVersion = Some(s))
         if (PartitionedSnapshots.hasManifest(t, endV, store))
           PartitionedSnapshots.changes(spark, t, s, endV, keys, store,
             preImages)

@@ -569,6 +569,33 @@ class ChangeFeedSpec extends AnyFunSuite {
     val e = intercept[Throwable] { q.processAllAvailable() }
     assert(causes(e).contains("drifted") &&
       causes(e).contains("retyped columns: v"), causes(e))
+    // the remedy must be RE-BOOTSTRAP, not restart: a restart re-pins
+    // v:int but its first batch still SPANS the retype, so the span
+    // gate refuses again with the same instruction instead of wedging
+    // on an inverted type-conflict message
+    assert(causes(e).contains("re-bootstrap"), causes(e))
+    val qr = CF.readStream(spark, t, keys = Seq("k"))
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        b.count(); ()
+      })
+      .start()
+    val er = intercept[Throwable] { qr.processAllAvailable() }
+    assert(causes(er).contains("re-bootstrap") &&
+      causes(er).contains("retyped columns: v"), causes(er))
+    // following the instruction heals: a FRESH checkpoint bootstraps
+    // from the current (retyped) snapshot
+    val cpFresh = Files.createTempDirectory("graft_cfs_fresh").toString
+    val n = new java.util.concurrent.atomic.AtomicLong
+    val qf = CF.readStream(spark, t, keys = Seq("k"))
+      .writeStream.option("checkpointLocation", cpFresh)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+        n.addAndGet(b.count()); ()
+      })
+      .start()
+    qf.awaitTermination()
+    assert(n.get() == 1L, "fresh checkpoint must re-bootstrap cleanly")
 
     // drop: the overwritten version no longer carries v at all
     val t2 = tmp()
