@@ -36,6 +36,9 @@ object ScaleBench {
       "/tmp/graft_scale")
     val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,10")
       .split(",").map(_.trim.toInt).toSeq
+    // optional query filter for targeted big-multiplier runs
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -100,7 +103,7 @@ object ScaleBench {
       System.err.println(s"[scale] corpus x$mult at $dir")
       graft.datagen.ScaleData.ensure(spark, dir, mult, fixedVocab)
       spark.catalog.clearCache()
-      val qres = Queries.map { name =>
+      val qres = only.fold(Queries)(f => Queries.filter(f)).map { name =>
         val q = SparkEntry.catalog.find(_.name == name).getOrElse(
           sys.error(s"unknown catalog query $name"))
         // min of two one-shot runs through a noop sink (the FULL plan,
