@@ -35,7 +35,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * First batch (no checkpoint): the current snapshot as `insert` rows
   * (`startingVersion=latest` skips the backlog and streams only
-  * commits after stream start). `preImages=true` emits Delta-CDF
+  * commits after stream start). `Trigger.AvailableNow` is NATIVE
+  * ([[org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow]]):
+  * the run pins the commit pointer at start, drains exactly that
+  * backlog, and stops — no single-batch fallback warning, and
+  * commits landing mid-run deterministically wait for the next run. `preImages=true` emits Delta-CDF
   * update_preimage/update_postimage pairs. Retention interplay: the
   * checkpointed offset is a VERSION — vacuum must retain at least the
   * slowest stream's lag (same contract as pull consumers;
@@ -98,7 +102,9 @@ private[streaming] object ChangeFeedSource {
 }
 
 private[streaming] final class ChangeFeedSource(spark: SparkSession,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   private val storeSpec = ChangeFeedSource.storeSpec(parameters)
   private val store: CommitStore = ChangeFeedSource.storeOf(parameters)
@@ -135,6 +141,40 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
 
   override def getOffset: Option[Offset] =
     PartitionedSnapshots.currentVersion(t, store).map(LongOffset(_))
+
+  // ── native Trigger.AvailableNow (SupportsTriggerAvailableNow) ──
+  // Without this the engine warns and FALLS BACK to single-batch
+  // execution ("may not guarantee processing new data if there is an
+  // uncommitted batch"). With it, AvailableNow gets its contract:
+  // prepare() pins the commit pointer at query start, every offset the
+  // run admits is capped at that pin (commits landing mid-run wait for
+  // the next run), and the query stops once the pin is drained.
+  // Outer Option = "prepare was called"; inner = the pinned pointer
+  // (None on a table with no commits yet — drain nothing).
+  private var availableNowCap: Option[Option[Long]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(PartitionedSnapshots.currentVersion(t, store))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val cur = PartitionedSnapshots.currentVersion(t, store)
+    val capped = availableNowCap match {
+      case Some(pin) => for { c <- cur; p <- pin } yield math.min(c, p)
+      case None => cur
+    }
+    capped.map(LongOffset(_)).orNull
+  }
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    PartitionedSnapshots.currentVersion(t, store).map(LongOffset(_)).orNull
 
   private def versionOf(o: Offset): Long = o.json.trim.toLong
 

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.operators.{ChangeFeed => CF, PartitionedSnapshots => PS}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Native Trigger.AvailableNow on the CDC source
+  * (SupportsTriggerAvailableNow): without it the engine WARNS and
+  * falls back to single-batch execution with a documented
+  * no-guarantee caveat; with it, prepare() pins the commit pointer at
+  * query start and the run drains exactly the pinned backlog. */
+class ChangeFeedAvailableNowSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() =
+    Files.createTempDirectory("graft_cfs_an").toString + "/t"
+
+  test("prepare pins the commit pointer; latestOffset caps at the pin " +
+      "while reportLatestOffset keeps tracking the live table") {
+    val t = tmp()
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d") // v1
+    val src = new ChangeFeedSource(spark, Map("path" -> t))
+    src.prepareForTriggerAvailableNow() // pin at v1
+    PS.upsert(spark, t, Seq((2L, "B", "b1")).toDF("k", "d", "v"),
+      Seq("k"), "d")                                                  // v2
+    def v(o: org.apache.spark.sql.connector.read.streaming.Offset) =
+      o.asInstanceOf[LongOffset].offset
+    assert(v(src.latestOffset(null, src.getDefaultReadLimit)) == 1L,
+      "admitted offsets must cap at the pinned pointer")
+    assert(v(src.reportLatestOffset()) == 2L,
+      "the progress-reporting offset tracks the live table")
+    // an un-prepared source (regular triggers) admits the live pointer
+    val live = new ChangeFeedSource(spark, Map("path" -> t))
+    assert(v(live.latestOffset(null, live.getDefaultReadLimit)) == 2L)
+  }
+
+  test("e2e: a commit landing MID-RUN does not drain in the pinned " +
+      "run; the next AvailableNow run delivers exactly it") {
+    val t = tmp()
+    val cp = Files.createTempDirectory("graft_cfs_an_cp").toString
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d")
+    val seen = new scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def drain(inject: Boolean): Set[Long] = {
+      seen.clear()
+      val q = CF.readStream(spark, t)
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          val ks = b.select(col("k")).as[Long].collect().toSet
+          seen.synchronized { seen += ks }
+          if (inject && injected.compareAndSet(false, true))
+            PS.upsert(spark, t, Seq((2L, "B", "b1"))
+              .toDF("k", "d", "v"), Seq("k"), "d")
+          ()
+        })
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow run must stop " +
+        "once the pinned pointer is drained")
+      seen.synchronized(seen.flatten.toSet)
+    }
+    assert(drain(inject = true) == Set(1L),
+      "the mid-run commit must wait for the next run")
+    assert(drain(inject = false) == Set(2L),
+      "the next run delivers exactly the mid-run commit")
+    assert(drain(inject = false) == Set.empty, "then caught up")
+  }
+}
