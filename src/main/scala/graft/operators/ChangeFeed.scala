@@ -165,7 +165,8 @@ object ChangeFeed {
       keys: Seq[String] = Nil, preImages: Boolean = false,
       latestOnly: Boolean = false,
       consumerId: Option[String] = None,
-      storeName: Option[String] = None): DataFrame = {
+      storeName: Option[String] = None,
+      maxVersionsPerBatch: Option[Long] = None): DataFrame = {
     var r = spark.readStream.format("graft-changes").option("path", t)
     if (keys.nonEmpty) r = r.option("keys", keys.mkString(","))
     if (preImages) r = r.option("preImages", "true")
@@ -173,6 +174,9 @@ object ChangeFeed {
     consumerId.foreach(c => r = r.option("consumerId", c))
     // "local" | "hadoop" | a CommitStore.register-ed binding name
     storeName.foreach(s => r = r.option("store", s))
+    // backfill pacing: cap each micro-batch at N versions
+    maxVersionsPerBatch.foreach(n =>
+      r = r.option("maxVersionsPerBatch", n.toString))
     r.load()
   }
 

@@ -18,9 +18,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *   .option("path", "/warehouse/sales")     // or snap-catalog path
   *   .option("keys", "k")                    // omit if recorded
   *   .option("store", "prod-s3")             // CommitStore binding:
-  *   .load()                                 //   local (default),
-  *   .writeStream…                           //   hadoop, or a
-  * }}}                                       //   registered name
+  *   .option("maxVersionsPerBatch", "10")    //   local (default),
+  *   .load()                                 //   hadoop, or a
+  *   .writeStream…                           //   registered name
+  * }}}
   *
   * This is the V1 `Source` seam (the one Delta's own streaming source
   * uses): `getBatch(start, end)` returns an ordinary DataFrame, which
@@ -124,6 +125,22 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
   private val startingVersion: Option[Long] =
     if (latestOnly) PartitionedSnapshots.currentVersion(t, store)
     else None
+  // backfill pacing (Delta's maxFilesPerTrigger analogue, in this
+  // source's natural unit): cap each micro-batch at N VERSIONS past
+  // the checkpointed offset, so a stream resuming far behind drains
+  // the backlog as N-version batches instead of one giant catch-up
+  // batch (each batch is still the manifest-diff of its span — cost
+  // stays O(changed partitions) per batch). The bootstrap batch (no
+  // checkpoint) is one snapshot read and is not paced.
+  private val maxVersionsPerBatch: Option[Long] =
+    parameters.get("maxVersionsPerBatch").map { s =>
+      val n = scala.util.Try(s.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"maxVersionsPerBatch must be a positive integer, got '$s'"))
+      require(n > 0,
+        s"maxVersionsPerBatch must be a positive integer, got '$s'")
+      n
+    }
 
   private def keys: Seq[String] =
     parameters.get("keys")
@@ -165,11 +182,19 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val cur = PartitionedSnapshots.currentVersion(t, store)
-    val capped = availableNowCap match {
+    val pinned = availableNowCap match {
       case Some(pin) => for { c <- cur; p <- pin } yield math.min(c, p)
       case None => cur
     }
-    capped.map(LongOffset(_)).orNull
+    // pacing applies AFTER any checkpointed offset exists; the first
+    // (bootstrap) batch reads one snapshot and is not paced
+    val startV = Option(start).map(_.json.trim.toLong)
+      .orElse(startingVersion)
+    val paced = (maxVersionsPerBatch, startV) match {
+      case (Some(n), Some(s)) => pinned.map(v => math.min(v, s + n))
+      case _ => pinned
+    }
+    paced.map(LongOffset(_)).orNull
   }
 
   override def reportLatestOffset()

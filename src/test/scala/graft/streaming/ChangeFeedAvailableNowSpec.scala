@@ -68,4 +68,46 @@ class ChangeFeedAvailableNowSpec extends AnyFunSuite {
       "the next run delivers exactly the mid-run commit")
     assert(drain(inject = false) == Set.empty, "then caught up")
   }
+
+  test("maxVersionsPerBatch paces a backlog into per-version " +
+      "micro-batches (Delta's maxFilesPerTrigger analogue); the " +
+      "bootstrap batch is not paced; bad values refuse") {
+    val t = tmp()
+    val cp = Files.createTempDirectory("graft_cfs_pace").toString
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d")
+    def drain(): Seq[Set[Long]] = {
+      val seen = new scala.collection.mutable.ArrayBuffer[Set[Long]]()
+      val q = CF.readStream(spark, t, maxVersionsPerBatch = Some(1L))
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          val ks = b.select(col("k")).as[Long].collect().toSet
+          seen.synchronized { if (ks.nonEmpty) seen += ks }
+          ()
+        })
+        .start()
+      assert(q.awaitTermination(120000))
+      seen.synchronized(seen.toVector)
+    }
+    assert(drain() == Seq(Set(1L)), "bootstrap: the snapshot, unpaced")
+    // a 3-version backlog accumulates while the stream is down…
+    (2 to 4).foreach(i => PS.upsert(spark, t,
+      Seq((i.toLong, "A", s"v$i")).toDF("k", "d", "v"), Seq("k"), "d"))
+    // …and drains as THREE one-version batches, in commit order,
+    // exactly-once across the batch boundaries
+    assert(drain() == Seq(Set(2L), Set(3L), Set(4L)),
+      "the backlog must pace at one version per micro-batch")
+    assert(drain() == Seq.empty, "caught up")
+    val e = intercept[Exception] {
+      CF.readStream(spark, t, maxVersionsPerBatch = Some(0L))
+        .writeStream.option("checkpointLocation",
+          Files.createTempDirectory("graft_cfs_pace0").toString)
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ())
+        .start().processAllAvailable()
+    }
+    assert(e.getMessage.contains("maxVersionsPerBatch") ||
+      Option(e.getCause).exists(_.getMessage != null &&
+        e.getCause.getMessage.contains("maxVersionsPerBatch")),
+      e.getMessage)
+  }
 }
