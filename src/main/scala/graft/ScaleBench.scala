@@ -36,9 +36,18 @@ object ScaleBench {
       "/tmp/graft_scale")
     val mults = sys.env.getOrElse("SPARK_GRAFT_SCALE_MULTS", "1,10")
       .split(",").map(_.trim.toInt).toSeq
-    // optional query filter for targeted big-multiplier runs
+    // optional query filter for targeted big-multiplier runs; unknown
+    // names refuse loudly (a typo must not report a 'successful' empty
+    // run)
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { f =>
+      val unknown = f -- Queries.toSet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALE_ONLY names unknown queries: " +
+          s"${unknown.mkString(", ")} — valid: ${Queries.mkString(", ")}")
+    }
+    val selected = only.fold(Queries)(f => Queries.filter(f))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -103,7 +112,7 @@ object ScaleBench {
       System.err.println(s"[scale] corpus x$mult at $dir")
       graft.datagen.ScaleData.ensure(spark, dir, mult, fixedVocab)
       spark.catalog.clearCache()
-      val qres = only.fold(Queries)(f => Queries.filter(f)).map { name =>
+      val qres = selected.map { name =>
         val q = SparkEntry.catalog.find(_.name == name).getOrElse(
           sys.error(s"unknown catalog query $name"))
         // min of two one-shot runs through a noop sink (the FULL plan,
@@ -143,7 +152,7 @@ object ScaleBench {
           s""""peak_cache_mb":${r1(pk / 1e6)}}"""
       }.mkString(",") + "}"
     }.mkString("{\"metric\":\"scale\",\"queries\":" +
-      s"${Queries.size},\"scales\":{", ",", "}}")
+      s"${selected.size},\"scales\":{", ",", "}}")
     println(json)
     spark.stop()
   }

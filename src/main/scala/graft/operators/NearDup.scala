@@ -82,18 +82,24 @@ object NearDup {
     * component of the lshPairs graph — min-label propagation over the
     * LSH-verified edges (never all-pairs). The signature cache is
     * dropped before returning: minLabelPropagation materializes every
-    * round eagerly, so the returned (label-sized, cached) frame no
-    * longer reads through the signatures. `checkpoint = false` keeps
-    * this operator's documented lifecycle — the caller drops the
-    * returned frame with `unpersist()` and a long-lived session
-    * looping the operator accumulates nothing (the checkpointed mode's
-    * blocks free only when the ContextCleaner GCs the frame, which a
-    * tight loop outpaces). */
+    * round eagerly, so the returned (label-sized) frame no longer
+    * reads through the signatures.
+    *
+    * Lifecycle of the returned frame (checkpointed by default): its
+    * label-sized blocks free when the frame is garbage-collected
+    * (ContextCleaner) — a long-lived session looping the operator and
+    * simply dropping results accumulates nothing permanent, and the
+    * plan tree stays constant-size at any `rounds`. Pass
+    * `checkpoint = false` only when the caller manages the cache
+    * explicitly: the frame is then a CacheManager-registered cache
+    * that persists until `unpersist()` (never freed by GC), and the
+    * logical plan doubles per round. */
   def clusters(src: DataFrame, idCol: String, textCol: String,
-               threshold: Double = 0.5, rounds: Int = 3): DataFrame = {
+               threshold: Double = 0.5, rounds: Int = 3,
+               checkpoint: Boolean = true): DataFrame = {
     val sigs = signatures(src, idCol, textCol).cache()
     try Cluster.canonicalize(pairsOf(sigs, threshold),
-      "doc_a", "doc_b", rounds, checkpoint = false)
+      "doc_a", "doc_b", rounds, checkpoint)
     finally sigs.unpersist()
   }
 

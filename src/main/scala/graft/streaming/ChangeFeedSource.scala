@@ -191,7 +191,10 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     val startV = Option(start).map(_.json.trim.toLong)
       .orElse(startingVersion)
     val paced = (maxVersionsPerBatch, startV) match {
-      case (Some(n), Some(s)) => pinned.map(v => math.min(v, s + n))
+      // saturating add: a huge N ("unlimited") must not wrap negative
+      // and poison the checkpointed offset
+      case (Some(n), Some(s)) if s <= Long.MaxValue - n =>
+        pinned.map(v => math.min(v, s + n))
       case _ => pinned
     }
     paced.map(LongOffset(_)).orNull
@@ -233,18 +236,43 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     *    downstream exactly-once apply. */
   private def conform(df: DataFrame): DataFrame = {
     refuseDrift(df.schema, schema.fields)
-    val byName = df.schema.fields
-      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.name).toMap
+    val groups = caseGroups(df.schema)
     // project to the pinned columns, pinned order and casing: a batch
     // from a widened table conforms here instead of failing the engine's
     // schema assertion. Resolve by the batch's ACTUAL column name (the
     // gate above is case-insensitive; under spark.sql.caseSensitive a
     // pinned-name lookup could miss a case-only variant) and alias back
-    // to the pinned name.
+    // to the pinned name. `serving` picks the exact-cased column when
+    // several case variants exist, so a variant added later can never
+    // silently supply the pinned column's data.
     df.select(schema.fields.map(f =>
-      col(byName(f.name.toLowerCase(java.util.Locale.ROOT))).as(f.name))
-      .toIndexedSeq: _*)
+      col(serving(groups, f).get.name).as(f.name)).toIndexedSeq: _*)
   }
+
+  /** Case-insensitive column groups of a schema. */
+  private def caseGroups(s: StructType)
+      : Map[String, Array[StructField]] =
+    s.fields.groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
+
+  /** The column that SERVES pinned field `f`: the exact-cased match
+    * when present (case-variant siblings are then ordinary added
+    * columns the projection drops), else the single case-insensitive
+    * match; several variants with no exact match refuse — picking one
+    * silently would serve another column's data under the pinned
+    * name. */
+  private def serving(groups: Map[String, Array[StructField]],
+      f: StructField): Option[StructField] =
+    groups.get(f.name.toLowerCase(java.util.Locale.ROOT)).map { vs =>
+      vs.find(_.name == f.name).getOrElse {
+        if (vs.length == 1) vs.head
+        else throw new IllegalStateException(
+          s"graft-changes: $t carries case-variant duplicates of " +
+            s"pinned column ${f.name} " +
+            s"(${vs.map(_.name).mkString(", ")}) and none matches the " +
+            "pinned casing — the stream cannot choose between them; " +
+            "rename upstream or restart to re-pin")
+      }
+    }
 
   /** Refuse, naming every drifted column and the remedy that actually
     * heals it, when `have` cannot serve the `pinned` fields. Called on
@@ -257,17 +285,17 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     * through). */
   private def refuseDrift(have: StructType, pinned: Array[StructField],
       spanFromVersion: Option[Long] = None): Unit = {
-    val byName = have.fields
-      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    val groups = caseGroups(have)
     // a column missing from the SPAN-START version is a widen since
     // then (the diff fills nulls) — only current-table checks treat a
     // missing pinned column as a drop
     val missing =
       if (spanFromVersion.isDefined) Array.empty[String]
-      else pinned.map(_.name).filterNot(n =>
-        byName.contains(n.toLowerCase(java.util.Locale.ROOT)))
+      else pinned.filter(f => serving(groups, f).isEmpty).map(_.name)
+    // type-check the SAME column the projection would serve (exact
+    // casing preferred; ambiguous variants refuse inside `serving`)
     val retyped = pinned.flatMap { f =>
-      byName.get(f.name.toLowerCase(java.util.Locale.ROOT)).collect {
+      serving(groups, f).collect {
         case bf if !org.apache.spark.sql.graft.Bridge
             .sameTypeIgnoreNullability(bf.dataType, f.dataType) =>
           s"${f.name} (pinned ${f.dataType.simpleString}, " +
