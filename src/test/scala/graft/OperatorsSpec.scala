@@ -538,6 +538,31 @@ class ClusterSpec extends AnyFunSuite {
     spark.catalog.clearCache() // drop the cached-mode label cache
   }
 
+  test("checkpointed propagation returns a CONSTANT-SIZE plan at any " +
+      "round count (the 100x scale property); cached lineage grows " +
+      "with rounds") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect { case n => n }.size
+    def nodesAt(rounds: Int, checkpoint: Boolean): Int = {
+      val df = Cluster.minLabelPropagation(pairs, "a", "b", rounds,
+        checkpoint)
+      val n = planNodes(df)
+      df.unpersist()
+      n
+    }
+    // checkpoint truncates each round to a leaf: the returned plan is
+    // the SAME size after 2 rounds and after 6 — planning/AQE cost at
+    // cluster scale is independent of iteration depth
+    assert(nodesAt(2, checkpoint = true) == nodesAt(6, checkpoint = true))
+    // the cached mode keeps full lineage: the round body references the
+    // previous labels twice, so the tree grows (super)linearly in rounds
+    assert(nodesAt(6, checkpoint = false) >
+      2 * nodesAt(2, checkpoint = false),
+      "cached-lineage plan growth is the cost the checkpoint removes")
+    spark.catalog.clearCache()
+  }
+
   test("connectedComponents closes a 64-node path in O(log n) rounds" +
       " (pointer jumping), where fixed-round propagation needs diameter") {
     val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
