@@ -76,6 +76,14 @@ object Txns {
     store.read(path(t, appId)).flatMap(b =>
       scala.util.Try(new String(b, "UTF-8").trim.toLong).toOption)
 
+  /** When `appId`'s sidecar mark was last preserved (epoch ms), None
+    * when the mark is meta-borne only (no sidecar yet) — the age the
+    * `txn_retain_ms` sweep measures, surfaced so `CALL txns` shows
+    * which marks a given retention would reclaim. */
+  def preservedAtMs(t: String, appId: String,
+      store: CommitStore = CommitStore.local): Option[Long] =
+    store.modifiedMs(path(t, appId))
+
   /** All preserved marks: appId → high-water epoch. Sidecar names are
     * percent-encoded appIds; each entry reads by its RAW file name (so
     * a name that does not decode — never written by this code — still

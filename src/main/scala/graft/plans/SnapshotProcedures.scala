@@ -269,11 +269,17 @@ private[plans] object SnapshotProcedures {
           // streaming exactly-once high-water marks: retained version
           // metas ∪ the vacuum-preserved _txns sidecar — what
           // lastCommittedEpoch resolves per query id, surfaced for ops
-          // (which streams have written here, and through what epoch)
+          // (which streams have written here, through what epoch, and
+          // — via the sidecar's preservation time, the age the
+          // txn_retain_ms sweep measures — which marks a given
+          // retention would reclaim; null = meta-borne, not sweepable)
           val all = graft.operators.Txns.all(t, retainedTxnMarkers(t),
             store).toSeq.sortBy(_._1)
-          result(StructType.fromDDL("query_id STRING, epoch BIGINT"),
-            all.map { case (q, e) => row(utf8(q), e) })
+          result(StructType.fromDDL(
+            "query_id STRING, epoch BIGINT, preserved_at_ms BIGINT"),
+            all.map { case (q, e) => row(utf8(q), e,
+              graft.operators.Txns.preservedAtMs(t, q, store)
+                .map(Long.box).orNull) })
         case "drop_txn" =>
           // retire a streaming query id's exactly-once mark (the Delta
           // txn-retention contract, invoked explicitly): after the drop

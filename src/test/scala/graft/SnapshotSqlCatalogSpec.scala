@@ -712,12 +712,23 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       Seq("k"), "d", txn = Some("q-b/7"))
     def txns() = spark.sql(
       "CALL snap.system.txns(table => 'txnsview')")
+      .select("query_id", "epoch")
       .as[(String, Long)].collect().toSeq.sorted
+    def preservedAt() = spark.sql(
+      "CALL snap.system.txns(table => 'txnsview')")
+      .select("query_id", "preserved_at_ms")
+      .as[(String, Option[Long])].collect().toMap
     assert(txns() == Seq(("q-a", 3L), ("q-b", 7L)))
+    assert(preservedAt().forall(_._2.isEmpty),
+      "meta-borne marks carry no preservation time (not sweepable)")
     // vacuum reclaims q-a's version; its mark survives in the sidecar
     assert(PS.vacuum(t, keep = 1).nonEmpty)
     assert(txns() == Seq(("q-a", 3L), ("q-b", 7L)),
       "vacuum lost a query's high-water mark")
+    // the preserved mark now shows its sidecar age (what a
+    // txn_retain_ms sweep would measure); q-b stays meta-borne
+    assert(preservedAt()("q-a").isDefined && preservedAt()("q-b").isEmpty,
+      s"${preservedAt()}")
   }
 
   test("CALL snap.system.drop_txn retires a query's exactly-once mark " +
@@ -733,6 +744,7 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
     // q-gone's version ages out; its mark survives only in the sidecar
     assert(PS.vacuum(t, keep = 1).nonEmpty)
     def txns() = spark.sql("CALL snap.system.txns(table => 'txndrop')")
+      .select("query_id", "epoch")
       .as[(String, Long)].collect().toSeq.sorted
     assert(txns() == Seq(("q-gone", 3L), ("q-live", 7L)))
 
