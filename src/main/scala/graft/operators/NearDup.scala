@@ -27,10 +27,32 @@ object NearDup {
         .as("sh"))
       .withColumn("sig", TextExprs.minhashSig(col("sh")))
 
-  /** Band → candidate → exact-verify over a signature frame. */
-  private def pairsOf(docs: DataFrame, threshold: Double): DataFrame = {
-    val bands = docs.select(col("doc_id"),
+  /** Band → candidate → exact-verify over a signature frame.
+    *
+    * `maxBucketSize` is the HOT-BUCKET guard (SCALE.md's saturated-
+    * shingle stress measured the failure it prevents): a band bucket
+    * with B members generates B²/2 candidates, so one degenerate key —
+    * boilerplate, templated pages, a collapsed shingle space — can
+    * dominate the whole pair stage. Buckets larger than the cap are
+    * DROPPED before the self-join (an oversized bucket asserts a
+    * mutually-near-dup clique bigger than any real near-dup cluster —
+    * degenerate content, not near-dup signal; each surviving band
+    * still catches a true pair independently, so recall loss is
+    * confined to pairs ALL of whose 8 bands are hot). None (the
+    * default, and the catalog queries' oracle-matched shape) keeps
+    * every bucket. */
+  private def pairsOf(docs: DataFrame, threshold: Double,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val allBands = docs.select(col("doc_id"),
       explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
+    val bands = maxBucketSize.fold(allBands) { cap =>
+      // one count per band key, then a semi join on the band key the
+      // self-join below shuffles on anyway — no extra shuffle axis
+      val ok = allBands.groupBy(col("band"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap)
+        .select(col("band"))
+      allBands.join(ok, Seq("band"), "left_semi")
+    }
     val cands = bands.as("a").join(bands.as("b"), Seq("band"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -63,8 +85,10 @@ object NearDup {
     * `pairsFromSignatures` — the cross-run path a 100 TB corpus uses
     * anyway — or clearCache between calls, as Bench/Verify do. */
   def lshPairs(src: DataFrame, idCol: String, textCol: String,
-               threshold: Double = 0.5): DataFrame =
-    pairsOf(signatures(src, idCol, textCol).cache(), threshold)
+               threshold: Double = 0.5,
+               maxBucketSize: Option[Int] = None): DataFrame =
+    pairsOf(signatures(src, idCol, textCol).cache(), threshold,
+      maxBucketSize)
 
   /** Scoped lshPairs: the signature cache lives exactly as long as
     * `body` — long-lived sessions looping the operator accumulate
@@ -117,8 +141,9 @@ object NearDup {
     * direct path, no re-shingling/re-hashing. */
   def pairsFromSignatures(spark: org.apache.spark.sql.SparkSession,
                           path: String,
-                          threshold: Double = 0.5): DataFrame =
-    pairsOf(spark.read.parquet(path), threshold)
+                          threshold: Double = 0.5,
+                          maxBucketSize: Option[Int] = None): DataFrame =
+    pairsOf(spark.read.parquet(path), threshold, maxBucketSize)
 
   /** INCREMENTAL near-dup: all pairs involving a batch of NEW documents —
     * within-batch plus batch-vs-corpus — against the PERSISTED signature

@@ -31,6 +31,33 @@ class NearDupSpec extends AnyFunSuite {
     assert(strict.subsetOf(pairs))
   }
 
+  test("maxBucketSize drops degenerate HOT buckets (one boilerplate " +
+      "clique cannot dominate the pair stage) while ordinary near-dup " +
+      "pairs survive; the default keeps every bucket") {
+    // 40 byte-identical boilerplate docs: every band bucket they share
+    // has 40 members and would alone generate 40*39/2 = 780 candidates
+    val clique = (1L to 40L).map(i =>
+      (i, "cookie banner accept all reject all manage preferences now"))
+    val corpus = (clique ++ Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again"),
+      (102L, "the quick brown fox jumps over the lazy dog again and once"),
+      (104L, "completely different text about spark shuffle partitions")))
+      .toDF("my_id", "body")
+    val capped = NearDup.lshPairs(corpus, "my_id", "body", 0.5,
+      maxBucketSize = Some(10))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((101L, 102L)),
+      "small-bucket near-dup pairs must survive the cap")
+    assert(!capped.exists(p => p._1 <= 40L || p._2 <= 40L),
+      s"the degenerate clique's pairs must be dropped: $capped")
+    // default: every bucket kept — the clique's pairs all verify
+    val full = NearDup.lshPairs(corpus, "my_id", "body", 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(full.count(p => p._1 <= 40L && p._2 <= 40L) == 40 * 39 / 2)
+    assert(full.contains((101L, 102L)))
+    spark.catalog.clearCache() // lshPairs signature caches
+  }
+
   test("pairs from a persisted signature table equal the direct path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sigs")
       .toString + "/sigs"
