@@ -48,6 +48,19 @@ object ScaleBench {
           s"${unknown.mkString(", ")} — valid: ${Queries.mkString(", ")}")
     }
     val selected = only.fold(Queries)(f => Queries.filter(f))
+    // SPARK_GRAFT_SCALE_CAP=N appends a pseudo-query running the d02
+    // LSH lineage with NearDup's maxBucketSize hot-bucket guard — the
+    // measured counterpart of the saturated-shingle stress variant
+    // (SCALE.md): same corpus, candidates capped at the guard
+    val capRun: Seq[(String,
+        (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      sys.env.get("SPARK_GRAFT_SCALE_CAP").map(_.trim.toInt).toSeq
+        .map { c =>
+          (s"d02_capped_$c", (s: SparkSession, d: String) =>
+            graft.operators.NearDup.lshPairs(
+              graft.Tables.documents(s, d), "doc_id", "text", 0.5,
+              maxBucketSize = Some(c)))
+        }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -112,9 +125,14 @@ object ScaleBench {
       System.err.println(s"[scale] corpus x$mult at $dir")
       graft.datagen.ScaleData.ensure(spark, dir, mult, fixedVocab)
       spark.catalog.clearCache()
-      val qres = selected.map { name =>
-        val q = SparkEntry.catalog.find(_.name == name).getOrElse(
-          sys.error(s"unknown catalog query $name"))
+      val runs: Seq[(String,
+          (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+        selected.map { name =>
+          val q = SparkEntry.catalog.find(_.name == name).getOrElse(
+            sys.error(s"unknown catalog query $name"))
+          (name, (s: SparkSession, d: String) => q.run(s, d))
+        } ++ capRun
+      val qres = runs.map { case (name, run) =>
         // min of two one-shot runs through a noop sink (the FULL plan,
         // sort included — a bare count() would let the optimizer prune
         // window/sort stages); both runs do the full computation,
@@ -127,7 +145,7 @@ object ScaleBench {
           blocks.clear(); cacheNow.set(0L); peakCache.set(0L)
           val sw0 = shuffleWrite.get
           val t0 = System.nanoTime()
-          q.run(spark, dir).write.format("noop").mode("overwrite").save()
+          run(spark, dir).write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           settle()
           val sw = shuffleWrite.get - sw0
@@ -137,7 +155,7 @@ object ScaleBench {
           if (best == null || dt < best._1) best = (dt, sw, pk)
         }
         spark.catalog.clearCache()
-        val rows = q.run(spark, dir).count()
+        val rows = run(spark, dir).count()
         spark.catalog.clearCache()
         (name, best._1, rows, best._2, best._3)
       }
@@ -152,7 +170,7 @@ object ScaleBench {
           s""""peak_cache_mb":${r1(pk / 1e6)}}"""
       }.mkString(",") + "}"
     }.mkString("{\"metric\":\"scale\",\"queries\":" +
-      s"${selected.size},\"scales\":{", ",", "}}")
+      s"${selected.size + capRun.size},\"scales\":{", ",", "}}")
     println(json)
     spark.stop()
   }

@@ -119,8 +119,10 @@ object ScaleData {
     if (names.forall(n =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(
           s"$dir/$n.parquet/_SUCCESS")))) return
+    // fixedVocab pins ONE variant (30 tokens, ~900 bigrams — the fully
+    // saturated shingle space of the committed SCALE_STRESS run)
     val variants =
-      if (fixedVocab) 3 else math.max(3, math.round(
+      if (fixedVocab) 1 else math.max(3, math.round(
         3.0 * math.sqrt(mult.toDouble)).toInt)
     documents(spark, 5000L * mult, variants)
       .repartition(8).write.mode("overwrite")
