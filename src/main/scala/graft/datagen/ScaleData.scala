@@ -115,15 +115,26 @@ object ScaleData {
     * saturated-shingle stress variant. */
   def ensure(spark: SparkSession, dir: String, mult: Int,
       fixedVocab: Boolean = false): Unit = {
-    val names = Seq("documents", "embeddings", "orders", "lineitem")
-    if (names.forall(n =>
-        java.nio.file.Files.exists(java.nio.file.Paths.get(
-          s"$dir/$n.parquet/_SUCCESS")))) return
     // fixedVocab pins ONE variant (30 tokens, ~900 bigrams — the fully
     // saturated shingle space of the committed SCALE_STRESS run)
     val variants =
       if (fixedVocab) 1 else math.max(3, math.round(
         3.0 * math.sqrt(mult.toDouble)).toInt)
+    // generation marker: a dir is reusable only when it was produced
+    // by THIS generator shape — a generator change must regenerate,
+    // never silently serve a stale corpus under the new description
+    val gen = s"scaledata-v2:mult=$mult:variants=$variants"
+    val genPath = java.nio.file.Paths.get(s"$dir/_gen")
+    val names = Seq("documents", "embeddings", "orders", "lineitem")
+    val complete = names.forall(n =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$dir/$n.parquet/_SUCCESS")))
+    val sameGen = java.nio.file.Files.exists(genPath) &&
+      new String(java.nio.file.Files.readAllBytes(genPath),
+        "UTF-8").trim == gen
+    if (complete && sameGen) return
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.deleteIfExists(genPath)
     documents(spark, 5000L * mult, variants)
       .repartition(8).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
@@ -136,5 +147,9 @@ object ScaleData {
     lineitem(spark, 600000L * mult, 150000L * mult, 1000L * mult)
       .repartition(8).write.mode("overwrite")
       .parquet(s"$dir/lineitem.parquet")
+    // marker written LAST: a crash mid-generation leaves no marker and
+    // the next ensure() regenerates
+    java.nio.file.Files.write(genPath, gen.getBytes("UTF-8"))
+    ()
   }
 }

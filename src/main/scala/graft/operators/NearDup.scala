@@ -46,6 +46,9 @@ object NearDup {
     val allBands = docs.select(col("doc_id"),
       explode(lshBandKeys(col("sig"), 8, 2)).as("band"))
     val bands = maxBucketSize.fold(allBands) { cap =>
+      // any pair needs a 2-member bucket: a cap below 2 would silently
+      // return zero pairs from a 'successful' run
+      require(cap >= 2, s"maxBucketSize must be >= 2, got $cap")
       // one count per band key, then a semi join on the band key the
       // self-join below shuffles on anyway — no extra shuffle axis
       val ok = allBands.groupBy(col("band"))
@@ -117,7 +120,10 @@ object NearDup {
     * `checkpoint = false` only when the caller manages the cache
     * explicitly: the frame is then a CacheManager-registered cache
     * that persists until `unpersist()` (never freed by GC), and the
-    * logical plan doubles per round. */
+    * logical plan doubles per round. Callers written against the
+    * pre-round-11 contract (loop + `unpersist()` per result) should
+    * pass `checkpoint = false` — under the default their unpersist is
+    * a no-op and block release waits for GC. */
   def clusters(src: DataFrame, idCol: String, textCol: String,
                threshold: Double = 0.5, rounds: Int = 3,
                checkpoint: Boolean = true): DataFrame = {

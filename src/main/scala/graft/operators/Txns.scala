@@ -76,13 +76,37 @@ object Txns {
     store.read(path(t, appId)).flatMap(b =>
       scala.util.Try(new String(b, "UTF-8").trim.toLong).toOption)
 
-  /** When `appId`'s sidecar mark was last preserved (epoch ms), None
-    * when the mark is meta-borne only (no sidecar yet) — the age the
-    * `txn_retain_ms` sweep measures, surfaced so `CALL txns` shows
-    * which marks a given retention would reclaim. */
-  def preservedAtMs(t: String, appId: String,
-      store: CommitStore = CommitStore.local): Option[Long] =
-    store.modifiedMs(path(t, appId))
+  /** All preserved marks with their sidecar mtimes in ONE listing
+    * pass: appId → (high-water epoch, last-preserved epoch ms). The
+    * mtime is taken against the RAW file name (not a re-encoding of
+    * the decoded appId), so a foreign-named sidecar that [[list]]
+    * tolerates reports the same age the `txn_retain_ms` sweep will
+    * measure against it. */
+  def listDetailed(t: String, store: CommitStore = CommitStore.local)
+      : Map[String, (Long, Option[Long])] =
+    store.list(txnsDir(t)).flatMap { f =>
+      val p = s"${txnsDir(t)}/$f"
+      val appId = scala.util.Try(
+        java.net.URLDecoder.decode(f, "UTF-8")).getOrElse(f)
+      store.read(p).flatMap(b =>
+        scala.util.Try(new String(b, "UTF-8").trim.toLong).toOption)
+        .map(e => appId -> ((e, store.modifiedMs(p))))
+    }.toMap
+
+  /** [[all]] with each mark's sidecar age: appId → (epoch,
+    * last-preserved ms). Meta-borne marks (no sidecar) carry None —
+    * the sweep cannot touch them. When both sources carry an appId the
+    * epoch is the max and the age is the sidecar's. */
+  def allDetailed(t: String, markers: Seq[String],
+      store: CommitStore = CommitStore.local)
+      : Map[String, (Long, Option[Long])] = {
+    val side = listDetailed(t, store)
+    (markers.flatMap(parseMarker)
+      .map { case (a, e) => a -> ((e, Option.empty[Long])) } ++ side)
+      .groupMapReduce(_._1)(_._2) { case ((e1, m1), (e2, m2)) =>
+        (math.max(e1, e2), m1.orElse(m2))
+      }
+  }
 
   /** All preserved marks: appId → high-water epoch. Sidecar names are
     * percent-encoded appIds; each entry reads by its RAW file name (so
@@ -91,13 +115,7 @@ object Txns {
     * silently vanishing). */
   def list(t: String, store: CommitStore = CommitStore.local)
       : Map[String, Long] =
-    store.list(txnsDir(t)).flatMap { f =>
-      val appId = scala.util.Try(
-        java.net.URLDecoder.decode(f, "UTF-8")).getOrElse(f)
-      store.read(s"${txnsDir(t)}/$f").flatMap(b =>
-        scala.util.Try(new String(b, "UTF-8").trim.toLong).toOption)
-        .map(appId -> _)
-    }.toMap
+    listDetailed(t, store).view.mapValues(_._1).toMap
 
   /** Merge-max `epoch` into `appId`'s sidecar. Caller holds the table
     * lock. */

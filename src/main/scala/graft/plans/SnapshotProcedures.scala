@@ -273,13 +273,12 @@ private[plans] object SnapshotProcedures {
           // — via the sidecar's preservation time, the age the
           // txn_retain_ms sweep measures — which marks a given
           // retention would reclaim; null = meta-borne, not sweepable)
-          val all = graft.operators.Txns.all(t, retainedTxnMarkers(t),
-            store).toSeq.sortBy(_._1)
+          val all = graft.operators.Txns.allDetailed(t,
+            retainedTxnMarkers(t), store).toSeq.sortBy(_._1)
           result(StructType.fromDDL(
             "query_id STRING, epoch BIGINT, preserved_at_ms BIGINT"),
-            all.map { case (q, e) => row(utf8(q), e,
-              graft.operators.Txns.preservedAtMs(t, q, store)
-                .map(Long.box).orNull) })
+            all.map { case (q, (e, at)) => row(utf8(q), e,
+              at.map(Long.box).orNull) })
         case "drop_txn" =>
           // retire a streaming query id's exactly-once mark (the Delta
           // txn-retention contract, invoked explicitly): after the drop

@@ -254,25 +254,24 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
       : Map[String, Array[StructField]] =
     s.fields.groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
 
+  private def variantsOf(groups: Map[String, Array[StructField]],
+      f: StructField): Array[StructField] =
+    groups.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT),
+      Array.empty)
+
   /** The column that SERVES pinned field `f`: the exact-cased match
     * when present (case-variant siblings are then ordinary added
     * columns the projection drops), else the single case-insensitive
-    * match; several variants with no exact match refuse — picking one
-    * silently would serve another column's data under the pinned
-    * name. */
+    * match. None = absent OR ambiguous (several variants, no exact
+    * match — picking one silently would serve another column's data
+    * under the pinned name); [[refuseDrift]] tells the two apart and
+    * names the right remedy. */
   private def serving(groups: Map[String, Array[StructField]],
-      f: StructField): Option[StructField] =
-    groups.get(f.name.toLowerCase(java.util.Locale.ROOT)).map { vs =>
-      vs.find(_.name == f.name).getOrElse {
-        if (vs.length == 1) vs.head
-        else throw new IllegalStateException(
-          s"graft-changes: $t carries case-variant duplicates of " +
-            s"pinned column ${f.name} " +
-            s"(${vs.map(_.name).mkString(", ")}) and none matches the " +
-            "pinned casing — the stream cannot choose between them; " +
-            "rename upstream or restart to re-pin")
-      }
-    }
+      f: StructField): Option[StructField] = {
+    val vs = variantsOf(groups, f)
+    vs.find(_.name == f.name)
+      .orElse(if (vs.length == 1) vs.headOption else None)
+  }
 
   /** Refuse, naming every drifted column and the remedy that actually
     * heals it, when `have` cannot serve the `pinned` fields. Called on
@@ -286,14 +285,22 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
   private def refuseDrift(have: StructType, pinned: Array[StructField],
       spanFromVersion: Option[Long] = None): Unit = {
     val groups = caseGroups(have)
+    // several case variants with no exact match: the stream cannot
+    // choose which column serves the pinned name
+    val ambiguous = pinned.flatMap { f =>
+      val vs = variantsOf(groups, f)
+      if (vs.length > 1 && !vs.exists(_.name == f.name))
+        Some(s"${f.name} (variants: ${vs.map(_.name).mkString(", ")})")
+      else None
+    }
     // a column missing from the SPAN-START version is a widen since
     // then (the diff fills nulls) — only current-table checks treat a
     // missing pinned column as a drop
     val missing =
       if (spanFromVersion.isDefined) Array.empty[String]
-      else pinned.filter(f => serving(groups, f).isEmpty).map(_.name)
+      else pinned.filter(f => variantsOf(groups, f).isEmpty).map(_.name)
     // type-check the SAME column the projection would serve (exact
-    // casing preferred; ambiguous variants refuse inside `serving`)
+    // casing preferred; ambiguous columns are already reported above)
     val retyped = pinned.flatMap { f =>
       serving(groups, f).collect {
         case bf if !org.apache.spark.sql.graft.Bridge
@@ -303,7 +310,13 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
             bf.dataType.simpleString + ")"
       }
     }
-    if (missing.nonEmpty || retyped.nonEmpty)
+    if (missing.nonEmpty || retyped.nonEmpty || ambiguous.nonEmpty) {
+      // a restart heals drops and CURRENT-table ambiguity (the re-pin
+      // adopts the table's actual names); a retype — or an ambiguity
+      // baked into a HISTORICAL span version — re-wedges every
+      // restart, so the remedy is discarding the checkpoint
+      val needsRebootstrap = retyped.nonEmpty ||
+        (ambiguous.nonEmpty && spanFromVersion.isDefined)
       throw new IllegalStateException(
         s"graft-changes: $t's schema drifted since this stream pinned " +
           "it at start" +
@@ -311,15 +324,19 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
             s" — dropped columns: ${missing.mkString(", ")}" else "") +
           (if (retyped.nonEmpty)
             s" — retyped columns: ${retyped.mkString(", ")}" else "") +
+          (if (ambiguous.nonEmpty)
+            s" — case-ambiguous columns: ${ambiguous.mkString(", ")}"
+           else "") +
           ". " +
-          (if (retyped.nonEmpty)
-            "A CDC span cannot be replayed across a retype: discard " +
+          (if (needsRebootstrap)
+            "A CDC span cannot be replayed across this change: discard " +
               "this stream's checkpoint and re-bootstrap from the " +
-              "current snapshot (a restart alone re-pins the new type " +
-              "but wedges again on the first batch spanning the change)."
+              "current snapshot (a restart alone re-pins but wedges " +
+              "again on the first batch spanning the change)."
            else
             "Restart the stream to re-pin the source schema from the " +
               "current table."))
+    }
   }
 
   // schema lookups are per VERSION of an immutable table — cache them
