@@ -89,9 +89,15 @@ object NearDup {
     * anyway — or clearCache between calls, as Bench/Verify do. */
   def lshPairs(src: DataFrame, idCol: String, textCol: String,
                threshold: Double = 0.5,
-               maxBucketSize: Option[Int] = None): DataFrame =
+               maxBucketSize: Option[Int] = None): DataFrame = {
+    // validate BEFORE the cache() below registers the signature plan —
+    // an invalid cap must not leak a CacheManager entry on the error
+    // path (pairsOf re-checks as defense)
+    maxBucketSize.foreach(c =>
+      require(c >= 2, s"maxBucketSize must be >= 2, got $c"))
     pairsOf(signatures(src, idCol, textCol).cache(), threshold,
       maxBucketSize)
+  }
 
   /** Scoped lshPairs: the signature cache lives exactly as long as
     * `body` — long-lived sessions looping the operator accumulate

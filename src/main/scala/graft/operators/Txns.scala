@@ -115,7 +115,16 @@ object Txns {
     * silently vanishing). */
   def list(t: String, store: CommitStore = CommitStore.local)
       : Map[String, Long] =
-    listDetailed(t, store).view.mapValues(_._1).toMap
+    // NOT a listDetailed delegation: callers here (replay checks,
+    // drop_txn's remaining-epoch resolve) don't need mtimes, and on an
+    // object-store binding each mtime is a HEAD round-trip
+    store.list(txnsDir(t)).flatMap { f =>
+      val appId = scala.util.Try(
+        java.net.URLDecoder.decode(f, "UTF-8")).getOrElse(f)
+      store.read(s"${txnsDir(t)}/$f").flatMap(b =>
+        scala.util.Try(new String(b, "UTF-8").trim.toLong).toOption)
+        .map(appId -> _)
+    }.toMap
 
   /** Merge-max `epoch` into `appId`'s sidecar. Caller holds the table
     * lock. */

@@ -282,7 +282,8 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     * matches the re-pinned schema — the post-restart wedge), and on
     * the batch frame itself (the safety net conform projects
     * through). */
-  private def refuseDrift(have: StructType, pinned: Array[StructField],
+  private[streaming] def refuseDrift(have: StructType,
+      pinned: Array[StructField],
       spanFromVersion: Option[Long] = None): Unit = {
     val groups = caseGroups(have)
     // several case variants with no exact match: the stream cannot
@@ -290,7 +291,12 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     val ambiguous = pinned.flatMap { f =>
       val vs = variantsOf(groups, f)
       if (vs.length > 1 && !vs.exists(_.name == f.name))
-        Some(s"${f.name} (variants: ${vs.map(_.name).mkString(", ")})")
+        // name WHERE the ambiguity lives: a historical span version's
+        // variants are invisible in DESCRIBE of the (possibly healed)
+        // current table
+        Some(s"${f.name} " +
+          s"(${spanFromVersion.fold("table")(v => s"v$v")} variants: " +
+          s"${vs.map(_.name).mkString(", ")})")
       else None
     }
     // a column missing from the SPAN-START version is a widen since

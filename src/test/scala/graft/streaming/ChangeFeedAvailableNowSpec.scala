@@ -69,6 +69,42 @@ class ChangeFeedAvailableNowSpec extends AnyFunSuite {
     assert(drain(inject = false) == Set.empty, "then caught up")
   }
 
+  test("refuseDrift names case-ambiguous columns with WHERE the " +
+      "ambiguity lives and the remedy that heals it: current-table " +
+      "ambiguity -> restart re-pins; span-version ambiguity -> " +
+      "re-bootstrap (a restart replays the same historical span)") {
+    import org.apache.spark.sql.types._
+    val t = tmp()
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d")
+    val src = new ChangeFeedSource(spark, Map("path" -> t))
+    val pinned = Array(StructField("k", LongType),
+      StructField("vx", StringType))
+    // two case variants of vx, neither matching the pinned casing
+    val drifted = StructType(Seq(StructField("k", LongType),
+      StructField("VX", StringType), StructField("Vx", IntegerType)))
+    val current = intercept[IllegalStateException] {
+      src.refuseDrift(drifted, pinned)
+    }
+    assert(current.getMessage.contains("case-ambiguous columns: vx") &&
+      current.getMessage.contains("table variants:"), current.getMessage)
+    assert(current.getMessage.contains("Restart the stream"),
+      "current-table ambiguity heals on restart (the re-pin adopts " +
+        s"the actual names): ${current.getMessage}")
+    val span = intercept[IllegalStateException] {
+      src.refuseDrift(drifted, pinned, spanFromVersion = Some(3L))
+    }
+    assert(span.getMessage.contains("v3 variants:"), span.getMessage)
+    assert(span.getMessage.contains("re-bootstrap") &&
+      !span.getMessage.contains("Restart the stream"),
+      "span ambiguity re-wedges every restart — the remedy is " +
+        s"discarding the checkpoint: ${span.getMessage}")
+    // a clean schema with an exact-cased match plus extra variants is
+    // NOT ambiguous (the variants are ordinary added columns)
+    src.refuseDrift(StructType(Seq(StructField("k", LongType),
+      StructField("vx", StringType), StructField("VX", StringType))),
+      pinned)
+  }
+
   test("maxVersionsPerBatch paces a backlog into per-version " +
       "micro-batches (Delta's maxFilesPerTrigger analogue); the " +
       "bootstrap batch is not paced; bad values refuse") {
