@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Cluster {
 
+  /** Eagerly materialize `df` with TRUNCATED lineage. The form depends
+    * on the session: with a checkpoint dir configured
+    * (`sc.setCheckpointDir` — the cluster-scale deployment step) a
+    * RELIABLE checkpoint is taken, whose blocks survive executor loss
+    * (dynamic allocation, spot decommissions); otherwise an eager
+    * `localCheckpoint`, whose documented caveat — blocks die with
+    * their executor — is immaterial in local/single-host mode, where
+    * this engine's tests and benches run. Same results either way;
+    * the cluster operator opts into durability with one line. */
+  private def truncated(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(true)
+
   /** Undirected edges (u, v) → (doc_id, lbl) after `rounds` rounds of
     * min-label propagation. Nodes are the endpoints of the edges.
     *
@@ -52,7 +66,7 @@ object Cluster {
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .cache()
     def materialize(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint(true)
+      if (checkpoint) truncated(df)
       else { df.cache(); df.count(); df }
     val nodes = edges.select(col("u").as("doc_id")).distinct()
     var labels = materialize(nodes.withColumn("lbl", col("doc_id")))
@@ -119,7 +133,7 @@ object Cluster {
       .cache()
     val nodes = edges.select(col("u").as("doc_id")).distinct()
     var labels = nodes.withColumn("lbl", col("doc_id"))
-      .localCheckpoint(true)
+      .transform(truncated)
     var rounds = 0
     var changed = 1L
     while (changed > 0 && rounds < maxRounds) {
@@ -133,7 +147,7 @@ object Cluster {
         .agg(min(col("n_lbl")).as("min_n"))
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("min_n"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .transform(truncated)
       // pointer jump: lbl := lbl(lbl) — labels are node ids, so chase
       // one hop through the label table itself; this is what turns the
       // per-round propagation radius from +1 into ×2
@@ -143,7 +157,7 @@ object Cluster {
           col("P.lbl") === col("J.p_id"), "left")
         .select(col("P.doc_id").as("doc_id"),
           coalesce(col("J.p_lbl"), col("P.lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .transform(truncated)
       changed = jumped.as("N")
         .join(labels.select(col("doc_id"),
           col("lbl").as("__old")).as("O"), Seq("doc_id"))

@@ -444,13 +444,16 @@ object PartitionedSnapshots {
       // streaming exactly-once: a committed version's txn marker
       // outlives its version dir (Txns sidecar) — orphans' markers
       // were never visible and are NOT preserved
-      // sweep clock captured BEFORE preserve: marks preserved below get
-      // an mtime >= sweepNow, so the sweep can only reclaim marks idle
-      // since a PRIOR vacuum — never one this call just wrote, even at
-      // txnRetainMs = 0 (by construction, not by retention size)
+      // sweep clock captured BEFORE preserve, and the marks this call
+      // preserves are EXCLUDED from its sweep explicitly — the sweep
+      // can only reclaim marks idle since a PRIOR vacuum, even at
+      // txnRetainMs = 0 and regardless of store mtime granularity
       val sweepNow = System.currentTimeMillis()
-      Txns.preserve(t, committedDrops, v => commitTxn(t, v, store), store)
-      txnRetainMs.foreach(r => Txns.sweep(t, r, sweepNow, store))
+      val justPreserved =
+        Txns.preserve(t, committedDrops, v => commitTxn(t, v, store),
+          store)
+      txnRetainMs.foreach(r =>
+        Txns.sweep(t, r, sweepNow, store, justPreserved))
       val drop = (committedDrops ++ orphans).distinct.sorted
       drop.foreach(v => store.deleteRecursively(versionDir(t, v)))
       drop

@@ -247,13 +247,13 @@ object Snapshots {
       val committedDrops = committed.filterNot(retained)
       // streaming exactly-once: preserve committed versions' txn
       // markers past reclamation (Txns sidecar); orphans excluded
-      // sweep clock captured BEFORE preserve so a mark this call just
-      // wrote is never swept, even at txnRetainMs = 0 — see
-      // PartitionedSnapshots.vacuum
+      // sweep clock before preserve + explicit exclusion of this
+      // call's own marks — see PartitionedSnapshots.vacuum
       val sweepNow = System.currentTimeMillis()
-      Txns.preserve(tablePath, committedDrops,
+      val justPreserved = Txns.preserve(tablePath, committedDrops,
         v => commitTxn(tablePath, v, store), store)
-      txnRetainMs.foreach(r => Txns.sweep(tablePath, r, sweepNow, store))
+      txnRetainMs.foreach(r =>
+        Txns.sweep(tablePath, r, sweepNow, store, justPreserved))
       val drop = (committedDrops ++ orphans).sorted
       drop.foreach(v => store.deleteRecursively(versionDir(tablePath, v)))
       drop

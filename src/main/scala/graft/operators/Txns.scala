@@ -159,13 +159,23 @@ object Txns {
     * crash-before-checkpoint restart. Sidecar age is a LOWER bound on
     * the stream's idle time (the mark was preserved only once the
     * stream's last txn-bearing version itself aged past version
-    * retention). `nowMs` is the caller's clock captured BEFORE its own
-    * preserve pass, so a mark written in the same vacuum (mtime >=
-    * nowMs) is never sweepable regardless of `retainMs`. Returns the
+    * retention). Marks the calling vacuum itself just preserved are
+    * excluded EXPLICITLY (`exclude`, the file names [[preserve]]
+    * returns) — not by clock comparison, so neither second-truncated
+    * store mtimes (S3 Last-Modified) nor driver/store skew can make a
+    * just-written mark sweepable, even at `retainMs = 0`. `nowMs` is
+    * the caller's clock captured before its preserve pass. Returns the
     * dropped appIds. Caller holds the table lock. */
   private[operators] def sweep(t: String, retainMs: Long, nowMs: Long,
-      store: CommitStore): Seq[String] =
-    store.list(txnsDir(t)).flatMap { f =>
+      store: CommitStore, exclude: Set[String] = Set.empty)
+      : Seq[String] = {
+    // a negative retention would sweep EVERYTHING (nowMs - m > -1
+    // holds even for future mtimes); the SQL layer maps -1 to
+    // never-sweep before reaching here — refuse rather than invert it
+    require(retainMs >= 0,
+      s"txn retention must be >= 0 ms, got $retainMs (omit the " +
+        "parameter — SQL: txn_retain_ms => -1 — to never sweep)")
+    store.list(txnsDir(t)).filterNot(exclude).flatMap { f =>
       val p = s"${txnsDir(t)}/$f"
       store.modifiedMs(p) match {
         case Some(m) if nowMs - m > retainMs =>
@@ -175,16 +185,21 @@ object Txns {
         case _ => None
       }
     }
+  }
 
   /** Preserve the txn marks of COMMITTED versions about to be
     * reclaimed: `drops` must contain only versions at or below the
     * pointer (never orphans — see class doc); `txnOf` reads a
     * version's `appId/epochId` marker. Runs before the deletes so a
-    * crash mid-vacuum can only leave BOTH copies alive, never
-    * neither. */
+    * crash mid-vacuum can only leave BOTH copies alive, never neither.
+    * Returns the sidecar FILE names of every mark this call touched
+    * (written or already-current) — [[sweep]]'s exclusion set. */
   private[operators] def preserve(t: String, drops: Seq[Long],
-      txnOf: Long => Option[String], store: CommitStore): Unit =
+      txnOf: Long => Option[String], store: CommitStore): Set[String] =
     drops.flatMap(v => txnOf(v)).flatMap(parseMarker)
       .groupMapReduce(_._1)(_._2)(math.max)
-      .foreach { case (appId, e) => record(t, appId, e, store) }
+      .map { case (appId, e) =>
+        record(t, appId, e, store)
+        fileName(appId)
+      }.toSet
 }

@@ -170,10 +170,15 @@ private[plans] object SnapshotStreamingWrite {
       .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
     val conflicts = writeSchema.fields.flatMap { f =>
       byName.get(f.name.toLowerCase(java.util.Locale.ROOT)).collect {
-        // nullability-insensitive: a struct column differing only in a
-        // nested nullable flag is write-compatible, not a type conflict
+        // ONE-directional nullability tolerance: a stream field whose
+        // nested nullability is STRICTER than the table's is
+        // write-compatible (non-null values store fine under a
+        // nullable declaration), but a nullable stream field must not
+        // write into a field the table declares non-null — committed
+        // files would carry nulls the declared schema promises cannot
+        // exist
         case tf if !org.apache.spark.sql.graft.Bridge
-            .sameTypeIgnoreNullability(tf.dataType, f.dataType) =>
+            .writeCompatible(f.dataType, tf.dataType) =>
           s"${f.name} (stream ${f.dataType.simpleString}, table " +
             s"${tf.dataType.simpleString})"
       }

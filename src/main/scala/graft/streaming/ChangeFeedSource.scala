@@ -237,39 +237,44 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
   private def conform(df: DataFrame): DataFrame = {
     refuseDrift(df.schema, schema.fields)
     val groups = caseGroups(df.schema)
-    // project to the pinned columns, pinned order and casing: a batch
-    // from a widened table conforms here instead of failing the engine's
-    // schema assertion. Resolve by the batch's ACTUAL column name (the
-    // gate above is case-insensitive; under spark.sql.caseSensitive a
-    // pinned-name lookup could miss a case-only variant) and alias back
-    // to the pinned name. `serving` picks the exact-cased column when
-    // several case variants exist, so a variant added later can never
-    // silently supply the pinned column's data.
-    df.select(schema.fields.map(f =>
-      col(serving(groups, f).get.name).as(f.name)).toIndexedSeq: _*)
+    // project to the pinned columns, pinned order and casing, by
+    // POSITION: name-based resolution is wrong in both resolver modes
+    // the moment case variants exist (case-insensitive analyzer →
+    // AMBIGUOUS_REFERENCE, the anonymous failure this gate exists to
+    // prevent; case-sensitive → a pinned-name lookup could miss a
+    // case-only variant). A positional rename-all makes the select
+    // exact regardless of resolver rules; `serving` picked WHICH
+    // position serves each pinned field (exact casing preferred), and
+    // the alias restores the pinned name.
+    val tmp = df.toDF(df.columns.indices.map(i => s"__graft_c$i"): _*)
+    tmp.select(schema.fields.map { f =>
+      col(s"__graft_c${serving(groups, f).get._2}").as(f.name)
+    }.toIndexedSeq: _*)
   }
 
-  /** Case-insensitive column groups of a schema. */
+  /** Case-insensitive column groups of a schema, each variant with its
+    * POSITION (what the conform projection selects by). */
   private def caseGroups(s: StructType)
-      : Map[String, Array[StructField]] =
-    s.fields.groupBy(_.name.toLowerCase(java.util.Locale.ROOT))
+      : Map[String, Array[(StructField, Int)]] =
+    s.fields.zipWithIndex
+      .groupBy(_._1.name.toLowerCase(java.util.Locale.ROOT))
 
-  private def variantsOf(groups: Map[String, Array[StructField]],
-      f: StructField): Array[StructField] =
+  private def variantsOf(groups: Map[String, Array[(StructField, Int)]],
+      f: StructField): Array[(StructField, Int)] =
     groups.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT),
       Array.empty)
 
-  /** The column that SERVES pinned field `f`: the exact-cased match
-    * when present (case-variant siblings are then ordinary added
-    * columns the projection drops), else the single case-insensitive
-    * match. None = absent OR ambiguous (several variants, no exact
-    * match — picking one silently would serve another column's data
-    * under the pinned name); [[refuseDrift]] tells the two apart and
-    * names the right remedy. */
-  private def serving(groups: Map[String, Array[StructField]],
-      f: StructField): Option[StructField] = {
+  /** The column (field, position) that SERVES pinned field `f`: the
+    * exact-cased match when present (case-variant siblings are then
+    * ordinary added columns the projection drops), else the single
+    * case-insensitive match. None = absent OR ambiguous (several
+    * variants, no exact match — picking one silently would serve
+    * another column's data under the pinned name); [[refuseDrift]]
+    * tells the two apart and names the right remedy. */
+  private def serving(groups: Map[String, Array[(StructField, Int)]],
+      f: StructField): Option[(StructField, Int)] = {
     val vs = variantsOf(groups, f)
-    vs.find(_.name == f.name)
+    vs.find(_._1.name == f.name)
       .orElse(if (vs.length == 1) vs.headOption else None)
   }
 
@@ -290,13 +295,13 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     // choose which column serves the pinned name
     val ambiguous = pinned.flatMap { f =>
       val vs = variantsOf(groups, f)
-      if (vs.length > 1 && !vs.exists(_.name == f.name))
+      if (vs.length > 1 && !vs.exists(_._1.name == f.name))
         // name WHERE the ambiguity lives: a historical span version's
         // variants are invisible in DESCRIBE of the (possibly healed)
         // current table
         Some(s"${f.name} " +
           s"(${spanFromVersion.fold("table")(v => s"v$v")} variants: " +
-          s"${vs.map(_.name).mkString(", ")})")
+          s"${vs.map(_._1.name).mkString(", ")})")
       else None
     }
     // a column missing from the SPAN-START version is a widen since
@@ -309,7 +314,7 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     // casing preferred; ambiguous columns are already reported above)
     val retyped = pinned.flatMap { f =>
       serving(groups, f).collect {
-        case bf if !org.apache.spark.sql.graft.Bridge
+        case (bf, _) if !org.apache.spark.sql.graft.Bridge
             .sameTypeIgnoreNullability(bf.dataType, f.dataType) =>
           s"${f.name} (pinned ${f.dataType.simpleString}, " +
             s"${spanFromVersion.fold("table now")(v => s"v$v had")} " +

@@ -47,6 +47,19 @@ object Bridge {
       b: org.apache.spark.sql.types.DataType): Boolean =
     org.apache.spark.sql.types.DataType.equalsIgnoreNullability(a, b)
 
+  /** WRITE-compatible type equality (the `private[sql]`
+    * `DataType.equalsIgnoreCompatibleNullability`): `from` can be
+    * stored into `to` — same types, and `from` is nullable only where
+    * `to` tolerates nulls. The ONE-directional check a write gate
+    * needs: a non-null stream field may land in a nullable table
+    * column, but a nullable stream field must not land in a column the
+    * table declares non-null (readers trusting the declaration would
+    * see impossible nulls). */
+  def writeCompatible(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.types.DataType
+      .equalsIgnoreCompatibleNullability(from, to)
+
   /** Register a native expression on an ALREADY-built session (for
     * sessions created without `withExtensions`). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

@@ -240,6 +240,30 @@ class SnapshotStreamingWriteSpec extends AnyFunSuite {
       "after the sweep the replay check must force a replay")
   }
 
+  test("schema-gate nullability is ONE-directional: a stream field " +
+      "with stricter nested nullability writes into a nullable table " +
+      "field, but a nullable stream field into a declared non-null " +
+      "table field refuses as a named conflict (files must never " +
+      "carry nulls the declared schema promises cannot exist)") {
+    import org.apache.spark.sql.types._
+    def s(nestedNullable: Boolean) = StructType(Seq(StructField("s",
+      StructType(Seq(StructField("a", IntegerType, nestedNullable))))))
+    // stream stricter (non-null) → nullable table field: compatible
+    SnapshotStreamingWrite.validateSchema("t",
+      tableSchema = s(true), writeSchema = s(false), evolveSchema = true)
+    // identical nested nullability: compatible
+    SnapshotStreamingWrite.validateSchema("t",
+      tableSchema = s(false), writeSchema = s(false), evolveSchema = true)
+    // stream nullable → table non-null: refuse, naming the column
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStreamingWrite.validateSchema("t",
+        tableSchema = s(false), writeSchema = s(true),
+        evolveSchema = true)
+    }
+    assert(e.getMessage.contains("s (stream") &&
+      e.getMessage.contains("conflict"), e.getMessage)
+  }
+
   test("full-copy format: vacuum preserves committed txn marks in the" +
       " sidecar too") {
     import graft.operators.{Snapshots, Txns}
