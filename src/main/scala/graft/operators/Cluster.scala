@@ -37,6 +37,21 @@ object Cluster {
       df.checkpoint(eager = true)
     else df.localCheckpoint(true)
 
+  /** Free a RETIRED round's reliable-checkpoint files NOW (no-op for
+    * localCheckpoint rounds, whose blocks the ContextCleaner reclaims
+    * on GC). The ContextCleaner deletes reliable-checkpoint FILES only
+    * under `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * (default false), so without this every round would leak one
+    * `rdd-<id>` directory for the life of the session. Only safe once
+    * no live plan references the frame — callers invoke it strictly
+    * AFTER the next round has materialized to its OWN files. */
+  private def dropRetired(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.Bridge.checkpointFile(df).foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+
   /** Undirected edges (u, v) → (doc_id, lbl) after `rounds` rounds of
     * min-label propagation. Nodes are the endpoints of the edges.
     *
@@ -54,8 +69,12 @@ object Cluster {
     *    100×". Stats loss is immaterial here: node-keyed joins are the
     *    shuffle joins a propagation pass wants, and AQE still converts
     *    label-sized sides to broadcast at runtime from observed sizes.
-    *    A retired round's blocks are dropped by the ContextCleaner when
-    *    the frame goes out of scope (the connectedComponents contract).
+    *    A retired round's localCheckpoint blocks are dropped by the
+    *    ContextCleaner when the frame goes out of scope; a retired
+    *    round's RELIABLE checkpoint files are deleted eagerly by the
+    *    loop itself (dropRetired) — the ContextCleaner never deletes
+    *    checkpoint FILES under the default
+    *    cleanCheckpoints=false.
     *  - `false`: per-round cache + count + explicit unpersist of the
     *    retired round — keeps full lineage (useful when a caller wants
     *    Catalyst to see through the rounds, e.g. tiny fixed-round runs
@@ -82,11 +101,15 @@ object Cluster {
         .agg(min(col("n_lbl")).as("min_n"))
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("min_n"), col("lbl"))).as("lbl")))
-      // round r is materialized, so round r-1's cache (its only
-      // remaining consumer) can be dropped NOW — in cache mode, without
-      // this the operator leaks one InMemoryRelation per round into the
-      // session; in checkpoint mode this is a harmless no-op
+      // round r is materialized, so round r-1 (its only remaining
+      // consumer is gone) can be freed NOW — in cache mode the
+      // unpersist drops the InMemoryRelation the operator would
+      // otherwise leak per round; in reliable-checkpoint mode
+      // dropRetired deletes the retired round's rdd-<id> files, which
+      // the ContextCleaner never would (cleanCheckpoints defaults
+      // false); in localCheckpoint mode both are harmless no-ops
       labels.unpersist()
+      dropRetired(labels)
       labels = next
     }
     // the final round is materialized above, so the edge cache (feeding
@@ -94,7 +117,10 @@ object Cluster {
     edges.unpersist()
     // the returned frame holds the ONE remaining label-sized
     // materialization; cache-mode callers drop it with unpersist()/
-    // clearCache(); checkpoint-mode blocks free with the frame
+    // clearCache(); localCheckpoint blocks free with the frame; the
+    // FINAL round's reliable-checkpoint directory (one per call) backs
+    // the returned frame, so it lives until cleanCheckpoints reclaims
+    // it or the session's checkpoint dir is removed
     labels
   }
 
@@ -162,6 +188,11 @@ object Cluster {
         .join(labels.select(col("doc_id"),
           col("lbl").as("__old")).as("O"), Seq("doc_id"))
         .filter(col("lbl") =!= col("__old")).count()
+      // jumped is materialized and the change count has consumed the
+      // old labels — free the round's two retired checkpoints (prop
+      // fed only jumped; old labels fed only the count)
+      dropRetired(prop)
+      dropRetired(labels)
       labels = jumped
       rounds += 1
     }

@@ -174,7 +174,12 @@ private[plans] object SnapshotProcedures {
               c.committed, c.publishedMs.map(Long.box).orNull)))
         case "vacuum" =>
           val keep = input.getInt(1)
-          val txnRetain = Some(input.getLong(3)).filter(_ >= 0)
+          // an explicit NULL slot reads back as 0 through getLong —
+          // treat NULL exactly like the omit/-1 never-sweep default,
+          // never as "retention 0 ms"
+          val txnRetain =
+            if (input.isNullAt(3)) None
+            else Some(input.getLong(3)).filter(_ >= 0)
           // respect_consumers widens retention to the slowest
           // registered change-feed cursor (ChangeFeed.safeVacuum)
           val deleted =

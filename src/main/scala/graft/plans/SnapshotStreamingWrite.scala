@@ -171,16 +171,21 @@ private[plans] object SnapshotStreamingWrite {
     val conflicts = writeSchema.fields.flatMap { f =>
       byName.get(f.name.toLowerCase(java.util.Locale.ROOT)).collect {
         // ONE-directional nullability tolerance: a stream field whose
-        // nested nullability is STRICTER than the table's is
-        // write-compatible (non-null values store fine under a
-        // nullable declaration), but a nullable stream field must not
-        // write into a field the table declares non-null — committed
-        // files would carry nulls the declared schema promises cannot
-        // exist
-        case tf if !org.apache.spark.sql.graft.Bridge
-            .writeCompatible(f.dataType, tf.dataType) =>
-          s"${f.name} (stream ${f.dataType.simpleString}, table " +
-            s"${tf.dataType.simpleString})"
+        // nullability is STRICTER than the table's is write-compatible
+        // (non-null values store fine under a nullable declaration),
+        // but a nullable stream field must not write into a field the
+        // table declares non-null — committed files would carry nulls
+        // the declared schema promises cannot exist. Checked at the
+        // TOP-LEVEL flag (f.nullable) as well as nested (dataType
+        // walk) — writeCompatible on dataTypes alone never sees the
+        // StructField's own flag
+        case tf if (f.nullable && !tf.nullable) ||
+            !org.apache.spark.sql.graft.Bridge
+              .writeCompatible(f.dataType, tf.dataType) =>
+          s"${f.name} (stream ${f.dataType.simpleString}" +
+            s"${if (f.nullable) " nullable" else ""}, table " +
+            s"${tf.dataType.simpleString}" +
+            s"${if (tf.nullable) "" else " NOT NULL"})"
       }
     }
     if (conflicts.nonEmpty) throw new IllegalArgumentException(

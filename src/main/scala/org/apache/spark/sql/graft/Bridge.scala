@@ -60,6 +60,23 @@ object Bridge {
     org.apache.spark.sql.types.DataType
       .equalsIgnoreCompatibleNullability(from, to)
 
+  /** The reliable-checkpoint directory backing a checkpointed frame
+    * (None for cache- or localCheckpoint-backed frames, whose blocks
+    * the ContextCleaner reclaims on GC). `Dataset.checkpoint` wraps
+    * the checkpointed internal RDD in a (`private[sql]`) `LogicalRDD`
+    * leaf; that RDD's `getCheckpointFile` names the `rdd-<id>`
+    * directory — which lets an iterative operator free RETIRED
+    * rounds' files eagerly. The ContextCleaner deletes checkpoint
+    * FILES only under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false), so without eager deletion a per-round checkpoint loop
+    * accumulates one directory per round for the life of the
+    * session. */
+  def checkpointFile(df: org.apache.spark.sql.DataFrame): Option[String] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.flatMap(_.getCheckpointFile)
+
   /** Register a native expression on an ALREADY-built session (for
     * sessions created without `withExtensions`). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

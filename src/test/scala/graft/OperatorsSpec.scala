@@ -563,6 +563,41 @@ class ClusterSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("reliable-checkpoint mode frees RETIRED rounds' files eagerly: " +
+      "a k-round run leaves exactly the final round's rdd-* dir (the " +
+      "ContextCleaner never deletes checkpoint files under the default " +
+      "cleanCheckpoints=false)") {
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck")
+      .toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      def rddDirs(): Seq[java.io.File] = {
+        // setCheckpointDir nests a uuid dir under the given path
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (!f.isDirectory) Seq.empty
+          else (if (f.getName.startsWith("rdd-")) Seq(f) else Seq.empty) ++
+            Option(f.listFiles).toSeq.flatten.flatMap(walk)
+        walk(new java.io.File(ckDir))
+      }
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+        .toDF("a", "b")
+      val labels = Cluster.minLabelPropagation(pairs, "a", "b", rounds = 4)
+      // 5 materializations ran (init + 4 rounds); retired ones freed
+      // in-loop, so only the final round's directory may remain
+      assert(rddDirs().size == 1,
+        s"leaked retired checkpoints: ${rddDirs()}")
+      // the surviving dir backs the returned frame — still readable
+      val got = labels.as[(Long, Long)].collect().toMap
+      assert(got(4L) == 1L && got(11L) == 10L && got.size == 6)
+      // connectedComponents (two checkpoints per round) frees both
+      // retired frames per round: one more surviving dir, not 2/round
+      val (cc, _) = Cluster.connectedComponents(pairs, "a", "b")
+      assert(cc.count() == 6)
+      assert(rddDirs().size == 2,
+        s"cc leaked retired checkpoints: ${rddDirs()}")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("connectedComponents closes a 64-node path in O(log n) rounds" +
       " (pointer jumping), where fixed-round propagation needs diameter") {
     val chain = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")

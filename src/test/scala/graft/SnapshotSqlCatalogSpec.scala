@@ -776,6 +776,15 @@ class SnapshotSqlCatalogSpec extends AnyFunSuite {
       "txn_retain_ms => 3600000)").collect()
     assert(txns() == Seq(("q-live", 7L)),
       "a fresh mark must survive an hour-scale retention sweep")
+
+    // an explicit NULL retention is the omit/-1 never-sweep default,
+    // NOT retention-0: getLong over a null slot reads 0, so without
+    // the isNullAt guard this call would sweep the (previously
+    // preserved, hence aged) q-live mark immediately
+    spark.sql("CALL snap.system.vacuum(table => 'txndrop', keep => 1, " +
+      "txn_retain_ms => NULL)").collect()
+    assert(txns() == Seq(("q-live", 7L)),
+      "txn_retain_ms => NULL must read as never-sweep, not 0 ms")
   }
 
   test("catalog-level store binding: spark.sql.catalog.<name>.store " +

@@ -262,6 +262,23 @@ class SnapshotStreamingWriteSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("s (stream") &&
       e.getMessage.contains("conflict"), e.getMessage)
+
+    // the SAME one-directional rule at the TOP-LEVEL StructField flag
+    // (writeCompatible on dataTypes alone never sees it): a nullable
+    // top-level stream column into a declared non-null table column is
+    // exactly the impossible-nulls case and must refuse
+    def top(nullable: Boolean) = StructType(Seq(
+      StructField("k", LongType, nullable)))
+    SnapshotStreamingWrite.validateSchema("t",
+      tableSchema = top(true), writeSchema = top(false),
+      evolveSchema = true)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStreamingWrite.validateSchema("t",
+        tableSchema = top(false), writeSchema = top(true),
+        evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("k (stream") &&
+      e2.getMessage.contains("NOT NULL"), e2.getMessage)
   }
 
   test("full-copy format: vacuum preserves committed txn marks in the" +
