@@ -228,13 +228,39 @@ object PartitionedSnapshots {
     }
   }
 
+  private def reservedPath(t: String, v: Long) =
+    s"${versionDir(t, v)}/.reserved"
+  private def inflightPath(t: String, v: Long) =
+    s"${versionDir(t, v)}/.inflight"
+
+  /** Allocate the next version NUMBER (and its dir) through an atomic
+    * create-if-absent arbiter, so allocation is safe WITHOUT the table
+    * lock: `versions().last + 1` alone is a check-then-act — two
+    * writers (an optimistic preparer running lock-free, or a locked
+    * writer racing one) could both pick the same number and the second
+    * `writeData` would overwrite the first's files. `createNew` on the
+    * `.reserved` marker admits exactly one owner per number; losers
+    * step to the next. Every writer (locked or optimistic) allocates
+    * here, which is what makes the two populations collision-free
+    * against each other. */
+  private def reserveVersion(t: String, store: CommitStore): Long = {
+    var v = versions(t, store).lastOption.getOrElse(0L) + 1
+    store.mkdirs(versionDir(t, v))
+    while (!store.createNew(reservedPath(t, v),
+        Array.emptyByteArray)) {
+      v += 1
+      store.mkdirs(versionDir(t, v))
+    }
+    v
+  }
+
   /** First commit (or full rebuild): every partition owned by the new
     * version. */
   def write(spark: SparkSession, t: String, df: DataFrame,
       partCol: String, store: CommitStore = CommitStore.local,
       txn: Option[String] = None): Long =
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
-      val v = versions(t, store).lastOption.getOrElse(0L) + 1
+      val v = reserveVersion(t, store)
       val parts = writeData(df, t, v, partCol, store)
       writeManifest(t, v, parts.map(_ -> v).toMap, store)
       commitPointer(t, v, store, txn)
@@ -308,12 +334,255 @@ object PartitionedSnapshots {
       commitPointer(t, v, store)
     }
 
+  /** OPTIMISTIC concurrent APPEND (no keyed dedup) — see
+    * [[optimisticUpsert]]. */
+  def optimisticAppend(spark: SparkSession, t: String, rows: DataFrame,
+      partCol: String, optimizeWrite: Boolean = false,
+      maxRetries: Int = 3, store: CommitStore = CommitStore.local,
+      txn: Option[String] = None): Long =
+    optimisticUpsert(spark, t, rows, Nil, partCol, optimizeWrite,
+      maxRetries, store, txn)
+
+  /** OPTIMISTIC concurrent upsert — the Delta/Iceberg commit
+    * discipline, so writers touching DISJOINT partitions of one table
+    * do NOT serialize their data writes on the single-writer lock:
+    *
+    *  1. PREPARE (lock-free): read the BASE version's touched
+    *     partitions, merge (keyed delete+insert, same semantics as
+    *     [[upsert]]), and write the result into a freshly RESERVED
+    *     version dir ([[reserveVersion]]'s create-if-absent arbiter
+    *     makes the number allocation safe without the lock). A
+    *     heartbeated `.inflight` marker tells [[vacuum]] the dir is a
+    *     live preparation, not a crashed writer's orphan.
+    *  2. VALIDATE + COMMIT (a SHORT critical section under the table
+    *     lock — milliseconds of metadata, never data): re-read the
+    *     CURRENT manifest, diff it against the base manifest, and
+    *     refuse if any version committed since base touched one of
+    *     THIS writer's partitions (changed owner, appeared, or was
+    *     deleted). Disjoint → merge the manifest entries (untouched
+    *     partitions carry the concurrent commits' ownership; this
+    *     writer's partitions point at its prepared dir) and flip the
+    *     pointer. The committed version number is the reserved one
+    *     when still ahead of the pointer, else a fresh number whose
+    *     manifest references the prepared dir as a data OWNER (owner
+    *     version ≠ manifest version is first-class: readers resolve
+    *     dirs through manifest entries, and vacuum keeps any bare dir
+    *     a retained manifest references).
+    *  3. CONFLICT → bounded RETRY: reclaim the prepared dir, re-read
+    *     the new current version as the base, re-merge, re-validate —
+    *     so two writers upserting different KEYS of the same partition
+    *     converge (one wins, one deterministically retries on the
+    *     winner's result). After `maxRetries` lost races the writer
+    *     refuses with [[Incremental.ConcurrentWriteException]] naming
+    *     the conflicting partitions and the versions that took them.
+    *
+    * Serializability: a committed optimistic upsert is byte-equivalent
+    * to the same [[upsert]] run serially at its commit point — the
+    * validation guarantees the touched partitions' content is exactly
+    * what the prepare read, and every untouched partition's entry comes
+    * from the manifest current AT COMMIT. Crash at any step leaves a
+    * readable table: before the pointer flip the prepared dir is
+    * invisible (vacuum reclaims it once its `.inflight` beats go
+    * stale).
+    *
+    * Conflict granularity is the PARTITION — the rewrite unit of this
+    * format. Key-disjoint writers to the same partition are handled by
+    * retry (re-merge), not parallel commit; partition-disjoint writers
+    * never retry. Use the plain [[upsert]]/[[merge]] path for
+    * maintenance jobs that must not lose a race (compaction, GDPR
+    * deletes) — the lock serializes those with everything.
+    *
+    * At 100 TB: prepare cost is O(touched partitions) of data per
+    * writer, fully parallel across writers; the serialized section is
+    * one manifest read + diff + one manifest write + pointer flip —
+    * metadata-sized, independent of data volume. */
+  def optimisticUpsert(spark: SparkSession, t: String,
+      updates: DataFrame, keys: Seq[String], partCol: String,
+      optimizeWrite: Boolean = false, maxRetries: Int = 3,
+      store: CommitStore = CommitStore.local,
+      txn: Option[String] = None): Long = {
+    require(maxRetries >= 0, "maxRetries must be >= 0")
+    var attempt = 0
+    var lastConflict = ""
+    while (attempt <= maxRetries) {
+      optimisticAttempt(spark, t, updates, keys, partCol,
+          optimizeWrite, store, txn) match {
+        case Right(v) => return v
+        case Left(conflict) =>
+          lastConflict = conflict
+          attempt += 1
+      }
+    }
+    throw new Incremental.ConcurrentWriteException(
+      s"$t: optimistic commit lost ${attempt} race" +
+        (if (attempt > 1) "s" else "") + " on overlapping partitions " +
+        s"and maxRetries=$maxRetries is exhausted — last conflict: " +
+        lastConflict + ". Retry, raise maxRetries, or route this " +
+        "writer through the serializing upsert().")
+  }
+
+  /** One optimistic prepare+validate+commit attempt: Right(committed
+    * version) or Left(conflict description) when a concurrent commit
+    * took one of this writer's partitions since its base. */
+  private def optimisticAttempt(spark: SparkSession, t: String,
+      updates: DataFrame, keys: Seq[String], partCol: String,
+      optimizeWrite: Boolean, store: CommitStore,
+      txn: Option[String]): Either[String, Long] = {
+    val base = currentVersion(t, store)
+    base.foreach { b =>
+      if (!hasManifest(t, b, store)) throw new IllegalStateException(
+        s"$t is a full-copy snapshot table — optimistic commits " +
+          "target the partitioned manifest format (full-copy writers " +
+          "serialize on the table lock)")
+    }
+    val mBase = base.map(manifest(t, _, store))
+      .getOrElse(Map.empty[String, Long])
+    val updCached = updates.cache()
+    var beat: Thread = null
+    var reserved = -1L
+    try {
+      // reserve FIRST — before any data evaluation — so the whole
+      // prepare (including the touched-partition scan) runs under the
+      // inflight marker's vacuum protection
+      val v = reserveVersion(t, store)
+      reserved = v
+      store.write(inflightPath(t, v), Array.emptyByteArray)
+      beat = startInflightBeat(inflightPath(t, v), store)
+      val touchedDirs = updCached
+        .select(col(partCol).cast("string")).distinct()
+        .collect().map(r => partDirName(
+          if (r.isNullAt(0)) None else Some(r.getString(0))))
+        .toSet
+      val existingDirs = mBase.collect {
+        case (p, owner) if touchedDirs(p) =>
+          s"${dataDir(t, owner)}/$p"
+      }.toSeq
+      val merged =
+        if (existingDirs.isEmpty) updCached
+        else {
+          val existing = spark.read.option("mergeSchema", "true")
+            .parquet(existingDirs: _*)
+          val kept =
+            if (keys.isEmpty) existing
+            else existing.join(
+              updCached.select(keys.map(col): _*).distinct(),
+              keys, "left_anti")
+          kept.unionByName(updCached, allowMissingColumns = true)
+        }
+      val shaped =
+        if (optimizeWrite) merged.repartition(col(partCol)) else merged
+      val parts = writeData(shaped, t, v, partCol, store)
+      val unmerged = parts.filter(p => mBase.contains(p) && !touchedDirs(p))
+      if (unmerged.nonEmpty)
+        throw new IllegalStateException(
+          "partition rendering mismatch: wrote " +
+            unmerged.mkString(", ") + " without merging its existing " +
+            "rows — partCol type unsupported for manifest addressing " +
+            "(use string/date/integral keys)")
+      // the SHORT critical section: metadata only, no data IO
+      val result: Either[String, Long] =
+        withCommitLock(t, store) {
+          val cur = currentVersion(t, store)
+          val mCur = cur.map(manifest(t, _, store))
+            .getOrElse(Map.empty[String, Long])
+          val changed = (mBase.keySet ++ mCur.keySet)
+            .filter(p => mBase.get(p) != mCur.get(p))
+          val conflicts = changed.intersect(touchedDirs ++ parts)
+          if (conflicts.nonEmpty)
+            Left(conflicts.toSeq.sorted.map(p =>
+              s"$p taken by " + mCur.get(p).map(o => s"v$o")
+                .getOrElse("a delete")).mkString(", ") +
+              s" since base ${base.fold("<empty>")(b => s"v$b")}")
+          else {
+            // commit number: the reserved dir itself while still ahead
+            // of the pointer; otherwise a fresh number whose manifest
+            // references the prepared dir as data owner
+            val w = if (cur.forall(_ < v)) v
+              else reserveVersion(t, store)
+            writeManifest(t, w, mCur ++ parts.map(_ -> v).toMap, store)
+            commitPointer(t, w, store, txn)
+            writeProps(t, partCol, keys, store)
+            Right(w)
+          }
+        }
+      // stop the beats BEFORE touching the marker/dir so a late beat
+      // cannot resurrect anything mid-cleanup
+      beat.interrupt(); beat.join(10000); beat = null
+      store.delete(inflightPath(t, v))
+      result match {
+        case l @ Left(_) =>
+          // the prepared dir is this writer's alone — reclaim it now
+          // rather than leaving an orphan for vacuum's horizon
+          store.deleteRecursively(versionDir(t, v))
+          l
+        case r => r
+      }
+    } finally {
+      if (beat != null) {
+        // exception path: stop the beats, then drop the marker so the
+        // abandoned preparation is vacuum-reclaimable immediately
+        // instead of after the staleness horizon
+        beat.interrupt(); beat.join(10000)
+        if (reserved >= 0) store.delete(inflightPath(t, reserved))
+      }
+      updCached.unpersist()
+    }
+  }
+
+  /** The table lock is NON-blocking ([[Incremental.acquire]] throws on
+    * contention — the right contract for long data-writing holders,
+    * where queueing would hide a stall). An optimistic COMMIT section
+    * is milliseconds of metadata, so contention there is transient by
+    * construction: spin with exponential backoff until the lock frees,
+    * bounded by the staleness horizon (a holder older than that is
+    * stolen by acquire itself). This is what lets N racing optimistic
+    * writers all commit instead of all-but-one refusing at the lock. */
+  private def withCommitLock[A](t: String, store: CommitStore)
+      (body: => A): A = {
+    val deadline =
+      System.currentTimeMillis() + 2 * Incremental.DefaultLockStaleMs
+    var delay = 20L
+    while (true) {
+      try {
+        return Incremental.withLock(t, Incremental.DefaultLockStaleMs,
+          store)(body)
+      } catch {
+        case e: Incremental.ConcurrentWriteException =>
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(delay)
+          delay = math.min(delay * 2, 1000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Daemon that keeps an optimistic preparation's `.inflight` marker
+    * fresh (vacuum's liveness signal — the preparer runs OUTSIDE the
+    * table lock, so the lock heartbeat cannot vouch for it). Stops by
+    * itself when the marker is gone or un-touchable. */
+  private def startInflightBeat(path: String,
+      store: CommitStore): Thread = {
+    val interval = math.max(Incremental.DefaultLockStaleMs / 3, 50L)
+    val th = new Thread(() => {
+      try {
+        var beating = true
+        while (beating && !Thread.currentThread().isInterrupted) {
+          Thread.sleep(interval)
+          beating = store.touch(path)
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-inflight-beat:$path")
+    th.setDaemon(true)
+    th.start()
+    th
+  }
+
   private def upsertImpl(spark: SparkSession, t: String,
       updates: DataFrame, keys: Seq[String], partCol: String,
       optimizeWrite: Boolean, publish: Boolean,
       store: CommitStore, txn: Option[String] = None): Long =
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
-      val v = versions(t, store).lastOption.getOrElse(0L) + 1
+      val v = reserveVersion(t, store)
       def shaped(df: DataFrame): DataFrame =
         if (optimizeWrite) df.repartition(col(partCol)) else df
       currentVersion(t, store) match {
@@ -427,11 +696,20 @@ object PartitionedSnapshots {
       // a version dir WITHOUT a manifest is a writer that crashed
       // between its data write and its manifest write — an orphan
       // regardless of where it sits relative to the pointer; dirs above
-      // the pointer are orphans too (crashed before the flip)
+      // the pointer are orphans too (crashed before the flip) — EXCEPT
+      // a LIVE optimistic preparer's dir, identified by a heartbeated
+      // `.inflight` marker fresher than the lock staleness horizon
+      // (optimistic writers prepare data OUTSIDE the table lock, so
+      // vacuum cannot rely on the lock to exclude them; a crashed
+      // preparer's beats stop and the horizon reclaims it exactly like
+      // a crashed lock holder)
+      val nowMs = System.currentTimeMillis()
+      def liveInflight(v: Long): Boolean =
+        store.modifiedMs(inflightPath(t, v))
+          .exists(m => nowMs - m <= Incremental.DefaultLockStaleMs)
       val (withManifest, bare) =
         all.partition(v => store.exists(manifestPath(t, v)))
       val committed = withManifest.filter(_ <= cur)
-      val orphans = all.filter(_ > cur) ++ bare.filter(_ <= cur)
       // tagged versions are retained regardless of recency (Tags),
       // and like every retained manifest they keep the owner dirs they
       // reference alive
@@ -440,6 +718,13 @@ object PartitionedSnapshots {
       val referenced = retainedManifests
         .flatMap(v => manifest(t, v, store).values).toSet ++
         retainedManifests
+      // a bare (manifest-less) dir REFERENCED by a retained manifest is
+      // not an orphan — it is a data-owner dir an optimistic commit
+      // published under a later version number (the commit's manifest
+      // points at the preparer's dir); ownership, not the presence of
+      // its own manifest, decides reclamation
+      val orphans = (all.filter(_ > cur) ++ bare.filter(_ <= cur))
+        .filterNot(referenced).filterNot(liveInflight)
       val committedDrops = committed.filterNot(referenced)
       // streaming exactly-once: a committed version's txn marker
       // outlives its version dir (Txns sidecar) — orphans' markers
@@ -491,10 +776,10 @@ object PartitionedSnapshots {
       // write passes. The restore itself stays zero-copy.
       if (m.nonEmpty)
         Constraints.prepare(readVersion(spark, t, v, store), t, store)
-      val newV = versions(t, store).last + 1
-      // no data write creates the version dir here, so make it: the dir
-      // keeps numbering collision-free and hosts the manifest
-      store.mkdirs(versionDir(t, newV))
+      // no data write creates the version dir here; reserveVersion
+      // makes it (collision-free against lock-free optimistic
+      // preparers) and it hosts the manifest
+      val newV = reserveVersion(t, store)
       writeManifest(t, newV, m, store)
       commitPointer(t, newV, store)
       newV
@@ -563,7 +848,7 @@ object PartitionedSnapshots {
         .toSet
       if (touchedDirs.isEmpty) cur
       else {
-        val v = versions(t, store).last + 1
+        val v = reserveVersion(t, store)
         val dirs = m.collect {
           case (p, o) if touchedDirs(p) => s"${dataDir(t, o)}/$p"
         }.toSeq
@@ -612,7 +897,7 @@ object PartitionedSnapshots {
         .toSet
       if (touchedDirs.isEmpty) cur
       else {
-        val v = versions(t, store).last + 1
+        val v = reserveVersion(t, store)
         val dirs = m.collect {
           case (p, o) if touchedDirs(p) => s"${dataDir(t, o)}/$p"
         }.toSeq
@@ -686,7 +971,7 @@ object PartitionedSnapshots {
       val cur = currentVersion(t, store).getOrElse(
         throw new IllegalStateException(s"$t has no committed snapshot"))
       val m = manifest(t, cur, store)
-      val v = versions(t, store).last + 1
+      val v = reserveVersion(t, store)
       val srcCached = src.cache()
       try {
         val touchedDirs = srcCached
@@ -787,7 +1072,7 @@ object PartitionedSnapshots {
       }
       if (frag.isEmpty) (cur, Seq.empty)
       else {
-        val v = versions(t, store).last + 1
+        val v = reserveVersion(t, store)
         val dirs = frag.map { case (p, owner) => s"${dataDir(t, owner)}/$p" }
         val frag0 = spark.read.option("mergeSchema", "true")
           .parquet(dirs: _*)
