@@ -166,7 +166,8 @@ object ChangeFeed {
       latestOnly: Boolean = false,
       consumerId: Option[String] = None,
       storeName: Option[String] = None,
-      maxVersionsPerBatch: Option[Long] = None): DataFrame = {
+      maxVersionsPerBatch: Option[Long] = None,
+      maxFilesPerBatch: Option[Long] = None): DataFrame = {
     var r = spark.readStream.format("graft-changes").option("path", t)
     if (keys.nonEmpty) r = r.option("keys", keys.mkString(","))
     if (preImages) r = r.option("preImages", "true")
@@ -177,6 +178,9 @@ object ChangeFeed {
     // backfill pacing: cap each micro-batch at N versions
     maxVersionsPerBatch.foreach(n =>
       r = r.option("maxVersionsPerBatch", n.toString))
+    // bootstrap pacing: drain the initial snapshot as N-file slices
+    maxFilesPerBatch.foreach(n =>
+      r = r.option("maxFilesPerBatch", n.toString))
     r.load()
   }
 

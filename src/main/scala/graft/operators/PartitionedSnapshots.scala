@@ -679,6 +679,22 @@ object PartitionedSnapshots {
     }
   }
 
+  /** Version `v`'s data files, deterministically ordered (manifest
+    * entries resolved to their owner dirs, then full paths sorted) —
+    * the unit the streaming source's paced BOOTSTRAP slices by: the
+    * order must be stable across calls and across restarts so a
+    * checkpointed file cursor resumes exactly where it stopped.
+    * Metadata-sized: one listing per owner dir of the touched
+    * partitions, no data read. */
+  def versionFiles(t: String, v: Long,
+      store: CommitStore = CommitStore.local): Seq[String] =
+    manifest(t, v, store).toSeq.sorted.flatMap { case (p, owner) =>
+      val dir = s"${dataDir(t, owner)}/$p"
+      store.listEntries(dir)
+        .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+        .map(e => s"$dir/${e.name}")
+    }.sorted
+
   /** Drop every version dir that no RETAINED manifest references:
     * retained = the newest `keep` committed manifests (the current one
     * always survives); orphan versions above the pointer go too. A

@@ -229,6 +229,18 @@ object Snapshots {
           "schema — CREATE TABLE (or write data) first"))
   }
 
+  /** Version `v`'s data files, deterministically ordered (sorted full
+    * paths) — the full-copy twin of
+    * [[PartitionedSnapshots.versionFiles]], the unit the streaming
+    * source's paced BOOTSTRAP slices by. */
+  def versionFiles(tablePath: String, v: Long,
+      store: CommitStore = CommitStore.local): Seq[String] = {
+    val dir = versionDir(tablePath, v)
+    store.listEntries(dir)
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+      .map(e => s"$dir/${e.name}").sorted
+  }
+
   /** Drop all snapshots except the newest `keep` committed ones (the
     * current version always survives); orphans from crashed writers —
     * dirs above the pointer — are reclaimed too. */

@@ -36,7 +36,13 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * First batch (no checkpoint): the current snapshot as `insert` rows
   * (`startingVersion=latest` skips the backlog and streams only
-  * commits after stream start). `Trigger.AvailableNow` is NATIVE
+  * commits after stream start). `maxFilesPerBatch=N` paces that
+  * BOOTSTRAP as file slices over the pinned version's deterministic
+  * file list ([[BootstrapOffset]]: version + file cursor in the
+  * checkpoint, so a restart resumes mid-bootstrap exactly-once) —
+  * Delta's maxFilesPerTrigger move, closing the one batch whose size
+  * was otherwise bounded by table size; `maxVersionsPerBatch` paces
+  * the version backlog after it. `Trigger.AvailableNow` is NATIVE
   * ([[org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow]]):
   * the run pins the commit pointer at start, drains exactly that
   * backlog, and stops — no single-batch fallback warning, and
@@ -61,6 +67,30 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new ChangeFeedSource(sql.sparkSession, parameters)
+}
+
+/** A PACED-BOOTSTRAP offset: the initial snapshot of version `v`
+  * delivered as file slices — `files` of `of` total files processed so
+  * far (deterministic sorted order, [[graft.operators
+  * .PartitionedSnapshots.versionFiles]]). `files == of` means the
+  * bootstrap is complete and the offset behaves as plain version `v`
+  * for every later CDC span. The total rides IN the offset so a
+  * restarted stream resumes against the checkpointed file count, never
+  * a fresh listing. Plain version offsets keep the bare-number
+  * LongOffset JSON — existing checkpoints parse unchanged. */
+private[streaming] final case class BootstrapOffset(v: Long, files: Long,
+    of: Long) extends Offset {
+  override val json: String =
+    s"""{"bootstrap_v":$v,"files":$files,"of":$of}"""
+}
+
+private[streaming] object BootstrapOffset {
+  private val Re =
+    """\{"bootstrap_v":(\d+),"files":(\d+),"of":(\d+)\}""".r
+  def parse(json: String): Option[BootstrapOffset] = json.trim match {
+    case Re(v, f, o) => Some(BootstrapOffset(v.toLong, f.toLong, o.toLong))
+    case _ => None
+  }
 }
 
 private[streaming] object ChangeFeedSource {
@@ -130,15 +160,29 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
   // the checkpointed offset, so a stream resuming far behind drains
   // the backlog as N-version batches instead of one giant catch-up
   // batch (each batch is still the manifest-diff of its span — cost
-  // stays O(changed partitions) per batch). The bootstrap batch (no
-  // checkpoint) is one snapshot read and is not paced.
+  // stays O(changed partitions) per batch). The bootstrap batch is
+  // paced separately, by FILES — see maxFilesPerBatch.
   private val maxVersionsPerBatch: Option[Long] =
-    parameters.get("maxVersionsPerBatch").map { s =>
+    positiveOption("maxVersionsPerBatch")
+
+  // BOOTSTRAP pacing: the initial snapshot (no checkpoint) is the one
+  // batch whose size is bounded by TABLE size, not by an option — on a
+  // 100 TB table an unpaced bootstrap is an unbounded first batch.
+  // With this set, the bootstrap drains as ceil(files / N) micro-
+  // batches over the version's deterministically-ordered file list
+  // ([[BootstrapOffset]] carries the version + file cursor, so a
+  // restart mid-bootstrap resumes at the cursor, exactly-once), then
+  // the stream switches to plain version offsets. Delta paces its
+  // initial snapshot with maxFilesPerTrigger for the same reason.
+  private val maxFilesPerBatch: Option[Long] =
+    positiveOption("maxFilesPerBatch")
+
+  private def positiveOption(name: String): Option[Long] =
+    parameters.get(name).map { s =>
       val n = scala.util.Try(s.trim.toLong).getOrElse(
         throw new IllegalArgumentException(
-          s"maxVersionsPerBatch must be a positive integer, got '$s'"))
-      require(n > 0,
-        s"maxVersionsPerBatch must be a positive integer, got '$s'")
+          s"$name must be a positive integer, got '$s'"))
+      require(n > 0, s"$name must be a positive integer, got '$s'")
       n
     }
 
@@ -186,18 +230,43 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
       case Some(pin) => for { c <- cur; p <- pin } yield math.min(c, p)
       case None => cur
     }
-    // pacing applies AFTER any checkpointed offset exists; the first
-    // (bootstrap) batch reads one snapshot and is not paced
-    val startV = Option(start).map(_.json.trim.toLong)
-      .orElse(startingVersion)
-    val paced = (maxVersionsPerBatch, startV) match {
-      // saturating add: a huge N ("unlimited") must not wrap negative
-      // and poison the checkpointed offset
-      case (Some(n), Some(s)) if s <= Long.MaxValue - n =>
-        pinned.map(v => math.min(v, s + n))
-      case _ => pinned
+    val startJson = Option(start).map(_.json)
+    val boot = startJson.flatMap(BootstrapOffset.parse)
+    boot match {
+      case Some(b) if b.files < b.of =>
+        // mid-bootstrap: the next file slice of the SAME pinned
+        // version (a restart without the option drains the remainder
+        // as one batch — the cursor semantics hold either way)
+        BootstrapOffset(b.v,
+          math.min(b.files + maxFilesPerBatch.getOrElse(b.of), b.of),
+          b.of)
+      case _ =>
+        // a COMPLETED bootstrap offset behaves as its plain version
+        val startV = boot.map(_.v)
+          .orElse(startJson.map(_.trim.toLong))
+          .orElse(startingVersion)
+        (startV, maxFilesPerBatch) match {
+          case (None, Some(n)) =>
+            // fresh paced bootstrap: pin the snapshot version and emit
+            // the first file slice (an EMPTY committed version drains
+            // as one empty slice and moves straight to CDC offsets)
+            pinned.map { b =>
+              val total = bootstrapFiles(b).length.toLong
+              BootstrapOffset(b, math.min(n, total), total)
+            }.orNull
+          case _ =>
+            // version pacing applies AFTER any offset exists; the
+            // unpaced bootstrap reads one snapshot batch
+            val paced = (maxVersionsPerBatch, startV) match {
+              // saturating add: a huge N ("unlimited") must not wrap
+              // negative and poison the checkpointed offset
+              case (Some(n), Some(s)) if s <= Long.MaxValue - n =>
+                pinned.map(v => math.min(v, s + n))
+              case _ => pinned
+            }
+            paced.map(LongOffset(_)).orNull
+        }
     }
-    paced.map(LongOffset(_)).orNull
   }
 
   override def reportLatestOffset()
@@ -368,9 +437,58 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
       else Snapshots.readVersion(spark, t, v, store)).schema
     })
 
-  private def batchFor(start: Option[Offset], end: Offset): DataFrame = {
+  // bootstrap file lists are per VERSION of an immutable table — cache
+  // like the schema lookups (one listing per version, not per batch)
+  private val bootFilesCache =
+    scala.collection.concurrent.TrieMap.empty[Long, IndexedSeq[String]]
+  private def bootstrapFiles(v: Long): IndexedSeq[String] =
+    bootFilesCache.getOrElseUpdate(v, {
+      if (bootFilesCache.size > 4) bootFilesCache.clear()
+      (if (PartitionedSnapshots.hasManifest(t, v, store))
+        PartitionedSnapshots.versionFiles(t, v, store)
+      else Snapshots.versionFiles(t, v, store)).toIndexedSeq
+    })
+
+  /** One paced-bootstrap slice: files [from, to) of version `v`'s
+    * deterministic file list, as insert rows. Read with the pinned
+    * data schema EXPLICITLY — a slice containing only pre-evolution
+    * footers must still surface every pinned column (as nulls; evolved
+    * columns are nullable by construction), where a mergeSchema read
+    * of the subset would drop them and mis-trip the drift gate. */
+  private def bootstrapSlice(v: Long, from: Long, to: Long,
+      of: Long): DataFrame = {
+    val dataFields = schema.fields.filterNot(_.name == "change_type")
+    refuseDrift(schemaAt(v), dataFields)
+    val files = bootstrapFiles(v)
+    if (files.length != of) throw new IllegalStateException(
+      s"graft-changes: $t v$v has ${files.length} data files but this " +
+        s"stream's checkpoint pinned $of — the bootstrap version was " +
+        "vacuumed or rewritten mid-bootstrap; discard the checkpoint " +
+        "and re-bootstrap (and retain the bootstrap version until the " +
+        "stream finishes draining it)")
+    val slice = files.slice(from.toInt, to.toInt)
+    val snap =
+      if (slice.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(dataFields))
+      else spark.read.schema(StructType(dataFields))
+        .parquet(slice: _*)
+    snap.withColumn("change_type", lit("insert"))
+  }
+
+  private[streaming] def batchFor(start: Option[Offset],
+      end: Offset): DataFrame = {
+    BootstrapOffset.parse(end.json) match {
+      case Some(be) =>
+        val f0 = start.flatMap(o => BootstrapOffset.parse(o.json))
+          .map(_.files).getOrElse(0L)
+        return bootstrapSlice(be.v, f0, be.files, be.of)
+      case None => ()
+    }
     val endV = versionOf(end)
-    val fromV = start.map(versionOf).orElse(startingVersion)
+    // a COMPLETED bootstrap offset is its plain version for CDC spans
+    val fromV = start.map(o => BootstrapOffset.parse(o.json).map(_.v)
+      .getOrElse(versionOf(o))).orElse(startingVersion)
     fromV match {
       case Some(s) if s >= endV =>
         ChangeFeedSource.current(spark, t, store, storeSpec).limit(0)
@@ -409,12 +527,24 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         graft.operators.ChangeFeed.commit(t, cid, v, store)
     }
 
+  /** Consumer-cursor mirror per committed offset. Mid-bootstrap
+    * offsets commit NOTHING: the cursor's contract is "processed
+    * through version v", and the bootstrap version is only fully
+    * processed at its last file slice — an early commit could let a
+    * cursor-driven vacuum reclaim the very snapshot the remaining
+    * slices still read. */
+  private def commitJson(j: String): Unit =
+    BootstrapOffset.parse(j) match {
+      case Some(b) => if (b.files == b.of) commitVersion(b.v)
+      case None => commitVersion(j.trim.toLong)
+    }
+
   // the engine drives the SparkDataStream overload; the v1 one is kept
   // in sync for completeness
-  override def commit(end: Offset): Unit = commitVersion(versionOf(end))
+  override def commit(end: Offset): Unit = commitJson(end.json)
   override def commit(
       end: org.apache.spark.sql.connector.read.streaming.Offset): Unit =
-    commitVersion(end.json.trim.toLong)
+    commitJson(end.json)
 
   override def stop(): Unit = ()
 }
