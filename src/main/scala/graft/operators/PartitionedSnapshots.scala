@@ -1442,12 +1442,20 @@ object PartitionedSnapshots {
     // rule (Txns.parseMarker — last '/', exact appId), but only THIS
     // appId's sidecar is read — this runs once per streaming epoch, so
     // it must not scale with the number of writers (Txns.all is for
-    // the CALL txns inspection view).
+    // the CALL txns inspection view). The meta walk is DESCENDING with
+    // early exit: a sink commits only epochs strictly above its last
+    // applied one, so per app the (version, epoch) pairs are monotone
+    // and the FIRST marker found from the top is that app's maximum —
+    // a steady-state stream pays O(1) meta reads per epoch instead of
+    // O(retained versions) (which compounds to O(V^2) over a V-epoch
+    // stream — the metadata-path curve that would bend at deep
+    // version counts).
     val fromMetas = currentVersion(t, store).toSeq.flatMap { cur =>
-      versions(t, store).filter(_ <= cur)
+      versions(t, store).filter(_ <= cur).sorted(Ordering[Long].reverse)
+        .iterator
         .flatMap(v => commitTxn(t, v, store))
         .flatMap(Txns.parseMarker)
-        .collect { case (a, e) if a == appId => e }
+        .collectFirst { case (a, e) if a == appId => e }
     }
     (fromMetas ++ Txns.get(t, appId, store)).maxOption
   }

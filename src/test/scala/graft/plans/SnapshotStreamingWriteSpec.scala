@@ -281,6 +281,31 @@ class SnapshotStreamingWriteSpec extends AnyFunSuite {
       e2.getMessage.contains("NOT NULL"), e2.getMessage)
   }
 
+  test("lastCommittedEpoch resolves per-app maxima through the " +
+      "DESCENDING early-exit meta walk: interleaved apps and " +
+      "marker-less commits don't confuse it, and the first marker " +
+      "from the top is the app's max (per-app epochs are monotone — " +
+      "the sink only commits epochs above its last applied)") {
+    import graft.operators.{PartitionedSnapshots => PS}
+    val root = Files.createTempDirectory("graft_ssw_desc").toString
+    val t = s"$root/t"
+    def up(k: Long, txn: Option[String]): Unit =
+      if (PS.currentVersion(t).isEmpty)
+        PS.write(spark, t, Seq((k, "A", s"r$k")).toDF("k", "d", "v"),
+          "d", txn = txn)
+      else
+        PS.upsert(spark, t, Seq((k, "A", s"r$k")).toDF("k", "d", "v"),
+          Seq("k"), "d", txn = txn)
+    up(1L, Some("appA/3"))
+    up(2L, None) // maintenance commit, no marker
+    up(3L, Some("appB/9"))
+    up(4L, Some("appA/7")) // appA's newest — found first from the top
+    up(5L, None)
+    assert(PS.lastCommittedEpoch(t, "appA").contains(7L))
+    assert(PS.lastCommittedEpoch(t, "appB").contains(9L))
+    assert(PS.lastCommittedEpoch(t, "appC").isEmpty)
+  }
+
   test("full-copy format: vacuum preserves committed txn marks in the" +
       " sidecar too") {
     import graft.operators.{Snapshots, Txns}
