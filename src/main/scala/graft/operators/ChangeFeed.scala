@@ -167,7 +167,8 @@ object ChangeFeed {
       consumerId: Option[String] = None,
       storeName: Option[String] = None,
       maxVersionsPerBatch: Option[Long] = None,
-      maxFilesPerBatch: Option[Long] = None): DataFrame = {
+      maxFilesPerBatch: Option[Long] = None,
+      schemaTrackingLocation: Option[String] = None): DataFrame = {
     var r = spark.readStream.format("graft-changes").option("path", t)
     if (keys.nonEmpty) r = r.option("keys", keys.mkString(","))
     if (preImages) r = r.option("preImages", "true")
@@ -181,6 +182,10 @@ object ChangeFeed {
     // bootstrap pacing: drain the initial snapshot as N-file slices
     maxFilesPerBatch.foreach(n =>
       r = r.option("maxFilesPerBatch", n.toString))
+    // persisted schema pin + recorded drift decisions: a retype's
+    // re-bootstrap remedy executes by restart, not checkpoint surgery
+    schemaTrackingLocation.foreach(l =>
+      r = r.option("schemaTrackingLocation", l))
     r.load()
   }
 

@@ -46,8 +46,14 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * ([[org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow]]):
   * the run pins the commit pointer at start, drains exactly that
   * backlog, and stops — no single-batch fallback warning, and
-  * commits landing mid-run deterministically wait for the next run. `preImages=true` emits Delta-CDF
-  * update_preimage/update_postimage pairs. Retention interplay: the
+  * commits landing mid-run deterministically wait for the next run.
+  * `preImages=true` emits Delta-CDF update_preimage/update_postimage
+  * pairs. `schemaTrackingLocation=<dir>` persists the pinned schema
+  * (stable across restarts) and records drift decisions, so a
+  * retype's re-bootstrap remedy executes by RESTART — the stream
+  * serves the current snapshot as one insert-batch and continues —
+  * instead of checkpoint surgery (Delta's schemaTrackingLocation
+  * idea, extended with the recorded re-bootstrap floor). Retention interplay: the
   * checkpointed offset is a VERSION — vacuum must retain at least the
   * slowest stream's lag (same contract as pull consumers;
   * `ChangeFeed.safeVacuum` covers registered consumers, streams gate
@@ -93,6 +99,28 @@ private[streaming] object BootstrapOffset {
   }
 }
 
+/** One drift-gate finding: which pinned columns the observed schema
+  * cannot serve, and why. `needsRebootstrap` marks the kinds a restart
+  * alone cannot heal — a retype, or an ambiguity baked into a
+  * HISTORICAL span version (a restart replays the same span and
+  * re-wedges); drops and current-table ambiguity heal on re-pin. */
+private[streaming] final case class DriftReport(missing: Seq[String],
+    retyped: Seq[String], ambiguous: Seq[String],
+    spanFromVersion: Option[Long]) {
+  def needsRebootstrap: Boolean = retyped.nonEmpty ||
+    (ambiguous.nonEmpty && spanFromVersion.isDefined)
+  def message(t: String): String =
+    s"graft-changes: $t's schema drifted since this stream pinned " +
+      "it at start" +
+      (if (missing.nonEmpty)
+        s" — dropped columns: ${missing.mkString(", ")}" else "") +
+      (if (retyped.nonEmpty)
+        s" — retyped columns: ${retyped.mkString(", ")}" else "") +
+      (if (ambiguous.nonEmpty)
+        s" — case-ambiguous columns: ${ambiguous.mkString(", ")}"
+       else "") + "."
+}
+
 private[streaming] object ChangeFeedSource {
 
   def tableOf(parameters: Map[String, String]): String =
@@ -126,9 +154,27 @@ private[streaming] object ChangeFeedSource {
 
   def schemaFor(spark: SparkSession,
       parameters: Map[String, String]): StructType = {
-    val base = current(spark, tableOf(parameters),
-      storeOf(parameters), storeSpec(parameters)).schema
-    StructType(base.fields :+ StructField("change_type", StringType))
+    val store = storeOf(parameters)
+    // schema tracking: the PERSISTED pin wins over the live table —
+    // the stream's schema is stable across restarts (widens don't
+    // shift the output mid-lifecycle) and changes only when a drift
+    // refusal RECORDS a re-pin
+    val tracked = parameters.get("schemaTrackingLocation").flatMap(
+      loc => store.read(s"$loc/schema").map(b =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(new String(b, "UTF-8"))
+          .asInstanceOf[StructType]))
+    tracked.getOrElse {
+      val base = current(spark, tableOf(parameters), store,
+        storeSpec(parameters)).schema
+      val s = StructType(base.fields :+
+        StructField("change_type", StringType))
+      parameters.get("schemaTrackingLocation").foreach { loc =>
+        store.mkdirs(loc)
+        store.write(s"$loc/schema", s.json.getBytes("UTF-8"))
+      }
+      s
+    }
   }
 }
 
@@ -150,6 +196,21 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
   // same protection pull consumers get, without it the operator must
   // size `keep` to the slowest stream's lag by hand
   private val consumerId = parameters.get("consumerId")
+  // opt-in schema tracking (Delta's schemaTrackingLocation analogue):
+  // the pinned schema persists at this location, so the pin is STABLE
+  // across restarts (not re-derived from the live table), and a drift
+  // refusal RECORDS the re-pin decision — a retype's re-bootstrap
+  // remedy then executes by RESTART instead of checkpoint surgery:
+  // the restarted stream serves the current snapshot as one
+  // insert-batch (keyed sinks dedupe; the same exactly-once contract
+  // as the manual re-bootstrap) and continues on plain CDC offsets.
+  private val tracking: Option[String] =
+    parameters.get("schemaTrackingLocation")
+  // the recorded re-bootstrap floor, read once at construction (the
+  // run that RECORDS it fails; only a restarted source acts on it)
+  private val rebootstrapAt: Option[Long] =
+    tracking.flatMap(loc => store.read(s"$loc/rebootstrap"))
+      .map(b => new String(b, "UTF-8").trim.toLong)
   // pinned at stream creation: `latest` means "commits after START",
   // not "whatever is current when the first batch fires"
   private val startingVersion: Option[Long] =
@@ -264,7 +325,15 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
                 pinned.map(v => math.min(v, s + n))
               case _ => pinned
             }
-            paced.map(LongOffset(_)).orNull
+            // recorded re-bootstrap floor (schema tracking): an end
+            // below it would snapshot a PRE-drift version — jump
+            // straight to the floor (always <= the AvailableNow pin:
+            // the floor was the table's current version when recorded)
+            val floored =
+              if (startV.exists(s => rebootstrapAt.exists(s < _)))
+                paced.map(v => math.max(v, rebootstrapAt.get))
+              else paced
+            floored.map(LongOffset(_)).orNull
         }
     }
   }
@@ -358,7 +427,23 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     * through). */
   private[streaming] def refuseDrift(have: StructType,
       pinned: Array[StructField],
-      spanFromVersion: Option[Long] = None): Unit = {
+      spanFromVersion: Option[Long] = None): Unit =
+    driftOf(have, pinned, spanFromVersion).foreach { d =>
+      throw new IllegalStateException(d.message(t) + " " +
+        (if (d.needsRebootstrap)
+          "A CDC span cannot be replayed across this change: discard " +
+            "this stream's checkpoint and re-bootstrap from the " +
+            "current snapshot (a restart alone re-pins but wedges " +
+            "again on the first batch spanning the change)."
+         else
+          "Restart the stream to re-pin the source schema from the " +
+            "current table."))
+    }
+
+  /** Drift detection, report form (what [[refuseDrift]] and the
+    * schema-tracking recorder share). */
+  private def driftOf(have: StructType, pinned: Array[StructField],
+      spanFromVersion: Option[Long]): Option[DriftReport] = {
     val groups = caseGroups(have)
     // several case variants with no exact match: the stream cannot
     // choose which column serves the pinned name
@@ -390,33 +475,9 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
             bf.dataType.simpleString + ")"
       }
     }
-    if (missing.nonEmpty || retyped.nonEmpty || ambiguous.nonEmpty) {
-      // a restart heals drops and CURRENT-table ambiguity (the re-pin
-      // adopts the table's actual names); a retype — or an ambiguity
-      // baked into a HISTORICAL span version — re-wedges every
-      // restart, so the remedy is discarding the checkpoint
-      val needsRebootstrap = retyped.nonEmpty ||
-        (ambiguous.nonEmpty && spanFromVersion.isDefined)
-      throw new IllegalStateException(
-        s"graft-changes: $t's schema drifted since this stream pinned " +
-          "it at start" +
-          (if (missing.nonEmpty)
-            s" — dropped columns: ${missing.mkString(", ")}" else "") +
-          (if (retyped.nonEmpty)
-            s" — retyped columns: ${retyped.mkString(", ")}" else "") +
-          (if (ambiguous.nonEmpty)
-            s" — case-ambiguous columns: ${ambiguous.mkString(", ")}"
-           else "") +
-          ". " +
-          (if (needsRebootstrap)
-            "A CDC span cannot be replayed across this change: discard " +
-              "this stream's checkpoint and re-bootstrap from the " +
-              "current snapshot (a restart alone re-pins but wedges " +
-              "again on the first batch spanning the change)."
-           else
-            "Restart the stream to re-pin the source schema from the " +
-              "current table."))
-    }
+    if (missing.isEmpty && retyped.isEmpty && ambiguous.isEmpty) None
+    else Some(DriftReport(missing.toSeq, retyped.toSeq, ambiguous.toSeq,
+      spanFromVersion))
   }
 
   // schema lookups are per VERSION of an immutable table — cache them
@@ -493,17 +554,31 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
       case Some(s) if s >= endV =>
         ChangeFeedSource.current(spark, t, store, storeSpec).limit(0)
           .withColumn("change_type", lit(null).cast("string"))
+      case Some(s) if rebootstrapAt.exists(s < _) =>
+        // a RECORDED re-pin (schema tracking): offsets below the
+        // recorded floor cannot replay as CDC — their span crosses
+        // the drift — so this batch is the config-driven
+        // re-bootstrap: the full snapshot at `end` as insert rows.
+        // Keyed sinks dedupe the re-inserted rows (the same
+        // exactly-once contract as the manual re-bootstrap); the
+        // batch is deterministic on replay (immutable version).
+        val dataFields = schema.fields.filterNot(_.name == "change_type")
+        refuseDrift(schemaAt(endV), dataFields)
+        (if (PartitionedSnapshots.hasManifest(t, endV, store))
+          PartitionedSnapshots.readVersion(spark, t, endV, store)
+        else Snapshots.readVersion(spark, t, endV, store))
+          .withColumn("change_type", lit("insert"))
       case Some(s) =>
         // pre-gate on the END version's table schema: a retype between
         // s and endV must refuse HERE with the drift named, not throw
         // an anonymous analysis error inside the version diff below
         val dataFields = schema.fields.filterNot(_.name == "change_type")
-        refuseDrift(schemaAt(endV), dataFields)
+        gateOrRecord(schemaAt(endV), dataFields, None, endV)
         // ...and on the START version: after a restart re-pins a
         // retyped schema the end check passes, but the span s→endV
         // still crosses the retype and the diff would coerce the
         // column — refuse with the re-bootstrap remedy instead
-        refuseDrift(schemaAt(s), dataFields, spanFromVersion = Some(s))
+        gateOrRecord(schemaAt(s), dataFields, Some(s), endV)
         if (PartitionedSnapshots.hasManifest(t, endV, store))
           PartitionedSnapshots.changes(spark, t, s, endV, keys, store,
             preImages)
@@ -517,6 +592,38 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         snap.withColumn("change_type", lit("insert"))
     }
   }
+
+  /** The drift gates of the CDC path: without tracking, refuse with
+    * the manual remedy ([[refuseDrift]]); with tracking, RECORD the
+    * re-pin first — the new pinned schema, plus the re-bootstrap floor
+    * when a restart alone cannot heal — then refuse once telling the
+    * operator a plain restart executes the remedy. */
+  private def gateOrRecord(have: StructType,
+      pinned: Array[StructField], spanFromVersion: Option[Long],
+      endV: Long): Unit =
+    tracking match {
+      case None => refuseDrift(have, pinned, spanFromVersion)
+      case Some(loc) =>
+        driftOf(have, pinned, spanFromVersion).foreach { d =>
+          val newPin = StructType(
+            schemaAt(endV).fields.filterNot(
+              _.name.equalsIgnoreCase("change_type")) :+
+              StructField("change_type", StringType))
+          store.mkdirs(loc)
+          store.write(s"$loc/schema", newPin.json.getBytes("UTF-8"))
+          if (d.needsRebootstrap)
+            store.write(s"$loc/rebootstrap",
+              endV.toString.getBytes("UTF-8"))
+          throw new IllegalStateException(d.message(t) +
+            " Schema tracking recorded the re-pin at " + loc +
+            ": RESTART the stream and it will " +
+            (if (d.needsRebootstrap)
+              "re-bootstrap itself from the current snapshot " +
+                "(keyed sinks dedupe the re-inserted rows — " +
+                "exactly-once preserved; no checkpoint surgery)"
+             else "continue on the re-pinned schema") + ".")
+        }
+    }
 
   private def commitVersion(v: Long): Unit =
     consumerId.foreach { cid =>

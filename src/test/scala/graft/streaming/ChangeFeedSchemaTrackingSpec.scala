@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.operators.{ChangeFeed => CF, Snapshots}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** `schemaTrackingLocation` (round-12 stretch): the pinned schema
+  * persists at a configured location, and a drift refusal RECORDS the
+  * re-pin decision — so a retype's re-bootstrap remedy executes by
+  * plain RESTART instead of checkpoint surgery: the restarted stream
+  * serves the current snapshot as one insert-batch (keyed sinks
+  * dedupe) and continues on plain CDC offsets. */
+class ChangeFeedSchemaTrackingSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(n: String) =
+    Files.createTempDirectory(s"graft_cfs_$n").toString
+
+  private def causes(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  test("retype with schemaTrackingLocation: the refusal records the " +
+      "re-pin, the RESTARTED stream re-bootstraps ITSELF from the " +
+      "current snapshot exactly once, and later commits flow as plain " +
+      "CDC — no checkpoint surgery") {
+    val t = s"${tmp("trk")}/t"
+    val loc = tmp("trk_loc")
+    val cp = tmp("trk_cp")
+    Snapshots.write(spark, t, Seq((1L, "a")).toDF("k", "v")) // v1
+    val seen = new scala.collection.mutable.ArrayBuffer[
+      Set[(Long, String, String)]]()
+    def drain(): Unit = {
+      val q = CF.readStream(spark, t, keys = Seq("k"),
+          schemaTrackingLocation = Some(loc))
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          val rows = b.select(col("k"), col("v").cast("string"),
+            col("change_type")).as[(Long, String, String)]
+            .collect().toSet
+          seen.synchronized { if (rows.nonEmpty) seen += rows }
+          ()
+        })
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    drain() // bootstrap on the tracked pin (v: string)
+    assert(seen.synchronized(seen.toVector) ==
+      Vector(Set((1L, "a", "insert"))))
+    // the pin persisted at the tracking location
+    assert(Files.exists(java.nio.file.Paths.get(loc, "schema")))
+
+    // RETYPE: full-copy overwrite flips v from string to int (v2)
+    Snapshots.write(spark, t, Seq((1L, 5), (2L, 7)).toDF("k", "v"))
+    // the drifted run refuses ONCE — but with tracking the message
+    // promises a restart executes the remedy, and the decision lands
+    // on disk (new pin + re-bootstrap floor)
+    val e = intercept[Throwable] { drain() }
+    assert(causes(e).contains("retyped columns: v") &&
+      causes(e).contains("RESTART the stream") &&
+      causes(e).contains("re-bootstrap itself") &&
+      !causes(e).contains("discard"), causes(e))
+    assert(Files.exists(java.nio.file.Paths.get(loc, "rebootstrap")))
+
+    // the plain restart: the stream re-pins from the tracking store
+    // (v: int now) and serves the CURRENT snapshot as inserts —
+    // exactly the manual re-bootstrap, executed by config
+    seen.synchronized(seen.clear())
+    drain()
+    assert(seen.synchronized(seen.toVector) ==
+      Vector(Set((1L, "5", "insert"), (2L, "7", "insert"))),
+      s"re-bootstrap batch wrong: ${seen.synchronized(seen.toVector)}")
+
+    // later commits flow as PLAIN CDC — the re-bootstrap fired once
+    Snapshots.write(spark, t,
+      Seq((1L, 5), (2L, 7), (3L, 9)).toDF("k", "v")) // v3
+    seen.synchronized(seen.clear())
+    drain()
+    assert(seen.synchronized(seen.toVector) ==
+      Vector(Set((3L, "9", "insert"))),
+      "after the floor the stream must be ordinary CDC: " +
+        s"${seen.synchronized(seen.toVector)}")
+    // and an idle restart replays nothing
+    seen.synchronized(seen.clear())
+    drain()
+    assert(seen.synchronized(seen.isEmpty))
+  }
+
+  test("the tracked pin is STABLE across restarts: a widen does not " +
+      "shift the output schema mid-lifecycle (columns added to the " +
+      "table stay projected away even after restart, until a drift " +
+      "refusal re-pins)") {
+    import graft.operators.{PartitionedSnapshots => PS}
+    val t = s"${tmp("trkw")}/t"
+    val loc = tmp("trkw_loc")
+    val cp = tmp("trkw_cp")
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d")
+    val cols = new scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    def drain(): Unit = {
+      val q = CF.readStream(spark, t,
+          schemaTrackingLocation = Some(loc))
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          if (b.count() > 0)
+            cols.synchronized { cols += b.columns.toSeq }
+          ()
+        })
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    drain() // bootstrap, pins (k, d, v, change_type)
+    // widen the table mid-lifecycle
+    PS.upsert(spark, t, Seq((2L, "B", "b1", "w2"))
+      .toDF("k", "d", "v", "w"), Seq("k"), "d")
+    drain() // restart — WITHOUT tracking this would re-pin and emit w
+    assert(cols.synchronized(cols.toVector).nonEmpty &&
+      cols.synchronized(cols.toVector).forall(
+        _ == Seq("k", "d", "v", "change_type")),
+      s"tracked pin must stay stable: ${cols.synchronized(cols.toVector)}")
+  }
+}
