@@ -109,7 +109,10 @@ object Cluster {
       // the ContextCleaner never would (cleanCheckpoints defaults
       // false); in localCheckpoint mode both are harmless no-ops
       labels.unpersist()
-      dropRetired(labels)
+      // only the truncated modes own their materialization; in cache
+      // mode the frame's lineage may CONTAIN caller-owned checkpoints
+      // (Bridge.checkpointFile is root-only, but don't even look)
+      if (checkpoint) dropRetired(labels)
       labels = next
     }
     // the final round is materialized above, so the edge cache (feeding

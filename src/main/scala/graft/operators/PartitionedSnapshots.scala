@@ -448,37 +448,63 @@ object PartitionedSnapshots {
       reserved = v
       store.write(inflightPath(t, v), Array.emptyByteArray)
       beat = startInflightBeat(inflightPath(t, v), store)
-      val touchedDirs = updCached
-        .select(col(partCol).cast("string")).distinct()
-        .collect().map(r => partDirName(
-          if (r.isNullAt(0)) None else Some(r.getString(0))))
-        .toSet
-      val existingDirs = mBase.collect {
-        case (p, owner) if touchedDirs(p) =>
-          s"${dataDir(t, owner)}/$p"
-      }.toSeq
-      val merged =
-        if (existingDirs.isEmpty) updCached
-        else {
-          val existing = spark.read.option("mergeSchema", "true")
-            .parquet(existingDirs: _*)
-          val kept =
-            if (keys.isEmpty) existing
-            else existing.join(
-              updCached.select(keys.map(col): _*).distinct(),
-              keys, "left_anti")
-          kept.unionByName(updCached, allowMissingColumns = true)
+      // the data phase reads BASE owner dirs lock-free — a concurrent
+      // rewrite of a touched partition plus a vacuum can legally
+      // reclaim one mid-read. That is a CONFLICT (re-preparing against
+      // the new current version is exactly what retry does), so a
+      // vanished-path failure converts to Left instead of crashing
+      // the writer without consuming its retries.
+      val prepared: Either[String, (Set[String], Seq[String])] =
+        try {
+          val touchedDirs = updCached
+            .select(col(partCol).cast("string")).distinct()
+            .collect().map(r => partDirName(
+              if (r.isNullAt(0)) None else Some(r.getString(0))))
+            .toSet
+          val existingDirs = mBase.collect {
+            case (p, owner) if touchedDirs(p) =>
+              s"${dataDir(t, owner)}/$p"
+          }.toSeq
+          val merged =
+            if (existingDirs.isEmpty) updCached
+            else {
+              val existing = spark.read.option("mergeSchema", "true")
+                .parquet(existingDirs: _*)
+              val kept =
+                if (keys.isEmpty) existing
+                else existing.join(
+                  updCached.select(keys.map(col): _*).distinct(),
+                  keys, "left_anti")
+              kept.unionByName(updCached, allowMissingColumns = true)
+            }
+          val shaped =
+            if (optimizeWrite) merged.repartition(col(partCol))
+            else merged
+          val parts = writeData(shaped, t, v, partCol, store)
+          val unmerged =
+            parts.filter(p => mBase.contains(p) && !touchedDirs(p))
+          if (unmerged.nonEmpty)
+            throw new IllegalStateException(
+              "partition rendering mismatch: wrote " +
+                unmerged.mkString(", ") + " without merging its " +
+                "existing rows — partCol type unsupported for " +
+                "manifest addressing (use string/date/integral keys)")
+          Right((touchedDirs, parts))
+        } catch {
+          case e: Throwable if vanishedPath(e) =>
+            Left("base " + base.fold("<empty>")(b => s"v$b") +
+              "'s data was reclaimed mid-prepare (concurrent rewrite " +
+              "+ vacuum): " + e.getMessage)
         }
-      val shaped =
-        if (optimizeWrite) merged.repartition(col(partCol)) else merged
-      val parts = writeData(shaped, t, v, partCol, store)
-      val unmerged = parts.filter(p => mBase.contains(p) && !touchedDirs(p))
-      if (unmerged.nonEmpty)
-        throw new IllegalStateException(
-          "partition rendering mismatch: wrote " +
-            unmerged.mkString(", ") + " without merging its existing " +
-            "rows — partCol type unsupported for manifest addressing " +
-            "(use string/date/integral keys)")
+      prepared match {
+        case Left(msg) =>
+          beat.interrupt(); beat.join(10000); beat = null
+          store.delete(inflightPath(t, v))
+          store.deleteRecursively(versionDir(t, v))
+          return Left(msg)
+        case Right(_) => ()
+      }
+      val (touchedDirs, parts) = prepared.toOption.get
       // the SHORT critical section: metadata only, no data IO
       val result: Either[String, Long] =
         withCommitLock(t, store) {
@@ -528,6 +554,20 @@ object PartitionedSnapshots {
       updCached.unpersist()
     }
   }
+
+  /** A failure whose cause chain says a path the prepare was reading
+    * no longer exists — the signature of a base owner dir reclaimed by
+    * a concurrent rewrite + vacuum (Spark wraps the underlying
+    * FileNotFoundException in task/job failures, so the chain and the
+    * rendered messages are both checked). */
+  private def vanishedPath(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { x =>
+      x.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(x.getMessage).exists(m =>
+          m.contains("FileNotFoundException") ||
+            m.contains("PATH_NOT_FOUND") ||
+            m.contains("does not exist"))
+    }
 
   /** The table lock is NON-blocking ([[Incremental.acquire]] throws on
     * contention — the right contract for long data-writing holders,
@@ -713,16 +753,32 @@ object PartitionedSnapshots {
       // between its data write and its manifest write — an orphan
       // regardless of where it sits relative to the pointer; dirs above
       // the pointer are orphans too (crashed before the flip) — EXCEPT
-      // a LIVE optimistic preparer's dir, identified by a heartbeated
-      // `.inflight` marker fresher than the lock staleness horizon
-      // (optimistic writers prepare data OUTSIDE the table lock, so
-      // vacuum cannot rely on the lock to exclude them; a crashed
-      // preparer's beats stop and the horizon reclaims it exactly like
-      // a crashed lock holder)
+      // a LIVE optimistic preparer's dir, identified by its markers
+      // being fresher than the lock staleness horizon (optimistic
+      // writers prepare data OUTSIDE the table lock, so vacuum cannot
+      // rely on the lock to exclude them; a crashed preparer's beats
+      // stop and the horizon reclaims it exactly like a crashed lock
+      // holder). BOTH markers count: the heartbeated `.inflight`, AND
+      // the `.reserved` allocation marker — a preparer exists for a
+      // moment between reserving the number and writing `.inflight`,
+      // and without the `.reserved` grace a vacuum in that window
+      // would delete the dir out from under it (re-opening the very
+      // version-number collision reserveVersion exists to prevent).
+      // A live LEGACY writer needs no grace — it holds the lock this
+      // vacuum is running under — so a bare dir with a fresh
+      // `.reserved` seen from INSIDE the lock is either a crashed
+      // writer within the horizon (reclaimed by the next vacuum after
+      // it ages) or a live lock-free preparer. Manifest-bearing dirs
+      // (staged WAP versions) are never graced: abandoning a staged
+      // version to vacuum is their documented lifecycle.
       val nowMs = System.currentTimeMillis()
-      def liveInflight(v: Long): Boolean =
-        store.modifiedMs(inflightPath(t, v))
+      def fresh(p: String): Boolean =
+        store.modifiedMs(p)
           .exists(m => nowMs - m <= Incremental.DefaultLockStaleMs)
+      def liveInflight(v: Long): Boolean =
+        fresh(inflightPath(t, v)) ||
+          (!store.exists(manifestPath(t, v)) &&
+            fresh(reservedPath(t, v)))
       val (withManifest, bare) =
         all.partition(v => store.exists(manifestPath(t, v)))
       val committed = withManifest.filter(_ <= cur)
@@ -1442,22 +1498,12 @@ object PartitionedSnapshots {
     // rule (Txns.parseMarker — last '/', exact appId), but only THIS
     // appId's sidecar is read — this runs once per streaming epoch, so
     // it must not scale with the number of writers (Txns.all is for
-    // the CALL txns inspection view). The meta walk is DESCENDING with
-    // early exit: a sink commits only epochs strictly above its last
-    // applied one, so per app the (version, epoch) pairs are monotone
-    // and the FIRST marker found from the top is that app's maximum —
-    // a steady-state stream pays O(1) meta reads per epoch instead of
-    // O(retained versions) (which compounds to O(V^2) over a V-epoch
-    // stream — the metadata-path curve that would bend at deep
-    // version counts).
-    val fromMetas = currentVersion(t, store).toSeq.flatMap { cur =>
-      versions(t, store).filter(_ <= cur).sorted(Ordering[Long].reverse)
-        .iterator
-        .flatMap(v => commitTxn(t, v, store))
-        .flatMap(Txns.parseMarker)
-        .collectFirst { case (a, e) if a == appId => e }
-    }
-    (fromMetas ++ Txns.get(t, appId, store)).maxOption
+    // the CALL txns inspection view). Txns.lastEpoch adds the
+    // incremental-scan cache: exact max semantics at amortized O(new
+    // versions) per call — the metadata-path curve SCALE.md measures
+    // flat across a decade of version depth.
+    Txns.lastEpoch(t, appId, currentVersion(t, store),
+      versions(t, store), v => commitTxn(t, v, store), store)
   }
 
   /** TIMESTAMP AS OF: the newest version PUBLISHED at or before

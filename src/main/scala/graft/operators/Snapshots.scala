@@ -454,20 +454,12 @@ object Snapshots {
     // retained version metas ∪ the vacuum-preserved Txns sidecar (see
     // [[Txns]]); Txns.parseMarker is the single parse rule, and only
     // THIS appId's sidecar is read — per-epoch cost must not scale
-    // with the number of writers. DESCENDING early-exit walk, same
-    // rationale as [[PartitionedSnapshots.lastCommittedEpoch]]: per
-    // app the (version, epoch) pairs are monotone (a sink commits only
-    // epochs above its last applied), so the first marker from the top
-    // is the app's maximum — O(1) meta reads per steady-state epoch.
-    val fromMetas = currentVersion(tablePath, store).toSeq.flatMap {
-      cur =>
-        versions(tablePath, store).filter(_ <= cur)
-          .sorted(Ordering[Long].reverse).iterator
-          .flatMap(v => commitTxn(tablePath, v, store))
-          .flatMap(Txns.parseMarker)
-          .collectFirst { case (a, e) if a == appId => e }
-    }
-    (fromMetas ++ Txns.get(tablePath, appId, store)).maxOption
+    // with the number of writers. Txns.lastEpoch's incremental-scan
+    // cache keeps exact max semantics at amortized O(new versions)
+    // per call (see [[PartitionedSnapshots.lastCommittedEpoch]]).
+    Txns.lastEpoch(tablePath, appId, currentVersion(tablePath, store),
+      versions(tablePath, store), v => commitTxn(tablePath, v, store),
+      store)
   }
 
   /** TIMESTAMP AS OF: newest version published at or before `tsMs` —

@@ -76,6 +76,62 @@ object Txns {
     store.read(path(t, appId)).flatMap(b =>
       scala.util.Try(new String(b, "UTF-8").trim.toLong).toOption)
 
+  // (store, table, appId) → (highest version already scanned, max
+  // epoch seen in metas, Long.MinValue = none) — the incremental-scan
+  // cache behind lastEpoch. Keyed by the STORE INSTANCE too: two
+  // bindings can address the same path string (local vs an in-memory
+  // object store), and their tables are different tables. A caller
+  // that constructs a fresh store per call simply never hits the
+  // cache (full rescan — correct, just unaccelerated); the streaming
+  // sink holds one store for the query lifetime and gets O(1). */
+  private val epochCache = scala.collection.concurrent.TrieMap
+    .empty[(CommitStore, String, String), (Long, Long)]
+
+  /** Drop cached epoch knowledge for `t` (all apps, every store) —
+    * called when the knowledge's SOURCE is destroyed out from under
+    * the cache: DROP TABLE (a recreated table must never resolve the
+    * old incarnation's epochs), and [[drop]] for one app (the
+    * retire-replay-protection contract must not be undone by a stale
+    * cached metas-max). */
+  private[graft] def invalidateEpochCache(t: String,
+      appId: Option[String] = None): Unit =
+    epochCache.keySet.filter(k => k._2 == t &&
+      appId.forall(_ == k._3)).foreach(epochCache.remove)
+
+  /** The high-water epoch for `appId`: retained version metas ∪ the
+    * sidecar, with EXACT max semantics (the public `txn=` parameter
+    * does not force monotone epochs, so "newest marker" is not
+    * "highest epoch") at amortized O(new versions) cost per call —
+    * an in-process cache remembers the highest version already
+    * scanned per (table, appId) and each call scans only versions
+    * above it, so a steady-state streaming epoch pays O(1) meta reads
+    * instead of O(retained versions) (which compounds to O(V²) over a
+    * V-epoch stream). Marker knowledge is monotone — vacuum preserves
+    * a dropped version's marker to the sidecar before deleting the
+    * dir — so a cached max never goes stale; a table recreated at the
+    * same path (the pointer restarts BELOW the cached scan point)
+    * drops the entry and rescans. A fresh process rescans once per
+    * (table, app) and is incremental thereafter. */
+  def lastEpoch(t: String, appId: String, cur: Option[Long],
+      versionsOf: => Seq[Long], markerOf: Long => Option[String],
+      store: CommitStore = CommitStore.local): Option[Long] = {
+    val sidecar = get(t, appId, store)
+    val fromMetas = cur.flatMap { c =>
+      val key = (store, t, appId)
+      val cached = epochCache.get(key).filter(_._1 <= c)
+      val from = cached.map(_._1).getOrElse(Long.MinValue)
+      val freshMax = versionsOf.filter(v => v > from && v <= c)
+        .flatMap(markerOf).flatMap(parseMarker)
+        .collect { case (a, e) if a == appId => e }
+        .maxOption
+      val m = (cached.map(_._2).filter(_ != Long.MinValue) ++ freshMax)
+        .maxOption
+      epochCache.put(key, (c, m.getOrElse(Long.MinValue)))
+      m
+    }
+    (fromMetas ++ sidecar).maxOption
+  }
+
   /** All preserved marks with their sidecar mtimes in ONE listing
     * pass: appId → (high-water epoch, last-preserved epoch ms). The
     * mtime is taken against the RAW file name (not a re-encoding of
@@ -147,8 +203,12 @@ object Txns {
     * knows whether replay protection actually ended.
     * @return true iff the sidecar existed. */
   def drop(t: String, appId: String,
-      store: CommitStore = CommitStore.local): Boolean =
+      store: CommitStore = CommitStore.local): Boolean = {
+    // the retire-replay-protection contract must not be undone by a
+    // stale cached metas-max once the marker's meta versions age out
+    invalidateEpochCache(t, Some(appId))
     store.delete(path(t, appId))
+  }
 
   /** Age-based sweep: delete sidecar marks last PRESERVED (mtime; a
     * merge-max only rewrites when the epoch advances) more than

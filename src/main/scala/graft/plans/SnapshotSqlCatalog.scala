@@ -380,6 +380,9 @@ class SnapshotSqlCatalog extends TableCatalog
     // sidecars so a re-CREATE starts clean
     store.delete(s"$t.__lock")
     store.delete(s"$t.__wm")
+    // a re-CREATE at this path is a DIFFERENT table: cached epoch
+    // knowledge from the old incarnation must never resolve for it
+    graft.operators.Txns.invalidateEpochCache(t)
     true
   }
   override def renameTable(oldIdent: Identifier,

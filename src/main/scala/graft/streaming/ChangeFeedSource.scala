@@ -158,7 +158,11 @@ private[streaming] object ChangeFeedSource {
     // schema tracking: the PERSISTED pin wins over the live table —
     // the stream's schema is stable across restarts (widens don't
     // shift the output mid-lifecycle) and changes only when a drift
-    // refusal RECORDS a re-pin
+    // refusal RECORDS a re-pin. Resolution is READ-only: the pin is
+    // persisted at the first BATCH of a started query, never as a
+    // side effect of schema resolution (an exploratory `.load()` that
+    // is never started must not write an authoritative pin that could
+    // wedge a later fresh stream against an already-evolved table).
     val tracked = parameters.get("schemaTrackingLocation").flatMap(
       loc => store.read(s"$loc/schema").map(b =>
         org.apache.spark.sql.types.DataType
@@ -167,13 +171,7 @@ private[streaming] object ChangeFeedSource {
     tracked.getOrElse {
       val base = current(spark, tableOf(parameters), store,
         storeSpec(parameters)).schema
-      val s = StructType(base.fields :+
-        StructField("change_type", StringType))
-      parameters.get("schemaTrackingLocation").foreach { loc =>
-        store.mkdirs(loc)
-        store.write(s"$loc/schema", s.json.getBytes("UTF-8"))
-      }
-      s
+      StructType(base.fields :+ StructField("change_type", StringType))
     }
   }
 }
@@ -306,12 +304,21 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         val startV = boot.map(_.v)
           .orElse(startJson.map(_.trim.toLong))
           .orElse(startingVersion)
+        // recorded re-bootstrap floor (schema tracking): offsets below
+        // it cannot replay as CDC — the pending re-bootstrap replaces
+        // the span
+        val rebootPending =
+          startV.exists(s => rebootstrapAt.exists(s < _))
         (startV, maxFilesPerBatch) match {
-          case (None, Some(n)) =>
-            // fresh paced bootstrap: pin the snapshot version and emit
-            // the first file slice (an EMPTY committed version drains
-            // as one empty slice and moves straight to CDC offsets)
+          case (s, Some(n)) if s.isEmpty || rebootPending =>
+            // paced (re-)bootstrap: pin the snapshot version — the
+            // current/AvailableNow-pinned one, always >= a recorded
+            // floor (the floor was the table's current version when
+            // recorded) — and emit the first file slice (an EMPTY
+            // committed version drains as one empty slice and moves
+            // straight to CDC offsets)
             pinned.map { b =>
+              trackedGate(b)
               val total = bootstrapFiles(b).length.toLong
               BootstrapOffset(b, math.min(n, total), total)
             }.orNull
@@ -325,14 +332,16 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
                 pinned.map(v => math.min(v, s + n))
               case _ => pinned
             }
-            // recorded re-bootstrap floor (schema tracking): an end
-            // below it would snapshot a PRE-drift version — jump
-            // straight to the floor (always <= the AvailableNow pin:
-            // the floor was the table's current version when recorded)
+            // an end below a recorded floor would snapshot a
+            // PRE-drift version — jump straight to the floor
             val floored =
-              if (startV.exists(s => rebootstrapAt.exists(s < _)))
+              if (rebootPending)
                 paced.map(v => math.max(v, rebootstrapAt.get))
               else paced
+            // tracked-mode pre-gate BEFORE the engine logs this end:
+            // a drift records + refuses here, keeping the offset log
+            // free of an unpaceable full-snapshot batch
+            floored.foreach(trackedGate)
             floored.map(LongOffset(_)).orNull
         }
     }
@@ -519,7 +528,7 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
   private def bootstrapSlice(v: Long, from: Long, to: Long,
       of: Long): DataFrame = {
     val dataFields = schema.fields.filterNot(_.name == "change_type")
-    refuseDrift(schemaAt(v), dataFields)
+    gateOrRecord(schemaAt(v), dataFields, None, v)
     val files = bootstrapFiles(v)
     if (files.length != of) throw new IllegalStateException(
       s"graft-changes: $t v$v has ${files.length} data files but this " +
@@ -539,6 +548,7 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
 
   private[streaming] def batchFor(start: Option[Offset],
       end: Offset): DataFrame = {
+    persistPinOnce()
     BootstrapOffset.parse(end.json) match {
       case Some(be) =>
         val f0 = start.flatMap(o => BootstrapOffset.parse(o.json))
@@ -562,12 +572,19 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         // Keyed sinks dedupe the re-inserted rows (the same
         // exactly-once contract as the manual re-bootstrap); the
         // batch is deterministic on replay (immutable version).
-        val dataFields = schema.fields.filterNot(_.name == "change_type")
-        refuseDrift(schemaAt(endV), dataFields)
-        (if (PartitionedSnapshots.hasManifest(t, endV, store))
-          PartitionedSnapshots.readVersion(spark, t, endV, store)
-        else Snapshots.readVersion(spark, t, endV, store))
-          .withColumn("change_type", lit("insert"))
+        // gateOrRecord, not refuseDrift: a SECOND drift landing after
+        // the recorded floor must re-record (pin + higher floor) and
+        // heal on the next restart, never wedge with the manual remedy
+        if (rebootstrapAt.exists(endV < _)) emptyPinned()
+        else {
+          val dataFields =
+            schema.fields.filterNot(_.name == "change_type")
+          gateOrRecord(schemaAt(endV), dataFields, None, endV)
+          (if (PartitionedSnapshots.hasManifest(t, endV, store))
+            PartitionedSnapshots.readVersion(spark, t, endV, store)
+          else Snapshots.readVersion(spark, t, endV, store))
+            .withColumn("change_type", lit("insert"))
+        }
       case Some(s) =>
         // pre-gate on the END version's table schema: a retype between
         // s and endV must refuse HERE with the drift named, not throw
@@ -584,12 +601,27 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
             preImages)
         else Snapshots.changes(spark, t, s, endV, keys, store, preImages)
       case None =>
-        // bootstrap: the full snapshot at `end` as insert rows
-        val snap =
-          if (PartitionedSnapshots.hasManifest(t, endV, store))
-            PartitionedSnapshots.readVersion(spark, t, endV, store)
-          else Snapshots.readVersion(spark, t, endV, store)
-        snap.withColumn("change_type", lit("insert"))
+        // bootstrap: the full snapshot at `end` as insert rows —
+        // gated (a table retyped between source creation and the
+        // first batch, or a stale tracked pin over a fresh
+        // checkpoint, must refuse with the drift NAMED — and, under
+        // tracking, recorded — not as conform's late safety net).
+        // EXCEPT a range below a recorded re-bootstrap floor: that is
+        // the engine's recovery-initialization replay of an
+        // already-COMMITTED pre-drift batch (the frame is discarded)
+        // — gating it against the NEW pin would wedge the very
+        // restart the recorded remedy promises
+        if (rebootstrapAt.exists(endV < _)) emptyPinned()
+        else {
+          val dataFields =
+            schema.fields.filterNot(_.name == "change_type")
+          gateOrRecord(schemaAt(endV), dataFields, None, endV)
+          val snap =
+            if (PartitionedSnapshots.hasManifest(t, endV, store))
+              PartitionedSnapshots.readVersion(spark, t, endV, store)
+            else Snapshots.readVersion(spark, t, endV, store)
+          snap.withColumn("change_type", lit("insert"))
+        }
     }
   }
 
@@ -597,7 +629,10 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     * the manual remedy ([[refuseDrift]]); with tracking, RECORD the
     * re-pin first — the new pinned schema, plus the re-bootstrap floor
     * when a restart alone cannot heal — then refuse once telling the
-    * operator a plain restart executes the remedy. */
+    * operator a plain restart executes the remedy. The floor only
+    * ever RISES (a replayed old batch must not lower a later-recorded
+    * decision), and the recorded pin is always the schema at the
+    * HIGHEST floor. */
   private def gateOrRecord(have: StructType,
       pinned: Array[StructField], spanFromVersion: Option[Long],
       endV: Long): Unit =
@@ -605,15 +640,16 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
       case None => refuseDrift(have, pinned, spanFromVersion)
       case Some(loc) =>
         driftOf(have, pinned, spanFromVersion).foreach { d =>
+          val pinV = math.max(endV, rebootstrapAt.getOrElse(Long.MinValue))
           val newPin = StructType(
-            schemaAt(endV).fields.filterNot(
+            schemaAt(pinV).fields.filterNot(
               _.name.equalsIgnoreCase("change_type")) :+
               StructField("change_type", StringType))
           store.mkdirs(loc)
           store.write(s"$loc/schema", newPin.json.getBytes("UTF-8"))
           if (d.needsRebootstrap)
             store.write(s"$loc/rebootstrap",
-              endV.toString.getBytes("UTF-8"))
+              pinV.toString.getBytes("UTF-8"))
           throw new IllegalStateException(d.message(t) +
             " Schema tracking recorded the re-pin at " + loc +
             ": RESTART the stream and it will " +
@@ -625,6 +661,32 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         }
     }
 
+  /** Persist the pin at the first BATCH of a started query (schema
+    * RESOLUTION never writes — see [[ChangeFeedSource.schemaFor]]). */
+  private val pinPersisted =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def persistPinOnce(): Unit =
+    if (tracking.isDefined && pinPersisted.compareAndSet(false, true))
+      tracking.foreach { loc =>
+        if (store.read(s"$loc/schema").isEmpty) {
+          store.mkdirs(loc)
+          store.write(s"$loc/schema", schema.json.getBytes("UTF-8"))
+        }
+      }
+
+  /** Tracked-mode pre-gate, run in [[latestOffset]] BEFORE an offset
+    * is returned (and therefore before the engine logs the batch): a
+    * drift at the would-be end version records + refuses HERE, so no
+    * uncommitted batch pins an unpaceable full-snapshot end in the
+    * offset log — the restarted re-bootstrap stays free to run as
+    * maxFilesPerBatch slices. Untracked streams keep their gates in
+    * getBatch (the refusal text is the remedy; nothing to record). */
+  private def trackedGate(endV: Long): Unit =
+    if (tracking.isDefined) {
+      val dataFields = schema.fields.filterNot(_.name == "change_type")
+      gateOrRecord(schemaAt(endV), dataFields, None, endV)
+    }
+
   private def commitVersion(v: Long): Unit =
     consumerId.foreach { cid =>
       // forward-only, same discipline as a pull consumer's commit; a
@@ -633,6 +695,17 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
       if (!cur.exists(_ >= v))
         graft.operators.ChangeFeed.commit(t, cid, v, store)
     }
+
+  /** Zero rows in the PINNED shape — what discarded recovery replays
+    * of pre-drift ranges serve (conform passes it through
+    * unchanged). */
+  private def emptyPinned(): DataFrame = {
+    val dataFields = schema.fields.filterNot(_.name == "change_type")
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(dataFields))
+      .withColumn("change_type", lit(null).cast("string"))
+  }
 
   /** Consumer-cursor mirror per committed offset. Mid-bootstrap
     * offsets commit NOTHING: the cursor's contract is "processed

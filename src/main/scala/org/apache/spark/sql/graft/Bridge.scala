@@ -73,9 +73,16 @@ object Bridge {
     * accumulates one directory per round for the life of the
     * session. */
   def checkpointFile(df: org.apache.spark.sql.DataFrame): Option[String] =
-    df.queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.flatMap(_.getCheckpointFile)
+    // ROOT match only, never a lineage walk: a frame whose analyzed
+    // plan merely CONTAINS a LogicalRDD (e.g. a cached iteration over
+    // a caller-checkpointed input) must not surface the caller's
+    // checkpoint as its own — a cleanup acting on it would delete
+    // files the caller still needs
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.getCheckpointFile
+      case _ => None
+    }
 
   /** Register a native expression on an ALREADY-built session (for
     * sessions created without `withExtensions`). */

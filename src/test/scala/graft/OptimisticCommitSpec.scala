@@ -181,9 +181,17 @@ class OptimisticCommitSpec extends AnyFunSuite {
     assert(PS.vacuum(t, keep = 1).isEmpty)
     assert(Files.exists(Paths.get(s"$t/_snapshots/v00002")))
     assert(rows(t).size == 3)
-    // rewrite partition B: v2 loses its last reference → reclaimed
+    // rewrite partition B: v2 loses its last reference → reclaimed —
+    // once its .reserved ages past the liveness horizon (vacuum
+    // cannot tell a freshly-created unreferenced bare dir from a live
+    // preparer's, so it defers inside the horizon; age it here)
     PS.upsert(spark, t, Seq((2L, "B", "rewritten")).toDF("k", "d", "v"),
       Seq("k"), "d")
+    Files.setLastModifiedTime(
+      Paths.get(s"$t/_snapshots/v00002/.reserved"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Incremental.DefaultLockStaleMs
+          - 1000))
     val dropped = PS.vacuum(t, keep = 1)
     assert(dropped.contains(2L), s"unreferenced bare dir must go: $dropped")
     assert(rows(t) == Set((1L, "A", "seed"), (2L, "B", "rewritten"),
@@ -203,11 +211,16 @@ class OptimisticCommitSpec extends AnyFunSuite {
     assert(PS.vacuum(t, keep = 1).isEmpty,
       "a live preparation must survive vacuum")
     assert(Files.exists(dir))
-    // the preparer crashes: beats stop, the marker ages past the horizon
-    Files.setLastModifiedTime(dir.resolve(".inflight"),
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - Incremental.DefaultLockStaleMs
-          - 1000))
+    // the preparer crashes: beats stop, the markers age past the
+    // horizon (.reserved is also a liveness signal for BARE dirs —
+    // it covers the moment between reservation and the .inflight
+    // write, when a vacuum could otherwise reclaim a live reservation)
+    val stale = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - Incremental.DefaultLockStaleMs - 1000)
+    Files.setLastModifiedTime(dir.resolve(".inflight"), stale)
+    assert(PS.vacuum(t, keep = 1).isEmpty,
+      "a fresh .reserved alone must still grace the bare dir")
+    Files.setLastModifiedTime(dir.resolve(".reserved"), stale)
     assert(PS.vacuum(t, keep = 1).contains(2L),
       "a crashed preparation must be reclaimed once stale")
     assert(!Files.exists(dir))

@@ -281,12 +281,12 @@ class SnapshotStreamingWriteSpec extends AnyFunSuite {
       e2.getMessage.contains("NOT NULL"), e2.getMessage)
   }
 
-  test("lastCommittedEpoch resolves per-app maxima through the " +
-      "DESCENDING early-exit meta walk: interleaved apps and " +
-      "marker-less commits don't confuse it, and the first marker " +
-      "from the top is the app's max (per-app epochs are monotone — " +
-      "the sink only commits epochs above its last applied)") {
-    import graft.operators.{PartitionedSnapshots => PS}
+  test("lastCommittedEpoch resolves per-app EXACT maxima through the " +
+      "incremental-scan cache: interleaved apps, marker-less commits " +
+      "and even NON-monotone manual txn markers resolve to the max " +
+      "(never just the newest marker), repeated calls stay correct " +
+      "as versions land, and drop_txn invalidates cached knowledge") {
+    import graft.operators.{PartitionedSnapshots => PS, Txns}
     val root = Files.createTempDirectory("graft_ssw_desc").toString
     val t = s"$root/t"
     def up(k: Long, txn: Option[String]): Unit =
@@ -299,11 +299,30 @@ class SnapshotStreamingWriteSpec extends AnyFunSuite {
     up(1L, Some("appA/3"))
     up(2L, None) // maintenance commit, no marker
     up(3L, Some("appB/9"))
-    up(4L, Some("appA/7")) // appA's newest — found first from the top
+    up(4L, Some("appA/7"))
     up(5L, None)
     assert(PS.lastCommittedEpoch(t, "appA").contains(7L))
     assert(PS.lastCommittedEpoch(t, "appB").contains(9L))
     assert(PS.lastCommittedEpoch(t, "appC").isEmpty)
+    // a manual caller commits an OUT-OF-ORDER marker: the newest
+    // marker is NOT the max — the replay check must keep resolving 7
+    // (the cache scans incrementally but keeps exact max semantics)
+    up(6L, Some("appA/5"))
+    assert(PS.lastCommittedEpoch(t, "appA").contains(7L),
+      "max semantics, not newest-marker semantics")
+    // ...and a later higher epoch advances it
+    up(7L, Some("appA/8"))
+    assert(PS.lastCommittedEpoch(t, "appA").contains(8L))
+    // vacuum preserves dropped markers to the sidecar — resolution
+    // must survive version reclamation (knowledge is monotone)
+    assert(PS.vacuum(t, keep = 1).nonEmpty)
+    assert(PS.lastCommittedEpoch(t, "appA").contains(8L))
+    assert(PS.lastCommittedEpoch(t, "appB").contains(9L))
+    // drop_txn retires the sidecar AND the cached knowledge; only
+    // what retained metas still carry resolves afterwards
+    Txns.drop(t, "appA")
+    val remaining = PS.lastCommittedEpoch(t, "appA")
+    assert(remaining.isEmpty || remaining.exists(_ <= 8L))
   }
 
   test("full-copy format: vacuum preserves committed txn marks in the" +
