@@ -245,13 +245,25 @@ object PartitionedSnapshots {
     * against each other. */
   private def reserveVersion(t: String, store: CommitStore): Long = {
     var v = versions(t, store).lastOption.getOrElse(0L) + 1
-    store.mkdirs(versionDir(t, v))
-    while (!store.createNew(reservedPath(t, v),
-        Array.emptyByteArray)) {
-      v += 1
+    while (true) {
       store.mkdirs(versionDir(t, v))
+      val claimed =
+        try store.createNew(reservedPath(t, v), Array.emptyByteArray)
+        catch {
+          // a concurrent vacuum (it holds the table lock; a lock-free
+          // optimistic preparer does not) can reclaim the
+          // still-marker-less dir between the mkdirs and the claim —
+          // filesystem stores then throw (no parent) rather than
+          // report a losing race. The deletion proves nobody claimed
+          // this number, so recreate the dir and retry the SAME one.
+          case _: java.io.IOException => false
+        }
+      if (claimed) return v
+      // claimed by another writer → step to the next number; deleted
+      // by a vacuum → retry the same one (exists() distinguishes)
+      if (store.exists(reservedPath(t, v))) v += 1
     }
-    v
+    throw new IllegalStateException("unreachable")
   }
 
   /** First commit (or full rebuild): every partition owned by the new

@@ -126,6 +126,10 @@ object Txns {
         .maxOption
       val m = (cached.map(_._2).filter(_ != Long.MinValue) ++ freshMax)
         .maxOption
+      // bounded like every other in-process cache in this engine: a
+      // caller constructing a fresh store per call inserts never-hit
+      // keys, so without a cap the map grows with call count
+      if (epochCache.size > 1024) epochCache.clear()
       epochCache.put(key, (c, m.getOrElse(Long.MinValue)))
       m
     }
@@ -240,8 +244,12 @@ object Txns {
       store.modifiedMs(p) match {
         case Some(m) if nowMs - m > retainMs =>
           store.delete(p)
-          Some(scala.util.Try(
-            java.net.URLDecoder.decode(f, "UTF-8")).getOrElse(f))
+          val appId = scala.util.Try(
+            java.net.URLDecoder.decode(f, "UTF-8")).getOrElse(f)
+          // the sweep RETIRES replay protection like drop() does — the
+          // in-process epoch cache must not keep resolving it
+          invalidateEpochCache(t, Some(appId))
+          Some(appId)
         case _ => None
       }
     }

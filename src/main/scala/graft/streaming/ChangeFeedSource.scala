@@ -259,6 +259,19 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
   override val schema: StructType =
     ChangeFeedSource.schemaFor(spark, parameters)
 
+  /** The pinned DATA columns (everything but the change_type the
+    * source itself appends) — what every drift gate compares. */
+  private def dataFields: Array[StructField] =
+    schema.fields.filterNot(_.name == "change_type")
+
+  /** The full snapshot at version `v` as insert rows — the bootstrap
+    * and floor-triggered re-bootstrap batch body. */
+  private def snapshotInserts(v: Long): DataFrame =
+    (if (PartitionedSnapshots.hasManifest(t, v, store))
+      PartitionedSnapshots.readVersion(spark, t, v, store)
+    else Snapshots.readVersion(spark, t, v, store))
+      .withColumn("change_type", lit("insert"))
+
   override def getOffset: Option[Offset] =
     PartitionedSnapshots.currentVersion(t, store).map(LongOffset(_))
 
@@ -527,7 +540,6 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     * of the subset would drop them and mis-trip the drift gate. */
   private def bootstrapSlice(v: Long, from: Long, to: Long,
       of: Long): DataFrame = {
-    val dataFields = schema.fields.filterNot(_.name == "change_type")
     gateOrRecord(schemaAt(v), dataFields, None, v)
     val files = bootstrapFiles(v)
     if (files.length != of) throw new IllegalStateException(
@@ -577,19 +589,13 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         // heal on the next restart, never wedge with the manual remedy
         if (rebootstrapAt.exists(endV < _)) emptyPinned()
         else {
-          val dataFields =
-            schema.fields.filterNot(_.name == "change_type")
           gateOrRecord(schemaAt(endV), dataFields, None, endV)
-          (if (PartitionedSnapshots.hasManifest(t, endV, store))
-            PartitionedSnapshots.readVersion(spark, t, endV, store)
-          else Snapshots.readVersion(spark, t, endV, store))
-            .withColumn("change_type", lit("insert"))
+          snapshotInserts(endV)
         }
       case Some(s) =>
         // pre-gate on the END version's table schema: a retype between
         // s and endV must refuse HERE with the drift named, not throw
         // an anonymous analysis error inside the version diff below
-        val dataFields = schema.fields.filterNot(_.name == "change_type")
         gateOrRecord(schemaAt(endV), dataFields, None, endV)
         // ...and on the START version: after a restart re-pins a
         // retyped schema the end check passes, but the span s→endV
@@ -613,14 +619,8 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         // restart the recorded remedy promises
         if (rebootstrapAt.exists(endV < _)) emptyPinned()
         else {
-          val dataFields =
-            schema.fields.filterNot(_.name == "change_type")
           gateOrRecord(schemaAt(endV), dataFields, None, endV)
-          val snap =
-            if (PartitionedSnapshots.hasManifest(t, endV, store))
-              PartitionedSnapshots.readVersion(spark, t, endV, store)
-            else Snapshots.readVersion(spark, t, endV, store)
-          snap.withColumn("change_type", lit("insert"))
+          snapshotInserts(endV)
         }
     }
   }
@@ -682,10 +682,8 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     * maxFilesPerBatch slices. Untracked streams keep their gates in
     * getBatch (the refusal text is the remedy; nothing to record). */
   private def trackedGate(endV: Long): Unit =
-    if (tracking.isDefined) {
-      val dataFields = schema.fields.filterNot(_.name == "change_type")
+    if (tracking.isDefined)
       gateOrRecord(schemaAt(endV), dataFields, None, endV)
-    }
 
   private def commitVersion(v: Long): Unit =
     consumerId.foreach { cid =>
@@ -700,7 +698,6 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     * of pre-drift ranges serve (conform passes it through
     * unchanged). */
   private def emptyPinned(): DataFrame = {
-    val dataFields = schema.fields.filterNot(_.name == "change_type")
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(dataFields))
