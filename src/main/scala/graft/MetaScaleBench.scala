@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   *     the full source→transform→sink chain drained with
   *     `maxVersionsPerBatch=1` under `Trigger.AvailableNow` —
   *     epochs/s across a decade of backlog (per-epoch cost must stay
-  *     FLAT: the sink's exactly-once replay check is the descending
-  *     early-exit `lastCommittedEpoch` walk, O(1) meta reads per
-  *     steady-state epoch), plus checkpoint-recovery wall at the deep
-  *     version count (restart + one more epoch).
+  *     FLAT: the sink's exactly-once replay check is
+  *     `Txns.lastEpoch`'s incremental scan cache — amortized O(new
+  *     versions) meta reads per steady-state epoch), plus
+  *     checkpoint-recovery wall at the deep version count (restart +
+  *     one more epoch).
   *
   * Prints ONE JSON line; results land in SCALE.md's metadata section.
   * Run:

@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
   */
 object Constraints {
 
-  private val Prefix = "constraint:"
+  private[operators] val Prefix = "constraint:"
 
   /** Recorded constraints: name → SQL expression. */
   def list(t: String, store: CommitStore = CommitStore.local)
@@ -127,7 +127,7 @@ object Constraints {
   * and the layout column derives consistently everywhere. */
 object GeneratedColumns {
 
-  private val Prefix = "generated:"
+  private[operators] val Prefix = "generated:"
 
   /** Recorded generated columns: column → SQL expression. */
   def list(t: String, store: CommitStore = CommitStore.local)

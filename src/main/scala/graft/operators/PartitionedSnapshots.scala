@@ -245,6 +245,7 @@ object PartitionedSnapshots {
     * against each other. */
   private def reserveVersion(t: String, store: CommitStore): Long = {
     var v = versions(t, store).lastOption.getOrElse(0L) + 1
+    var sameNumberRetries = 0
     while (true) {
       store.mkdirs(versionDir(t, v))
       val claimed =
@@ -255,13 +256,23 @@ object PartitionedSnapshots {
           // still-marker-less dir between the mkdirs and the claim —
           // filesystem stores then throw (no parent) rather than
           // report a losing race. The deletion proves nobody claimed
-          // this number, so recreate the dir and retry the SAME one.
-          case _: java.io.IOException => false
+          // this number, so recreate the dir and retry the SAME one —
+          // BOUNDED: a PERSISTENT throw (read-only credentials, a
+          // store rejecting PUTs) is the real error and must surface,
+          // not spin
+          case e: java.io.IOException =>
+            sameNumberRetries += 1
+            if (sameNumberRetries > 5) throw e
+            Thread.sleep(20L * sameNumberRetries)
+            false
         }
       if (claimed) return v
       // claimed by another writer → step to the next number; deleted
       // by a vacuum → retry the same one (exists() distinguishes)
-      if (store.exists(reservedPath(t, v))) v += 1
+      if (store.exists(reservedPath(t, v))) {
+        v += 1
+        sameNumberRetries = 0
+      }
     }
     throw new IllegalStateException("unreachable")
   }
@@ -427,10 +438,13 @@ object PartitionedSnapshots {
     }
     throw new Incremental.ConcurrentWriteException(
       s"$t: optimistic commit lost ${attempt} race" +
-        (if (attempt > 1) "s" else "") + " on overlapping partitions " +
-        s"and maxRetries=$maxRetries is exhausted — last conflict: " +
-        lastConflict + ". Retry, raise maxRetries, or route this " +
-        "writer through the serializing upsert().")
+        (if (attempt > 1) "s" else "") +
+        s" and maxRetries=$maxRetries is exhausted — last conflict: " +
+        lastConflict + ". If the conflict names overlapping " +
+        "partitions, retry, raise maxRetries, or route this writer " +
+        "through the serializing upsert(); if it reports reclaimed " +
+        "base data on every attempt, the manifest may reference a " +
+        "missing owner dir (inspect before retrying).")
   }
 
   /** One optimistic prepare+validate+commit attempt: Right(committed
@@ -449,6 +463,16 @@ object PartitionedSnapshots {
     }
     val mBase = base.map(manifest(t, _, store))
       .getOrElse(Map.empty[String, Long])
+    // the WRITE-GOVERNING props (CHECK constraints, generated
+    // columns) in force when this prepare enforces them — the commit
+    // section re-validates they did not change, or rows prepared
+    // under the OLD rules would commit past a newer ALTER's gate
+    def governingProps(): Map[String, String] =
+      tableProps(t, store).filter { case (k, _) =>
+        k.startsWith(Constraints.Prefix) ||
+          k.startsWith(GeneratedColumns.Prefix)
+      }
+    val propsAtPrepare = governingProps()
     val updCached = updates.cache()
     var beat: Thread = null
     var reserved = -1L
@@ -526,7 +550,12 @@ object PartitionedSnapshots {
           val changed = (mBase.keySet ++ mCur.keySet)
             .filter(p => mBase.get(p) != mCur.get(p))
           val conflicts = changed.intersect(touchedDirs ++ parts)
-          if (conflicts.nonEmpty)
+          if (governingProps() != propsAtPrepare)
+            Left("table constraints/generated columns changed since " +
+              "this writer's prepare — rows enforced under the old " +
+              "rules must not commit past the new gate (retry " +
+              "re-prepares under the current definitions)")
+          else if (conflicts.nonEmpty)
             Left(conflicts.toSeq.sorted.map(p =>
               s"$p taken by " + mCur.get(p).map(o => s"v$o")
                 .getOrElse("a delete")).mkString(", ") +
@@ -575,10 +604,13 @@ object PartitionedSnapshots {
   private def vanishedPath(e: Throwable): Boolean =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { x =>
       x.isInstanceOf[java.io.FileNotFoundException] ||
+        // Spark renders the wrapped cause into task-failure messages;
+        // match only the SPECIFIC missing-path signatures (a generic
+        // "does not exist" would also classify permanent corruption
+        // as transient contention)
         Option(x.getMessage).exists(m =>
           m.contains("FileNotFoundException") ||
-            m.contains("PATH_NOT_FOUND") ||
-            m.contains("does not exist"))
+            m.contains("PATH_NOT_FOUND"))
     }
 
   /** The table lock is NON-blocking ([[Incremental.acquire]] throws on
@@ -1515,7 +1547,8 @@ object PartitionedSnapshots {
     // versions) per call — the metadata-path curve SCALE.md measures
     // flat across a decade of version depth.
     Txns.lastEpoch(t, appId, currentVersion(t, store),
-      versions(t, store), v => commitTxn(t, v, store), store)
+      versions(t, store), v => commitTxn(t, v, store),
+      v => commitTimeMs(t, v, store), store)
   }
 
   /** TIMESTAMP AS OF: the newest version PUBLISHED at or before

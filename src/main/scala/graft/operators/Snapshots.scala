@@ -459,7 +459,7 @@ object Snapshots {
     // per call (see [[PartitionedSnapshots.lastCommittedEpoch]]).
     Txns.lastEpoch(tablePath, appId, currentVersion(tablePath, store),
       versions(tablePath, store), v => commitTxn(tablePath, v, store),
-      store)
+      v => commitTimeMs(tablePath, v, store), store)
   }
 
   /** TIMESTAMP AS OF: newest version published at or before `tsMs` —

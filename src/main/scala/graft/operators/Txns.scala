@@ -85,18 +85,25 @@ object Txns {
   // cache (full rescan — correct, just unaccelerated); the streaming
   // sink holds one store for the query lifetime and gets O(1). */
   private val epochCache = scala.collection.concurrent.TrieMap
-    .empty[(CommitStore, String, String), (Long, Long)]
+    .empty[(CommitStore, String, String), (Long, Long, Long)]
+  // bumped by every invalidation; lastEpoch skips its cache write when
+  // the generation moved under it, so a concurrent drop/sweep can
+  // never be un-done by a check-then-put race resurrecting the entry
+  private val invalidationGen =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** Drop cached epoch knowledge for `t` (all apps, every store) —
     * called when the knowledge's SOURCE is destroyed out from under
     * the cache: DROP TABLE (a recreated table must never resolve the
-    * old incarnation's epochs), and [[drop]] for one app (the
-    * retire-replay-protection contract must not be undone by a stale
-    * cached metas-max). */
+    * old incarnation's epochs), and [[drop]]/[[sweep]] for one app
+    * (the retire-replay-protection contract must not be undone by a
+    * stale cached metas-max). */
   private[graft] def invalidateEpochCache(t: String,
-      appId: Option[String] = None): Unit =
+      appId: Option[String] = None): Unit = {
+    invalidationGen.incrementAndGet()
     epochCache.keySet.filter(k => k._2 == t &&
       appId.forall(_ == k._3)).foreach(epochCache.remove)
+  }
 
   /** The high-water epoch for `appId`: retained version metas ∪ the
     * sidecar, with EXACT max semantics (the public `txn=` parameter
@@ -108,29 +115,43 @@ object Txns {
     * instead of O(retained versions) (which compounds to O(V²) over a
     * V-epoch stream). Marker knowledge is monotone — vacuum preserves
     * a dropped version's marker to the sidecar before deleting the
-    * dir — so a cached max never goes stale; a table recreated at the
-    * same path (the pointer restarts BELOW the cached scan point)
-    * drops the entry and rescans. A fresh process rescans once per
-    * (table, app) and is incremental thereafter. */
+    * dir — so a cached max never goes stale for the SAME table
+    * incarnation; the entry is anchored to its scan-point version's
+    * COMMIT TIME (`tsOf`) and re-validated per call, so a table
+    * recreated at the same path — by any process, at any version
+    * count — fails the anchor check and rescans (as does a pre-ts
+    * table, which simply stays uncached). A fresh process rescans
+    * once per (table, app) and is incremental thereafter. */
   def lastEpoch(t: String, appId: String, cur: Option[Long],
       versionsOf: => Seq[Long], markerOf: Long => Option[String],
+      tsOf: Long => Option[Long],
       store: CommitStore = CommitStore.local): Option[Long] = {
     val sidecar = get(t, appId, store)
     val fromMetas = cur.flatMap { c =>
       val key = (store, t, appId)
-      val cached = epochCache.get(key).filter(_._1 <= c)
+      val gen = invalidationGen.get()
+      val cached = epochCache.get(key).filter { case (from, fromTs, _) =>
+        // anchor check: the scanned-through version must still exist
+        // with the commit time recorded at scan time — a recreated
+        // table (or a vacuumed anchor) fails it and rescans
+        from <= c && fromTs >= 0 && tsOf(from).contains(fromTs)
+      }
       val from = cached.map(_._1).getOrElse(Long.MinValue)
       val freshMax = versionsOf.filter(v => v > from && v <= c)
         .flatMap(markerOf).flatMap(parseMarker)
         .collect { case (a, e) if a == appId => e }
         .maxOption
-      val m = (cached.map(_._2).filter(_ != Long.MinValue) ++ freshMax)
+      val m = (cached.map(_._3).filter(_ != Long.MinValue) ++ freshMax)
         .maxOption
       // bounded like every other in-process cache in this engine: a
       // caller constructing a fresh store per call inserts never-hit
-      // keys, so without a cap the map grows with call count
+      // keys, so without a cap the map grows with call count. The
+      // write is skipped when an invalidation ran concurrently — a
+      // drop/sweep must never be resurrected by this check-then-put.
       if (epochCache.size > 1024) epochCache.clear()
-      epochCache.put(key, (c, m.getOrElse(Long.MinValue)))
+      if (invalidationGen.get() == gen)
+        epochCache.put(key,
+          (c, tsOf(c).getOrElse(-1L), m.getOrElse(Long.MinValue)))
       m
     }
     (fromMetas ++ sidecar).maxOption

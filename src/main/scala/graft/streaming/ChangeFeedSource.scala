@@ -305,10 +305,14 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     val startJson = Option(start).map(_.json)
     val boot = startJson.flatMap(BootstrapOffset.parse)
     boot match {
-      case Some(b) if b.files < b.of =>
+      case Some(b) if b.files < b.of &&
+          !rebootstrapAt.exists(b.v < _) =>
         // mid-bootstrap: the next file slice of the SAME pinned
         // version (a restart without the option drains the remainder
-        // as one batch — the cursor semantics hold either way)
+        // as one batch — the cursor semantics hold either way). A
+        // mid-bootstrap version BELOW a recorded re-bootstrap floor
+        // is superseded — fall through to the floor path instead of
+        // slicing a pre-drift snapshot forever.
         BootstrapOffset(b.v,
           math.min(b.files + maxFilesPerBatch.getOrElse(b.of), b.of),
           b.of)
@@ -540,6 +544,11 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     * of the subset would drop them and mis-trip the drift gate. */
   private def bootstrapSlice(v: Long, from: Long, to: Long,
       of: Long): DataFrame = {
+    // a logged slice of a bootstrap version BELOW a recorded
+    // re-bootstrap floor is superseded: serve it empty (every row is
+    // re-delivered by the coming full re-bootstrap) instead of
+    // re-recording and wedging the replay of the logged batch
+    if (rebootstrapAt.exists(v < _)) return emptyPinned()
     gateOrRecord(schemaAt(v), dataFields, None, v)
     val files = bootstrapFiles(v)
     if (files.length != of) throw new IllegalStateException(
@@ -563,8 +572,13 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     persistPinOnce()
     BootstrapOffset.parse(end.json) match {
       case Some(be) =>
+        // the cursor only carries over within the SAME bootstrap
+        // version: a start offset from a PREVIOUS bootstrap (a
+        // completed one followed by a floor-triggered RE-bootstrap)
+        // must restart the new version's file list at 0, not resume
+        // at the old version's cursor and silently skip files
         val f0 = start.flatMap(o => BootstrapOffset.parse(o.json))
-          .map(_.files).getOrElse(0L)
+          .filter(_.v == be.v).map(_.files).getOrElse(0L)
         return bootstrapSlice(be.v, f0, be.files, be.of)
       case None => ()
     }
