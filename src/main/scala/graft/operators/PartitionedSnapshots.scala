@@ -476,6 +476,16 @@ object PartitionedSnapshots {
     val updCached = updates.cache()
     var beat: Thread = null
     var reserved = -1L
+    // ONE teardown protocol for every exit: stop the beats BEFORE
+    // touching the marker/dir so a late beat cannot resurrect
+    // anything mid-cleanup. Idempotent (beat nulls out; marker delete
+    // no-ops when already gone).
+    def stopBeatAndClearMarker(): Unit = {
+      if (beat != null) {
+        beat.interrupt(); beat.join(10000); beat = null
+      }
+      if (reserved >= 0) store.delete(inflightPath(t, reserved))
+    }
     try {
       // reserve FIRST — before any data evaluation — so the whole
       // prepare (including the touched-partition scan) runs under the
@@ -488,8 +498,8 @@ object PartitionedSnapshots {
       // rewrite of a touched partition plus a vacuum can legally
       // reclaim one mid-read. That is a CONFLICT (re-preparing against
       // the new current version is exactly what retry does), so a
-      // vanished-path failure converts to Left instead of crashing
-      // the writer without consuming its retries.
+      // vanished-path failure converts to Left — consuming one retry
+      // like any other lost race — instead of crashing the writer.
       val prepared: Either[String, (Set[String], Seq[String])] =
         try {
           val touchedDirs = updCached
@@ -534,8 +544,7 @@ object PartitionedSnapshots {
         }
       prepared match {
         case Left(msg) =>
-          beat.interrupt(); beat.join(10000); beat = null
-          store.delete(inflightPath(t, v))
+          stopBeatAndClearMarker()
           store.deleteRecursively(versionDir(t, v))
           return Left(msg)
         case Right(_) => ()
@@ -572,10 +581,7 @@ object PartitionedSnapshots {
             Right(w)
           }
         }
-      // stop the beats BEFORE touching the marker/dir so a late beat
-      // cannot resurrect anything mid-cleanup
-      beat.interrupt(); beat.join(10000); beat = null
-      store.delete(inflightPath(t, v))
+      stopBeatAndClearMarker()
       result match {
         case l @ Left(_) =>
           // the prepared dir is this writer's alone — reclaim it now
@@ -585,13 +591,11 @@ object PartitionedSnapshots {
         case r => r
       }
     } finally {
-      if (beat != null) {
-        // exception path: stop the beats, then drop the marker so the
-        // abandoned preparation is vacuum-reclaimable immediately
-        // instead of after the staleness horizon
-        beat.interrupt(); beat.join(10000)
-        if (reserved >= 0) store.delete(inflightPath(t, reserved))
-      }
+      // exception path: the same teardown, so an abandoned
+      // preparation is vacuum-reclaimable immediately instead of
+      // after the staleness horizon (no-op on paths that already
+      // tore down)
+      if (beat != null) stopBeatAndClearMarker()
       updCached.unpersist()
     }
   }
@@ -772,7 +776,9 @@ object PartitionedSnapshots {
     * partitions, no data read. */
   def versionFiles(t: String, v: Long,
       store: CommitStore = CommitStore.local): Seq[String] =
-    manifest(t, v, store).toSeq.sorted.flatMap { case (p, owner) =>
+    // the trailing full-path sort alone defines the deterministic
+    // order the checkpointed file cursor depends on
+    manifest(t, v, store).toSeq.flatMap { case (p, owner) =>
       val dir = s"${dataDir(t, owner)}/$p"
       store.listEntries(dir)
         .filter(e => !e.isDir && e.name.endsWith(".parquet"))

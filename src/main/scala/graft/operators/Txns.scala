@@ -126,7 +126,6 @@ object Txns {
       versionsOf: => Seq[Long], markerOf: Long => Option[String],
       tsOf: Long => Option[Long],
       store: CommitStore = CommitStore.local): Option[Long] = {
-    val sidecar = get(t, appId, store)
     val fromMetas = cur.flatMap { c =>
       val key = (store, t, appId)
       val gen = invalidationGen.get()
@@ -154,6 +153,14 @@ object Txns {
           (c, tsOf(c).getOrElse(-1L), m.getOrElse(Long.MinValue)))
       m
     }
+    // sidecar read strictly AFTER the metas scan: vacuum preserves a
+    // marker to the sidecar BEFORE deleting its version dir, so a
+    // marker that vanished from the metas mid-scan is already in the
+    // sidecar by the time this read runs — reading the sidecar first
+    // would open the one instant in which a marker is visible in
+    // NEITHER source (the invisibility window the class doc promises
+    // cannot exist)
+    val sidecar = get(t, appId, store)
     (fromMetas ++ sidecar).maxOption
   }
 

@@ -588,8 +588,11 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
       .getOrElse(versionOf(o))).orElse(startingVersion)
     fromV match {
       case Some(s) if s >= endV =>
-        ChangeFeedSource.current(spark, t, store, storeSpec).limit(0)
-          .withColumn("change_type", lit(null).cast("string"))
+        // zero rows in the PINNED shape — never a live-table read: a
+        // drift landing before this (discarded) batch replays must
+        // not wedge it in conform, and under tracking the pinned
+        // frame is definitionally conform-clean
+        emptyPinned()
       case Some(s) if rebootstrapAt.exists(s < _) =>
         // a RECORDED re-pin (schema tracking): offsets below the
         // recorded floor cannot replay as CDC — their span crosses
@@ -719,14 +722,16 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
   }
 
   /** Consumer-cursor mirror per committed offset. Mid-bootstrap
-    * offsets commit NOTHING: the cursor's contract is "processed
-    * through version v", and the bootstrap version is only fully
-    * processed at its last file slice — an early commit could let a
-    * cursor-driven vacuum reclaim the very snapshot the remaining
-    * slices still read. */
+    * offsets commit the BOOTSTRAP VERSION itself: safeVacuum retains
+    * a cursor's version and everything after it, so committing `b.v`
+    * from the very first slice is what PROTECTS the pinned snapshot
+    * for the (potentially hours-long) paced bootstrap — without it
+    * the consumer has no cursor at all until the first full commit,
+    * and safeVacuum falls back to `keep` while the bootstrap is
+    * still reading `b.v`'s owner dirs. */
   private def commitJson(j: String): Unit =
     BootstrapOffset.parse(j) match {
-      case Some(b) => if (b.files == b.of) commitVersion(b.v)
+      case Some(b) => commitVersion(b.v)
       case None => commitVersion(j.trim.toLong)
     }
 

@@ -120,8 +120,9 @@ class ChangeFeedBootstrapPaceSpec extends AnyFunSuite {
   test("e2e: AvailableNow + checkpoint drains a 4-file bootstrap as " +
       "four 1-file micro-batches; a commit landing MID-BOOTSTRAP " +
       "waits for the next run (the pin holds); the next run delivers " +
-      "exactly the CDC rows; consumer cursor commits only at " +
-      "bootstrap completion") {
+      "exactly the CDC rows; the consumer cursor pins the bootstrap " +
+      "version from the first slice (safeVacuum protection for long " +
+      "paced bootstraps)") {
     val t = tmp()
     val cp = Files.createTempDirectory("graft_cfs_boot_cp").toString
     seed(t, 4)
@@ -148,9 +149,9 @@ class ChangeFeedBootstrapPaceSpec extends AnyFunSuite {
     // NOT delivered (AvailableNow pinned the pointer at v1)
     assert(drain(inject = true) ==
       Seq(Set(1L), Set(2L), Set(3L), Set(4L)))
-    // bootstrap fully drained → the consumer cursor committed at the
-    // bootstrap version (never mid-bootstrap: an early commit could
-    // let a cursor-driven vacuum reclaim the snapshot being read)
+    // the cursor sits at the bootstrap version — committed from the
+    // FIRST slice on, which is what makes safeVacuum retain the
+    // pinned snapshot for the whole (possibly hours-long) bootstrap
     assert(CF.cursor(t, "boot-consumer").contains(1L))
     assert(drain(inject = false) == Seq(Set(9L)),
       "next run delivers exactly the mid-bootstrap commit")
