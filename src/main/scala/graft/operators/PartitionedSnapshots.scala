@@ -862,8 +862,14 @@ object PartitionedSnapshots {
       txnRetainMs.foreach(r =>
         Txns.sweep(t, r, sweepNow, store, justPreserved))
       val drop = (committedDrops ++ orphans).distinct.sorted
-      drop.foreach(v => store.deleteRecursively(versionDir(t, v)))
-      drop
+      // TOCTOU guard: a lock-free preparer's claim can land AFTER the
+      // orphan classification above (its mkdirs before our listing,
+      // its .reserved after) — re-evaluate liveness immediately
+      // before each delete, so a dir that became a live preparation
+      // mid-vacuum is kept, not destroyed under the writer
+      val dropped = drop.filter(v => !liveInflight(v))
+      dropped.foreach(v => store.deleteRecursively(versionDir(t, v)))
+      dropped
     }
   }
 

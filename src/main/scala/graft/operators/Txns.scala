@@ -126,42 +126,60 @@ object Txns {
       versionsOf: => Seq[Long], markerOf: Long => Option[String],
       tsOf: Long => Option[Long],
       store: CommitStore = CommitStore.local): Option[Long] = {
-    val fromMetas = cur.flatMap { c =>
-      val key = (store, t, appId)
+    var useCache = true
+    while (true) {
       val gen = invalidationGen.get()
-      val cached = epochCache.get(key).filter { case (from, fromTs, _) =>
-        // anchor check: the scanned-through version must still exist
-        // with the commit time recorded at scan time — a recreated
-        // table (or a vacuumed anchor) fails it and rescans
-        from <= c && fromTs >= 0 && tsOf(from).contains(fromTs)
+      val fromMetas = cur.flatMap { c =>
+        val key = (store, t, appId)
+        val cached =
+          if (!useCache) None
+          else epochCache.get(key).filter { case (from, fromTs, _) =>
+            // anchor check: the scanned-through version must still
+            // exist with the commit time recorded at scan time — a
+            // recreated table (or a vacuumed anchor) fails it and
+            // rescans
+            from <= c && fromTs >= 0 && tsOf(from).contains(fromTs)
+          }
+        val from = cached.map(_._1).getOrElse(Long.MinValue)
+        val freshMax = versionsOf.filter(v => v > from && v <= c)
+          .flatMap(markerOf).flatMap(parseMarker)
+          .collect { case (a, e) if a == appId => e }
+          .maxOption
+        val m = (cached.map(_._3).filter(_ != Long.MinValue) ++
+          freshMax).maxOption
+        // bounded like every other in-process cache in this engine: a
+        // caller constructing a fresh store per call inserts
+        // never-hit keys, so without a cap the map grows with call
+        // count. Eviction drops an arbitrary HALF, not everything —
+        // a hot streaming-sink entry survives most eviction events
+        // instead of rescanning on every cap crossing. The write is
+        // skipped when an invalidation ran concurrently — a
+        // drop/sweep must never be resurrected by this check-then-put.
+        if (epochCache.size > 1024)
+          epochCache.keysIterator.take(512).foreach(epochCache.remove)
+        if (useCache && invalidationGen.get() == gen)
+          epochCache.put(key,
+            (c, tsOf(c).getOrElse(-1L), m.getOrElse(Long.MinValue)))
+        m
       }
-      val from = cached.map(_._1).getOrElse(Long.MinValue)
-      val freshMax = versionsOf.filter(v => v > from && v <= c)
-        .flatMap(markerOf).flatMap(parseMarker)
-        .collect { case (a, e) if a == appId => e }
-        .maxOption
-      val m = (cached.map(_._3).filter(_ != Long.MinValue) ++ freshMax)
-        .maxOption
-      // bounded like every other in-process cache in this engine: a
-      // caller constructing a fresh store per call inserts never-hit
-      // keys, so without a cap the map grows with call count. The
-      // write is skipped when an invalidation ran concurrently — a
-      // drop/sweep must never be resurrected by this check-then-put.
-      if (epochCache.size > 1024) epochCache.clear()
-      if (invalidationGen.get() == gen)
-        epochCache.put(key,
-          (c, tsOf(c).getOrElse(-1L), m.getOrElse(Long.MinValue)))
-      m
+      // sidecar read strictly AFTER the metas scan: vacuum preserves
+      // a marker to the sidecar BEFORE deleting its version dir, so a
+      // marker that vanished from the metas mid-scan is already in
+      // the sidecar by the time this read runs — reading the sidecar
+      // first would open the one instant in which a marker is visible
+      // in NEITHER source (the invisibility window the class doc
+      // promises cannot exist)
+      val sidecar = get(t, appId, store)
+      // an invalidation (drop_txn/sweep/DROP TABLE) raced this call:
+      // the value may have come from knowledge the invalidation just
+      // retired — recompute ONCE from the durable sources alone (the
+      // no-cache pass has pre-cache semantics and returns whatever
+      // races land after it, exactly as the original full walk did)
+      if (invalidationGen.get() == gen || !useCache)
+        return (fromMetas ++ sidecar).maxOption
+      useCache = false
     }
-    // sidecar read strictly AFTER the metas scan: vacuum preserves a
-    // marker to the sidecar BEFORE deleting its version dir, so a
-    // marker that vanished from the metas mid-scan is already in the
-    // sidecar by the time this read runs — reading the sidecar first
-    // would open the one instant in which a marker is visible in
-    // NEITHER source (the invisibility window the class doc promises
-    // cannot exist)
-    val sidecar = get(t, appId, store)
-    (fromMetas ++ sidecar).maxOption
+    None
   }
 
   /** All preserved marks with their sidecar mtimes in ONE listing

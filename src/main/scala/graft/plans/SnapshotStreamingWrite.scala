@@ -192,7 +192,10 @@ private[plans] object SnapshotStreamingWrite {
       s"$tableName: stream column types conflict with the table's — " +
         conflicts.mkString(", ") + ". Committed footers are immutable; " +
         "cast the stream to the table's types (or CTAS-migrate the " +
-        "table) before writing.")
+        "table) before writing. For a nullability-only conflict " +
+        "(nullable stream field into a NOT NULL table column), cast " +
+        "does not help — make the field provably non-null upstream " +
+        "(coalesce/na.fill) or declare the table column nullable.")
     val extra = writeSchema.fields.filterNot(f =>
       byName.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
     if (extra.nonEmpty && !evolveSchema)

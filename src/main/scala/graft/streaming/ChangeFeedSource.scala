@@ -663,9 +663,10 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
               _.name.equalsIgnoreCase("change_type")) :+
               StructField("change_type", StringType))
           store.mkdirs(loc)
-          store.write(s"$loc/schema", newPin.json.getBytes("UTF-8"))
+          atomicTrackingWrite(s"$loc/schema",
+            newPin.json.getBytes("UTF-8"))
           if (d.needsRebootstrap)
-            store.write(s"$loc/rebootstrap",
+            atomicTrackingWrite(s"$loc/rebootstrap",
               pinV.toString.getBytes("UTF-8"))
           throw new IllegalStateException(d.message(t) +
             " Schema tracking recorded the re-pin at " + loc +
@@ -687,9 +688,26 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
       tracking.foreach { loc =>
         if (store.read(s"$loc/schema").isEmpty) {
           store.mkdirs(loc)
-          store.write(s"$loc/schema", schema.json.getBytes("UTF-8"))
+          atomicTrackingWrite(s"$loc/schema",
+            schema.json.getBytes("UTF-8"))
         }
       }
+
+  /** Tracking control files are POINTERS (the next start trusts them
+    * blindly), so they land like every other pointer in this engine:
+    * staged to a tmp path, then renamed into place — a crash
+    * mid-record leaves the previous state or the new one, never a
+    * torn file that wedges every later stream start in a JSON/long
+    * parse. */
+  private def atomicTrackingWrite(path: String,
+      bytes: Array[Byte]): Unit = {
+    val tmp = path + ".__tmp"
+    store.write(tmp, bytes)
+    if (!store.rename(tmp, path, replaceExisting = true))
+      throw new java.io.IOException(
+        s"schema tracking: could not atomically replace $path — the " +
+          "previous recorded state is still in force")
+  }
 
   /** Tracked-mode pre-gate, run in [[latestOffset]] BEFORE an offset
     * is returned (and therefore before the engine logs the batch): a
