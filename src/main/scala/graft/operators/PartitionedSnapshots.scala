@@ -489,10 +489,19 @@ object PartitionedSnapshots {
     try {
       // reserve FIRST — before any data evaluation — so the whole
       // prepare (including the touched-partition scan) runs under the
-      // inflight marker's vacuum protection
-      val v = reserveVersion(t, store)
+      // inflight marker's vacuum protection. The reservation + marker
+      // write happen under the TABLE LOCK (milliseconds of metadata):
+      // vacuum classifies and deletes orphans while holding that
+      // lock, so a reservation can never interleave with a vacuum's
+      // classify→delete sequence — the un-markered mkdirs window is
+      // closed by mutual exclusion, not by timing. The data write
+      // that follows stays lock-free.
+      val v = withCommitLock(t, store) {
+        val r = reserveVersion(t, store)
+        store.write(inflightPath(t, r), Array.emptyByteArray)
+        r
+      }
       reserved = v
-      store.write(inflightPath(t, v), Array.emptyByteArray)
       beat = startInflightBeat(inflightPath(t, v), store)
       // the data phase reads BASE owner dirs lock-free — a concurrent
       // rewrite of a touched partition plus a vacuum can legally
@@ -537,7 +546,7 @@ object PartitionedSnapshots {
                 "manifest addressing (use string/date/integral keys)")
           Right((touchedDirs, parts))
         } catch {
-          case e: Throwable if vanishedPath(e) =>
+          case e: Throwable if vanishedPath(e, t) =>
             Left("base " + base.fold("<empty>")(b => s"v$b") +
               "'s data was reclaimed mid-prepare (concurrent rewrite " +
               "+ vacuum): " + e.getMessage)
@@ -600,21 +609,26 @@ object PartitionedSnapshots {
     }
   }
 
-  /** A failure whose cause chain says a path the prepare was reading
-    * no longer exists — the signature of a base owner dir reclaimed by
-    * a concurrent rewrite + vacuum (Spark wraps the underlying
+  /** A failure whose cause chain says a path UNDER THIS TABLE no
+    * longer exists — the signature of a base owner dir reclaimed by a
+    * concurrent rewrite + vacuum (Spark wraps the underlying
     * FileNotFoundException in task/job failures, so the chain and the
-    * rendered messages are both checked). */
-  private def vanishedPath(e: Throwable): Boolean =
+    * rendered messages are both checked). Scoped to the table's own
+    * paths: a FileNotFound naming the CALLER'S input (their updates
+    * frame reading a deleted source) is not contention and must
+    * surface as-is, not burn retries re-running the merge against the
+    * same missing input. */
+  private def vanishedPath(e: Throwable, t: String): Boolean =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { x =>
-      x.isInstanceOf[java.io.FileNotFoundException] ||
+      val msg = Option(x.getMessage).getOrElse("")
+      val missing = x.isInstanceOf[java.io.FileNotFoundException] ||
         // Spark renders the wrapped cause into task-failure messages;
         // match only the SPECIFIC missing-path signatures (a generic
         // "does not exist" would also classify permanent corruption
         // as transient contention)
-        Option(x.getMessage).exists(m =>
-          m.contains("FileNotFoundException") ||
-            m.contains("PATH_NOT_FOUND"))
+        msg.contains("FileNotFoundException") ||
+        msg.contains("PATH_NOT_FOUND")
+      missing && msg.contains(t)
     }
 
   /** The table lock is NON-blocking ([[Incremental.acquire]] throws on
@@ -862,14 +876,21 @@ object PartitionedSnapshots {
       txnRetainMs.foreach(r =>
         Txns.sweep(t, r, sweepNow, store, justPreserved))
       val drop = (committedDrops ++ orphans).distinct.sorted
-      // TOCTOU guard: a lock-free preparer's claim can land AFTER the
-      // orphan classification above (its mkdirs before our listing,
-      // its .reserved after) — re-evaluate liveness immediately
-      // before each delete, so a dir that became a live preparation
-      // mid-vacuum is kept, not destroyed under the writer
-      val dropped = drop.filter(v => !liveInflight(v))
-      dropped.foreach(v => store.deleteRecursively(versionDir(t, v)))
-      dropped
+      // TOCTOU guard, FUSED per dir (a pre-pass filter would re-open
+      // a seconds-wide window while earlier dirs delete): re-evaluate
+      // liveness immediately adjacent to each delete, so a dir that
+      // became a live preparation mid-vacuum is kept, not destroyed
+      // under the writer. Reservations themselves run under the table
+      // lock this vacuum holds (optimisticAttempt takes it for the
+      // reserve+mark step), so a claim cannot interleave with this
+      // loop at all — the fused check is defense in depth.
+      drop.flatMap { v =>
+        if (liveInflight(v)) None
+        else {
+          store.deleteRecursively(versionDir(t, v))
+          Some(v)
+        }
+      }
     }
   }
 

@@ -88,9 +88,15 @@ object Txns {
     .empty[(CommitStore, String, String), (Long, Long, Long)]
   // bumped by every invalidation; lastEpoch skips its cache write when
   // the generation moved under it, so a concurrent drop/sweep can
-  // never be un-done by a check-then-put race resurrecting the entry
+  // never be un-done by a check-then-put race resurrecting the entry.
+  // The guard+put and the increment+removal each run under cacheLock:
+  // without the shared monitor a put could land between an
+  // invalidation's key sweep and a reader's gen check and persist
+  // stale knowledge forever (reads/computation stay lock-free — only
+  // the memory-op critical sections serialize).
   private val invalidationGen =
     new java.util.concurrent.atomic.AtomicLong
+  private val cacheLock = new Object
 
   /** Drop cached epoch knowledge for `t` (all apps, every store) —
     * called when the knowledge's SOURCE is destroyed out from under
@@ -99,7 +105,7 @@ object Txns {
     * (the retire-replay-protection contract must not be undone by a
     * stale cached metas-max). */
   private[graft] def invalidateEpochCache(t: String,
-      appId: Option[String] = None): Unit = {
+      appId: Option[String] = None): Unit = cacheLock.synchronized {
     invalidationGen.incrementAndGet()
     epochCache.keySet.filter(k => k._2 == t &&
       appId.forall(_ == k._3)).foreach(epochCache.remove)
@@ -157,9 +163,11 @@ object Txns {
         // drop/sweep must never be resurrected by this check-then-put.
         if (epochCache.size > 1024)
           epochCache.keysIterator.take(512).foreach(epochCache.remove)
-        if (useCache && invalidationGen.get() == gen)
-          epochCache.put(key,
-            (c, tsOf(c).getOrElse(-1L), m.getOrElse(Long.MinValue)))
+        cacheLock.synchronized {
+          if (useCache && invalidationGen.get() == gen)
+            epochCache.put(key,
+              (c, tsOf(c).getOrElse(-1L), m.getOrElse(Long.MinValue)))
+        }
         m
       }
       // sidecar read strictly AFTER the metas scan: vacuum preserves

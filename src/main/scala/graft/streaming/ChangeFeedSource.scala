@@ -558,6 +558,21 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         "and re-bootstrap (and retain the bootstrap version until the " +
         "stream finishes draining it)")
     val slice = files.slice(from.toInt, to.toInt)
+    // the cached listing can outlive a vacuum of the pinned version
+    // WITHIN a running stream (the count check above validates the
+    // cache, not the store) — verify this slice's files exist so the
+    // failure is the guided refusal, not an anonymous task-level
+    // FileNotFoundException. O(maxFilesPerBatch) metadata checks.
+    val gone = slice.filterNot(store.exists)
+    if (gone.nonEmpty) {
+      bootFilesCache.remove(v)
+      throw new IllegalStateException(
+        s"graft-changes: ${gone.size} of $t v$v's pinned bootstrap " +
+          "files are gone — the bootstrap version was vacuumed " +
+          "mid-bootstrap; discard the checkpoint and re-bootstrap " +
+          "(and retain the bootstrap version until the stream " +
+          "finishes draining it, e.g. via consumerId)")
+    }
     val snap =
       if (slice.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
