@@ -268,10 +268,20 @@ object PartitionedSnapshots {
         }
       if (claimed) return v
       // claimed by another writer → step to the next number; deleted
-      // by a vacuum → retry the same one (exists() distinguishes)
+      // by a vacuum → retry the same one (exists() distinguishes) —
+      // also BOUNDED: a binding whose rejected conditional put is not
+      // visible to exists() must surface, not spin hot
       if (store.exists(reservedPath(t, v))) {
         v += 1
         sameNumberRetries = 0
+      } else {
+        sameNumberRetries += 1
+        if (sameNumberRetries > 5) throw new java.io.IOException(
+          s"could not reserve a version for $t: createNew at " +
+            s"${reservedPath(t, v)} keeps failing while the marker " +
+            "stays absent — the store binding rejects the claim " +
+            "without a visible cause")
+        Thread.sleep(20L * sameNumberRetries)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -550,6 +560,15 @@ object PartitionedSnapshots {
             Left("base " + base.fold("<empty>")(b => s"v$b") +
               "'s data was reclaimed mid-prepare (concurrent rewrite " +
               "+ vacuum): " + e.getMessage)
+          case e: Throwable =>
+            // non-conflict prepare failure (constraint refusal, bad
+            // caller input, rendering mismatch): nothing references
+            // the reservation and the pointer never saw it — reclaim
+            // NOW instead of accumulating junk dirs behind the
+            // 10-minute vacuum grace
+            stopBeatAndClearMarker()
+            store.deleteRecursively(versionDir(t, v))
+            throw e
         }
       prepared match {
         case Left(msg) =>
@@ -600,10 +619,11 @@ object PartitionedSnapshots {
         case r => r
       }
     } finally {
-      // exception path: the same teardown, so an abandoned
-      // preparation is vacuum-reclaimable immediately instead of
-      // after the staleness horizon (no-op on paths that already
-      // tore down)
+      // commit-phase exception path: marker teardown only. The dir is
+      // NOT deleted here — a commit-section failure can land after
+      // the pointer flip (the dir is then live data), so the
+      // conservative cleanup is the vacuum horizon; prepare-phase
+      // failures reclaim eagerly in their own handler above.
       if (beat != null) stopBeatAndClearMarker()
       updCached.unpersist()
     }

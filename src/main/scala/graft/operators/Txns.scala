@@ -163,10 +163,14 @@ object Txns {
         // drop/sweep must never be resurrected by this check-then-put.
         if (epochCache.size > 1024)
           epochCache.keysIterator.take(512).foreach(epochCache.remove)
+        // the anchor read is store IO — do it OUTSIDE the monitor
+        // (the critical section must stay memory-ops only, or every
+        // stream's replay check serializes on one lock doing GETs)
+        val anchorTs = tsOf(c).getOrElse(-1L)
         cacheLock.synchronized {
           if (useCache && invalidationGen.get() == gen)
             epochCache.put(key,
-              (c, tsOf(c).getOrElse(-1L), m.getOrElse(Long.MinValue)))
+              (c, anchorTs, m.getOrElse(Long.MinValue)))
         }
         m
       }

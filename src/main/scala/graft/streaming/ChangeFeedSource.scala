@@ -341,12 +341,29 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
             }.orNull
           case _ =>
             // version pacing applies AFTER any offset exists; the
-            // unpaced bootstrap reads one snapshot batch
+            // unpaced bootstrap reads one snapshot batch. Paced ends
+            // are picked from COMMITTED versions, never by raw
+            // number arithmetic: optimistic commits make number gaps
+            // routine (bare data-owner dirs from pointer-passed
+            // commits, reclaimed numbers from lost races), and a
+            // logged end naming a gap would wedge the stream on a
+            // version that cannot serve as a CDC endpoint.
             val paced = (maxVersionsPerBatch, startV) match {
-              // saturating add: a huge N ("unlimited") must not wrap
-              // negative and poison the checkpointed offset
-              case (Some(n), Some(s)) if s <= Long.MaxValue - n =>
-                pinned.map(v => math.min(v, s + n))
+              case (Some(n), Some(s)) =>
+                pinned.map { p =>
+                  if (p <= s) p
+                  else {
+                    val partitioned =
+                      PartitionedSnapshots.hasManifest(t, p, store)
+                    PartitionedSnapshots.versions(t, store)
+                      .filter(v => v > s && v <= p)
+                      .filter(v => !partitioned ||
+                        PartitionedSnapshots.hasManifest(t, v, store))
+                      .take(math.min(n, Int.MaxValue.toLong).toInt)
+                      // the pin itself is always a valid endpoint
+                      .lastOption.getOrElse(p)
+                  }
+                }
               case _ => pinned
             }
             // an end below a recorded floor would snapshot a

@@ -105,6 +105,46 @@ class ChangeFeedAvailableNowSpec extends AnyFunSuite {
       pinned)
   }
 
+  test("maxVersionsPerBatch paces over COMMITTED versions: a bare " +
+      "data-owner dir in the number sequence (what an optimistic " +
+      "commit leaves when its number fell behind the pointer) is " +
+      "never logged as an end offset — the paced stream steps over " +
+      "the gap instead of wedging on a manifest-less version") {
+    val t = tmp()
+    val cp = Files.createTempDirectory("graft_cfs_gap").toString
+    PS.write(spark, t, Seq((1L, "A", "a1")).toDF("k", "d", "v"), "d")
+    def drain(): Seq[Set[Long]] = {
+      val seen = new scala.collection.mutable.ArrayBuffer[Set[Long]]()
+      val q = CF.readStream(spark, t, maxVersionsPerBatch = Some(1L))
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          val ks = b.select(col("k")).as[Long].collect().toSet
+          seen.synchronized { if (ks.nonEmpty) seen += ks }
+          ()
+        })
+        .start()
+      assert(q.awaitTermination(120000))
+      seen.synchronized(seen.toVector)
+    }
+    assert(drain() == Seq(Set(1L))) // bootstrap at v1
+    // manufacture the gap: v2 is a bare reserved dir (a preparer's
+    // claim whose commit landed under a later number), v3 and v4 are
+    // real commits
+    val bare = java.nio.file.Paths.get(s"$t/_snapshots/v00002")
+    Files.createDirectories(bare)
+    Files.write(bare.resolve(".reserved"), Array.emptyByteArray)
+    PS.upsert(spark, t, Seq((3L, "A", "c1")).toDF("k", "d", "v"),
+      Seq("k"), "d") // v3
+    PS.upsert(spark, t, Seq((4L, "A", "d1")).toDF("k", "d", "v"),
+      Seq("k"), "d") // v4
+    // the paced drain must deliver both commits, one per batch, with
+    // NO batch ever ending at the bare v2
+    assert(drain() == Seq(Set(3L), Set(4L)),
+      "pacing must step over the bare version number")
+    assert(drain() == Seq.empty, "caught up")
+  }
+
   test("maxVersionsPerBatch paces a backlog into per-version " +
       "micro-batches (Delta's maxFilesPerTrigger analogue); the " +
       "bootstrap batch is not paced; bad values refuse") {
