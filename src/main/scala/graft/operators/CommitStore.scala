@@ -126,6 +126,20 @@ trait CommitStore {
         putIfWitness(path, w, bytes)
       }
     else false
+
+  /** Stage-then-rename POINTER write: readers of `path` see the
+    * previous content or the new one, never a torn file. The shared
+    * form of the idiom the commit pointers hand-roll (their variants
+    * carry site-specific recovery text); new pointer-like files
+    * should use this. */
+  def atomicWrite(path: String, content: Array[Byte]): Unit = {
+    val tmp = path + ".__tmp"
+    write(tmp, content)
+    if (!rename(tmp, path, replaceExisting = true))
+      throw new java.io.IOException(
+        s"could not atomically replace $path — previous content " +
+          "still in force")
+  }
 }
 
 object CommitStore {

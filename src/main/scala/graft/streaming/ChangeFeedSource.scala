@@ -163,11 +163,25 @@ private[streaming] object ChangeFeedSource {
     // side effect of schema resolution (an exploratory `.load()` that
     // is never started must not write an authoritative pin that could
     // wedge a later fresh stream against an already-evolved table).
-    val tracked = parameters.get("schemaTrackingLocation").flatMap(
-      loc => store.read(s"$loc/schema").map(b =>
-        org.apache.spark.sql.types.DataType
-          .fromJson(new String(b, "UTF-8"))
-          .asInstanceOf[StructType]))
+    val tracked = parameters.get("schemaTrackingLocation").flatMap {
+      loc =>
+        // ownership gate: a location records WHICH table pinned it —
+        // a copy-pasted location shared by streams of different
+        // tables would adopt each other's pins and ping-pong full
+        // re-bootstraps forever; refuse at resolution, naming both
+        store.read(s"$loc/table").map(new String(_, "UTF-8"))
+          .foreach { owner =>
+            val here = tableOf(parameters)
+            if (owner != here) throw new IllegalArgumentException(
+              s"schemaTrackingLocation $loc belongs to table $owner, " +
+                s"not $here — every stream needs its OWN tracking " +
+                "location")
+          }
+        store.read(s"$loc/schema").map(b =>
+          org.apache.spark.sql.types.DataType
+            .fromJson(new String(b, "UTF-8"))
+            .asInstanceOf[StructType])
+    }
     tracked.getOrElse {
       val base = current(spark, tableOf(parameters), store,
         storeSpec(parameters)).schema
@@ -312,9 +326,12 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         // as one batch — the cursor semantics hold either way). A
         // mid-bootstrap version BELOW a recorded re-bootstrap floor
         // is superseded — fall through to the floor path instead of
-        // slicing a pre-drift snapshot forever.
+        // slicing a pre-drift snapshot forever. SATURATING advance: a
+        // huge N ("unlimited") must not wrap the cursor negative and
+        // poison the checkpointed offset.
+        val step = maxFilesPerBatch.getOrElse(b.of)
         BootstrapOffset(b.v,
-          math.min(b.files + maxFilesPerBatch.getOrElse(b.of), b.of),
+          if (b.files > b.of - step) b.of else b.files + step,
           b.of)
       case _ =>
         // a COMPLETED bootstrap offset behaves as its plain version
@@ -355,13 +372,29 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
                   else {
                     val partitioned =
                       PartitionedSnapshots.hasManifest(t, p, store)
-                    PartitionedSnapshots.versions(t, store)
+                    // a valid endpoint is a PUBLISHED version: its
+                    // commit meta exists (written just before the
+                    // pointer flip — an abandoned WAP stage or a
+                    // crashed writer never wrote one, and emitting
+                    // such a version as an end would serve rows no
+                    // published table state ever contained), and for
+                    // the partitioned format its manifest too.
+                    // LAZY probe: stop after n matches, never
+                    // O(backlog) exists() calls per tick.
+                    def published(v: Long): Boolean =
+                      if (partitioned)
+                        PartitionedSnapshots.hasManifest(t, v, store) &&
+                          PartitionedSnapshots
+                            .commitTimeMs(t, v, store).isDefined
+                      else
+                        Snapshots.commitTimeMs(t, v, store).isDefined
+                    PartitionedSnapshots.versions(t, store).iterator
                       .filter(v => v > s && v <= p)
-                      .filter(v => !partitioned ||
-                        PartitionedSnapshots.hasManifest(t, v, store))
+                      .filter(published)
                       .take(math.min(n, Int.MaxValue.toLong).toInt)
+                      .foldLeft(Option.empty[Long])((_, v) => Some(v))
                       // the pin itself is always a valid endpoint
-                      .lastOption.getOrElse(p)
+                      .getOrElse(p)
                   }
                 }
               case _ => pinned
@@ -695,6 +728,7 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
               _.name.equalsIgnoreCase("change_type")) :+
               StructField("change_type", StringType))
           store.mkdirs(loc)
+          recordTrackingOwner(loc)
           atomicTrackingWrite(s"$loc/schema",
             newPin.json.getBytes("UTF-8"))
           if (d.needsRebootstrap)
@@ -720,26 +754,27 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
       tracking.foreach { loc =>
         if (store.read(s"$loc/schema").isEmpty) {
           store.mkdirs(loc)
+          recordTrackingOwner(loc)
           atomicTrackingWrite(s"$loc/schema",
             schema.json.getBytes("UTF-8"))
         }
       }
 
   /** Tracking control files are POINTERS (the next start trusts them
-    * blindly), so they land like every other pointer in this engine:
-    * staged to a tmp path, then renamed into place — a crash
-    * mid-record leaves the previous state or the new one, never a
-    * torn file that wedges every later stream start in a JSON/long
-    * parse. */
+    * blindly): land them atomically ([[CommitStore.atomicWrite]]) —
+    * a crash mid-record leaves the previous state or the new one,
+    * never a torn file that wedges every later stream start in a
+    * JSON/long parse. The ownership marker ties the location to ONE
+    * table: a copy-pasted location shared across streams of
+    * different tables would otherwise adopt each other's pins and
+    * ping-pong full re-bootstraps forever. */
   private def atomicTrackingWrite(path: String,
-      bytes: Array[Byte]): Unit = {
-    val tmp = path + ".__tmp"
-    store.write(tmp, bytes)
-    if (!store.rename(tmp, path, replaceExisting = true))
-      throw new java.io.IOException(
-        s"schema tracking: could not atomically replace $path — the " +
-          "previous recorded state is still in force")
-  }
+      bytes: Array[Byte]): Unit =
+    store.atomicWrite(path, bytes)
+
+  private def recordTrackingOwner(loc: String): Unit =
+    if (store.read(s"$loc/table").isEmpty)
+      atomicTrackingWrite(s"$loc/table", t.getBytes("UTF-8"))
 
   /** Tracked-mode pre-gate, run in [[latestOffset]] BEFORE an offset
     * is returned (and therefore before the engine logs the batch): a
