@@ -133,12 +133,18 @@ trait CommitStore {
     * carry site-specific recovery text); new pointer-like files
     * should use this. */
   def atomicWrite(path: String, content: Array[Byte]): Unit = {
-    val tmp = path + ".__tmp"
+    // UNIQUE staging name: callers may write the same pointer
+    // lock-free from two processes (a zombie driver racing its
+    // restart), and a shared tmp name would let their plain writes
+    // interleave and rename torn bytes into place
+    val tmp = path + ".__tmp-" + java.util.UUID.randomUUID()
     write(tmp, content)
-    if (!rename(tmp, path, replaceExisting = true))
+    if (!rename(tmp, path, replaceExisting = true)) {
+      delete(tmp)
       throw new java.io.IOException(
         s"could not atomically replace $path — previous content " +
           "still in force")
+    }
   }
 }
 

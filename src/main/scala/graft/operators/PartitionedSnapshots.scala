@@ -234,15 +234,22 @@ object PartitionedSnapshots {
     s"${versionDir(t, v)}/.inflight"
 
   /** Allocate the next version NUMBER (and its dir) through an atomic
-    * create-if-absent arbiter, so allocation is safe WITHOUT the table
-    * lock: `versions().last + 1` alone is a check-then-act — two
-    * writers (an optimistic preparer running lock-free, or a locked
-    * writer racing one) could both pick the same number and the second
-    * `writeData` would overwrite the first's files. `createNew` on the
-    * `.reserved` marker admits exactly one owner per number; losers
-    * step to the next. Every writer (locked or optimistic) allocates
-    * here, which is what makes the two populations collision-free
-    * against each other. */
+    * create-if-absent arbiter: `versions().last + 1` alone is a
+    * check-then-act — two writers could both pick the same number and
+    * the second `writeData` would overwrite the first's files.
+    * `createNew` on the `.reserved` marker admits exactly one owner
+    * per number; losers step to the next.
+    *
+    * INVARIANT: every call site holds the table lock (legacy writers
+    * reserve inside their own `withLock`; `optimisticAttempt` takes
+    * `withCommitLock` for its reserve+mark step), so a vacuum — which
+    * also holds it — can never interleave with the mkdirs→createNew
+    * window. The arbiter still matters: two optimistic preparers'
+    * reserve sections serialize but both read `versions()` states
+    * that may already contain each other's fresh dirs, and createNew
+    * is what makes the pick exact. The IOException retry below is
+    * defense in depth for bindings whose failures are visible only at
+    * the claim. */
   private def reserveVersion(t: String, store: CommitStore): Long = {
     var v = versions(t, store).lastOption.getOrElse(0L) + 1
     var sameNumberRetries = 0
@@ -581,6 +588,16 @@ object PartitionedSnapshots {
       // the SHORT critical section: metadata only, no data IO
       val result: Either[String, Long] =
         withCommitLock(t, store) {
+          // liveness re-validation: if this writer's markers stopped
+          // beating long enough for a vacuum to reclaim the prepared
+          // dir (GC pause, store outage), committing would publish
+          // manifest entries over deleted files — convert to a
+          // conflict instead (retry re-prepares from scratch)
+          if (!store.exists(reservedPath(t, v)))
+            Left("this writer's prepared version dir v" + v +
+              " was reclaimed mid-prepare (markers went stale past " +
+              "the vacuum horizon — a long pause or store outage)")
+          else {
           val cur = currentVersion(t, store)
           val mCur = cur.map(manifest(t, _, store))
             .getOrElse(Map.empty[String, Long])
@@ -607,6 +624,7 @@ object PartitionedSnapshots {
             commitPointer(t, w, store, txn)
             writeProps(t, partCol, keys, store)
             Right(w)
+          }
           }
         }
       stopBeatAndClearMarker()
@@ -690,7 +708,12 @@ object PartitionedSnapshots {
         var beating = true
         while (beating && !Thread.currentThread().isInterrupted) {
           Thread.sleep(interval)
-          beating = store.touch(path)
+          // a FAILED touch is terminal only when the marker is
+          // actually gone — stores report transient errors (one
+          // NameNode blip, a 5xx) as false too, and a beat that quits
+          // on the first of those silently drops vacuum protection
+          // for the rest of a long prepare
+          if (!store.touch(path)) beating = store.exists(path)
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-inflight-beat:$path")

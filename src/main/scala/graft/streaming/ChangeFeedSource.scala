@@ -723,9 +723,12 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
       case Some(loc) =>
         driftOf(have, pinned, spanFromVersion).foreach { d =>
           val pinV = math.max(endV, rebootstrapAt.getOrElse(Long.MinValue))
+          // EXACT-case filter, the same rule dataFields/schemaFor
+          // use: a real data column named e.g. "Change_Type" must
+          // survive the re-pin, not silently vanish from it
           val newPin = StructType(
             schemaAt(pinV).fields.filterNot(
-              _.name.equalsIgnoreCase("change_type")) :+
+              _.name == "change_type") :+
               StructField("change_type", StringType))
           store.mkdirs(loc)
           recordTrackingOwner(loc)
