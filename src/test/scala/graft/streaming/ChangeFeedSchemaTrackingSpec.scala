@@ -89,6 +89,70 @@ class ChangeFeedSchemaTrackingSpec extends AnyFunSuite {
     assert(seen.synchronized(seen.isEmpty))
   }
 
+  test("PACED re-bootstrap: maxFilesPerBatch + a recorded floor " +
+      "together — the restarted stream drains the re-bootstrap " +
+      "snapshot as file slices from cursor 0 (a completed PREVIOUS " +
+      "bootstrap's cursor must not carry into the new version) and " +
+      "no row of the re-bootstrap is skipped") {
+    import graft.operators.{PartitionedSnapshots => PS}
+    val t = s"${tmp("trkp")}/t"
+    val loc = tmp("trkp_loc")
+    val cp = tmp("trkp_cp")
+    // 3 partitions, one file each (coalesce(1)) → a 3-file bootstrap
+    PS.write(spark, t,
+      Seq((1L, "A", "a"), (2L, "B", "b"), (3L, "C", "c"))
+        .toDF("k", "d", "v").coalesce(1), "d")
+    val seen = new scala.collection.mutable.ArrayBuffer[
+      Set[(Long, String)]]()
+    def drain(): Unit = {
+      val q = CF.readStream(spark, t, keys = Seq("k"),
+          maxFilesPerBatch = Some(1L),
+          schemaTrackingLocation = Some(loc))
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          val rows = b.select(col("k"), col("v").cast("string"))
+            .as[(Long, String)].collect().toSet
+          seen.synchronized { if (rows.nonEmpty) seen += rows }
+          ()
+        })
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    drain() // paced bootstrap: three 1-file slices
+    assert(seen.synchronized(seen.toVector) ==
+      Vector(Set((1L, "a")), Set((2L, "b")), Set((3L, "c"))))
+
+    // RETYPE v from string to int via a partitioned rewrite: the
+    // partitioned format refuses retypes, so simulate with a fresh
+    // full-table write carrying the new type (write() rebuilds all
+    // partitions)
+    PS.write(spark, t,
+      Seq((1L, "A", 10), (2L, "B", 20), (3L, "C", 30), (4L, "D", 40))
+        .toDF("k", "d", "v").coalesce(1), "d") // v2, 4 files
+    val e = intercept[Throwable] { drain() }
+    assert(causes(e).contains("retyped columns: v") &&
+      causes(e).contains("re-bootstrap itself"), causes(e))
+
+    // restart: the re-bootstrap must run as PACED slices of the NEW
+    // version starting at file 0 — all four rows delivered exactly
+    // once, none skipped by a stale cursor
+    seen.synchronized(seen.clear())
+    drain()
+    val slices = seen.synchronized(seen.toVector)
+    assert(slices.flatten.toSet ==
+      Set((1L, "10"), (2L, "20"), (3L, "30"), (4L, "40")),
+      s"re-bootstrap lost rows: $slices")
+    assert(slices.size == 4 && slices.forall(_.size == 1),
+      s"re-bootstrap must pace as 1-file slices: $slices")
+    // and the stream continues as plain CDC afterwards
+    PS.upsert(spark, t, Seq((5L, "E", 50)).toDF("k", "d", "v"),
+      Seq("k"), "d")
+    seen.synchronized(seen.clear())
+    drain()
+    assert(seen.synchronized(seen.toVector) == Vector(Set((5L, "50"))))
+  }
+
   test("the tracked pin is STABLE across restarts: a widen does not " +
       "shift the output schema mid-lifecycle (columns added to the " +
       "table stay projected away even after restart, until a drift " +
