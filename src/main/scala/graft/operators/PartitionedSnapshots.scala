@@ -104,6 +104,183 @@ object PartitionedSnapshots {
       m.toSeq.sorted.map { case (p, o) => s"$p\t$o" }
         .mkString("\n").getBytes("UTF-8"))
 
+  // ── per-version FILE manifest (plan from metadata, never list) ────
+  //
+  // The partition manifest maps partition → owner VERSION; planning a
+  // read still had to LIST every owner dir (and merge footers for the
+  // schema) — the one metadata cost SCALE_META measured growing with
+  // partition count (~30 s per plan at 100k partitions). The Iceberg
+  // answer: the COMMIT records the version's complete file list (name
+  // + exact size per file, it just wrote or carried them), and reads
+  // plan from that record. Two sidecars per version dir:
+  //
+  //   filemeta     "part \t owner \t fileName \t bytes" per data file,
+  //                FULL index (every live partition), carried forward
+  //                at commit exactly like the partition manifest —
+  //                untouched partitions copy their rows from the base
+  //                version's filemeta with zero store calls; only the
+  //                partitions this commit wrote are listed (once).
+  //   data_schema  the Spark schema JSON of the rows THIS version's
+  //                data dir holds — per OWNER, so a read's schema is
+  //                the union over its manifest's distinct owners (what
+  //                mergeSchema would reconcile from footers, without
+  //                reading any).
+  //
+  // Both live inside the version dir: vacuum reclaims them with it,
+  // and a bare data-OWNER dir kept alive by a retained manifest keeps
+  // its data_schema alive with it. Absence of either (pre-feature
+  // versions, crashed half-writes) degrades the read to the legacy
+  // listing+mergeSchema path — the fast path is an optimization,
+  // never a semantic. The first commit on a pre-feature table lists
+  // every live partition once (lazy upgrade) and is fully indexed
+  // from then on.
+
+  private def fileMetaPath(t: String, v: Long) =
+    s"${versionDir(t, v)}/filemeta"
+  private def dataSchemaPath(t: String, v: Long) =
+    s"${versionDir(t, v)}/data_schema"
+
+  /** One recorded data file: partition dir name, owner version, file
+    * name, exact byte length (from the commit-time listing — the files
+    * are immutable, so it never goes stale). */
+  final case class FileRef(part: String, owner: Long, name: String,
+      bytes: Long)
+
+  /** Version `v`'s recorded file manifest, if its commit wrote one. */
+  def fileManifest(t: String, v: Long,
+      store: CommitStore = CommitStore.local): Option[Seq[FileRef]] =
+    store.read(fileMetaPath(t, v)).map(b =>
+      new String(b, "UTF-8").split('\n').filter(_.nonEmpty).toSeq
+        .map { l =>
+          val a = l.split('\t')
+          FileRef(a(0), a(1).toLong, a(2), a(3).toLong)
+        })
+
+  /** The schema of the rows version `o`'s OWN data dir holds, if
+    * recorded at its commit. */
+  def ownerSchema(t: String, o: Long,
+      store: CommitStore = CommitStore.local)
+      : Option[org.apache.spark.sql.types.StructType] =
+    store.read(dataSchemaPath(t, o)).map(b =>
+      org.apache.spark.sql.types.DataType
+        .fromJson(new String(b, "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  private def listPartFiles(t: String, o: Long, p: String,
+      store: CommitStore): Seq[FileRef] =
+    store.listEntries(s"${dataDir(t, o)}/$p")
+      .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+      .sortBy(_.name)
+      .map(e => FileRef(p, o, e.name, e.bytes))
+
+  /** Record version `v`'s file manifest for final manifest map `m`:
+    * rows for partitions whose owner matches `carryFrom`'s manifest
+    * copy over without a store call; `fresh` rows (listed lock-free by
+    * an optimistic prepare) win over both; anything else — partitions
+    * this commit wrote, or carried entries a pre-feature base has no
+    * rows for — is listed once. Written BEFORE the partition manifest
+    * so a version with a manifest either has a complete filemeta or
+    * none (a crash between the two writes leaves a manifest-less dir,
+    * which is already vacuum's orphan class). */
+  private def writeFileMeta(t: String, v: Long, m: Map[String, Long],
+      carryFrom: Option[Long], store: CommitStore,
+      fresh: Map[String, Seq[FileRef]] = Map.empty): Unit = {
+    val carried: Map[String, Seq[FileRef]] =
+      carryFrom.flatMap(cv => fileManifest(t, cv, store))
+        .map(_.groupBy(_.part)).getOrElse(Map.empty)
+    val lines = m.toSeq.sorted.flatMap { case (p, o) =>
+      fresh.get(p).filter(_.forall(_.owner == o))
+        .orElse(carried.get(p).filter(_.forall(_.owner == o)))
+        .getOrElse(listPartFiles(t, o, p, store))
+        .map(f => s"${f.part}\t${f.owner}\t${f.name}\t${f.bytes}")
+    }
+    store.write(fileMetaPath(t, v),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Union the distinct owners' recorded schemas in ascending owner
+    * order — the metadata equivalent of mergeSchema's footer
+    * reconciliation for a table whose evolution appends nullable
+    * columns (the only evolution this engine's ALTER permits). A
+    * same-name field with a DIFFERENT type means data arrived through
+    * a path mergeSchema would have to upcast — decline (None) and let
+    * the legacy path reconcile it. */
+  private def mergeOwnerSchemas(
+      schemas: Seq[org.apache.spark.sql.types.StructType])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    var fields = Vector.empty[StructField]
+    for (s <- schemas; f <- s.fields) {
+      val i = fields.indexWhere(_.name == f.name)
+      if (i < 0) fields :+= f
+      else {
+        val e = fields(i)
+        if (e.dataType != f.dataType) return None
+        if (f.nullable && !e.nullable)
+          fields = fields.updated(i, e.copy(nullable = true))
+      }
+    }
+    Some(StructType(fields))
+  }
+
+  /** Everything a plan needs for version `v` WITHOUT touching the data
+    * dirs: the recorded file list and the merged read schema. None
+    * when the version (or any of its owners) predates the sidecars,
+    * when the filemeta disagrees with the manifest (torn state —
+    * never trust it), or when owner schemas need type reconciliation —
+    * all of which fall back to the legacy listing path. */
+  private[graft] def planMeta(t: String, v: Long,
+      store: CommitStore = CommitStore.local)
+      : Option[(Seq[FileRef], org.apache.spark.sql.types.StructType)] = {
+    val m = manifest(t, v, store)
+    if (m.isEmpty) return None
+    fileManifest(t, v, store).flatMap { refs =>
+      val byPart = refs.groupBy(_.part)
+      if (byPart.keySet != m.keySet ||
+          refs.exists(r => !m.get(r.part).contains(r.owner))) None
+      else {
+        val owners = refs.map(_.owner).distinct.sorted
+        val schemas = owners.map(o => ownerSchema(t, o, store))
+        if (schemas.exists(_.isEmpty)) None
+        else mergeOwnerSchemas(schemas.flatten)
+          // file-source reads are nullable-forced (Spark's own rule
+          // for file-based schemas — and a carried pre-evolution
+          // footer legitimately misses a later column, which the
+          // reader null-fills only for nullable fields)
+          .map(s => (refs, forceNullable(s)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      }
+    }
+  }
+
+  /** What `StructType.asNullable` does (it is private[spark]): every
+    * field, element and value nullable — the shape Spark serves every
+    * file-based schema in. */
+  private def forceNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case s: StructType => StructType(s.fields.map(f => f.copy(
+        dataType = forceNullable(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(
+        elementType = forceNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(
+        keyType = forceNullable(m.keyType),
+        valueType = forceNullable(m.valueType),
+        valueContainsNull = true)
+      case x => x
+    }
+  }
+
+  /** Recorded refs → hadoop `FileStatus` entries for the plan-from-
+    * metadata index (exact lengths; mtime 0 — immutable files). */
+  private[graft] def planStatuses(t: String, refs: Seq[FileRef])
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    refs.map(r => new org.apache.hadoop.fs.FileStatus(
+      r.bytes, false, 1, 128L * 1024 * 1024, 0L,
+      new org.apache.hadoop.fs.Path(
+        s"${dataDir(t, r.owner)}/${r.part}/${r.name}")))
+
   /** Write `df`'s touched partitions into version `v`'s data dir and
     * return the partition dir names written. The `__p` shadow keeps the
     * real partition column in the footers (see class doc). */
@@ -116,6 +293,11 @@ object PartitionedSnapshots {
     prepared.withColumn("__p", col(partCol))
       .write.partitionBy("__p").mode(SaveMode.Overwrite)
       .parquet(dataDir(t, v))
+    // the OWNER's data schema, recorded for the plan-from-metadata
+    // path (the `__p` shadow left the footers via partitionBy, so the
+    // written footers hold exactly `prepared`'s columns)
+    store.write(dataSchemaPath(t, v),
+      prepared.schema.json.getBytes("UTF-8"))
     store.listEntries(dataDir(t, v))
       .filter(e => e.isDir && e.name.startsWith("__p="))
       .map(_.name)
@@ -302,6 +484,7 @@ object PartitionedSnapshots {
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
       val v = reserveVersion(t, store)
       val parts = writeData(df, t, v, partCol, store)
+      writeFileMeta(t, v, parts.map(_ -> v).toMap, None, store)
       writeManifest(t, v, parts.map(_ -> v).toMap, store)
       commitPointer(t, v, store, txn)
       writeProps(t, partCol, Nil, store)
@@ -526,7 +709,8 @@ object PartitionedSnapshots {
       // the new current version is exactly what retry does), so a
       // vanished-path failure converts to Left — consuming one retry
       // like any other lost race — instead of crashing the writer.
-      val prepared: Either[String, (Set[String], Seq[String])] =
+      val prepared: Either[String,
+          (Set[String], Seq[String], Map[String, Seq[FileRef]])] =
         try {
           val touchedDirs = updCached
             .select(col(partCol).cast("string")).distinct()
@@ -561,7 +745,13 @@ object PartitionedSnapshots {
                 unmerged.mkString(", ") + " without merging its " +
                 "existing rows — partCol type unsupported for " +
                 "manifest addressing (use string/date/integral keys)")
-          Right((touchedDirs, parts))
+          // list the freshly-written files HERE, lock-free — the
+          // commit section's filemeta write then carries everything
+          // else from the current version's record with zero store
+          // listings inside the critical section
+          val freshRefs =
+            parts.map(p => p -> listPartFiles(t, v, p, store)).toMap
+          Right((touchedDirs, parts, freshRefs))
         } catch {
           case e: Throwable if vanishedPath(e, t) =>
             Left("base " + base.fold("<empty>")(b => s"v$b") +
@@ -584,7 +774,7 @@ object PartitionedSnapshots {
           return Left(msg)
         case Right(_) => ()
       }
-      val (touchedDirs, parts) = prepared.toOption.get
+      val (touchedDirs, parts, freshRefs) = prepared.toOption.get
       // the SHORT critical section: metadata only, no data IO
       val result: Either[String, Long] =
         withCommitLock(t, store) {
@@ -620,6 +810,8 @@ object PartitionedSnapshots {
             // references the prepared dir as data owner
             val w = if (cur.forall(_ < v)) v
               else reserveVersion(t, store)
+            writeFileMeta(t, w, mCur ++ parts.map(_ -> v).toMap,
+              cur, store, freshRefs)
             writeManifest(t, w, mCur ++ parts.map(_ -> v).toMap, store)
             commitPointer(t, w, store, txn)
             writeProps(t, partCol, keys, store)
@@ -733,6 +925,7 @@ object PartitionedSnapshots {
       currentVersion(t, store) match {
         case None =>
           val parts = writeData(shaped(updates), t, v, partCol, store)
+          writeFileMeta(t, v, parts.map(_ -> v).toMap, None, store)
           writeManifest(t, v, parts.map(_ -> v).toMap, store)
         case Some(cur) =>
           val m = manifest(t, cur, store)
@@ -782,6 +975,8 @@ object PartitionedSnapshots {
                   unmerged.mkString(", ") + " without merging its " +
                   "existing rows — partCol type unsupported for " +
                   "manifest addressing (use string/date/integral keys)")
+            writeFileMeta(t, v, m ++ parts.map(_ -> v).toMap,
+              Some(cur), store)
             writeManifest(t, v,
               m ++ parts.map(_ -> v).toMap, store)
           } finally updCached.unpersist()
@@ -816,11 +1011,30 @@ object PartitionedSnapshots {
         throw new IllegalStateException(
           s"$t v$v is empty and the table declares no schema — " +
             "CREATE TABLE (or write data) first"))
-    } else {
-      val dirs = m.toSeq.sorted.map { case (p, owner) =>
-        s"${dataDir(t, owner)}/$p"
-      }
-      spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    } else planMeta(t, v, store) match {
+      case Some((refs, schema)) =>
+        // plan from metadata: the commit recorded the version's file
+        // list and owner schemas — hand Spark an explicit file index
+        // (zero listings, zero footer reads; exact sizes feed stats
+        // and split planning). Filter pushdown, column pruning and
+        // footer-stats skipping behave exactly as on the listing path.
+        val rel = org.apache.spark.sql.execution.datasources
+          .HadoopFsRelation(
+            new graft.plans.GraftFileIndex(spark,
+              new org.apache.hadoop.fs.Path(t),
+              planStatuses(t, refs)),
+            new org.apache.spark.sql.types.StructType(), schema, None,
+            new org.apache.spark.sql.execution.datasources.parquet
+              .ParquetFileFormat(),
+            Map.empty[String, String])(spark)
+        spark.baseRelationToDataFrame(rel)
+      case None =>
+        // pre-sidecar version (or torn/unmergeable record): the
+        // legacy listing+mergeSchema path is the semantic
+        val dirs = m.toSeq.sorted.map { case (p, owner) =>
+          s"${dataDir(t, owner)}/$p"
+        }
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
   }
 
@@ -834,13 +1048,22 @@ object PartitionedSnapshots {
   def versionFiles(t: String, v: Long,
       store: CommitStore = CommitStore.local): Seq[String] =
     // the trailing full-path sort alone defines the deterministic
-    // order the checkpointed file cursor depends on
-    manifest(t, v, store).toSeq.flatMap { case (p, owner) =>
-      val dir = s"${dataDir(t, owner)}/$p"
-      store.listEntries(dir)
-        .filter(e => !e.isDir && e.name.endsWith(".parquet"))
-        .map(e => s"$dir/${e.name}")
-    }.sorted
+    // order the checkpointed file cursor depends on — IDENTICAL
+    // between the recorded (filemeta) and listing paths, because both
+    // sort the same full-path set: a checkpoint written against one
+    // resumes exactly against the other
+    fileManifest(t, v, store) match {
+      case Some(refs) =>
+        refs.map(r => s"${dataDir(t, r.owner)}/${r.part}/${r.name}")
+          .sorted
+      case None =>
+        manifest(t, v, store).toSeq.flatMap { case (p, owner) =>
+          val dir = s"${dataDir(t, owner)}/$p"
+          store.listEntries(dir)
+            .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+            .map(e => s"$dir/${e.name}")
+        }.sorted
+    }
 
   /** Drop every version dir that no RETAINED manifest references:
     * retained = the newest `keep` committed manifests (the current one
@@ -972,6 +1195,10 @@ object PartitionedSnapshots {
       // makes it (collision-free against lock-free optimistic
       // preparers) and it hosts the manifest
       val newV = reserveVersion(t, store)
+      // carry the file manifest from the RESTORED version — its
+      // entries describe exactly the owner dirs the new manifest
+      // references (a pre-feature v lists once, like any upgrade)
+      writeFileMeta(t, newV, m, Some(v), store)
       writeManifest(t, newV, m, store)
       commitPointer(t, newV, store)
       newV
@@ -1055,6 +1282,8 @@ object PartitionedSnapshots {
               unexpected.mkString(", ") + " outside the detected " +
               "partitions — aborting commit (orphan version; vacuum " +
               "reclaims it)")
+        writeFileMeta(t, v,
+          (m -- touchedDirs) ++ parts.map(_ -> v).toMap, Some(cur), store)
         writeManifest(t, v,
           (m -- touchedDirs) ++ parts.map(_ -> v).toMap, store)
         commitPointer(t, v, store)
@@ -1112,6 +1341,8 @@ object PartitionedSnapshots {
               unexpected.mkString(", ") + " outside the detected " +
               "partitions — an assignment moved a row across " +
               "partitions (orphan version; vacuum reclaims it)")
+        writeFileMeta(t, v,
+          (m -- touchedDirs) ++ parts.map(_ -> v).toMap, Some(cur), store)
         writeManifest(t, v,
           (m -- touchedDirs) ++ parts.map(_ -> v).toMap, store)
         commitPointer(t, v, store)
@@ -1207,6 +1438,8 @@ object PartitionedSnapshots {
               "partitions — an update moved a row across partitions " +
               "or the partCol type is unsupported (orphan version; " +
               "vacuum reclaims it)")
+        writeFileMeta(t, v,
+          (m -- touchedDirs) ++ parts.map(_ -> v).toMap, Some(cur), store)
         writeManifest(t, v,
           (m -- touchedDirs) ++ parts.map(_ -> v).toMap, store)
         commitPointer(t, v, store)
@@ -1298,6 +1531,10 @@ object PartitionedSnapshots {
           .option("maxRecordsPerFile", maxRecordsPerFile)
           .mode(SaveMode.Overwrite)
           .parquet(dataDir(t, v))
+        // owner schema for the plan-from-metadata path: the rewrite
+        // wrote exactly `rows`' columns (the fragmented footers' union)
+        store.write(dataSchemaPath(t, v),
+          rows.schema.json.getBytes("UTF-8"))
         val parts = store.listEntries(dataDir(t, v))
           .filter(e => e.isDir && e.name.startsWith("__p="))
           .map(_.name)
@@ -1313,6 +1550,8 @@ object PartitionedSnapshots {
               "vacuum reclaims it)")
         // a fragmented dir whose files held zero rows yields no
         // rewritten dir; it leaves the manifest (still zero rows)
+        writeFileMeta(t, v, (m -- fragSet) ++ parts.map(_ -> v).toMap,
+          Some(cur), store)
         writeManifest(t, v, (m -- fragSet) ++ parts.map(_ -> v).toMap,
           store)
         commitPointer(t, v, store)

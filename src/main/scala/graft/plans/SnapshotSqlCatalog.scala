@@ -120,19 +120,40 @@ class SnapshotSqlCatalog extends TableCatalog
             "CREATE TABLE (or write data) first"))),
         classOf[ParquetFileFormat])
     else {
-      val base = ParquetTable(s"$catalogName.${ident.name}@v$v",
-        SparkSession.active, opts, dirs, None, classOf[ParquetFileFormat])
-      declared match {
-        case Some(d) =>
-          val fileSchema = base.schema
-          val missing = d.fields.filterNot(f =>
+      // plan-from-metadata fast path: a partitioned-format version
+      // whose commit recorded its file manifest + owner schemas plans
+      // the scan from an explicit file index — no dir listings, no
+      // footer schema inference — with the declared-schema overlay
+      // applied to the RECORDED file schema (file fields still win on
+      // type, same rule as the inference path below)
+      val fast =
+        if (PartitionedSnapshots.hasManifest(t, v, store))
+          PartitionedSnapshots.planMeta(t, v, store)
+        else None
+      fast match {
+        case Some((refs, fileSchema)) =>
+          val missing = declared.toSeq.flatMap(_.fields).filterNot(f =>
             fileSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-          if (missing.isEmpty) base
-          else ParquetTable(s"$catalogName.${ident.name}@v$v",
-            SparkSession.active, opts, dirs,
-            Some(StructType(fileSchema.fields ++ missing)),
+          new IndexedParquetTable(s"$catalogName.${ident.name}@v$v",
+            SparkSession.active, opts, t,
+            StructType(fileSchema.fields ++ missing),
+            PartitionedSnapshots.planStatuses(t, refs))
+        case None =>
+          val base = ParquetTable(s"$catalogName.${ident.name}@v$v",
+            SparkSession.active, opts, dirs, None,
             classOf[ParquetFileFormat])
-        case None => base
+          declared match {
+            case Some(d) =>
+              val fileSchema = base.schema
+              val missing = d.fields.filterNot(f =>
+                fileSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+              if (missing.isEmpty) base
+              else ParquetTable(s"$catalogName.${ident.name}@v$v",
+                SparkSession.active, opts, dirs,
+                Some(StructType(fileSchema.fields ++ missing)),
+                classOf[ParquetFileFormat])
+            case None => base
+          }
       }
     }
   }

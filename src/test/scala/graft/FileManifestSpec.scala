@@ -1,0 +1,201 @@
+package graft
+
+import graft.operators.{PartitionedSnapshots => PS}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Per-version FILE manifest (round-13 flagship): commits record their
+  * complete file list + owner schemas, and reads plan from that
+  * metadata — an explicit Spark file index, zero dir listings, zero
+  * footer reads — with byte-identical results to the legacy listing
+  * path, which remains the fallback for pre-feature versions. */
+class FileManifestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    Files.createTempDirectory(s"graft_$name").toString
+
+  private val store = graft.operators.CommitStore.local
+
+  private def legacyRead(t: String, v: Long): DataFrame = {
+    val m = PS.manifest(t, v, store)
+    val dirs = m.toSeq.sorted.map { case (p, o) =>
+      f"$t/_snapshots/v$o%05d/data/$p"
+    }
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  private def graftIndexOf(df: DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location
+    }.collectFirst { case g: graft.plans.GraftFileIndex => g }
+
+  test("fast path plans from the recorded index and matches legacy " +
+      "rows across upsert/delete/update/merge/compact") {
+    val t = tmp("fm_ops") + "/t"
+    PS.write(spark, t,
+      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+        .toDF("k", "d", "v"), "d", store)
+    PS.upsert(spark, t, Seq((2L, "b", "y2"), (4L, "a", "w"))
+      .toDF("k", "d", "v"), Seq("k"), "d", store = store)
+    PS.delete(spark, t, col("k") === 3L, "d", store)
+    PS.updateWhere(spark, t, Map("v" -> upper(col("v"))),
+      col("d") === "a", "d", store)
+    PS.merge(spark, t, Seq((1L, "a", "m1"), (9L, "b", "m9"))
+      .toDF("k", "d", "v"), Seq("k"), "d",
+      whenMatchedUpdate = Map("v" -> PS.source("v")), store = store)
+    PS.compact(spark, t, "d", store = store)
+
+    val cur = PS.currentVersion(t, store).get
+    val fast = PS.readVersion(spark, t, cur, store)
+    // the scan is served by the metadata index, not a listing
+    assert(graftIndexOf(fast).isDefined,
+      "expected the plan-from-metadata GraftFileIndex in the scan")
+    val legacy = legacyRead(t, cur)
+    assert(fast.schema.map(f => (f.name, f.dataType)) ===
+      legacy.schema.map(f => (f.name, f.dataType)))
+    assert(fast.as[(Long, String, String)].collect().toSet ===
+      legacy.as[(Long, String, String)].collect().toSet)
+    // the planned files are exactly the recorded manifest's files
+    // (inputFiles come back scheme-qualified; versionFiles are raw)
+    assert(fast.inputFiles.toSeq.map(_.stripPrefix("file:")).sorted ===
+      PS.versionFiles(t, cur, store))
+    // and versionFiles agrees between recorded and listing derivations
+    val listed = PS.manifest(t, cur, store).toSeq.flatMap { case (p, o) =>
+      val dir = f"$t/_snapshots/v$o%05d/data/$p"
+      store.listEntries(dir)
+        .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+        .map(e => s"$dir/${e.name}")
+    }.sorted
+    assert(PS.versionFiles(t, cur, store) === listed)
+  }
+
+  test("time travel: every retained version plans from its own record") {
+    val t = tmp("fm_tt") + "/t"
+    val v1 = PS.write(spark, t, Seq((1L, "a", "x")).toDF("k", "d", "v"),
+      "d", store)
+    val v2 = PS.upsert(spark, t, Seq((2L, "b", "y")).toDF("k", "d", "v"),
+      Seq("k"), "d", store = store)
+    val r1 = PS.readVersion(spark, t, v1, store)
+    val r2 = PS.readVersion(spark, t, v2, store)
+    assert(graftIndexOf(r1).isDefined && graftIndexOf(r2).isDefined)
+    assert(r1.count() === 1 && r2.count() === 2)
+    // restore carries the restored version's file manifest forward
+    val v3 = PS.restore(spark, t, v1, store)
+    val r3 = PS.readVersion(spark, t, v3, store)
+    assert(graftIndexOf(r3).isDefined)
+    assert(r3.as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a", "x")))
+  }
+
+  test("schema evolution: new column surfaces as null on carried " +
+      "partitions, through the recorded schemas alone") {
+    val t = tmp("fm_evo") + "/t"
+    PS.write(spark, t, Seq((1L, "a", "x")).toDF("k", "d", "v"), "d",
+      store)
+    // touched partition b carries the new column; partition a is
+    // carried with its old footer
+    PS.upsert(spark, t,
+      Seq((2L, "b", "y", 7)).toDF("k", "d", "v", "extra"),
+      Seq("k"), "d", store = store)
+    val cur = PS.currentVersion(t, store).get
+    val fast = PS.readVersion(spark, t, cur, store)
+    assert(graftIndexOf(fast).isDefined)
+    val got = fast.select("k", "d", "v", "extra")
+      .as[(Long, String, String, Option[Int])].collect().toSet
+    assert(got === Set((1L, "a", "x", None), (2L, "b", "y", Some(7))))
+  }
+
+  test("filter pushdown and column pruning reach the indexed scan") {
+    val t = tmp("fm_push") + "/t"
+    PS.write(spark, t,
+      (1 to 100).map(i => (i.toLong, s"p${i % 4}", s"v$i"))
+        .toDF("k", "d", "v"), "d", store)
+    val df = PS.read(spark, t, store).filter(col("k") === 42L)
+      .select("k", "v")
+    val scan = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }.head
+    assert(scan.relation.location.isInstanceOf[graft.plans.GraftFileIndex])
+    assert(scan.metadata("PushedFilters").contains("EqualTo(k,42)"))
+    assert(scan.requiredSchema.fieldNames.toSet === Set("k", "v"))
+    assert(df.as[(Long, String)].collect().toSet === Set((42L, "v42")))
+  }
+
+  test("pre-feature version (no sidecars) falls back to the listing " +
+      "path and the next commit upgrades the table") {
+    val t = tmp("fm_legacy") + "/t"
+    val v1 = PS.write(spark, t,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "d", "v"), "d",
+      store)
+    // simulate a pre-feature commit: drop its sidecars
+    store.delete(f"$t/_snapshots/v$v1%05d/filemeta")
+    store.delete(f"$t/_snapshots/v$v1%05d/data_schema")
+    val legacy = PS.readVersion(spark, t, v1, store)
+    assert(graftIndexOf(legacy).isEmpty, "expected the listing path")
+    assert(legacy.count() === 2)
+    // next commit lists once (lazy upgrade)… but v1 stays the owner of
+    // its untouched partition, and v1 has no data_schema — so the READ
+    // still falls back (owner schema missing) while versionFiles is
+    // fully recorded
+    val v2 = PS.upsert(spark, t, Seq((2L, "b", "y2")).toDF("k", "d", "v"),
+      Seq("k"), "d", store = store)
+    assert(PS.fileManifest(t, v2, store).isDefined)
+    val afterUpgrade = PS.readVersion(spark, t, v2, store)
+    assert(graftIndexOf(afterUpgrade).isEmpty,
+      "owner v1 lacks data_schema — must decline the fast path")
+    assert(afterUpgrade.as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a", "x"), (2L, "b", "y2")))
+    // a full rewrite re-owns every partition → fully indexed again
+    PS.write(spark, t, PS.read(spark, t, store), "d", store)
+    val rebuilt = PS.read(spark, t, store)
+    assert(graftIndexOf(rebuilt).isDefined)
+    assert(rebuilt.count() === 2)
+  }
+
+  test("optimistic commits record file manifests (including the " +
+      "bare-owner shape) and vacuum keeps what they reference") {
+    val t = tmp("fm_opt") + "/t"
+    PS.write(spark, t, Seq((1L, "a", "x"), (2L, "b", "y"))
+      .toDF("k", "d", "v"), "d", store)
+    val v = PS.optimisticUpsert(spark, t,
+      Seq((3L, "c", "z")).toDF("k", "d", "v"), Seq("k"), "d",
+      store = store)
+    val fast = PS.readVersion(spark, t, v, store)
+    assert(graftIndexOf(fast).isDefined)
+    assert(fast.count() === 3)
+    PS.vacuum(t, keep = 1, store = store)
+    val after = PS.read(spark, t, store)
+    assert(graftIndexOf(after).isDefined)
+    assert(after.count() === 3)
+  }
+
+  test("SQL catalog SELECT plans from the metadata index with the " +
+      "declared-schema overlay") {
+    val root = tmp("fm_sql")
+    val cat = "fmsnap"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.plans.SnapshotSqlCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    PS.write(spark, s"$root/t",
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "d", "v"), "d",
+      store)
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN note STRING")
+    val df = spark.sql(s"SELECT k, v, note FROM $cat.t")
+    val locs = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => s
+    }
+    assert(locs.nonEmpty, "expected a DSv2 scan")
+    val got = df.as[(Long, String, Option[String])].collect().toSet
+    assert(got === Set((1L, "x", None), (2L, "y", None)))
+    // the v2 scan's file listing came from the metadata index
+    val pqScan = locs.head.scan.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
+    assert(pqScan.fileIndex.isInstanceOf[graft.plans.GraftFileIndex])
+  }
+}
