@@ -253,6 +253,60 @@ object PartitionedSnapshots {
     }
   }
 
+  /** MIGRATION backfill for PRE-FEATURE tables: record the
+    * plan-from-metadata sidecars for every retained committed version
+    * that lacks them. Without this, a table upgraded in place plans
+    * fast only once every owner version has been REWRITTEN (the lazy
+    * upgrade records sidecars for new commits, but a carried owner
+    * from before the feature never gains a data_schema). The backfill
+    * pays the listing + footer-read cost exactly once — the cost this
+    * feature removes from every subsequent plan:
+    *
+    *  - an owner with no recorded data_schema gets one inferred from
+    *    its OWN footers (all of an owner's files were written from one
+    *    frame, so any referenced subset infers the exact schema);
+    *  - a version with no filemeta gets one written (each version
+    *    carries from its predecessor, so the listing cost is paid on
+    *    the oldest version and carried forward).
+    *
+    * Runs under the table lock (pure metadata + read-only footer
+    * scans; safe against concurrent vacuum). Returns the versions
+    * whose filemeta this call wrote. Idempotent. */
+  def indexPlanMeta(spark: SparkSession, t: String,
+      store: CommitStore = CommitStore.local): Seq[Long] =
+    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+      currentVersion(t, store) match {
+        case None => Seq.empty
+        case Some(cur) =>
+          val committed = versions(t, store)
+            .filter(v => v <= cur && hasManifest(t, v, store))
+          var indexed = List.empty[Long]
+          var prev: Option[Long] = None
+          committed.foreach { v =>
+            val m = manifest(t, v, store)
+            m.values.toSeq.distinct.sorted.foreach { o =>
+              if (ownerSchema(t, o, store).isEmpty) {
+                val dirs = m.collect {
+                  case (p, ow) if ow == o => s"${dataDir(t, o)}/$p"
+                }.toSeq.sorted
+                if (dirs.nonEmpty) {
+                  val sch = spark.read.option("mergeSchema", "true")
+                    .parquet(dirs: _*).schema
+                  store.write(dataSchemaPath(t, o),
+                    sch.json.getBytes("UTF-8"))
+                }
+              }
+            }
+            if (fileManifest(t, v, store).isEmpty) {
+              writeFileMeta(t, v, m, prev, store)
+              indexed ::= v
+            }
+            prev = Some(v)
+          }
+          indexed.reverse
+      }
+    }
+
   /** What `StructType.asNullable` does (it is private[spark]): every
     * field, element and value nullable — the shape Spark serves every
     * file-based schema in. */
@@ -1571,7 +1625,49 @@ object PartitionedSnapshots {
   def changes(spark: SparkSession, t: String, fromV: Long, toV: Long,
       keys: Seq[String],
       store: CommitStore = CommitStore.local,
-      preImages: Boolean = false): DataFrame = {
+      preImages: Boolean = false): DataFrame =
+    changesImpl(spark, t, fromV, toV, keys, store, preImages, None)
+
+  /** The changed partitions of span (fromV, toV], sorted, each
+    * weighted by its file count across BOTH sides — the pacing units
+    * of a file-budgeted streaming CDC slice. The partition is the
+    * format's atomic diff unit (partCol is immutable per key, so each
+    * changed partition's key-wise diff composes to exactly the span's
+    * diff). Counts come from the recorded file manifests when present
+    * (metadata-only); a pre-feature version costs one listing per
+    * changed dir. */
+  private[graft] def changedPartsWeighted(t: String, fromV: Long,
+      toV: Long, store: CommitStore = CommitStore.local)
+      : IndexedSeq[(String, Long)] = {
+    val mFrom = manifest(t, fromV, store)
+    val mTo = manifest(t, toV, store)
+    val changed = (mFrom.keySet ++ mTo.keySet)
+      .filter(p => mFrom.get(p) != mTo.get(p)).toSeq.sorted
+    def counts(v: Long, m: Map[String, Long]): String => Long = {
+      val fm = fileManifest(t, v, store)
+        .map(_.groupBy(_.part).view.mapValues(_.size.toLong).toMap)
+      p => m.get(p).fold(0L)(o => fm.flatMap(_.get(p)).getOrElse(
+        listPartFiles(t, o, p, store).size.toLong))
+    }
+    val cf = counts(fromV, mFrom)
+    val ct = counts(toV, mTo)
+    changed.map(p => p -> (cf(p) + ct(p))).toIndexedSeq
+  }
+
+  /** [[changes]] restricted to a subset of the span's changed
+    * partitions — the body of one file-paced streaming CDC slice.
+    * Exact because the partition is the atomic diff unit (see
+    * [[changedPartsWeighted]]); a partition outside the span's changed
+    * set contributes nothing either way. */
+  private[graft] def changesForParts(spark: SparkSession, t: String,
+      fromV: Long, toV: Long, keys: Seq[String], store: CommitStore,
+      preImages: Boolean, parts: Set[String]): DataFrame =
+    changesImpl(spark, t, fromV, toV, keys, store, preImages,
+      Some(parts))
+
+  private def changesImpl(spark: SparkSession, t: String, fromV: Long,
+      toV: Long, keys: Seq[String], store: CommitStore,
+      preImages: Boolean, restrict: Option[Set[String]]): DataFrame = {
     // manifest-FILE existence is the retention test; an empty manifest
     // (keyed table primed with an empty batch, or restored to empty) is
     // a real version whose changes against a data-bearing one are all
@@ -1582,8 +1678,11 @@ object PartitionedSnapshots {
       s"$t has no snapshot v$toV (vacuumed or never committed)")
     val mFrom = manifest(t, fromV, store)
     val mTo = manifest(t, toV, store)
-    val changed = (mFrom.keySet ++ mTo.keySet)
+    val changedAll = (mFrom.keySet ++ mTo.keySet)
       .filter(p => mFrom.get(p) != mTo.get(p))
+    // a slice restriction keeps the diff exact per partition (keys
+    // never migrate partitions — the format's layout contract)
+    val changed = restrict.fold(changedAll)(changedAll.intersect)
     if (changed.isEmpty) {
       // identical manifests → definitionally zero changes; return the
       // empty change set in the proper shape without reading data

@@ -99,6 +99,33 @@ private[streaming] object BootstrapOffset {
   }
 }
 
+/** A PACED CDC-SPAN offset (the [[BootstrapOffset]] idea generalized
+  * to every batch): the manifest-diff of versions (`from`, `to`]
+  * delivered as changed-PARTITION slices — `parts` of `of` changed
+  * partitions processed so far, in deterministic sorted order. The
+  * slicing unit is the partition because it is the format's atomic
+  * diff unit: the partition column is immutable per key, so each
+  * changed partition's key-wise diff composes to exactly the span's
+  * diff. One version that rewrote many partitions (INSERT OVERWRITE,
+  * a wide compaction, a GDPR sweep) drains as ceil(files/cap) bounded
+  * batches instead of one batch sized by the rewrite. `parts == of`
+  * behaves as plain version `to` for every later span. */
+private[streaming] final case class SpanSliceOffset(from: Long,
+    to: Long, parts: Long, of: Long) extends Offset {
+  override val json: String =
+    s"""{"span_from":$from,"to":$to,"parts":$parts,"of":$of}"""
+}
+
+private[streaming] object SpanSliceOffset {
+  private val Re =
+    """\{"span_from":(\d+),"to":(\d+),"parts":(\d+),"of":(\d+)\}""".r
+  def parse(json: String): Option[SpanSliceOffset] = json.trim match {
+    case Re(f, t, p, o) =>
+      Some(SpanSliceOffset(f.toLong, t.toLong, p.toLong, o.toLong))
+    case _ => None
+  }
+}
+
 /** One drift-gate finding: which pinned columns the observed schema
   * cannot serve, and why. `needsRebootstrap` marks the kinds a restart
   * alone cannot heal — a retype, or an ambiguity baked into a
@@ -318,6 +345,7 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     }
     val startJson = Option(start).map(_.json)
     val boot = startJson.flatMap(BootstrapOffset.parse)
+    val span = startJson.flatMap(SpanSliceOffset.parse)
     boot match {
       case Some(b) if b.files < b.of &&
           !rebootstrapAt.exists(b.v < _) =>
@@ -333,9 +361,29 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         BootstrapOffset(b.v,
           if (b.files > b.of - step) b.of else b.files + step,
           b.of)
+      case _ if span.exists(sp => sp.parts < sp.of &&
+          !rebootstrapAt.exists(sp.from < _)) =>
+        // mid-span: the next changed-partition slice of the SAME
+        // logged span (a restart without the option drains the
+        // remainder as one slice; a span below a recorded
+        // re-bootstrap floor is superseded and falls to the floor
+        // path instead of slicing a pre-drift diff forever)
+        val sp = span.get
+        val parts = spanParts(sp.from, sp.to)
+        SpanSliceOffset(sp.from, sp.to,
+          nextBudget(parts, sp.parts), sp.of)
       case _ =>
-        // a COMPLETED bootstrap offset behaves as its plain version
+        // a COMPLETED bootstrap/span offset behaves as its plain
+        // version. A MID-span offset reaching here was superseded by
+        // a recorded re-bootstrap floor — it resolves to its FROM
+        // version so the floor comparison sees the undrained tail
+        // (a floor recorded mid-span sits at exactly span.to, and
+        // resolving to `to` would read as caught-up, silently
+        // dropping the unfinished slices instead of re-delivering
+        // them through the re-bootstrap)
         val startV = boot.map(_.v)
+          .orElse(span.map(sp =>
+            if (sp.parts < sp.of) sp.from else sp.to))
           .orElse(startJson.map(_.trim.toLong))
           .orElse(startingVersion)
         // recorded re-bootstrap floor (schema tracking): offsets below
@@ -409,10 +457,63 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
             // a drift records + refuses here, keeping the offset log
             // free of an unpaceable full-snapshot batch
             floored.foreach(trackedGate)
-            floored.map(LongOffset(_)).orNull
+            floored.map(e => spanOffsetFor(startV, e)).orNull
         }
     }
   }
+
+  /** Plain version end, or the FIRST slice of a file-paced span:
+    * with `maxFilesPerBatch`, a span whose changed partitions exceed
+    * the file budget drains as partition slices ([[SpanSliceOffset]]).
+    * Only partitioned-format endpoints slice (a full-copy table's
+    * span has no per-partition decomposition — and is dimension-sized
+    * by design). Reaching here implies no pending re-bootstrap (the
+    * floor path pre-empts in [[latestOffset]]). */
+  private def spanOffsetFor(startV: Option[Long], e: Long): Offset =
+    (startV, maxFilesPerBatch) match {
+      case (Some(s), Some(_)) if s < e &&
+          PartitionedSnapshots.hasManifest(t, e, store) &&
+          PartitionedSnapshots.hasManifest(t, s, store) =>
+        val parts = spanParts(s, e)
+        val total = parts.length.toLong
+        if (total == 0) LongOffset(e)
+        else {
+          val k = nextBudget(parts, 0L)
+          if (k >= total) LongOffset(e)
+          else SpanSliceOffset(s, e, k, total)
+        }
+      case _ => LongOffset(e)
+    }
+
+  /** Advance a span cursor by at least one changed partition,
+    * accumulating until the file budget fills (a restart without the
+    * option drains the remainder as one slice). Saturating and
+    * clamped: a recomputed list shorter than the pinned cursor marks
+    * the span complete — getBatch's `of` check owns the refusal. */
+  private def nextBudget(parts: IndexedSeq[(String, Long)],
+      k0: Long): Long = {
+    if (k0 >= parts.length.toLong) return parts.length.toLong
+    val cap = maxFilesPerBatch.getOrElse(Long.MaxValue)
+    var k = k0.toInt
+    var budget = 0L
+    while (k < parts.length &&
+        (budget == 0L || budget + parts(k)._2 <= cap)) {
+      budget += parts(k)._2
+      k += 1
+    }
+    math.max(k.toLong, k0 + 1)
+  }
+
+  // span changed-partition lists are per (from, to) of immutable
+  // versions — cache like the bootstrap file lists (one manifest
+  // diff + weight derivation per span, not per batch)
+  private val spanPartsCache = scala.collection.concurrent.TrieMap
+    .empty[(Long, Long), IndexedSeq[(String, Long)]]
+  private def spanParts(s: Long, e: Long): IndexedSeq[(String, Long)] =
+    spanPartsCache.getOrElseUpdate((s, e), {
+      if (spanPartsCache.size > 4) spanPartsCache.clear()
+      PartitionedSnapshots.changedPartsWeighted(t, s, e, store)
+    })
 
   override def reportLatestOffset()
       : org.apache.spark.sql.connector.read.streaming.Offset =
@@ -607,7 +708,14 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         "vacuumed or rewritten mid-bootstrap; discard the checkpoint " +
         "and re-bootstrap (and retain the bootstrap version until the " +
         "stream finishes draining it)")
-    val slice = files.slice(from.toInt, to.toInt)
+    // Long-clean cursor math: the count check above pins of ==
+    // files.length (an Int — a >2³¹-file version cannot materialize
+    // its in-memory list in the first place), so a checkpoint cursor
+    // past Int range can never reach the slice; the clamp makes the
+    // narrowing explicit rather than wrapping
+    val slice = files.slice(
+      math.min(from, files.length.toLong).toInt,
+      math.min(to, files.length.toLong).toInt)
     // the cached listing can outlive a vacuum of the pinned version
     // WITHIN a running stream (the count check above validates the
     // cache, not the store) — verify this slice's files exist so the
@@ -647,9 +755,48 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         return bootstrapSlice(be.v, f0, be.files, be.of)
       case None => ()
     }
+    SpanSliceOffset.parse(end.json) match {
+      case Some(se) =>
+        // a logged slice of a span superseded by a recorded
+        // re-bootstrap floor replays as an empty pinned frame (its
+        // rows re-arrive via the re-bootstrap; keyed sinks dedupe)
+        if (rebootstrapAt.exists(se.from < _)) return emptyPinned()
+        // same gates as a plain CDC span of these endpoints
+        gateOrRecord(schemaAt(se.to), dataFields, None, se.to)
+        gateOrRecord(schemaAt(se.from), dataFields, Some(se.from), se.to)
+        val parts = spanParts(se.from, se.to)
+        if (parts.length.toLong != se.of)
+          throw new IllegalStateException(
+            s"graft-changes: $t span v${se.from}→v${se.to} has " +
+              s"${parts.length} changed partitions but this stream's " +
+              s"checkpoint pinned ${se.of} — a span endpoint was " +
+              "vacuumed or rewritten mid-drain; discard the " +
+              "checkpoint and re-bootstrap (and retain the slowest " +
+              "stream's versions, e.g. via consumerId)")
+        // the cursor only carries within the SAME span — a start
+        // offset from a previous span restarts this one's changed
+        // list at 0 (same rule as the bootstrap cursor)
+        val k0 = start.flatMap(o => SpanSliceOffset.parse(o.json))
+          .filter(sp => sp.from == se.from && sp.to == se.to)
+          .map(_.parts).getOrElse(0L)
+        val slice = parts
+          .slice(math.min(k0, parts.length.toLong).toInt,
+            math.min(se.parts, parts.length.toLong).toInt)
+          .map(_._1)
+        return PartitionedSnapshots.changesForParts(spark, t, se.from,
+          se.to, keys, store, preImages, slice.toSet)
+      case None => ()
+    }
     val endV = versionOf(end)
-    // a COMPLETED bootstrap offset is its plain version for CDC spans
+    // a COMPLETED bootstrap/span offset is its plain version for CDC
+    // spans. A MID-span start resolves to its FROM version: it only
+    // meets a plain/snapshot end when a recorded re-bootstrap
+    // superseded the span (floor at exactly span.to), and resolving
+    // to `from` is what routes it into the floor branch below so the
+    // undrained tail re-arrives via the re-bootstrap
     val fromV = start.map(o => BootstrapOffset.parse(o.json).map(_.v)
+      .orElse(SpanSliceOffset.parse(o.json).map(sp =>
+        if (sp.parts < sp.of) sp.from else sp.to))
       .getOrElse(versionOf(o))).orElse(startingVersion)
     fromV match {
       case Some(s) if s >= endV =>
@@ -820,7 +967,13 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
   private def commitJson(j: String): Unit =
     BootstrapOffset.parse(j) match {
       case Some(b) => commitVersion(b.v)
-      case None => commitVersion(j.trim.toLong)
+      case None => SpanSliceOffset.parse(j) match {
+        // a span still needs its FROM version until fully drained
+        // (lagging retains more — always safe); the next plain offset
+        // advances the cursor past it
+        case Some(se) => commitVersion(se.from)
+        case None => commitVersion(j.trim.toLong)
+      }
     }
 
   // the engine drives the SparkDataStream overload; the v1 one is kept

@@ -174,6 +174,32 @@ class FileManifestSpec extends AnyFunSuite {
     assert(after.count() === 3)
   }
 
+  test("indexPlanMeta backfills a pre-feature table: owners gain " +
+      "schemas, versions gain filemeta, plans turn fast") {
+    val t = tmp("fm_backfill") + "/t"
+    val v1 = PS.write(spark, t,
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "d", "v"), "d",
+      store)
+    val v2 = PS.upsert(spark, t, Seq((3L, "c", "z")).toDF("k", "d", "v"),
+      Seq("k"), "d", store = store)
+    // simulate a fully pre-feature table
+    Seq(v1, v2).foreach { v =>
+      store.delete(f"$t/_snapshots/v$v%05d/filemeta")
+      store.delete(f"$t/_snapshots/v$v%05d/data_schema")
+    }
+    assert(graftIndexOf(PS.read(spark, t, store)).isEmpty)
+    val wrote = PS.indexPlanMeta(spark, t, store)
+    assert(wrote === Seq(v1, v2))
+    // idempotent
+    assert(PS.indexPlanMeta(spark, t, store).isEmpty)
+    val fast = PS.read(spark, t, store)
+    assert(graftIndexOf(fast).isDefined)
+    assert(fast.as[(Long, String, String)].collect().toSet ===
+      Set((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z")))
+    // the pinned old version is indexed too
+    assert(graftIndexOf(PS.readVersion(spark, t, v1, store)).isDefined)
+  }
+
   test("SQL catalog SELECT plans from the metadata index with the " +
       "declared-schema overlay") {
     val root = tmp("fm_sql")
