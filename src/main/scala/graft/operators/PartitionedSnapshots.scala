@@ -677,13 +677,123 @@ object PartitionedSnapshots {
       updates: DataFrame, keys: Seq[String], partCol: String,
       optimizeWrite: Boolean = false, maxRetries: Int = 3,
       store: CommitStore = CommitStore.local,
-      txn: Option[String] = None): Long = {
+      txn: Option[String] = None): Long =
+    optimisticLoop(t, maxRetries) { () =>
+      optimisticAttempt(spark, t, updates, partCol, keys, store, txn,
+        requireBase = false, dropEmptied = false,
+        resolve = (updCached, touchedDirs, mBase, _) => {
+          val existingDirs = mBase.collect {
+            case (p, owner) if touchedDirs(p) =>
+              s"${dataDir(t, owner)}/$p"
+          }.toSeq
+          val merged =
+            if (existingDirs.isEmpty) updCached
+            else {
+              val existing = spark.read.option("mergeSchema", "true")
+                .parquet(existingDirs: _*)
+              val kept =
+                if (keys.isEmpty) existing
+                else existing.join(
+                  updCached.select(keys.map(col): _*).distinct(),
+                  keys, "left_anti")
+              kept.unionByName(updCached, allowMissingColumns = true)
+            }
+          if (optimizeWrite) merged.repartition(col(partCol)) else merged
+        },
+        checkParts = (parts, touchedDirs, mBase) => {
+          val unmerged =
+            parts.filter(p => mBase.contains(p) && !touchedDirs(p))
+          if (unmerged.nonEmpty)
+            throw new IllegalStateException(
+              "partition rendering mismatch: wrote " +
+                unmerged.mkString(", ") + " without merging its " +
+                "existing rows — partCol type unsupported for " +
+                "manifest addressing (use string/date/integral keys)")
+        })
+    }
+
+  /** OPTIMISTIC concurrent MERGE — [[merge]] semantics (conditional
+    * update/delete/insert clauses over [[target]]/[[source]] refs,
+    * optional schema evolution) committed through the same
+    * prepare/validate protocol as [[optimisticUpsert]], so a MERGE
+    * writer and any other optimistic writer touching DISJOINT
+    * partitions do not serialize their data writes on the table lock.
+    *
+    * The conflict rule is identical: any partition this merge reads or
+    * writes (the source's addressed partitions plus everything the
+    * resolved output lands in) that changed owner since the base
+    * version refuses the attempt, and a bounded retry re-resolves the
+    * clauses against the new current version — so a lost race re-reads
+    * the winner's rows before matching, never matches against stale
+    * data. A merge whose matched-DELETE clause empties a partition
+    * commits the removal: the partition's manifest entry drops, exactly
+    * as the serializing [[merge]] records it.
+    *
+    * Use the locking [[merge]] for maintenance writers that must not
+    * lose a race (GDPR deletes, backfills racing compaction): the lock
+    * serializes those with everything, while this path trades bounded
+    * retries for concurrency. */
+  def optimisticMerge(spark: SparkSession, t: String, src: DataFrame,
+      keys: Seq[String], partCol: String,
+      whenMatchedUpdate: Map[String, org.apache.spark.sql.Column] = Map.empty,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+      insertNotMatched: Boolean = true,
+      insertCond: Option[org.apache.spark.sql.Column] = None,
+      evolveSchema: Boolean = false, maxRetries: Int = 3,
+      store: CommitStore = CommitStore.local,
+      txn: Option[String] = None): Long =
+    optimisticLoop(t, maxRetries) { () =>
+      optimisticAttempt(spark, t, src, partCol, keys, store, txn,
+        requireBase = true, dropEmptied = true,
+        resolve = (srcCached, touchedDirs, mBase, base) => {
+          // pin the schema source to the BASE version: under the lock,
+          // merge() reads "current", but a lock-free prepare must
+          // resolve against the exact state its validation will verify
+          val full = readVersion(spark, t, base.get, store)
+          val existingDirs = mBase.collect {
+            case (p, o) if touchedDirs(p) => s"${dataDir(t, o)}/$p"
+          }.toSeq
+          val targetCols0 = full.columns.toSeq
+          val tgt0 =
+            if (existingDirs.isEmpty) full.limit(0)
+            else spark.read.option("mergeSchema", "true")
+              .parquet(existingDirs: _*)
+          val newCols =
+            if (evolveSchema)
+              srcCached.columns.toSeq.filterNot(targetCols0.contains)
+            else Nil
+          val targetCols = targetCols0 ++ newCols
+          val tgt = targetCols.foldLeft(tgt0)((d, c) =>
+            if (d.columns.contains(c)) d
+            else d.withColumn(c, lit(null).cast(
+              if (newCols.contains(c)) srcCached.schema(c).dataType
+              else full.schema(c).dataType)))
+          MergeClauses.resolve(tgt, srcCached, keys, targetCols,
+            whenMatchedUpdate, whenMatchedDelete, insertNotMatched,
+            insertCond)
+        },
+        checkParts = (parts, touchedDirs, _) => {
+          val unexpected = parts.filterNot(touchedDirs)
+          if (unexpected.nonEmpty)
+            throw new IllegalStateException(
+              "partition rendering mismatch during merge: wrote " +
+                unexpected.mkString(", ") + " outside the source's " +
+                "partitions — an update moved a row across partitions " +
+                "or the partCol type is unsupported (orphan version; " +
+                "vacuum reclaims it)")
+        })
+    }
+
+  /** Bounded retry around one optimistic attempt: Right commits, Left
+    * conflicts consume a retry, exhaustion refuses naming the last
+    * conflict. */
+  private def optimisticLoop(t: String, maxRetries: Int)(
+      attemptOnce: () => Either[String, Long]): Long = {
     require(maxRetries >= 0, "maxRetries must be >= 0")
     var attempt = 0
     var lastConflict = ""
     while (attempt <= maxRetries) {
-      optimisticAttempt(spark, t, updates, keys, partCol,
-          optimizeWrite, store, txn) match {
+      attemptOnce() match {
         case Right(v) => return v
         case Left(conflict) =>
           lastConflict = conflict
@@ -696,19 +806,35 @@ object PartitionedSnapshots {
         s" and maxRetries=$maxRetries is exhausted — last conflict: " +
         lastConflict + ". If the conflict names overlapping " +
         "partitions, retry, raise maxRetries, or route this writer " +
-        "through the serializing upsert(); if it reports reclaimed " +
-        "base data on every attempt, the manifest may reference a " +
-        "missing owner dir (inspect before retrying).")
+        "through the serializing upsert()/merge(); if it reports " +
+        "reclaimed base data on every attempt, the manifest may " +
+        "reference a missing owner dir (inspect before retrying).")
   }
 
   /** One optimistic prepare+validate+commit attempt: Right(committed
     * version) or Left(conflict description) when a concurrent commit
-    * took one of this writer's partitions since its base. */
+    * took one of this writer's partitions since its base. The write
+    * semantics are the caller's (`resolve` computes the touched
+    * partitions' replacement rows from the cached source against the
+    * base manifest; `checkParts` refuses rendering mismatches after the
+    * data lands) — the protocol (reserve, heartbeated lock-free
+    * prepare, metadata-only validate+commit, conflict classification)
+    * is shared by every optimistic writer. `dropEmptied` commits the
+    * REMOVAL of a touched partition the resolved output left empty
+    * (merge's matched-DELETE emptying a partition); upsert/append can
+    * never empty one, and under a rendering mismatch the drop would be
+    * a silent data loss, so they keep it off. */
   private def optimisticAttempt(spark: SparkSession, t: String,
-      updates: DataFrame, keys: Seq[String], partCol: String,
-      optimizeWrite: Boolean, store: CommitStore,
-      txn: Option[String]): Either[String, Long] = {
+      updates: DataFrame, partCol: String, keys: Seq[String],
+      store: CommitStore, txn: Option[String], requireBase: Boolean,
+      dropEmptied: Boolean,
+      resolve: (DataFrame, Set[String], Map[String, Long],
+        Option[Long]) => DataFrame,
+      checkParts: (Seq[String], Set[String],
+        Map[String, Long]) => Unit): Either[String, Long] = {
     val base = currentVersion(t, store)
+    if (requireBase && base.isEmpty) throw new IllegalStateException(
+      s"$t has no committed snapshot")
     base.foreach { b =>
       if (!hasManifest(t, b, store)) throw new IllegalStateException(
         s"$t is a full-copy snapshot table — optimistic commits " +
@@ -771,34 +897,9 @@ object PartitionedSnapshots {
             .collect().map(r => partDirName(
               if (r.isNullAt(0)) None else Some(r.getString(0))))
             .toSet
-          val existingDirs = mBase.collect {
-            case (p, owner) if touchedDirs(p) =>
-              s"${dataDir(t, owner)}/$p"
-          }.toSeq
-          val merged =
-            if (existingDirs.isEmpty) updCached
-            else {
-              val existing = spark.read.option("mergeSchema", "true")
-                .parquet(existingDirs: _*)
-              val kept =
-                if (keys.isEmpty) existing
-                else existing.join(
-                  updCached.select(keys.map(col): _*).distinct(),
-                  keys, "left_anti")
-              kept.unionByName(updCached, allowMissingColumns = true)
-            }
-          val shaped =
-            if (optimizeWrite) merged.repartition(col(partCol))
-            else merged
-          val parts = writeData(shaped, t, v, partCol, store)
-          val unmerged =
-            parts.filter(p => mBase.contains(p) && !touchedDirs(p))
-          if (unmerged.nonEmpty)
-            throw new IllegalStateException(
-              "partition rendering mismatch: wrote " +
-                unmerged.mkString(", ") + " without merging its " +
-                "existing rows — partCol type unsupported for " +
-                "manifest addressing (use string/date/integral keys)")
+          val merged = resolve(updCached, touchedDirs, mBase, base)
+          val parts = writeData(merged, t, v, partCol, store)
+          checkParts(parts, touchedDirs, mBase)
           // list the freshly-written files HERE, lock-free — the
           // commit section's filemeta write then carries everything
           // else from the current version's record with zero store
@@ -864,9 +965,17 @@ object PartitionedSnapshots {
             // references the prepared dir as data owner
             val w = if (cur.forall(_ < v)) v
               else reserveVersion(t, store)
-            writeFileMeta(t, w, mCur ++ parts.map(_ -> v).toMap,
-              cur, store, freshRefs)
-            writeManifest(t, w, mCur ++ parts.map(_ -> v).toMap, store)
+            // a touched partition the resolved output EMPTIED (merge's
+            // matched-DELETE deleting every row) drops its manifest
+            // entry — safe only because checkParts verified the
+            // written dirs render inside the touched set, and the
+            // conflict check above already covered every touched dir
+            val dropped =
+              if (dropEmptied) touchedDirs -- parts.toSet
+              else Set.empty[String]
+            val mNew = (mCur -- dropped) ++ parts.map(_ -> v).toMap
+            writeFileMeta(t, w, mNew, cur, store, freshRefs)
+            writeManifest(t, w, mNew, store)
             commitPointer(t, w, store, txn)
             writeProps(t, partCol, keys, store)
             Right(w)

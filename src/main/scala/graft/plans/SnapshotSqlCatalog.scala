@@ -498,10 +498,23 @@ private[plans] class SnapshotWritableTable(
       insertNotMatched: Boolean,
       insertCond: Option[org.apache.spark.sql.Column],
       evolveSchema: Boolean): Unit = {
-    PartitionedSnapshots.merge(spark, tablePath, src, keys, partCol,
-      whenMatchedUpdate = update, whenMatchedDelete = delete,
-      insertNotMatched = insertNotMatched, insertCond = insertCond,
-      evolveSchema = evolveSchema, store = store)
+    // `SET graft.merge.optimistic=true` opts SQL MERGE INTO into the
+    // prepare/validate commit (disjoint-partition merges run their
+    // data writes concurrently; losers retry bounded). Default stays
+    // the single-writer lock — the right call for maintenance merges
+    // that must not lose a race.
+    val optimistic = spark.conf
+      .getOption("graft.merge.optimistic").exists(_.toBoolean)
+    if (optimistic)
+      PartitionedSnapshots.optimisticMerge(spark, tablePath, src, keys,
+        partCol, whenMatchedUpdate = update, whenMatchedDelete = delete,
+        insertNotMatched = insertNotMatched, insertCond = insertCond,
+        evolveSchema = evolveSchema, store = store)
+    else
+      PartitionedSnapshots.merge(spark, tablePath, src, keys, partCol,
+        whenMatchedUpdate = update, whenMatchedDelete = delete,
+        insertNotMatched = insertNotMatched, insertCond = insertCond,
+        evolveSchema = evolveSchema, store = store)
     ()
   }
 

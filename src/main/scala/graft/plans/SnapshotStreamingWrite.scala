@@ -26,9 +26,16 @@ import org.apache.spark.sql.types.StructType
   *     upsert, keyless tables append, `Complete` output mode replaces
   *     ([[PartitionedSnapshots]] for the partitioned format,
   *     [[Snapshots]] for full-copy) — so constraints, generated
-  *     columns, the single-writer lock, manifests, and the pointer
-  *     flip all apply unchanged, and the result is a first-class
-  *     version addressable via `VERSION AS OF`.
+  *     columns, manifests, and the pointer flip all apply unchanged,
+  *     and the result is a first-class version addressable via
+  *     `VERSION AS OF`. Partitioned upsert/append epochs commit
+  *     through the OPTIMISTIC protocol
+  *     ([[PartitionedSnapshots.optimisticUpsert]]): two streams
+  *     writing disjoint partitions of one table interleave their
+  *     epoch data writes instead of serializing on the table lock,
+  *     and overlapping epochs converge by bounded retry. `Complete`
+  *     mode (a full rebuild — nothing to run disjoint from) and the
+  *     full-copy format keep the single-writer lock.
   *
   * '''Exactly-once across restarts''' is the Delta txn pattern: each
   * epoch's commit records `txn=<queryId>/<epochId>` in the version's
@@ -115,14 +122,26 @@ private[plans] final class SnapshotStreamingWrite(
       val txn = Some(s"$queryId/$epochId")
       (partCol, keys) match {
         case (Some(pc), _) if truncate =>
+          // Complete mode rebuilds EVERY partition — there is nothing
+          // for an optimistic commit to run disjoint from, so the
+          // single-writer lock is the honest protocol
           PartitionedSnapshots.write(spark, tablePath, batch, pc, store,
             txn)
+        // epoch commits ride the OPTIMISTIC protocol: two streams
+        // writing DISJOINT partitions of one table interleave their
+        // epoch data writes instead of serializing on the table lock,
+        // and overlapping epochs converge by the bounded retry (the
+        // loser re-merges against the winner's commit). Exactly-once
+        // is untouched: the txn marker `queryId/epochId` lands with
+        // the pointer flip exactly as on the locking path, and a
+        // retried attempt re-prepares BEFORE committing, so the
+        // marker never lands twice.
         case (Some(pc), ks) if ks.nonEmpty =>
-          PartitionedSnapshots.upsert(spark, tablePath, batch, ks, pc,
-            store = store, txn = txn)
+          PartitionedSnapshots.optimisticUpsert(spark, tablePath, batch,
+            ks, pc, store = store, txn = txn)
         case (Some(pc), _) =>
-          PartitionedSnapshots.append(spark, tablePath, batch, pc,
-            store = store, txn = txn)
+          PartitionedSnapshots.optimisticAppend(spark, tablePath, batch,
+            pc, store = store, txn = txn)
         case (None, _) if truncate =>
           Snapshots.write(spark, tablePath, batch, store, txn)
         case (None, ks) if ks.nonEmpty =>
