@@ -461,6 +461,8 @@ object PartitionedSnapshots {
       val widened = StructType(base.fields :+
         StructField(column, dataType, nullable = true))
       updateProps(t, Map("schema" -> widened.json), store = store)
+      SchemaEvents.record(t, "alter", "ALTER TABLE ADD COLUMN", None,
+        Seq(StructField(column, dataType, nullable = true)), store)
     }
   }
 

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** AUDIT LOG of table-schema WIDENINGS — who added which columns, when,
+  * and with which commit (round-13 sink-side symmetry ask: the CDC
+  * source records its schema pins in `schemaTrackingLocation`; the
+  * write side now records its evolutions too, so a fleet operator can
+  * answer "who widened this shared table" without diffing footers).
+  *
+  * Storage: one immutable file per event under
+  * `<table>/_schema_history/`, named `<tsMs>-<nonce>` — concurrent
+  * recorders (two streams evolving different columns in the same
+  * instant) never contend on a read-modify-write, and the log needs no
+  * lock. Each file is two lines: a `ts \t actor \t source \t version`
+  * header and the added columns as a single-line [[StructType]] JSON
+  * (no hand-rolled type parsing — struct types carry commas and colons
+  * that would break any delimiter scheme).
+  *
+  * Recorded by:
+  *  - `ALTER TABLE … ADD COLUMN` ([[PartitionedSnapshots.addColumn]]):
+  *    actor `alter`, no version (a declared-schema change burns none);
+  *  - the streaming sink's first applied epoch that lands new columns
+  *    ([[graft.plans.SnapshotStreamingWrite]]): actor `stream`, source
+  *    = the query id, version = the epoch's committed version.
+  *
+  * Batch upsert/append widenings (unionByName with missing columns)
+  * are deliberate non-events: they are driver-visible one-off calls,
+  * not long-running writers a fleet operator audits blind. Surfaced
+  * via `CALL <cat>.system.schema_history('<table>')`. The log lives
+  * outside `_snapshots`, so vacuum never reclaims it; DROP TABLE
+  * removes it with the table dir. */
+object SchemaEvents {
+
+  final case class Event(tsMs: Long, actor: String, source: String,
+      version: Option[Long], added: Seq[StructField])
+
+  private def dir(t: String) = s"$t/_schema_history"
+
+  /** Append one widening event (its own unique file — lock-free). */
+  def record(t: String, actor: String, source: String,
+      version: Option[Long], added: Seq[StructField],
+      store: CommitStore = CommitStore.local): Unit = {
+    if (added.isEmpty) return
+    val ts = System.currentTimeMillis()
+    val name = s"$ts-${java.util.UUID.randomUUID().toString.take(8)}"
+    val body = s"$ts\t$actor\t$source\t${version.fold("-")(_.toString)}\n" +
+      StructType(added.toArray).json
+    store.mkdirs(dir(t))
+    store.write(s"${dir(t)}/$name", body.getBytes("UTF-8"))
+  }
+
+  /** Every recorded widening, oldest first. Unreadable/torn files are
+    * skipped (an event write is a single small PUT; a torn one means a
+    * crashed recorder whose widening never committed either). */
+  def all(t: String, store: CommitStore = CommitStore.local): Seq[Event] =
+    store.list(dir(t)).sorted.flatMap { f =>
+      store.read(s"${dir(t)}/$f").flatMap { b =>
+        val lines = new String(b, "UTF-8").split('\n')
+        if (lines.length < 2) None
+        else scala.util.Try {
+          val h = lines(0).split('\t')
+          Event(h(0).toLong, h(1), h(2),
+            Some(h(3)).filter(_ != "-").map(_.toLong),
+            DataType.fromJson(lines(1)).asInstanceOf[StructType]
+              .fields.toSeq)
+        }.toOption
+      }
+    }
+}

@@ -47,7 +47,7 @@ private[plans] object SnapshotProcedures {
     "add_constraint", "drop_constraint", "show_constraints", "mirror",
     "add_generated_column", "drop_generated_column",
     "show_generated_columns", "detail", "tag", "drop_tag", "tags",
-    "txns", "drop_txn")
+    "txns", "drop_txn", "schema_history")
 
   def load(procName: String, pathOf: String => String,
       store: CommitStore): Option[UnboundProcedure] =
@@ -135,7 +135,8 @@ private[plans] object SnapshotProcedures {
         pd("replace", DataTypes.BooleanType, "false"))
       case "drop_tag" => Array(p("table", DataTypes.StringType),
         p("name", DataTypes.StringType))
-      case "tags" | "txns" => Array(p("table", DataTypes.StringType))
+      case "tags" | "txns" | "schema_history" =>
+        Array(p("table", DataTypes.StringType))
       case "drop_txn" => Array(p("table", DataTypes.StringType),
         p("app_id", DataTypes.StringType))
       case "mirror" => Array(p("table", DataTypes.StringType),
@@ -284,6 +285,19 @@ private[plans] object SnapshotProcedures {
             "query_id STRING, epoch BIGINT, preserved_at_ms BIGINT"),
             all.map { case (q, (e, at)) => row(utf8(q), e,
               at.map(Long.box).orNull) })
+        case "schema_history" =>
+          // the widening audit log (SchemaEvents): who added which
+          // columns, when, and — for streaming evolutions — with which
+          // committed version. Sink-side symmetry to the CDC source's
+          // schemaTrackingLocation.
+          val evts = graft.operators.SchemaEvents.all(t, store)
+          result(StructType.fromDDL("ts_ms BIGINT, actor STRING, " +
+            "source STRING, version BIGINT, added STRING"),
+            evts.map(e => row(e.tsMs, utf8(e.actor), utf8(e.source),
+              e.version.map(Long.box).orNull,
+              utf8(e.added.map(f =>
+                s"${f.name} ${f.dataType.simpleString}")
+                .mkString(", ")))))
         case "drop_txn" =>
           // retire a streaming query id's exactly-once mark (the Delta
           // txn-retention contract, invoked explicitly): after the drop

@@ -613,7 +613,12 @@ private[plans] class SnapshotWritableTable(
             // writeStream.option("zoneMapCols", "a,b") keeps the
             // file-stats index fresh per epoch (streamCommit parity)
             Option(info.options.get("zoneMapCols")).toSeq
-              .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)))
+              .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+            // columns this run's schema ADDS — the sink records the
+            // widening to _schema_history with its first landed epoch
+            evolvedCols = info.schema().fields.toSeq.filterNot(f =>
+              inner.schema.fieldNames.exists(
+                _.equalsIgnoreCase(f.name))))
         }
       }
     }
@@ -744,7 +749,10 @@ private[plans] class FullCopyWritableTable(
             PartitionedSnapshots.tableProps(tablePath, store).get("keys")
               .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
               .getOrElse(Nil),
-            overwrite, store)
+            overwrite, store,
+            evolvedCols = info.schema().fields.toSeq.filterNot(f =>
+              inner.schema.fieldNames.exists(
+                _.equalsIgnoreCase(f.name))))
         }
       }
     }

@@ -63,11 +63,17 @@ import org.apache.spark.sql.types.StructType
 private[plans] final class SnapshotStreamingWrite(
     tablePath: String, writeSchema: StructType, queryId: String,
     partCol: Option[String], keys: Seq[String], truncate: Boolean,
-    store: CommitStore, zoneMapCols: Seq[String] = Nil)
+    store: CommitStore, zoneMapCols: Seq[String] = Nil,
+    evolvedCols: Seq[org.apache.spark.sql.types.StructField] = Nil)
   extends StreamingWrite {
 
   private def stagingDir(epochId: Long) =
     s"$tablePath/_streaming/$queryId/$epochId"
+
+  // the run's widening is recorded ONCE, with the first epoch that
+  // actually commits it — the stream-start gate only DECLARED the new
+  // columns; a run whose epochs never land must not claim a widening
+  @volatile private var evolutionRecorded = false
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -120,7 +126,7 @@ private[plans] final class SnapshotStreamingWrite(
       val spark = SparkSession.active
       val batch = spark.read.schema(writeSchema).parquet(files: _*)
       val txn = Some(s"$queryId/$epochId")
-      (partCol, keys) match {
+      val committed: Long = (partCol, keys) match {
         case (Some(pc), _) if truncate =>
           // Complete mode rebuilds EVERY partition — there is nothing
           // for an optimistic commit to run disjoint from, so the
@@ -148,6 +154,13 @@ private[plans] final class SnapshotStreamingWrite(
           Snapshots.upsert(spark, tablePath, batch, ks, store, txn)
         case (None, _) =>
           Snapshots.append(spark, tablePath, batch, store, txn)
+      }
+      // schema-history symmetry (round-13): the first epoch that LANDS
+      // the run's declared new columns records who widened the table
+      if (evolvedCols.nonEmpty && !evolutionRecorded) {
+        evolutionRecorded = true
+        graft.operators.SchemaEvents.record(tablePath, "stream",
+          queryId, Some(committed), evolvedCols, store)
       }
       // streamCommit parity: keep the file-stats index FRESH under
       // streaming ingestion — the incremental builder reuses carried

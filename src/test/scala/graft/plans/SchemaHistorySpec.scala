@@ -1,0 +1,99 @@
+package graft.plans
+
+import graft.operators.{CommitStore, SchemaEvents,
+  PartitionedSnapshots => PS}
+import org.apache.spark.sql.types.{IntegerType, StructField}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Round-13 stretch: sink-side schema-tracking symmetry. The CDC
+  * source records its schema pins; the WRITE side now records its
+  * widenings — who added which columns, when, with which commit — in
+  * `_schema_history`, surfaced via `CALL <cat>.system.schema_history`. */
+class SchemaHistorySpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def staged(root: String, df: org.apache.spark.sql.DataFrame,
+      name: String): String = {
+    val dir = s"$root/$name"
+    df.coalesce(1).write.parquet(dir)
+    Files.list(java.nio.file.Paths.get(dir)).toArray.map(_.toString)
+      .find(_.endsWith(".parquet")).get
+  }
+
+  test("a streaming run that lands new columns records ONE widening " +
+      "event — actor, query id, committed version, added columns — " +
+      "with its first applied epoch, not per epoch, and not at all " +
+      "when the run declares no new columns") {
+    val root = Files.createTempDirectory("graft_schemahist").toString
+    val t = s"$root/t"
+    PS.write(spark, t, Seq((1L, "A", "x")).toDF("k", "d", "v"), "d")
+    val widened = PS.read(spark, t)
+      .withColumn("extra", org.apache.spark.sql.functions.lit(1)).schema
+    val w = new SnapshotStreamingWrite(t, widened, "q-evolve",
+      Some("d"), Nil, truncate = false, CommitStore.local,
+      evolvedCols = Seq(StructField("extra", IntegerType)))
+    w.commit(1L, Array(StagedEpochFiles(staged(root,
+      Seq((2L, "A", "y", 7)).toDF("k", "d", "v", "extra"), "e1"), 1L)))
+    val v1 = PS.currentVersion(t).get
+    w.commit(2L, Array(StagedEpochFiles(staged(root,
+      Seq((3L, "B", "z", 8)).toDF("k", "d", "v", "extra"), "e2"), 1L)))
+
+    val evts = SchemaEvents.all(t)
+    assert(evts.size == 1, s"one event per run, got $evts")
+    val e = evts.head
+    assert(e.actor == "stream" && e.source == "q-evolve")
+    assert(e.version.contains(v1),
+      s"event must carry the FIRST landed epoch's version: $e")
+    assert(e.added.map(_.name) == Seq("extra"))
+    assert(e.added.head.dataType == IntegerType)
+
+    // a second run with NO new columns records nothing
+    val w2 = new SnapshotStreamingWrite(t, widened, "q-steady",
+      Some("d"), Nil, truncate = false, CommitStore.local)
+    w2.commit(1L, Array(StagedEpochFiles(staged(root,
+      Seq((4L, "B", "w", 9)).toDF("k", "d", "v", "extra"), "e3"), 1L)))
+    assert(SchemaEvents.all(t).size == 1)
+  }
+
+  test("a run whose epochs never land claims no widening: replayed " +
+      "epochs (already committed under the marker) skip the record") {
+    val root = Files.createTempDirectory("graft_schemahist_replay")
+      .toString
+    val t = s"$root/t"
+    PS.write(spark, t, Seq((1L, "A", "x")).toDF("k", "d", "v"), "d")
+    // epoch 5 commits under this query id BEFORE the evolving restart
+    // (the txn marker is what makes the re-delivery a replay)
+    val w0 = new SnapshotStreamingWrite(t,
+      PS.read(spark, t).schema, "q-replay", Some("d"), Nil,
+      truncate = false, CommitStore.local)
+    w0.commit(5L, Array(StagedEpochFiles(staged(root,
+      Seq((9L, "A", "pre")).toDF("k", "d", "v"), "e0"), 1L)))
+    val widened = PS.read(spark, t)
+      .withColumn("extra", org.apache.spark.sql.functions.lit(1)).schema
+    val w = new SnapshotStreamingWrite(t, widened, "q-replay",
+      Some("d"), Nil, truncate = false, CommitStore.local,
+      evolvedCols = Seq(StructField("extra", IntegerType)))
+    w.commit(5L, Array(StagedEpochFiles(staged(root,
+      Seq((2L, "A", "y", 7)).toDF("k", "d", "v", "extra"), "e1"), 1L)))
+    assert(SchemaEvents.all(t).isEmpty,
+      "a skipped replay must not claim a widening")
+  }
+
+  test("ALTER TABLE ADD COLUMN records an alter event, and CALL " +
+      "system.schema_history surfaces the full log in order") {
+    val root = Files.createTempDirectory("graft_schemahist_sql").toString
+    spark.conf.set("spark.sql.catalog.snapsh",
+      "graft.plans.SnapshotSqlCatalog")
+    spark.conf.set("spark.sql.catalog.snapsh.root", root)
+    val t = s"$root/aud"
+    PS.write(spark, t, Seq((1L, "A", "x")).toDF("k", "d", "v"), "d")
+    spark.sql("ALTER TABLE snapsh.aud ADD COLUMN note STRING")
+    val got = spark.sql(
+      "CALL snapsh.system.schema_history(table => 'aud')")
+      .select("actor", "version", "added")
+      .as[(String, Option[Long], String)].collect().toSeq
+    assert(got == Seq(("alter", None, "note string")), s"$got")
+  }
+}
