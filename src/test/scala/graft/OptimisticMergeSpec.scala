@@ -16,6 +16,7 @@ object OptimisticMergeGates {
   // overlap tests: block the merge's prepare until a fast writer lands
   val overlapGate = new CountDownLatch(1)
   val refuseGate = new CountDownLatch(1)
+  val constraintGate = new CountDownLatch(1)
 }
 
 /** Optimistic MERGE (round-13): [[PS.merge]] clause semantics committed
@@ -197,6 +198,69 @@ class OptimisticMergeSpec extends AnyFunSuite {
       s"conflict must name the partition: ${e.getCause.getMessage}")
     // the prepared dir was reclaimed eagerly, not left for vacuum
     assert(!Files.exists(Paths.get(s"$t/_snapshots/v00002/data")))
+  }
+
+  test("a CHECK constraint added AFTER the prepare enforced the old " +
+      "rules but BEFORE the commit section converts to a conflict: " +
+      "rows written past the old gate never commit past the new one") {
+    import graft.operators.{CommitStore, Constraints}
+    // delegating store that parks the prepare AFTER its data write
+    // (the lock-free fresh-file listing of the written partition) so
+    // the rules can tighten in the window the props re-validation
+    // exists to close
+    class ParkingStore extends CommitStore {
+      @volatile var armed = false
+      private val d = CommitStore.local
+      override def listEntries(dir: String): Seq[CommitStore.DirEntry] = {
+        if (armed && dir.contains("/data/__p=")) {
+          armed = false
+          OptimisticMergeGates.constraintGate.await()
+        }
+        d.listEntries(dir)
+      }
+      override def createNew(p: String, c: Array[Byte]) = d.createNew(p, c)
+      override def read(p: String) = d.read(p)
+      override def write(p: String, c: Array[Byte]) = d.write(p, c)
+      override def rename(s: String, x: String, r: Boolean) =
+        d.rename(s, x, r)
+      override def delete(p: String) = d.delete(p)
+      override def deleteRecursively(p: String) = d.deleteRecursively(p)
+      override def exists(p: String) = d.exists(p)
+      override def modifiedMs(p: String) = d.modifiedMs(p)
+      override def list(p: String) = d.list(p)
+      override def mkdirs(p: String) = d.mkdirs(p)
+      override def touch(p: String) = d.touch(p)
+    }
+    val store = new ParkingStore
+    val t = s"${tmp("omrg_props")}/t"
+    PS.write(spark, t, Seq((1L, "P", "v0")).toDF("k", "d", "v"), "d",
+      store = store)
+    val pool = Executors.newFixedThreadPool(1)
+    store.armed = true
+    val slow = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long =
+        PS.optimisticMerge(spark, t,
+          Seq((2L, "P", "violates")).toDF("k", "d", "v"), Seq("k"),
+          "d", maxRetries = 0, store = store)
+    })
+    // the prepare's write gate enforced the OLD (empty) rules and is
+    // now parked before the commit section — tighten the rules
+    awaitFile(s"$t/_snapshots/v00002/data")
+    Constraints.add(spark, t, "v_not_violates", "v <> 'violates'",
+      store = store)
+    OptimisticMergeGates.constraintGate.countDown()
+    val e = intercept[java.util.concurrent.ExecutionException] {
+      slow.get(120, TimeUnit.SECONDS)
+    }
+    pool.shutdown()
+    // maxRetries=0 pins the exact branch: the commit section's
+    // governing-props re-validation reported the conflict
+    assert(e.getCause.isInstanceOf[Incremental.ConcurrentWriteException]
+      && e.getCause.getMessage.contains(
+        "constraints/generated columns changed"),
+      s"expected the props-revalidation conflict: ${e.getCause}")
+    assert(rows(t) == Set((1L, "P", "v0")),
+      "a row enforced under the old rules committed past the new gate")
   }
 
   test("an update that moves a row across partitions refuses loudly " +
