@@ -146,25 +146,31 @@ object PartitionedSnapshots {
   final case class FileRef(part: String, owner: Long, name: String,
       bytes: Long)
 
-  /** Version `v`'s recorded file manifest, if its commit wrote one. */
+  /** Version `v`'s recorded file manifest, if its commit wrote one.
+    * TORN or corrupt content reads as None — the sidecars are an
+    * acceleration, so a half-written file (a crashed backfill, a
+    * partial PUT) must degrade the read to the legacy listing path,
+    * never make the table unreadable with an anonymous parse error. */
   def fileManifest(t: String, v: Long,
       store: CommitStore = CommitStore.local): Option[Seq[FileRef]] =
-    store.read(fileMetaPath(t, v)).map(b =>
+    store.read(fileMetaPath(t, v)).flatMap(b => scala.util.Try {
       new String(b, "UTF-8").split('\n').filter(_.nonEmpty).toSeq
         .map { l =>
           val a = l.split('\t')
           FileRef(a(0), a(1).toLong, a(2), a(3).toLong)
-        })
+        }
+    }.toOption)
 
   /** The schema of the rows version `o`'s OWN data dir holds, if
-    * recorded at its commit. */
+    * recorded at its commit (torn content → None, as [[fileManifest]]). */
   def ownerSchema(t: String, o: Long,
       store: CommitStore = CommitStore.local)
       : Option[org.apache.spark.sql.types.StructType] =
-    store.read(dataSchemaPath(t, o)).map(b =>
+    store.read(dataSchemaPath(t, o)).flatMap(b => scala.util.Try {
       org.apache.spark.sql.types.DataType
         .fromJson(new String(b, "UTF-8"))
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }.toOption)
 
   private def listPartFiles(t: String, o: Long, p: String,
       store: CommitStore): Seq[FileRef] =
@@ -184,7 +190,8 @@ object PartitionedSnapshots {
     * which is already vacuum's orphan class). */
   private def writeFileMeta(t: String, v: Long, m: Map[String, Long],
       carryFrom: Option[Long], store: CommitStore,
-      fresh: Map[String, Seq[FileRef]] = Map.empty): Unit = {
+      fresh: Map[String, Seq[FileRef]] = Map.empty,
+      atomic: Boolean = false): Unit = {
     val carried: Map[String, Seq[FileRef]] =
       carryFrom.flatMap(cv => fileManifest(t, cv, store))
         .map(_.groupBy(_.part)).getOrElse(Map.empty)
@@ -194,8 +201,13 @@ object PartitionedSnapshots {
         .getOrElse(listPartFiles(t, o, p, store))
         .map(f => s"${f.part}\t${f.owner}\t${f.name}\t${f.bytes}")
     }
-    store.write(fileMetaPath(t, v),
-      lines.mkString("\n").getBytes("UTF-8"))
+    val bytes = lines.mkString("\n").getBytes("UTF-8")
+    // commit paths use the plain write (the dir is unreferenced until
+    // the manifest lands after this — a crash leaves vacuum's orphan
+    // class); the BACKFILL writes into already-committed dirs where no
+    // ordering protects, so it must be torn-proof
+    if (atomic) store.atomicWrite(fileMetaPath(t, v), bytes)
+    else store.write(fileMetaPath(t, v), bytes)
   }
 
   /** Union the distinct owners' recorded schemas in ascending owner
@@ -247,8 +259,8 @@ object PartitionedSnapshots {
           // for file-based schemas — and a carried pre-evolution
           // footer legitimately misses a later column, which the
           // reader null-fills only for nullable fields)
-          .map(s => (refs, forceNullable(s)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]))
+          .map(s => (refs,
+            org.apache.spark.sql.graft.Bridge.asNullable(s)))
       }
     }
   }
@@ -292,13 +304,18 @@ object PartitionedSnapshots {
                 if (dirs.nonEmpty) {
                   val sch = spark.read.option("mergeSchema", "true")
                     .parquet(dirs: _*).schema
-                  store.write(dataSchemaPath(t, o),
+                  // atomicWrite, NOT plain write: the backfill targets
+                  // ALREADY-COMMITTED version dirs, so the commit
+                  // protocol's write-ordering (sidecar before manifest)
+                  // cannot protect a crash mid-write here — a torn
+                  // sidecar next to a live manifest must be impossible
+                  store.atomicWrite(dataSchemaPath(t, o),
                     sch.json.getBytes("UTF-8"))
                 }
               }
             }
             if (fileManifest(t, v, store).isEmpty) {
-              writeFileMeta(t, v, m, prev, store)
+              writeFileMeta(t, v, m, prev, store, atomic = true)
               indexed ::= v
             }
             prev = Some(v)
@@ -306,25 +323,6 @@ object PartitionedSnapshots {
           indexed.reverse
       }
     }
-
-  /** What `StructType.asNullable` does (it is private[spark]): every
-    * field, element and value nullable — the shape Spark serves every
-    * file-based schema in. */
-  private def forceNullable(dt: org.apache.spark.sql.types.DataType)
-      : org.apache.spark.sql.types.DataType = {
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    dt match {
-      case s: StructType => StructType(s.fields.map(f => f.copy(
-        dataType = forceNullable(f.dataType), nullable = true)))
-      case a: ArrayType => a.copy(
-        elementType = forceNullable(a.elementType), containsNull = true)
-      case m: MapType => m.copy(
-        keyType = forceNullable(m.keyType),
-        valueType = forceNullable(m.valueType),
-        valueContainsNull = true)
-      case x => x
-    }
-  }
 
   /** Recorded refs → hadoop `FileStatus` entries for the plan-from-
     * metadata index (exact lengths; mtime 0 — immutable files). */

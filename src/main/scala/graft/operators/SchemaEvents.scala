@@ -50,9 +50,47 @@ object SchemaEvents {
     store.write(s"${dir(t)}/$name", body.getBytes("UTF-8"))
   }
 
-  /** Every recorded widening, oldest first. Unreadable/torn files are
-    * skipped (an event write is a single small PUT; a torn one means a
-    * crashed recorder whose widening never committed either). */
+  /** Durable TWO-PHASE record for recorders whose widening and event
+    * cannot land atomically (the streaming sink): phase 1 creates the
+    * event under a caller-chosen DETERMINISTIC name BEFORE the
+    * widening commits — `createNew`, so a replayed epoch finds it and
+    * no-ops — with the version unknown; [[fillVersion]] patches the
+    * version in once the commit lands. Crash between the phases
+    * leaves the full audit entry (who/what/when) minus the version;
+    * crash before phase 1 means the widening did not land either (the
+    * epoch replays and retries both). */
+  def stage(t: String, name: String, actor: String, source: String,
+      added: Seq[StructField],
+      store: CommitStore = CommitStore.local): Unit = {
+    if (added.isEmpty) return
+    val ts = System.currentTimeMillis()
+    val body = s"$ts\t$actor\t$source\t-\n" +
+      StructType(added.toArray).json
+    store.mkdirs(dir(t))
+    store.createNew(s"${dir(t)}/$name", body.getBytes("UTF-8"))
+    ()
+  }
+
+  /** Phase 2 of [[stage]]: record the committed version on the staged
+    * event (atomic — readers see the old content or the new, never a
+    * torn file). No-op if the event is missing or unreadable. */
+  def fillVersion(t: String, name: String, version: Long,
+      store: CommitStore = CommitStore.local): Unit =
+    store.read(s"${dir(t)}/$name").foreach { b =>
+      val lines = new String(b, "UTF-8").split('\n')
+      if (lines.length >= 2) scala.util.Try {
+        val h = lines(0).split('\t')
+        store.atomicWrite(s"${dir(t)}/$name",
+          (s"${h(0)}\t${h(1)}\t${h(2)}\t$version\n" +
+            lines.drop(1).mkString("\n")).getBytes("UTF-8"))
+      }
+    }
+
+  /** Every recorded widening, oldest first (by recorded timestamp —
+    * staged events carry deterministic names, so filename order is
+    * not chronological). Unreadable/torn files are skipped (an event
+    * write is a single small PUT; a torn one means a crashed recorder
+    * whose widening never committed either). */
   def all(t: String, store: CommitStore = CommitStore.local): Seq[Event] =
     store.list(dir(t)).sorted.flatMap { f =>
       store.read(s"${dir(t)}/$f").flatMap { b =>
@@ -66,5 +104,5 @@ object SchemaEvents {
               .fields.toSeq)
         }.toOption
       }
-    }
+    }.sortBy(_.tsMs)
 }

@@ -105,40 +105,42 @@ class SnapshotSqlCatalog extends TableCatalog
     val t = pathOf(ident)
     val opts = new CaseInsensitiveStringMap(
       java.util.Map.of("mergeSchema", "true"))
-    val dirs = dirsOf(t, v)
     val declared = PartitionedSnapshots.tableProps(t, store).get("schema")
       .map(json => org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[StructType])
-    if (dirs.isEmpty)
-      // an empty-manifest version (keyed table primed with an empty
-      // batch) has nothing to infer from — the declared schema IS the
-      // schema
-      ParquetTable(s"$catalogName.${ident.name}@v$v",
-        SparkSession.active, opts, dirs,
-        Some(declared.getOrElse(throw new IllegalStateException(
-          s"$t v$v has no data files and no declared schema — " +
-            "CREATE TABLE (or write data) first"))),
-        classOf[ParquetFileFormat])
-    else {
-      // plan-from-metadata fast path: a partitioned-format version
-      // whose commit recorded its file manifest + owner schemas plans
-      // the scan from an explicit file index — no dir listings, no
-      // footer schema inference — with the declared-schema overlay
-      // applied to the RECORDED file schema (file fields still win on
-      // type, same rule as the inference path below)
-      val fast =
-        if (PartitionedSnapshots.hasManifest(t, v, store))
-          PartitionedSnapshots.planMeta(t, v, store)
-        else None
-      fast match {
-        case Some((refs, fileSchema)) =>
-          val missing = declared.toSeq.flatMap(_.fields).filterNot(f =>
-            fileSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-          new IndexedParquetTable(s"$catalogName.${ident.name}@v$v",
-            SparkSession.active, opts, t,
-            StructType(fileSchema.fields ++ missing),
-            PartitionedSnapshots.planStatuses(t, refs))
-        case None =>
+    // plan-from-metadata fast path FIRST — a partitioned-format
+    // version whose commit recorded its file manifest + owner schemas
+    // plans the scan from an explicit file index (no dir listings, no
+    // footer schema inference) with the declared-schema overlay
+    // applied to the RECORDED file schema (file fields still win on
+    // type, same rule as the inference path below). Checked before
+    // dirsOf so the winning path parses the partition manifest ONCE
+    // (inside planMeta), not once per helper.
+    val fast =
+      if (PartitionedSnapshots.hasManifest(t, v, store))
+        PartitionedSnapshots.planMeta(t, v, store)
+      else None
+    fast match {
+      case Some((refs, fileSchema)) =>
+        val missing = declared.toSeq.flatMap(_.fields).filterNot(f =>
+          fileSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        new IndexedParquetTable(s"$catalogName.${ident.name}@v$v",
+          SparkSession.active, opts, t,
+          StructType(fileSchema.fields ++ missing),
+          PartitionedSnapshots.planStatuses(t, refs))
+      case None =>
+        val dirs = dirsOf(t, v)
+        if (dirs.isEmpty)
+          // an empty-manifest version (keyed table primed with an
+          // empty batch) has nothing to infer from — the declared
+          // schema IS the schema
+          ParquetTable(s"$catalogName.${ident.name}@v$v",
+            SparkSession.active, opts, dirs,
+            Some(declared.getOrElse(throw new IllegalStateException(
+              s"$t v$v has no data files and no declared schema — " +
+                "CREATE TABLE (or write data) first"))),
+            classOf[ParquetFileFormat])
+        else {
           val base = ParquetTable(s"$catalogName.${ident.name}@v$v",
             SparkSession.active, opts, dirs, None,
             classOf[ParquetFileFormat])
@@ -154,7 +156,7 @@ class SnapshotSqlCatalog extends TableCatalog
                 classOf[ParquetFileFormat])
             case None => base
           }
-      }
+        }
     }
   }
 

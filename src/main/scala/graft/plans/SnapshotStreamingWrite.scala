@@ -70,10 +70,19 @@ private[plans] final class SnapshotStreamingWrite(
   private def stagingDir(epochId: Long) =
     s"$tablePath/_streaming/$queryId/$epochId"
 
-  // the run's widening is recorded ONCE, with the first epoch that
+  // the run's widening is recorded ONCE, around the first epoch that
   // actually commits it — the stream-start gate only DECLARED the new
-  // columns; a run whose epochs never land must not claim a widening
+  // columns; a run whose epochs never land must not claim a widening.
+  // Two-phase (SchemaEvents.stage before the commit, fillVersion
+  // after) under a DETERMINISTIC name, so a crash in either window
+  // keeps the audit entry: before the commit, the epoch replays and
+  // retries both phases (stage no-ops via createNew); after it, the
+  // entry already exists and only the version backfill is lost.
   @volatile private var evolutionRecorded = false
+  private lazy val evolutionEventName = {
+    val cols = evolvedCols.map(_.name).sorted.mkString(",")
+    f"stream-$queryId-${cols.hashCode}%08x"
+  }
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -126,6 +135,10 @@ private[plans] final class SnapshotStreamingWrite(
       val spark = SparkSession.active
       val batch = spark.read.schema(writeSchema).parquet(files: _*)
       val txn = Some(s"$queryId/$epochId")
+      val recordEvolution = evolvedCols.nonEmpty && !evolutionRecorded
+      if (recordEvolution)
+        graft.operators.SchemaEvents.stage(tablePath,
+          evolutionEventName, "stream", queryId, evolvedCols, store)
       val committed: Long = (partCol, keys) match {
         case (Some(pc), _) if truncate =>
           // Complete mode rebuilds EVERY partition — there is nothing
@@ -157,10 +170,10 @@ private[plans] final class SnapshotStreamingWrite(
       }
       // schema-history symmetry (round-13): the first epoch that LANDS
       // the run's declared new columns records who widened the table
-      if (evolvedCols.nonEmpty && !evolutionRecorded) {
+      if (recordEvolution) {
         evolutionRecorded = true
-        graft.operators.SchemaEvents.record(tablePath, "stream",
-          queryId, Some(committed), evolvedCols, store)
+        graft.operators.SchemaEvents.fillVersion(tablePath,
+          evolutionEventName, committed, store)
       }
       // streamCommit parity: keep the file-stats index FRESH under
       // streaming ingestion — the incremental builder reuses carried

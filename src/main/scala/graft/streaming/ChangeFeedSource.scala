@@ -370,6 +370,20 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         // path instead of slicing a pre-drift diff forever)
         val sp = span.get
         val parts = spanParts(sp.from, sp.to)
+        // validate the recomputed list against the checkpointed pin
+        // HERE, not only in getBatch: a vacuumed span endpoint can
+        // recompute to a list no longer than the cursor, and emitting
+        // an offset equal to the start would stall the stream forever
+        // (no new batch → getBatch's own refusal never runs) instead
+        // of surfacing the guided error
+        if (parts.length.toLong != sp.of)
+          throw new IllegalStateException(
+            s"graft-changes: $t span v${sp.from}→v${sp.to} has " +
+              s"${parts.length} changed partitions but this stream's " +
+              s"checkpoint pinned ${sp.of} — a span endpoint was " +
+              "vacuumed or rewritten mid-drain; discard the " +
+              "checkpoint and re-bootstrap (and retain the slowest " +
+              "stream's versions, e.g. via consumerId)")
         SpanSliceOffset(sp.from, sp.to,
           nextBudget(parts, sp.parts), sp.of)
       case _ =>

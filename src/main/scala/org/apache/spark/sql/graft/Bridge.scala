@@ -39,6 +39,13 @@ object Bridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** Spark's own `StructType.asNullable` (`private[spark]`): every
+    * field, element and value nullable — the shape Spark serves every
+    * file-based schema in. Exposed here so callers track Spark's exact
+    * nullability rule instead of re-implementing the recursion. */
+  def asNullable(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = s.asNullable
+
   /** Nullability-insensitive type equality (the `private[sql]`
     * `DataType.equalsIgnoreNullability`) — the right comparison for
     * write-compatibility checks, where a struct differing only in a

@@ -224,4 +224,30 @@ class FileManifestSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]
     assert(pqScan.fileIndex.isInstanceOf[graft.plans.GraftFileIndex])
   }
+
+  test("TORN sidecars degrade the read to the listing path — a " +
+      "corrupt filemeta or data_schema makes planning slower, never " +
+      "the table unreadable") {
+    val t = s"${tmp("fm_torn")}/t"
+    PS.write(spark, t, Seq((1L, "A", "a"), (2L, "B", "b"),
+      (3L, "C", "c")).toDF("k", "d", "v"), "d", store)
+    // simulate a crashed half-write: truncated filemeta content
+    store.write(f"$t/_snapshots/v00001/filemeta",
+      "half\twritten".getBytes("UTF-8"))
+    assert(PS.fileManifest(t, 1L, store).isEmpty,
+      "torn filemeta must parse as absent")
+    assert(PS.planMeta(t, 1L, store).isEmpty,
+      "planMeta must decline, not throw")
+    assert(PS.read(spark, t, store).count() == 3,
+      "the read must fall back to the listing path")
+    // and a torn owner schema: the backfill restores the filemeta
+    // (idempotent on the torn one), then corrupt data_schema
+    PS.indexPlanMeta(spark, t, store)
+    assert(PS.fileManifest(t, 1L, store).nonEmpty)
+    store.write(f"$t/_snapshots/v00001/data_schema",
+      "{not valid json".getBytes("UTF-8"))
+    assert(PS.ownerSchema(t, 1L, store).isEmpty)
+    assert(PS.planMeta(t, 1L, store).isEmpty)
+    assert(PS.read(spark, t, store).count() == 3)
+  }
 }

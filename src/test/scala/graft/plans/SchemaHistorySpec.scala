@@ -81,6 +81,34 @@ class SchemaHistorySpec extends AnyFunSuite {
       "a skipped replay must not claim a widening")
   }
 
+  test("the two-phase record survives the crash windows: a staged " +
+      "event (crash before the epoch committed) is preserved and " +
+      "idempotent under replay; fillVersion patches the version in; " +
+      "a crash after the commit loses only the version, never the " +
+      "entry") {
+    val t = Files.createTempDirectory("graft_schemahist_2p").toString
+    // phase 1 (pre-commit): entry exists, version unknown
+    SchemaEvents.stage(t, "stream-q-x-abc", "stream", "q-x",
+      Seq(StructField("extra", IntegerType)))
+    val staged = SchemaEvents.all(t)
+    assert(staged.size == 1 && staged.head.version.isEmpty)
+    val ts0 = staged.head.tsMs
+    // a replayed phase 1 (restart re-running the epoch) no-ops — the
+    // original timestamp survives, no duplicate entry
+    SchemaEvents.stage(t, "stream-q-x-abc", "stream", "q-x",
+      Seq(StructField("extra", IntegerType)))
+    assert(SchemaEvents.all(t) == staged)
+    // phase 2: the committed version lands on the SAME entry
+    SchemaEvents.fillVersion(t, "stream-q-x-abc", 7L)
+    val filled = SchemaEvents.all(t)
+    assert(filled.size == 1 && filled.head.version.contains(7L) &&
+      filled.head.tsMs == ts0, s"$filled")
+    // fillVersion on a missing entry (crash before phase 1 — the
+    // widening didn't land either) is a no-op, not an error
+    SchemaEvents.fillVersion(t, "never-staged", 9L)
+    assert(SchemaEvents.all(t).size == 1)
+  }
+
   test("ALTER TABLE ADD COLUMN records an alter event, and CALL " +
       "system.schema_history surfaces the full log in order") {
     val root = Files.createTempDirectory("graft_schemahist_sql").toString

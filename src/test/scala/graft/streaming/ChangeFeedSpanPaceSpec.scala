@@ -155,4 +155,28 @@ class ChangeFeedSpanPaceSpec extends AnyFunSuite {
       "next run delivers exactly the mid-span commit")
     assert(drain(inject = false) == Seq.empty, "caught up")
   }
+
+  test("a span endpoint vacuumed mid-drain surfaces the guided " +
+      "refusal in latestOffset on restart — never a silent stall or " +
+      "a wrong recomputed span") {
+    val t = tmp()
+    writeAll(t, 6, "x")           // v1
+    writeAll(t, 6, "y")           // v2 (full rewrite)
+    writeAll(t, 6, "z")           // v3 (full rewrite — v1, v2 now
+                                  // unreferenced by any retained
+                                  // manifest)
+    PS.vacuum(t, keep = 1)        // drops v1 and v2
+    val src = new ChangeFeedSource(spark, Map("path" -> t,
+      "keys" -> "k", "maxFilesPerBatch" -> "4"))
+    // a checkpoint pinned mid-span over the vacuumed (1, 2] span:
+    // the recomputed changed-partition list can no longer match the
+    // pinned total — latestOffset must raise the guided error, not
+    // emit a non-advancing (or wrong) offset that getBatch never sees
+    val prev = SpanSliceOffset(1L, 2L, 2L, 6L)
+    val e = intercept[IllegalStateException] {
+      src.latestOffset(prev, src.getDefaultReadLimit)
+    }
+    assert(e.getMessage.contains("pinned 6") &&
+      e.getMessage.contains("discard the checkpoint"), e.getMessage)
+  }
 }
