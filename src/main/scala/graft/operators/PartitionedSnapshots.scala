@@ -241,27 +241,38 @@ object PartitionedSnapshots {
     * when the filemeta disagrees with the manifest (torn state —
     * never trust it), or when owner schemas need type reconciliation —
     * all of which fall back to the legacy listing path. */
+  /** [[fileManifest]] cross-checked against version `v`'s partition
+    * manifest: the partition sets must match and every ref's owner
+    * must agree — an INCOMPLETE-but-parseable record (an
+    * under-reported commit-time listing, a future writer bug) must
+    * degrade to the listing path, not silently serve a short file
+    * list. Shared by the plan path and the paced-bootstrap path: a
+    * bootstrap that pinned a short list would stream a subset and
+    * never deliver the missing partition's rows. */
+  private def checkedFileManifest(t: String, v: Long,
+      m: Map[String, Long], store: CommitStore): Option[Seq[FileRef]] =
+    fileManifest(t, v, store).filter { refs =>
+      val byPart = refs.groupBy(_.part)
+      byPart.keySet == m.keySet &&
+        !refs.exists(r => !m.get(r.part).contains(r.owner))
+    }
+
   private[graft] def planMeta(t: String, v: Long,
       store: CommitStore = CommitStore.local)
       : Option[(Seq[FileRef], org.apache.spark.sql.types.StructType)] = {
     val m = manifest(t, v, store)
     if (m.isEmpty) return None
-    fileManifest(t, v, store).flatMap { refs =>
-      val byPart = refs.groupBy(_.part)
-      if (byPart.keySet != m.keySet ||
-          refs.exists(r => !m.get(r.part).contains(r.owner))) None
-      else {
-        val owners = refs.map(_.owner).distinct.sorted
-        val schemas = owners.map(o => ownerSchema(t, o, store))
-        if (schemas.exists(_.isEmpty)) None
-        else mergeOwnerSchemas(schemas.flatten)
-          // file-source reads are nullable-forced (Spark's own rule
-          // for file-based schemas — and a carried pre-evolution
-          // footer legitimately misses a later column, which the
-          // reader null-fills only for nullable fields)
-          .map(s => (refs,
-            org.apache.spark.sql.graft.Bridge.asNullable(s)))
-      }
+    checkedFileManifest(t, v, m, store).flatMap { refs =>
+      val owners = refs.map(_.owner).distinct.sorted
+      val schemas = owners.map(o => ownerSchema(t, o, store))
+      if (schemas.exists(_.isEmpty)) None
+      else mergeOwnerSchemas(schemas.flatten)
+        // file-source reads are nullable-forced (Spark's own rule
+        // for file-based schemas — and a carried pre-evolution
+        // footer legitimately misses a later column, which the
+        // reader null-fills only for nullable fields)
+        .map(s => (refs,
+          org.apache.spark.sql.graft.Bridge.asNullable(s)))
     }
   }
 
@@ -281,48 +292,55 @@ object PartitionedSnapshots {
     *    carries from its predecessor, so the listing cost is paid on
     *    the oldest version and carried forward).
     *
-    * Runs under the table lock (pure metadata + read-only footer
-    * scans; safe against concurrent vacuum). Returns the versions
+    * The table lock is taken PER VERSION, not across the whole
+    * backfill: one iteration's footer scan + listing can take minutes
+    * on a large pre-feature table, and a corpus-wide hold would stall
+    * (and, past their backoff deadlines, FAIL) every concurrent
+    * writer for the migration's full duration. Per-version scope
+    * still excludes vacuum from reclaiming the dirs an iteration
+    * reads (vacuum holds the same lock), the sidecar writes are
+    * atomic and idempotent, and a version vacuumed between iterations
+    * is re-checked under the lock and skipped. Returns the versions
     * whose filemeta this call wrote. Idempotent. */
   def indexPlanMeta(spark: SparkSession, t: String,
-      store: CommitStore = CommitStore.local): Seq[Long] =
-    Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
-      currentVersion(t, store) match {
-        case None => Seq.empty
-        case Some(cur) =>
-          val committed = versions(t, store)
-            .filter(v => v <= cur && hasManifest(t, v, store))
-          var indexed = List.empty[Long]
-          var prev: Option[Long] = None
-          committed.foreach { v =>
-            val m = manifest(t, v, store)
-            m.values.toSeq.distinct.sorted.foreach { o =>
-              if (ownerSchema(t, o, store).isEmpty) {
-                val dirs = m.collect {
-                  case (p, ow) if ow == o => s"${dataDir(t, o)}/$p"
-                }.toSeq.sorted
-                if (dirs.nonEmpty) {
-                  val sch = spark.read.option("mergeSchema", "true")
-                    .parquet(dirs: _*).schema
-                  // atomicWrite, NOT plain write: the backfill targets
-                  // ALREADY-COMMITTED version dirs, so the commit
-                  // protocol's write-ordering (sidecar before manifest)
-                  // cannot protect a crash mid-write here — a torn
-                  // sidecar next to a live manifest must be impossible
-                  store.atomicWrite(dataSchemaPath(t, o),
-                    sch.json.getBytes("UTF-8"))
-                }
+      store: CommitStore = CommitStore.local): Seq[Long] = {
+    val cur = currentVersion(t, store).getOrElse(return Seq.empty)
+    val committed = versions(t, store)
+      .filter(v => v <= cur && hasManifest(t, v, store))
+    var indexed = List.empty[Long]
+    var prev: Option[Long] = None
+    committed.foreach { v =>
+      Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+        if (hasManifest(t, v, store)) {
+          val m = manifest(t, v, store)
+          m.values.toSeq.distinct.sorted.foreach { o =>
+            if (ownerSchema(t, o, store).isEmpty) {
+              val dirs = m.collect {
+                case (p, ow) if ow == o => s"${dataDir(t, o)}/$p"
+              }.toSeq.sorted
+              if (dirs.nonEmpty) {
+                val sch = spark.read.option("mergeSchema", "true")
+                  .parquet(dirs: _*).schema
+                // atomicWrite, NOT plain write: the backfill targets
+                // ALREADY-COMMITTED version dirs, so the commit
+                // protocol's write-ordering (sidecar before manifest)
+                // cannot protect a crash mid-write here — a torn
+                // sidecar next to a live manifest must be impossible
+                store.atomicWrite(dataSchemaPath(t, o),
+                  sch.json.getBytes("UTF-8"))
               }
             }
-            if (fileManifest(t, v, store).isEmpty) {
-              writeFileMeta(t, v, m, prev, store, atomic = true)
-              indexed ::= v
-            }
-            prev = Some(v)
           }
-          indexed.reverse
+          if (fileManifest(t, v, store).isEmpty) {
+            writeFileMeta(t, v, m, prev, store, atomic = true)
+            indexed ::= v
+          }
+          prev = Some(v)
+        }
       }
     }
+    indexed.reverse
+  }
 
   /** Recorded refs → hadoop `FileStatus` entries for the plan-from-
     * metadata index (exact lengths; mtime 0 — immutable files). */
@@ -538,8 +556,9 @@ object PartitionedSnapshots {
     Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
       val v = reserveVersion(t, store)
       val parts = writeData(df, t, v, partCol, store)
-      writeFileMeta(t, v, parts.map(_ -> v).toMap, None, store)
-      writeManifest(t, v, parts.map(_ -> v).toMap, store)
+      val mNew = parts.map(_ -> v).toMap
+      writeFileMeta(t, v, mNew, None, store)
+      writeManifest(t, v, mNew, store)
       commitPointer(t, v, store, txn)
       writeProps(t, partCol, Nil, store)
       v
@@ -974,7 +993,19 @@ object PartitionedSnapshots {
               if (dropEmptied) touchedDirs -- parts.toSet
               else Set.empty[String]
             val mNew = (mCur -- dropped) ++ parts.map(_ -> v).toMap
-            writeFileMeta(t, w, mNew, cur, store, freshRefs)
+            // filemeta only when the carry source exists: untouched
+            // partitions then copy from the current version's record
+            // and the touched ones come from the prepare's lock-free
+            // listing — ZERO store listings in this critical section.
+            // A pre-feature base (no filemeta on cur) would force
+            // O(live partitions) listings UNDER THE LOCK here, so the
+            // upgrade is left to indexPlanMeta or a serializing
+            // commit (which hold the lock for their data write
+            // anyway); planMeta falls back to listing until then.
+            val carryOk = cur.forall(c =>
+              fileManifest(t, c, store).isDefined)
+            if (carryOk)
+              writeFileMeta(t, w, mNew, cur, store, freshRefs)
             writeManifest(t, w, mNew, store)
             commitPointer(t, w, store, txn)
             writeProps(t, partCol, keys, store)
@@ -1088,8 +1119,9 @@ object PartitionedSnapshots {
       currentVersion(t, store) match {
         case None =>
           val parts = writeData(shaped(updates), t, v, partCol, store)
-          writeFileMeta(t, v, parts.map(_ -> v).toMap, None, store)
-          writeManifest(t, v, parts.map(_ -> v).toMap, store)
+          val mNew = parts.map(_ -> v).toMap
+          writeFileMeta(t, v, mNew, None, store)
+          writeManifest(t, v, mNew, store)
         case Some(cur) =>
           val m = manifest(t, cur, store)
           val updCached = updates.cache()
@@ -1138,10 +1170,9 @@ object PartitionedSnapshots {
                   unmerged.mkString(", ") + " without merging its " +
                   "existing rows — partCol type unsupported for " +
                   "manifest addressing (use string/date/integral keys)")
-            writeFileMeta(t, v, m ++ parts.map(_ -> v).toMap,
-              Some(cur), store)
-            writeManifest(t, v,
-              m ++ parts.map(_ -> v).toMap, store)
+            val mNew = m ++ parts.map(_ -> v).toMap
+            writeFileMeta(t, v, mNew, Some(cur), store)
+            writeManifest(t, v, mNew, store)
           } finally updCached.unpersist()
       }
       if (publish) commitPointer(t, v, store, txn)
@@ -1214,18 +1245,24 @@ object PartitionedSnapshots {
     // order the checkpointed file cursor depends on — IDENTICAL
     // between the recorded (filemeta) and listing paths, because both
     // sort the same full-path set: a checkpoint written against one
-    // resumes exactly against the other
-    fileManifest(t, v, store) match {
-      case Some(refs) =>
-        refs.map(r => s"${dataDir(t, r.owner)}/${r.part}/${r.name}")
-          .sorted
-      case None =>
-        manifest(t, v, store).toSeq.flatMap { case (p, owner) =>
-          val dir = s"${dataDir(t, owner)}/$p"
-          store.listEntries(dir)
-            .filter(e => !e.isDir && e.name.endsWith(".parquet"))
-            .map(e => s"$dir/${e.name}")
-        }.sorted
+    // resumes exactly against the other. The record serves only when
+    // it cross-checks against the manifest (checkedFileManifest) — an
+    // incomplete record would pin a SHORT list into a bootstrap
+    // checkpoint and silently never deliver the missing files.
+    {
+      val m = manifest(t, v, store)
+      checkedFileManifest(t, v, m, store) match {
+        case Some(refs) =>
+          refs.map(r => s"${dataDir(t, r.owner)}/${r.part}/${r.name}")
+            .sorted
+        case None =>
+          m.toSeq.flatMap { case (p, owner) =>
+            val dir = s"${dataDir(t, owner)}/$p"
+            store.listEntries(dir)
+              .filter(e => !e.isDir && e.name.endsWith(".parquet"))
+              .map(e => s"$dir/${e.name}")
+          }.sorted
+      }
     }
 
   /** Drop every version dir that no RETAINED manifest references:
@@ -1445,10 +1482,9 @@ object PartitionedSnapshots {
               unexpected.mkString(", ") + " outside the detected " +
               "partitions — aborting commit (orphan version; vacuum " +
               "reclaims it)")
-        writeFileMeta(t, v,
-          (m -- touchedDirs) ++ parts.map(_ -> v).toMap, Some(cur), store)
-        writeManifest(t, v,
-          (m -- touchedDirs) ++ parts.map(_ -> v).toMap, store)
+        val mNew = (m -- touchedDirs) ++ parts.map(_ -> v).toMap
+        writeFileMeta(t, v, mNew, Some(cur), store)
+        writeManifest(t, v, mNew, store)
         commitPointer(t, v, store)
         v
       }
@@ -1504,10 +1540,9 @@ object PartitionedSnapshots {
               unexpected.mkString(", ") + " outside the detected " +
               "partitions — an assignment moved a row across " +
               "partitions (orphan version; vacuum reclaims it)")
-        writeFileMeta(t, v,
-          (m -- touchedDirs) ++ parts.map(_ -> v).toMap, Some(cur), store)
-        writeManifest(t, v,
-          (m -- touchedDirs) ++ parts.map(_ -> v).toMap, store)
+        val mNew = (m -- touchedDirs) ++ parts.map(_ -> v).toMap
+        writeFileMeta(t, v, mNew, Some(cur), store)
+        writeManifest(t, v, mNew, store)
         commitPointer(t, v, store)
         v
       }
@@ -1601,10 +1636,9 @@ object PartitionedSnapshots {
               "partitions — an update moved a row across partitions " +
               "or the partCol type is unsupported (orphan version; " +
               "vacuum reclaims it)")
-        writeFileMeta(t, v,
-          (m -- touchedDirs) ++ parts.map(_ -> v).toMap, Some(cur), store)
-        writeManifest(t, v,
-          (m -- touchedDirs) ++ parts.map(_ -> v).toMap, store)
+        val mNew = (m -- touchedDirs) ++ parts.map(_ -> v).toMap
+        writeFileMeta(t, v, mNew, Some(cur), store)
+        writeManifest(t, v, mNew, store)
         commitPointer(t, v, store)
         writeProps(t, partCol, keys, store)
         v
@@ -1713,10 +1747,9 @@ object PartitionedSnapshots {
               "vacuum reclaims it)")
         // a fragmented dir whose files held zero rows yields no
         // rewritten dir; it leaves the manifest (still zero rows)
-        writeFileMeta(t, v, (m -- fragSet) ++ parts.map(_ -> v).toMap,
-          Some(cur), store)
-        writeManifest(t, v, (m -- fragSet) ++ parts.map(_ -> v).toMap,
-          store)
+        val mNew = (m -- fragSet) ++ parts.map(_ -> v).toMap
+        writeFileMeta(t, v, mNew, Some(cur), store)
+        writeManifest(t, v, mNew, store)
         commitPointer(t, v, store)
         (v, parts)
       }

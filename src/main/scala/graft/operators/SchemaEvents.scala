@@ -92,7 +92,12 @@ object SchemaEvents {
     * write is a single small PUT; a torn one means a crashed recorder
     * whose widening never committed either). */
   def all(t: String, store: CommitStore = CommitStore.local): Seq[Event] =
-    store.list(dir(t)).sorted.flatMap { f =>
+    store.list(dir(t)).sorted
+      // atomicWrite stages "<name>.__tmp-<uuid>" in this directory; a
+      // crash between the stage and the rename leaves the tmp behind,
+      // and its body would parse as a valid DUPLICATE event
+      .filterNot(_.contains(".__tmp-"))
+      .flatMap { f =>
       store.read(s"${dir(t)}/$f").flatMap { b =>
         val lines = new String(b, "UTF-8").split('\n')
         if (lines.length < 2) None

@@ -154,13 +154,31 @@ private[plans] final class SnapshotStreamingWrite(
         // is untouched: the txn marker `queryId/epochId` lands with
         // the pointer flip exactly as on the locking path, and a
         // retried attempt re-prepares BEFORE committing, so the
-        // marker never lands twice.
+        // marker never lands twice. RETRY EXHAUSTION falls back to
+        // the serializing path — a long-running query must always
+        // make progress, so sustained same-partition contention
+        // degrades an epoch to the pre-optimistic behavior (lock +
+        // serialize) instead of failing the stream.
         case (Some(pc), ks) if ks.nonEmpty =>
-          PartitionedSnapshots.optimisticUpsert(spark, tablePath, batch,
-            ks, pc, store = store, txn = txn)
+          try PartitionedSnapshots.optimisticUpsert(spark, tablePath,
+            batch, ks, pc, store = store, txn = txn)
+          catch {
+            case _: graft.operators.Incremental.ConcurrentWriteException =>
+              SnapshotStreamingWrite.serializedRetry {
+                PartitionedSnapshots.upsert(spark, tablePath, batch,
+                  ks, pc, store = store, txn = txn)
+              }
+          }
         case (Some(pc), _) =>
-          PartitionedSnapshots.optimisticAppend(spark, tablePath, batch,
-            pc, store = store, txn = txn)
+          try PartitionedSnapshots.optimisticAppend(spark, tablePath,
+            batch, pc, store = store, txn = txn)
+          catch {
+            case _: graft.operators.Incremental.ConcurrentWriteException =>
+              SnapshotStreamingWrite.serializedRetry {
+                PartitionedSnapshots.append(spark, tablePath, batch,
+                  pc, store = store, txn = txn)
+              }
+          }
         case (None, _) if truncate =>
           Snapshots.write(spark, tablePath, batch, store, txn)
         case (None, ks) if ks.nonEmpty =>
@@ -192,6 +210,30 @@ private[plans] final class SnapshotStreamingWrite(
 }
 
 private[plans] object SnapshotStreamingWrite {
+
+  /** Bounded backoff around the SERIALIZING fallback an epoch takes
+    * after optimistic-retry exhaustion: the single-writer lock is
+    * non-blocking (contention throws), but epoch-commit lock holders
+    * are transient, so a stream that already lost its optimistic
+    * races must queue briefly rather than fail — a long-running query
+    * must always make progress. Gives up (rethrows) past 2× the lock
+    * staleness horizon, the same bound the optimistic commit section
+    * uses. */
+  private[plans] def serializedRetry[A](body: => A): A = {
+    val deadline = System.currentTimeMillis() +
+      2 * graft.operators.Incremental.DefaultLockStaleMs
+    var delay = 50L
+    while (true) {
+      try return body
+      catch {
+        case e: graft.operators.Incremental.ConcurrentWriteException =>
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(delay)
+          delay = math.min(delay * 2, 2000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** SCHEMA EVOLUTION GATE, applied once at stream (re)start — the
     * point where a restarted query's source can legitimately differ

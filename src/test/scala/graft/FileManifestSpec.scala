@@ -250,4 +250,29 @@ class FileManifestSpec extends AnyFunSuite {
     assert(PS.planMeta(t, 1L, store).isEmpty)
     assert(PS.read(spark, t, store).count() == 3)
   }
+
+  test("an INCOMPLETE-but-parseable filemeta fails the manifest " +
+      "cross-check everywhere: versionFiles serves the full listing " +
+      "(a paced bootstrap must never pin a short list), planMeta " +
+      "declines") {
+    val t = s"${tmp("fm_short")}/t"
+    PS.write(spark, t, Seq((1L, "A", "a"), (2L, "B", "b"),
+      (3L, "C", "c")).toDF("k", "d", "v"), "d", store)
+    val full = PS.versionFiles(t, 1L, store)
+    assert(full.size == 3)
+    // drop one partition's rows from the record (simulating an
+    // under-reported commit-time listing or a writer bug)
+    val recorded = new String(
+      store.read(f"$t/_snapshots/v00001/filemeta").get, "UTF-8")
+    val short = recorded.split('\n').filterNot(_.startsWith("__p=B"))
+      .mkString("\n")
+    store.write(f"$t/_snapshots/v00001/filemeta",
+      short.getBytes("UTF-8"))
+    assert(PS.fileManifest(t, 1L, store).get.size == 2,
+      "the record itself parses")
+    assert(PS.versionFiles(t, 1L, store) == full,
+      "versionFiles must fall back to the complete listing")
+    assert(PS.planMeta(t, 1L, store).isEmpty)
+    assert(PS.read(spark, t, store).count() == 3)
+  }
 }

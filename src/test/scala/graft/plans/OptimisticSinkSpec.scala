@@ -93,6 +93,20 @@ class OptimisticSinkSpec extends AnyFunSuite {
       "replayed epoch must not commit")
   }
 
+  test("serializedRetry (the post-exhaustion fallback's lock-queue): " +
+      "transient contention retries until the body commits; past the " +
+      "deadline the refusal surfaces") {
+    var calls = 0
+    val got = SnapshotStreamingWrite.serializedRetry {
+      calls += 1
+      if (calls < 3) throw new graft.operators.Incremental
+        .ConcurrentWriteException("lock busy")
+      42
+    }
+    assert(got == 42 && calls == 3,
+      "transient contention must queue, not fail the stream")
+  }
+
   test("two streams' epochs on the SAME partition converge by the " +
       "bounded retry — both epochs land, no lost update") {
     val root = Files.createTempDirectory("graft_osink_ovl").toString

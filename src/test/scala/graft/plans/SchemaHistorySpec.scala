@@ -107,6 +107,13 @@ class SchemaHistorySpec extends AnyFunSuite {
     // widening didn't land either) is a no-op, not an error
     SchemaEvents.fillVersion(t, "never-staged", 9L)
     assert(SchemaEvents.all(t).size == 1)
+    // an atomicWrite staging file left by a crash between its write
+    // and rename must NOT parse as a duplicate event
+    val body = CommitStore.local.read(s"$t/_schema_history/stream-q-x-abc").get
+    CommitStore.local.write(
+      s"$t/_schema_history/stream-q-x-abc.__tmp-deadbeef", body)
+    assert(SchemaEvents.all(t).size == 1,
+      "a leftover .__tmp- staging file duplicated the event")
   }
 
   test("ALTER TABLE ADD COLUMN records an alter event, and CALL " +
