@@ -43,6 +43,32 @@ object Incremental {
     * upsert finishes far inside this window). */
   val DefaultLockStaleMs: Long = 10 * 60 * 1000L
 
+  /** Spin-with-backoff around a body that throws
+    * [[ConcurrentWriteException]] on transient contention — the ONE
+    * lock-queue policy every caller that must outwait a short-lived
+    * holder shares (the optimistic commit section's lock take, the
+    * streaming sink's serializing fallback). The lock itself stays
+    * non-blocking (the right contract for long data-writing holders,
+    * where queueing would hide a stall); this helper is for callers
+    * whose contention is known-transient. Gives up (rethrows) past
+    * 2× the staleness horizon — a holder older than that is stolen by
+    * acquire itself, so waiting longer only hides a real wedge. */
+  private[graft] def spinOnContention[A](maxDelayMs: Long = 1000L)
+      (body: => A): A = {
+    val deadline = System.currentTimeMillis() + 2 * DefaultLockStaleMs
+    var delay = 20L
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentWriteException =>
+          if (System.currentTimeMillis() >= deadline) throw e
+          Thread.sleep(delay)
+          delay = math.min(delay * 2, maxDelayMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private[graft] def lockPath(target: Path): Path =
     java.nio.file.Paths.get(target.toString + ".__lock")
 

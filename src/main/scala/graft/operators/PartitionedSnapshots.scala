@@ -191,9 +191,11 @@ object PartitionedSnapshots {
   private def writeFileMeta(t: String, v: Long, m: Map[String, Long],
       carryFrom: Option[Long], store: CommitStore,
       fresh: Map[String, Seq[FileRef]] = Map.empty,
-      atomic: Boolean = false): Unit = {
+      atomic: Boolean = false,
+      carriedRefs: Option[Seq[FileRef]] = None): Unit = {
     val carried: Map[String, Seq[FileRef]] =
-      carryFrom.flatMap(cv => fileManifest(t, cv, store))
+      carriedRefs.orElse(carryFrom.flatMap(cv =>
+          fileManifest(t, cv, store)))
         .map(_.groupBy(_.part)).getOrElse(Map.empty)
     val lines = m.toSeq.sorted.flatMap { case (p, o) =>
       fresh.get(p).filter(_.forall(_.owner == o))
@@ -258,9 +260,12 @@ object PartitionedSnapshots {
     }
 
   private[graft] def planMeta(t: String, v: Long,
-      store: CommitStore = CommitStore.local)
+      store: CommitStore = CommitStore.local,
+      preParsed: Option[Map[String, Long]] = None)
       : Option[(Seq[FileRef], org.apache.spark.sql.types.StructType)] = {
-    val m = manifest(t, v, store)
+    // hot read paths already hold the parsed partition manifest —
+    // accept it rather than re-reading a multi-MB file per plan
+    val m = preParsed.getOrElse(manifest(t, v, store))
     if (m.isEmpty) return None
     checkedFileManifest(t, v, m, store).flatMap { refs =>
       val owners = refs.map(_.owner).distinct.sorted
@@ -331,7 +336,12 @@ object PartitionedSnapshots {
               }
             }
           }
-          if (fileManifest(t, v, store).isEmpty) {
+          // gate on the CHECKED record: an incomplete-but-parseable
+          // filemeta (the failure class every consumer declines via
+          // checkedFileManifest) must be REPAIRED by this tool, not
+          // skipped — otherwise the table has no remedy short of
+          // hand-deleting the sidecar
+          if (checkedFileManifest(t, v, m, store).isEmpty) {
             writeFileMeta(t, v, m, prev, store, atomic = true)
             indexed ::= v
           }
@@ -343,13 +353,23 @@ object PartitionedSnapshots {
   }
 
   /** Recorded refs → hadoop `FileStatus` entries for the plan-from-
-    * metadata index (exact lengths; mtime 0 — immutable files). */
-  private[graft] def planStatuses(t: String, refs: Seq[FileRef])
-      : Seq[org.apache.hadoop.fs.FileStatus] =
+    * metadata index (exact lengths). The modification time is the
+    * OWNER's commit time (one metadata read per distinct owner): the
+    * files are immutable and were written moments before their
+    * version committed, so `_metadata.file_modification_time` answers
+    * within the commit window on this path instead of 1970 — a
+    * freshness check must not silently change answers depending on
+    * whether a version planned from metadata or from listings. */
+  private[graft] def planStatuses(t: String, refs: Seq[FileRef],
+      store: CommitStore = CommitStore.local)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val mtimes = refs.map(_.owner).distinct
+      .map(o => o -> commitTimeMs(t, o, store).getOrElse(0L)).toMap
     refs.map(r => new org.apache.hadoop.fs.FileStatus(
-      r.bytes, false, 1, 128L * 1024 * 1024, 0L,
+      r.bytes, false, 1, 128L * 1024 * 1024, mtimes(r.owner),
       new org.apache.hadoop.fs.Path(
         s"${dataDir(t, r.owner)}/${r.part}/${r.name}")))
+  }
 
   /** Write `df`'s touched partitions into version `v`'s data dir and
     * return the partition dir names written. The `__p` shadow keeps the
@@ -993,19 +1013,23 @@ object PartitionedSnapshots {
               if (dropEmptied) touchedDirs -- parts.toSet
               else Set.empty[String]
             val mNew = (mCur -- dropped) ++ parts.map(_ -> v).toMap
-            // filemeta only when the carry source exists: untouched
+            // filemeta only when the carry source exists AND
+            // cross-checks against its manifest (parsed ONCE here and
+            // handed to writeFileMeta — the critical section reads
+            // the multi-MB record a single time): untouched
             // partitions then copy from the current version's record
             // and the touched ones come from the prepare's lock-free
             // listing — ZERO store listings in this critical section.
-            // A pre-feature base (no filemeta on cur) would force
-            // O(live partitions) listings UNDER THE LOCK here, so the
+            // A pre-feature or inconsistent base would force O(live
+            // partitions) listings UNDER THE LOCK here, so the
             // upgrade is left to indexPlanMeta or a serializing
             // commit (which hold the lock for their data write
             // anyway); planMeta falls back to listing until then.
-            val carryOk = cur.forall(c =>
-              fileManifest(t, c, store).isDefined)
-            if (carryOk)
-              writeFileMeta(t, w, mNew, cur, store, freshRefs)
+            val carriedRefs = cur.flatMap(c =>
+              checkedFileManifest(t, c, mCur, store))
+            if (cur.isEmpty || carriedRefs.isDefined)
+              writeFileMeta(t, w, mNew, cur, store, freshRefs,
+                carriedRefs = carriedRefs)
             writeManifest(t, w, mNew, store)
             commitPointer(t, w, store, txn)
             writeProps(t, partCol, keys, store)
@@ -1064,23 +1088,11 @@ object PartitionedSnapshots {
     * stolen by acquire itself). This is what lets N racing optimistic
     * writers all commit instead of all-but-one refusing at the lock. */
   private def withCommitLock[A](t: String, store: CommitStore)
-      (body: => A): A = {
-    val deadline =
-      System.currentTimeMillis() + 2 * Incremental.DefaultLockStaleMs
-    var delay = 20L
-    while (true) {
-      try {
-        return Incremental.withLock(t, Incremental.DefaultLockStaleMs,
-          store)(body)
-      } catch {
-        case e: Incremental.ConcurrentWriteException =>
-          if (System.currentTimeMillis() >= deadline) throw e
-          Thread.sleep(delay)
-          delay = math.min(delay * 2, 1000L)
-      }
+      (body: => A): A =
+    Incremental.spinOnContention() {
+      Incremental.withLock(t, Incremental.DefaultLockStaleMs,
+        store)(body)
     }
-    throw new IllegalStateException("unreachable")
-  }
 
   /** Daemon that keeps an optimistic preparation's `.inflight` marker
     * fresh (vacuum's liveness signal — the preparer runs OUTSIDE the
@@ -1205,7 +1217,7 @@ object PartitionedSnapshots {
         throw new IllegalStateException(
           s"$t v$v is empty and the table declares no schema — " +
             "CREATE TABLE (or write data) first"))
-    } else planMeta(t, v, store) match {
+    } else planMeta(t, v, store, preParsed = Some(m)) match {
       case Some((refs, schema)) =>
         // plan from metadata: the commit recorded the version's file
         // list and owner schemas — hand Spark an explicit file index
@@ -1216,7 +1228,7 @@ object PartitionedSnapshots {
           .HadoopFsRelation(
             new graft.plans.GraftFileIndex(spark,
               new org.apache.hadoop.fs.Path(t),
-              planStatuses(t, refs)),
+              planStatuses(t, refs, store)),
             new org.apache.spark.sql.types.StructType(), schema, None,
             new org.apache.spark.sql.execution.datasources.parquet
               .ParquetFileFormat(),
@@ -1786,7 +1798,11 @@ object PartitionedSnapshots {
     val changed = (mFrom.keySet ++ mTo.keySet)
       .filter(p => mFrom.get(p) != mTo.get(p)).toSeq.sorted
     def counts(v: Long, m: Map[String, Long]): String => Long = {
-      val fm = fileManifest(t, v, store)
+      // CHECKED record only: a filemeta inconsistent with its
+      // manifest could under-report a partition's files, and a wrong
+      // weight would pack an over-budget micro-batch — the exact
+      // unbounded batch the pacing exists to prevent
+      val fm = checkedFileManifest(t, v, m, store)
         .map(_.groupBy(_.part).view.mapValues(_.size.toLong).toMap)
       p => m.get(p).fold(0L)(o => fm.flatMap(_.get(p)).getOrElse(
         listPartFiles(t, o, p, store).size.toLong))

@@ -50,40 +50,70 @@ object SchemaEvents {
     store.write(s"${dir(t)}/$name", body.getBytes("UTF-8"))
   }
 
+  private def unfilled(t: String, name: String,
+      store: CommitStore): Boolean =
+    store.read(s"${dir(t)}/$name").exists { b =>
+      val lines = new String(b, "UTF-8").split('\n')
+      lines.nonEmpty && scala.util.Try(
+        lines(0).split('\t')(3) == "-").getOrElse(false)
+    }
+
   /** Durable TWO-PHASE record for recorders whose widening and event
     * cannot land atomically (the streaming sink): phase 1 creates the
     * event under a caller-chosen DETERMINISTIC name BEFORE the
-    * widening commits — `createNew`, so a replayed epoch finds it and
-    * no-ops — with the version unknown; [[fillVersion]] patches the
-    * version in once the commit lands. Crash between the phases
-    * leaves the full audit entry (who/what/when) minus the version;
-    * crash before phase 1 means the widening did not land either (the
-    * epoch replays and retries both). */
+    * widening commits — `createNew`, so a replayed epoch finds the
+    * still-unfilled entry and reuses it — with the version unknown;
+    * [[fillVersion]] patches the version in once the commit lands.
+    * Crash between the phases leaves the full audit entry
+    * (who/what/when) minus the version; crash before phase 1 means
+    * the widening did not land either (the epoch replays and retries
+    * both). A name whose event is already FILLED belongs to an
+    * earlier completed widening (the same query re-adding the same
+    * columns after a rebuild dropped them) — history is immutable, so
+    * the new widening records under a fresh derived name. Returns the
+    * name actually used (pass it to [[fillVersion]]/[[discardStaged]]). */
   def stage(t: String, name: String, actor: String, source: String,
       added: Seq[StructField],
-      store: CommitStore = CommitStore.local): Unit = {
-    if (added.isEmpty) return
+      store: CommitStore = CommitStore.local): String = {
     val ts = System.currentTimeMillis()
-    val body = s"$ts\t$actor\t$source\t-\n" +
-      StructType(added.toArray).json
+    val body = (s"$ts\t$actor\t$source\t-\n" +
+      StructType(added.toArray).json).getBytes("UTF-8")
     store.mkdirs(dir(t))
-    store.createNew(s"${dir(t)}/$name", body.getBytes("UTF-8"))
-    ()
+    if (store.createNew(s"${dir(t)}/$name", body) ||
+        unfilled(t, name, store)) name
+    else {
+      val fresh = s"$name-r$ts"
+      store.createNew(s"${dir(t)}/$fresh", body)
+      fresh
+    }
   }
 
   /** Phase 2 of [[stage]]: record the committed version on the staged
     * event (atomic — readers see the old content or the new, never a
-    * torn file). No-op if the event is missing or unreadable. */
+    * torn file). No-op if the event is missing, unreadable, or
+    * ALREADY FILLED — a completed audit entry is immutable; rewriting
+    * its version would falsify history. */
   def fillVersion(t: String, name: String, version: Long,
       store: CommitStore = CommitStore.local): Unit =
-    store.read(s"${dir(t)}/$name").foreach { b =>
-      val lines = new String(b, "UTF-8").split('\n')
-      if (lines.length >= 2) scala.util.Try {
-        val h = lines(0).split('\t')
-        store.atomicWrite(s"${dir(t)}/$name",
-          (s"${h(0)}\t${h(1)}\t${h(2)}\t$version\n" +
-            lines.drop(1).mkString("\n")).getBytes("UTF-8"))
+    if (unfilled(t, name, store))
+      store.read(s"${dir(t)}/$name").foreach { b =>
+        val lines = new String(b, "UTF-8").split('\n')
+        if (lines.length >= 2) scala.util.Try {
+          val h = lines(0).split('\t')
+          store.atomicWrite(s"${dir(t)}/$name",
+            (s"${h(0)}\t${h(1)}\t${h(2)}\t$version\n" +
+              lines.drop(1).mkString("\n")).getBytes("UTF-8"))
+        }
       }
+
+  /** Remove a STAGED (still-unfilled) event whose widening is now
+    * known to never land — a permanently refused epoch must not leave
+    * a ghost claim in the audit log. Filled entries are never touched. */
+  def discardStaged(t: String, name: String,
+      store: CommitStore = CommitStore.local): Unit =
+    if (unfilled(t, name, store)) {
+      store.delete(s"${dir(t)}/$name")
+      ()
     }
 
   /** Every recorded widening, oldest first (by recorded timestamp —

@@ -127,7 +127,7 @@ class SnapshotSqlCatalog extends TableCatalog
         new IndexedParquetTable(s"$catalogName.${ident.name}@v$v",
           SparkSession.active, opts, t,
           StructType(fileSchema.fields ++ missing),
-          PartitionedSnapshots.planStatuses(t, refs))
+          PartitionedSnapshots.planStatuses(t, refs, store))
       case None =>
         val dirs = dirsOf(t, v)
         if (dirs.isEmpty)

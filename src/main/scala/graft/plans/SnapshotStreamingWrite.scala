@@ -135,11 +135,12 @@ private[plans] final class SnapshotStreamingWrite(
       val spark = SparkSession.active
       val batch = spark.read.schema(writeSchema).parquet(files: _*)
       val txn = Some(s"$queryId/$epochId")
-      val recordEvolution = evolvedCols.nonEmpty && !evolutionRecorded
-      if (recordEvolution)
-        graft.operators.SchemaEvents.stage(tablePath,
-          evolutionEventName, "stream", queryId, evolvedCols, store)
-      val committed: Long = (partCol, keys) match {
+      val stagedEvent: Option[String] =
+        if (evolvedCols.nonEmpty && !evolutionRecorded)
+          Some(graft.operators.SchemaEvents.stage(tablePath,
+            evolutionEventName, "stream", queryId, evolvedCols, store))
+        else None
+      def applyEpoch(): Long = (partCol, keys) match {
         case (Some(pc), _) if truncate =>
           // Complete mode rebuilds EVERY partition — there is nothing
           // for an optimistic commit to run disjoint from, so the
@@ -186,12 +187,25 @@ private[plans] final class SnapshotStreamingWrite(
         case (None, _) =>
           Snapshots.append(spark, tablePath, batch, store, txn)
       }
+      // a REFUSED epoch (constraint violation, rendering mismatch,
+      // fallback deadline — the exception fails the query) must not
+      // leave a ghost claim: discard the still-unfilled staged event.
+      // A process CRASH skips this by nature, which is the designed
+      // replay window — the restarted epoch reuses the staged entry.
+      val committed: Long =
+        try applyEpoch()
+        catch {
+          case e: Throwable =>
+            stagedEvent.foreach(n => graft.operators.SchemaEvents
+              .discardStaged(tablePath, n, store))
+            throw e
+        }
       // schema-history symmetry (round-13): the first epoch that LANDS
       // the run's declared new columns records who widened the table
-      if (recordEvolution) {
+      stagedEvent.foreach { n =>
         evolutionRecorded = true
-        graft.operators.SchemaEvents.fillVersion(tablePath,
-          evolutionEventName, committed, store)
+        graft.operators.SchemaEvents.fillVersion(tablePath, n,
+          committed, store)
       }
       // streamCommit parity: keep the file-stats index FRESH under
       // streaming ingestion — the incremental builder reuses carried
@@ -216,24 +230,11 @@ private[plans] object SnapshotStreamingWrite {
     * non-blocking (contention throws), but epoch-commit lock holders
     * are transient, so a stream that already lost its optimistic
     * races must queue briefly rather than fail — a long-running query
-    * must always make progress. Gives up (rethrows) past 2× the lock
-    * staleness horizon, the same bound the optimistic commit section
-    * uses. */
-  private[plans] def serializedRetry[A](body: => A): A = {
-    val deadline = System.currentTimeMillis() +
-      2 * graft.operators.Incremental.DefaultLockStaleMs
-    var delay = 50L
-    while (true) {
-      try return body
-      catch {
-        case e: graft.operators.Incremental.ConcurrentWriteException =>
-          if (System.currentTimeMillis() >= deadline) throw e
-          Thread.sleep(delay)
-          delay = math.min(delay * 2, 2000L)
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+    * must always make progress. One shared policy
+    * ([[graft.operators.Incremental.spinOnContention]]) with the same
+    * 2×-staleness deadline the optimistic commit section uses. */
+  private[plans] def serializedRetry[A](body: => A): A =
+    graft.operators.Incremental.spinOnContention()(body)
 
   /** SCHEMA EVOLUTION GATE, applied once at stream (re)start — the
     * point where a restarted query's source can legitimately differ

@@ -114,6 +114,24 @@ class SchemaHistorySpec extends AnyFunSuite {
       s"$t/_schema_history/stream-q-x-abc.__tmp-deadbeef", body)
     assert(SchemaEvents.all(t).size == 1,
       "a leftover .__tmp- staging file duplicated the event")
+    // a FILLED entry is immutable: a later fillVersion must not
+    // falsify its recorded version
+    SchemaEvents.fillVersion(t, "stream-q-x-abc", 99L)
+    assert(SchemaEvents.all(t).head.version.contains(7L),
+      "a completed audit entry was rewritten")
+    // the same query re-widening the same columns later (deterministic
+    // name now FILLED) records a NEW entry under a derived name...
+    val name2 = SchemaEvents.stage(t, "stream-q-x-abc", "stream",
+      "q-x", Seq(StructField("extra", IntegerType)))
+    assert(name2 != "stream-q-x-abc")
+    assert(SchemaEvents.all(t).size == 2)
+    // ...and a permanently-refused widening discards its staged claim
+    // (filled entries are never touched)
+    SchemaEvents.discardStaged(t, name2)
+    SchemaEvents.discardStaged(t, "stream-q-x-abc")
+    val left = SchemaEvents.all(t)
+    assert(left.size == 1 && left.head.version.contains(7L),
+      s"discard must remove only the unfilled claim: $left")
   }
 
   test("ALTER TABLE ADD COLUMN records an alter event, and CALL " +
