@@ -315,6 +315,10 @@ object PartitionedSnapshots {
     var indexed = List.empty[Long]
     var prev: Option[Long] = None
     committed.foreach { v =>
+      // spinOnContention: the per-version lock take must outwait a
+      // concurrent writer's transient (ms-scale) commit section
+      // rather than abort the whole migration on the first collision
+      Incremental.spinOnContention() {
       Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
         if (hasManifest(t, v, store)) {
           val m = manifest(t, v, store)
@@ -348,6 +352,7 @@ object PartitionedSnapshots {
           prev = Some(v)
         }
       }
+      }
     }
     indexed.reverse
   }
@@ -359,12 +364,21 @@ object PartitionedSnapshots {
     * version committed, so `_metadata.file_modification_time` answers
     * within the commit window on this path instead of 1970 — a
     * freshness check must not silently change answers depending on
-    * whether a version planned from metadata or from listings. */
+    * whether a version planned from metadata or from listings. A BARE
+    * owner (an optimistic preparation published under a later commit
+    * number — it has data but no commit meta of its own) falls back
+    * to the PLANNED version's commit time: its files were written
+    * during the prepare of the commit that first referenced them, so
+    * that commit's time is a tight upper bound, and never 1970. */
   private[graft] def planStatuses(t: String, refs: Seq[FileRef],
-      store: CommitStore = CommitStore.local)
+      store: CommitStore = CommitStore.local,
+      plannedV: Option[Long] = None)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
+    lazy val fallbackMs = plannedV
+      .flatMap(v => commitTimeMs(t, v, store)).getOrElse(0L)
     val mtimes = refs.map(_.owner).distinct
-      .map(o => o -> commitTimeMs(t, o, store).getOrElse(0L)).toMap
+      .map(o => o -> commitTimeMs(t, o, store).getOrElse(fallbackMs))
+      .toMap
     refs.map(r => new org.apache.hadoop.fs.FileStatus(
       r.bytes, false, 1, 128L * 1024 * 1024, mtimes(r.owner),
       new org.apache.hadoop.fs.Path(
@@ -1228,7 +1242,7 @@ object PartitionedSnapshots {
           .HadoopFsRelation(
             new graft.plans.GraftFileIndex(spark,
               new org.apache.hadoop.fs.Path(t),
-              planStatuses(t, refs, store)),
+              planStatuses(t, refs, store, plannedV = Some(v))),
             new org.apache.spark.sql.types.StructType(), schema, None,
             new org.apache.spark.sql.execution.datasources.parquet
               .ParquetFileFormat(),

@@ -22,8 +22,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * File sizes come from the commit-time listing (exact, the files are
   * immutable), so `sizeInBytes` feeds Catalyst accurate stats (join
   * broadcastability) and split planning sees true lengths. The
-  * modification time is 0: versioned data files are immutable and
-  * never refreshed, so no cache-invalidation consumer needs it.
+  * modification time is the owner version's commit time (see
+  * `PartitionedSnapshots.planStatuses`): the files are immutable, but
+  * `_metadata.file_modification_time` must answer consistently with
+  * the listing path, not 1970.
   *
   * Partition schema is EMPTY by design: the real partition column
   * rides inside the data files (the `__p` shadow-dir layout documented

@@ -127,7 +127,8 @@ class SnapshotSqlCatalog extends TableCatalog
         new IndexedParquetTable(s"$catalogName.${ident.name}@v$v",
           SparkSession.active, opts, t,
           StructType(fileSchema.fields ++ missing),
-          PartitionedSnapshots.planStatuses(t, refs, store))
+          PartitionedSnapshots.planStatuses(t, refs, store,
+            plannedV = Some(v)))
       case None =>
         val dirs = dirsOf(t, v)
         if (dirs.isEmpty)
@@ -618,9 +619,8 @@ private[plans] class SnapshotWritableTable(
               .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
             // columns this run's schema ADDS — the sink records the
             // widening to _schema_history with its first landed epoch
-            evolvedCols = info.schema().fields.toSeq.filterNot(f =>
-              inner.schema.fieldNames.exists(
-                _.equalsIgnoreCase(f.name))))
+            evolvedCols = SnapshotStreamingWrite.evolvedColumns(
+              inner.schema, info.schema()))
         }
       }
     }
@@ -752,9 +752,8 @@ private[plans] class FullCopyWritableTable(
               .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
               .getOrElse(Nil),
             overwrite, store,
-            evolvedCols = info.schema().fields.toSeq.filterNot(f =>
-              inner.schema.fieldNames.exists(
-                _.equalsIgnoreCase(f.name))))
+            evolvedCols = SnapshotStreamingWrite.evolvedColumns(
+              inner.schema, info.schema()))
         }
       }
     }

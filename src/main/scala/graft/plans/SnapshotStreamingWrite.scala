@@ -225,6 +225,18 @@ private[plans] final class SnapshotStreamingWrite(
 
 private[plans] object SnapshotStreamingWrite {
 
+  /** The columns `writeSchema` ADDS over the table (case-insensitive
+    * name match — the same comparison [[validateSchema]] gates on):
+    * the run's declared evolution, recorded to `_schema_history` with
+    * its first landed epoch. ONE rule for both snapshot formats, so
+    * the partitioned and full-copy sinks can never record different
+    * events for identical streams. */
+  private[plans] def evolvedColumns(tableSchema: StructType,
+      writeSchema: StructType)
+      : Seq[org.apache.spark.sql.types.StructField] =
+    writeSchema.fields.toSeq.filterNot(f =>
+      tableSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+
   /** Bounded backoff around the SERIALIZING fallback an epoch takes
     * after optimistic-retry exhaustion: the single-writer lock is
     * non-blocking (contention throws), but epoch-commit lock holders

@@ -369,21 +369,12 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         // re-bootstrap floor is superseded and falls to the floor
         // path instead of slicing a pre-drift diff forever)
         val sp = span.get
-        val parts = spanParts(sp.from, sp.to)
-        // validate the recomputed list against the checkpointed pin
-        // HERE, not only in getBatch: a vacuumed span endpoint can
-        // recompute to a list no longer than the cursor, and emitting
-        // an offset equal to the start would stall the stream forever
-        // (no new batch → getBatch's own refusal never runs) instead
-        // of surfacing the guided error
-        if (parts.length.toLong != sp.of)
-          throw new IllegalStateException(
-            s"graft-changes: $t span v${sp.from}→v${sp.to} has " +
-              s"${parts.length} changed partitions but this stream's " +
-              s"checkpoint pinned ${sp.of} — a span endpoint was " +
-              "vacuumed or rewritten mid-drain; discard the " +
-              "checkpoint and re-bootstrap (and retain the slowest " +
-              "stream's versions, e.g. via consumerId)")
+        // validated HERE, not only in getBatch: a vacuumed span
+        // endpoint can recompute to a list no longer than the cursor,
+        // and emitting an offset equal to the start would stall the
+        // stream forever (no new batch → getBatch's own refusal never
+        // runs) instead of surfacing the guided error
+        val parts = pinnedSpanParts(sp)
         SpanSliceOffset(sp.from, sp.to,
           nextBudget(parts, sp.parts), sp.of)
       case _ =>
@@ -516,6 +507,24 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
       k += 1
     }
     math.max(k.toLong, k0 + 1)
+  }
+
+  /** The span's changed-partition list, VALIDATED against the
+    * checkpointed pin — the one refusal both the offset path
+    * (latestOffset, where a silent mismatch would stall or mis-slice
+    * the stream) and the batch path (getBatch) share. */
+  private def pinnedSpanParts(sp: SpanSliceOffset)
+      : IndexedSeq[(String, Long)] = {
+    val parts = spanParts(sp.from, sp.to)
+    if (parts.length.toLong != sp.of)
+      throw new IllegalStateException(
+        s"graft-changes: $t span v${sp.from}→v${sp.to} has " +
+          s"${parts.length} changed partitions but this stream's " +
+          s"checkpoint pinned ${sp.of} — a span endpoint was " +
+          "vacuumed or rewritten mid-drain; discard the " +
+          "checkpoint and re-bootstrap (and retain the slowest " +
+          "stream's versions, e.g. via consumerId)")
+    parts
   }
 
   // span changed-partition lists are per (from, to) of immutable
@@ -778,15 +787,7 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
         // same gates as a plain CDC span of these endpoints
         gateOrRecord(schemaAt(se.to), dataFields, None, se.to)
         gateOrRecord(schemaAt(se.from), dataFields, Some(se.from), se.to)
-        val parts = spanParts(se.from, se.to)
-        if (parts.length.toLong != se.of)
-          throw new IllegalStateException(
-            s"graft-changes: $t span v${se.from}→v${se.to} has " +
-              s"${parts.length} changed partitions but this stream's " +
-              s"checkpoint pinned ${se.of} — a span endpoint was " +
-              "vacuumed or rewritten mid-drain; discard the " +
-              "checkpoint and re-bootstrap (and retain the slowest " +
-              "stream's versions, e.g. via consumerId)")
+        val parts = pinnedSpanParts(se)
         // the cursor only carries within the SAME span — a start
         // offset from a previous span restarts this one's changed
         // list at 0 (same rule as the bootstrap cursor)
