@@ -237,12 +237,6 @@ object PartitionedSnapshots {
     Some(StructType(fields))
   }
 
-  /** Everything a plan needs for version `v` WITHOUT touching the data
-    * dirs: the recorded file list and the merged read schema. None
-    * when the version (or any of its owners) predates the sidecars,
-    * when the filemeta disagrees with the manifest (torn state —
-    * never trust it), or when owner schemas need type reconciliation —
-    * all of which fall back to the legacy listing path. */
   /** [[fileManifest]] cross-checked against version `v`'s partition
     * manifest: the partition sets must match and every ref's owner
     * must agree — an INCOMPLETE-but-parseable record (an
@@ -259,6 +253,12 @@ object PartitionedSnapshots {
         !refs.exists(r => !m.get(r.part).contains(r.owner))
     }
 
+  /** Everything a plan needs for version `v` WITHOUT touching the data
+    * dirs: the recorded file list and the merged read schema. None
+    * when the version (or any of its owners) predates the sidecars,
+    * when the filemeta disagrees with the manifest (torn state —
+    * never trust it), or when owner schemas need type reconciliation —
+    * all of which fall back to the legacy listing path. */
   private[graft] def planMeta(t: String, v: Long,
       store: CommitStore = CommitStore.local,
       preParsed: Option[Map[String, Long]] = None)
@@ -801,7 +801,14 @@ object PartitionedSnapshots {
         resolve = (srcCached, touchedDirs, mBase, base) => {
           // pin the schema source to the BASE version: under the lock,
           // merge() reads "current", but a lock-free prepare must
-          // resolve against the exact state its validation will verify
+          // resolve against the exact state its validation will verify.
+          // Deliberately re-derived on EVERY retry attempt (not cached
+          // across races): a concurrent evolveSchema merge can widen
+          // the table between attempts, and the re-resolve must see
+          // the new base's columns. On an indexed table the schema
+          // comes from planMeta (metadata-only); the legacy listing
+          // cost only arises on pre-feature tables, bounded by
+          // maxRetries.
           val full = readVersion(spark, t, base.get, store)
           val existingDirs = mBase.collect {
             case (p, o) if touchedDirs(p) => s"${dataDir(t, o)}/$p"

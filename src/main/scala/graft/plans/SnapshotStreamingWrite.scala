@@ -144,9 +144,14 @@ private[plans] final class SnapshotStreamingWrite(
         case (Some(pc), _) if truncate =>
           // Complete mode rebuilds EVERY partition — there is nothing
           // for an optimistic commit to run disjoint from, so the
-          // single-writer lock is the honest protocol
-          PartitionedSnapshots.write(spark, tablePath, batch, pc, store,
-            txn)
+          // single-writer lock is the honest protocol. Queued behind
+          // transient holders (another stream's ms-scale optimistic
+          // commit section) like every other epoch: progress, not a
+          // raw lock-contention failure.
+          SnapshotStreamingWrite.serializedRetry {
+            PartitionedSnapshots.write(spark, tablePath, batch, pc,
+              store, txn)
+          }
         // epoch commits ride the OPTIMISTIC protocol: two streams
         // writing DISJOINT partitions of one table interleave their
         // epoch data writes instead of serializing on the table lock,
@@ -180,12 +185,21 @@ private[plans] final class SnapshotStreamingWrite(
                   pc, store = store, txn = txn)
               }
           }
+        // full-copy epochs stay serializing (a whole-version copy has
+        // nothing to run disjoint from) but queue behind transient
+        // lock holders like every other epoch
         case (None, _) if truncate =>
-          Snapshots.write(spark, tablePath, batch, store, txn)
+          SnapshotStreamingWrite.serializedRetry {
+            Snapshots.write(spark, tablePath, batch, store, txn)
+          }
         case (None, ks) if ks.nonEmpty =>
-          Snapshots.upsert(spark, tablePath, batch, ks, store, txn)
+          SnapshotStreamingWrite.serializedRetry {
+            Snapshots.upsert(spark, tablePath, batch, ks, store, txn)
+          }
         case (None, _) =>
-          Snapshots.append(spark, tablePath, batch, store, txn)
+          SnapshotStreamingWrite.serializedRetry {
+            Snapshots.append(spark, tablePath, batch, store, txn)
+          }
       }
       // a REFUSED epoch (constraint violation, rendering mismatch,
       // fallback deadline — the exception fails the query) must not

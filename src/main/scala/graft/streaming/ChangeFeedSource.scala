@@ -572,7 +572,20 @@ private[streaming] final class ChangeFeedSource(spark: SparkSession,
     *    discarded and the stream re-bootstrapped from the current
     *    snapshot. Fabricating casts instead would silently corrupt the
     *    downstream exactly-once apply. */
-  private def conform(df: DataFrame): DataFrame = {
+  private def conform(df0: DataFrame): DataFrame = {
+    // pinned columns ABSENT from the batch frame serve as NULL: the
+    // version-schema gates (which see FULL version schemas) already
+    // ruled out drops and retypes before the frame was built, so
+    // absence here only means every changed partition of THIS batch
+    // predates the evolution — its rows read the column as null,
+    // exactly as a mergeSchema scan of the whole table would serve
+    // them. Without the fill, a span (or a file-paced slice) confined
+    // to pre-evolution partitions would mis-trip the drift refusal
+    // and wedge a healthy stream.
+    val absent = schema.fields.filter(f =>
+      variantsOf(caseGroups(df0.schema), f).isEmpty)
+    val df = absent.foldLeft(df0)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
     refuseDrift(df.schema, schema.fields)
     val groups = caseGroups(df.schema)
     // project to the pinned columns, pinned order and casing, by

@@ -156,6 +156,50 @@ class ChangeFeedSpanPaceSpec extends AnyFunSuite {
     assert(drain(inject = false) == Seq.empty, "caught up")
   }
 
+  test("a CDC span — and its file-paced slices — confined to " +
+      "partitions that PREDATE a column evolution serves the pinned " +
+      "column as NULL, never a false drift refusal: the version-" +
+      "schema gates decide drift on full schemas, the batch frame " +
+      "only reads the changed dirs") {
+    val t = tmp()
+    PS.write(spark, t, Seq((1L, "A", "a"), (2L, "B", "b"),
+      (3L, "C", "c")).toDF("k", "d", "v").coalesce(1), "d")    // v1
+    // the evolution lands in partition B only — A and C keep their
+    // pre-evolution footers
+    PS.upsert(spark, t, Seq((2L, "B", "b2", 7))
+      .toDF("k", "d", "v", "y"), Seq("k"), "d")                // v2
+    val cp = Files.createTempDirectory("graft_cfs_evnull").toString
+    def drain(): Vector[Set[(Long, Option[Int])]] = {
+      val seen =
+        new scala.collection.mutable.ArrayBuffer[Set[(Long, Option[Int])]]()
+      val q = CF.readStream(spark, t, keys = Seq("k"),
+          maxFilesPerBatch = Some(2L))
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+          val rows = b.select(col("k"), col("y"))
+            .as[(Long, Option[Int])].collect().toSet
+          seen.synchronized { if (rows.nonEmpty) seen += rows }
+          ()
+        })
+        .start()
+      assert(q.awaitTermination(120000), "run must stop when drained")
+      seen.synchronized(seen.toVector)
+    }
+    // bootstrap at v2: pre-evolution rows read y as null
+    assert(drain().flatten.toSet == Set((1L, None), (2L, Some(7)),
+      (3L, None)))
+    // v3 rewrites ONLY the two pre-evolution partitions: no changed
+    // dir of the span carries y, and the file budget (weight 2 per
+    // partition) slices the span one partition per micro-batch
+    PS.upsert(spark, t, Seq((1L, "A", "a3"), (3L, "C", "c3"))
+      .toDF("k", "d", "v"), Seq("k"), "d")                     // v3
+    val got = drain()
+    assert(got == Vector(Set((1L, None: Option[Int])),
+      Set((3L, None: Option[Int]))),
+      s"pre-evolution slices must serve y as null, got $got")
+  }
+
   test("a span endpoint vacuumed mid-drain surfaces the guided " +
       "refusal in latestOffset on restart — never a silent stall or " +
       "a wrong recomputed span") {
