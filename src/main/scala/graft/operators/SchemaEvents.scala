@@ -82,9 +82,22 @@ object SchemaEvents {
     if (store.createNew(s"${dir(t)}/$name", body) ||
         unfilled(t, name, store)) name
     else {
-      val fresh = s"$name-r$ts"
-      store.createNew(s"${dir(t)}/$fresh", body)
-      fresh
+      // re-widening (the deterministic name is FILLED): reuse an
+      // existing UNFILLED derived entry before minting one — a
+      // crash/replay loop must converge on a single staged claim, not
+      // leave one ghost per attempt (the derived names are
+      // timestamped, so only reuse makes the replay idempotent)
+      store.list(dir(t)).sorted
+        .filter(f => f.startsWith(s"$name-r") && !f.contains(".__tmp-"))
+        .find(f => unfilled(t, f, store))
+        .getOrElse {
+          val fresh = s"$name-r$ts"
+          // a lost createNew race here means another attempt of the
+          // SAME logical event won the name (it encodes the source
+          // and the added-column set) — reusing it is correct
+          store.createNew(s"${dir(t)}/$fresh", body)
+          fresh
+        }
     }
   }
 

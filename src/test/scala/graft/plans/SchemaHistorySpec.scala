@@ -125,6 +125,12 @@ class SchemaHistorySpec extends AnyFunSuite {
       "q-x", Seq(StructField("extra", IntegerType)))
     assert(name2 != "stream-q-x-abc")
     assert(SchemaEvents.all(t).size == 2)
+    // ...and a crash/replay of that re-widening REUSES the staged
+    // derived entry instead of minting one ghost per attempt
+    val name3 = SchemaEvents.stage(t, "stream-q-x-abc", "stream",
+      "q-x", Seq(StructField("extra", IntegerType)))
+    assert(name3 == name2, s"replay must reuse $name2, got $name3")
+    assert(SchemaEvents.all(t).size == 2)
     // ...and a permanently-refused widening discards its staged claim
     // (filled entries are never touched)
     SchemaEvents.discardStaged(t, name2)
