@@ -313,7 +313,18 @@ object PartitionedSnapshots {
     val committed = versions(t, store)
       .filter(v => v <= cur && hasManifest(t, v, store))
     var indexed = List.empty[Long]
-    var prev: Option[Long] = None
+    // carry source for a repaired version's untouched partitions: ONLY
+    // a record THIS call just wrote from fresh listings. A pre-existing
+    // predecessor record — even one that passes checkedFileManifest —
+    // can be within-partition SHORT (an under-reported commit-time
+    // listing, the one class the manifest cross-check cannot detect),
+    // and carrying from it would propagate the short list into a
+    // repaired record that then passes every consumer's cross-check.
+    // The pre-feature backfill keeps its carry-forward economy (v1
+    // lists everything, v2+ carry from the fresh chain); a repair
+    // breaking an EXISTING chain pays O(partitions) listings once —
+    // the migration tool's documented cost class.
+    var freshPrev: Option[Long] = None
     committed.foreach { v =>
       // spinOnContention: the per-version lock take must outwait a
       // concurrent writer's transient (ms-scale) commit section
@@ -346,10 +357,10 @@ object PartitionedSnapshots {
           // skipped — otherwise the table has no remedy short of
           // hand-deleting the sidecar
           if (checkedFileManifest(t, v, m, store).isEmpty) {
-            writeFileMeta(t, v, m, prev, store, atomic = true)
+            writeFileMeta(t, v, m, freshPrev, store, atomic = true)
             indexed ::= v
-          }
-          prev = Some(v)
+            freshPrev = Some(v)
+          } else freshPrev = None
         }
       }
       }
@@ -904,12 +915,21 @@ object PartitionedSnapshots {
     val mBase = base.map(manifest(t, _, store))
       .getOrElse(Map.empty[String, Long])
     // the WRITE-GOVERNING props (CHECK constraints, generated
-    // columns) in force when this prepare enforces them — the commit
-    // section re-validates they did not change, or rows prepared
-    // under the OLD rules would commit past a newer ALTER's gate
+    // columns, and the DECLARED SCHEMA) in force when this prepare
+    // enforces them — the commit section re-validates they did not
+    // change, or rows prepared under the OLD rules would commit past
+    // a newer ALTER's gate. The schema key matters for evolveSchema
+    // merges: a prepare that adds column X as STRING racing a
+    // concurrent ALTER TABLE ADD COLUMN X INT would otherwise commit
+    // STRING-typed footers under a declared INT — a state neither
+    // serial order produces (addColumn refuses an existing column;
+    // a lock-held merge treats a declared column as existing), so a
+    // declared-schema change between prepare and commit must classify
+    // as a conflict and re-resolve against the new base.
     def governingProps(): Map[String, String] =
       tableProps(t, store).filter { case (k, _) =>
-        k.startsWith(Constraints.Prefix) ||
+        k == "schema" ||
+          k.startsWith(Constraints.Prefix) ||
           k.startsWith(GeneratedColumns.Prefix)
       }
     val propsAtPrepare = governingProps()
@@ -1010,9 +1030,9 @@ object PartitionedSnapshots {
             .filter(p => mBase.get(p) != mCur.get(p))
           val conflicts = changed.intersect(touchedDirs ++ parts)
           if (governingProps() != propsAtPrepare)
-            Left("table constraints/generated columns changed since " +
-              "this writer's prepare — rows enforced under the old " +
-              "rules must not commit past the new gate (retry " +
+            Left("table schema/constraints/generated columns changed " +
+              "since this writer's prepare — rows enforced under the " +
+              "old rules must not commit past the new gate (retry " +
               "re-prepares under the current definitions)")
           else if (conflicts.nonEmpty)
             Left(conflicts.toSeq.sorted.map(p =>

@@ -37,7 +37,15 @@ object SchemaEvents {
 
   private def dir(t: String) = s"$t/_schema_history"
 
-  /** Append one widening event (its own unique file — lock-free). */
+  /** Append one widening event (its own unique file — lock-free).
+    * atomicWrite, not a plain write: addColumn records AFTER its
+    * widening commits, so a crash (or a reader racing a non-atomic
+    * filesystem PUT) mid-record would tear the event and [[all]]
+    * would silently skip it — losing the ALTER's audit entry even
+    * though the widening landed, contradicting all()'s rationale that
+    * a torn event implies the widening never committed. The `.__tmp-`
+    * staging leftovers atomicWrite can leave are already filtered by
+    * [[all]]. */
   def record(t: String, actor: String, source: String,
       version: Option[Long], added: Seq[StructField],
       store: CommitStore = CommitStore.local): Unit = {
@@ -47,7 +55,7 @@ object SchemaEvents {
     val body = s"$ts\t$actor\t$source\t${version.fold("-")(_.toString)}\n" +
       StructType(added.toArray).json
     store.mkdirs(dir(t))
-    store.write(s"${dir(t)}/$name", body.getBytes("UTF-8"))
+    store.atomicWrite(s"${dir(t)}/$name", body.getBytes("UTF-8"))
   }
 
   private def unfilled(t: String, name: String,

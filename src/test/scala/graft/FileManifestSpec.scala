@@ -275,4 +275,49 @@ class FileManifestSpec extends AnyFunSuite {
     assert(PS.planMeta(t, 1L, store).isEmpty)
     assert(PS.read(spark, t, store).count() == 3)
   }
+
+  test("indexPlanMeta REPAIR lists fresh, never carries a " +
+      "pre-existing record: a within-partition-short predecessor " +
+      "(the class the manifest cross-check cannot detect) must not " +
+      "propagate into the repaired filemeta") {
+    val t = s"${tmp("fm_repair")}/t"
+    // several files per partition: round-robin repartition spreads
+    // partition A's rows across tasks, one file per task per dir
+    val df = Seq((1L, "A", "a1"), (2L, "A", "a2"), (3L, "A", "a3"),
+      (4L, "A", "a4"), (5L, "B", "b1"), (6L, "B", "b2"))
+      .toDF("k", "d", "v").repartition(4)
+    val v1 = PS.write(spark, t, df, "d", store)
+    val diskA = store.listEntries(f"$t/_snapshots/v$v1%05d/data/__p=A")
+      .count(e => !e.isDir && e.name.endsWith(".parquet"))
+    assert(diskA >= 2, s"need a multi-file partition, got $diskA")
+    // tamper v1's filemeta WITHIN partition A: drop one of its file
+    // lines — partition set and owners still agree, so the record
+    // passes checkedFileManifest everywhere
+    val fmPath = f"$t/_snapshots/v$v1%05d/filemeta"
+    val lines = new String(store.read(fmPath).get, "UTF-8").split('\n')
+    val dropped = lines.indexWhere(_.startsWith("__p=A"))
+    store.write(fmPath, lines.zipWithIndex.collect {
+      case (l, i) if i != dropped => l
+    }.mkString("\n").getBytes("UTF-8"))
+    assert(PS.planMeta(t, v1, store).isDefined,
+      "the short record passes the cross-check (by design)")
+    // v2 touches only B; its commit carries A's (short) refs forward
+    val v2 = PS.upsert(spark, t, Seq((10L, "B", "b3"))
+      .toDF("k", "d", "v"), Seq("k"), "d", store = store)
+    val fm2Path = f"$t/_snapshots/v$v2%05d/filemeta"
+    assert(PS.fileManifest(t, v2, store).get
+      .count(_.part == "__p=A") == diskA - 1,
+      "the commit carry propagates the short list (the repair's job)")
+    // now make v2's record INCONSISTENT (whole partition missing) so
+    // the repair triggers; the rewrite must come from fresh listings,
+    // not from v1's short-but-checked record
+    val l2 = new String(store.read(fm2Path).get, "UTF-8").split('\n')
+    store.write(fm2Path, l2.filterNot(_.startsWith("__p=B"))
+      .mkString("\n").getBytes("UTF-8"))
+    assert(PS.indexPlanMeta(spark, t, store) === Seq(v2))
+    assert(PS.fileManifest(t, v2, store).get
+      .count(_.part == "__p=A") == diskA,
+      "repair must re-list partition A in full")
+    assert(PS.readVersion(spark, t, v2, store).count() == 7)
+  }
 }

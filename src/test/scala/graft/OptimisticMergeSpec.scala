@@ -17,6 +17,7 @@ object OptimisticMergeGates {
   val overlapGate = new CountDownLatch(1)
   val refuseGate = new CountDownLatch(1)
   val constraintGate = new CountDownLatch(1)
+  val schemaGate = new CountDownLatch(1)
 }
 
 /** Optimistic MERGE (round-13): [[PS.merge]] clause semantics committed
@@ -325,5 +326,46 @@ class OptimisticMergeSpec extends AnyFunSuite {
       (9L, "A", "inserted"), (4L, "B", "other")))
     assert(PS.currentVersion(t).contains(2L))
     assert(PS.manifest(t, 2L)("__p=B") == 1L)
+  }
+
+  test("a DECLARED-SCHEMA change between prepare and commit is a " +
+      "conflict: an evolveSchema merge racing ALTER TABLE ADD COLUMN " +
+      "must not commit footers typed under the stale declaration") {
+    val t = s"${tmp("omrg_schema")}/t"
+    PS.write(spark, t, Seq((1L, "P", "v0")).toDF("k", "d", "v"), "d")
+    val pool = Executors.newFixedThreadPool(1)
+    val slow = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = {
+        // the merge's prepare would add column x as STRING; the
+        // concurrent ALTER declares x INT — neither serial order
+        // produces STRING footers under a declared INT, so the race
+        // must classify as a conflict (maxRetries=0 surfaces it)
+        val src = Seq((1L, "P", "merged", "stringy")).toDS
+          .map { r => OptimisticMergeGates.schemaGate.await(); r }
+          .toDF("k", "d", "v", "x")
+        PS.optimisticMerge(spark, t, src, Seq("k"), "d",
+          whenMatchedUpdate = Map("v" -> PS.source("v")),
+          evolveSchema = true, maxRetries = 0)
+      }
+    })
+    awaitFile(s"$t/_snapshots/v00002/.reserved")
+    PS.addColumn(spark, t, "x",
+      org.apache.spark.sql.types.IntegerType)
+    OptimisticMergeGates.schemaGate.countDown()
+    val e = intercept[java.util.concurrent.ExecutionException](
+      slow.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(e.getCause.isInstanceOf[Incremental.ConcurrentWriteException],
+      s"got ${e.getCause}")
+    assert(e.getCause.getMessage.contains("schema"),
+      s"conflict must name the schema change: ${e.getCause.getMessage}")
+    // the table is untouched by the refused attempt: v1 rows, and the
+    // declared column keeps the ALTER's INT type
+    assert(rows(t) == Set((1L, "P", "v0")))
+    val declared = org.apache.spark.sql.types.DataType.fromJson(
+      PS.tableProps(t)("schema"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(declared("x").dataType ==
+      org.apache.spark.sql.types.IntegerType)
   }
 }

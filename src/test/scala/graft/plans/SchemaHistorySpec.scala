@@ -155,4 +155,26 @@ class SchemaHistorySpec extends AnyFunSuite {
       .as[(String, Option[Long], String)].collect().toSeq
     assert(got == Seq(("alter", None, "note string")), s"$got")
   }
+
+  test("record() lands atomically: the event dir never holds a " +
+      "partially-written entry the reader could mis-skip, and " +
+      "atomicWrite's staging leftovers are invisible to all()") {
+    val root = Files.createTempDirectory("graft_schemahist_atom").toString
+    val t = s"$root/t"
+    SchemaEvents.record(t, "alter", "ALTER TABLE ADD COLUMN", None,
+      Seq(StructField("c1", IntegerType)))
+    // the write staged through a .__tmp- rename — nothing but the
+    // final event file remains, and it parses
+    val entries = CommitStore.local.list(s"$t/_schema_history")
+    assert(entries.size == 1 && !entries.head.contains(".__tmp-"),
+      s"$entries")
+    assert(SchemaEvents.all(t).map(_.added.map(_.name)) ==
+      Seq(Seq("c1")))
+    // a crashed staging leftover beside it is filtered, not surfaced
+    // as a duplicate event
+    CommitStore.local.write(
+      s"$t/_schema_history/${entries.head}.__tmp-dead",
+      CommitStore.local.read(s"$t/_schema_history/${entries.head}").get)
+    assert(SchemaEvents.all(t).size == 1)
+  }
 }
