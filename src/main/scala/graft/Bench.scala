@@ -326,6 +326,13 @@ object Bench {
       timedRun()
       while (ok && runs.size < minRuns) timedRun()
       if (ok && runs.map(_.time).max / runs.map(_.time).min > 2.0) timedRun()
+      // sub-0.5s queries always get a third sample: at that wall time
+      // a single JIT/session-placement artifact can double the best-of
+      // without tripping the 2x-disagreement tie-breaker in absolute
+      // terms (round-13's q13 — 0.203s vs 0.09s best-known was the
+      // round's only >2x entry, on a constant-size generator plan).
+      // A third run here costs tenths of a second and caps that class.
+      if (ok && runs.size < 3 && runs.map(_.time).min < 0.5) timedRun()
       (ok, runs)
     }
 

@@ -110,6 +110,21 @@ object MetaScaleBench {
         // footer reconciliation, the real price of planning a read at
         // this partition count
         val planS = timed(PS.read(spark, t, store).schema)._1
+        // SELECTIVE read (round-14): a point predicate over the
+        // partition column must plan O(predicate) files, not
+        // O(table) — GraftFileIndex.listFiles prunes from the
+        // recorded partition values, so both the planned-file count
+        // and the end-to-end wall stay flat across partition decades
+        // (without it, execution schedules one footer read per live
+        // partition and pays at run time the listing cost the
+        // metadata path removed from planning)
+        val sel = PS.read(spark, t, store)
+          .filter(col("d") === "p0000003")
+        val selS = (1 to 3).map(_ => timed(sel.count())._1).min
+        val selFiles = sel.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+        }.headOption.getOrElse(-1L)
         val historyS = timed(PS.history(t, store).size)._1
         val v0 = cur
         PS.upsert(spark, t, Seq((0L, "p0000000", "z"))
@@ -123,12 +138,15 @@ object MetaScaleBench {
         System.err.println(f"[meta] parts=$p manifest=$manifestRead%.3fs" +
           f" backfill=$backfillS%.2fs" +
           f" commit1p=$commit1p%.2fs plan=$planS%.2fs" +
+          f" select1p=$selS%.2fs/${selFiles}f" +
           f" history=$historyS%.2fs changes=$changesS%.2fs" +
           f" vacuum=$vacuumS%.2fs bytes=$manifestBytes")
         s""""p$p":{"bulk_write_s":${r2(bulk)},""" +
           s""""manifest_read_s":${r2(manifestRead)},""" +
           s""""index_backfill_s":${r2(backfillS)},""" +
           s""""commit_1part_s":${r2(commit1p)},""" +
+          s""""select_1part_s":${r2(selS)},""" +
+          s""""select_1part_files":$selFiles,""" +
           s""""plan_s":${r2(planS)},"history_s":${r2(historyS)},""" +
           s""""changes_s":${r2(changesS)},"vacuum_s":${r2(vacuumS)},""" +
           s""""manifest_bytes":$manifestBytes}"""

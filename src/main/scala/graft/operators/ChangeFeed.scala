@@ -179,7 +179,10 @@ object ChangeFeed {
     // backfill pacing: cap each micro-batch at N versions
     maxVersionsPerBatch.foreach(n =>
       r = r.option("maxVersionsPerBatch", n.toString))
-    // bootstrap pacing: drain the initial snapshot as N-file slices
+    // file pacing: drain the bootstrap snapshot — and any over-budget
+    // later span — as ~N-file slices. Floor: the partition is the
+    // format's atomic diff unit, so each batch is bounded by
+    // max(N, largest single changed partition's files)
     maxFilesPerBatch.foreach(n =>
       r = r.option("maxFilesPerBatch", n.toString))
     // persisted schema pin + recorded drift decisions: a retype's

@@ -142,9 +142,14 @@ object PartitionedSnapshots {
 
   /** One recorded data file: partition dir name, owner version, file
     * name, exact byte length (from the commit-time listing — the files
-    * are immutable, so it never goes stale). */
+    * are immutable, so it never goes stale), and the file's exact ROW
+    * COUNT where the commit recorded it (one parquet-footer read per
+    * freshly-written file, paid once at commit outside any lock; rows
+    * carried from a pre-rowcount record stay None). Row counts feed
+    * Catalyst `Statistics.numRows` for CBO/AQE cardinality — exact
+    * sizes alone only drive broadcast thresholds. */
   final case class FileRef(part: String, owner: Long, name: String,
-      bytes: Long)
+      bytes: Long, rows: Option[Long] = None)
 
   /** Version `v`'s recorded file manifest, if its commit wrote one.
     * TORN or corrupt content reads as None — the sidecars are an
@@ -157,7 +162,8 @@ object PartitionedSnapshots {
       new String(b, "UTF-8").split('\n').filter(_.nonEmpty).toSeq
         .map { l =>
           val a = l.split('\t')
-          FileRef(a(0), a(1).toLong, a(2), a(3).toLong)
+          FileRef(a(0), a(1).toLong, a(2), a(3).toLong,
+            if (a.length >= 5) Some(a(4).toLong) else None)
         }
     }.toOption)
 
@@ -179,6 +185,32 @@ object PartitionedSnapshots {
       .sortBy(_.name)
       .map(e => FileRef(p, o, e.name, e.bytes))
 
+  /** Exact row counts for freshly-committed refs, from their parquet
+    * footers (the files were written moments ago by this writer —
+    * one metadata read each, never a data scan, never under a lock).
+    * A footer that fails to read records None rather than failing the
+    * commit: row counts are statistics, not semantics. */
+  private def withRowCounts(t: String, refs: Seq[FileRef]): Seq[FileRef] = {
+    lazy val conf = SparkSession.active.sessionState.newHadoopConf()
+    refs.map { r =>
+      r.copy(rows = scala.util.Try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(
+            s"${dataDir(t, r.owner)}/${r.part}/${r.name}"), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getRecordCount finally reader.close()
+      }.toOption)
+    }
+  }
+
+  /** Total rows of a recorded file set — defined only when EVERY ref
+    * carries a count (a mixed record would undercount, which for a
+    * cardinality estimate is worse than unknown). */
+  private[graft] def rowCountOf(refs: Seq[FileRef]): Option[Long] = {
+    val counts = refs.map(_.rows)
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   /** Record version `v`'s file manifest for final manifest map `m`:
     * rows for partitions whose owner matches `carryFrom`'s manifest
     * copy over without a store call; `fresh` rows (listed lock-free by
@@ -192,7 +224,8 @@ object PartitionedSnapshots {
       carryFrom: Option[Long], store: CommitStore,
       fresh: Map[String, Seq[FileRef]] = Map.empty,
       atomic: Boolean = false,
-      carriedRefs: Option[Seq[FileRef]] = None): Unit = {
+      carriedRefs: Option[Seq[FileRef]] = None,
+      enrichRows: Long => Boolean = _ => false): Unit = {
     val carried: Map[String, Seq[FileRef]] =
       carriedRefs.orElse(carryFrom.flatMap(cv =>
           fileManifest(t, cv, store)))
@@ -200,8 +233,17 @@ object PartitionedSnapshots {
     val lines = m.toSeq.sorted.flatMap { case (p, o) =>
       fresh.get(p).filter(_.forall(_.owner == o))
         .orElse(carried.get(p).filter(_.forall(_.owner == o)))
-        .getOrElse(listPartFiles(t, o, p, store))
-        .map(f => s"${f.part}\t${f.owner}\t${f.name}\t${f.bytes}")
+        .getOrElse {
+          // fallback listing has no row counts; enrich the owners the
+          // caller names (serializing commits pass the version they
+          // just wrote — footer reads of files this writer created;
+          // the backfill passes everything, its documented pay-once
+          // cost) so pre-rowcount gaps don't poison rowCountOf forever
+          val listed = listPartFiles(t, o, p, store)
+          if (enrichRows(o)) withRowCounts(t, listed) else listed
+        }
+        .map(f => s"${f.part}\t${f.owner}\t${f.name}\t${f.bytes}" +
+          f.rows.fold("")(r => s"\t$r"))
     }
     val bytes = lines.mkString("\n").getBytes("UTF-8")
     // commit paths use the plain write (the dir is unreferenced until
@@ -357,7 +399,8 @@ object PartitionedSnapshots {
           // skipped — otherwise the table has no remedy short of
           // hand-deleting the sidecar
           if (checkedFileManifest(t, v, m, store).isEmpty) {
-            writeFileMeta(t, v, m, freshPrev, store, atomic = true)
+            writeFileMeta(t, v, m, freshPrev, store, atomic = true,
+              enrichRows = _ => true)
             indexed ::= v
             freshPrev = Some(v)
           } else freshPrev = None
@@ -395,6 +438,25 @@ object PartitionedSnapshots {
       new org.apache.hadoop.fs.Path(
         s"${dataDir(t, r.owner)}/${r.part}/${r.name}")))
   }
+
+  /** Everything the plan-from-metadata index needs to FILE-SKIP on
+    * pushed predicates (see [[graft.plans.FilePrune]]): the partition
+    * column + its type from the planned schema, and the version's
+    * zone-map/bloom sidecar dirs where built. Two existence probes per
+    * plan — metadata-sized, and only on the already-fast indexed
+    * path. */
+  private[graft] def pruneSpecFor(t: String, v: Long,
+      schema: org.apache.spark.sql.types.StructType,
+      store: CommitStore): Option[graft.plans.FilePrune] =
+    tableProps(t, store).get("partCol").flatMap { pc =>
+      schema.fields.find(_.name.equalsIgnoreCase(pc)).map { f =>
+        graft.plans.FilePrune(f.name, f.dataType,
+          Some(zoneMapDir(t, v))
+            .filter(d => store.exists(s"$d/_SUCCESS")),
+          Some(bloomIdxDir(t, v))
+            .filter(d => store.exists(s"$d/_SUCCESS")))
+      }
+    }
 
   /** Write `df`'s touched partitions into version `v`'s data dir and
     * return the partition dir names written. The `__p` shadow keeps the
@@ -602,7 +664,7 @@ object PartitionedSnapshots {
       val v = reserveVersion(t, store)
       val parts = writeData(df, t, v, partCol, store)
       val mNew = parts.map(_ -> v).toMap
-      writeFileMeta(t, v, mNew, None, store)
+      writeFileMeta(t, v, mNew, None, store, enrichRows = _ == v)
       writeManifest(t, v, mNew, store)
       commitPointer(t, v, store, txn)
       writeProps(t, partCol, Nil, store)
@@ -855,6 +917,103 @@ object PartitionedSnapshots {
         })
     }
 
+  /** OPTIMISTIC predicate DELETE — [[delete]] semantics committed
+    * through the prepare/validate protocol, so a partition-scoped
+    * GDPR delete and any other optimistic writer touching DISJOINT
+    * partitions run their data phases concurrently instead of
+    * serializing on the table lock. Per attempt: a detection scan
+    * against the BASE version finds the partitions holding matches
+    * (re-run on every retry, so a lost race re-detects against the
+    * winner's rows), only those rewrite without their matching rows,
+    * and a partition the delete EMPTIES drops from the manifest —
+    * exactly as the serializing [[delete]] records it.
+    *
+    * Isolation is WRITE-serializable (Delta's default level): the
+    * committed state is equivalent to running the delete at its BASE
+    * snapshot — rows matching the predicate that a CONCURRENT commit
+    * inserts into partitions this delete never touched are NOT
+    * deleted (the equivalent serial order runs the delete first).
+    * A compliance sweep that must observe commit order uses the
+    * locking [[delete]], which serializes with everything — the same
+    * trade [[optimisticMerge]] documents. */
+  def optimisticDelete(spark: SparkSession, t: String,
+      where: org.apache.spark.sql.Column, partCol: String,
+      maxRetries: Int = 3, store: CommitStore = CommitStore.local,
+      txn: Option[String] = None): Long =
+    optimisticLoop(t, maxRetries) { () =>
+      optimisticAttempt(spark, t, spark.emptyDataFrame, partCol, Nil,
+        store, txn, requireBase = true, dropEmptied = true,
+        resolve = (_, touchedDirs, mBase, _) => {
+          val dirs = mBase.collect {
+            case (p, o) if touchedDirs(p) => s"${dataDir(t, o)}/$p"
+          }.toSeq
+          spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+            .filter(org.apache.spark.sql.functions.not(
+              org.apache.spark.sql.functions
+                .coalesce(where, lit(false))))
+        },
+        checkParts = (parts, touchedDirs, _) => {
+          val unexpected = parts.filterNot(touchedDirs)
+          if (unexpected.nonEmpty)
+            throw new IllegalStateException(
+              "partition rendering mismatch during delete: wrote " +
+                unexpected.mkString(", ") + " outside the detected " +
+                "partitions — aborting commit (orphan version; " +
+                "vacuum reclaims it)")
+        },
+        detect = Some((base, _) =>
+          readVersion(spark, t, base.get, store).filter(where)
+            .select(col(partCol).cast("string")).distinct()
+            .collect().map(r => partDirName(
+              if (r.isNullAt(0)) None else Some(r.getString(0))))
+            .toSet))
+    }
+
+  /** OPTIMISTIC predicate UPDATE — [[updateWhere]] semantics through
+    * the prepare/validate protocol; same detection-per-attempt and
+    * write-serializable isolation as [[optimisticDelete]] (an update
+    * can never empty a partition, so manifest entries only change
+    * owner). */
+  def optimisticUpdateWhere(spark: SparkSession, t: String,
+      set: Map[String, org.apache.spark.sql.Column],
+      where: org.apache.spark.sql.Column, partCol: String,
+      maxRetries: Int = 3, store: CommitStore = CommitStore.local,
+      txn: Option[String] = None): Long =
+    optimisticLoop(t, maxRetries) { () =>
+      optimisticAttempt(spark, t, spark.emptyDataFrame, partCol, Nil,
+        store, txn, requireBase = true, dropEmptied = false,
+        resolve = (_, touchedDirs, mBase, base) => {
+          val cols = readVersion(spark, t, base.get, store).columns.toSeq
+          val dirs = mBase.collect {
+            case (p, o) if touchedDirs(p) => s"${dataDir(t, o)}/$p"
+          }.toSeq
+          val hit = org.apache.spark.sql.functions.coalesce(
+            where, lit(false))
+          spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+            .select(cols.map { c =>
+              set.get(c) match {
+                case Some(e) => when(hit, e).otherwise(col(c)).as(c)
+                case None => col(c)
+              }
+            }: _*)
+        },
+        checkParts = (parts, touchedDirs, _) => {
+          val unexpected = parts.filterNot(touchedDirs)
+          if (unexpected.nonEmpty)
+            throw new IllegalStateException(
+              "partition rendering mismatch during update: wrote " +
+                unexpected.mkString(", ") + " outside the detected " +
+                "partitions — an assignment moved a row across " +
+                "partitions (orphan version; vacuum reclaims it)")
+        },
+        detect = Some((base, _) =>
+          readVersion(spark, t, base.get, store).filter(where)
+            .select(col(partCol).cast("string")).distinct()
+            .collect().map(r => partDirName(
+              if (r.isNullAt(0)) None else Some(r.getString(0))))
+            .toSet))
+    }
+
   /** Bounded retry around one optimistic attempt: Right commits, Left
     * conflicts consume a retry, exhaustion refuses naming the last
     * conflict. */
@@ -892,9 +1051,15 @@ object PartitionedSnapshots {
     * prepare, metadata-only validate+commit, conflict classification)
     * is shared by every optimistic writer. `dropEmptied` commits the
     * REMOVAL of a touched partition the resolved output left empty
-    * (merge's matched-DELETE emptying a partition); upsert/append can
-    * never empty one, and under a rendering mismatch the drop would be
-    * a silent data loss, so they keep it off. */
+    * (merge's matched-DELETE emptying a partition, a predicate delete
+    * emptying one); upsert/append can never empty one, and under a
+    * rendering mismatch the drop would be a silent data loss, so they
+    * keep it off. `detect`, when given, computes the touched set from
+    * the BASE version instead of the updates frame (predicate
+    * DELETE/UPDATE have no updates frame — their touched set is a
+    * detection scan, re-run per attempt against each new base); a
+    * detection that matches nothing short-circuits to the base
+    * version, burning no commit. */
   private def optimisticAttempt(spark: SparkSession, t: String,
       updates: DataFrame, partCol: String, keys: Seq[String],
       store: CommitStore, txn: Option[String], requireBase: Boolean,
@@ -902,7 +1067,9 @@ object PartitionedSnapshots {
       resolve: (DataFrame, Set[String], Map[String, Long],
         Option[Long]) => DataFrame,
       checkParts: (Seq[String], Set[String],
-        Map[String, Long]) => Unit): Either[String, Long] = {
+        Map[String, Long]) => Unit,
+      detect: Option[(Option[Long], Map[String, Long]) => Set[String]] =
+        None): Either[String, Long] = {
     val base = currentVersion(t, store)
     if (requireBase && base.isEmpty) throw new IllegalStateException(
       s"$t has no committed snapshot")
@@ -970,13 +1137,18 @@ object PartitionedSnapshots {
       // vanished-path failure converts to Left — consuming one retry
       // like any other lost race — instead of crashing the writer.
       val prepared: Either[String,
-          (Set[String], Seq[String], Map[String, Seq[FileRef]])] =
+          Option[(Set[String], Seq[String], Map[String, Seq[FileRef]])]] =
         try {
-          val touchedDirs = updCached
-            .select(col(partCol).cast("string")).distinct()
-            .collect().map(r => partDirName(
-              if (r.isNullAt(0)) None else Some(r.getString(0))))
-            .toSet
+          val touchedDirs = detect match {
+            case Some(f) => f(base, mBase)
+            case None => updCached
+              .select(col(partCol).cast("string")).distinct()
+              .collect().map(r => partDirName(
+                if (r.isNullAt(0)) None else Some(r.getString(0))))
+              .toSet
+          }
+          if (detect.isDefined && touchedDirs.isEmpty) Right(None)
+          else {
           val merged = resolve(updCached, touchedDirs, mBase, base)
           val parts = writeData(merged, t, v, partCol, store)
           checkParts(parts, touchedDirs, mBase)
@@ -984,9 +1156,10 @@ object PartitionedSnapshots {
           // commit section's filemeta write then carries everything
           // else from the current version's record with zero store
           // listings inside the critical section
-          val freshRefs =
-            parts.map(p => p -> listPartFiles(t, v, p, store)).toMap
-          Right((touchedDirs, parts, freshRefs))
+          val freshRefs = parts.map(p =>
+            p -> withRowCounts(t, listPartFiles(t, v, p, store))).toMap
+          Right(Some((touchedDirs, parts, freshRefs)))
+          }
         } catch {
           case e: Throwable if vanishedPath(e, t) =>
             Left("base " + base.fold("<empty>")(b => s"v$b") +
@@ -1007,9 +1180,17 @@ object PartitionedSnapshots {
           stopBeatAndClearMarker()
           store.deleteRecursively(versionDir(t, v))
           return Left(msg)
-        case Right(_) => ()
+        case Right(None) =>
+          // detection matched nothing: the serializing contract ("the
+          // CURRENT version, burning nothing") against this attempt's
+          // base — correct even if a later commit landed meanwhile
+          // (the equivalent serial point is the base snapshot)
+          stopBeatAndClearMarker()
+          store.deleteRecursively(versionDir(t, v))
+          return Right(base.get)
+        case Right(Some(_)) => ()
       }
-      val (touchedDirs, parts, freshRefs) = prepared.toOption.get
+      val (touchedDirs, parts, freshRefs) = prepared.toOption.get.get
       // the SHORT critical section: metadata only, no data IO
       val result: Either[String, Long] =
         withCommitLock(t, store) {
@@ -1173,7 +1354,7 @@ object PartitionedSnapshots {
         case None =>
           val parts = writeData(shaped(updates), t, v, partCol, store)
           val mNew = parts.map(_ -> v).toMap
-          writeFileMeta(t, v, mNew, None, store)
+          writeFileMeta(t, v, mNew, None, store, enrichRows = _ == v)
           writeManifest(t, v, mNew, store)
         case Some(cur) =>
           val m = manifest(t, cur, store)
@@ -1224,7 +1405,8 @@ object PartitionedSnapshots {
                   "existing rows — partCol type unsupported for " +
                   "manifest addressing (use string/date/integral keys)")
             val mNew = m ++ parts.map(_ -> v).toMap
-            writeFileMeta(t, v, mNew, Some(cur), store)
+            writeFileMeta(t, v, mNew, Some(cur), store,
+          enrichRows = _ == v)
             writeManifest(t, v, mNew, store)
           } finally updCached.unpersist()
       }
@@ -1264,12 +1446,16 @@ object PartitionedSnapshots {
         // list and owner schemas — hand Spark an explicit file index
         // (zero listings, zero footer reads; exact sizes feed stats
         // and split planning). Filter pushdown, column pruning and
-        // footer-stats skipping behave exactly as on the listing path.
+        // footer-stats skipping behave exactly as on the listing
+        // path — plus FILE skipping: pushed predicates prune the
+        // planned list through the partition values and stats
+        // sidecars the index holds (GraftFileIndex.pruneFiles).
         val rel = org.apache.spark.sql.execution.datasources
           .HadoopFsRelation(
             new graft.plans.GraftFileIndex(spark,
               new org.apache.hadoop.fs.Path(t),
-              planStatuses(t, refs, store, plannedV = Some(v))),
+              planStatuses(t, refs, store, plannedV = Some(v)),
+              pruneSpecFor(t, v, schema, store)),
             new org.apache.spark.sql.types.StructType(), schema, None,
             new org.apache.spark.sql.execution.datasources.parquet
               .ParquetFileFormat(),
@@ -1524,9 +1710,15 @@ object PartitionedSnapshots {
         val dirs = m.collect {
           case (p, o) if touchedDirs(p) => s"${dataDir(t, o)}/$p"
         }.toSeq
+        // keep every row the predicate does NOT prove TRUE for: a
+        // NULL verdict keeps the row (three-valued logic, same rule
+        // as updateWhere's `hit` and MERGE's delete flag — a bare
+        // not(where) would silently delete NULL-predicate rows of
+        // touched partitions)
         val kept = spark.read.option("mergeSchema", "true")
           .parquet(dirs: _*)
-          .filter(org.apache.spark.sql.functions.not(where))
+          .filter(org.apache.spark.sql.functions.not(
+            org.apache.spark.sql.functions.coalesce(where, lit(false))))
         val parts = writeData(kept, t, v, partCol, store)
         val unexpected = parts.filterNot(touchedDirs)
         if (unexpected.nonEmpty)
@@ -1536,7 +1728,8 @@ object PartitionedSnapshots {
               "partitions — aborting commit (orphan version; vacuum " +
               "reclaims it)")
         val mNew = (m -- touchedDirs) ++ parts.map(_ -> v).toMap
-        writeFileMeta(t, v, mNew, Some(cur), store)
+        writeFileMeta(t, v, mNew, Some(cur), store,
+          enrichRows = _ == v)
         writeManifest(t, v, mNew, store)
         commitPointer(t, v, store)
         v
@@ -1594,7 +1787,8 @@ object PartitionedSnapshots {
               "partitions — an assignment moved a row across " +
               "partitions (orphan version; vacuum reclaims it)")
         val mNew = (m -- touchedDirs) ++ parts.map(_ -> v).toMap
-        writeFileMeta(t, v, mNew, Some(cur), store)
+        writeFileMeta(t, v, mNew, Some(cur), store,
+          enrichRows = _ == v)
         writeManifest(t, v, mNew, store)
         commitPointer(t, v, store)
         v
@@ -1690,7 +1884,8 @@ object PartitionedSnapshots {
               "or the partCol type is unsupported (orphan version; " +
               "vacuum reclaims it)")
         val mNew = (m -- touchedDirs) ++ parts.map(_ -> v).toMap
-        writeFileMeta(t, v, mNew, Some(cur), store)
+        writeFileMeta(t, v, mNew, Some(cur), store,
+          enrichRows = _ == v)
         writeManifest(t, v, mNew, store)
         commitPointer(t, v, store)
         writeProps(t, partCol, keys, store)
@@ -1801,7 +1996,8 @@ object PartitionedSnapshots {
         // a fragmented dir whose files held zero rows yields no
         // rewritten dir; it leaves the manifest (still zero rows)
         val mNew = (m -- fragSet) ++ parts.map(_ -> v).toMap
-        writeFileMeta(t, v, mNew, Some(cur), store)
+        writeFileMeta(t, v, mNew, Some(cur), store,
+          enrichRows = _ == v)
         writeManifest(t, v, mNew, store)
         commitPointer(t, v, store)
         (v, parts)

@@ -2,12 +2,36 @@ package graft.plans
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{PartitionSpec,
   PartitioningAwareFileIndex}
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan,
+  ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** What [[GraftFileIndex]] needs to FILE-SKIP on pushed predicates —
+  * all of it already on disk at commit time:
+  *
+  *  - `partCol`/`partType`: the table's partition column; every
+  *    recorded file's partition VALUE is encoded in its `__p=` path
+  *    segment, so a predicate over the partition column prunes files
+  *    exactly, with zero data reads (the Iceberg manifest-partition-
+  *    pruning idea).
+  *  - `zoneMapDir`/`bloomDir`: the version's stats sidecars where
+  *    built ([[graft.operators.ZoneMap]]/[[graft.operators.BloomIndex]]
+  *    as per-version indexes) — range and equality predicates over
+  *    DATA columns prune to stats survivors, the same skipping the
+  *    operator API's `readWhere`/`readEquals` does, now reached
+  *    through plain SQL. */
+final case class FilePrune(partCol: String, partType: DataType,
+    zoneMapDir: Option[String], bloomDir: Option[String])
 
 /** PLAN-FROM-METADATA file index: the Iceberg manifest-file idea (the
   * commit records every data file; planning reads metadata, never
@@ -29,12 +53,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Partition schema is EMPTY by design: the real partition column
   * rides inside the data files (the `__p` shadow-dir layout documented
-  * on PartitionedSnapshots), so file-level pruning on it comes from
-  * parquet footer stats and the zone-map/bloom sidecars, exactly as on
-  * the listing path. */
+  * on PartitionedSnapshots), so Spark classifies every pushed
+  * predicate as a DATA filter — and `listFiles` evaluates those
+  * against the metadata it holds (see [[FilePrune]]):
+  *
+  *  1. a conjunct referencing ONLY the partition column binds against
+  *     the value parsed from each file's `__p=` segment and is
+  *     evaluated per DISTINCT partition value (arbitrary deterministic
+  *     expressions, not just equality — `year(p) = 2024` prunes too);
+  *  2. range/equality conjuncts over zone-mapped or bloom-indexed
+  *     data columns prune to the sidecars' survivors.
+  *
+  * Pruning is fail-safe in the KEEP direction: a file is dropped only
+  * when metadata POSITIVELY rejects it (a partition value that parsed
+  * and evaluated false; a stats row whose interval provably misses; a
+  * bloom that cannot contain the probe). Unparseable values, unknown
+  * predicate shapes, non-deterministic or subquery conjuncts, and
+  * files absent from a sidecar all KEEP the file — the exact predicate
+  * is always re-applied by the scan above, so pruning is never a
+  * semantic. Without this, a selective query over a 100k-partition
+  * snapshot schedules ~100k footer reads and pays at execution time
+  * the listing cost plan-from-metadata removed from planning. */
 final class GraftFileIndex(spark: SparkSession, root: Path,
-    files0: Seq[FileStatus])
-  extends PartitioningAwareFileIndex(spark, Map.empty, None) {
+    files0: Seq[FileStatus], prune: Option[FilePrune] = None)
+  extends PartitioningAwareFileIndex(spark, Map.empty, None)
+  with PredicateHelper {
 
   // qualify once against the root's filesystem (client-side — no
   // store round-trip), so the scan's PartitionedFile paths carry an
@@ -54,15 +97,13 @@ final class GraftFileIndex(spark: SparkSession, root: Path,
   // class's implementations re-derive them by matching leaf dirs
   // against qualified root paths, a dance that exists for discovered
   // listings; this index IS the listing
-  override def listFiles(
-      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions
-        .Expression],
-      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions
-        .Expression])
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression])
       : Seq[org.apache.spark.sql.execution.datasources
         .PartitionDirectory] =
     Seq(org.apache.spark.sql.execution.datasources.PartitionDirectory(
-      org.apache.spark.sql.catalyst.InternalRow.empty, files.map(f =>
+      InternalRow.empty,
+      pruneFiles(partitionFilters ++ dataFilters).map(f =>
         org.apache.spark.sql.execution.datasources
           .FileStatusWithMetadata(f))))
 
@@ -87,20 +128,266 @@ final class GraftFileIndex(spark: SparkSession, root: Path,
   override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
 
   override def refresh(): Unit = ()
+
+  // ── predicate file-skipping ──────────────────────────────────────
+
+  /** Scheme/authority-insensitive file identity: the sidecars key
+    * files by `input_file_name()` (URL-encoded, `file:///…`), the
+    * recorded statuses render `file:/…` — compare decoded absolute
+    * paths so a rendering difference can only LOSE pruning, never a
+    * file (membership is consulted in the reject direction only). */
+  private def uriPath(s: String): String =
+    scala.util.Try(org.apache.spark.paths.SparkPath.fromUrlString(s)
+      .toPath.toUri.getPath).getOrElse(s)
+
+  private def pruneFiles(filters: Seq[Expression]): Seq[FileStatus] = {
+    val p = prune.getOrElse(return files)
+    if (filters.isEmpty || files.isEmpty) return files
+    // only deterministic, subquery-free conjuncts participate —
+    // runtime/dynamic expressions must not decide a static file list
+    val conjuncts = filters.flatMap(splitConjunctivePredicates)
+      .filter(e => e.deterministic &&
+        e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty)
+    if (conjuncts.isEmpty) return files
+    val afterPart = prunePartitions(p, conjuncts)
+    pruneSidecars(p, conjuncts, afterPart)
+  }
+
+  /** The rendered partition value of a file's `__p=` dir segment:
+    * None = not a partition-shaped path (keep, never prune). */
+  private def partRendered(f: FileStatus): Option[Option[String]] = {
+    val dir = f.getPath.getParent.getName
+    if (!dir.startsWith("__p=")) None
+    else {
+      val raw = dir.stripPrefix("__p=")
+      if (raw == "__HIVE_DEFAULT_PARTITION__") Some(None)
+      else Some(Some(ExternalCatalogUtils.unescapePathName(raw)))
+    }
+  }
+
+  private def prunePartitions(p: FilePrune,
+      conjuncts: Seq[Expression]): Seq[FileStatus] = {
+    val partConjs = conjuncts.filter(e => e.references.nonEmpty &&
+      e.references.forall(_.name.equalsIgnoreCase(p.partCol)))
+    if (partConjs.isEmpty) return files
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val preds = partConjs.map { e =>
+      Predicate.create(e.transform {
+        case a: AttributeReference
+            if a.name.equalsIgnoreCase(p.partCol) =>
+          BoundReference(0, p.partType, nullable = true)
+      })
+    }
+    // evaluate once per DISTINCT partition value, not per file; a
+    // value that fails to parse back into the column type keeps its
+    // files (can only happen to hand-laid-out data — rendered values
+    // round-trip by construction)
+    def keepValue(rendered: Option[String]): Boolean = rendered match {
+      case None => preds.forall(_.eval(InternalRow(null)))
+      case Some(s) =>
+        val v = Cast(Literal(UTF8String.fromString(s), StringType),
+          p.partType, tz, EvalMode.TRY).eval()
+        if (v == null) true // parse failure — keep
+        else preds.forall(_.eval(InternalRow(v)))
+    }
+    val verdict =
+      scala.collection.mutable.Map.empty[Option[String], Boolean]
+    files.filter(f => partRendered(f).forall(r =>
+      verdict.getOrElseUpdate(r, keepValue(r))))
+  }
+
+  /** Literal probe value of an equality/comparison conjunct on column
+    * `c` (attribute on either side), as (exact attr name, operator
+    * tag, literal). */
+  private def colLit(e: Expression)
+      : Option[(String, String, Literal)] = e match {
+    case EqualTo(a: AttributeReference, l: Literal) => Some((a.name, "=", l))
+    case EqualTo(l: Literal, a: AttributeReference) => Some((a.name, "=", l))
+    case GreaterThan(a: AttributeReference, l: Literal) => Some((a.name, ">", l))
+    case GreaterThan(l: Literal, a: AttributeReference) => Some((a.name, "<", l))
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => Some((a.name, ">=", l))
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => Some((a.name, "<=", l))
+    case LessThan(a: AttributeReference, l: Literal) => Some((a.name, "<", l))
+    case LessThan(l: Literal, a: AttributeReference) => Some((a.name, ">", l))
+    case LessThanOrEqual(a: AttributeReference, l: Literal) => Some((a.name, "<=", l))
+    case LessThanOrEqual(l: Literal, a: AttributeReference) => Some((a.name, ">=", l))
+    case _ => None
+  }
+
+  private def inList(e: Expression)
+      : Option[(String, Seq[Literal])] = e match {
+    case In(a: AttributeReference, vs)
+        if vs.forall(_.isInstanceOf[Literal]) =>
+      Some((a.name, vs.map(_.asInstanceOf[Literal])))
+    case InSet(a: AttributeReference, vs) =>
+      Some((a.name, vs.toSeq.map(Literal(_, a.dataType))))
+    case _ => None
+  }
+
+  // sidecar indexes load lazily (schema probe = one footer; the stats
+  // rows collect only when a conjunct can actually use them) and once
+  // per planned scan
+  private lazy val zoneIdx = prune.flatMap(_.zoneMapDir).map(d =>
+    spark.read.parquet(d))
+  private lazy val bloomIdxDf = prune.flatMap(_.bloomDir).map(d =>
+    spark.read.parquet(d))
+  private def statCols(df: org.apache.spark.sql.DataFrame,
+      prefix: String): Map[String, String] =
+    df.schema.fieldNames.filter(_.startsWith(prefix))
+      .map(c => c.stripPrefix(prefix).toLowerCase -> c.stripPrefix(prefix))
+      .toMap
+
+  private def pruneSidecars(p: FilePrune, conjuncts: Seq[Expression],
+      in: Seq[FileStatus]): Seq[FileStatus] = {
+    if (in.isEmpty) return in
+    var rejected = Set.empty[String]
+    // zone map: min/max/null-count intervals per file — one survive
+    // condition per translatable conjunct, evaluated BY SPARK over the
+    // index rows (no driver-side cross-type value comparison)
+    if (p.zoneMapDir.isDefined) {
+      val cmps = conjuncts.flatMap(colLit)
+      val nullChecks = conjuncts.flatMap {
+        case IsNull(a: AttributeReference) => Some((a.name, true))
+        case IsNotNull(a: AttributeReference) => Some((a.name, false))
+        case _ => None
+      }
+      val ins = conjuncts.flatMap(inList)
+      if (cmps.nonEmpty || nullChecks.nonEmpty || ins.nonEmpty)
+        zoneIdx.foreach { idx =>
+        val mapped = statCols(idx, "min__")
+        def stat(kind: String, c: String) = col(kind + "__" + c)
+        val survives = cmps.flatMap { case (name, op, l) =>
+          mapped.get(name.toLowerCase).map { c =>
+            val v = Bridge.toColumn(l)
+            op match {
+              case "=" => stat("min", c) <= v && stat("max", c) >= v
+              case ">" => stat("max", c) > v
+              case ">=" => stat("max", c) >= v
+              case "<" => stat("min", c) < v
+              case "<=" => stat("min", c) <= v
+            }
+          }
+        } ++ nullChecks.flatMap { case (name, isNull) =>
+          mapped.get(name.toLowerCase).map { c =>
+            if (isNull) stat("nulls", c) > lit(0L)
+            else col("rows") > stat("nulls", c)
+          }
+        } ++ ins.flatMap { case (name, lits) =>
+          mapped.get(name.toLowerCase).map { c =>
+            lits.map(l => stat("min", c) <= Bridge.toColumn(l) &&
+              stat("max", c) >= Bridge.toColumn(l))
+              .reduce(_ || _)
+          }
+        }
+        if (survives.nonEmpty) {
+          // reject = the index POSITIVELY refutes every-row-match; a
+          // NULL survive verdict (all-null stats under a comparison)
+          // is a refutation too — comparisons never match NULL
+          val rej = not(coalesce(survives.reduce(_ && _), lit(false)))
+          rejected ++= idx.filter(rej).select("file").collect()
+            .map(r => uriPath(r.getString(0)))
+        }
+      }
+    }
+    // bloom: equality probes on high-cardinality columns — no false
+    // negatives, so a non-surviving indexed file is a positive reject
+    if (p.bloomDir.isDefined) {
+      val eqs = (conjuncts.flatMap(e => colLit(e).collect {
+        case (n, "=", l) if l.value != null => (n, Seq(l))
+      }) ++ conjuncts.flatMap(inList).map { case (n, ls) =>
+        (n, ls.filter(_.value != null))
+      }).filter(_._2.nonEmpty)
+      if (eqs.nonEmpty) bloomIdxDf.foreach { idx =>
+        val mapped = statCols(idx, "bloom__")
+        eqs.foreach { case (name, lits) =>
+          mapped.get(name.toLowerCase).foreach { c =>
+            val values = lits.map(l =>
+              org.apache.spark.sql.catalyst.CatalystTypeConverters
+                .convertToScala(l.value, l.dataType))
+            val survivors = graft.operators.BloomIndex
+              .pruneEquals(idx, c, values).map(uriPath).toSet
+            rejected ++= idx.select("file").collect()
+              .map(r => uriPath(r.getString(0)))
+              .filterNot(survivors)
+          }
+        }
+      }
+    }
+    if (rejected.isEmpty) in
+    else in.filterNot(f => rejected(f.getPath.toUri.getPath))
+  }
+}
+
+/** [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]]
+  * that reports the commit-recorded EXACT row count through
+  * `SupportsReportStatistics`. The filemeta sidecar records per-file
+  * rows at commit (footer reads of just-written files), so an
+  * unfiltered scan's `numRows` is exact — CBO/AQE get true
+  * cardinality instead of deriving it from size heuristics. Once a
+  * filter or aggregate is pushed, cardinality is no longer the
+  * table's: fall back to the inherited estimate (exact sizeInBytes,
+  * unknown rows) rather than overstate. Column pruning does not
+  * change cardinality, so a pruned projection keeps the exact count. */
+final class StatParquetScan(base: ParquetScan, rowCount: Long)
+  extends ParquetScan(base.sparkSession, base.hadoopConf,
+    base.fileIndex, base.dataSchema, base.readDataSchema,
+    base.readPartitionSchema, base.pushedFilters, base.options,
+    base.pushedAggregate, base.partitionFilters, base.dataFilters,
+    base.pushedVariantExtractions) {
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val inherited = super.estimateStatistics()
+    if (dataFilters.nonEmpty || partitionFilters.nonEmpty ||
+        pushedAggregate.isDefined) inherited
+    else new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        inherited.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rowCount)
+    }
+  }
+}
+
+/** ParquetScanBuilder whose built scan carries the recorded row count
+  * (see [[StatParquetScan]]); all pushdown state accumulates in the
+  * inherited builder and transfers through `super.build()`. */
+final class StatScanBuilder(spark: SparkSession,
+    fileIndex: org.apache.spark.sql.execution.datasources
+      .PartitioningAwareFileIndex,
+    schema: StructType, dataSchema: StructType,
+    options: CaseInsensitiveStringMap, rowCount: Long)
+  extends ParquetScanBuilder(spark, fileIndex, schema, dataSchema,
+    options) {
+
+  override def build(): ParquetScan =
+    new StatParquetScan(super.build(), rowCount)
 }
 
 /** DSv2 parquet table whose scan plans from a [[GraftFileIndex]] and
   * whose schema is the commit-recorded one — the SQL catalog's
   * plan-from-metadata path: `SELECT` over a 100k-partition snapshot
   * costs one filemeta parse instead of 100k dir listings plus footer
-  * schema inference. Everything else (ParquetScanBuilder's filter
-  * pushdown, column pruning, vectorized read) is inherited unchanged. */
+  * schema inference, a pushed predicate file-skips through the same
+  * index, and the recorded row count surfaces as exact Catalyst
+  * statistics. Everything else (ParquetScanBuilder's filter pushdown,
+  * column pruning, vectorized read) is inherited unchanged. */
 final class IndexedParquetTable(name: String, spark: SparkSession,
     options: CaseInsensitiveStringMap, tableRoot: String,
-    tableSchema: StructType, files: Seq[FileStatus])
+    tableSchema: StructType, files: Seq[FileStatus],
+    prune: Option[FilePrune] = None,
+    rowCount: Option[Long] = None)
   extends ParquetTable(name, spark, options, Seq(tableRoot),
     Some(tableSchema), classOf[ParquetFileFormat]) {
 
   override lazy val fileIndex: PartitioningAwareFileIndex =
-    new GraftFileIndex(spark, new Path(tableRoot), files)
+    new GraftFileIndex(spark, new Path(tableRoot), files, prune)
+
+  override def newScanBuilder(params: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.execution.datasources.v2.parquet
+        .ParquetScanBuilder = {
+    val b = super.newScanBuilder(params)
+    rowCount.fold(b)(n => new StatScanBuilder(b.sparkSession,
+      b.fileIndex, b.schema, b.dataSchema, b.options, n))
+  }
 }

@@ -124,11 +124,13 @@ class SnapshotSqlCatalog extends TableCatalog
       case Some((refs, fileSchema)) =>
         val missing = declared.toSeq.flatMap(_.fields).filterNot(f =>
           fileSchema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+        val schema = StructType(fileSchema.fields ++ missing)
         new IndexedParquetTable(s"$catalogName.${ident.name}@v$v",
-          SparkSession.active, opts, t,
-          StructType(fileSchema.fields ++ missing),
+          SparkSession.active, opts, t, schema,
           PartitionedSnapshots.planStatuses(t, refs, store,
-            plannedV = Some(v)))
+            plannedV = Some(v)),
+          PartitionedSnapshots.pruneSpecFor(t, v, schema, store),
+          PartitionedSnapshots.rowCountOf(refs))
       case None =>
         val dirs = dirsOf(t, v)
         if (dirs.isEmpty)

@@ -42,7 +42,14 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * checkpoint, so a restart resumes mid-bootstrap exactly-once) —
   * Delta's maxFilesPerTrigger move, closing the one batch whose size
   * was otherwise bounded by table size; `maxVersionsPerBatch` paces
-  * the version backlog after it. `Trigger.AvailableNow` is NATIVE
+  * the version backlog after it. Non-bootstrap spans pace by files
+  * too ([[SpanSliceOffset]]): a span whose changed partitions exceed
+  * the budget drains as changed-partition slices. EXACT contract:
+  * the PARTITION is this format's atomic diff unit, so every batch
+  * is bounded by max(maxFilesPerBatch, largest single changed
+  * partition's file count) — a lone partition whose rewrite alone
+  * exceeds the budget still arrives as one over-budget batch, and
+  * the next slice resumes on budget. `Trigger.AvailableNow` is NATIVE
   * ([[org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow]]):
   * the run pins the commit pointer at start, drains exactly that
   * backlog, and stops — no single-batch fallback warning, and

@@ -36,6 +36,37 @@ class ChangeFeedSpanPaceSpec extends AnyFunSuite {
     assert(BootstrapOffset.parse(s.json).isEmpty)
   }
 
+  test("FLOOR contract: a changed partition whose files alone exceed " +
+      "maxFilesPerBatch still arrives as ONE slice — the partition is " +
+      "the format's atomic diff unit, so the cursor advances by at " +
+      "least one partition per batch and the stream never stalls") {
+    val t = tmp()
+    writeAll(t, 3, "x")           // v1
+    writeAll(t, 3, "y")           // v2: every partition rewritten,
+                                  // weight 2 (before+after file) each
+    val src = new ChangeFeedSource(spark, Map("path" -> t,
+      "keys" -> "k", "maxFilesPerBatch" -> "1"))
+    def lo(prev: org.apache.spark.sql.connector.read.streaming.Offset) =
+      src.latestOffset(prev, src.getDefaultReadLimit)
+    def ks(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("k")).as[Long].collect().toSet
+    // budget 1 < every partition's weight 2: each slice carries
+    // exactly one over-budget partition, max(budget, largest
+    // partition) bounded — never zero progress, never a stall
+    val start = LongOffset(1L)
+    val o1 = lo(start).asInstanceOf[SpanSliceOffset]
+    assert(o1 == SpanSliceOffset(1L, 2L, 1L, 3L), s"got $o1")
+    assert(ks(src.batchFor(Some(start), o1)) == Set(1L))
+    val o2 = lo(o1).asInstanceOf[SpanSliceOffset]
+    assert(o2 == SpanSliceOffset(1L, 2L, 2L, 3L))
+    assert(ks(src.batchFor(Some(o1), o2)) == Set(2L))
+    val o3 = lo(o2).asInstanceOf[SpanSliceOffset]
+    assert(o3 == SpanSliceOffset(1L, 2L, 3L, 3L))
+    assert(ks(src.batchFor(Some(o2), o3)) == Set(3L))
+    val o4 = lo(o3)
+    assert(o4.asInstanceOf[LongOffset].offset == 2L)
+  }
+
   test("unit: a full rewrite of 6 partitions with maxFilesPerBatch=4 " +
       "drains as 2+2+2 partition slices (weight 2 each: before+after " +
       "file), pairwise disjoint, union = the span's full CDC; a " +
