@@ -121,10 +121,15 @@ object MetaScaleBench {
         val sel = PS.read(spark, t, store)
           .filter(col("d") === "p0000003")
         val selS = (1 to 3).map(_ => timed(sel.count())._1).min
+        // execute sel's OWN plan once so its scan metric fills (the
+        // timed count() above plans separately), then read the
+        // planned-file count — the O(predicate) proof
+        val selRows = sel.collect().length
         val selFiles = sel.queryExecution.executedPlan.collect {
           case s: org.apache.spark.sql.execution.FileSourceScanExec =>
             s.metrics("numFiles").value
         }.headOption.getOrElse(-1L)
+        require(selRows >= 1, s"selective probe lost its row: $selRows")
         val historyS = timed(PS.history(t, store).size)._1
         val v0 = cur
         PS.upsert(spark, t, Seq((0L, "p0000000", "z"))

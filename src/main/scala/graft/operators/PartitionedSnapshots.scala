@@ -375,6 +375,18 @@ object PartitionedSnapshots {
       Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
         if (hasManifest(t, v, store)) {
           val m = manifest(t, v, store)
+          // a pre-horizon version kept only as a DATA OWNER — vacuum
+          // reclaimed some owner dirs its manifest references, but
+          // its own dir (and the manifest file inside) survives
+          // because a retained manifest references its data — is a
+          // HUSK, not a readable version: reading it fails on the
+          // missing dirs regardless of sidecars, so the backfill must
+          // skip it (inferring a schema from a reclaimed dir would
+          // crash the whole migration), and it is no carry source
+          if (!m.values.toSeq.distinct
+              .forall(o => store.exists(dataDir(t, o)))) {
+            freshPrev = None
+          } else {
           m.values.toSeq.distinct.sorted.foreach { o =>
             if (ownerSchema(t, o, store).isEmpty) {
               val dirs = m.collect {
@@ -404,6 +416,7 @@ object PartitionedSnapshots {
             indexed ::= v
             freshPrev = Some(v)
           } else freshPrev = None
+          }
         }
       }
       }

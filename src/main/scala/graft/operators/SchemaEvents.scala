@@ -52,10 +52,18 @@ object SchemaEvents {
     if (added.isEmpty) return
     val ts = System.currentTimeMillis()
     val name = s"$ts-${java.util.UUID.randomUUID().toString.take(8)}"
-    val body = s"$ts\t$actor\t$source\t${version.fold("-")(_.toString)}\n" +
-      StructType(added.toArray).json
+    // versionless-but-COMPLETE events write "none", not the staged
+    // path's "-": only "-" marks an in-flight claim fillVersion may
+    // still patch, and only those must stay loose (un-compactable) —
+    // an ALTER's event is immutable from birth and rolls up normally
+    val body =
+      s"$ts\t$actor\t$source\t${version.fold("none")(_.toString)}\n" +
+        StructType(added.toArray).json
     store.mkdirs(dir(t))
     store.atomicWrite(s"${dir(t)}/$name", body.getBytes("UTF-8"))
+    // opportunistic compaction — never fail the recorder for it
+    scala.util.Try(rollUp(t, store = store))
+    ()
   }
 
   private def unfilled(t: String, name: String,
@@ -116,7 +124,7 @@ object SchemaEvents {
     * its version would falsify history. */
   def fillVersion(t: String, name: String, version: Long,
       store: CommitStore = CommitStore.local): Unit =
-    if (unfilled(t, name, store))
+    if (unfilled(t, name, store)) {
       store.read(s"${dir(t)}/$name").foreach { b =>
         val lines = new String(b, "UTF-8").split('\n')
         if (lines.length >= 2) scala.util.Try {
@@ -126,6 +134,10 @@ object SchemaEvents {
               lines.drop(1).mkString("\n")).getBytes("UTF-8"))
         }
       }
+      // the fill is what turns a staged event compactable
+      scala.util.Try(rollUp(t, store = store))
+      ()
+    }
 
   /** Remove a STAGED (still-unfilled) event whose widening is now
     * known to never land — a permanently refused epoch must not leave
@@ -137,28 +149,102 @@ object SchemaEvents {
       ()
     }
 
+  private def parseBody(b: Array[Byte]): Option[Event] = {
+    val lines = new String(b, "UTF-8").split('\n')
+    if (lines.length < 2) None
+    else scala.util.Try {
+      val h = lines(0).split('\t')
+      Event(h(0).toLong, h(1), h(2),
+        // "-" = staged/unfilled, "none" = complete but versionless
+        // (pre-roll-up events on disk use "-" for both; they parse
+        // the same and simply stay loose)
+        Some(h(3)).filter(v => v != "-" && v != "none").map(_.toLong),
+        DataType.fromJson(lines(1)).asInstanceOf[StructType]
+          .fields.toSeq)
+    }.toOption
+  }
+
+  /** Roll-up threshold: a table widened by thousands of stream
+    * restarts must not make `schema_history` an O(events) small-read
+    * storm on an object store. */
+  private[operators] val RollThreshold = 64
+
+  /** Compact FILLED events into one immutable SEGMENT file once the
+    * loose tail crosses `threshold` — `all()` then reads segments +
+    * tail instead of one GET per event. Unfilled events are in-flight
+    * claims (the sink's two-phase window) and never compact. The
+    * segment embeds each member's original filename, the name is
+    * content-addressed from the member list (two concurrent roll-ups
+    * of the same set converge on one segment via createNew), and the
+    * originals delete only AFTER the segment lands — a crash between
+    * leaves duplicates, which `all()` dedupes by original name.
+    * Segments are never re-rolled: at fleet-restart cadence each
+    * holds >= threshold events, so the segment count stays dozens
+    * where the event count would be thousands. Returns true if a
+    * segment was written. Called opportunistically by [[record]] and
+    * [[fillVersion]]; safe to call any time. */
+  def rollUp(t: String, threshold: Int = RollThreshold,
+      store: CommitStore = CommitStore.local): Boolean = {
+    val loose = store.list(dir(t)).sorted
+      .filterNot(n => n.contains(".__tmp-") || n.startsWith("_segment-"))
+    if (loose.size < threshold) return false
+    val members = loose.flatMap { n =>
+      store.read(s"${dir(t)}/$n")
+        .filter(_ => !unfilled(t, n, store))
+        .map(b => n -> new String(b, "UTF-8"))
+    }
+    if (members.size < threshold) return false
+    val body = members.map { case (n, c) => s"=== $n\n$c" }
+      .mkString("\n")
+    // identity = first + last member, count, and an ordered hash —
+    // two roll-ups of the SAME set converge on one name (createNew
+    // makes the write once-only); a DIFFERENT set colliding would
+    // need identical endpoints, count and hash, so the delete below
+    // can never orphan content the landed segment lacks
+    val id = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.orderedHash(members.map(_._1)))
+    val seg =
+      s"_segment-${members.head._1}-${members.last._1}-${members.size}-$id"
+    store.createNew(s"${dir(t)}/$seg", body.getBytes("UTF-8"))
+    members.foreach { case (n, _) => store.delete(s"${dir(t)}/$n") }
+    true
+  }
+
   /** Every recorded widening, oldest first (by recorded timestamp —
     * staged events carry deterministic names, so filename order is
     * not chronological). Unreadable/torn files are skipped (an event
     * write is a single small PUT; a torn one means a crashed recorder
-    * whose widening never committed either). */
-  def all(t: String, store: CommitStore = CommitStore.local): Seq[Event] =
-    store.list(dir(t)).sorted
+    * whose widening never committed either). Loose files read BEFORE
+    * segments: a roll-up deletes originals only after its segment
+    * landed, so an event vanishing mid-read is guaranteed present in
+    * a segment read afterwards — never lost, and duplicates (the
+    * crash-between window) dedupe by original name. */
+  def all(t: String, store: CommitStore = CommitStore.local): Seq[Event] = {
+    val entries = store.list(dir(t)).sorted
       // atomicWrite stages "<name>.__tmp-<uuid>" in this directory; a
       // crash between the stage and the rename leaves the tmp behind,
       // and its body would parse as a valid DUPLICATE event
       .filterNot(_.contains(".__tmp-"))
-      .flatMap { f =>
-      store.read(s"${dir(t)}/$f").flatMap { b =>
-        val lines = new String(b, "UTF-8").split('\n')
-        if (lines.length < 2) None
-        else scala.util.Try {
-          val h = lines(0).split('\t')
-          Event(h(0).toLong, h(1), h(2),
-            Some(h(3)).filter(_ != "-").map(_.toLong),
-            DataType.fromJson(lines(1)).asInstanceOf[StructType]
-              .fields.toSeq)
-        }.toOption
+    val looseNames = entries.filterNot(_.startsWith("_segment-"))
+    val loose: Seq[(String, Event)] = looseNames.flatMap { f =>
+      store.read(s"${dir(t)}/$f").flatMap(parseBody).map(f -> _)
+    }
+    // segments listed FRESH after the loose reads (see scaladoc)
+    val segs = store.list(dir(t)).sorted.filter(_.startsWith("_segment-"))
+      .flatMap { sg =>
+        store.read(s"${dir(t)}/$sg").toSeq.flatMap { b =>
+          new String(b, "UTF-8").split("(?m)^=== ").toSeq
+            .filter(_.nonEmpty).flatMap { chunk =>
+              val nl = chunk.indexOf('\n')
+              if (nl < 0) None
+              else parseBody(chunk.drop(nl + 1).getBytes("UTF-8"))
+                .map(chunk.take(nl).trim -> _)
+            }
+        }
       }
+    val seen = scala.collection.mutable.Set.empty[String]
+    (loose ++ segs).flatMap { case (n, e) =>
+      if (seen.add(n)) Some(e) else None
     }.sortBy(_.tsMs)
+  }
 }

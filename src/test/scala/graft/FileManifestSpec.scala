@@ -320,4 +320,40 @@ class FileManifestSpec extends AnyFunSuite {
       "repair must re-list partition A in full")
     assert(PS.readVersion(spark, t, v2, store).count() == 7)
   }
+
+  test("HUSK versions survive the backfill: a pre-horizon version " +
+      "kept only as a data owner (vacuum reclaimed owners its own " +
+      "manifest references) is skipped, never crashes indexPlanMeta, " +
+      "and the current version stays fully indexed") {
+    val t = s"${tmp("fm_husk")}/t"
+    // v1 owns A+B; v2 rewrites A (refs B->1); v3 rewrites B
+    // (refs A->2); v4 rewrites A (refs B->3). vacuum keep=1 retains
+    // v4's manifest {A->4, B->3}: v1 and v2 are unreferenced and
+    // reclaimed — v3 survives as B's owner but its own manifest
+    // references the reclaimed v2, making it a HUSK
+    PS.write(spark, t, Seq((1L, "A", "a"), (2L, "B", "b"))
+      .toDF("k", "d", "v"), "d", store)
+    PS.upsert(spark, t, Seq((1L, "A", "a2")).toDF("k", "d", "v"),
+      Seq("k"), "d", store = store)
+    PS.upsert(spark, t, Seq((2L, "B", "b2")).toDF("k", "d", "v"),
+      Seq("k"), "d", store = store)
+    PS.upsert(spark, t, Seq((1L, "A", "a3")).toDF("k", "d", "v"),
+      Seq("k"), "d", store = store)
+    assert(PS.vacuum(t, keep = 1, store).toSet == Set(1L, 2L))
+    assert(PS.hasManifest(t, 3L, store), "v3 must survive as owner")
+    // strip v3's sidecars so the backfill would have to INFER from
+    // the reclaimed v2 dirs (the pre-fix crash path)
+    store.delete(s"$t/_snapshots/v00003/filemeta")
+    store.delete(s"$t/_snapshots/v00002/data_schema")
+    store.delete(s"$t/_snapshots/v00003/data_schema")
+    val wrote = PS.indexPlanMeta(spark, t, store)
+    assert(!wrote.contains(3L), s"husk must be skipped, wrote $wrote")
+    // v3 planMeta declines (owner schema gone) — the documented
+    // vacuumed-version contract — while the CURRENT version, whose
+    // owner v3 needs its data_schema restored, is re-indexed
+    assert(PS.planMeta(t, 3L, store).isEmpty)
+    assert(PS.planMeta(t, 4L, store).isDefined)
+    assert(PS.read(spark, t, store).as[(Long, String, String)]
+      .collect().toSet == Set((1L, "A", "a3"), (2L, "B", "b2")))
+  }
 }

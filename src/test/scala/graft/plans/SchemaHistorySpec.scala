@@ -177,4 +177,52 @@ class SchemaHistorySpec extends AnyFunSuite {
       CommitStore.local.read(s"$t/_schema_history/${entries.head}").get)
     assert(SchemaEvents.all(t).size == 1)
   }
+
+  test("roll-up: crossing the threshold compacts complete events " +
+      "into one segment — all() preserves order/content, an UNFILLED " +
+      "claim stays loose (fillVersion still patches it), the " +
+      "crash-between-segment-and-deletes window dedupes, and a " +
+      "re-roll-up of the same set is idempotent") {
+    val root = Files.createTempDirectory("graft_schemahist_roll").toString
+    val t = s"$root/t"
+    val store = CommitStore.local
+    def dir = s"$t/_schema_history"
+    (1 to 6).foreach { i =>
+      SchemaEvents.record(t, "alter", s"src$i", None,
+        Seq(StructField(s"c$i", IntegerType)))
+      Thread.sleep(2) // distinct timestamps pin the order assertion
+    }
+    // one in-flight staged claim — must survive every roll-up loose
+    SchemaEvents.stage(t, "stream-q1-claim", "stream", "q1",
+      Seq(StructField("pending", IntegerType)))
+    val before = SchemaEvents.all(t)
+    assert(before.size == 7)
+    assert(SchemaEvents.rollUp(t, threshold = 5))
+    val loose = store.list(dir).filterNot(_.startsWith("_segment-"))
+    val segs = store.list(dir).filter(_.startsWith("_segment-"))
+    assert(segs.size == 1, s"one segment, got $segs")
+    assert(loose == Seq("stream-q1-claim"),
+      s"only the unfilled claim stays loose: $loose")
+    assert(SchemaEvents.all(t).map(_.source) == before.map(_.source),
+      "order and content preserved across the roll-up")
+    // idempotent: nothing left above the threshold
+    assert(!SchemaEvents.rollUp(t, threshold = 5))
+    // crash window: resurrect one original beside the segment — a
+    // reader must dedupe by original name, never double-report
+    val segBody = new String(store.read(s"$dir/${segs.head}").get,
+      "UTF-8")
+    val chunk = segBody.split("(?m)^=== ")(1)
+    val nl = chunk.indexOf('\n')
+    store.write(s"$dir/${chunk.take(nl).trim}",
+      chunk.drop(nl + 1).trim.getBytes("UTF-8"))
+    assert(SchemaEvents.all(t).size == 7, "duplicate must dedupe")
+    // the staged claim still fills normally after roll-ups
+    SchemaEvents.fillVersion(t, "stream-q1-claim", 42L)
+    assert(SchemaEvents.all(t).exists(_.version.contains(42L)))
+    // and once FILLED it becomes compactable: with the resurrected
+    // original + the filled claim the tail crosses a threshold of 2
+    assert(SchemaEvents.rollUp(t, threshold = 2))
+    assert(store.list(dir).count(_.startsWith("_segment-")) == 2)
+    assert(SchemaEvents.all(t).size == 7)
+  }
 }
