@@ -454,22 +454,46 @@ object PartitionedSnapshots {
 
   /** Everything the plan-from-metadata index needs to FILE-SKIP on
     * pushed predicates (see [[graft.plans.FilePrune]]): the partition
-    * column + its type from the planned schema, and the version's
-    * zone-map/bloom sidecar dirs where built. Two existence probes per
-    * plan — metadata-sized, and only on the already-fast indexed
-    * path. */
+    * column + its type from the planned schema, and the newest usable
+    * zone-map/bloom sidecar dirs. Two existence probes per plan in the
+    * common cases — metadata-sized, and only on the already-fast
+    * indexed path.
+    *
+    * STALENESS is sound here: file stats are per immutable file, and
+    * the index's pruning is REJECT-only (a file the sidecar does not
+    * know is kept), so when the planned version has no sidecar of its
+    * own the newest one at a LOWER version still prunes correctly —
+    * files committed after that build are simply not skipped. Without
+    * the fallback, one commit after `buildZoneMap` would silently turn
+    * file skipping off until the next explicit rebuild. The
+    * descending scan only runs for tables that ever built the index
+    * (the `zonemap`/`bloomidx` props [[buildZoneMap]]/[[buildBloomIndex]]
+    * record), so unindexed tables stay at zero extra probes. The
+    * OPERATOR reads (readWhere/readEquals/readBetween) keep their
+    * exact-version contract — they scan the survivor list directly,
+    * where a stale index would LOSE files instead of merely not
+    * skipping them. */
   private[graft] def pruneSpecFor(t: String, v: Long,
       schema: org.apache.spark.sql.types.StructType,
-      store: CommitStore): Option[graft.plans.FilePrune] =
-    tableProps(t, store).get("partCol").flatMap { pc =>
+      store: CommitStore): Option[graft.plans.FilePrune] = {
+    val props = tableProps(t, store)
+    def sidecar(propKey: String,
+        dirFor: (String, Long) => String): Option[String] = {
+      val exact = dirFor(t, v)
+      if (store.exists(s"$exact/_SUCCESS")) Some(exact)
+      else if (!props.contains(propKey)) None
+      else versions(t, store).filter(_ < v).sorted.reverse
+        .map(x => dirFor(t, x))
+        .find(d => store.exists(s"$d/_SUCCESS"))
+    }
+    props.get("partCol").flatMap { pc =>
       schema.fields.find(_.name.equalsIgnoreCase(pc)).map { f =>
         graft.plans.FilePrune(f.name, f.dataType,
-          Some(zoneMapDir(t, v))
-            .filter(d => store.exists(s"$d/_SUCCESS")),
-          Some(bloomIdxDir(t, v))
-            .filter(d => store.exists(s"$d/_SUCCESS")))
+          sidecar("zonemap", zoneMapDir),
+          sidecar("bloomidx", bloomIdxDir))
       }
     }
+  }
 
   /** Write `df`'s touched partitions into version `v`'s data dir and
     * return the partition dir names written. The `__p` shadow keeps the
@@ -2232,11 +2256,25 @@ object PartitionedSnapshots {
     * (see [[buildFileIndex]]). */
   def buildZoneMap(spark: SparkSession, t: String, cols: Seq[String],
       version: Option[Long] = None,
-      store: CommitStore = CommitStore.local): Long =
-    buildFileIndex(spark, t, version, store, zoneMapDir,
+      store: CommitStore = CommitStore.local): Long = {
+    val v = buildFileIndex(spark, t, version, store, zoneMapDir,
       ("file" +: cols.flatMap(c =>
         Seq(s"min__$c", s"max__$c", s"nulls__$c")) :+ "rows").toSet,
       dirs => ZoneMap.collect(spark, dirs, cols))
+    // record that this table maintains a zone map — the SQL scan's
+    // pruneSpecFor then searches older versions for the newest built
+    // sidecar instead of probing only the planned version (see its
+    // staleness note); locked (props are a read-modify-write file) and
+    // spin-wrapped so a concurrent writer's transient hold never fails
+    // a finished index build
+    Incremental.spinOnContention() {
+      Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+        updateProps(t, Map("zonemap" -> cols.mkString(",")),
+          store = store)
+      }
+    }
+    v
+  }
 
   /** Build the per-file BLOOM index for version `v` (default current) —
     * [[BloomIndex]] blooms as a per-version sidecar, built incrementally
@@ -2246,11 +2284,20 @@ object PartitionedSnapshots {
   def buildBloomIndex(spark: SparkSession, t: String, cols: Seq[String],
       expectedItemsPerFile: Long = 1000000L, fpp: Double = 0.01,
       version: Option[Long] = None,
-      store: CommitStore = CommitStore.local): Long =
-    buildFileIndex(spark, t, version, store, bloomIdxDir,
+      store: CommitStore = CommitStore.local): Long = {
+    val v = buildFileIndex(spark, t, version, store, bloomIdxDir,
       ("file" +: cols.map(c => s"bloom__$c") :+ "rows").toSet,
       dirs => BloomIndex.collect(spark, dirs, cols,
         expectedItemsPerFile, fpp))
+    // see buildZoneMap's note on the prop
+    Incremental.spinOnContention() {
+      Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+        updateProps(t, Map("bloomidx" -> cols.mkString(",")),
+          store = store)
+      }
+    }
+    v
+  }
 
   /** Bloom-pruned point lookup on a version (default current): the file
     * list shrinks to bloom survivors BEFORE the scan plans; without an

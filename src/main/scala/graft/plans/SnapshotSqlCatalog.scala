@@ -523,11 +523,24 @@ private[plans] class SnapshotWritableTable(
     ()
   }
 
+  /** `SET graft.dml.optimistic=true` opts SQL UPDATE/DELETE into the
+    * prepare/validate commit (write-serializable; detection re-runs
+    * per attempt — see PartitionedSnapshots.optimisticDelete). The
+    * default stays the single-writer lock: predicate DML is usually
+    * maintenance (GDPR sweeps, backfills) where observing commit
+    * order beats concurrency. */
+  private def dmlOptimistic(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.dml.optimistic").exists(_.toBoolean)
+
   override def runUpdate(spark: SparkSession,
       set: Map[String, org.apache.spark.sql.Column],
       where: org.apache.spark.sql.Column): Unit = {
-    PartitionedSnapshots.updateWhere(spark, tablePath, set, where,
-      partCol, store)
+    if (dmlOptimistic(spark))
+      PartitionedSnapshots.optimisticUpdateWhere(spark, tablePath, set,
+        where, partCol, store = store)
+    else
+      PartitionedSnapshots.updateWhere(spark, tablePath, set, where,
+        partCol, store)
     ()
   }
 
@@ -553,8 +566,13 @@ private[plans] class SnapshotWritableTable(
           s"unsupported DELETE filter: $f")))
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    PartitionedSnapshots.delete(SparkSession.active, tablePath, where,
-      partCol, store)
+    if (dmlOptimistic(SparkSession.active))
+      PartitionedSnapshots.optimisticDelete(SparkSession.active,
+        tablePath, where, partCol, store = store)
+    else
+      PartitionedSnapshots.delete(SparkSession.active, tablePath, where,
+        partCol, store)
+    ()
   }
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability](inner.capabilities())

@@ -190,6 +190,47 @@ class FileSkipSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("STALE sidecars stay sound and useful: after a commit beyond " +
+      "the zone-map/bloom build, the SQL scan still prunes files the " +
+      "index knows and KEEPS the newer files it does not — skipping " +
+      "degrades, correctness never") {
+    val root = tmp("fs_stale")
+    spark.conf.set("spark.sql.catalog.fstale",
+      "graft.plans.SnapshotSqlCatalog")
+    spark.conf.set("spark.sql.catalog.fstale.root", root)
+    val t = s"$root/t"
+    val df = (1L to 40L).map(k => (k, "p", s"id-$k")).toDF("k", "d", "v")
+      .repartition(4, col("k") < 10L, col("k") < 20L, col("k") < 30L)
+    PS.write(spark, t, df, "d", store)
+    PS.buildZoneMap(spark, t, Seq("k"), store = store)
+    PS.buildBloomIndex(spark, t, Seq("v"),
+      expectedItemsPerFile = 1000L, store = store)
+    // the props record the maintained indexes (the staleness search
+    // only runs for tables that ever built one)
+    assert(PS.tableProps(t).get("zonemap").contains("k"))
+    assert(PS.tableProps(t).get("bloomidx").contains("v"))
+    // v2: a NEW partition the v1 sidecars know nothing about
+    PS.upsert(spark, t, Seq((100L, "q", "id-100")).toDF("k", "d", "v"),
+      Seq("k"), "d", store = store)
+    val all = v2Files(spark.sql("SELECT k FROM fstale.t"))._1
+    // range query: old files prune through the stale zone map; the
+    // new partition's file is unknown to it → kept
+    val zq = spark.sql("SELECT k FROM fstale.t WHERE k <= 5")
+    val (zPlanned, _) = v2Files(zq)
+    assert(zPlanned < all, s"stale zone map must still prune: " +
+      s"$zPlanned of $all")
+    assert(zq.as[Long].collect().toSet == (1L to 5L).toSet)
+    // a value in the NEW (unindexed) file is never lost
+    val nq = spark.sql("SELECT k FROM fstale.t WHERE v = 'id-100'")
+    val (nPlanned, _) = v2Files(nq)
+    assert(nPlanned >= 1)
+    assert(nq.as[Long].collect().toSet == Set(100L))
+    // a value in an OLD file still bloom-prunes
+    val bq = spark.sql("SELECT k FROM fstale.t WHERE v = 'id-7'")
+    assert(v2Files(bq)._1 < all, "stale bloom must still prune")
+    assert(bq.as[Long].collect().toSet == Set(7L))
+  }
+
   test("pruning composes: partition predicate AND zone-mapped range " +
       "intersect their survivor sets") {
     val t = s"${tmp("fs_both")}/t"

@@ -221,4 +221,25 @@ class OptimisticDmlSpec extends AnyFunSuite {
     assert(e.getCause.getMessage.contains("__p=P"),
       e.getCause.getMessage)
   }
+
+  test("SQL UPDATE/DELETE opt into the optimistic commit via SET " +
+      "graft.dml.optimistic=true, with identical semantics") {
+    val root = Files.createTempDirectory("graft_odml_sql").toString
+    spark.conf.set("spark.sql.catalog.odml",
+      "graft.plans.SnapshotSqlCatalog")
+    spark.conf.set("spark.sql.catalog.odml.root", root)
+    val t = s"$root/t"
+    PS.write(spark, t, Seq((1L, "A", "del-1"), (2L, "A", "keep-2"),
+      (3L, "B", "hit")).toDF("k", "d", "v"), "d")
+    spark.conf.set("graft.dml.optimistic", "true")
+    try {
+      spark.sql("UPDATE odml.t SET v = upper(v) WHERE v = 'hit'")
+      spark.sql("DELETE FROM odml.t WHERE v = 'del-1'")
+    } finally spark.conf.unset("graft.dml.optimistic")
+    assert(rows(t) == Set((2L, "A", "keep-2"), (3L, "B", "HIT")))
+    assert(PS.currentVersion(t).contains(3L))
+    // both commits carried consistent file manifests
+    assert(PS.fileManifest(t, 3L).get.map(_.part).toSet ==
+      PS.manifest(t, 3L).keySet)
+  }
 }
