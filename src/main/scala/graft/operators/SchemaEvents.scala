@@ -205,7 +205,21 @@ object SchemaEvents {
       scala.util.hashing.MurmurHash3.orderedHash(members.map(_._1)))
     val seg =
       s"_segment-${members.head._1}-${members.last._1}-${members.size}-$id"
-    store.createNew(s"${dir(t)}/$seg", body.getBytes("UTF-8"))
+    val segPath = s"${dir(t)}/$seg"
+    // stage + rename, NOT a direct create: a crash mid-write would
+    // leave a PARTIAL file under the final name, and the retry —
+    // seeing the name exist — would delete the originals against a
+    // truncated segment. The rename publishes only complete content;
+    // a loser of the concurrent-roll-up race (same name = same member
+    // set by construction) just discards its staging file, and the
+    // `.__tmp-` leftovers of a crash are invisible to [[all]].
+    if (!store.exists(segPath)) {
+      val tmp =
+        s"$segPath.__tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+      store.write(tmp, body.getBytes("UTF-8"))
+      store.rename(tmp, segPath, replaceExisting = false)
+      store.delete(tmp)
+    }
     members.foreach { case (n, _) => store.delete(s"${dir(t)}/$n") }
     true
   }

@@ -167,6 +167,15 @@ final class GraftFileIndex(spark: SparkSession, root: Path,
 
   private def prunePartitions(p: FilePrune,
       conjuncts: Seq[Expression]): Seq[FileStatus] = {
+    // a TimestampType partition value renders through the WRITER's
+    // session timezone; parsing it back under a different reader
+    // timezone would shift the instant and could wrongly prune a
+    // matching file — session-dependent renderings must not decide a
+    // static file list (timestamp partition keys are outside the
+    // manifest-addressing contract anyway; date/string/numeric
+    // renderings are timezone-free and prune normally)
+    if (p.partType == org.apache.spark.sql.types.TimestampType)
+      return files
     val partConjs = conjuncts.filter(e => e.references.nonEmpty &&
       e.references.forall(_.name.equalsIgnoreCase(p.partCol)))
     if (partConjs.isEmpty) return files
