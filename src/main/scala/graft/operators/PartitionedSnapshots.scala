@@ -295,6 +295,24 @@ object PartitionedSnapshots {
         !refs.exists(r => !m.get(r.part).contains(r.owner))
     }
 
+  /** Per-partition file statistics of version `v` — files, exact
+    * bytes, and exact rows where the commit recorded them — from the
+    * cross-checked file manifest (ZERO listings, zero data reads);
+    * a version without a usable record pays one listing per partition
+    * and reports rows as unknown. The operator behind
+    * `CALL <cat>.system.file_stats`. */
+  def fileStats(t: String, v: Long,
+      store: CommitStore = CommitStore.local)
+      : Seq[(String, Long, Int, Long, Option[Long])] = {
+    val m = manifest(t, v, store)
+    val refs = checkedFileManifest(t, v, m, store).getOrElse(
+      m.toSeq.flatMap { case (p, o) => listPartFiles(t, o, p, store) })
+    refs.groupBy(r => (r.part, r.owner)).toSeq.sortBy(_._1)
+      .map { case ((p, o), fs) =>
+        (p, o, fs.size, fs.map(_.bytes).sum, rowCountOf(fs))
+      }
+  }
+
   /** Everything a plan needs for version `v` WITHOUT touching the data
     * dirs: the recorded file list and the merged read schema. None
     * when the version (or any of its owners) predates the sidecars,

@@ -47,7 +47,7 @@ private[plans] object SnapshotProcedures {
     "add_constraint", "drop_constraint", "show_constraints", "mirror",
     "add_generated_column", "drop_generated_column",
     "show_generated_columns", "detail", "tag", "drop_tag", "tags",
-    "txns", "drop_txn", "schema_history")
+    "txns", "drop_txn", "schema_history", "file_stats")
 
   def load(procName: String, pathOf: String => String,
       store: CommitStore): Option[UnboundProcedure] =
@@ -137,6 +137,8 @@ private[plans] object SnapshotProcedures {
         p("name", DataTypes.StringType))
       case "tags" | "txns" | "schema_history" =>
         Array(p("table", DataTypes.StringType))
+      case "file_stats" => Array(p("table", DataTypes.StringType),
+        pd("version", DataTypes.LongType, "-1"))
       case "drop_txn" => Array(p("table", DataTypes.StringType),
         p("app_id", DataTypes.StringType))
       case "mirror" => Array(p("table", DataTypes.StringType),
@@ -285,6 +287,26 @@ private[plans] object SnapshotProcedures {
             "query_id STRING, epoch BIGINT, preserved_at_ms BIGINT"),
             all.map { case (q, (e, at)) => row(utf8(q), e,
               at.map(Long.box).orNull) })
+        case "file_stats" =>
+          // per-partition files / exact bytes / exact rows FROM THE
+          // COMMIT RECORD (zero listings, zero data reads) — the
+          // "how big is this table, where is it heavy" answer a
+          // fleet operator needs without scanning; rows is NULL for
+          // partitions whose record predates row counting. version
+          // -1 = current.
+          val vq = input.getLong(1) match {
+            case -1L => PartitionedSnapshots.currentVersion(t, store)
+              .getOrElse(throw new IllegalStateException(
+                s"$t has no committed snapshot"))
+            case x => x
+          }
+          result(StructType.fromDDL("partition STRING, owner BIGINT, " +
+            "files INT, bytes BIGINT, rows BIGINT"),
+            PartitionedSnapshots.fileStats(t, vq, store).map {
+              case (part, owner, files, bytes, rows) =>
+                row(utf8(part.stripPrefix("__p=")), owner, files,
+                  bytes, rows.map(Long.box).orNull)
+            })
         case "schema_history" =>
           // the widening audit log (SchemaEvents): who added which
           // columns, when, and — for streaming evolutions — with which

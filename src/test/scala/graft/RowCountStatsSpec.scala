@@ -121,4 +121,32 @@ class RowCountStatsSpec extends AnyFunSuite {
     assert(scanRowCount(spark.sql("SELECT * FROM rcm.t"))
       .contains(BigInt(2)))
   }
+
+  test("CALL system.file_stats serves per-partition files/bytes/rows " +
+      "from the commit record — zero listings — and time-travels by " +
+      "version") {
+    val root = tmp("rc_fstats")
+    spark.conf.set("spark.sql.catalog.rcf",
+      "graft.plans.SnapshotSqlCatalog")
+    spark.conf.set("spark.sql.catalog.rcf.root", root)
+    val t = s"$root/t"
+    PS.write(spark, t, Seq((1L, "a", "x"), (2L, "a", "y"),
+      (3L, "b", "z")).toDF("k", "d", "v"), "d", store)
+    PS.upsert(spark, t, Seq((4L, "b", "w")).toDF("k", "d", "v"),
+      Seq("k"), "d", store = store)
+    val got = spark.sql(
+      "CALL rcf.system.file_stats(table => 't')")
+      .select("partition", "owner", "rows")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got == Set(("a", 1L, Some(2L)), ("b", 2L, Some(2L))), s"$got")
+    val v1 = spark.sql(
+      "CALL rcf.system.file_stats(table => 't', version => 1)")
+      .select("partition", "owner", "rows")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(v1 == Set(("a", 1L, Some(2L)), ("b", 1L, Some(1L))), s"$v1")
+    // bytes are the exact recorded lengths
+    val bytes = spark.sql("CALL rcf.system.file_stats(table => 't')")
+      .select("bytes").as[Long].collect()
+    assert(bytes.forall(_ > 0))
+  }
 }
