@@ -91,6 +91,22 @@ object Bridge {
       case _ => None
     }
 
+  /** Distributed map over a file list with the session's hadoop conf
+    * available on executors — the footer-harvesting shape (read
+    * parquet metadata for many files in parallel, no data pages).
+    * Lives here because `SerializableConfiguration` is
+    * `private[spark]`; the closure `f` must be serializable. */
+  def mapFilesWithConf[T](spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], parallelism: Int)(
+      f: (String, org.apache.hadoop.conf.Configuration) => T)(
+      implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
+    val ser = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    spark.sparkContext
+      .parallelize(files, math.max(1, parallelism))
+      .map(x => f(x, ser.value)).collect()
+  }
+
   /** Register a native expression on an ALREADY-built session (for
     * sessions created without `withExtensions`). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
