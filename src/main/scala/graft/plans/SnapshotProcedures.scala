@@ -371,8 +371,10 @@ private[plans] object SnapshotProcedures {
           result(StructType.fromDDL("col STRING, expr STRING"),
             gs.map { case (n, ex) => row(utf8(n), utf8(ex)) })
         case "detail" =>
-          // DESCRIBE DETAIL: one metadata-sized row from manifests +
-          // file listings of the LIVE dirs only
+          // DESCRIBE DETAIL: one metadata-sized row — file counts and
+          // bytes come from the cross-checked commit record where it
+          // exists (fileStats: zero listings), else from listings of
+          // the LIVE dirs only
           val schemaD = StructType.fromDDL("format STRING, " +
             "current_version BIGINT, num_versions INT, " +
             "num_partitions INT, num_files INT, size_bytes BIGINT, " +
@@ -388,18 +390,20 @@ private[plans] object SnapshotProcedures {
               val partitioned =
                 PartitionedSnapshots.hasManifest(t, v, store)
               val m = PartitionedSnapshots.manifest(t, v, store)
-              val dirs =
-                if (partitioned) m.toSeq.map { case (part, o) =>
-                  f"$t/_snapshots/v$o%05d/data/$part" }
-                else Seq(f"$t/_snapshots/v$v%05d")
-              val reports = dirs.map(d =>
-                graft.operators.TableStats.report(d, store = store))
+              val (nFiles, nBytes) =
+                if (partitioned) {
+                  val st = PartitionedSnapshots.fileStats(t, v, store)
+                  (st.map(_._3.toLong).sum, st.map(_._4).sum)
+                } else {
+                  val r = graft.operators.TableStats.report(
+                    f"$t/_snapshots/v$v%05d", store = store)
+                  (r.totalFiles.toLong, r.totalBytes)
+                }
               result(schemaD, Seq(row(
                 utf8(if (partitioned) "graft.partitioned-snapshots"
                   else "graft.snapshots"),
                 v, PartitionedSnapshots.versions(t, store).size,
-                m.size, reports.map(_.totalFiles).sum,
-                reports.map(_.totalBytes).sum,
+                m.size, nFiles.toInt, nBytes,
                 graft.operators.Constraints.list(t, store).size,
                 graft.operators.GeneratedColumns.list(t, store).size,
                 graft.operators.ChangeFeed.consumers(t, store).size)))
