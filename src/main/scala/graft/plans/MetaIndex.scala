@@ -260,8 +260,23 @@ final class GraftFileIndex(spark: SparkSession, root: Path,
         case IsNotNull(a: AttributeReference) => Some((a.name, false))
         case _ => None
       }
+      // LIKE 'p%' (StartsWith): every match s satisfies p <= s < p'
+      // where p' increments the prefix's last character — sound in
+      // UTF8String byte order only for pure-ASCII prefixes (non-ASCII
+      // last bytes don't align with character increments), so others
+      // simply don't prune
+      val prefixes = conjuncts.flatMap {
+        case StartsWith(a: AttributeReference, Literal(v, StringType))
+            if v != null =>
+          val p = v.toString
+          if (p.nonEmpty && p.forall(c => c >= ' ' && c < 0x7f))
+            Some((a.name, p, p.init + (p.last + 1).toChar))
+          else None
+        case _ => None
+      }
       val ins = conjuncts.flatMap(inList)
-      if (cmps.nonEmpty || nullChecks.nonEmpty || ins.nonEmpty)
+      if (cmps.nonEmpty || nullChecks.nonEmpty || ins.nonEmpty ||
+          prefixes.nonEmpty)
         zoneIdx.foreach { idx =>
         val mapped = statCols(idx, "min__")
         def stat(kind: String, c: String) = col(kind + "__" + c)
@@ -286,6 +301,10 @@ final class GraftFileIndex(spark: SparkSession, root: Path,
             lits.map(l => stat("min", c) <= Bridge.toColumn(l) &&
               stat("max", c) >= Bridge.toColumn(l))
               .reduce(_ || _)
+          }
+        } ++ prefixes.flatMap { case (name, lo, hiExcl) =>
+          mapped.get(name.toLowerCase).map { c =>
+            stat("max", c) >= lit(lo) && stat("min", c) < lit(hiExcl)
           }
         }
         if (survives.nonEmpty) {

@@ -168,6 +168,33 @@ class FileSkipSpec extends AnyFunSuite {
     assert(nn.as[Long].head() == 40L)
   }
 
+  test("LIKE 'prefix%' prunes through a zone-mapped string column " +
+      "(StartsWith -> half-open range on the stats); non-ASCII " +
+      "prefixes skip pruning but stay correct") {
+    val root = tmp("fs_like")
+    spark.conf.set("spark.sql.catalog.flike",
+      "graft.plans.SnapshotSqlCatalog")
+    spark.conf.set("spark.sql.catalog.flike.root", root)
+    val t = s"$root/t"
+    // three files with disjoint v prefixes: aa*, mm*, zz*
+    val df = ((1L to 10L).map(k => (k, "p", f"aa-$k%03d")) ++
+      (11L to 20L).map(k => (k, "p", f"mm-$k%03d")) ++
+      (21L to 30L).map(k => (k, "p", f"zz-$k%03d")))
+      .toDF("k", "d", "v")
+      .repartition(3, col("v") < "m", col("v") < "y")
+    PS.write(spark, t, df, "d", store)
+    PS.buildZoneMap(spark, t, Seq("v"), store = store)
+    val q = spark.sql("SELECT k FROM flike.t WHERE v LIKE 'mm-%'")
+    val (planned, probe) = v2Files(q)
+    assert(probe.total >= 2, s"$probe")
+    assert(planned < probe.total, s"LIKE should prune: " +
+      s"$planned of ${probe.total}")
+    assert(q.as[Long].collect().toSet == (11L to 20L).toSet)
+    // non-ASCII prefix: no pruning claim, full correctness
+    val u = spark.sql("SELECT k FROM flike.t WHERE v LIKE 'ümm%'")
+    assert(u.count() == 0L)
+  }
+
   test("bloom index through plain SQL: an equality probe plans only " +
       "bloom survivors; a value present in one file reads one file") {
     val root = tmp("fs_bloom")
