@@ -29,7 +29,16 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * not long-running writers a fleet operator audits blind. Surfaced
   * via `CALL <cat>.system.schema_history('<table>')`. The log lives
   * outside `_snapshots`, so vacuum never reclaims it; DROP TABLE
-  * removes it with the table dir. */
+  * removes it with the table dir.
+  *
+  * ON-DISK FORMAT v2 (round 14): versionless-but-complete events write
+  * `none` in the version slot (v1 wrote `-`, conflating them with
+  * staged claims), and [[rollUp]] compacts filled events into
+  * `_segment-*` files, deleting the originals. A v1 reader of a shared
+  * table drops `none` events as torn and never reads segments — if a
+  * fleet still runs v1 readers against shared tables, upgrade the
+  * readers BEFORE any v2 writer records an event (the data path is
+  * unaffected; only this audit log changed shape). */
 object SchemaEvents {
 
   final case class Event(tsMs: Long, actor: String, source: String,
@@ -188,10 +197,15 @@ object SchemaEvents {
     val loose = store.list(dir(t)).sorted
       .filterNot(n => n.contains(".__tmp-") || n.startsWith("_segment-"))
     if (loose.size < threshold) return false
+    // ONE read per loose file — the unfilled verdict derives from the
+    // body just read (a separate unfilled() probe would pay a second
+    // GET per file on EVERY record() call for as long as staged claims
+    // hold the filled count under threshold)
     val members = loose.flatMap { n =>
-      store.read(s"${dir(t)}/$n")
-        .filter(_ => !unfilled(t, n, store))
-        .map(b => n -> new String(b, "UTF-8"))
+      store.read(s"${dir(t)}/$n").map(b => n -> new String(b, "UTF-8"))
+    }.filterNot { case (_, c) =>
+      c.split('\n').headOption.exists(l =>
+        scala.util.Try(l.split('\t')(3) == "-").getOrElse(false))
     }
     if (members.size < threshold) return false
     val body = members.map { case (n, c) => s"=== $n\n$c" }
@@ -216,9 +230,15 @@ object SchemaEvents {
     if (!store.exists(segPath)) {
       val tmp =
         s"$segPath.__tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-      store.write(tmp, body.getBytes("UTF-8"))
-      store.rename(tmp, segPath, replaceExisting = false)
-      store.delete(tmp)
+      // delete in FINALLY: the loser of the concurrent-roll-up race can
+      // see its rename THROW (the winner landed the segment between the
+      // exists check and the rename on stores where a taken destination
+      // is an error, not a false) — without the finally, its staging
+      // file would leak under _schema_history forever
+      try {
+        store.write(tmp, body.getBytes("UTF-8"))
+        store.rename(tmp, segPath, replaceExisting = false)
+      } finally store.delete(tmp)
     }
     members.foreach { case (n, _) => store.delete(s"${dir(t)}/$n") }
     true

@@ -67,6 +67,15 @@ object ZoneMap {
       case (_, Some(vals)) if vals.nonEmpty => Row.fromSeq(vals)
     }
     val fallback = harvested.toSeq.collect { case (f, None) => f }
+    // a SYSTEMATIC harvest failure (credentials not reaching
+    // executors, a store rejecting footer reads) silently degrades
+    // every file to the data scan — the 100 TB win disappears with no
+    // signal unless the count is visible
+    if (fallback.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"zone-map footer harvest fell back to the data scan for " +
+          s"${fallback.size} of ${files.size} files (missing/legacy " +
+          "stats, or footer reads failing against the store)")
     val outSchema = StructType(
       StructField("file", StringType) +:
         colTypes.flatMap { case (c, dt) => Seq(

@@ -356,12 +356,23 @@ final class GraftFileIndex(spark: SparkSession, root: Path,
   * table's: fall back to the inherited estimate (exact sizeInBytes,
   * unknown rows) rather than overstate. Column pruning does not
   * change cardinality, so a pruned projection keeps the exact count. */
-final class StatParquetScan(base: ParquetScan, rowCount: Long)
+final class StatParquetScan(base: ParquetScan, val rowCount: Long)
   extends ParquetScan(base.sparkSession, base.hadoopConf,
     base.fileIndex, base.dataSchema, base.readDataSchema,
     base.readPartitionSchema, base.pushedFilters, base.options,
     base.pushedAggregate, base.partitionFilters, base.dataFilters,
     base.pushedVariantExtractions) {
+
+  // the inherited case-class equals/hashCode ignore rowCount and the
+  // concrete class, so plan/scan DEDUPLICATION could substitute a
+  // plain ParquetScan with identical fields for this one — silently
+  // dropping the exact statistic. Include both.
+  override def equals(other: Any): Boolean = other match {
+    case s: StatParquetScan => super.equals(s) && rowCount == s.rowCount
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * super.hashCode() + java.lang.Long.hashCode(rowCount)
 
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {

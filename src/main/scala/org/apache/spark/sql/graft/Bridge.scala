@@ -95,13 +95,21 @@ object Bridge {
     * available on executors — the footer-harvesting shape (read
     * parquet metadata for many files in parallel, no data pages).
     * Lives here because `SerializableConfiguration` is
-    * `private[spark]`; the closure `f` must be serializable. */
+    * `private[spark]`; the closure `f` must be serializable.
+    *
+    * The SESSION conf (`sessionState.newHadoopConf()`), not the bare
+    * `sparkContext.hadoopConfiguration`: session-scoped filesystem
+    * settings (per-session `fs.s3a` credentials, a `SET`-configured
+    * endpoint) must reach the executors, or every footer open against
+    * such a store throws and callers silently fall back to their slow
+    * path. */
   def mapFilesWithConf[T](spark: org.apache.spark.sql.SparkSession,
       files: Seq[String], parallelism: Int)(
       f: (String, org.apache.hadoop.conf.Configuration) => T)(
       implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
     val ser = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.newHadoopConf())
     spark.sparkContext
       .parallelize(files, math.max(1, parallelism))
       .map(x => f(x, ser.value)).collect()
