@@ -142,20 +142,30 @@ object PartitionedSnapshots {
 
   /** One recorded data file: partition dir name, owner version, file
     * name, exact byte length (from the commit-time listing — the files
-    * are immutable, so it never goes stale), and the file's exact ROW
+    * are immutable, so it never goes stale), the file's exact ROW
     * COUNT where the commit recorded it (one parquet-footer read per
     * freshly-written file, paid once at commit outside any lock; rows
-    * carried from a pre-rowcount record stay None). Row counts feed
-    * Catalyst `Statistics.numRows` for CBO/AQE cardinality — exact
-    * sizes alone only drive broadcast thresholds. */
+    * carried from a pre-rowcount record stay None), and the file's
+    * COLUMN STATS for the table's declared `zonemap_cols` — harvested
+    * from the SAME footer read and rendered by [[FileStats]], so
+    * data-column file-skipping is maintained by every commit instead
+    * of an explicitly built sidecar (Delta's stats-at-write). Row
+    * counts feed Catalyst `Statistics.numRows` for CBO/AQE
+    * cardinality — exact sizes alone only drive broadcast
+    * thresholds. */
   final case class FileRef(part: String, owner: Long, name: String,
-      bytes: Long, rows: Option[Long] = None)
+      bytes: Long, rows: Option[Long] = None,
+      stats: Option[String] = None)
 
   /** Version `v`'s recorded file manifest, if its commit wrote one.
     * TORN or corrupt content reads as None — the sidecars are an
     * acceleration, so a half-written file (a crashed backfill, a
     * partial PUT) must degrade the read to the legacy listing path,
-    * never make the table unreadable with an anonymous parse error. */
+    * never make the table unreadable with an anonymous parse error.
+    * Line format: `part \t owner \t name \t bytes [\t rows [\t stats]]`
+    * — both optional fields append, so every prior reader of the
+    * format parses newer records (it splits on tab and ignores extra
+    * fields). */
   def fileManifest(t: String, v: Long,
       store: CommitStore = CommitStore.local): Option[Seq[FileRef]] =
     store.read(fileMetaPath(t, v)).flatMap(b => scala.util.Try {
@@ -163,7 +173,8 @@ object PartitionedSnapshots {
         .map { l =>
           val a = l.split('\t')
           FileRef(a(0), a(1).toLong, a(2), a(3).toLong,
-            if (a.length >= 5) Some(a(4).toLong) else None)
+            if (a.length >= 5) Some(a(4).toLong) else None,
+            if (a.length >= 6) Some(a(5)) else None)
         }
     }.toOption)
 
@@ -185,21 +196,82 @@ object PartitionedSnapshots {
       .sortBy(_.name)
       .map(e => FileRef(p, o, e.name, e.bytes))
 
-  /** Exact row counts for freshly-committed refs, from their parquet
-    * footers (the files were written moments ago by this writer —
-    * one metadata read each, never a data scan, never under a lock).
+  /** The table's declared stats-at-write columns (`zonemap_cols`
+    * prop): every commit harvests min/max/null-count for these in the
+    * same footer read that records row counts, so data-column
+    * file-skipping needs no explicit `build_zone_map` call and never
+    * goes stale. Empty = row counts only (the pre-round-15 behavior). */
+  def statsColumns(t: String,
+      store: CommitStore = CommitStore.local): Seq[String] =
+    tableProps(t, store).get("zonemap_cols").toSeq
+      .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
+
+  /** Declare the columns whose per-file stats every subsequent commit
+    * records in its filemeta (see [[statsColumns]]); empty clears the
+    * declaration. Existing files gain stats lazily — the next commit
+    * that rewrites their partition records them; [[indexPlanMeta]]
+    * backfills a whole table at once. Unknown columns and types
+    * without exact footer stats are harmless: the harvest simply
+    * records nothing for them (fail-safe KEEP). */
+  def setStatsColumns(t: String, cols: Seq[String],
+      store: CommitStore = CommitStore.local): Unit =
+    Incremental.spinOnContention() {
+      Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+        if (cols.isEmpty)
+          updateProps(t, Map.empty, remove = Seq("zonemap_cols"),
+            store = store)
+        else
+          updateProps(t, Map("zonemap_cols" -> cols.mkString(",")),
+            store = store)
+      }
+    }
+
+  /** Exact row counts — and, for the table's declared `zonemap_cols`,
+    * column min/max/null-count stats — for freshly-committed refs,
+    * from their parquet footers (the files were written moments ago by
+    * this writer — ONE metadata read each, never a data scan, never
+    * under a lock; the stats ride in the footer the row count already
+    * paid for). Column types resolve from the OWNER's recorded
+    * data_schema ([[writeData]] records it before any filemeta write).
     * A footer that fails to read records None rather than failing the
-    * commit: row counts are statistics, not semantics. */
-  private def withRowCounts(t: String, refs: Seq[FileRef]): Seq[FileRef] = {
+    * commit, and an unusable column's stats are simply absent from the
+    * rendered token: stats are statistics, not semantics. */
+  private def withRowCounts(t: String, refs: Seq[FileRef],
+      store: CommitStore = CommitStore.local): Seq[FileRef] = {
     lazy val conf = SparkSession.active.sessionState.newHadoopConf()
+    val statCols = statsColumns(t, store)
+    val typeCache = scala.collection.mutable.Map
+      .empty[Long, Seq[(String, org.apache.spark.sql.types.DataType)]]
+    def colTypes(o: Long) = typeCache.getOrElseUpdate(o,
+      if (statCols.isEmpty) Nil
+      else ownerSchema(t, o, store).map(s => statCols.flatMap(c =>
+        s.fields.find(_.name.equalsIgnoreCase(c))
+          .filter(f => FileStats.statType(f.dataType))
+          .map(f => f.name -> f.dataType))).getOrElse(Nil))
     refs.map { r =>
-      r.copy(rows = scala.util.Try {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new org.apache.hadoop.fs.Path(
-            s"${dataDir(t, r.owner)}/${r.part}/${r.name}"), conf)
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try reader.getRecordCount finally reader.close()
-      }.toOption)
+      val path = s"${dataDir(t, r.owner)}/${r.part}/${r.name}"
+      val ct = colTypes(r.owner)
+      if (ct.isEmpty)
+        r.copy(rows = scala.util.Try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+          val reader =
+            org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try reader.getRecordCount finally reader.close()
+        }.toOption)
+      else ZoneMap.footerFileStats(path, ct, conf) match {
+        case Some((rows, per)) =>
+          val stats = ct.zip(per).collect {
+            case ((c, dt), Some((mn, mx, n))) =>
+              c -> FileStats.ColStat(
+                Option(mn).map(FileStats.encodeValue(dt, _)),
+                Option(mx).map(FileStats.encodeValue(dt, _)), n)
+          }
+          r.copy(rows = Some(rows),
+            stats = if (stats.isEmpty) None
+              else Some(FileStats.render(stats)))
+        case None => r
+      }
     }
   }
 
@@ -240,10 +312,14 @@ object PartitionedSnapshots {
           // the backfill passes everything, its documented pay-once
           // cost) so pre-rowcount gaps don't poison rowCountOf forever
           val listed = listPartFiles(t, o, p, store)
-          if (enrichRows(o)) withRowCounts(t, listed) else listed
+          if (enrichRows(o)) withRowCounts(t, listed, store) else listed
         }
+        // stats render only behind a present row count (both come from
+        // the same footer read) — an empty rows field before a stats
+        // field would shift the tab positions and tear the parse
         .map(f => s"${f.part}\t${f.owner}\t${f.name}\t${f.bytes}" +
-          f.rows.fold("")(r => s"\t$r"))
+          f.rows.fold("")(r => s"\t$r" +
+            f.stats.fold("")(s => s"\t$s")))
     }
     val bytes = lines.mkString("\n").getBytes("UTF-8")
     // commit paths use the plain write (the dir is unreferenced until
@@ -493,7 +569,9 @@ object PartitionedSnapshots {
     * skipping them. */
   private[graft] def pruneSpecFor(t: String, v: Long,
       schema: org.apache.spark.sql.types.StructType,
-      store: CommitStore): Option[graft.plans.FilePrune] = {
+      store: CommitStore,
+      refs: Option[Seq[FileRef]] = None)
+      : Option[graft.plans.FilePrune] = {
     val props = tableProps(t, store)
     def sidecar(propKey: String,
         dirFor: (String, Long) => String): Option[String] = {
@@ -504,11 +582,20 @@ object PartitionedSnapshots {
         .map(x => dirFor(t, x))
         .find(d => store.exists(s"$d/_SUCCESS"))
     }
+    // the commit-recorded per-file stats (stats-at-write): handed to
+    // the index whenever ANY ref carries a row count or stats token —
+    // zero store reads (the refs are the already-parsed filemeta)
+    val commitStats = refs
+      .filter(_.exists(r => r.rows.isDefined || r.stats.isDefined))
+      .map(rs => new graft.plans.CommitStatsIndex(
+        rs.map(r => (r.owner, r.part, r.name) -> (r.rows, r.stats))
+          .toMap, schema))
     props.get("partCol").flatMap { pc =>
       schema.fields.find(_.name.equalsIgnoreCase(pc)).map { f =>
         graft.plans.FilePrune(f.name, f.dataType,
           sidecar("zonemap", zoneMapDir),
-          sidecar("bloomidx", bloomIdxDir))
+          sidecar("bloomidx", bloomIdxDir),
+          commitStats)
       }
     }
   }
@@ -1212,7 +1299,8 @@ object PartitionedSnapshots {
           // else from the current version's record with zero store
           // listings inside the critical section
           val freshRefs = parts.map(p =>
-            p -> withRowCounts(t, listPartFiles(t, v, p, store))).toMap
+            p -> withRowCounts(t, listPartFiles(t, v, p, store),
+              store)).toMap
           Right(Some((touchedDirs, parts, freshRefs)))
           }
         } catch {
@@ -1510,7 +1598,7 @@ object PartitionedSnapshots {
             new graft.plans.GraftFileIndex(spark,
               new org.apache.hadoop.fs.Path(t),
               planStatuses(t, refs, store, plannedV = Some(v)),
-              pruneSpecFor(t, v, schema, store)),
+              pruneSpecFor(t, v, schema, store, Some(refs))),
             new org.apache.spark.sql.types.StructType(), schema, None,
             new org.apache.spark.sql.execution.datasources.parquet
               .ParquetFileFormat(),
@@ -2168,7 +2256,11 @@ object PartitionedSnapshots {
     * ingestion: after each batch's commit, [[buildZoneMap]] extends the
     * previous index incrementally (carried partitions reuse their stat
     * rows), so pruned reads never consult stale stats and the per-batch
-    * stat cost matches the batch's own O(touched partitions). */
+    * stat cost matches the batch's own O(touched partitions). It is
+    * also declared as the TABLE-LEVEL stats-at-write default
+    * ([[setStatsColumns]]): every writer's commit then records
+    * per-file stats in its filemeta, so SQL-door skipping stays fresh
+    * regardless of who writes. */
   def streamCommit(spark: SparkSession, stream: DataFrame, t: String,
       keys: Seq[String], partCol: String, checkpoint: String,
       zoneMapCols: Seq[String] = Nil,
@@ -2176,6 +2268,9 @@ object PartitionedSnapshots {
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .foreachBatch((batch: DataFrame, _: Long) => {
+        if (zoneMapCols.nonEmpty &&
+            statsColumns(t, store) != zoneMapCols)
+          setStatsColumns(t, zoneMapCols, store)
         upsert(spark, t, batch, keys, partCol, store = store)
         if (zoneMapCols.nonEmpty)
           buildZoneMap(spark, t, zoneMapCols, store = store)

@@ -112,24 +112,49 @@ object ZoneMap {
     * (boolean/integral/float/double, UTF8 strings — unsigned byte
     * order equals Spark's UTF8String order — dates, int64
     * timestamps). Decimals, binaries, nested and NTZ types fall back
-    * to the scan. */
-  private def exactStatType(dt: DataType): Boolean = dt match {
+    * to the scan. Shared with the commit-time stats harvest
+    * ([[FileStats]]). */
+  private[graft] def exactStatType(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
         FloatType | DoubleType | StringType | DateType |
         TimestampType => true
     case _ => false
   }
 
-  /** Per-file footer harvest: Some(row values) on success, Some(Nil)
-    * for a zero-row file (the scan form emits no row for those
-    * either), None → this file needs the data scan. Unusable =
-    * missing/legacy stats, INT96 timestamps, stats omitted by the
-    * writer for NaN floats or oversized binaries (detected as
-    * no-min/max with non-null rows — trusting such a file would
-    * silently prune live rows). */
+  /** Per-file footer harvest for the INDEX BUILDER: Some(row values)
+    * on success, Some(Nil) for a zero-row file (the scan form emits no
+    * row for those either), None → this file needs the data scan. The
+    * index row is all-or-nothing: ONE unusable column sends the whole
+    * file to the scan fallback (the sidecar schema is fixed across
+    * files). The commit-time harvest ([[footerFileStats]]) is
+    * per-column tolerant instead. */
   private def harvestFooter(path: String,
       colTypes: Seq[(String, DataType)],
       conf: org.apache.hadoop.conf.Configuration): Option[Seq[Any]] =
+    footerFileStats(path, colTypes, conf).flatMap {
+      case (0L, _) => Some(Nil)
+      case (totalRows, per) =>
+        if (per.exists(_.isEmpty)) None
+        else Some((path +: per.flatMap {
+          case Some((mn, mx, n)) => Seq(mn, mx, n)
+          case None => Nil
+        }) :+ totalRows)
+    }
+
+  /** ONE footer read → (total rows, per-column stat verdicts), the
+    * shape the COMMIT path shares with the index builder: each column
+    * maps to Some((min, max, nulls)) with EXTERNAL values (min/max
+    * null for an all-null or footer-absent column), or None when that
+    * column's stats are UNUSABLE for pruning — missing/legacy stats,
+    * INT96 timestamps, stats omitted by the writer for NaN floats or
+    * oversized binaries (detected as no-min/max with non-null rows —
+    * trusting such a file would silently prune live rows), or a
+    * non-exact-stat type. None overall = the footer itself failed to
+    * read (row count unknown too). */
+  private[graft] def footerFileStats(path: String,
+      colTypes: Seq[(String, DataType)],
+      conf: org.apache.hadoop.conf.Configuration)
+      : Option[(Long, Seq[Option[(Any, Any, Long)]])] =
     try {
       import scala.jdk.CollectionConverters._
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -139,40 +164,40 @@ object ZoneMap {
         val footer = reader.getFooter
         val blocks = footer.getBlocks.asScala.toSeq
         val totalRows = blocks.map(_.getRowCount).sum
-        if (totalRows == 0L) return Some(Nil)
-        val stats = colTypes.flatMap { case (name, dt) =>
-          val present = footer.getFileMetaData.getSchema.getFields
-            .asScala.exists(_.getName.equalsIgnoreCase(name))
-          if (!present) Seq(null, null, totalRows) // pre-evolution file
-          else {
-            var mn: Any = null
-            var mx: Any = null
-            var nulls = 0L
-            blocks.foreach { b =>
-              val cc = b.getColumns.asScala.find(c =>
-                c.getPath.size == 1 &&
-                  c.getPath.toDotString.equalsIgnoreCase(name))
-                .getOrElse(throw Unusable)
-              val st = cc.getStatistics
-              if (st == null || !st.isNumNullsSet) throw Unusable
-              nulls += st.getNumNulls
-              if (st.hasNonNullValue) {
-                val unit = timeUnitOf(cc.getPrimitiveType, dt)
-                val bMin = decode(st.genericGetMin, dt, unit)
-                val bMax = decode(st.genericGetMax, dt, unit)
-                if (mn == null || cmp(dt, bMin, mn) < 0) mn = bMin
-                if (mx == null || cmp(dt, bMax, mx) > 0) mx = bMax
-              } else if (st.getNumNulls != b.getRowCount)
-                // non-null values exist but the writer recorded no
-                // min/max: NaN floats or oversized binaries — the
-                // stats-omission classes that make footer pruning
-                // unsound for this file
-                throw Unusable
+        val stats = colTypes.map { case (name, dt) =>
+          try {
+            if (!exactStatType(dt)) throw Unusable
+            val present = footer.getFileMetaData.getSchema.getFields
+              .asScala.exists(_.getName.equalsIgnoreCase(name))
+            if (!present) Some((null: Any, null: Any, totalRows))
+            else {
+              var mn: Any = null
+              var mx: Any = null
+              var nulls = 0L
+              blocks.foreach { b =>
+                val cc = b.getColumns.asScala.find(c =>
+                  c.getPath.size == 1 &&
+                    c.getPath.toDotString.equalsIgnoreCase(name))
+                  .getOrElse(throw Unusable)
+                val st = cc.getStatistics
+                if (st == null || !st.isNumNullsSet) throw Unusable
+                nulls += st.getNumNulls
+                if (st.hasNonNullValue) {
+                  val unit = timeUnitOf(cc.getPrimitiveType, dt)
+                  val bMin = decode(st.genericGetMin, dt, unit)
+                  val bMax = decode(st.genericGetMax, dt, unit)
+                  if (mn == null || cmp(dt, bMin, mn) < 0) mn = bMin
+                  if (mx == null || cmp(dt, bMax, mx) > 0) mx = bMax
+                } else if (st.getNumNulls != b.getRowCount)
+                  throw Unusable
+              }
+              Some((mn, mx, nulls))
             }
-            Seq(mn, mx, nulls)
+          } catch {
+            case Unusable => None
           }
         }
-        Some((path +: stats) :+ totalRows)
+        Some((totalRows, stats))
       } finally reader.close()
     } catch { case _: Throwable => None }
 

@@ -16,6 +16,25 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
+/** COMMIT-RECORDED per-file statistics (round 15, the stats-at-write
+  * default): every `filemeta` ref's exact row count plus the
+  * [[graft.operators.FileStats]]-rendered column stats for the
+  * table's declared `zonemap_cols`, keyed by the (owner version,
+  * partition dir, file name) triple the planned path renders — a
+  * keying that survives scheme/authority/qualification differences by
+  * construction. Maintained by every commit in the same footer read
+  * that records row counts, carried forward with the manifest: always
+  * fresh at every version, unlike the explicitly built sidecars.
+  * `schema` supplies the column types the encoded stats decode
+  * against. */
+final class CommitStatsIndex(
+    val byKey: Map[(Long, String, String),
+      (Option[Long], Option[String])],
+    val schema: StructType) {
+  def colType(name: String): Option[DataType] =
+    schema.fields.find(_.name.equalsIgnoreCase(name)).map(_.dataType)
+}
+
 /** What [[GraftFileIndex]] needs to FILE-SKIP on pushed predicates —
   * all of it already on disk at commit time:
   *
@@ -24,6 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    segment, so a predicate over the partition column prunes files
   *    exactly, with zero data reads (the Iceberg manifest-partition-
   *    pruning idea).
+  *  - `commitStats`: the commit-recorded per-file row counts and
+  *    column stats ([[CommitStatsIndex]]) — the ALWAYS-FRESH
+  *    data-column skipping path, maintained by every writer with no
+  *    index build.
   *  - `zoneMapDir`/`bloomDir`: the version's stats sidecars where
   *    built ([[graft.operators.ZoneMap]]/[[graft.operators.BloomIndex]]
   *    as per-version indexes) — range and equality predicates over
@@ -31,7 +54,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    operator API's `readWhere`/`readEquals` does, now reached
   *    through plain SQL. */
 final case class FilePrune(partCol: String, partType: DataType,
-    zoneMapDir: Option[String], bloomDir: Option[String])
+    zoneMapDir: Option[String], bloomDir: Option[String],
+    commitStats: Option[CommitStatsIndex] = None)
 
 /** PLAN-FROM-METADATA file index: the Iceberg manifest-file idea (the
   * commit records every data file; planning reads metadata, never
@@ -140,17 +164,220 @@ final class GraftFileIndex(spark: SparkSession, root: Path,
     scala.util.Try(org.apache.spark.paths.SparkPath.fromUrlString(s)
       .toPath.toUri.getPath).getOrElse(s)
 
+  // one pruning pass per distinct filter set per plan: the scan asks
+  // once for split planning (listFiles) and once for statistics
+  // (prunedStats) with the same filters — the sidecar jobs and stat
+  // decodes must not run twice
+  private val pruneMemo = new java.util.concurrent.ConcurrentHashMap[
+    Seq[Expression], Seq[FileStatus]]()
+
   private def pruneFiles(filters: Seq[Expression]): Seq[FileStatus] = {
     val p = prune.getOrElse(return files)
     if (filters.isEmpty || files.isEmpty) return files
-    // only deterministic, subquery-free conjuncts participate —
-    // runtime/dynamic expressions must not decide a static file list
-    val conjuncts = filters.flatMap(splitConjunctivePredicates)
-      .filter(e => e.deterministic &&
-        e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty)
-    if (conjuncts.isEmpty) return files
-    val afterPart = prunePartitions(p, conjuncts)
-    pruneSidecars(p, conjuncts, afterPart)
+    pruneMemo.computeIfAbsent(filters, { _ =>
+      // only deterministic, subquery-free conjuncts participate —
+      // runtime/dynamic expressions must not decide a static file list
+      val conjuncts = filters.flatMap(splitConjunctivePredicates)
+        .filter(e => e.deterministic &&
+          e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty)
+      if (conjuncts.isEmpty) files
+      else {
+        val afterPart = prunePartitions(p, conjuncts)
+        val afterStats = pruneCommitStats(p, conjuncts, afterPart)
+        pruneSidecars(p, conjuncts, afterStats)
+      }
+    })
+  }
+
+  /** Exact byte total — and, when every survivor carries a commit-
+    * recorded row count, the exact row total — of the files `filters`
+    * leave planned. The row total is a SOUND UPPER BOUND for the
+    * scan's cardinality under pruning (the pushed predicate still
+    * filters within surviving files), which is what lets a selective
+    * join broadcast where the unfiltered table would not. */
+  private[graft] def prunedStats(filters: Seq[Expression])
+      : (Long, Option[Long]) = {
+    val survivors = pruneFiles(filters)
+    val bytes = survivors.map(_.getLen).sum
+    val rows = prune.flatMap(_.commitStats).flatMap { idx =>
+      val counts = survivors.map(f =>
+        fileKey(f).flatMap(idx.byKey.get).flatMap(_._1))
+      if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    }
+    (bytes, rows)
+  }
+
+  /** STORAGE-PARTITIONED-JOIN spec: the partition column's output
+    * field name, its type, and each planned file's TYPED partition
+    * value (Catalyst internal; null for the default partition) keyed
+    * by decoded absolute path. None when the table has no partition
+    * spec, the type is timestamp (session-dependent rendering — the
+    * same exclusion as partition pruning), or ANY file's value fails
+    * to parse — SPJ must know every file's key or report nothing.
+    * This is what lets the scan report `KeyGroupedPartitioning` and a
+    * join of two co-partitioned snapshot tables skip BOTH exchanges
+    * (Spark SPJ, SPARK-37375 — the Iceberg/Delta
+    * `SupportsReportPartitioning` shape). */
+  private[graft] lazy val spjKeysByPath
+      : Option[(String, DataType, Map[String, Any])] =
+    prune.flatMap { p =>
+      if (p.partType == org.apache.spark.sql.types.TimestampType) None
+      else {
+        val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+        val cache = scala.collection.mutable
+          .Map.empty[Option[String], Option[Any]]
+        def parse(rendered: Option[String]): Option[Any] =
+          cache.getOrElseUpdate(rendered, rendered match {
+            case None => Some(null)
+            case Some(s) =>
+              val v = Cast(Literal(UTF8String.fromString(s), StringType),
+                p.partType, tz, EvalMode.TRY).eval()
+              if (v == null) None else Some(v)
+          })
+        val entries = files.map { f =>
+          partRendered(f).flatMap(parse)
+            .map(v => f.getPath.toUri.getPath -> v)
+        }
+        if (entries.exists(_.isEmpty)) None
+        else Some((p.partCol, p.partType, entries.flatten.toMap))
+      }
+    }
+
+  /** The (owner version, partition dir, file name) triple of a planned
+    * path — the qualification-insensitive key [[CommitStatsIndex]]
+    * records under. None for paths outside the version-dir layout
+    * (which then simply never stat-prune). */
+  private def fileKey(f: FileStatus): Option[(Long, String, String)] = {
+    val p = f.getPath
+    for {
+      part <- Option(p.getParent)
+      data <- Option(part.getParent) if data.getName == "data"
+      vdir <- Option(data.getParent) if vdir.getName.startsWith("v")
+      owner <- scala.util.Try(vdir.getName.drop(1).toLong).toOption
+    } yield (owner, part.getName, p.getName)
+  }
+
+  /** Prune through the COMMIT-RECORDED per-file stats (stats-at-write,
+    * see [[CommitStatsIndex]]): each translatable conjunct compiles
+    * once to a Catalyst predicate over `(min, max, nulls, rows)` and
+    * evaluates per file against the decoded stats — driver-side over
+    * file-count metadata, zero store reads, zero Spark jobs. Reject
+    * only on a POSITIVE refutation: a false OR NULL survive verdict
+    * (all-null stats under a comparison never match), exactly the
+    * sidecar rule; files without a key, without stats, or whose
+    * column is absent from the recorded map always KEEP. */
+  private def pruneCommitStats(p: FilePrune,
+      conjuncts: Seq[Expression], in: Seq[FileStatus])
+      : Seq[FileStatus] = {
+    val idx = p.commitStats.getOrElse(return in)
+    if (in.isEmpty || idx.byKey.isEmpty) return in
+    import org.apache.spark.sql.types.LongType
+    def minRef(dt: DataType) = BoundReference(0, dt, nullable = true)
+    def maxRef(dt: DataType) = BoundReference(1, dt, nullable = true)
+    val nullsRef = BoundReference(2, LongType, nullable = false)
+    val rowsRef = BoundReference(3, LongType, nullable = false)
+    // (lowercase column, its type, survive predicate, needs row count)
+    final case class StatPred(col: String, dt: DataType,
+        pred: BasePredicate, needsRows: Boolean)
+    def typed(name: String, want: Option[DataType]): Option[DataType] =
+      idx.colType(name).filter(dt =>
+        graft.operators.FileStats.statType(dt) &&
+          want.forall(_ == dt))
+    val preds: Seq[StatPred] =
+      conjuncts.flatMap(colLit).flatMap { case (name, op, l) =>
+        typed(name, Some(l.dataType)).map { dt =>
+          val e = op match {
+            case "=" => And(LessThanOrEqual(minRef(dt), l),
+              GreaterThanOrEqual(maxRef(dt), l))
+            case ">" => GreaterThan(maxRef(dt), l)
+            case ">=" => GreaterThanOrEqual(maxRef(dt), l)
+            case "<" => LessThan(minRef(dt), l)
+            case "<=" => LessThanOrEqual(minRef(dt), l)
+          }
+          StatPred(name.toLowerCase, dt, Predicate.create(e),
+            needsRows = false)
+        }
+      } ++ nullChecksOf(conjuncts).flatMap { case (name, isNull) =>
+        typed(name, None).map { dt =>
+          val e =
+            if (isNull) GreaterThan(nullsRef, Literal(0L))
+            else GreaterThan(rowsRef, nullsRef)
+          StatPred(name.toLowerCase, dt, Predicate.create(e),
+            needsRows = !isNull)
+        }
+      } ++ conjuncts.flatMap(inList).flatMap { case (name, lits) =>
+        // NULL literals never match equality and drop out; remaining
+        // literals must ALL type-match (testing a subset of the IN
+        // values could wrongly reject a file holding an untested one)
+        val nonNull = lits.filter(_.value != null)
+        typed(name, None).filter(dt => nonNull.nonEmpty &&
+          nonNull.forall(_.dataType == dt)).map { dt =>
+          val e = nonNull.map(l =>
+            And(LessThanOrEqual(minRef(dt), l),
+              GreaterThanOrEqual(maxRef(dt), l)): Expression)
+            .reduce(Or(_, _))
+          StatPred(name.toLowerCase, dt, Predicate.create(e),
+            needsRows = false)
+        }
+      } ++ prefixesOf(conjuncts).flatMap { case (name, lo, hiExcl) =>
+        typed(name, Some(StringType)).map { dt =>
+          val e = And(
+            GreaterThanOrEqual(maxRef(dt),
+              Literal(UTF8String.fromString(lo), StringType)),
+            LessThan(minRef(dt),
+              Literal(UTF8String.fromString(hiExcl), StringType)))
+          StatPred(name.toLowerCase, dt, Predicate.create(e),
+            needsRows = false)
+        }
+      }
+    if (preds.isEmpty) return in
+    in.filter { f =>
+      fileKey(f).flatMap(idx.byKey.get) match {
+        case Some((rowsOpt, Some(raw))) =>
+          val stats = graft.operators.FileStats.parse(raw)
+            .map { case (c, st) => c.toLowerCase -> st }.toMap
+          preds.forall { sp =>
+            stats.get(sp.col) match {
+              case None => true // no recorded stats: keep
+              case Some(st) if sp.needsRows && rowsOpt.isEmpty => true
+              case Some(st) => scala.util.Try {
+                val mn = st.min.map(graft.operators.FileStats
+                  .decodeValue(sp.dt, _)).orNull
+                val mx = st.max.map(graft.operators.FileStats
+                  .decodeValue(sp.dt, _)).orNull
+                // a NULL survive verdict unboxes to false — the sound
+                // reject for all-null stats under a comparison
+                sp.pred.eval(InternalRow(mn, mx, st.nulls,
+                  rowsOpt.getOrElse(0L)))
+              }.getOrElse(true) // corrupt token: keep
+            }
+          }
+        case _ => true
+      }
+    }
+  }
+
+  private def nullChecksOf(conjuncts: Seq[Expression])
+      : Seq[(String, Boolean)] = conjuncts.flatMap {
+    case IsNull(a: AttributeReference) => Some((a.name, true))
+    case IsNotNull(a: AttributeReference) => Some((a.name, false))
+    case _ => None
+  }
+
+  /** LIKE 'p%' (StartsWith): every match s satisfies p <= s < p' where
+    * p' increments the prefix's last character — sound in UTF8String
+    * byte order only for pure-ASCII prefixes (non-ASCII last bytes
+    * don't align with character increments), so others simply don't
+    * prune. */
+  private def prefixesOf(conjuncts: Seq[Expression])
+      : Seq[(String, String, String)] = conjuncts.flatMap {
+    case StartsWith(a: AttributeReference, Literal(v, StringType))
+        if v != null =>
+      val p = v.toString
+      if (p.nonEmpty && p.forall(c => c >= ' ' && c < 0x7f))
+        Some((a.name, p, p.init + (p.last + 1).toChar))
+      else None
+    case _ => None
   }
 
   /** The rendered partition value of a file's `__p=` dir segment:
@@ -255,25 +482,8 @@ final class GraftFileIndex(spark: SparkSession, root: Path,
     // index rows (no driver-side cross-type value comparison)
     if (p.zoneMapDir.isDefined) {
       val cmps = conjuncts.flatMap(colLit)
-      val nullChecks = conjuncts.flatMap {
-        case IsNull(a: AttributeReference) => Some((a.name, true))
-        case IsNotNull(a: AttributeReference) => Some((a.name, false))
-        case _ => None
-      }
-      // LIKE 'p%' (StartsWith): every match s satisfies p <= s < p'
-      // where p' increments the prefix's last character — sound in
-      // UTF8String byte order only for pure-ASCII prefixes (non-ASCII
-      // last bytes don't align with character increments), so others
-      // simply don't prune
-      val prefixes = conjuncts.flatMap {
-        case StartsWith(a: AttributeReference, Literal(v, StringType))
-            if v != null =>
-          val p = v.toString
-          if (p.nonEmpty && p.forall(c => c >= ' ' && c < 0x7f))
-            Some((a.name, p, p.init + (p.last + 1).toChar))
-          else None
-        case _ => None
-      }
+      val nullChecks = nullChecksOf(conjuncts)
+      val prefixes = prefixesOf(conjuncts)
       val ins = conjuncts.flatMap(inList)
       if (cmps.nonEmpty || nullChecks.nonEmpty || ins.nonEmpty ||
           prefixes.nonEmpty)
@@ -356,12 +566,14 @@ final class GraftFileIndex(spark: SparkSession, root: Path,
   * table's: fall back to the inherited estimate (exact sizeInBytes,
   * unknown rows) rather than overstate. Column pruning does not
   * change cardinality, so a pruned projection keeps the exact count. */
-final class StatParquetScan(base: ParquetScan, val rowCount: Long)
+final class StatParquetScan(base: ParquetScan,
+    val rowCount: Option[Long])
   extends ParquetScan(base.sparkSession, base.hadoopConf,
     base.fileIndex, base.dataSchema, base.readDataSchema,
     base.readPartitionSchema, base.pushedFilters, base.options,
     base.pushedAggregate, base.partitionFilters, base.dataFilters,
-    base.pushedVariantExtractions) {
+    base.pushedVariantExtractions)
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // the inherited case-class equals/hashCode ignore rowCount and the
   // concrete class, so plan/scan DEDUPLICATION could substitute a
@@ -372,30 +584,170 @@ final class StatParquetScan(base: ParquetScan, val rowCount: Long)
     case _ => false
   }
   override def hashCode(): Int =
-    31 * super.hashCode() + java.lang.Long.hashCode(rowCount)
+    31 * super.hashCode() + rowCount.hashCode()
 
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val inherited = super.estimateStatistics()
-    if (dataFilters.nonEmpty || partitionFilters.nonEmpty ||
-        pushedAggregate.isDefined) inherited
-    else new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        inherited.sizeInBytes()
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(rowCount)
+    if (pushedAggregate.isDefined) inherited
+    else if (dataFilters.isEmpty && partitionFilters.isEmpty)
+      rowCount.fold(inherited)(n =>
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            inherited.sizeInBytes()
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.of(n)
+        })
+    else fileIndex match {
+      // FILTERED scan (round 15): the pruned file list's recorded
+      // stats give a SOUND UPPER BOUND — Σ surviving files' exact
+      // rows, and their exact bytes scaled by the same read-schema /
+      // compression factors FileScan applies to the unpruned index.
+      // An upper bound beats unknown for AQE: a selective point query
+      // against a large table now broadcasts where the unfiltered
+      // cardinality would have forced a shuffle join.
+      case g: GraftFileIndex =>
+        val (bytes, rows) = g.prunedStats(
+          partitionFilters ++ dataFilters)
+        val conf = sparkSession.sessionState.conf
+        val scaled = (conf.fileCompressionFactor * bytes /
+          math.max(1, dataSchema.defaultSize) *
+          math.max(1, readDataSchema.defaultSize)).toLong
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(scaled)
+          override def numRows(): java.util.OptionalLong =
+            rows.fold(java.util.OptionalLong.empty())(
+              java.util.OptionalLong.of)
+        }
+      case _ => inherited
     }
   }
+
+  // ── storage-partitioned joins (Spark SPJ, SPARK-37375) ───────────
+  //
+  // The manifest knows every file's partition value; grouping the
+  // planned files by it and reporting KeyGroupedPartitioning over the
+  // partition column lets a join between two snapshot tables
+  // co-partitioned on that column drop BOTH ShuffleExchanges — at
+  // fact-fact scale the single largest avoidable exchange on the SQL
+  // door. TWO gates: spark.sql.sources.v2.bucketing.enabled (Spark's
+  // own switch — default TRUE in Spark 4) AND graft's
+  // preserve-data-grouping session conf (default FALSE) — the same
+  // split Iceberg ships (`preserve-data-grouping`), because grouping
+  // trades split packing for key alignment: one input partition per
+  // partition VALUE, so a 10 GB partition becomes ONE task. That is
+  // the right trade exactly when a join/aggregation consumes the
+  // clustering, and the wrong one for every plain scan — a
+  // data-shape-dependent choice the USER makes per session, not a
+  // default that throttles a 100 TB table's scan parallelism.
+  private def spjEnabled: Boolean = {
+    val conf = sparkSession.sessionState.conf
+    conf.v2BucketingEnabled && pushedAggregate.isEmpty &&
+      conf.getConfString(StatParquetScan.PreserveGroupingKey, "false")
+        .equalsIgnoreCase("true")
+  }
+
+  private lazy val spjGroups: Option[(String,
+      Array[org.apache.spark.sql.connector.read.InputPartition])] = {
+    if (!spjEnabled) None
+    else fileIndex match {
+      case g: GraftFileIndex => g.spjKeysByPath.flatMap {
+        case (colName, _, byPath) =>
+          // the key expression resolves against the scan OUTPUT — the
+          // partition column must survive column pruning (a query not
+          // reading it gets no grouping, correctly)
+          val outName = readDataSchema.fields
+            .find(_.name.equalsIgnoreCase(colName)).map(_.name)
+          outName.flatMap { name =>
+            val fps = super.planInputPartitions()
+            val files =
+              if (fps.forall(_.isInstanceOf[org.apache.spark.sql
+                .execution.datasources.FilePartition]))
+                Some(fps.flatMap(_.asInstanceOf[org.apache.spark.sql
+                  .execution.datasources.FilePartition].files))
+              else None
+            def pathOf(pf: org.apache.spark.sql.execution
+                .datasources.PartitionedFile): Option[String] =
+              scala.util.Try(pf.filePath.toPath.toUri.getPath).toOption
+            val keyed = files.map(_.map(pf =>
+              pathOf(pf).flatMap(byPath.get).map(_ -> pf)))
+            if (keyed.isEmpty || keyed.get.exists(_.isEmpty)) None
+            else {
+              val pairs = keyed.get
+              // deterministic group order (insertion-ordered); Spark
+              // sorts groups by key internally where SPJ requires it
+              val grouped = scala.collection.mutable
+                .LinkedHashMap.empty[Any, scala.collection.mutable
+                  .ArrayBuffer[org.apache.spark.sql.execution
+                    .datasources.PartitionedFile]]
+              pairs.flatten.foreach { case (k, pf) =>
+                grouped.getOrElseUpdate(k,
+                  scala.collection.mutable.ArrayBuffer.empty) += pf
+              }
+              Some((name, grouped.zipWithIndex.map {
+                case ((k, pfs), i) =>
+                  new KeyedFilePartition(i, pfs.toArray,
+                    InternalRow(k))
+                    : org.apache.spark.sql.connector.read.InputPartition
+              }.toArray))
+            }
+          }
+      }
+      case _ => None
+    }
+  }
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    spjGroups.fold(super.planInputPartitions())(_._2)
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups match {
+      case Some((name, parts)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions
+              .Expressions.identity(name)), parts.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+}
+
+object StatParquetScan {
+  /** Session conf that turns on partition-preserving scan grouping
+    * (storage-partitioned joins). Mirrors Iceberg's
+    * `preserve-data-grouping`: set it for join-heavy co-partitioned
+    * workloads; leave it off (the default) where plain-scan
+    * parallelism matters more than exchange elimination. */
+  val PreserveGroupingKey = "spark.graft.spj.preserveDataGrouping"
+}
+
+/** A [[org.apache.spark.sql.execution.datasources.FilePartition]]
+  * that knows its partition-key row — the `HasPartitionKey` contract
+  * Spark's key-grouped scan requires of every input partition. All
+  * rows in these files carry exactly this key (each file holds one
+  * `__p` value by the writer's layout). */
+final class KeyedFilePartition(idx: Int,
+    fs: Array[org.apache.spark.sql.execution.datasources
+      .PartitionedFile], key: InternalRow)
+  extends org.apache.spark.sql.execution.datasources
+    .FilePartition(idx, fs)
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }
 
 /** ParquetScanBuilder whose built scan carries the recorded row count
-  * (see [[StatParquetScan]]); all pushdown state accumulates in the
-  * inherited builder and transfers through `super.build()`. */
+  * and the SPJ partitioning report (see [[StatParquetScan]]); all
+  * pushdown state accumulates in the inherited builder and transfers
+  * through `super.build()`. */
 final class StatScanBuilder(spark: SparkSession,
     fileIndex: org.apache.spark.sql.execution.datasources
       .PartitioningAwareFileIndex,
     schema: StructType, dataSchema: StructType,
-    options: CaseInsensitiveStringMap, rowCount: Long)
+    options: CaseInsensitiveStringMap, rowCount: Option[Long])
   extends ParquetScanBuilder(spark, fileIndex, schema, dataSchema,
     options) {
 
@@ -426,7 +778,7 @@ final class IndexedParquetTable(name: String, spark: SparkSession,
       : org.apache.spark.sql.execution.datasources.v2.parquet
         .ParquetScanBuilder = {
     val b = super.newScanBuilder(params)
-    rowCount.fold(b)(n => new StatScanBuilder(b.sparkSession,
-      b.fileIndex, b.schema, b.dataSchema, b.options, n))
+    new StatScanBuilder(b.sparkSession, b.fileIndex, b.schema,
+      b.dataSchema, b.options, rowCount)
   }
 }

@@ -47,7 +47,8 @@ private[plans] object SnapshotProcedures {
     "add_constraint", "drop_constraint", "show_constraints", "mirror",
     "add_generated_column", "drop_generated_column",
     "show_generated_columns", "detail", "tag", "drop_tag", "tags",
-    "txns", "drop_txn", "schema_history", "file_stats")
+    "txns", "drop_txn", "schema_history", "file_stats",
+    "set_stats_cols")
 
   def load(procName: String, pathOf: String => String,
       store: CommitStore): Option[UnboundProcedure] =
@@ -103,6 +104,11 @@ private[plans] object SnapshotProcedures {
         p("table", DataTypes.StringType),
         p("version", DataTypes.LongType))
       case "build_zone_map" => Array(p("table", DataTypes.StringType),
+        p("cols", DataTypes.StringType))
+      // stats-at-write: every subsequent commit records per-file
+      // min/max/null-count for these columns in its filemeta — no
+      // sidecar build, never stale ('' clears the declaration)
+      case "set_stats_cols" => Array(p("table", DataTypes.StringType),
         p("cols", DataTypes.StringType))
       case "build_bloom_index" => Array(p("table", DataTypes.StringType),
         p("cols", DataTypes.StringType),
@@ -221,6 +227,10 @@ private[plans] object SnapshotProcedures {
         case "build_zone_map" =>
           PartitionedSnapshots.buildZoneMap(spark, t, csv(1),
             store = store)
+          result(StructType.fromDDL("cols STRING"),
+            Seq(row(utf8(csv(1).mkString(",")))))
+        case "set_stats_cols" =>
+          PartitionedSnapshots.setStatsColumns(t, csv(1), store)
           result(StructType.fromDDL("cols STRING"),
             Seq(row(utf8(csv(1).mkString(",")))))
         case "build_bloom_index" =>

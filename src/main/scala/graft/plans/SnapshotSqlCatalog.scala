@@ -129,7 +129,8 @@ class SnapshotSqlCatalog extends TableCatalog
           SparkSession.active, opts, t, schema,
           PartitionedSnapshots.planStatuses(t, refs, store,
             plannedV = Some(v)),
-          PartitionedSnapshots.pruneSpecFor(t, v, schema, store),
+          PartitionedSnapshots.pruneSpecFor(t, v, schema, store,
+            Some(refs)),
           PartitionedSnapshots.rowCountOf(refs))
       case None =>
         val dirs = dirsOf(t, v)
@@ -221,6 +222,15 @@ class SnapshotSqlCatalog extends TableCatalog
       throw new IllegalArgumentException(
         s"partition column $partCol is not in the schema")
     PartitionedSnapshots.initTable(t, partCol, schema.json, store)
+    // CREATE TABLE … TBLPROPERTIES ('zonemap_cols'='a,b') declares
+    // stats-at-write columns from birth — every commit then records
+    // per-file min/max/null-count in its filemeta (Delta's
+    // dataSkippingNumIndexedCols shape, by explicit column list)
+    Option(properties.get("zonemap_cols")).map(_.trim)
+      .filter(_.nonEmpty).foreach { cols =>
+        PartitionedSnapshots.setStatsColumns(t,
+          cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty), store)
+      }
     loadTable(ident)
   }
 

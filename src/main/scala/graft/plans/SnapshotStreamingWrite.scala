@@ -224,10 +224,19 @@ private[plans] final class SnapshotStreamingWrite(
       // streamCommit parity: keep the file-stats index FRESH under
       // streaming ingestion — the incremental builder reuses carried
       // partitions' stat rows, so the per-epoch cost matches the
-      // epoch's own touched partitions
-      if (zoneMapCols.nonEmpty && partCol.isDefined)
+      // epoch's own touched partitions. The option also becomes the
+      // TABLE-LEVEL stats-at-write default (round 15): once declared,
+      // EVERY writer's commit — this sink's next epoch, a batch
+      // upsert, a compaction — records per-file stats in its filemeta,
+      // so SQL-door skipping stays fresh even between sidecar builds.
+      if (zoneMapCols.nonEmpty && partCol.isDefined) {
+        if (PartitionedSnapshots.statsColumns(tablePath, store)
+            != zoneMapCols)
+          PartitionedSnapshots.setStatsColumns(tablePath, zoneMapCols,
+            store)
         PartitionedSnapshots.buildZoneMap(spark, tablePath, zoneMapCols,
           store = store)
+      }
     }
     store.deleteRecursively(stagingDir(epochId))
   }

@@ -55,8 +55,9 @@ class RowCountStatsSpec extends AnyFunSuite {
   }
 
   test("the SQL catalog scan reports the recorded row count as EXACT " +
-      "Catalyst stats; a pushed filter falls back to unknown rows " +
-      "(never an overstated exact count)") {
+      "Catalyst stats; a pushed filter reports the pruned file set's " +
+      "row sum — a SOUND UPPER BOUND, never an overstatement of the " +
+      "surviving files") {
     val root = tmp("rc_sql")
     spark.conf.set("spark.sql.catalog.rcs",
       "graft.plans.SnapshotSqlCatalog")
@@ -68,9 +69,17 @@ class RowCountStatsSpec extends AnyFunSuite {
     // column pruning keeps cardinality exact
     assert(scanRowCount(spark.sql("SELECT k FROM rcs.t"))
       .contains(BigInt(123)))
-    // a pushed filter changes cardinality → no exact claim
+    // a pushed DATA filter on an unstatted column prunes nothing, so
+    // the bound is the whole table (round 15: survivors' row sum
+    // replaced round 14's unknown — an upper bound beats no estimate)
     assert(scanRowCount(
-      spark.sql("SELECT k FROM rcs.t WHERE k > 100")).isEmpty)
+      spark.sql("SELECT k FROM rcs.t WHERE k > 100"))
+      .contains(BigInt(123)))
+    // a PARTITION predicate prunes to the matching partition's exact
+    // recorded rows (123 rows over p0/p1/p2: p1 holds 41)
+    assert(scanRowCount(
+      spark.sql("SELECT k FROM rcs.t WHERE d = 'p1'"))
+      .contains(BigInt(41)))
   }
 
   test("a small snap table joins broadcast on its exact stats — no " +
