@@ -451,6 +451,52 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] best write failed: ${e.getMessage}")
       }
+    // BEST-OF-SESSION scoreboard (round-15): merge this run's
+    // per-query results into SPARK_GRAFT_SESSION (min per query
+    // across the session's full-catalog runs, total recomputed), so a
+    // gate run landing on a badly contended host carries an explicit
+    // healthy regression operand alongside it — the round-14 gate ran
+    // under 212 s of hypervisor steal and every per-query comparison
+    // needed BENCH_DETAIL forensics. Same scoreboard shape as the
+    // printed line; a fresh session starts by removing the file.
+    if (sfDir.endsWith("sf0.1") && only.isEmpty) {
+      val sessionPath = sys.env.getOrElse("SPARK_GRAFT_SESSION",
+        "/root/repo/BENCH_SESSION.json")
+      try {
+        val qRe = "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r
+        val prevTxt = scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(sessionPath)), "UTF-8"))
+          .getOrElse("")
+        val prevQ = {
+          val s = prevTxt.indexOf("\"queries\":{")
+          val e = if (s < 0) -1 else prevTxt.indexOf("}", s)
+          if (s < 0 || e < 0) Map.empty[String, Double]
+          else qRe.findAllMatchIn(prevTxt.substring(s, e + 1))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+        val prevRuns = "\"runs\":([0-9]+)".r
+          .findFirstMatchIn(prevTxt).map(_.group(1).toInt).getOrElse(0)
+        val merged = results.map { case (k, v, _) =>
+          k -> (Seq(v).filter(_ >= 0) ++ prevQ.get(k).filter(_ >= 0))
+            .reduceOption(_ min _).getOrElse(-1.0)
+        }
+        val mTotal = r3(merged.collect { case (_, v) if v >= 0 => v }.sum)
+        val mErr = merged.collect { case (k, v) if v < 0 =>
+          "\"" + k + "\"" }.mkString("[", ",", "]")
+        val mq = merged.sortBy { case (_, v) => -v }
+          .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+          .mkString("{", ",", "}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(sessionPath),
+          s"""{"metric":"total","value":$mTotal,"unit":"sec",""" +
+            s""""queries":$mq,"errors":$mErr,""" +
+            s""""runs":${prevRuns + 1},"sf":"$sfDir"}""")
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] session write failed: ${e.getMessage}")
+      }
+    }
     // The driver's capture keeps only the LAST ~2000 chars of stdout and
     // parses the JSON line out of that window — BENCH_r01–r03 all landed
     // "parsed": null because the full per-query map outgrew it, leaving

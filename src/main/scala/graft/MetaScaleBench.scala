@@ -130,6 +130,24 @@ object MetaScaleBench {
             s.metrics("numFiles").value
         }.headOption.getOrElse(-1L)
         require(selRows >= 1, s"selective probe lost its row: $selRows")
+        // DATA-COLUMN skipping (round-15 stats-at-write): declare k,
+        // backfill once (the pay-once migration, measured — footer
+        // reads of every live file), then a point predicate over a
+        // NON-partition column must plan O(predicate) files from the
+        // commit-recorded min/max, flat across partition decades
+        val statsBackfillS = timed {
+          PS.setStatsColumns(t, Seq("k"), store)
+          PS.backfillStats(spark, t, store)
+        }._1
+        val selK = PS.read(spark, t, store).filter(col("k") === 7L)
+        val selKS = (1 to 3).map(_ => timed(selK.count())._1).min
+        val selKRows = selK.collect().length
+        val selKFiles = selK.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+        }.headOption.getOrElse(-1L)
+        require(selKRows >= 1,
+          s"data-column probe lost its row: $selKRows")
         val historyS = timed(PS.history(t, store).size)._1
         val v0 = cur
         PS.upsert(spark, t, Seq((0L, "p0000000", "z"))
@@ -144,6 +162,8 @@ object MetaScaleBench {
           f" backfill=$backfillS%.2fs" +
           f" commit1p=$commit1p%.2fs plan=$planS%.2fs" +
           f" select1p=$selS%.2fs/${selFiles}f" +
+          f" statsbf=$statsBackfillS%.2fs" +
+          f" selectk=$selKS%.2fs/${selKFiles}f" +
           f" history=$historyS%.2fs changes=$changesS%.2fs" +
           f" vacuum=$vacuumS%.2fs bytes=$manifestBytes")
         s""""p$p":{"bulk_write_s":${r2(bulk)},""" +
@@ -152,6 +172,9 @@ object MetaScaleBench {
           s""""commit_1part_s":${r2(commit1p)},""" +
           s""""select_1part_s":${r2(selS)},""" +
           s""""select_1part_files":$selFiles,""" +
+          s""""stats_backfill_s":${r2(statsBackfillS)},""" +
+          s""""select_datacol_s":${r2(selKS)},""" +
+          s""""select_datacol_files":$selKFiles,""" +
           s""""plan_s":${r2(planS)},"history_s":${r2(historyS)},""" +
           s""""changes_s":${r2(changesS)},"vacuum_s":${r2(vacuumS)},""" +
           s""""manifest_bytes":$manifestBytes}"""

@@ -209,10 +209,10 @@ object PartitionedSnapshots {
   /** Declare the columns whose per-file stats every subsequent commit
     * records in its filemeta (see [[statsColumns]]); empty clears the
     * declaration. Existing files gain stats lazily — the next commit
-    * that rewrites their partition records them; [[indexPlanMeta]]
-    * backfills a whole table at once. Unknown columns and types
-    * without exact footer stats are harmless: the harvest simply
-    * records nothing for them (fail-safe KEEP). */
+    * that rewrites their partition records them; [[backfillStats]]
+    * enriches the whole current version at once. Unknown columns and
+    * types without exact footer stats are harmless: the harvest
+    * simply records nothing for them (fail-safe KEEP). */
   def setStatsColumns(t: String, cols: Seq[String],
       store: CommitStore = CommitStore.local): Unit =
     Incremental.spinOnContention() {
@@ -223,6 +223,90 @@ object PartitionedSnapshots {
         else
           updateProps(t, Map("zonemap_cols" -> cols.mkString(",")),
             store = store)
+      }
+    }
+
+  /** BACKFILL the commit-recorded per-file stats for files that
+    * predate the table's `zonemap_cols` declaration (or the filemeta
+    * feature itself): re-record the CURRENT version's file manifest
+    * with row counts and declared-column min/max/null-count for
+    * every ref still missing them — one footer read per stale file,
+    * never a data scan. Subsequent commits carry the enriched lines
+    * forward, so this is a pay-once migration, exactly like
+    * [[indexPlanMeta]] (run that first on a pre-feature table so
+    * owner schemas exist — an owner without a recorded data_schema
+    * backfills row counts only). Runs under the table lock (the
+    * rewrite must not race a concurrent commit's carry of the same
+    * record); cost is O(stale files) footer reads of metadata.
+    * Returns the number of files enriched; 0 = already complete
+    * (idempotent). */
+  def backfillStats(spark: SparkSession, t: String,
+      store: CommitStore = CommitStore.local): Int =
+    Incremental.spinOnContention() {
+      Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+        currentVersion(t, store) match {
+          case None => 0
+          case Some(cur) =>
+            val cols = statsColumns(t, store)
+            val m = manifest(t, cur, store)
+            if (m.isEmpty) 0
+            else {
+              val refs = checkedFileManifest(t, cur, m, store)
+                .getOrElse(m.toSeq.sortBy(_._1).flatMap {
+                  case (p, o) => listPartFiles(t, o, p, store)
+                })
+              // the footer is worth re-reading only when it can yield
+              // something new: a missing row count always can; missing
+              // stats can only if some declared column is stat-typed
+              // in the owner's recorded schema (an owner whose NaN-only
+              // floats yield no usable values re-reads harmlessly)
+              val usableCache =
+                scala.collection.mutable.Map.empty[Long, Boolean]
+              def usable(o: Long): Boolean =
+                usableCache.getOrElseUpdate(o, cols.nonEmpty &&
+                  ownerSchema(t, o, store).exists(s => cols.exists(c =>
+                    s.fields.find(_.name.equalsIgnoreCase(c))
+                      .exists(f => FileStats.statType(f.dataType)))))
+              val (stale, fine) = refs.partition(r =>
+                r.rows.isEmpty || (r.stats.isEmpty && usable(r.owner)))
+              if (stale.isEmpty) 0
+              else {
+                // small batches read footers on the driver (the
+                // commit path's shape); a large backfill DISTRIBUTES
+                // them — the same executor-side harvest as the
+                // zone-map build, so a 100k-file migration scales
+                // with the cluster, not the driver's IO loop
+                val enriched =
+                  if (stale.size <= 64) withRowCounts(t, stale, store)
+                  else stale.groupBy(_.owner).toSeq.flatMap {
+                    case (o, rs) =>
+                      val ct = statColTypes(t, o, cols, store)
+                      val dir = dataDir(t, o)
+                      def pathOf(r: FileRef) = s"$dir/${r.part}/${r.name}"
+                      val toks = org.apache.spark.sql.graft.Bridge
+                        .mapFilesWithConf(spark, rs.map(pathOf),
+                          math.min(rs.size, spark.sparkContext
+                            .defaultParallelism)) { (p, conf) =>
+                          p -> footerTokens(p, ct, conf)
+                        }.toMap
+                      rs.map { r =>
+                        toks.get(pathOf(r)).fold(r) {
+                          case (rows, tok) => r.copy(
+                            rows = rows.orElse(r.rows),
+                            stats = tok.orElse(r.stats))
+                        }
+                      }
+                  }
+                val byPart = (enriched ++ fine).groupBy(_.part)
+                // atomicWrite (via atomic=true): this rewrites the
+                // sidecar of an ALREADY-COMMITTED version, where no
+                // write ordering protects against a torn file
+                writeFileMeta(t, cur, m, None, store, fresh = byPart,
+                  atomic = true)
+                stale.size
+              }
+            }
+        }
       }
     }
 
@@ -243,37 +327,54 @@ object PartitionedSnapshots {
     val typeCache = scala.collection.mutable.Map
       .empty[Long, Seq[(String, org.apache.spark.sql.types.DataType)]]
     def colTypes(o: Long) = typeCache.getOrElseUpdate(o,
-      if (statCols.isEmpty) Nil
-      else ownerSchema(t, o, store).map(s => statCols.flatMap(c =>
-        s.fields.find(_.name.equalsIgnoreCase(c))
-          .filter(f => FileStats.statType(f.dataType))
-          .map(f => f.name -> f.dataType))).getOrElse(Nil))
+      statColTypes(t, o, statCols, store))
     refs.map { r =>
       val path = s"${dataDir(t, r.owner)}/${r.part}/${r.name}"
-      val ct = colTypes(r.owner)
-      if (ct.isEmpty)
-        r.copy(rows = scala.util.Try {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(path), conf)
-          val reader =
-            org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try reader.getRecordCount finally reader.close()
-        }.toOption)
-      else ZoneMap.footerFileStats(path, ct, conf) match {
-        case Some((rows, per)) =>
-          val stats = ct.zip(per).collect {
-            case ((c, dt), Some((mn, mx, n))) =>
-              c -> FileStats.ColStat(
-                Option(mn).map(FileStats.encodeValue(dt, _)),
-                Option(mx).map(FileStats.encodeValue(dt, _)), n)
-          }
-          r.copy(rows = Some(rows),
-            stats = if (stats.isEmpty) None
-              else Some(FileStats.render(stats)))
-        case None => r
-      }
+      val (rows, tok) = footerTokens(path, colTypes(r.owner), conf)
+      r.copy(rows = rows.orElse(r.rows), stats = tok.orElse(r.stats))
     }
   }
+
+  /** The declared stat columns resolved against owner `o`'s recorded
+    * data schema, filtered to types with exact footer stats. */
+  private def statColTypes(t: String, o: Long, statCols: Seq[String],
+      store: CommitStore)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    if (statCols.isEmpty) Nil
+    else ownerSchema(t, o, store).map(s => statCols.flatMap(c =>
+      s.fields.find(_.name.equalsIgnoreCase(c))
+        .filter(f => FileStats.statType(f.dataType))
+        .map(f => f.name -> f.dataType))).getOrElse(Nil)
+
+  /** ONE footer read → (row count, rendered stats token): the shape
+    * the commit-time harvest ([[withRowCounts]]) and the distributed
+    * backfill share. A footer that fails to read yields (None, None) —
+    * stats are statistics, never a commit failure. Executor-safe: the
+    * only state it touches arrives as arguments. */
+  private[operators] def footerTokens(path: String,
+      ct: Seq[(String, org.apache.spark.sql.types.DataType)],
+      conf: org.apache.hadoop.conf.Configuration)
+      : (Option[Long], Option[String]) =
+    if (ct.isEmpty)
+      (scala.util.Try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+        val reader =
+          org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getRecordCount finally reader.close()
+      }.toOption, None)
+    else ZoneMap.footerFileStats(path, ct, conf) match {
+      case Some((rows, per)) =>
+        val stats = ct.zip(per).collect {
+          case ((c, dt), Some((mn, mx, n))) =>
+            c -> FileStats.ColStat(
+              Option(mn).map(FileStats.encodeValue(dt, _)),
+              Option(mx).map(FileStats.encodeValue(dt, _)), n)
+        }
+        (Some(rows), if (stats.isEmpty) None
+          else Some(FileStats.render(stats)))
+      case None => (None, None)
+    }
 
   /** Total rows of a recorded file set — defined only when EVERY ref
     * carries a count (a mixed record would undercount, which for a
@@ -604,13 +705,15 @@ object PartitionedSnapshots {
     * return the partition dir names written. The `__p` shadow keeps the
     * real partition column in the footers (see class doc). */
   private def writeData(df: DataFrame, t: String, v: Long,
-      partCol: String, store: CommitStore): Seq[String] = {
+      partCol: String, store: CommitStore,
+      maxRecordsPerFile: Long = 0): Seq[String] = {
     // generated columns materialize and CHECK constraints gate every
     // data write of this format — before the version dir exists, so a
     // refusal burns nothing
     val prepared = Constraints.prepare(df, t, store)
     prepared.withColumn("__p", col(partCol))
       .write.partitionBy("__p").mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(dataDir(t, v))
     // the OWNER's data schema, recorded for the plan-from-metadata
     // path (the `__p` shadow left the footers via partitionBy, so the
@@ -934,8 +1037,9 @@ object PartitionedSnapshots {
     * format. Key-disjoint writers to the same partition are handled by
     * retry (re-merge), not parallel commit; partition-disjoint writers
     * never retry. Use the plain [[upsert]]/[[merge]] path for
-    * maintenance jobs that must not lose a race (compaction, GDPR
-    * deletes) — the lock serializes those with everything.
+    * maintenance jobs that must not lose a race — the lock serializes
+    * those with everything; [[optimisticCompact]]/[[optimisticDelete]]
+    * are the concurrency-first variants of the maintenance writers.
     *
     * At 100 TB: prepare cost is O(touched partitions) of data per
     * writer, fully parallel across writers; the serialized section is
@@ -1211,7 +1315,8 @@ object PartitionedSnapshots {
       checkParts: (Seq[String], Set[String],
         Map[String, Long]) => Unit,
       detect: Option[(Option[Long], Map[String, Long]) => Set[String]] =
-        None): Either[String, Long] = {
+        None,
+      maxRecordsPerFile: Long = 0): Either[String, Long] = {
     val base = currentVersion(t, store)
     if (requireBase && base.isEmpty) throw new IllegalStateException(
       s"$t has no committed snapshot")
@@ -1292,7 +1397,8 @@ object PartitionedSnapshots {
           if (detect.isDefined && touchedDirs.isEmpty) Right(None)
           else {
           val merged = resolve(updCached, touchedDirs, mBase, base)
-          val parts = writeData(merged, t, v, partCol, store)
+          val parts = writeData(merged, t, v, partCol, store,
+            maxRecordsPerFile)
           checkParts(parts, touchedDirs, mBase)
           // list the freshly-written files HERE, lock-free — the
           // commit section's filemeta write then carries everything
@@ -2079,41 +2185,15 @@ object PartitionedSnapshots {
       val cur = currentVersion(t, store).getOrElse(
         throw new IllegalStateException(s"$t has no committed snapshot"))
       val m = manifest(t, cur, store)
-      val frag = m.toSeq.sorted.filter { case (p, owner) =>
-        store.listEntries(s"${dataDir(t, owner)}/$p")
-          .count(e => !e.isDir && e.name.endsWith(".parquet")) >= minFiles
-      }
+      val fragSet0 = fragmentedParts(t, cur, m, minFiles, store)
+      val frag = m.toSeq.sorted.filter { case (p, _) => fragSet0(p) }
       if (frag.isEmpty) (cur, Seq.empty)
       else {
         val v = reserveVersion(t, store)
         val dirs = frag.map { case (p, owner) => s"${dataDir(t, owner)}/$p" }
         val frag0 = spark.read.option("mergeSchema", "true")
           .parquet(dirs: _*)
-        val withZ =
-          if (zOrderBy.isEmpty) frag0
-          else {
-            val aggs = zOrderBy.flatMap(c => Seq(
-              org.apache.spark.sql.functions.min(col(c)).cast("double"),
-              org.apache.spark.sql.functions.max(col(c)).cast("double")))
-            val stats = frag0.agg(aggs.head, aggs.tail: _*).first()
-            def statAt(i: Int): Double =
-              Option(stats.get(i)).map(_.asInstanceOf[Double])
-                .getOrElse(0.0)
-            frag0.withColumn("__z", ZOrder.zValue(
-              zOrderBy.zipWithIndex.map { case (c, i) =>
-                ZOrder.scale(col(c), statAt(2 * i), statAt(2 * i + 1))
-              }))
-          }
-        val sortCols =
-          if (zOrderBy.nonEmpty) Seq(partCol, "__z")
-          else if (clusterBy.nonEmpty) partCol +: clusterBy
-          else Nil
-        val shuffled = withZ.repartition(col(partCol))
-        val rows0 =
-          if (sortCols.isEmpty) shuffled
-          else shuffled.sortWithinPartitions(sortCols.map(col): _*)
-        val rows =
-          if (zOrderBy.isEmpty) rows0 else rows0.drop("__z")
+        val rows = compactionShape(frag0, partCol, clusterBy, zOrderBy)
         rows.withColumn("__p", col(partCol))
           .write.partitionBy("__p")
           .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -2146,6 +2226,126 @@ object PartitionedSnapshots {
         (v, parts)
       }
     }
+  }
+
+  /** Version `v`'s partitions holding ≥ `minFiles` data files — the
+    * compaction candidates. Counted from the commit-recorded file
+    * manifest when it cross-checks (ZERO store listings — the
+    * metadata a 100k-partition table plans from); a version without a
+    * usable record pays one listing per partition, the legacy cost. */
+  private def fragmentedParts(t: String, v: Long, m: Map[String, Long],
+      minFiles: Int, store: CommitStore): Set[String] =
+    checkedFileManifest(t, v, m, store) match {
+      case Some(refs) =>
+        refs.groupBy(_.part).collect {
+          case (p, fs) if fs.size >= minFiles => p
+        }.toSet
+      case None => m.collect {
+        case (p, owner) if store.listEntries(s"${dataDir(t, owner)}/$p")
+          .count(e => !e.isDir && e.name.endsWith(".parquet")) >=
+          minFiles => p
+      }.toSet
+    }
+
+  /** The OPTIMIZE rewrite shape shared by [[compact]] and
+    * [[optimisticCompact]]: one task per partition value
+    * (`repartition(partCol)`), rows sorted within it on the cluster
+    * key or the Morton interleave of the z-order dimensions (per-dim
+    * min/max collected to literals over the fragmented rows). */
+  private def compactionShape(frag0: DataFrame, partCol: String,
+      clusterBy: Seq[String], zOrderBy: Seq[String]): DataFrame = {
+    val withZ =
+      if (zOrderBy.isEmpty) frag0
+      else {
+        val aggs = zOrderBy.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(col(c)).cast("double"),
+          org.apache.spark.sql.functions.max(col(c)).cast("double")))
+        val stats = frag0.agg(aggs.head, aggs.tail: _*).first()
+        def statAt(i: Int): Double =
+          Option(stats.get(i)).map(_.asInstanceOf[Double])
+            .getOrElse(0.0)
+        frag0.withColumn("__z", ZOrder.zValue(
+          zOrderBy.zipWithIndex.map { case (c, i) =>
+            ZOrder.scale(col(c), statAt(2 * i), statAt(2 * i + 1))
+          }))
+      }
+    val sortCols =
+      if (zOrderBy.nonEmpty) Seq(partCol, "__z")
+      else if (clusterBy.nonEmpty) partCol +: clusterBy
+      else Nil
+    val shuffled = withZ.repartition(col(partCol))
+    val rows0 =
+      if (sortCols.isEmpty) shuffled
+      else shuffled.sortWithinPartitions(sortCols.map(col): _*)
+    if (zOrderBy.isEmpty) rows0 else rows0.drop("__z")
+  }
+
+  /** OPTIMISTIC [[compact]] — the OPTIMIZE rewrite committed through
+    * the prepare/validate protocol ([[optimisticUpsert]]), so a
+    * compaction of COLD partitions and concurrent writers touching
+    * DISJOINT partitions run their data phases at the same time
+    * instead of the maintenance job serializing the whole table on
+    * the single-writer lock (round-14's conceded gap: a hot table
+    * could never compact without stalling its writers).
+    *
+    * Per attempt: fragmentation DETECTION runs against the BASE
+    * version (from the commit-recorded file manifest when it
+    * cross-checks — zero listings; re-run on every retry, so a lost
+    * race re-detects against the winner's state, which may already
+    * be compact), only the fragmented partitions rewrite, and the
+    * conflict rule is the same ownership diff as every optimistic
+    * writer: a concurrent commit that took ANY detected partition
+    * refuses the attempt and a bounded retry re-detects on the new
+    * base. Detection finding nothing short-circuits to the current
+    * version, burning no commit — same contract as [[compact]]'s
+    * `(cur, Nil)`.
+    *
+    * The row set is bit-identical by construction (a pure rewrite),
+    * so WRITE-serializable isolation degenerates to plain
+    * serializability here: the committed state equals running the
+    * compaction at its commit point. A zero-row fragmented dir
+    * yields no rewritten dir and KEEPS its manifest entry (the
+    * serializing path's rule; `dropEmptied` stays off — dropping on
+    * a rendering mismatch would be silent data loss, not cleanup). */
+  def optimisticCompact(spark: SparkSession, t: String,
+      partCol: String, minFiles: Int = 2, maxRecordsPerFile: Long = 0,
+      clusterBy: Seq[String] = Nil, zOrderBy: Seq[String] = Nil,
+      maxRetries: Int = 3, store: CommitStore = CommitStore.local,
+      txn: Option[String] = None): (Long, Seq[String]) = {
+    require(minFiles >= 2, "minFiles < 2 would rewrite compact partitions")
+    require(clusterBy.isEmpty || zOrderBy.isEmpty,
+      "pick clusterBy (single-dim) or zOrderBy (Morton), not both")
+    // the successful attempt's written dirs — assigned by checkParts
+    // AFTER the rendering guard passes, so the committed attempt's
+    // value is the one returned (attempts run sequentially)
+    @volatile var committedParts: Seq[String] = Seq.empty
+    val v = optimisticLoop(t, maxRetries) { () =>
+      committedParts = Seq.empty
+      optimisticAttempt(spark, t, spark.emptyDataFrame, partCol, Nil,
+        store, txn, requireBase = true, dropEmptied = false,
+        resolve = (_, touchedDirs, mBase, _) => {
+          val dirs = mBase.collect {
+            case (p, o) if touchedDirs(p) => s"${dataDir(t, o)}/$p"
+          }.toSeq.sorted
+          compactionShape(
+            spark.read.option("mergeSchema", "true").parquet(dirs: _*),
+            partCol, clusterBy, zOrderBy)
+        },
+        checkParts = (parts, touchedDirs, _) => {
+          val unexpected = parts.filterNot(touchedDirs)
+          if (unexpected.nonEmpty)
+            throw new IllegalStateException(
+              "partition rendering mismatch during compaction: wrote " +
+                unexpected.mkString(", ") + " which was not among the " +
+                "fragmented dirs read — aborting commit (orphan " +
+                "version; vacuum reclaims it)")
+          committedParts = parts
+        },
+        detect = Some((base, mBase) =>
+          fragmentedParts(t, base.get, mBase, minFiles, store)),
+        maxRecordsPerFile = maxRecordsPerFile)
+    }
+    (v, committedParts)
   }
 
   /** Change-data-capture between two retained versions in

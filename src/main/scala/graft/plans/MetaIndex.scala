@@ -460,13 +460,16 @@ final class GraftFileIndex(spark: SparkSession, root: Path,
     case _ => None
   }
 
-  // sidecar indexes load lazily (schema probe = one footer; the stats
-  // rows collect only when a conjunct can actually use them) and once
-  // per planned scan
+  // sidecar indexes load lazily (the stats rows materialize only when
+  // a conjunct can actually use them), once per planned scan, and
+  // through the process-wide [[SidecarCache]] — repeated point
+  // queries against the same (table, version) re-evaluate verdicts
+  // over driver-cached rows instead of re-reading the sidecar parquet
+  // per plan
   private lazy val zoneIdx = prune.flatMap(_.zoneMapDir).map(d =>
-    spark.read.parquet(d))
+    SidecarCache.load(spark, d))
   private lazy val bloomIdxDf = prune.flatMap(_.bloomDir).map(d =>
-    spark.read.parquet(d))
+    SidecarCache.load(spark, d))
   private def statCols(df: org.apache.spark.sql.DataFrame,
       prefix: String): Map[String, String] =
     df.schema.fieldNames.filter(_.startsWith(prefix))
@@ -553,6 +556,69 @@ final class GraftFileIndex(spark: SparkSession, root: Path,
     }
     if (rejected.isEmpty) in
     else in.filterNot(f => rejected(f.getPath.toUri.getPath))
+  }
+}
+
+/** Process-wide cache of LOADED zone-map/bloom sidecars keyed by
+  * (dir, `_SUCCESS` mtime). A published sidecar dir is immutable —
+  * a rebuild at the same version rewrites the dir and lands a new
+  * `_SUCCESS` mtime, which misses the cache by key — so repeated
+  * plans of the same (table, version) evaluate their pruning
+  * verdicts over driver-cached rows (a local relation) instead of
+  * re-reading the sidecar parquet per plan: the dashboard firing
+  * hundreds of point queries per minute at a 100k-file table pays
+  * one sidecar read, then one metadata probe (the mtime stat) per
+  * plan. Bounded two ways: a sidecar over [[MaxEntryBytes]] on disk
+  * is served uncached (bloom blobs at extreme file counts must not
+  * pin driver memory), and the map clears past [[MaxEntries]] — the
+  * span-parts cache's bound discipline. Fail-safe: any probe error
+  * degrades to the uncached read, never to a plan failure. */
+private[graft] object SidecarCache {
+  private val MaxEntries = 16
+  private val MaxEntryBytes = 64L * 1024 * 1024
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long), (StructType, Array[org.apache.spark.sql.Row])]
+  // observability: specs pin the second-plan-is-free contract on
+  // these, and a load storm (every plan missing) is visible
+  private[graft] val loads = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val hits = new java.util.concurrent.atomic.AtomicLong
+
+  private def local(spark: SparkSession,
+      e: (StructType, Array[org.apache.spark.sql.Row]))
+      : org.apache.spark.sql.DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(e._2: _*), e._1)
+
+  def load(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val key: Option[(String, Long)] = scala.util.Try {
+      val path = new Path(dir)
+      val fs = path.getFileSystem(
+        spark.sessionState.newHadoopConf())
+      val st = fs.listStatus(path)
+      val mtime = st.collectFirst {
+        case s if s.getPath.getName == "_SUCCESS" =>
+          s.getModificationTime
+      }
+      val bytes = st.filterNot(_.isDirectory).map(_.getLen).sum
+      mtime.filter(_ => bytes <= MaxEntryBytes).map(dir -> _)
+    }.toOption.flatten
+    key match {
+      case None =>
+        loads.incrementAndGet()
+        spark.read.parquet(dir)
+      case Some(k) => cache.get(k) match {
+        case Some(e) =>
+          hits.incrementAndGet()
+          local(spark, e)
+        case None =>
+          loads.incrementAndGet()
+          val df = spark.read.parquet(dir)
+          val entry = (df.schema, df.collect())
+          if (cache.size >= MaxEntries) cache.clear()
+          cache.put(k, entry)
+          local(spark, entry)
+      }
+    }
   }
 }
 

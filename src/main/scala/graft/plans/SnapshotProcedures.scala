@@ -48,7 +48,7 @@ private[plans] object SnapshotProcedures {
     "add_generated_column", "drop_generated_column",
     "show_generated_columns", "detail", "tag", "drop_tag", "tags",
     "txns", "drop_txn", "schema_history", "file_stats",
-    "set_stats_cols")
+    "set_stats_cols", "backfill_stats")
 
   def load(procName: String, pathOf: String => String,
       store: CommitStore): Option[UnboundProcedure] =
@@ -110,6 +110,10 @@ private[plans] object SnapshotProcedures {
       // sidecar build, never stale ('' clears the declaration)
       case "set_stats_cols" => Array(p("table", DataTypes.StringType),
         p("cols", DataTypes.StringType))
+      // pay-once migration: enrich the CURRENT version's filemeta
+      // with row counts + declared-column stats for files that
+      // predate the declaration (one footer read per stale file)
+      case "backfill_stats" => Array(p("table", DataTypes.StringType))
       case "build_bloom_index" => Array(p("table", DataTypes.StringType),
         p("cols", DataTypes.StringType),
         pd("expected_items_per_file", DataTypes.LongType, "1000000"))
@@ -206,10 +210,22 @@ private[plans] object SnapshotProcedures {
           result(StructType.fromDDL("deleted_version BIGINT"),
             deleted.map(v => row(v)))
         case "compact" =>
-          val (v, parts) = PartitionedSnapshots.compact(spark, t,
-            partColOf, minFiles = input.getInt(1),
-            maxRecordsPerFile = input.getLong(2),
-            clusterBy = csv(3), zOrderBy = csv(4), store = store)
+          // SET graft.dml.optimistic=true routes the maintenance
+          // rewrite through the prepare/validate commit (same opt-in
+          // as SQL UPDATE/DELETE): a compaction of cold partitions
+          // then runs concurrently with disjoint writers instead of
+          // serializing the table on the single-writer lock
+          val (v, parts) =
+            if (spark.conf.getOption("graft.dml.optimistic")
+                .exists(_.toBoolean))
+              PartitionedSnapshots.optimisticCompact(spark, t,
+                partColOf, minFiles = input.getInt(1),
+                maxRecordsPerFile = input.getLong(2),
+                clusterBy = csv(3), zOrderBy = csv(4), store = store)
+            else PartitionedSnapshots.compact(spark, t,
+              partColOf, minFiles = input.getInt(1),
+              maxRecordsPerFile = input.getLong(2),
+              clusterBy = csv(3), zOrderBy = csv(4), store = store)
           result(StructType.fromDDL(
             "version BIGINT, partitions_compacted INT"),
             Seq(row(v, parts.size)))
@@ -233,6 +249,10 @@ private[plans] object SnapshotProcedures {
           PartitionedSnapshots.setStatsColumns(t, csv(1), store)
           result(StructType.fromDDL("cols STRING"),
             Seq(row(utf8(csv(1).mkString(",")))))
+        case "backfill_stats" =>
+          val n = PartitionedSnapshots.backfillStats(spark, t, store)
+          result(StructType.fromDDL("files_enriched INT"),
+            Seq(row(n)))
         case "build_bloom_index" =>
           PartitionedSnapshots.buildBloomIndex(spark, t, csv(1),
             expectedItemsPerFile = input.getLong(2), store = store)

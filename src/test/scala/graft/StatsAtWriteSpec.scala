@@ -366,4 +366,55 @@ class StatsAtWriteSpec extends AnyFunSuite {
     val q = spark.sql("SELECT k FROM sawd.t WHERE k = 41")
     assert(q.as[Long].collect().toSet == Set(41L))
   }
+
+  test("backfillStats enriches files that PREDATE the declaration: " +
+      "a data-column point query prunes only after the backfill, the " +
+      "op is idempotent, and later commits carry the enriched lines") {
+    val t = s"${tmp("saw_bf")}/t"
+    // three files in one partition with disjoint k ranges, written
+    // BEFORE any declaration — row counts recorded, stats absent
+    PS.write(spark, t, grouped(
+      Seq.tabulate(10)(i => (i.toLong, "P", s"v$i"))
+        .toDF("k", "d", "v"),
+      Seq.tabulate(10)(i => ((i + 10).toLong, "P", s"w$i"))
+        .toDF("k", "d", "v"),
+      Seq.tabulate(10)(i => ((i + 20).toLong, "P", s"x$i"))
+        .toDF("k", "d", "v")), "d", store)
+    PS.setStatsColumns(t, Seq("k"), store)
+    def q() = PS.read(spark, t, store).filter(col("k") === 15L)
+    assert(v1Files(q()) == 3L, "declaration alone: no stats, no skip")
+    assert(PS.backfillStats(spark, t, store) == 3)
+    assert(v1Files(q()) == 1L, "backfilled stats prune to one file")
+    assert(q().select("v").as[String].collect().toSet == Set("w5"))
+    assert(PS.backfillStats(spark, t, store) == 0, "idempotent")
+    // a subsequent commit CARRIES the enriched lines forward — the
+    // untouched partition keeps skipping at the new version
+    PS.upsert(spark, t, Seq((100L, "Q", "q")).toDF("k", "d", "v"),
+      Seq("k"), "d", store = store)
+    assert(v1Files(q()) == 1L, "enrichment survives the next commit")
+  }
+
+  test("SQL surface: CALL system.backfill_stats reports the enriched " +
+      "file count and the DSv2 door prunes afterwards") {
+    val root = tmp("saw_bfsql")
+    spark.conf.set("spark.sql.catalog.sawbf",
+      "graft.plans.SnapshotSqlCatalog")
+    spark.conf.set("spark.sql.catalog.sawbf.root", root)
+    val t = s"$root/t"
+    PS.write(spark, t, grouped(
+      Seq.tabulate(10)(i => (i.toLong, "P", s"v$i"))
+        .toDF("k", "d", "v"),
+      Seq.tabulate(10)(i => ((i + 10).toLong, "P", s"w$i"))
+        .toDF("k", "d", "v")), "d", store)
+    spark.sql("CALL sawbf.system.set_stats_cols(table => 't', " +
+      "cols => 'k')")
+    val q = spark.sql("SELECT v FROM sawbf.t WHERE k = 5")
+    assert(v2Files(q)._1 == 2, "no stats yet: both files planned")
+    val n = spark.sql("CALL sawbf.system.backfill_stats(table => 't')")
+      .collect().head.getInt(0)
+    assert(n == 2, s"expected 2 files enriched, got $n")
+    val q2 = spark.sql("SELECT v FROM sawbf.t WHERE k = 5")
+    assert(v2Files(q2)._1 == 1, "backfilled stats prune the DSv2 scan")
+    assert(q2.as[String].collect().toSet == Set("v5"))
+  }
 }
