@@ -235,80 +235,106 @@ object PartitionedSnapshots {
     * forward, so this is a pay-once migration, exactly like
     * [[indexPlanMeta]] (run that first on a pre-feature table so
     * owner schemas exist — an owner without a recorded data_schema
-    * backfills row counts only). Runs under the table lock (the
-    * rewrite must not race a concurrent commit's carry of the same
-    * record); cost is O(stale files) footer reads of metadata.
-    * Returns the number of files enriched; 0 = already complete
-    * (idempotent). */
+    * backfills row counts only).
+    *
+    * The footer harvest runs LOCK-FREE — small batches on the driver
+    * (the commit path's shape), large ones distributed over executors
+    * (the zone-map build's engine), so a 100k-file migration neither
+    * stalls concurrent writers nor bottlenecks on a driver IO loop.
+    * Only the rewrite itself takes the table lock (milliseconds of
+    * metadata), re-validating that the pointer still names the
+    * harvested version: a commit that landed mid-harvest just means
+    * a retry against the new current version, and because footers
+    * are per IMMUTABLE file (keyed by owner/partition/name), every
+    * token already harvested carries over — a retry only reads the
+    * files the interleaved commits added. A file vacuumed mid-harvest
+    * reads as no-token (kept un-enriched, fail-safe) and the moved
+    * pointer retries anyway. Returns the number of files enriched;
+    * 0 = already complete (idempotent). */
   def backfillStats(spark: SparkSession, t: String,
-      store: CommitStore = CommitStore.local): Int =
-    Incremental.spinOnContention() {
-      Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
-        currentVersion(t, store) match {
-          case None => 0
-          case Some(cur) =>
-            val cols = statsColumns(t, store)
-            val m = manifest(t, cur, store)
-            if (m.isEmpty) 0
-            else {
-              val refs = checkedFileManifest(t, cur, m, store)
-                .getOrElse(m.toSeq.sortBy(_._1).flatMap {
-                  case (p, o) => listPartFiles(t, o, p, store)
-                })
-              // the footer is worth re-reading only when it can yield
-              // something new: a missing row count always can; missing
-              // stats can only if some declared column is stat-typed
-              // in the owner's recorded schema (an owner whose NaN-only
-              // floats yield no usable values re-reads harmlessly)
-              val usableCache =
-                scala.collection.mutable.Map.empty[Long, Boolean]
-              def usable(o: Long): Boolean =
-                usableCache.getOrElseUpdate(o, cols.nonEmpty &&
-                  ownerSchema(t, o, store).exists(s => cols.exists(c =>
-                    s.fields.find(_.name.equalsIgnoreCase(c))
-                      .exists(f => FileStats.statType(f.dataType)))))
-              val (stale, fine) = refs.partition(r =>
-                r.rows.isEmpty || (r.stats.isEmpty && usable(r.owner)))
-              if (stale.isEmpty) 0
-              else {
-                // small batches read footers on the driver (the
-                // commit path's shape); a large backfill DISTRIBUTES
-                // them — the same executor-side harvest as the
-                // zone-map build, so a 100k-file migration scales
-                // with the cluster, not the driver's IO loop
-                val enriched =
-                  if (stale.size <= 64) withRowCounts(t, stale, store)
-                  else stale.groupBy(_.owner).toSeq.flatMap {
-                    case (o, rs) =>
-                      val ct = statColTypes(t, o, cols, store)
-                      val dir = dataDir(t, o)
-                      def pathOf(r: FileRef) = s"$dir/${r.part}/${r.name}"
-                      val toks = org.apache.spark.sql.graft.Bridge
-                        .mapFilesWithConf(spark, rs.map(pathOf),
-                          math.min(rs.size, spark.sparkContext
-                            .defaultParallelism)) { (p, conf) =>
-                          p -> footerTokens(p, ct, conf)
-                        }.toMap
-                      rs.map { r =>
-                        toks.get(pathOf(r)).fold(r) {
-                          case (rows, tok) => r.copy(
-                            rows = rows.orElse(r.rows),
-                            stats = tok.orElse(r.stats))
-                        }
-                      }
-                  }
-                val byPart = (enriched ++ fine).groupBy(_.part)
-                // atomicWrite (via atomic=true): this rewrites the
-                // sidecar of an ALREADY-COMMITTED version, where no
-                // write ordering protects against a torn file
-                writeFileMeta(t, cur, m, None, store, fresh = byPart,
-                  atomic = true)
-                stale.size
-              }
-            }
+      store: CommitStore = CommitStore.local): Int = {
+    val harvested = scala.collection.mutable.Map
+      .empty[(Long, String, String), (Option[Long], Option[String])]
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      // ── lock-free snapshot + harvest ─────────────────────────────
+      val cur = currentVersion(t, store).getOrElse(return 0)
+      val cols = statsColumns(t, store)
+      val m = manifest(t, cur, store)
+      if (m.isEmpty) return 0
+      val refs = checkedFileManifest(t, cur, m, store)
+        .getOrElse(m.toSeq.sortBy(_._1).flatMap {
+          case (p, o) => listPartFiles(t, o, p, store)
+        })
+      // the footer is worth reading only when it can yield something
+      // new: a missing row count always can; missing stats can only
+      // if some declared column is stat-typed in the owner's recorded
+      // schema (an owner whose NaN-only floats yield no usable values
+      // re-reads harmlessly)
+      val usableCache =
+        scala.collection.mutable.Map.empty[Long, Boolean]
+      def usable(o: Long): Boolean =
+        usableCache.getOrElseUpdate(o, cols.nonEmpty &&
+          ownerSchema(t, o, store).exists(s => cols.exists(c =>
+            s.fields.find(_.name.equalsIgnoreCase(c))
+              .exists(f => FileStats.statType(f.dataType)))))
+      def keyOf(r: FileRef) = (r.owner, r.part, r.name)
+      val (stale, fine) = refs.partition(r =>
+        r.rows.isEmpty || (r.stats.isEmpty && usable(r.owner)))
+      if (stale.isEmpty) return 0
+      val missing = stale.filterNot(r => harvested.contains(keyOf(r)))
+      if (missing.size <= 64) {
+        lazy val conf = SparkSession.active.sessionState.newHadoopConf()
+        missing.foreach { r =>
+          val ct = statColTypes(t, r.owner, cols, store)
+          harvested(keyOf(r)) = footerTokens(
+            s"${dataDir(t, r.owner)}/${r.part}/${r.name}", ct, conf)
+        }
+      } else missing.groupBy(_.owner).foreach { case (o, rs) =>
+        val ct = statColTypes(t, o, cols, store)
+        val dir = dataDir(t, o)
+        def pathOf(r: FileRef) = s"$dir/${r.part}/${r.name}"
+        val toks = org.apache.spark.sql.graft.Bridge
+          .mapFilesWithConf(spark, rs.map(pathOf),
+            math.min(rs.size,
+              spark.sparkContext.defaultParallelism)) { (p, conf) =>
+            p -> footerTokens(p, ct, conf)
+          }.toMap
+        rs.foreach(r =>
+          toks.get(pathOf(r)).foreach(harvested(keyOf(r)) = _))
+      }
+      val enriched = stale.map { r =>
+        harvested.get(keyOf(r)).fold(r) { case (rows, tok) =>
+          r.copy(rows = rows.orElse(r.rows),
+            stats = tok.orElse(r.stats))
         }
       }
+      val byPart = (enriched ++ fine).groupBy(_.part)
+      // ── the SHORT critical section: re-validate + atomic rewrite ─
+      val committed = Incremental.spinOnContention() {
+        Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+          if (!currentVersion(t, store).contains(cur)) false
+          else {
+            // atomicWrite (via atomic=true): this rewrites the
+            // sidecar of an ALREADY-COMMITTED version, where no
+            // write ordering protects against a torn file
+            writeFileMeta(t, cur, m, None, store, fresh = byPart,
+              atomic = true)
+            true
+          }
+        }
+      }
+      if (committed) return stale.size
+      if (attempts > 5) throw new Incremental.ConcurrentWriteException(
+        s"$t: stats backfill lost $attempts pointer races — the " +
+          "table is committing faster than the backfill can " +
+          "re-validate; retry in a quieter window (every harvested " +
+          "footer token is retained across retries, so the next run " +
+          "only reads newly-added files)")
     }
+    0 // unreachable
+  }
 
   /** Exact row counts — and, for the table's declared `zonemap_cols`,
     * column min/max/null-count stats — for freshly-committed refs,
