@@ -362,6 +362,14 @@ class StatsAtWriteSpec extends AnyFunSuite {
     assert(allStatted())
     PS.compact(spark, t, "d", store = store)
     assert(allStatted())
+    // the optimistic maintenance rewrite records them too — fragment
+    // p1 first so the compaction has something to coalesce
+    PS.optimisticUpsert(spark, t, Seq((6L, "p1", "x"), (7L, "p1", "y"))
+      .toDF("k", "d", "v").repartition(2), Seq("k"), "d",
+      store = store)
+    assert(allStatted())
+    PS.optimisticCompact(spark, t, "d", store = store)
+    assert(allStatted())
     // the final state still prunes and answers exactly
     val q = spark.sql("SELECT k FROM sawd.t WHERE k = 41")
     assert(q.as[Long].collect().toSet == Set(41L))
