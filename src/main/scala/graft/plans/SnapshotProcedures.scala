@@ -212,12 +212,12 @@ private[plans] object SnapshotProcedures {
         case "compact" =>
           // SET graft.dml.optimistic=true routes the maintenance
           // rewrite through the prepare/validate commit (same opt-in
-          // as SQL UPDATE/DELETE): a compaction of cold partitions
-          // then runs concurrently with disjoint writers instead of
-          // serializing the table on the single-writer lock
+          // as SQL UPDATE/DELETE, via the same shared lenient parser —
+          // SnapshotSqlCatalog.dmlOptimistic): a compaction of cold
+          // partitions then runs concurrently with disjoint writers
+          // instead of serializing the table on the single-writer lock
           val (v, parts) =
-            if (spark.conf.getOption("graft.dml.optimistic")
-                .exists(_.toBoolean))
+            if (SnapshotSqlCatalog.dmlOptimistic(spark))
               PartitionedSnapshots.optimisticCompact(spark, t,
                 partColOf, minFiles = input.getInt(1),
                 maxRecordsPerFile = input.getLong(2),
@@ -331,11 +331,12 @@ private[plans] object SnapshotProcedures {
             case x => x
           }
           result(StructType.fromDDL("partition STRING, owner BIGINT, " +
-            "files INT, bytes BIGINT, rows BIGINT"),
+            "files INT, bytes BIGINT, rows BIGINT, " +
+            "files_with_stats INT"),
             PartitionedSnapshots.fileStats(t, vq, store).map {
-              case (part, owner, files, bytes, rows) =>
+              case (part, owner, files, bytes, rows, withStats) =>
                 row(utf8(part.stripPrefix("__p=")), owner, files,
-                  bytes, rows.map(Long.box).orNull)
+                  bytes, rows.map(Long.box).orNull, withStats)
             })
         case "schema_history" =>
           // the widening audit log (SchemaEvents): who added which
@@ -408,6 +409,7 @@ private[plans] object SnapshotProcedures {
           val schemaD = StructType.fromDDL("format STRING, " +
             "current_version BIGINT, num_versions INT, " +
             "num_partitions INT, num_files INT, size_bytes BIGINT, " +
+            "num_files_with_stats INT, stats_columns STRING, " +
             "num_constraints INT, num_generated_columns INT, " +
             "num_consumers INT")
           PartitionedSnapshots.currentVersion(t, store) match {
@@ -420,20 +422,34 @@ private[plans] object SnapshotProcedures {
               val partitioned =
                 PartitionedSnapshots.hasManifest(t, v, store)
               val m = PartitionedSnapshots.manifest(t, v, store)
-              val (nFiles, nBytes) =
+              val (nFiles, nBytes, nWithStats) =
                 if (partitioned) {
                   val st = PartitionedSnapshots.fileStats(t, v, store)
-                  (st.map(_._3.toLong).sum, st.map(_._4).sum)
+                  (st.map(_._3.toLong).sum, st.map(_._4).sum,
+                    st.map(_._6.toLong).sum)
                 } else {
                   val r = graft.operators.TableStats.report(
                     f"$t/_snapshots/v$v%05d", store = store)
-                  (r.totalFiles.toLong, r.totalBytes)
+                  (r.totalFiles.toLong, r.totalBytes, 0L)
+                }
+              // the stats-at-write regime in force: the explicit
+              // declaration, "none" (opt-out), or "auto(N)" — read
+              // together with num_files_with_stats this answers
+              // "is a backfill_stats run needed" without running one
+              val statsRegime =
+                PartitionedSnapshots.tableProps(t, store)
+                  .get("zonemap_cols").map(_.trim) match {
+                  case Some(x) if x.equalsIgnoreCase("none") => "none"
+                  case Some(x) => x
+                  case None =>
+                    s"auto(${PartitionedSnapshots.statsAutoLimit(t, store)})"
                 }
               result(schemaD, Seq(row(
                 utf8(if (partitioned) "graft.partitioned-snapshots"
                   else "graft.snapshots"),
                 v, PartitionedSnapshots.versions(t, store).size,
-                m.size, nFiles.toInt, nBytes,
+                m.size, nFiles.toInt, nBytes, nWithStats.toInt,
+                utf8(statsRegime),
                 graft.operators.Constraints.list(t, store).size,
                 graft.operators.GeneratedColumns.list(t, store).size,
                 graft.operators.ChangeFeed.consumers(t, store).size)))

@@ -223,13 +223,19 @@ class SnapshotSqlCatalog extends TableCatalog
         s"partition column $partCol is not in the schema")
     PartitionedSnapshots.initTable(t, partCol, schema.json, store)
     // CREATE TABLE … TBLPROPERTIES ('zonemap_cols'='a,b') declares
-    // stats-at-write columns from birth — every commit then records
-    // per-file min/max/null-count in its filemeta (Delta's
-    // dataSkippingNumIndexedCols shape, by explicit column list)
+    // stats-at-write columns from birth ('none' opts out); with NO
+    // declaration the auto default applies — the first
+    // 'stats_num_cols' (default 32) stat-typed top-level columns
+    // (Delta's dataSkippingNumIndexedCols shape)
     Option(properties.get("zonemap_cols")).map(_.trim)
       .filter(_.nonEmpty).foreach { cols =>
         PartitionedSnapshots.setStatsColumns(t,
-          cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty), store)
+          cols.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+            .filterNot(_.equalsIgnoreCase("none")), store)
+      }
+    Option(properties.get("stats_num_cols")).map(_.trim)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).foreach { n =>
+        PartitionedSnapshots.setStatsAutoLimit(t, n, store)
       }
     loadTable(ident)
   }
@@ -540,7 +546,7 @@ private[plans] class SnapshotWritableTable(
     * maintenance (GDPR sweeps, backfills) where observing commit
     * order beats concurrency. */
   private def dmlOptimistic(spark: SparkSession): Boolean =
-    spark.conf.getOption("graft.dml.optimistic").exists(_.toBoolean)
+    SnapshotSqlCatalog.dmlOptimistic(spark)
 
   override def runUpdate(spark: SparkSession,
       set: Map[String, org.apache.spark.sql.Column],
@@ -660,6 +666,16 @@ object SnapshotSqlCatalog {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit, not}
   import org.apache.spark.sql.sources._
+
+  /** THE parser for the `graft.dml.optimistic` opt-in — shared by the
+    * DML door and the compact procedure so both doors accept/reject
+    * identically. LENIENT: anything other than (trimmed,
+    * case-insensitive) "true" reads as false — `SET
+    * graft.dml.optimistic=yes` routes serialized, it does not throw
+    * the raw `toBoolean` IllegalArgumentException at the user. */
+  private[plans] def dmlOptimistic(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.dml.optimistic")
+      .exists(_.trim.equalsIgnoreCase("true"))
 
   /** DSv1 Filter → Column for the DELETE push-through — the standard
     * translatable subset; None makes `canDeleteWhere` refuse up front. */

@@ -380,7 +380,10 @@ class StatsAtWriteSpec extends AnyFunSuite {
       "op is idempotent, and later commits carry the enriched lines") {
     val t = s"${tmp("saw_bf")}/t"
     // three files in one partition with disjoint k ranges, written
-    // BEFORE any declaration — row counts recorded, stats absent
+    // under the `none` OPT-OUT (round 16: an UNDECLARED table now
+    // auto-stats, so opt-out is how a stat-less history arises) —
+    // row counts recorded, stats absent
+    PS.setStatsColumns(t, Nil, store)
     PS.write(spark, t, grouped(
       Seq.tabulate(10)(i => (i.toLong, "P", s"v$i"))
         .toDF("k", "d", "v"),
@@ -409,6 +412,8 @@ class StatsAtWriteSpec extends AnyFunSuite {
       "graft.plans.SnapshotSqlCatalog")
     spark.conf.set("spark.sql.catalog.sawbf.root", root)
     val t = s"$root/t"
+    // stat-less history via the opt-out (see the operator-API twin)
+    PS.setStatsColumns(t, Nil, store)
     PS.write(spark, t, grouped(
       Seq.tabulate(10)(i => (i.toLong, "P", s"v$i"))
         .toDF("k", "d", "v"),

@@ -170,6 +170,46 @@ class StoragePartitionedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("round 16: the OPERATOR door SPJs too — with " +
+      "preserveDataGrouping set, PS.read plans the DSv2 indexed " +
+      "table and a co-partitioned operator-API join drops both " +
+      "exchanges; without it the long-pinned V1 path is unchanged") {
+    val root = tmp("spj_op")
+    PS.write(spark, s"$root/t1", (1L to 300L).map(k =>
+      (k, s"p${k % 5}", s"a$k")).toDF("k", "d", "v"), "d", store)
+    PS.write(spark, s"$root/t2", (1L to 200L).map(k =>
+      (k, s"p${k % 5}", s"b$k")).toDF("k", "d", "w"), "d", store)
+    def q() = PS.read(spark, s"$root/t1", store).as("a")
+      .join(PS.read(spark, s"$root/t2", store).as("b"), "d")
+      .groupBy("d").count()
+    val prevMpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+    val (spjShuffles, spjRows) = withSpj {
+      val df = q()
+      (shuffles(df), df.as[(String, Long)].collect().toSet)
+    }
+    // default path (no opt-in): V1 HadoopFsRelation, shuffled plan
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val (offShuffles, offRows) = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = q()
+      assert(df.queryExecution.executedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution
+          .FileSourceScanExec] == true) ||
+        df.queryExecution.sparkPlan.toString.contains("FileScan"),
+        "the default operator read must keep the V1 plan")
+      (shuffles(df), df.as[(String, Long)].collect().toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
+    }
+    assert(spjShuffles == 0,
+      s"operator-door SPJ must drop both exchanges, got $spjShuffles")
+    assert(offShuffles > 0, "no opt-in → the V1 shuffled plan")
+    assert(spjRows == offRows && spjRows ==
+      (0 to 4).map(i => (s"p$i", 60L * 40L)).toSet)
+  }
+
   test("SPJ never fires where it would be wrong or useless: opt-in " +
       "off, partition column pruned from the output, or a " +
       "non-partition join key — plans stay correct") {
