@@ -306,11 +306,20 @@ object Bench {
       while (k > 0 && mk(k).length > lineBudget) k -= 1
       mk(k)
     }
+    // atomic stage+move: a plain writeString truncates in place, so a
+    // reader polling the partial file mid-update would catch it empty
+    def writePartialFile(line: String): Unit =
+      try {
+        val p = java.nio.file.Paths.get(partialPath)
+        val tmp = java.nio.file.Paths.get(partialPath + ".tmp")
+        java.nio.file.Files.writeString(tmp, line + "\n")
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case _: Throwable => () }
     def emitPartial(done: Seq[(String, Double)]): Unit = {
       val line = renderLine(done, partial = true, extra = "")
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(partialPath), line + "\n")
-      catch { case _: Throwable => () }
+      writePartialFile(line)
       println(line); System.out.flush()
     }
 
@@ -640,9 +649,7 @@ object Bench {
     println(out)
     // a completed run replaces the incremental file with the final line,
     // so BENCH_PARTIAL.json saying "partial":true always means a kill
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(partialPath), out + "\n")
-    catch { case _: Throwable => () }
+    writePartialFile(out)
     spark.stop()
   }
 }

@@ -158,6 +158,63 @@ object MetaScaleBench {
         val manifestBytes = store
           .read(f"$t/_snapshots/v$cur%05d/manifest")
           .map(_.length).getOrElse(0)
+        // ── SPJ wall-clock (round-16 stretch): a co-partitioned
+        // self-join + partition-column aggregate, with and without
+        // preserve-data-grouping — the measured twin of
+        // StoragePartitionedJoinSpec's plan pin. Exchange counts
+        // prove WHICH plan ran; the wall shows the trade. Skipped at
+        // 100k: one task PER partition value over 1-row partitions is
+        // pure task overhead — exactly the split-packing trade the
+        // session gate exists for (SPJ pays off when per-partition
+        // data is large, not when partitions are many and tiny).
+        def spjShuffles(
+            plan: org.apache.spark.sql.execution.SparkPlan): Int = {
+          val self = plan match {
+            case _: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeLike => 1
+            case _ => 0
+          }
+          val kids = plan match {
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: org.apache.spark.sql.execution.adaptive
+                .QueryStageExec => Seq(q.plan)
+            case other => other.children
+          }
+          self + kids.map(spjShuffles).sum
+        }
+        val (spjOnS, spjOnX, spjOffS, spjOffX) =
+          if (p > 10000) (-1.0, -1, -1.0, -1)
+          else {
+            def joinDf() = PS.read(spark, t, store).as("a")
+              .join(PS.read(spark, t, store).as("b"), "d")
+              .groupBy("d").count()
+            def measure(): (Double, Int) = {
+              val w = (1 to 2).map(_ => timed(joinDf().count())._1).min
+              val df = joinDf(); df.count()
+              (w, spjShuffles(df.queryExecution.executedPlan))
+            }
+            val prevT = spark.conf.get(
+              "spark.sql.autoBroadcastJoinThreshold")
+            try {
+              spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", "-1")
+              val (offS, offX) = measure()
+              spark.conf.set("spark.sql.sources.v2.bucketing.enabled",
+                "true")
+              spark.conf.set("spark.sql.sources.v2.bucketing" +
+                ".pushPartValues.enabled", "true")
+              spark.conf.set(graft.plans.StatParquetScan
+                .PreserveGroupingKey, "true")
+              val (onS, onX) = measure()
+              (onS, onX, offS, offX)
+            } finally {
+              spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", prevT)
+              spark.conf.unset(
+                graft.plans.StatParquetScan.PreserveGroupingKey)
+            }
+          }
         System.err.println(f"[meta] parts=$p manifest=$manifestRead%.3fs" +
           f" backfill=$backfillS%.2fs" +
           f" commit1p=$commit1p%.2fs plan=$planS%.2fs" +
@@ -165,7 +222,8 @@ object MetaScaleBench {
           f" statsbf=$statsBackfillS%.2fs" +
           f" selectk=$selKS%.2fs/${selKFiles}f" +
           f" history=$historyS%.2fs changes=$changesS%.2fs" +
-          f" vacuum=$vacuumS%.2fs bytes=$manifestBytes")
+          f" vacuum=$vacuumS%.2fs bytes=$manifestBytes" +
+          f" spj=$spjOnS%.2fs/${spjOnX}x-vs-$spjOffS%.2fs/${spjOffX}x")
         s""""p$p":{"bulk_write_s":${r2(bulk)},""" +
           s""""manifest_read_s":${r2(manifestRead)},""" +
           s""""index_backfill_s":${r2(backfillS)},""" +
@@ -177,6 +235,10 @@ object MetaScaleBench {
           s""""select_datacol_files":$selKFiles,""" +
           s""""plan_s":${r2(planS)},"history_s":${r2(historyS)},""" +
           s""""changes_s":${r2(changesS)},"vacuum_s":${r2(vacuumS)},""" +
+          s""""spj_join_on_s":${r2(spjOnS)},""" +
+          s""""spj_join_on_shuffles":$spjOnX,""" +
+          s""""spj_join_off_s":${r2(spjOffS)},""" +
+          s""""spj_join_off_shuffles":$spjOffX,""" +
           s""""manifest_bytes":$manifestBytes}"""
       }.mkString("\"partitions\":{", ",", "}")
 
