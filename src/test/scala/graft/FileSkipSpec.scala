@@ -76,9 +76,12 @@ class FileSkipSpec extends AnyFunSuite {
     check(col("d") >= "c", 2, Set(3L, 4L))
     // arbitrary deterministic expression over the partition column
     check(upper(col("d")) === "A", 1, Set(1L))
-    // a predicate on a NON-partition column prunes nothing (no
-    // sidecar built) but stays correct
-    check(col("k") > 2L, 4, Set(3L, 4L))
+    // a predicate on a NON-partition column prunes through the
+    // AUTO stats-at-write default (round 16: every commit records
+    // min/max for the leading stat-typed columns with no
+    // declaration, no sidecar build) — k>2 rejects the k=1 and k=2
+    // files on their recorded ranges, results stay exact
+    check(col("k") > 2L, 2, Set(3L, 4L))
     // contradiction prunes everything (zero-file scan, zero rows)
     check(col("d") === "zzz", 0, Set.empty)
   }

@@ -69,12 +69,15 @@ class RowCountStatsSpec extends AnyFunSuite {
     // column pruning keeps cardinality exact
     assert(scanRowCount(spark.sql("SELECT k FROM rcs.t"))
       .contains(BigInt(123)))
-    // a pushed DATA filter on an unstatted column prunes nothing, so
-    // the bound is the whole table (round 15: survivors' row sum
-    // replaced round 14's unknown — an upper bound beats no estimate)
-    assert(scanRowCount(
+    // a pushed DATA filter now prunes through the AUTO stats-at-write
+    // default (round 16: k is statted with no declaration), so the
+    // reported bound is the SURVIVING files' recorded row sum — a
+    // sound upper bound on the 23 true matches, strictly below the
+    // table's 123 (the pre-round-16 bound when nothing pruned)
+    val bounded = scanRowCount(
       spark.sql("SELECT k FROM rcs.t WHERE k > 100"))
-      .contains(BigInt(123)))
+    assert(bounded.exists(n => n >= BigInt(23) && n < BigInt(123)),
+      s"expected a pruned upper bound in [23, 123), got $bounded")
     // a PARTITION predicate prunes to the matching partition's exact
     // recorded rows (123 rows over p0/p1/p2: p1 holds 41)
     assert(scanRowCount(
