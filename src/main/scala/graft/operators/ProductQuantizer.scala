@@ -36,33 +36,63 @@ object ProductQuantizer {
     * subspaces in this single frame, so a round is ONE Spark job
     * regardless of m (the per-sub sequential form was m× the jobs and
     * dominated the catalog bench: 16 subs × 3 rounds ran 24 s where the
-    * joint loop runs ~2 s). */
+    * joint loop runs ~2 s). ONE scan, not an m-way union: the slices
+    * materialize as an array per row and posexplode (pos = sub index)
+    * — the union form planned m parallel scan branches (m× the scan
+    * work and generated code; round-16 guide §2.3 "project early"). */
   private def subFrame(corpus: DataFrame, m: Int, width: Int,
                        idCol: String, vecCol: String): DataFrame =
-    (0 until m).map { s =>
-      corpus.select(col(idCol).as("__id"), lit(s).as("sub"),
-        subCol(vecCol, s, width).as("v"))
-    }.reduce(_ unionByName _)
+    corpus.select(col(idCol).as("__id"),
+      posexplode(array((0 until m).map(s =>
+        subCol(vecCol, s, width)): _*)).as(Seq("sub", "v")))
 
   /** Nearest codebook entry per (vector, sub) by SQUARED L2 — argmin
-    * |v−c|² = argmax v·c − |c|²/2 (KMeans.assignL2 vectorized over the
-    * sub key): ADC approximates INNER PRODUCTS, so codebooks must
-    * minimize L2 reconstruction error — cosine assignment is
-    * magnitude-blind and measured 0.34 recall@10 vs l2's (gated) level.
-    * Keeps `v` so the fit's moment pass needs no join back. */
-  private def nearest(subs: DataFrame, codebooks: DataFrame): DataFrame = {
-    val cent = codebooks.select(col("sub"), col("cell"),
-      col("centroid").as("__cv"),
-      (VectorFns.dot(col("centroid"), col("centroid")) / 2)
-        .as("__half_cn2"))
-    val w = Window.partitionBy(col("sub"), col("__id"))
-      .orderBy(col("__score").desc, col("cell").asc)
-    subs.join(broadcast(cent), Seq("sub"))
-      .select(col("__id"), col("sub"), col("cell"), col("v"),
-        (VectorFns.dot(col("v"), col("__cv")) - col("__half_cn2"))
-          .as("__score"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    * |v−c|² = argmax v·c − |c|²/2: ADC approximates INNER PRODUCTS, so
+    * codebooks must minimize L2 reconstruction error — cosine assignment
+    * is magnitude-blind and measured 0.34 recall@10 vs l2's (gated)
+    * level. Keeps `v` so the fit's moment pass needs no join back.
+    *
+    * The codebook is driver-sized, so assignment is ONE native codegen
+    * expression over the literal codebook (PqNearestCell): zero fan-out,
+    * zero exchange, k·width multiply-adds per row. The previous
+    * relational argmin (broadcast join ×k + window/rank=1) shuffled and
+    * sorted N·m·k scored rows PER fit round and per encode pass — the
+    * round-16 before-plan's dominant cost (guide §1.2 step 1: fix the
+    * distributed algorithm first). Scores and tiebreak (lowest cell)
+    * are bit-identical — see PqNearestCell's scaladoc. */
+  private def nearest(subs: DataFrame, cents: Array[Array[Array[Float]]],
+      halves: Array[Array[Double]]): DataFrame =
+    subs.select(col("__id"), col("sub"),
+      graft.functions.PqNearestCell(col("sub").cast("int"), col("v"),
+        cents, halves).as("cell"),
+      col("v"))
+
+  /** Codebook map → dense (cents, halves) arrays for PqNearestCell.
+    * Half-norms use the same sequential left-to-right double fold as
+    * DotProduct (then one exact /2), so scores match the old
+    * dot(c,c)/2 column bit-for-bit. */
+  private def toArrays(cent: Map[(Int, Int), Seq[Float]], m: Int, k: Int)
+      : (Array[Array[Array[Float]]], Array[Array[Double]]) = {
+    val cents = Array.tabulate(m, k)((s, c) => cent((s, c)).toArray)
+    val halves = cents.map(_.map { cv =>
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) {
+        acc += cv(i).toDouble * cv(i).toDouble
+        i += 1
+      }
+      acc / 2
+    })
+    (cents, halves)
+  }
+
+  /** Collect a Model's codebook table back to the dense driver-side form
+    * (m·k rows — driver-sized by definition). */
+  private def modelArrays(model: Model)
+      : (Array[Array[Array[Float]]], Array[Array[Double]]) = {
+    val cent = model.codebooks.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    toArrays(cent, model.m, model.k)
   }
 
   /** Fit one codebook per subvector space over the corpus — all m
@@ -90,7 +120,8 @@ object ProductQuantizer {
     var r = 0
     var moved = true
     while (moved && r < rounds) {
-      val sums = nearest(subs, centDf)
+      val (ca, ha) = toArrays(cent, m, k)
+      val sums = nearest(subs, ca, ha)
         .select(col("sub"), col("cell"),
           posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("sub"), col("cell"), col("dim"))
@@ -132,8 +163,8 @@ object ProductQuantizer {
              idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val width = model.dims / model.m
-    nearest(subFrame(corpus, model.m, width, idCol, vecCol),
-      model.codebooks)
+    val (ca, ha) = modelArrays(model)
+    nearest(subFrame(corpus, model.m, width, idCol, vecCol), ca, ha)
       .select(col("__id").as(idCol), col("sub"), col("cell").as("code"))
   }
 
@@ -144,10 +175,9 @@ object ProductQuantizer {
              topK: Int, queryId: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val width = model.dims / model.m
-    val qsubs = (0 until model.m).map { s =>
-      queries.select(col(queryId).as("query_id"),
-        lit(s).as("sub"), subCol(vecCol, s, width).as("qv"))
-    }.reduce(_ unionByName _)
+    val qsubs = queries.select(col(queryId).as("query_id"),
+      posexplode(array((0 until model.m).map(s =>
+        subCol(vecCol, s, width)): _*)).as(Seq("sub", "qv")))
     // per-query lookup table: m·k rows/query, broadcast to the scan
     val tables = qsubs.join(model.codebooks, Seq("sub"))
       .select(col("query_id"), col("sub"), col("cell").as("code"),
@@ -178,10 +208,9 @@ object ProductQuantizer {
                    queryId: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val width = model.dims / model.m
-    val qsubs = (0 until model.m).map { s =>
-      queries.select(col(queryId).as("query_id"),
-        lit(s).as("sub"), subCol(vecCol, s, width).as("qv"))
-    }.reduce(_ unionByName _)
+    val qsubs = queries.select(col(queryId).as("query_id"),
+      posexplode(array((0 until model.m).map(s =>
+        subCol(vecCol, s, width)): _*)).as(Seq("sub", "qv")))
     val tables = qsubs.join(model.codebooks, Seq("sub"))
       .select(col("query_id"), col("sub"), col("cell").as("code"),
         VectorFns.dot(col("qv"), col("centroid")).as("ip"))

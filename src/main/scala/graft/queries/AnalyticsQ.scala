@@ -38,12 +38,16 @@ object AnalyticsQ {
     val ev = Tables.events(s, d)
       .withColumn("ud", concat(col("user_id").cast("string"), lit(":"),
         to_date(col("ts")).cast("string")))
+    // group-count-sized sketch table, but its LINEAGE is the full
+    // distinct+window pass over events — pairwiseOverlap reads it three
+    // times (pairs + two count joins), so cache the tiny result once
     val sketches = KmvSketch.sketchWithExact(ev, "event_type",
-      col("ud"), K)
+      col("ud"), K).cache()
     val overlaps = KmvSketch.pairwiseOverlap(sketches, "event_type", K)
       .withColumnRenamed("ga", "type_a").withColumnRenamed("gb", "type_b")
     // exact intersection twin: distinct (type, user-day) pairs self-joined
-    val pairs = ev.select(col("event_type"), col("ud")).distinct()
+    // (cached: both self-join sides read it)
+    val pairs = ev.select(col("event_type"), col("ud")).distinct().cache()
     val exactInter = pairs.as("x")
       .join(pairs.as("y"), col("x.ud") === col("y.ud") &&
         col("x.event_type") < col("y.event_type"))
@@ -210,11 +214,14 @@ object AnalyticsQ {
     val ev = Tables.events(s, d)
       .withColumn("ud", concat(col("user_id").cast("string"), lit(":"),
         to_date(col("ts")).cast("string")))
+    // cached for the same reason as q61: five consumers (containment's
+    // pair + per-group estimate joins, the two exact-count joins) would
+    // each replay the distinct+window pass over events
     val sketches = KmvSketch.sketchWithExact(ev, "event_type",
-      col("ud"), K)
+      col("ud"), K).cache()
     val conts = KmvSketch.containmentEstimates(sketches, "event_type", K)
       .withColumnRenamed("ga", "type_a").withColumnRenamed("gb", "type_b")
-    val pairs = ev.select(col("event_type"), col("ud")).distinct()
+    val pairs = ev.select(col("event_type"), col("ud")).distinct().cache()
     val exactInter = pairs.as("x")
       .join(pairs.as("y"), col("x.ud") === col("y.ud") &&
         col("x.event_type") < col("y.event_type"))
@@ -758,6 +765,10 @@ object AnalyticsQ {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
       .distinct()
+      // four consumers (counts, total, both pair sides): uncached the
+      // join+distinct recomputed per branch — 20 scans / 40 exchanges in
+      // the round-16 before-plan; cached it is 2 scans + one distinct
+      .cache()
     val counts = base.groupBy(col("brand"))
       .agg(count(lit(1)).as("n"))
     val total = base.select(

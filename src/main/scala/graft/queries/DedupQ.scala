@@ -148,11 +148,16 @@ object DedupQ {
       val shift = (7 - b / 4) * 4 + (b % 4)
       sum(expr(s"CAST(((v >> $shift) & 1) * 2 - 1 AS BIGINT)")).as(s"w$b")
     }
+    // materialized once: both self-join sides read the (doc_id, simhash)
+    // table — uncached, the whole tokenize+md5+32-column aggregation ran
+    // TWICE (4 scans in the round-16 before-plan; the per-token md5 pass
+    // is the query's entire CPU cost). One row per doc, trivially cached.
     val bits = inst.groupBy(col("doc_id")).agg(wAggs.head, wAggs.tail: _*)
       .select(col("doc_id"),
         (0 until 32).map(b =>
           when(col(s"w$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).cast("bigint").as("simhash"))
+      .cache()
     val bands = bits.select(col("doc_id"), col("simhash"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("byte", expr("(simhash >> (band * 8)) & 255"))
@@ -393,6 +398,9 @@ object DedupQ {
         }: _*)).as("bk"))
       .select(col("vec_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
+      // both candidate self-join sides read the banded keys; uncached
+      // the 16-band sign-bucket pass ran twice (narrow but per-vector)
+      .cache()
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -513,10 +521,15 @@ object DedupQ {
     * winnowing dedup (Schleimer et al.'s local fingerprinting); exact
     * substring verification would follow on the candidate sliver. */
   val d10WinnowPairs: Q = Q("d10_winnow_pairs", (s, d) => {
+    // materialized once: both self-join sides read the fingerprints —
+    // uncached, rollingFp (one md5 per 8-char window over the whole
+    // text, the query's entire CPU cost) ran TWICE. 5 short rows per
+    // doc, trivially cached.
     val fps = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(split(graft.functions.TextExprs.rollingFp(
           col("text"), 8, 5), "\\|")).as("gram"))
+      .cache()
     fps.as("a").join(fps.as("b"), Seq("gram"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -558,6 +571,9 @@ object DedupQ {
         transform(sequence(lit(0), (size(col("t")) / 8).cast("int") - 1),
           i => array_join(slice(col("t"), i * 8 + 1, lit(8)), " ")))
         .as("chunk"))
+      // feeds the frequency aggregate AND the flag join: cache so the
+      // tokenize+chunk pass over the text runs once, not twice
+      .cache()
     val freq = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     chunks.join(freq, Seq("chunk"))
@@ -666,11 +682,17 @@ object DedupQ {
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("nfull", (size(col("t")) / 8).cast("int"))
+      // read by the chunker and again by the reconstruction join — cache
+      // so the tokenize pass over the text runs once
+      .cache()
     val chunks = base.filter(col("nfull") >= 1)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), col("nfull") - 1),
           i => array_join(slice(col("t"), i * 8 + 1, lit(8)), " "))))
       .toDF("doc_id", "idx", "chunk")
+      // feeds the frequency aggregate AND the reconstruction join:
+      // cache so the tokenize+chunk pass runs once, not twice
+      .cache()
     val freq = chunks.groupBy(col("chunk"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val agg = chunks.join(freq, Seq("chunk"))

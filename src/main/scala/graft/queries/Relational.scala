@@ -398,25 +398,24 @@ object Relational {
     * three small per-(month, brand) results join (AQE broadcasts them).
     * Shuffle volume ≈ pre-reduced rows per branch; no Expand anywhere. */
   val q17ProductPerf: Q = Q("q17_product_perf", (s, d) => {
-    def base = Tables.lineitem(s, d)
+    // ONE aggregation pass: Spark plans multiple DISTINCT aggregates with
+    // a single Expand (×3) + two-level hash aggregation — one scan and one
+    // exchange where the previous sums ⨝ distinct ⨝ distinct form scanned
+    // the lineitem⨝part base THREE times and shuffled five (guide §2.4:
+    // remove shuffles outright; plan diff 18 → 3 Exchange, 12 → 2 scans).
+    Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)),
         col("l_partkey") === col("p_partkey"))
       .select(trunc(col("l_shipdate"), "month").as("month"), col("p_brand"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
         col("l_orderkey"), col("l_partkey"))
-    val sums = base
       .groupBy(col("month"), col("p_brand"))
       .agg(
         decSum(col("l_quantity")).as("units"),
         decSumExpr(d2(col("l_extendedprice")) * (lit(1) - dr(col("l_discount"))))
-          .as("revenue"))
-    def distinctCount(key: String, as: String) =
-      base.select(col("month"), col("p_brand"), col(key)).distinct()
-        .groupBy(col("month"), col("p_brand"))
-        .agg(count(lit(1)).as(as))
-    sums
-      .join(distinctCount("l_orderkey", "n_orders"), Seq("month", "p_brand"))
-      .join(distinctCount("l_partkey", "n_parts"), Seq("month", "p_brand"))
+          .as("revenue"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
       .orderBy(col("month"), col("p_brand"))
   }, Some(s"""
     SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month, p_brand,
@@ -1685,18 +1684,26 @@ object Relational {
     val edges = ecs
       .unionByName(ecs.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
+    // degree MATERIALIZED once and pre-joined onto the edges: the loop
+    // below then runs ONE join + one aggregation per round instead of
+    // three (the old shape re-derived deg AND nodes from the edge table
+    // every round and joined rank⨝deg separately — guide §2.4). deg's
+    // key set IS the node set (every node has an out-edge in the
+    // undirected edge list), so nodes comes free from deg.
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("u").as("node")).distinct()
+      .localCheckpoint(true)
+    val edgesD = edges.join(deg, Seq("u")).localCheckpoint(true)
+    val nodes = deg.select(col("u").as("node"))
     // two documented scalar collects: node count for the uniform prior
     val n = nodes.count()
     val R = 1000000000000L
     val base = (R * 15L / 100L) / n
     var rank = nodes.withColumn("r", lit(R / n)).localCheckpoint(true)
     (1 to 3).foreach { _ =>
-      val contrib = rank.join(deg, col("node") === col("u"))
-        .select(col("node"), expr("r div deg").as("c"))
-      val inflow = edges.join(contrib, edges("u") === contrib("node"))
-        .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
+      // r div deg(u) per edge — identical integer contribution per
+      // source node as the old per-node contrib join, summed the same
+      val inflow = edgesD.join(rank, col("u") === col("node"))
+        .groupBy(col("v")).agg(sum(expr("r div deg")).as("inflow"))
       rank = nodes.join(inflow, col("node") === col("v"), "left")
         .select(col("node"),
           (lit(base) + expr("(coalesce(inflow, 0L) * 85) div 100"))
@@ -1789,11 +1796,17 @@ object Relational {
     * each; ordering is the total (brand_a, brand_b), never the float
     * lift. */
   val q59MarketBasket: Q = Q("q59_market_basket", (s, d) => {
+    // materialized ONCE: the basket base feeds four plan branches (brand
+    // counts, the basket-count scalar, both self-join sides) — uncached
+    // the lineitem⨝part distinct recomputed per branch (16 scans / 32
+    // exchanges in the round-16 before-plan; now 2 scans + one shuffled
+    // distinct). At warehouse scale this is the persisted basket table.
     val items = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_partkey"))
       .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("p_brand")).distinct()
+      .cache()
     val single = items.groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
     // documented scalar collect: total basket count for support
     val nBaskets = items.select(col("l_orderkey")).distinct().count()
